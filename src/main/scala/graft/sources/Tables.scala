@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Single entry point for the engine's table sources.
+  *
+  * Mirrors the reference's source-enumeration step
+  * (`example/word-count-taskfile.lua:40-63` `read_source`: directory scan →
+  * (file, content) pairs) as declarative parquet scans: Spark's
+  * FileSourceScanExec enumerates and splits files across executors, which
+  * is the distributed equivalent of the reference's task generation
+  * (`word-count-taskfile.lua:82-88` `taskfn`).
+  *
+  * All readers are plain `spark.read.parquet` so Catalyst can push filters
+  * and prune columns into the scan — at 100 TB the scan is the dominant
+  * cost and pushdown is the first-order optimization.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
+  def events(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+}
