@@ -12,7 +12,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_wordcount" -> (WordCount.query _)
+    "q01_wordcount"       -> (WordCount.query _),
+    "q02_filter_project"  -> (Relational.filterProject _),
+    "q03_join_broadcast"  -> (Relational.joinBroadcast _),
+    "q04_agg_having"      -> (Relational.aggHaving _),
+    "q05_topk"            -> (Relational.topK _),
+    "q06_distinct"        -> (Relational.distinctKeys _),
+    "q07_string_ops"      -> (Relational.stringOps _),
+    "q08_nested_roundtrip" -> (Relational.nestedRoundtrip _),
+    "q09_mapreduce_api"   -> (Relational.mapReduceApi _),
+    "q10_partitioned_agg" -> (Relational.partitionedAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -21,6 +30,65 @@ object SparkEntry {
     "q01_wordcount" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
-        |GROUP BY word ORDER BY word""".stripMargin
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_broadcast" ->
+      """SELECT r_name, n_name,
+        |       round(sum(o_totalprice), 2) AS total_revenue,
+        |       count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q04_agg_having" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING count(*) > 100
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q05_topk" ->
+      """SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total_spend DESC, c_custkey ASC
+        |LIMIT 10""".stripMargin,
+    "q06_distinct" ->
+      """SELECT DISTINCT event_type, user_id
+        |FROM events ORDER BY event_type, user_id""".stripMargin,
+    "q07_string_ops" ->
+      """SELECT p_partkey,
+        |       string_split(p_name, ' ')[1]  AS first_word,
+        |       string_split(p_name, ' ')[-1] AS last_word,
+        |       starts_with(p_name, 's') AS starts_s,
+        |       (p_name LIKE '%t') AS ends_t,
+        |       len(string_split(p_name, ' ')) AS n_words
+        |FROM part
+        |WHERE starts_with(p_name, 's') OR p_name LIKE '%t'
+        |ORDER BY p_partkey""".stripMargin,
+    "q08_nested_roundtrip" ->
+      """SELECT event_id, event_type,
+        |       regexp_extract(props, '([0-9]+)', 1)::INT AS k_val,
+        |       user_id
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q09_mapreduce_api" ->
+      """SELECT event_type, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q10_partitioned_agg" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id
+        |HAVING count(*) >= 3
+        |ORDER BY user_id""".stripMargin
   )
 }

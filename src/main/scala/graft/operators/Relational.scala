@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.core.MapReduce
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The relational query surface — the reference's map/shuffle/reduce
+  * semantics (`lua-mapreduce-server.lua:173-183,382-388`) generalized
+  * beyond word count onto the star schema.
+  *
+  * Scale design, per query:
+  *  - filters/projections are plain Catalyst predicates → pushed into the
+  *    parquet scan (`PushedFilters`/`ReadSchema`, see PLANS.md);
+  *  - dimension joins are `broadcast()` (region/nation/customer-scale
+  *    sides), so the 100 TB fact side never shuffles for them;
+  *  - aggregations are declarative `groupBy.agg` → partial HashAggregate
+  *    map-side, shuffle volume O(groups);
+  *  - top-k is `orderBy.limit` → TakeOrderedAndProject (per-partition
+  *    heap + driver merge of k rows), never a global sort.
+  */
+object Relational {
+
+  /** q02_filter_project — selection + projection with parquet pushdown.
+    * Mirrors the reference's per-record processing in `mapfn`
+    * (`word-count-taskfile.lua:100-140`): a partition-local transform with
+    * no shuffle at all. */
+  def filterProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+        && col("l_discount") >= 0.05 && col("l_quantity") < 24)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q03_join_broadcast — star join: fact `orders⋈customer` with the
+    * nation/region dims broadcast; revenue per (region, nation). At scale
+    * only orders⋈customer shuffles (both large, co-partitioned on the
+    * join key); the dim lookups are map-side hash joins. */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders   = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    val nation   = Tables.nation(spark, sfDir)
+    val region   = Tables.region(spark, sfDir)
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("total_revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** q04_agg_having — grouped aggregation with a post-aggregation filter;
+    * the reference's `reducefn` (`word-count-taskfile.lua:148-151`)
+    * generalized to multi-measure aggregates (TPC-H Q1 shape). */
+  def aggHaving(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .filter(col("count_order") > 100)
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q05_topk — ordered final emit (`finalfn`,
+    * `word-count-taskfile.lua:91-97`) as top-k: highest-revenue customers.
+    * `orderBy.limit(k)` plans TakeOrderedAndProject — no global sort. */
+  def topK(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders   = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_spend"))
+      .orderBy(col("total_spend").desc, col("c_custkey").asc)
+      .limit(10)
+  }
+
+  /** q06_distinct — group-by-key with identity reduce: the degenerate
+    * MapReduce the reference's shuffle performs before any reducefn runs
+    * (`lua-mapreduce-server.lua:173-183`). Shuffle-partitioned distinct. */
+  def distinctKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+      .orderBy("event_type", "user_id")
+
+  /** q07_string_ops — the reference's string utilities
+    * (`utils/utils.lua:76-109`: `split`, `starts`, `ends`) as codegen'd
+    * expressions over `part`. */
+  def stringOps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .filter(startswith(col("p_name"), lit("s")) || endswith(col("p_name"), lit("t")))
+      .select(
+        col("p_partkey"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        element_at(split(col("p_name"), " "), -1).as("last_word"),
+        startswith(col("p_name"), lit("s")).as("starts_s"),
+        endswith(col("p_name"), lit("t")).as("ends_t"),
+        size(split(col("p_name"), " ")).as("n_words"))
+      .orderBy("p_partkey")
+
+  /** q08_nested_roundtrip — the reference's nested-table serialization
+    * (`utils/serialize.lua:1-193`) re-expressed on Spark complex types:
+    * build a nested struct, serialize to JSON, parse it back, extract.
+    * The flat output equals a direct extract iff the round-trip is
+    * lossless — which is what the oracle checks. */
+  def nestedRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val packed = to_json(struct(
+      col("event_type").as("t"),
+      struct(regexp_extract(col("props"), "([0-9]+)", 1).cast("int").as("k"),
+             col("user_id").as("u")).as("payload")))
+    val schema = "t STRING, payload STRUCT<k: INT, u: BIGINT>"
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), from_json(packed, org.apache.spark.sql.types.StructType.fromDDL(schema)).as("rt"))
+      .select(
+        col("event_id"),
+        col("rt.t").as("event_type"),
+        col("rt.payload.k").as("k_val"),
+        col("rt.payload.u").as("user_id"))
+      .orderBy("event_id")
+  }
+
+  /** q09_mapreduce_api — a second task through the four-function contract
+    * (`core.MapReduce`): per-event-type value totals, with map-side
+    * combine (the 100 TB path of `reducefn`). */
+  def mapReduceApi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).as[(String, Double)]
+    MapReduce.runReduced[(String, Double), String, Double](
+      src,
+      rec => Iterator.single((rec._1, rec._2)),
+      _ + _
+    ).toDF("event_type", "total")
+      .select(col("event_type"), round(col("total"), 2).as("total"))
+      .orderBy("event_type")
+  }
+
+  /** q10_partitioned_agg — multi-worker distribution + merge
+    * (`lua-mapreduce-server.lua:228-334`): an aggregation computed across
+    * an explicit hash repartitioning; the result is partition-count
+    * invariant (PartitionSpec proves = over 1..8 partitions). */
+  def partitionedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .repartition(8, col("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .filter(col("n_events") >= 3)
+      .orderBy("user_id")
+}

@@ -26,7 +26,16 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
-  def events(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads via
+    * the nanosAsLong legacy mode; we convert back to a timestamp column
+    * (µs precision) so downstream windows/watermarks work unchanged. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, sfDir, "events")
+    raw.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }
