@@ -21,8 +21,33 @@ object SparkEntry {
     "q07_string_ops"      -> (Relational.stringOps _),
     "q08_nested_roundtrip" -> (Relational.nestedRoundtrip _),
     "q09_mapreduce_api"   -> (Relational.mapReduceApi _),
-    "q10_partitioned_agg" -> (Relational.partitionedAgg _)
+    "q10_partitioned_agg" -> (Relational.partitionedAgg _),
+    "q11_dedup_exact"     -> (Dedup.exactDedup _),
+    "q12_dedup_minhash"   -> (Dedup.minhashPairs _),
+    "q13_dedup_simhash"   -> (Dedup.simhashPairs _),
+    "q14_ngram_dedup"     -> (Dedup.ngramDedup _)
   )
+
+  /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
+    * the documents table — the ground truth the LSH pipelines must equal. */
+  private val jaccardCte: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] AS g
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents),
+      |       unnest(range(1, len(w) - 1)) t(i)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |jac AS (
+      |  SELECT i, j, c * 1.0 / (si.n + sj.n - c) AS jaccard
+      |  FROM inter
+      |  JOIN sizes si ON si.doc_id = i
+      |  JOIN sizes sj ON sj.doc_id = j
+      |)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -89,6 +114,40 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id
         |HAVING count(*) >= 3
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    "q11_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "q12_dedup_minhash" ->
+      (jaccardCte +
+        """
+          |SELECT i AS doc_a, j AS doc_b, round(jaccard, 6) AS jaccard
+          |FROM jac WHERE jaccard >= 0.8
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    "q13_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\r]+')) AS tok FROM documents
+        |),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+        |  FROM h, unnest(range(0, 48)) t(b)
+        |  GROUP BY doc_id, b
+        |),
+        |sim AS (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q14_ngram_dedup" ->
+      (jaccardCte +
+        """
+          |SELECT doc_id, n_chars FROM documents
+          |WHERE doc_id NOT IN (SELECT DISTINCT j FROM jac WHERE jaccard >= 0.8)
+          |ORDER BY doc_id""".stripMargin)
   )
 }

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for LLM-corpus pipelines.
+  *
+  * The exact/near-dup shapes the builder brief requires, each designed so
+  * NO stage is O(n²) in the corpus:
+  *
+  *  - exact:   hash-groupBy on a content key; survivors are the per-key
+  *             min surrogate id. Pure shuffle-partitioned aggregation.
+  *  - minhash: shingle → 128 affine min-hashes (ONE md5 per shingle,
+  *             computed as array transforms inside codegen — no
+  *             explode/shuffle for signatures) → 32 bands × 4 rows →
+  *             candidate pairs come from a groupBy-(band,signature)
+  *             bucket self-join → exact-Jaccard verify on candidates only.
+  *             At J=0.8 the banding's miss probability is (1-0.8^4)^32 ≈
+  *             5e-8, so the verified output equals the true ≥0.8 pair set
+  *             (which is exactly what the DuckDB oracle computes).
+  *  - simhash: 48-bit token-multiset simhash; 4 × 12-bit bands. By
+  *             pigeonhole, hamming ≤ 3 ⇒ at least one band equal, so the
+  *             banded candidate generation has EXACT (not probabilistic)
+  *             recall at the ≤3 threshold.
+  *
+  * 100 TB notes: candidate-pair volume is bucket-local; pathological
+  * buckets (e.g. boilerplate shingles surviving into a band signature)
+  * are bounded because a band signature is 4 independent min-hashes —
+  * but a production deployment should still cap per-bucket membership
+  * (drop buckets with > B members and route them to a salted second
+  * pass). All hashing bottoms out in md5 (cross-engine reproducible, see
+  * HashFunctions); swap in xxhash64 for ~3× scan throughput when oracle
+  * parity is not required.
+  */
+object Dedup {
+
+  val ShingleK = 3
+  val NumHashes = 128
+  val Bands = 32
+  val RowsPerBand = 4
+  val JaccardThreshold = 0.8
+  val SimhashBits = 48
+  val SimhashBands = 4
+  val HammingMax = 3
+
+  /** q11_dedup_exact — exact dedup of documents by content hash; the
+    * survivor of each identical-content group is the min doc_id. */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("content_hash"), col("n_copies"))
+      .orderBy("doc_id")
+
+  /** doc_id + distinct word-3-shingle set. */
+  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), T.shingleSet(col("text"), ShingleK).as("sh"))
+
+  /** doc_id, sh, m0..m127 minhash signature — all array-local, no shuffle. */
+  private[operators] def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val withH = shingled(spark, sfDir)
+      .withColumn("hs", transform(col("sh"), s => H.md5Int28(s)))
+    val sigCols = (0 until NumHashes).map(i =>
+      array_min(transform(col("hs"), h => H.affine(h, i))).as(s"m$i"))
+    withH.select(col("doc_id") +: col("sh") +: sigCols: _*)
+  }
+
+  /** Candidate pairs from banded LSH bucketing (doc_a < doc_b). */
+  private[operators] def minhashCandidates(sigs: DataFrame): DataFrame = {
+    val bandStructs: Seq[Column] = (0 until Bands).map { b =>
+      struct(
+        lit(b).as("band_id"),
+        concat_ws("_", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*).as("sig"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band_id").as("band_id"), col("bs.sig").as("sig"))
+    buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** q12_dedup_minhash — near-dup pairs: LSH candidates verified by exact
+    * Jaccard ≥ 0.8 over the shingle sets. */
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, sfDir)
+    val sets = sigs.select(col("doc_id"), col("sh"))
+    minhashCandidates(sigs)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** doc_id → 48-bit simhash of the whitespace-token multiset.
+    * Explode + groupBy keeps the bit-count sums partially aggregated
+    * map-side; at 100 TB this is one shuffle of O(docs × 48) longs. */
+  private[operators] def simhashes(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(T.wsTokens(col("text"))).as("tok"))
+      .withColumn("h", H.md5Int60(col("tok")))
+    val sumCols = (0 until SimhashBits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s$b"))
+    val sums = toks.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+    val simhash = (0 until SimhashBits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** q13_dedup_simhash — near-dup pairs with hamming distance ≤ 3,
+    * found via 4 × 12-bit band bucketing (exact recall by pigeonhole). */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sims = simhashes(spark, sfDir)
+    val bandStructs: Seq[Column] = (0 until SimhashBands).map { j =>
+      struct(lit(j).as("band_id"),
+        shiftright(col("simhash"), 12 * j).bitwiseAND(lit(0xFFFL)).as("bv"))
+    }
+    val buckets = sims
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band_id").as("band_id"), col("bs.bv").as("bv"))
+    buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q14_ngram_dedup — survivor set: drop every doc that has a near-dup
+    * partner (n-gram Jaccard ≥ 0.8) with a smaller doc_id. The removal
+    * side comes from the LSH pipeline, so the anti-join input is the
+    * verified pair set, never an all-pairs product. */
+  def ngramDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dupHigher = minhashPairs(spark, sfDir).select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(spark, sfDir)
+      .join(dupHigher, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+}
