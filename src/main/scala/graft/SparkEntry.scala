@@ -25,7 +25,10 @@ object SparkEntry {
     "q11_dedup_exact"     -> (Dedup.exactDedup _),
     "q12_dedup_minhash"   -> (Dedup.minhashPairs _),
     "q13_dedup_simhash"   -> (Dedup.simhashPairs _),
-    "q14_ngram_dedup"     -> (Dedup.ngramDedup _)
+    "q14_ngram_dedup"     -> (Dedup.ngramDedup _),
+    "q15_embed_neardup"   -> (Similarity.embedNeardup _),
+    "q16_ann_bruteforce"  -> (Similarity.annBruteForce _),
+    "q17_ann_lsh"         -> (Similarity.annLsh _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -148,6 +151,79 @@ object SparkEntry {
         """
           |SELECT doc_id, n_chars FROM documents
           |WHERE doc_id NOT IN (SELECT DISTINCT j FROM jac WHERE jaccard >= 0.8)
-          |ORDER BY doc_id""".stripMargin)
+          |ORDER BY doc_id""".stripMargin),
+    "q15_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |grid AS (
+        |  SELECT t, i, d,
+        |         ('0x' || substr(md5('lsh_' || t || '_' || i || '_' || d), 1, 7))::BIGINT % 2001 - 1000 AS w
+        |  FROM unnest(range(0, 8)) t1(t), unnest(range(0, 4)) t2(i), unnest(range(0, 64)) t3(d)
+        |),
+        |dots AS (
+        |  SELECT e.vec_id, g.t, g.i, sum(e.v[g.d + 1] * g.w) AS dot
+        |  FROM e, grid g GROUP BY 1, 2, 3
+        |),
+        |codes AS (
+        |  SELECT vec_id, t, sum(CASE WHEN dot > 0 THEN (1 << i) ELSE 0 END) AS c
+        |  FROM dots GROUP BY 1, 2
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM codes a JOIN codes b ON a.t = b.t AND a.c = b.c AND a.vec_id < b.vec_id
+        |),
+        |cos AS (
+        |  SELECT vec_a, vec_b,
+        |         list_dot_product(ea.v, eb.v) /
+        |         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+        |  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+        |)
+        |SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+        |FROM cos WHERE cosine >= 0.42 ORDER BY vec_a, vec_b""".stripMargin,
+    "q16_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_dot_product(q.qv, e.v) /
+        |         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine_raw
+        |  FROM q JOIN e ON e.vec_id <> q.query_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine_raw,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id ASC) AS rnk
+        |  FROM pairs
+        |)
+        |SELECT query_id, neighbor_id, rnk::INT AS "rank", round(cosine_raw, 6) AS cosine
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q17_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |grid AS (
+        |  SELECT i, d,
+        |         ('0x' || substr(md5('ivf_0_' || i || '_' || d), 1, 7))::BIGINT % 2001 - 1000 AS w
+        |  FROM unnest(range(0, 4)) t2(i), unnest(range(0, 64)) t3(d)
+        |),
+        |dots AS (
+        |  SELECT e.vec_id, g.i, sum(e.v[g.d + 1] * g.w) AS dot
+        |  FROM e, grid g GROUP BY 1, 2
+        |),
+        |codes AS (
+        |  SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1 << i) ELSE 0 END) AS c
+        |  FROM dots GROUP BY 1
+        |),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         list_dot_product(ea.v, eb.v) /
+        |         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine_raw
+        |  FROM codes a JOIN codes b ON a.c = b.c AND a.vec_id <> b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine_raw,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id ASC) AS rnk
+        |  FROM pairs
+        |)
+        |SELECT query_id, neighbor_id, rnk::INT AS "rank", round(cosine_raw, 6) AS cosine
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
   )
 }
