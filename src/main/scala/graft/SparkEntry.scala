@@ -28,7 +28,11 @@ object SparkEntry {
     "q14_ngram_dedup"     -> (Dedup.ngramDedup _),
     "q15_embed_neardup"   -> (Similarity.embedNeardup _),
     "q16_ann_bruteforce"  -> (Similarity.annBruteForce _),
-    "q17_ann_lsh"         -> (Similarity.annLsh _)
+    "q17_ann_lsh"         -> (Similarity.annLsh _),
+    "q18_langid"          -> (TextAnalysis.langId _),
+    "q19_quality"         -> (TextAnalysis.quality _),
+    "q20_tokencount"      -> (TextAnalysis.tokenCount _),
+    "q21_fingerprint"     -> (TextAnalysis.fingerprint _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -224,6 +228,63 @@ object SparkEntry {
         |  FROM pairs
         |)
         |SELECT query_id, neighbor_id, rnk::INT AS "rank", round(cosine_raw, 6) AS cosine
-        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "q18_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents
+        |),
+        |scores AS (
+        |  SELECT doc_id, lang, sl.plang,
+        |         len(list_filter(w, x -> list_contains(sl.words, x))) AS score
+        |  FROM toks, (VALUES
+        |    ('de', ['der','die','das','und','ist','ein','zu']),
+        |    ('en', ['the','a','of','and','to','in','is','it']),
+        |    ('es', ['el','los','y','es','un','una','que']),
+        |    ('fr', ['le','les','et','est','une','dans','que']),
+        |    ('zh', ['de','shi','bu','wo','le','ren','you'])) sl(plang, words)
+        |),
+        |ranked AS (
+        |  SELECT doc_id, lang, plang, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
+        |  FROM scores
+        |)
+        |SELECT doc_id, lang AS labeled_lang, plang AS predicted_lang, score::INT AS score
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q19_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id,
+        |         len(w)::INT AS n_tokens,
+        |         round(list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w), 4) AS mean_word_len,
+        |         round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) * 1.0 / len(w), 4) AS stopword_ratio,
+        |         round(len(list_distinct(w)) * 1.0 / len(w), 4) AS uniq_ratio
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, uniq_ratio,
+        |       round(0.4 * stopword_ratio + 0.3 * uniq_ratio
+        |             + 0.3 * least(n_tokens / 100.0, 1.0), 5) AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q20_tokencount" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[^ \t\n\r]+'))::INT AS n_ws_tokens,
+        |       len(regexp_extract_all(lower(text), '[a-z]+'))::INT AS n_alpha_tokens,
+        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::INT AS n_subword_tokens,
+        |       len(text)::INT AS n_chars_measured
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id, text,
+        |         list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2]
+        |                        FOR i IN range(1, len(w) - 1)]) AS gs
+        |  FROM t
+        |)
+        |SELECT doc_id, md5(text) AS content_fp,
+        |       list_min(list_transform(gs, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS shingle_min_hash
+        |FROM sh ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-document text analysis for corpus curation — the reference's
+  * word-count tokenizer (`example/word-count-taskfile.lua:118-139`)
+  * generalized into the standard LLM-pipeline scoring passes.
+  *
+  * Everything is a partition-local Column expression over one scan of
+  * `documents` — zero shuffles (the outputs are per-doc rows), so at
+  * 100 TB each pass is embarrassingly parallel and bounded by scan
+  * throughput. No UDFs: tokenization is `regexp_extract_all`, scoring is
+  * higher-order array functions, all inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the language-ID heuristic.
+    * Deliberately minimal — the operator contract is the scoring shape
+    * (profile hit-count argmax), not lexicon quality. */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "los", "y", "es", "un", "una", "que"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "que"),
+    "zh" -> Seq("de", "shi", "bu", "wo", "le", "ren", "you"))
+
+  private def toks: Column = T.wsTokens(col("text"))
+
+  private def profileScore(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(lit(_)): _*)))
+
+  /** q18_langid — stopword-profile argmax with deterministic alphabetical
+    * tie-break (encoded as ascending sort on (-score, lang)). */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("w", toks)
+    val entries = StopwordProfiles.map { case (lang, words) =>
+      struct((-profileScore(col("w"), words)).cast("int").as("ns"), lit(lang).as("l"))
+    }
+    val best = sort_array(array(entries: _*)).getItem(0)
+    scored.select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      best.getField("l").as("predicted_lang"),
+      (-best.getField("ns")).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** q19_quality — length/word-shape/stopword/uniqueness features and a
+    * composite quality score in [0,1]. */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val enWords = StopwordProfiles.toMap.apply("en")
+    Tables.documents(spark, sfDir)
+      .withColumn("w", toks)
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("mean_word_len",
+        round(aggregate(transform(col("w"), t => length(t)), lit(0), (a, x) => a + x)
+          .cast("double") / col("n_tokens"), 4))
+      .withColumn("stopword_ratio",
+        round(profileScore(col("w"), enWords).cast("double") / col("n_tokens"), 4))
+      .withColumn("uniq_ratio",
+        round(size(array_distinct(col("w"))).cast("double") / col("n_tokens"), 4))
+      // round-5, not 4: the composite's value grid is 5e-5 steps, so
+      // 4-digit rounding would sit on exact midpoints where engines
+      // disagree after 1-ulp drift; 5-digit rounding hits grid points.
+      .withColumn("quality_score",
+        round(lit(0.4) * col("stopword_ratio") + lit(0.3) * col("uniq_ratio")
+          + lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 5))
+      .select("doc_id", "n_tokens", "mean_word_len", "stopword_ratio",
+        "uniq_ratio", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  /** q20_tokencount — whitespace, alpha-run and BPE-ish subword token
+    * counts per document (the three tokenizer granularities). */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(T.wsTokens(col("text"))).as("n_ws_tokens"),
+        size(T.alphaTokens(col("text"))).as("n_alpha_tokens"),
+        size(T.subwordTokens(col("text"))).as("n_subword_tokens"),
+        length(col("text")).as("n_chars_measured"))
+      .orderBy("doc_id")
+
+  /** q21_fingerprint — content fingerprints: full-text md5 plus a
+    * min-shingle-hash sketch (winnowing-style), joinable for dedup. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("content_fp"),
+        array_min(transform(T.shingleSet(col("text"), 3), s => H.md5Int60(s)))
+          .as("shingle_min_hash"))
+      .orderBy("doc_id")
+}
