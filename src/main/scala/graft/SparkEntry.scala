@@ -32,7 +32,9 @@ object SparkEntry {
     "q18_langid"          -> (TextAnalysis.langId _),
     "q19_quality"         -> (TextAnalysis.quality _),
     "q20_tokencount"      -> (TextAnalysis.tokenCount _),
-    "q21_fingerprint"     -> (TextAnalysis.fingerprint _)
+    "q21_fingerprint"     -> (TextAnalysis.fingerprint _),
+    "q22_multimodal"      -> (Multimodal.features _),
+    "q23_stream_window"   -> (graft.streaming.EventStream.windowQuery _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -285,6 +287,18 @@ object SparkEntry {
         |)
         |SELECT doc_id, md5(text) AS content_fp,
         |       list_min(list_transform(gs, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS shingle_min_hash
-        |FROM sh ORDER BY doc_id""".stripMargin
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "q22_multimodal" ->
+      """SELECT doc_id, 'text' AS media_type,
+        |       octet_length(text::BLOB)::INT AS n_bytes,
+        |       ascii(substr(text, 1, 1)) AS first_byte,
+        |       ascii(substr(text, -1, 1)) AS last_byte,
+        |       md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q23_stream_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
   )
 }

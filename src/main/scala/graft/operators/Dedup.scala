@@ -105,7 +105,7 @@ object Dedup {
   /** doc_id → 48-bit simhash of the whitespace-token multiset.
     * Explode + groupBy keeps the bit-count sums partially aggregated
     * map-side; at 100 TB this is one shuffle of O(docs × 48) longs. */
-  private[operators] def simhashes(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def simhashes(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(T.wsTokens(col("text"))).as("tok"))
       .withColumn("h", H.md5Int60(col("tok")))

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A media blob row: opaque bytes + typed metadata. At 100 TB the
+  * `content` column is the dominant weight; the schema keeps metadata in
+  * plain columns so pruning a metadata-only query never touches blobs. */
+case class MediaBlob(doc_id: Long, media_type: String, content: Array[Byte], n_bytes: Int)
+
+/** Features extracted from a decoded blob. */
+case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+                         first_byte: Int, last_byte: Int, checksum: String)
+
+/** Batch decoder boundary for multimodal columns.
+  *
+  * The Spark-side plumbing is real: a typed `Dataset[MediaBlob]`, batch
+  * iteration via `mapPartitions` (one decoder instance per partition, the
+  * shape a JNI/image-lib decoder needs), and a columnar feature output.
+  *
+  * ==== STUB ====
+  * The decode step itself is a deterministic fake: this container has no
+  * image/audio libraries by design, so `decode` derives features from the
+  * raw bytes (first/last byte, md5) instead of pixels. A real deployment
+  * replaces ONLY the body of `decode` with e.g. an ImageIO/ffmpeg call —
+  * the partitioning, batching and schema do not change.
+  */
+object MultimodalDecoder {
+  def decode(b: MediaBlob): MediaFeatures = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(b.content).map("%02x".format(_)).mkString
+    MediaFeatures(
+      doc_id = b.doc_id,
+      media_type = b.media_type,
+      n_bytes = b.n_bytes,
+      first_byte = if (b.content.nonEmpty) b.content(0) & 0xff else -1,
+      last_byte = if (b.content.nonEmpty) b.content(b.content.length - 1) & 0xff else -1,
+      checksum = hex)
+  }
+
+  def decodeBatch(it: Iterator[MediaBlob]): Iterator[MediaFeatures] =
+    it.map(decode) // per-partition: a real decoder would init its native lib here once
+}
+
+/** q22_multimodal — binary-column round trip: pack text into an opaque
+  * `binary` column with typed metadata, run the batch decoder over it
+  * partition-local, emit a flat feature frame. */
+object Multimodal {
+
+  def blobs(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        lit("text").as("media_type"),
+        col("text").cast("binary").as("content"),
+        length(col("text").cast("binary")).as("n_bytes"))
+      .as[MediaBlob]
+  }
+
+  def features(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    blobs(spark, sfDir)
+      .mapPartitions(MultimodalDecoder.decodeBatch)
+      .toDF()
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+
+  /** Independent ground truth: brute-force all-pairs exact Jaccard over
+    * word-3-shingle sets (feasible at sf0.001's 500 docs). */
+  private lazy val bruteForcePairs: Set[(Long, Long)] = {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextFunctions.shingleSet(col("text"), Dedup.ShingleK).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("inter").cast("double") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jac") >= Dedup.JaccardThreshold)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash-LSH pairs equal brute-force exact-Jaccard pairs") {
+    val lsh = Dedup.minhashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == bruteForcePairs)
+  }
+
+  test("minhash pairs are ordered, above threshold, and distinct") {
+    val rows = Dedup.minhashPairs(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= Dedup.JaccardThreshold))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+  }
+
+  test("exact dedup keeps one survivor per distinct content") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val distinctTexts = docs.select("text").distinct().count()
+    val dedup = Dedup.exactDedup(spark, sf)
+    assert(dedup.count() == distinctTexts)
+    assert(dedup.select("doc_id").distinct().count() == distinctTexts)
+  }
+
+  test("simhash banding finds every hamming<=3 pair (pigeonhole recall)") {
+    import spark.implicits._
+    val sims = Dedup.simhashes(spark, sf).as[(Long, Long)].collect()
+    val brute = (for {
+      (ida, sa) <- sims; (idb, sb) <- sims if ida < idb
+      if java.lang.Long.bitCount(sa ^ sb) <= Dedup.HammingMax
+    } yield (ida, idb)).toSet
+    val banded = Dedup.simhashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute)
+  }
+
+  test("ngram dedup survivors exclude exactly the higher-id pair members") {
+    val survivors = Dedup.ngramDedup(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val all = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val removed = bruteForcePairs.map(_._2)
+    assert(survivors == (all -- removed))
+  }
+}

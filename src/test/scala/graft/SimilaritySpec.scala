@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+
+  /** Independent driver-side cosine ground truth. */
+  private lazy val vectors: Map[Long, Array[Double]] =
+    graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("brute-force ANN matches driver-side exact top-k") {
+    val got = Similarity.annBruteForce(spark, sf)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    val expected = (0L until 10L).map { q =>
+      val qv = vectors(q)
+      val top = vectors.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cosine(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.AnnK).map(_._1)
+      q -> top
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("bucketed ANN neighbors are genuine in-bucket top-k") {
+    val rows = Similarity.annLsh(spark, sf).collect()
+    // every query has at most BucketK neighbors, ranked 1..k with
+    // non-increasing cosine
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.length <= Similarity.BucketK)
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to sorted.length))
+      val cosines = sorted.map(_.getDouble(3)).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+  }
+
+  test("embed-neardup pairs are above threshold and candidates only") {
+    val rows = Similarity.embedNeardup(spark, sf).collect()
+    rows.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(a < b)
+      assert(c >= Similarity.CosineThreshold)
+      // re-verify the reported cosine against the driver-side computation
+      assert(math.abs(c - cosine(vectors(a), vectors(b))) < 1e-5)
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.{Event, EventStream}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSuite {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowed aggregation over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStream.withWatermarkedWindow(stream.toDF())
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("win_out").start()
+    try {
+      stream.addData(
+        Event(ts(0), 1, "click", 1.0),
+        Event(ts(2), 2, "click", 2.0),
+        Event(ts(6), 1, "view", 3.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_out")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        ("2026-01-01 10:00:00", "click", 2L, 3.0),
+        ("2026-01-01 10:05:00", "view", 1L, 3.0)))
+    } finally query.stop()
+  }
+
+  test("stateful running user stats accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStream.runningUserStats(spark, stream.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("stats_out").start()
+    try {
+      stream.addData(Event(ts(0), 1, "click", 1.0), Event(ts(1), 1, "click", 2.0))
+      query.processAllAvailable()
+      stream.addData(Event(ts(2), 1, "view", 4.0))
+      query.processAllAvailable()
+      val last = spark.table("stats_out")
+        .as[(Long, Long, Double)].collect()
+        .filter(_._1 == 1L).maxBy(_._2)
+      assert(last == ((1L, 3L, 7.0)))
+    } finally query.stop()
+  }
+
+  test("batch and streaming window paths agree on the events table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventStream.windowQuery(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSet
+    val events = graft.sources.Tables.events(spark, sf)
+      .as[Event].collect()
+    val stream = MemoryStream[Event]
+    val query = EventStream.windowedAgg(stream.toDF())
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("batch_stream_parity").start()
+    try {
+      stream.addData(events.toIndexedSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("batch_stream_parity")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+}

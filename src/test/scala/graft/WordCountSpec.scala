@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.WordCount
+import org.apache.spark.sql.functions._
+
+class WordCountSpec extends SparkSuite {
+
+  test("flagship DataFrame form equals the MapReduce-API form") {
+    import spark.implicits._
+    val df = WordCount.query(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val mr = WordCount.viaMapReduceApi(spark, sf).collect().toMap
+    assert(df == mr)
+  }
+
+  test("counts match an independent RDD-side tally") {
+    import spark.implicits._
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .select("text").as[String].rdd
+      .flatMap(t => "[a-z]+".r.findAllIn(t.toLowerCase))
+      .map((_, 1L)).reduceByKey(_ + _).collectAsMap()
+    val got = WordCount.query(spark, sf).as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("total word count equals sum of per-word counts") {
+    val total = WordCount.query(spark, sf).agg(sum("cnt")).head.getLong(0)
+    val direct = graft.sources.Tables.documents(spark, sf)
+      .select(size(graft.functions.TextFunctions.alphaTokens(col("text"))).as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(total == direct)
+  }
+}
