@@ -22,6 +22,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the 128-column minhash aggregate must stay inside whole-stage
+      // codegen; the default maxFields=100 silently falls back to
+      // interpreted eval (~20x slower)
+      .config("spark.sql.codegen.maxFields", "256")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -163,7 +163,7 @@ object SparkEntry {
         |grid AS (
         |  SELECT t, i, d,
         |         ('0x' || substr(md5('lsh_' || t || '_' || i || '_' || d), 1, 7))::BIGINT % 2001 - 1000 AS w
-        |  FROM unnest(range(0, 8)) t1(t), unnest(range(0, 4)) t2(i), unnest(range(0, 64)) t3(d)
+        |  FROM unnest(range(0, 8)) t1(t), unnest(range(0, 8)) t2(i), unnest(range(0, 64)) t3(d)
         |),
         |dots AS (
         |  SELECT e.vec_id, g.t, g.i, sum(e.v[g.d + 1] * g.w) AS dot
@@ -206,7 +206,7 @@ object SparkEntry {
         |grid AS (
         |  SELECT i, d,
         |         ('0x' || substr(md5('ivf_0_' || i || '_' || d), 1, 7))::BIGINT % 2001 - 1000 AS w
-        |  FROM unnest(range(0, 4)) t2(i), unnest(range(0, 64)) t3(d)
+        |  FROM unnest(range(0, 6)) t2(i), unnest(range(0, 64)) t3(d)
         |),
         |dots AS (
         |  SELECT e.vec_id, g.i, sum(e.v[g.d + 1] * g.w) AS dot

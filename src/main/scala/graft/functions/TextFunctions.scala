@@ -31,7 +31,12 @@ object TextFunctions {
 
   /** Word k-shingles of a token array, joined with '_'.
     * For k=3: tokens[i]_tokens[i+1]_tokens[i+2], i = 1..n-k+1 (1-based).
-    * Built with sequence+transform so it stays a declarative expression. */
+    *
+    * IMPORTANT: `tokens` must be a BOUND column (produced by its own
+    * projection, e.g. `.select(wsTokens(col("text")).as("w"))`), not an
+    * inline `wsTokens(...)` expression — this builder references the
+    * token array k+2 times, and an inline tokenizer expression would be
+    * re-evaluated at every reference (measured ~10× slowdown). */
   def shingles(tokens: Column, k: Int): Column = {
     val n = size(tokens)
     when(n < k, array().cast("array<string>"))
@@ -42,7 +47,8 @@ object TextFunctions {
         ))
   }
 
-  /** Distinct shingle set of a text column (the MinHash/Jaccard universe). */
-  def shingleSet(text: Column, k: Int): Column =
-    array_distinct(shingles(wsTokens(text), k))
+  /** Distinct shingle set of a BOUND token-array column (the
+    * MinHash/Jaccard universe). See [[shingles]] for the binding rule. */
+  def shingleSet(tokens: Column, k: Int): Column =
+    array_distinct(shingles(tokens, k))
 }

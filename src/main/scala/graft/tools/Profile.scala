@@ -1,0 +1,33 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.operators._
+
+/** Ad-hoc stage profiler: times each sub-stage of the heavy pipelines so
+  * optimization targets measurements, not guesses. */
+object Profile {
+  def t[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.builder(s"local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    t("warmup count") { graft.sources.Tables.documents(spark, sfDir).count() }
+    val sigs = Dedup.minhashSignatures(spark, sfDir)
+    t("minhash signatures") { sigs.count() }
+    t("minhash signatures 2nd") { sigs.count() }
+    val cand = Dedup.minhashCandidates(sigs)
+    t("minhash candidates") { cand.count() }
+    t("minhash pairs full") { Dedup.minhashPairs(spark, sfDir).count() }
+    t("simhash pairs full") { Dedup.simhashPairs(spark, sfDir).count() }
+    t("embed neardup") { Similarity.embedNeardup(spark, sfDir).count() }
+    t("ann lsh") { Similarity.annLsh(spark, sfDir).count() }
+    spark.stop()
+  }
+}

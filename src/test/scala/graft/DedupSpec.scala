@@ -10,7 +10,8 @@ class DedupSpec extends SparkSuite {
     * word-3-shingle sets (feasible at sf0.001's 500 docs). */
   private lazy val bruteForcePairs: Set[(Long, Long)] = {
     val docs = graft.sources.Tables.documents(spark, sf)
-      .select(col("doc_id"), TextFunctions.shingleSet(col("text"), Dedup.ShingleK).as("sh"))
+      .select(col("doc_id"), TextFunctions.wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), TextFunctions.shingleSet(col("w"), Dedup.ShingleK).as("sh"))
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
     a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
