@@ -30,6 +30,17 @@ object WordCount {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("word")
 
+  /** The reference's literal flagship: word-count a DIRECTORY OF .txt
+    * FILES (`example/word-count-taskfile.lua:40-63` enumerates `*.txt`,
+    * `:100-140` tokenizes each file's content). Same pipeline as
+    * [[query]], driven by the file-directory source. */
+  def fromTextDir(spark: SparkSession, dir: String): DataFrame =
+    Tables.textDir(spark, dir)
+      .select(explode(TextFunctions.alphaTokens(col("content"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
   /** Same computation through the reference-shaped four-function API —
     * proves `core.MapReduce` reproduces the task-file contract. Used by
     * the parity test; the flagship query stays on the DataFrame form.

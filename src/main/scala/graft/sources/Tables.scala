@@ -38,4 +38,19 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** The reference's literal source shape: a directory of .txt files read
+    * as (file, content) pairs (`example/word-count-taskfile.lua:40-63`
+    * `read_source` + `taskfn` :82-88). Spark's file source enumerates and
+    * splits the listing across executors — at 100 TB the directory scan
+    * parallelizes instead of running in the server's single thread.
+    * `wholetext` preserves the reference's one-record-per-file semantics. */
+  def textDir(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read
+      .format("text")
+      .option("wholetext", "true")
+      .load(s"$dir/*.txt")
+      .select(input_file_name().as("file"), col("value").as("content"))
+  }
 }

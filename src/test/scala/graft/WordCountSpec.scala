@@ -23,6 +23,19 @@ class WordCountSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("directory-of-txt-files source reproduces the reference flagship") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_txt")
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "Hello world hello\nSpark counts Words")
+    java.nio.file.Files.writeString(dir.resolve("b.txt"), "world of spark 42 spark!")
+    java.nio.file.Files.writeString(dir.resolve("ignored.dat"), "should not be read")
+    val got = WordCount.fromTextDir(spark, dir.toString)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "hello" -> 2L, "world" -> 2L, "spark" -> 3L,
+      "counts" -> 1L, "words" -> 1L, "of" -> 1L))
+  }
+
   test("total word count equals sum of per-word counts") {
     val total = WordCount.query(spark, sf).agg(sum("cnt")).head.getLong(0)
     val direct = graft.sources.Tables.documents(spark, sf)
