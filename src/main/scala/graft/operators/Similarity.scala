@@ -59,14 +59,15 @@ object Similarity {
   private def weights(tag: String, table: Int, bit: Int): Seq[Double] =
     (0 until Dims).map(d => weight(s"${tag}_${table}_${bit}_${d}").toDouble)
 
+  /** (vec_id, v) with the vector cast to array<double> once. */
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
   /** (vec_id, d, x) component rows, double precision, d is 0-based. */
   private def components(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
-
-  /** vec_id → squared L2 norm. */
-  private def norms(comp: DataFrame): DataFrame =
-    comp.groupBy("vec_id").agg(sum(col("x") * col("x")).as("n2"))
 
   /** vec_id → one bucket code per (table) for the given weight tag;
     * output (vec_id, t, c). Codegen'd: per component row, each bit's
@@ -86,27 +87,23 @@ object Similarity {
       .select(col("vec_id"), col("tc.t").as("t"), col("tc.c").as("c"))
   }
 
-  /** Exact cosine for a candidate pair set (cols vec_a, vec_b), computed
-    * as a codegen'd exploded join: pairs × 64 component-product rows →
-    * hash-aggregate dot, then norm joins. Returns vec_a, vec_b, cosine. */
-  private def pairCosine(cand: DataFrame, comp: DataFrame): DataFrame = {
-    val n = norms(comp)
-    val dots = cand
-      .join(comp.select(col("vec_id").as("vec_a"), col("d"), col("x").as("xa")), "vec_a")
-      .join(comp.select(col("vec_id").as("vec_b"), col("d"), col("x").as("xb")), Seq("vec_b", "d"))
-      .groupBy("vec_a", "vec_b")
-      .agg(sum(col("xa") * col("xb")).as("dot"))
-    dots
-      .join(n.select(col("vec_id").as("vec_a"), col("n2").as("n2a")), "vec_a")
-      .join(n.select(col("vec_id").as("vec_b"), col("n2").as("n2b")), "vec_b")
+  /** Exact cosine for a candidate pair set (cols vec_a, vec_b): join the
+    * vector arrays to the pairs, then one fused codegen pass per pair via
+    * the native [[org.apache.spark.sql.graft.CosineSimilarity]]
+    * expression (dot + both norms in a single loop, no join/aggregate
+    * machinery, no interpreted higher-order functions). */
+  private def pairCosine(cand: DataFrame, v: DataFrame): DataFrame =
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        (col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cosine"))
-  }
+        org.apache.spark.sql.graft.native.cosineSim(col("va"), col("vb")).as("cosine"))
 
   /** q15_embed_neardup — near-duplicate vector pairs: LSH candidates
     * (8 tables × 8-bit codes) verified by exact cosine ≥ 0.42. */
   def embedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     val comp = components(spark, sfDir)
+    val v = vecs(spark, sfDir)
     val buckets = codes(comp, "lsh", NeardupTables, NeardupBits)
     val cand = buckets.alias("a")
       .join(buckets.alias("b"),
@@ -114,7 +111,7 @@ object Similarity {
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    pairCosine(cand, comp)
+    pairCosine(cand, v)
       .filter(col("cosine") >= CosineThreshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_a", "vec_b")
@@ -123,14 +120,14 @@ object Similarity {
   /** q16_ann_bruteforce — exact top-5 cosine neighbors for the first 10
     * vectors; the tiny query id set broadcasts, corpus never shuffles. */
   def annBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
-    val comp = components(spark, sfDir)
+    val v = vecs(spark, sfDir)
     val ids = Tables.embeddings(spark, sfDir).select(col("vec_id"))
     val cand = ids.filter(col("vec_id") < 10).select(col("vec_id").as("vec_a"))
       .crossJoin(ids.select(col("vec_id").as("vec_b")))
       .filter(col("vec_a") =!= col("vec_b"))
     val w = Window.partitionBy(col("vec_a"))
       .orderBy(col("cosine").desc, col("vec_b").asc)
-    pairCosine(cand, comp)
+    pairCosine(cand, v)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= AnnK)
       .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
@@ -143,6 +140,7 @@ object Similarity {
     * bucket. The self-join is co-partitioned on the bucket code. */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val comp = components(spark, sfDir)
+    val v = vecs(spark, sfDir)
     val coded = codes(comp, "ivf", 1, BucketBits).select(col("vec_id"), col("c"))
     val cand = coded.alias("a")
       .join(coded.alias("b"),
@@ -150,7 +148,7 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
     val w = Window.partitionBy(col("vec_a"))
       .orderBy(col("cosine").desc, col("vec_b").asc)
-    pairCosine(cand, comp)
+    pairCosine(cand, v)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= BucketK)
       .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
