@@ -28,6 +28,9 @@ object Profile {
     t("simhash pairs full") { Dedup.simhashPairs(spark, sfDir).count() }
     t("embed neardup") { Similarity.embedNeardup(spark, sfDir).count() }
     t("ann lsh") { Similarity.annLsh(spark, sfDir).count() }
+    t("fingerprint") { TextAnalysis.fingerprint(spark, sfDir).count() }
+    t("ngram dedup") { Dedup.ngramDedup(spark, sfDir).count() }
+    t("wordcount") { WordCount.query(spark, sfDir).count() }
     spark.stop()
   }
 }
