@@ -34,7 +34,9 @@ object SparkEntry {
     "q20_tokencount"      -> (TextAnalysis.tokenCount _),
     "q21_fingerprint"     -> (TextAnalysis.fingerprint _),
     "q22_multimodal"      -> (Multimodal.features _),
-    "q23_stream_window"   -> (graft.streaming.EventStream.windowQuery _)
+    "q23_stream_window"   -> (graft.streaming.EventStream.windowQuery _),
+    "q24_salted_agg"      -> (Skew.saltedAggQuery _),
+    "q25_sessionize"      -> (graft.streaming.EventStream.sessionizeBatchQuery _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -299,6 +301,29 @@ object SparkEntry {
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
         |       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events
-        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q24_salted_agg" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q25_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+        |  FROM o
+        |)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin
   )
 }

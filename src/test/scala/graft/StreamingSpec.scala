@@ -50,6 +50,31 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("event-time sessionization closes sessions after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStream.sessionize(spark, stream.toDS(), gapMinutes = 30)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_out").start()
+    try {
+      // user 1: events 10:00-10:05; user 2 far in the future pushes the
+      // watermark beyond 10:05 + 30min gap, closing user 1's session
+      stream.addData(Event(ts(0), 1, "click", 1.0), Event(ts(5), 1, "view", 2.0))
+      query.processAllAvailable()
+      stream.addData(Event(Timestamp.valueOf("2026-01-01 12:00:00"), 2, "click", 1.0))
+      query.processAllAvailable()
+      // one more batch so the timeout fires after the watermark advanced
+      stream.addData(Event(Timestamp.valueOf("2026-01-01 12:01:00"), 2, "view", 1.0))
+      query.processAllAvailable()
+      val sessions = spark.table("sessions_out")
+        .as[(Long, Long, Long, Int)].collect().filter(_._1 == 1L)
+      assert(sessions.length == 1)
+      val s = sessions.head
+      assert(s._2 == ts(0).getTime && s._3 == ts(5).getTime && s._4 == 2)
+    } finally query.stop()
+  }
+
   test("batch and streaming window paths agree on the events table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
