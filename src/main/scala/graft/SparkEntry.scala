@@ -36,7 +36,9 @@ object SparkEntry {
     "q22_multimodal"      -> (Multimodal.features _),
     "q23_stream_window"   -> (graft.streaming.EventStream.windowQuery _),
     "q24_salted_agg"      -> (Skew.saltedAggQuery _),
-    "q25_sessionize"      -> (graft.streaming.EventStream.sessionizeBatchQuery _)
+    "q25_sessionize"      -> (graft.streaming.EventStream.sessionizeBatchQuery _),
+    "q26_semi_anti"       -> (Relational.semiAnti _),
+    "q27_window"          -> (Relational.windowFunctions _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -324,6 +326,29 @@ object SparkEntry {
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s GROUP BY user_id, session_no
-        |ORDER BY user_id, session_no""".stripMargin
+        |ORDER BY user_id, session_no""".stripMargin,
+    "q26_semi_anti" ->
+      """SELECT c_custkey, c_name, 'has_big_order' AS status
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'no_orders' AS status
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY status, c_custkey""".stripMargin,
+    "q27_window" ->
+      """WITH w AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER win AS rn,
+        |         sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_orderdate, o_orderkey
+        |                                 ROWS UNBOUNDED PRECEDING) AS run_total
+        |  FROM orders
+        |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |)
+        |SELECT o_custkey, rn::INT AS rn, o_orderkey, round(run_total, 2) AS run_total
+        |FROM w WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin
   )
 }

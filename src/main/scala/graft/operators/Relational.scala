@@ -143,6 +143,42 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q26_semi_anti — existence predicates as shuffle-free-on-build-side
+    * semi/anti joins: customers that DO have a high-value order
+    * (left_semi ≡ EXISTS) and customers with NO orders at all
+    * (left_anti ≡ NOT EXISTS), tagged and unioned. Neither join
+    * materializes order columns — Catalyst keeps only the key. */
+  def semiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Tables.customer(spark, sfDir)
+    val orders   = Tables.orders(spark, sfDir)
+    val big = orders.filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+    val whales = customer
+      .join(big, customer("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), lit("has_big_order").as("status"))
+    val dormant = customer
+      .join(orders.select(col("o_custkey")),
+        customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), lit("no_orders").as("status"))
+    whales.unionAll(dormant).orderBy("status", "c_custkey")
+  }
+
+  /** q27_window — analytic window functions: per-customer order sequence
+    * (row_number) and running spend (cumulative sum), first 3 orders per
+    * customer. One shuffle keyed by customer; the window sort is
+    * partition-local. */
+  def windowFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("run_total", sum(col("o_totalprice")).over(cum))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        round(col("run_total"), 2).as("run_total"))
+      .orderBy("o_custkey", "rn")
+  }
+
   /** q10_partitioned_agg — multi-worker distribution + merge
     * (`lua-mapreduce-server.lua:228-334`): an aggregation computed across
     * an explicit hash repartitioning; the result is partition-count

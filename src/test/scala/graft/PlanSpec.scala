@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression tests: the scale properties PLANS.md documents
+  * must survive refactors. These assert on the optimized physical plan,
+  * not on results. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q02 pushes predicates and prunes columns at the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    // pruned: only the 6 needed columns in ReadSchema, not e.g. l_comment-ish extras
+    assert(!p.contains("l_returnflag"))
+  }
+
+  test("q03 star join broadcasts dims and has no cartesian stage") {
+    val p = plan("q03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q05 top-k plans TakeOrderedAndProject, not a global sort+limit") {
+    val p = plan("q05_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q12 minhash pipeline has no cartesian or nested-loop stage") {
+    val p = plan("q12_dedup_minhash")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q16 brute-force keeps the product on the broadcast side only") {
+    val p = plan("q16_ann_bruteforce")
+    // the deliberate product over the 10-row query set is nested-loop
+    // with a broadcast build; anything shuffling the corpus for it would
+    // show as CartesianProduct
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q17 bucketed ANN joins on the bucket code with hash joins") {
+    val p = plan("q17_ann_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q01 wordcount aggregates with map-side partial aggregation") {
+    val p = plan("q01_wordcount")
+    // two HashAggregates (partial + final) around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("Exchange"))
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.sources.{Sinks, Tables}
+import org.apache.spark.sql.functions._
+
+class SinksSpec extends SparkSuite {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_sink").toString
+
+  test("partitioned parquet sink round-trips and prunes partitions") {
+    val dir = tmp() + "/events"
+    val events = Tables.events(spark, sf)
+    Sinks.parquet(events, dir, partitionBy = Seq("event_type"))
+    // partition directories exist
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("event_type=")))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == events.count())
+    // reading one partition only touches that directory's files
+    val one = back.filter(col("event_type") === "click")
+    val scanned = one.queryExecution.executedPlan.toString
+    assert(one.count() == events.filter(col("event_type") === "click").count())
+    assert(scanned.contains("PartitionFilters") || scanned.contains("event_type=click"))
+  }
+
+  test("csv and json sinks round-trip the wordcount result") {
+    import spark.implicits._
+    val wc = operators.WordCount.query(spark, sf)
+    val expected = wc.as[(String, Long)].collect().toMap
+    val cdir = tmp() + "/wc_csv"
+    Sinks.csv(wc, cdir)
+    val backCsv = spark.read.option("header", "true").option("inferSchema", "true").csv(cdir)
+      .as[(String, Long)].collect().toMap
+    assert(backCsv == expected)
+    val jdir = tmp() + "/wc_json"
+    Sinks.json(wc, jdir)
+    val backJson = spark.read.json(jdir)
+      .select(col("word"), col("cnt")).as[(String, Long)].collect().toMap
+    assert(backJson == expected)
+  }
+}
