@@ -38,7 +38,8 @@ object SparkEntry {
     "q24_salted_agg"      -> (Skew.saltedAggQuery _),
     "q25_sessionize"      -> (graft.streaming.EventStream.sessionizeBatchQuery _),
     "q26_semi_anti"       -> (Relational.semiAnti _),
-    "q27_window"          -> (Relational.windowFunctions _)
+    "q27_window"          -> (Relational.windowFunctions _),
+    "q28_ann_ivf"         -> (Similarity.annIvf _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -349,6 +350,33 @@ object SparkEntry {
         |)
         |SELECT o_custkey, rn::INT AS rn, o_orderkey, round(run_total, 2) AS run_total
         |FROM w WHERE rn <= 3
-        |ORDER BY o_custkey, rn""".stripMargin
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q28_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_dot_product(e.v, c.cv) /
+        |           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |           c.cent_id ASC) AS rn
+        |  FROM e, c
+        |),
+        |cells AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         list_dot_product(ea.v, eb.v) /
+        |         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine_raw
+        |  FROM cells a JOIN cells b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine_raw,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id ASC) AS rnk
+        |  FROM pairs
+        |)
+        |SELECT query_id, neighbor_id, rnk::INT AS "rank", round(cosine_raw, 6) AS cosine
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
   )
 }

@@ -46,6 +46,7 @@ object Similarity {
   val AnnK = 5
   val BucketBits = 6
   val BucketK = 3
+  val IvfCentroids = 16
 
   /** Deterministic pseudo-random weight in [-1000, 1000]:
     * first 28 bits of md5("tag_table_bit_dim") mod 2001 - 1000.
@@ -130,6 +131,39 @@ object Similarity {
     pairCosine(cand, v)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= AnnK)
+      .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
+        col("rank"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q28_ann_ivf — IVF-style ANN: the corpus is Voronoi-partitioned by
+    * cosine similarity to a deterministic centroid set (the first
+    * [[IvfCentroids]] vectors — a production deployment plugs k-means
+    * centroids into the same plan), and each query searches only its own
+    * cell. Centroid assignment is a broadcast nested-loop over the tiny
+    * centroid set + per-vector argmax; the in-cell search is a
+    * co-partitioned equi-join on cent_id. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val cents = v.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    val cells = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        org.apache.spark.sql.graft.native.cosineSim(col("v"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    val cand = cells.alias("a")
+      .join(cells.alias("b"),
+        col("a.cent_id") === col("b.cent_id") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cosine").desc, col("vec_b").asc)
+    pairCosine(cand, v)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= BucketK)
       .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
         col("rank"), round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")
