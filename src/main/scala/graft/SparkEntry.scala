@@ -39,7 +39,8 @@ object SparkEntry {
     "q25_sessionize"      -> (graft.streaming.EventStream.sessionizeBatchQuery _),
     "q26_semi_anti"       -> (Relational.semiAnti _),
     "q27_window"          -> (Relational.windowFunctions _),
-    "q28_ann_ivf"         -> (Similarity.annIvf _)
+    "q28_ann_ivf"         -> (Similarity.annIvf _),
+    "q29_sql"             -> (Relational.sqlSurface _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -377,6 +378,13 @@ object SparkEntry {
         |  FROM pairs
         |)
         |SELECT query_id, neighbor_id, rnk::INT AS "rank", round(cosine_raw, 6) AS cosine
-        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "q29_sql" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= '1996-01-01'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -143,6 +143,23 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q29_sql — the SQL-text entry point: the same engine consumed via
+    * `spark.sql` over registered views (how a SQL-only user would run
+    * it). The plan is identical to the DataFrame form — Catalyst
+    * normalizes both — which is the point being demonstrated. */
+  def sqlSurface(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |       count(*) AS n_lines,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= '1996-01-01'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** q26_semi_anti — existence predicates as shuffle-free-on-build-side
     * semi/anti joins: customers that DO have a high-value order
     * (left_semi ≡ EXISTS) and customers with NO orders at all
