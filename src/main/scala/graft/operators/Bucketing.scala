@@ -27,6 +27,21 @@ object Bucketing {
     * overwrites the managed tables), then join with a merge hint: the
     * plan must contain no Exchange. Returns the joined frame. */
   def bucketedJoin(spark: SparkSession, sfDir: String, buckets: Int = 8): DataFrame = {
+    // drop stale state from previous JVMs: the in-memory catalog is fresh
+    // per session but the warehouse directory persists, and saveAsTable
+    // refuses to reuse an orphaned managed-table location
+    Seq("graft_bucketed_orders", "graft_bucketed_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     Tables.orders(spark, sfDir)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
