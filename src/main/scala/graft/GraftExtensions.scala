@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSignatureAgg}
+import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSignatureAgg, RollingHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,6 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         val k = exprs(1).eval(null).asInstanceOf[Number].intValue()
         MinHashSignatureAgg(exprs.head, k)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => {
+        val w = exprs(1).eval(null).asInstanceOf[Number].intValue()
+        RollingHash(exprs.head, w)
       }))
   }
 }

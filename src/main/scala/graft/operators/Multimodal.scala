@@ -41,7 +41,33 @@ object MultimodalDecoder {
 
   def decodeBatch(it: Iterator[MediaBlob]): Iterator[MediaFeatures] =
     it.map(decode) // per-partition: a real decoder would init its native lib here once
+
+  /** ==== STUB ==== resize: a real implementation re-encodes pixels; the
+    * stub derives a deterministic byte payload of the "resized" length so
+    * the schema/partitioning contract (blob in → smaller blob out, same
+    * row) is real and testable. */
+  def resize(b: MediaBlob, w: Int, h: Int): MediaBlob = {
+    val n = math.max(1, math.min(b.n_bytes, w * h))
+    MediaBlob(b.doc_id, b.media_type, b.content.take(n), n)
+  }
+
+  /** ==== STUB ==== frame sampling: a real implementation decodes video
+    * frames; the stub slices the blob into `n` evenly-spaced chunks. The
+    * PLUMBING is the point: one blob row fans out to n frame rows
+    * (flatMap/explode shape), which is how frame extraction distributes. */
+  def sampleFrames(b: MediaBlob, n: Int): Seq[Frame] = {
+    if (b.n_bytes == 0) Seq.empty
+    else (0 until n).map { i =>
+      val off = (b.n_bytes.toLong * i / n).toInt
+      val len = math.max(1, b.n_bytes / n)
+      val bytes = b.content.slice(off, math.min(b.n_bytes, off + len))
+      Frame(b.doc_id, i, bytes.length, if (bytes.nonEmpty) bytes(0) & 0xff else -1)
+    }
+  }
 }
+
+/** One sampled frame: parent blob id, frame index, payload stats. */
+case class Frame(doc_id: Long, frame_no: Int, n_bytes: Int, first_byte: Int)
 
 /** q22_multimodal — binary-column round trip: pack text into an opaque
   * `binary` column with typed metadata, run the batch decoder over it
@@ -65,5 +91,14 @@ object Multimodal {
       .mapPartitions(MultimodalDecoder.decodeBatch)
       .toDF()
       .orderBy("doc_id")
+  }
+
+  /** Frame-sampling pipeline: blob → n frame rows (the flatMap fan-out a
+    * video pipeline distributes over). Partition-local; output volume is
+    * n × blobs rows with only stats columns, so the shuffle-free scan
+    * shape survives any corpus size. */
+  def frames(spark: SparkSession, sfDir: String, n: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    blobs(spark, sfDir).flatMap(b => MultimodalDecoder.sampleFrames(b, n))
   }
 }

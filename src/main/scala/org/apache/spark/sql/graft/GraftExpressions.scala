@@ -9,7 +9,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -150,4 +150,64 @@ object native {
   def minhashSignature(h: Column, numHashes: Int): Column =
     ExpressionUtils.column(
       MinHashSignatureAgg(ExpressionUtils.expression(h), numHashes).toAggregateExpression())
+
+  def rollingHash(s: Column, window: Int): Column =
+    ExpressionUtils.column(RollingHash(ExpressionUtils.expression(s), window))
+}
+
+/** Native polynomial rolling-hash over a string's UTF-8 bytes: emits the
+  * hash of every `window`-byte substring (n-window+1 values) in one O(n)
+  * pass — h' = (h - b_out·B^(w-1))·B + b_in (mod 2^31-1), the classic
+  * Rabin-Karp recurrence and the standard document-fingerprinting
+  * primitive (winnowing selects minima over these).
+  *
+  * A UDF or higher-order-function formulation of the same thing is
+  * O(n·w) with per-element boxing; this is a single JVM array pass
+  * invoked from generated code.
+  */
+case class RollingHash(child: Expression, window: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(s: Any): Any =
+    new GenericArrayData(
+      RollingHash.compute(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes, window))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"org.apache.spark.sql.graft.RollingHash.compute($c.getBytes(), $window))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  private val P = 2147483647L
+  private val B = 131L
+
+  /** O(n) rolling hashes of every `w`-byte window. Public + static-shaped
+    * so generated code can call it directly. */
+  def compute(bytes: Array[Byte], w: Int): Array[Long] = {
+    val n = bytes.length
+    if (n < w) return Array.emptyLongArray
+    var pw = 1L // B^(w-1) mod P
+    var i = 1
+    while (i < w) { pw = pw * B % P; i += 1 }
+    val out = new Array[Long](n - w + 1)
+    var h = 0L
+    i = 0
+    while (i < w) { h = (h * B + (bytes(i) & 0xff)) % P; i += 1 }
+    out(0) = h
+    i = w
+    while (i < n) {
+      h = ((h - (bytes(i - w) & 0xff) * pw % P + P) % P * B + (bytes(i) & 0xff)) % P
+      out(i - w + 1) = h
+      i += 1
+    }
+    out
+  }
 }

@@ -50,6 +50,37 @@ class ExpressionsSpec extends SparkSuite {
     assert(viaAgg == viaCols)
   }
 
+  test("rolling_hash matches a direct per-window recomputation") {
+    import spark.implicits._
+    val w = 8
+    val docs = graft.sources.Tables.documents(spark, sf).limit(50)
+    val got = docs
+      .select(col("doc_id"), col("text"), native.rollingHash(col("text"), w).as("rh"))
+      .as[(Long, String, Seq[Long])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, text, hashes) =>
+      val bytes = text.getBytes("UTF-8")
+      assert(hashes.length == math.max(0, bytes.length - w + 1))
+      // spot-check every 17th window against a direct O(w) hash
+      (hashes.indices by 17).foreach { i =>
+        var h = 0L
+        bytes.slice(i, i + w).foreach(b => h = (h * 131 + (b & 0xff)) % 2147483647L)
+        assert(hashes(i) == h, s"window $i")
+      }
+    }
+  }
+
+  test("rolling_hash min-sketch is shift-invariant for shared substrings") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "PREFIX the quick brown fox jumps over the lazy dog")).toDF("id", "t")
+    val hs = df.select(col("id"), native.rollingHash(col("t"), 10).as("rh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // every window of doc 1 appears among doc 2's windows (shifted)
+    assert(hs(1L).toSet.subsetOf(hs(2L).toSet))
+  }
+
   test("GraftExtensions registers without error") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
