@@ -40,7 +40,8 @@ object SparkEntry {
     "q26_semi_anti"       -> (Relational.semiAnti _),
     "q27_window"          -> (Relational.windowFunctions _),
     "q28_ann_ivf"         -> (Similarity.annIvf _),
-    "q29_sql"             -> (Relational.sqlSurface _)
+    "q29_sql"             -> (Relational.sqlSurface _),
+    "q30_asof_join"       -> (Relational.asofAttribution _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -385,6 +386,15 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= '1996-01-01'
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q30_asof_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |       coalesce(v.value, -1.0) AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY click_id""".stripMargin
   )
 }

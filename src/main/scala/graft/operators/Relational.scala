@@ -196,6 +196,28 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** q30_asof_join — point-in-time attribution through the custom
+    * as-of-join operator ([[org.apache.spark.sql.graft.AsOfJoinExec]]):
+    * each click is joined to the user's latest view at-or-before it.
+    * Left-outer: clicks with no prior view keep nulls. */
+  def asofAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("value").as("view_value"))
+    org.apache.spark.sql.graft.AsOf
+      .join(clicks, views, "c_user", "c_ts", "v_user", "v_ts")
+      .select(
+        col("click_id"), col("c_user").as("user_id"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        // coalesce: keep the double column non-null so hash comparers
+        // that conflate SQL NULL with NaN stay deterministic
+        coalesce(col("view_value"), lit(-1.0)).as("view_value"))
+      .orderBy("click_id")
+  }
+
   /** q10_partitioned_agg — multi-worker distribution + merge
     * (`lua-mapreduce-server.lua:228-334`): an aggregation computed across
     * an explicit hash repartitioning; the result is partition-count

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.AsOf
+
+class AsOfSpec extends SparkSuite {
+
+  test("as-of join matches an independent join+groupBy reference") {
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sf)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+
+    val got = AsOf.join(clicks, views, "c_user", "c_ts", "v_user", "v_ts")
+      .select(col("click_id"), col("v_ts"))
+      .as[(Long, Option[java.sql.Timestamp])].collect()
+      .map { case (id, ts) => id -> ts.map(_.getTime) }.toMap
+
+    // reference: all (click, earlier-view) pairs -> max view ts per click
+    val ref = clicks.join(views,
+        col("c_user") === col("v_user") && col("v_ts") <= col("c_ts"), "left")
+      .groupBy("click_id").agg(max(col("v_ts")).as("v_ts"))
+      .as[(Long, Option[java.sql.Timestamp])].collect()
+      .map { case (id, ts) => id -> ts.map(_.getTime) }.toMap
+
+    assert(got == ref)
+    assert(got.nonEmpty)
+    assert(got.values.exists(_.isDefined), "expected at least one attributed click")
+    assert(got.values.exists(_.isEmpty), "expected at least one unattributed click")
+  }
+
+  test("as-of join plans the custom exec with sorted hash distribution") {
+    val events = graft.sources.Tables.events(spark, sf)
+    val l = events.select(col("event_id").as("lid"), col("user_id").as("lk"), col("ts").as("lt"))
+    val r = events.select(col("user_id").as("rk"), col("ts").as("rt"))
+    val plan = AsOf.join(l, r, "lk", "lt", "rk", "rt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(plan.contains("Sort "))
+    assert(plan.contains("Exchange hashpartitioning"))
+  }
+
+  test("as-of join result is partition-count invariant") {
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sf)
+    def run(n: Int): Map[Long, Option[Long]] = {
+      val clicks = events.filter(col("event_type") === "click").repartition(n)
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val views = events.filter(col("event_type") === "view").repartition(n)
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      AsOf.join(clicks, views, "c_user", "c_ts", "v_user", "v_ts")
+        .select(col("click_id"), col("v_ts"))
+        .as[(Long, Option[java.sql.Timestamp])].collect()
+        .map { case (id, ts) => id -> ts.map(_.getTime) }.toMap
+    }
+    assert(run(1) == run(7))
+  }
+}

@@ -18,7 +18,7 @@ def norm(rows, cols):
         for c in cols:
             v = r[c]
             if isinstance(v, float):
-                v = round(v, 6)
+                v = None if v != v else round(v, 6)  # NaN (from SQL NULL via pandas) -> None
             vals.append(v)
         out.append(tuple(vals))
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
