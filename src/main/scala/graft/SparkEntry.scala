@@ -41,7 +41,8 @@ object SparkEntry {
     "q27_window"          -> (Relational.windowFunctions _),
     "q28_ann_ivf"         -> (Similarity.annIvf _),
     "q29_sql"             -> (Relational.sqlSurface _),
-    "q30_asof_join"       -> (Relational.asofAttribution _)
+    "q30_asof_join"       -> (Relational.asofAttribution _),
+    "q31_dup_clusters"    -> (Dedup.dupClusters _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -395,6 +396,22 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
-        |ORDER BY click_id""".stripMargin
+        |ORDER BY click_id""".stripMargin,
+    "q31_dup_clusters" ->
+      (jaccardCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
+        """,
+          |edges AS (
+          |  SELECT i AS src, j AS dst FROM jac WHERE jaccard >= 0.8
+          |  UNION ALL
+          |  SELECT j AS src, i AS dst FROM jac WHERE jaccard >= 0.8
+          |),
+          |reach AS (
+          |  SELECT doc_id AS doc, doc_id AS root FROM documents
+          |  UNION
+          |  SELECT e.src AS doc, r.root
+          |  FROM reach r JOIN edges e ON e.dst = r.doc
+          |)
+          |SELECT doc AS doc_id, min(root) AS cluster_id
+          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin)
   )
 }

@@ -156,6 +156,51 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q31_dup_clusters — transitive near-duplicate clusters: connected
+    * components over the verified ≥0.8-Jaccard pair graph, each doc
+    * labeled with the minimum doc_id of its component (singletons label
+    * themselves). This is the operator a dedup pipeline actually keys
+    * on — pairs alone miss transitive chains (a~b, b~c ⇒ {a,b,c}).
+    *
+    * Implementation: label-propagation to fixpoint — each iteration
+    * joins labels across edges and keeps the min; converges in
+    * O(component diameter) rounds (near-dup components are tiny, so
+    * 2-3 rounds in practice; capped + convergence-checked). At 100 TB
+    * scale with adversarial chain shapes, switch to the
+    * large-star/small-star algorithm — same join primitives,
+    * O(log n) rounds.
+    */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nl")).as("neighbor_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = next.alias("n")
+        .join(labels.alias("p"), col("n.doc_id") === col("p.doc_id"))
+        .filter(col("n.cluster_id") =!= col("p.cluster_id"))
+        .limit(1).count() // converged iff no label changed
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
   /** q14_ngram_dedup — survivor set: drop every doc that has a near-dup
     * partner (n-gram Jaccard ≥ 0.8) with a smaller doc_id. The removal
     * side comes from the LSH pipeline, so the anti-join input is the

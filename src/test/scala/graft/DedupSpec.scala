@@ -55,6 +55,24 @@ class DedupSpec extends SparkSuite {
     assert(banded == brute)
   }
 
+  test("dup clusters are the transitive closure of the pair graph") {
+    val labels = Dedup.dupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every near-dup pair shares a cluster label
+    bruteForcePairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // labels are the min doc_id of each component
+    labels.groupBy(_._2).foreach { case (root, members) =>
+      assert(members.keys.min == root)
+    }
+    // docs in no pair are singletons
+    val paired = bruteForcePairs.flatMap(p => Seq(p._1, p._2))
+    labels.foreach { case (doc, root) =>
+      if (!paired.contains(doc)) assert(root == doc)
+    }
+  }
+
   test("ngram dedup survivors exclude exactly the higher-id pair members") {
     val survivors = Dedup.ngramDedup(spark, sf)
       .collect().map(_.getLong(0)).toSet
