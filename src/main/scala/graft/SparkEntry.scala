@@ -42,7 +42,8 @@ object SparkEntry {
     "q28_ann_ivf"         -> (Similarity.annIvf _),
     "q29_sql"             -> (Relational.sqlSurface _),
     "q30_asof_join"       -> (Relational.asofAttribution _),
-    "q31_dup_clusters"    -> (Dedup.dupClusters _)
+    "q31_dup_clusters"    -> (Dedup.dupClusters _),
+    "q32_normalize"       -> (TextAnalysis.normalize _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -412,6 +413,12 @@ object SparkEntry {
           |  FROM reach r JOIN edges e ON e.dst = r.doc
           |)
           |SELECT doc AS doc_id, min(root) AS cluster_id
-          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin)
+          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin),
+    "q32_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |       len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))::INT AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -86,6 +86,24 @@ object TextAnalysis {
         length(col("text")).as("n_chars_measured"))
       .orderBy("doc_id")
 
+  /** q32_normalize — corpus text normalization: lowercase, strip
+    * non-alphanumerics to spaces, collapse runs of whitespace, trim —
+    * the canonical pre-tokenization cleaning pass, emitted alongside a
+    * content hash of the normalized form (the exact-dedup key after
+    * normalization). Partition-local, zero shuffles. Regexes restricted
+    * to classes that behave identically in Java regex and RE2 so the
+    * DuckDB oracle checks the normalized text byte-for-byte. */
+  def normalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        md5(col("norm_text")).as("norm_hash"),
+        length(col("norm_text")).as("norm_len"))
+      .orderBy("doc_id")
+
   /** q21_fingerprint — content fingerprints: full-text md5 plus a
     * min-shingle-hash sketch (winnowing-style), joinable for dedup.
     * Explode + groupBy(min) keeps the shingle hashing inside codegen
