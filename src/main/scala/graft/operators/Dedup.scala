@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   *
   *  - exact:   hash-groupBy on a content key; survivors are the per-key
   *             min surrogate id. Pure shuffle-partitioned aggregation.
-  *  - minhash: shingle → 128 affine min-hashes (ONE md5 per shingle,
-  *             computed as array transforms inside codegen — no
-  *             explode/shuffle for signatures) → 32 bands × 4 rows →
+  *  - minhash: shingle → 128 affine min-hashes (ONE md5 per shingle;
+  *             explode → codegen'd min aggregates with map-side partial
+  *             aggregation) → 32 bands × 4 rows →
   *             candidate pairs come from a groupBy-(band,signature)
   *             bucket self-join → exact-Jaccard verify on candidates only.
   *             At J=0.8 the banding's miss probability is (1-0.8^4)^32 ≈
