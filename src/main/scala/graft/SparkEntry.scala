@@ -43,7 +43,8 @@ object SparkEntry {
     "q29_sql"             -> (Relational.sqlSurface _),
     "q30_asof_join"       -> (Relational.asofAttribution _),
     "q31_dup_clusters"    -> (Dedup.dupClusters _),
-    "q32_normalize"       -> (TextAnalysis.normalize _)
+    "q32_normalize"       -> (TextAnalysis.normalize _),
+    "q33_pipeline"        -> (Pipeline.curate _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -419,6 +420,30 @@ object SparkEntry {
         |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
         |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
         |       len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))::INT AS norm_len
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_pipeline" ->
+      (jaccardCte +
+        """,
+          |norm AS (
+          |  SELECT doc_id,
+          |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+          |  FROM documents
+          |),
+          |exact_surv AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY norm_hash),
+          |neardup AS (SELECT DISTINCT j AS doc_id FROM jac WHERE jaccard >= 0.8),
+          |t AS (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents),
+          |qual AS (
+          |  SELECT doc_id, len(w)::INT AS n_tokens,
+          |         round(0.4 * round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) * 1.0 / len(w), 4)
+          |             + 0.3 * round(len(list_distinct(w)) * 1.0 / len(w), 4)
+          |             + 0.3 * least(len(w) / 100.0, 1.0), 5) AS quality_score
+          |  FROM t
+          |)
+          |SELECT s.doc_id, q.n_tokens, q.quality_score
+          |FROM exact_surv s
+          |JOIN qual q ON q.doc_id = s.doc_id
+          |WHERE s.doc_id NOT IN (SELECT doc_id FROM neardup)
+          |  AND q.quality_score >= 0.33
+          |ORDER BY s.doc_id""".stripMargin)
   )
 }

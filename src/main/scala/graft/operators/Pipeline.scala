@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q33_pipeline — the capstone corpus-curation pipeline: the individual
+  * operators composed the way a training-data run actually chains them.
+  *
+  *   1. normalize text, exact-dedup on the normalized-content hash
+  *      (survivor = min doc_id per hash);
+  *   2. drop transitive near-duplicates (higher-id member of every
+  *      verified ≥0.8-Jaccard pair, from the MinHash-LSH pipeline);
+  *   3. quality-filter (composite score ≥ 0.33);
+  *   4. emit the surviving corpus with its per-doc stats.
+  *
+  * Everything stays one lazy plan end-to-end — Catalyst fuses the stages
+  * (common scans, pushed filters), which is the point of composing
+  * operators as DataFrames rather than materializing between steps. At
+  * 100 TB each stage keeps its own scale properties (hash-groupBy dedup,
+  * bucket-local LSH, scan-local scoring); nothing new is introduced by
+  * composition.
+  */
+object Pipeline {
+
+  val QualityThreshold = 0.33
+
+  def curate(spark: SparkSession, sfDir: String): DataFrame = {
+    val exactSurvivors = TextAnalysis.normalize(spark, sfDir)
+      .groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val nearDupHigher = Dedup.minhashPairs(spark, sfDir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val qual = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    exactSurvivors
+      .join(nearDupHigher, Seq("doc_id"), "left_anti")
+      .join(qual, "doc_id")
+      .filter(col("quality_score") >= QualityThreshold)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .orderBy("doc_id")
+  }
+}

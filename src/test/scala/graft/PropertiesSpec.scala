@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+/** Property-based checks over the engine's primitives: ScalaCheck
+  * generators (seeded, deterministic) drive generated inputs against
+  * driver-side reference semantics. */
+class PropertiesSpec extends SparkSuite {
+
+  private def draw[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+
+  test("tokenizer matches the reference regex semantics on generated text") {
+    import spark.implicits._
+    (1 to 10).foreach { seed =>
+      val texts = draw(Gen.listOfN(20, text), seed)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val got = df.select(col("id"), graft.functions.TextFunctions.alphaTokens(col("t")).as("w"))
+        .as[(Long, Seq[String])].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val expected = "[a-z]+".r.findAllIn(t.toLowerCase).toSeq
+        assert(got(i.toLong) == expected, s"seed=$seed text='$t'")
+      }
+    }
+  }
+
+  test("MapReduce.runReduced equals a driver-side groupBy-sum on generated pairs") {
+    import spark.implicits._
+    val pair = for { k <- Gen.choose(0, 5); v <- Gen.choose(-100L, 100L) } yield (s"k$k", v)
+    (1 to 5).foreach { seed =>
+      val pairs = draw(Gen.listOfN(200, pair), seed)
+      val got = graft.core.MapReduce.runReduced[(String, Long), String, Long](
+        pairs.toDS(), p => Iterator.single(p), _ + _).collect().toMap
+      val expected = pairs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("rolling-hash windows equal direct hashes for generated strings") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 64)
+      s <- Gen.listOfN(n, Gen.asciiPrintableChar).map(_.mkString)
+      w <- Gen.choose(1, 12)
+    } yield (s, w)
+    (1 to 200).foreach { seed =>
+      val (s, w) = draw(gen, seed)
+      val bytes = s.getBytes("UTF-8")
+      val got = org.apache.spark.sql.graft.RollingHash.compute(bytes, w).toSeq
+      val expected =
+        if (bytes.length < w) Seq.empty
+        else (0 to bytes.length - w).map { i =>
+          var h = 0L
+          bytes.slice(i, i + w).foreach(b => h = (h * 131 + (b & 0xff)) % 2147483647L)
+          h
+        }
+      assert(got == expected, s"seed=$seed s='$s' w=$w")
+    }
+  }
+
+  test("affine hash family stays within [0, P) for valid base hashes") {
+    val gen = for {
+      h <- Gen.choose(0L, (1L << 28) - 1)
+      i <- Gen.choose(0, 127)
+    } yield (h, i)
+    (1 to 500).foreach { seed =>
+      val (h, i) = draw(gen, seed)
+      val m = ((2L * i + 1) * h + 101L * i + 7) % graft.functions.HashFunctions.P
+      assert(m >= 0L && m < graft.functions.HashFunctions.P)
+    }
+  }
+}
