@@ -44,7 +44,9 @@ object SparkEntry {
     "q30_asof_join"       -> (Relational.asofAttribution _),
     "q31_dup_clusters"    -> (Dedup.dupClusters _),
     "q32_normalize"       -> (TextAnalysis.normalize _),
-    "q33_pipeline"        -> (Pipeline.curate _)
+    "q33_pipeline"        -> (Pipeline.curate _),
+    "q34_tfidf"           -> (TextAnalysis.tfidf _),
+    "q35_bigrams"         -> (TextAnalysis.bigrams _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -444,6 +446,34 @@ object SparkEntry {
           |JOIN qual q ON q.doc_id = s.doc_id
           |WHERE s.doc_id NOT IN (SELECT doc_id FROM neardup)
           |  AND q.quality_score >= 0.33
-          |ORDER BY s.doc_id""".stripMargin)
+          |ORDER BY s.doc_id""".stripMargin),
+    "q34_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\r]+')) AS term FROM documents
+        |),
+        |tc AS (SELECT doc_id, term, count(*) AS tc FROM terms GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+        |df AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tc.doc_id, tc.term,
+        |         (tc.tc * 1.0 / dl.dl) * ln(n.n_docs / df.df) AS tfidf_raw
+        |  FROM tc JOIN dl ON dl.doc_id = tc.doc_id JOIN df ON df.term = tc.term, n
+        |),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf_raw,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, term ASC) AS rnk
+        |  FROM scored
+        |)
+        |SELECT doc_id, rnk::INT AS rnk, term, round(tfidf_raw, 6) AS tfidf
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+    "q35_bigrams" ->
+      """WITH t AS (SELECT regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents),
+        |b AS (SELECT unnest([w[i] || '_' || w[i+1] FOR i IN range(1, len(w))]) AS bigram FROM t)
+        |SELECT bigram, count(*) AS cnt
+        |FROM b GROUP BY bigram
+        |ORDER BY cnt DESC, bigram ASC
+        |LIMIT 20""".stripMargin
   )
 }

@@ -86,6 +86,42 @@ object TextAnalysis {
         length(col("text")).as("n_chars_measured"))
       .orderBy("doc_id")
 
+  /** q34_tfidf — classic TF-IDF: tf = term count / doc length, idf =
+    * ln(N / df), top-3 terms per doc by tf·idf (term tie-break). Two
+    * shuffles: per-(doc, term) counts and the (small) document-frequency
+    * table, which re-broadcasts onto the term rows. */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(T.wsTokens(col("text"))).as("term"))
+    val termCounts = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+    val docLens = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df_ = termCounts.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, sfDir).count().toDouble
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_raw").desc, col("term").asc)
+    termCounts
+      .join(docLens, "doc_id")
+      .join(broadcast(df_), "term")
+      .withColumn("tfidf_raw",
+        (col("tc").cast("double") / col("dl")) * log(lit(nDocs) / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), round(col("tfidf_raw"), 6).as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** q35_bigrams — corpus bigram counts (the n-gram language-model
+    * statistic): top-20 word bigrams. One explode + one count shuffle
+    * with map-side combine. */
+  def bigrams(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), T.wsTokens(col("text")).as("w"))
+      .select(explode(T.shingles(col("w"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(20)
+
   /** q32_normalize — corpus text normalization: lowercase, strip
     * non-alphanumerics to spaces, collapse runs of whitespace, trim —
     * the canonical pre-tokenization cleaning pass, emitted alongside a
