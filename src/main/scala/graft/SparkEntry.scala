@@ -46,7 +46,9 @@ object SparkEntry {
     "q32_normalize"       -> (TextAnalysis.normalize _),
     "q33_pipeline"        -> (Pipeline.curate _),
     "q34_tfidf"           -> (TextAnalysis.tfidf _),
-    "q35_bigrams"         -> (TextAnalysis.bigrams _)
+    "q35_bigrams"         -> (TextAnalysis.bigrams _),
+    "q36_rollup"          -> (Relational.rollupAgg _),
+    "q37_pivot"           -> (Relational.pivotCounts _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -474,6 +476,21 @@ object SparkEntry {
         |SELECT bigram, count(*) AS cnt
         |FROM b GROUP BY bigram
         |ORDER BY cnt DESC, bigram ASC
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    "q36_rollup" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |       coalesce(o_orderstatus, 'ALL') AS status,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
+    "q37_pivot" ->
+      """SELECT (user_id % 10)::INT AS user_bucket,
+        |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+        |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin
   )
 }

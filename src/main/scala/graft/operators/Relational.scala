@@ -160,6 +160,33 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** q36_rollup — hierarchical aggregates (GROUPING SETS surface):
+    * per-(priority, status), per-priority subtotals, and the grand total
+    * in one pass — Catalyst expands the grouping sets before the single
+    * aggregation shuffle. */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("total"))
+      .orderBy("priority", "status")
+
+  /** q37_pivot — wide-format aggregation: event counts pivoted into one
+    * column per event type, keyed by user-id decile. The explicit value
+    * list keeps the output schema static (required for a deterministic
+    * oracle, and at scale avoids the extra distinct-values job). */
+  def pivotCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+      .groupBy("user_bucket")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_bucket")
+
   /** q26_semi_anti — existence predicates as shuffle-free-on-build-side
     * semi/anti joins: customers that DO have a high-value order
     * (left_semi ≡ EXISTS) and customers with NO orders at all
