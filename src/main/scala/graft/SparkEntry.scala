@@ -48,7 +48,11 @@ object SparkEntry {
     "q34_tfidf"           -> (TextAnalysis.tfidf _),
     "q35_bigrams"         -> (TextAnalysis.bigrams _),
     "q36_rollup"          -> (Relational.rollupAgg _),
-    "q37_pivot"           -> (Relational.pivotCounts _)
+    "q37_pivot"           -> (Relational.pivotCounts _),
+    "q38_percentiles"     -> (Relational.percentiles _),
+    "q39_stats"           -> (Relational.stats _),
+    "q40_full_outer"      -> (Relational.fullOuter _),
+    "q41_setops"          -> (Relational.setOps _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -491,6 +495,34 @@ object SparkEntry {
         |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
         |       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
         |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
-        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+    "q38_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q39_stats" ->
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       round(var_samp(l_discount), 6) AS var_disc,
+        |       round(corr(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q40_full_outer" ->
+      """WITH c AS (SELECT user_id AS cu, count(*) AS n_clicks FROM events WHERE event_type = 'click' GROUP BY 1),
+        |v AS (SELECT user_id AS vu, count(*) AS n_views FROM events WHERE event_type = 'view' GROUP BY 1)
+        |SELECT coalesce(cu, vu) AS user_id,
+        |       coalesce(n_clicks, 0) AS n_clicks,
+        |       coalesce(n_views, 0) AS n_views
+        |FROM c FULL OUTER JOIN v ON cu = vu
+        |ORDER BY user_id""".stripMargin,
+    "q41_setops" ->
+      """WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, 'click_and_purchase' AS segment FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+        |UNION ALL
+        |SELECT user_id, 'click_no_purchase' AS segment FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+        |ORDER BY segment, user_id""".stripMargin
   )
 }

@@ -187,6 +187,60 @@ object Relational {
       .na.fill(0L)
       .orderBy("user_bucket")
 
+  /** q38_percentiles — exact percentiles (linear interpolation) per
+    * group. Exact percentile needs the group's values collected per
+    * reducer — fine for bounded groups; unbounded cardinality at 100 TB
+    * switches to `approx_percentile` (see Sketches). */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type")
+
+  /** q39_stats — statistical aggregates: sample stddev/variance and
+    * Pearson correlation; single-pass partial-aggregable moments. */
+  def stats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_price_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** q40_full_outer — full outer join: per-user click vs view counts,
+    * users present on either side survive with zero-filled gaps. */
+  def fullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("cu")).agg(count(lit(1)).as("n_clicks"))
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("vu")).agg(count(lit(1)).as("n_views"))
+    clicks.join(views, col("cu") === col("vu"), "full_outer")
+      .select(
+        coalesce(col("cu"), col("vu")).as("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"))
+      .orderBy("user_id")
+  }
+
+  /** q41_setops — set algebra over user-id sets: users who click but
+    * never purchase (EXCEPT) and users who do both (INTERSECT). */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    def users(t: String) =
+      events.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val clickOnly = users("click").except(users("purchase"))
+      .select(col("user_id"), lit("click_no_purchase").as("segment"))
+    val both = users("click").intersect(users("purchase"))
+      .select(col("user_id"), lit("click_and_purchase").as("segment"))
+    clickOnly.unionAll(both).orderBy("segment", "user_id")
+  }
+
   /** q26_semi_anti — existence predicates as shuffle-free-on-build-side
     * semi/anti joins: customers that DO have a high-value order
     * (left_semi ≡ EXISTS) and customers with NO orders at all
