@@ -52,7 +52,10 @@ object SparkEntry {
     "q38_percentiles"     -> (Relational.percentiles _),
     "q39_stats"           -> (Relational.stats _),
     "q40_full_outer"      -> (Relational.fullOuter _),
-    "q41_setops"          -> (Relational.setOps _)
+    "q41_setops"          -> (Relational.setOps _),
+    "q42_histogram"       -> (Relational.histogram _),
+    "q43_string_agg"      -> (Relational.stringAgg _),
+    "q44_dates"           -> (Relational.dates _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -523,6 +526,24 @@ object SparkEntry {
         |SELECT user_id, 'click_and_purchase' AS segment FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
         |UNION ALL
         |SELECT user_id, 'click_no_purchase' AS segment FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
-        |ORDER BY segment, user_id""".stripMargin
+        |ORDER BY segment, user_id""".stripMargin,
+    "q42_histogram" ->
+      """SELECT floor(value / 50)::INT AS bucket, count(*) AS n,
+        |       round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q43_string_agg" ->
+      """SELECT n_name, count(*) AS n_rich,
+        |       string_agg(c_name, ',' ORDER BY c_name) AS roster
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9000.0
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q44_dates" ->
+      """SELECT extract(year FROM o_orderdate)::INT AS yr,
+        |       extract(month FROM o_orderdate)::INT AS mo,
+        |       count(*) AS n_orders,
+        |       min(date_diff('day', DATE '1995-01-01', o_orderdate::DATE))::INT AS first_day,
+        |       max(date_diff('day', DATE '1995-01-01', o_orderdate::DATE))::INT AS last_day,
+        |       round(sum(o_totalprice), 2) AS month_total
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
   )
 }

@@ -241,6 +241,49 @@ object Relational {
     clickOnly.unionAll(both).orderBy("segment", "user_id")
   }
 
+  /** q42_histogram — fixed-width value histogram (bucket = ⌊value/50⌋):
+    * the single-shuffle distribution profile every pipeline dashboard
+    * wants; bucket count is bounded so the aggregate state is O(1). */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(floor(col("value") / 50).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy("bucket")
+
+  /** q43_string_agg — ordered string aggregation: per-nation sorted
+    * customer-name roster. `sort_array(collect_list(...))` keeps the
+    * output deterministic; collect_list is bounded by group size (names
+    * per nation), which must be considered at scale. */
+  def stringAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Tables.customer(spark, sfDir)
+    val nation = Tables.nation(spark, sfDir)
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .filter(col("c_acctbal") > 9000.0)
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_rich"),
+        concat_ws(",", sort_array(collect_list(col("c_name")))).as("roster"))
+      .orderBy("n_name")
+  }
+
+  /** q44_dates — temporal function surface: year/month extraction,
+    * month truncation, and day arithmetic over the orders timeline. */
+  def dates(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since_epoch"),
+        col("o_totalprice"))
+      .groupBy("yr", "mo")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("days_since_epoch")).as("first_day"),
+        max(col("days_since_epoch")).as("last_day"),
+        round(sum(col("o_totalprice")), 2).as("month_total"))
+      .orderBy("yr", "mo")
+
   /** q26_semi_anti — existence predicates as shuffle-free-on-build-side
     * semi/anti joins: customers that DO have a high-value order
     * (left_semi ≡ EXISTS) and customers with NO orders at all
