@@ -172,10 +172,14 @@ object Dedup {
     */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    // undirected edge list, both directions
+    // localCheckpoint, NOT cache(): the edge subtree contains the wide
+    // minhash plan, and registering it in the CacheManager taxes the
+    // planning of every later query in the session (see PLANS.md);
+    // RDD-level checkpointing sidesteps the CacheManager entirely and
+    // also truncates the per-iteration lineage growth below.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
+      .localCheckpoint()
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var converged = false
@@ -189,7 +193,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
+        .localCheckpoint()
       val changed = next.alias("n")
         .join(labels.alias("p"), col("n.doc_id") === col("p.doc_id"))
         .filter(col("n.cluster_id") =!= col("p.cluster_id"))
