@@ -55,7 +55,9 @@ object SparkEntry {
     "q41_setops"          -> (Relational.setOps _),
     "q42_histogram"       -> (Relational.histogram _),
     "q43_string_agg"      -> (Relational.stringAgg _),
-    "q44_dates"           -> (Relational.dates _)
+    "q44_dates"           -> (Relational.dates _),
+    "q45_profile"         -> (Relational.profile _),
+    "q46_argmax"          -> (Relational.argmax _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -544,6 +546,22 @@ object SparkEntry {
         |       min(date_diff('day', DATE '1995-01-01', o_orderdate::DATE))::INT AS first_day,
         |       max(date_diff('day', DATE '1995-01-01', o_orderdate::DATE))::INT AS last_day,
         |       round(sum(o_totalprice), 2) AS month_total
-        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+    "q45_profile" ->
+      """SELECT count(*) AS n_rows,
+        |       count(o_custkey) AS custkey_nonnull,
+        |       count(DISTINCT o_custkey) AS custkey_distinct,
+        |       count(DISTINCT o_orderstatus) AS status_distinct,
+        |       count(DISTINCT o_orderpriority) AS priority_distinct,
+        |       round(min(o_totalprice), 2) AS price_min,
+        |       round(max(o_totalprice), 2) AS price_max,
+        |       round(avg(o_totalprice), 2) AS price_avg
+        |FROM orders""".stripMargin,
+    "q46_argmax" ->
+      """SELECT o_orderpriority,
+        |       arg_max(o_orderkey, o_totalprice) AS biggest_order,
+        |       arg_min(o_orderkey, o_totalprice) AS smallest_order,
+        |       round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -284,6 +284,35 @@ object Relational {
         round(sum(col("o_totalprice")), 2).as("month_total"))
       .orderBy("yr", "mo")
 
+  /** q45_profile — data-quality profiling: per-column null/distinct/
+    * bounds statistics for the orders table in ONE scan (every column's
+    * aggregates computed side-by-side — the profile-before-you-train
+    * pass every ingestion pipeline runs). */
+  def profile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_custkey")).as("custkey_nonnull"),
+        countDistinct(col("o_custkey")).as("custkey_distinct"),
+        countDistinct(col("o_orderstatus")).as("status_distinct"),
+        countDistinct(col("o_orderpriority")).as("priority_distinct"),
+        round(min(col("o_totalprice")), 2).as("price_min"),
+        round(max(col("o_totalprice")), 2).as("price_max"),
+        round(avg(col("o_totalprice")), 2).as("price_avg"))
+
+  /** q46_argmax — min_by/max_by argmax aggregates: per order-priority,
+    * WHICH order has the extreme price (not just the price). */
+  def argmax(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        // totalprice is a continuous double — ties are measure-zero, so
+        // plain argmax is deterministic on this data
+        max_by(col("o_orderkey"), col("o_totalprice")).as("biggest_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("smallest_order"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy("o_orderpriority")
+
   /** q26_semi_anti — existence predicates as shuffle-free-on-build-side
     * semi/anti joins: customers that DO have a high-value order
     * (left_semi ≡ EXISTS) and customers with NO orders at all
