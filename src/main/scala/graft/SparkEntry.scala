@@ -226,10 +226,11 @@ object SparkEntry {
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q17_ann_lsh" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |params AS (SELECT greatest(1, ceil(log2(count(*) / 64.0)))::INT AS bits FROM e),
         |grid AS (
         |  SELECT i, d,
         |         ('0x' || substr(md5('ivf_0_' || i || '_' || d), 1, 7))::BIGINT % 2001 - 1000 AS w
-        |  FROM unnest(range(0, 6)) t2(i), unnest(range(0, 64)) t3(d)
+        |  FROM unnest(range(0, (SELECT bits FROM params))) t2(i), unnest(range(0, 64)) t3(d)
         |),
         |dots AS (
         |  SELECT e.vec_id, g.i, sum(e.v[g.d + 1] * g.w) AS dot
@@ -371,16 +372,57 @@ object SparkEntry {
         |ORDER BY o_custkey, rn""".stripMargin,
     "q28_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
-        |asg AS (
-        |  SELECT e.vec_id, c.cent_id,
-        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |           list_dot_product(e.v, c.cv) /
-        |           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-        |           c.cent_id ASC) AS rn
-        |  FROM e, c
+        |params AS (SELECT greatest(16, ceil(sqrt(count(*)))::INT) AS k FROM e),
+        |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < (SELECT k FROM params)),
+        |a0 AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cent_id ASC) AS rn
+        |    FROM e, c0 c) WHERE rn = 1
         |),
-        |cells AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1),
+        |m0 AS (
+        |  SELECT a.cent_id, t.d, round(avg(e.v[t.d]), 6) AS m
+        |  FROM a0 a, e, unnest(range(1, 65)) t(d)
+        |  WHERE a.vec_id = e.vec_id
+        |  GROUP BY a.cent_id, t.d
+        |),
+        |c1 AS (
+        |  SELECT c0.cent_id, coalesce(n.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN (SELECT cent_id, list(m ORDER BY d) AS cv FROM m0 GROUP BY cent_id) n
+        |    USING (cent_id)
+        |),
+        |a1 AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cent_id ASC) AS rn
+        |    FROM e, c1 c) WHERE rn = 1
+        |),
+        |m1 AS (
+        |  SELECT a.cent_id, t.d, round(avg(e.v[t.d]), 6) AS m
+        |  FROM a1 a, e, unnest(range(1, 65)) t(d)
+        |  WHERE a.vec_id = e.vec_id
+        |  GROUP BY a.cent_id, t.d
+        |),
+        |c2 AS (
+        |  SELECT c1.cent_id, coalesce(n.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN (SELECT cent_id, list(m ORDER BY d) AS cv FROM m1 GROUP BY cent_id) n
+        |    USING (cent_id)
+        |),
+        |cells AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, c.cv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cent_id ASC) AS rn
+        |    FROM e, c2 c) WHERE rn = 1
+        |),
         |pairs AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |         list_dot_product(ea.v, eb.v) /

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** Skew-bounded candidate-pair generation for LSH bucket self-joins.
+  *
+  * The scale hazard of every banded-LSH dedup pass is the HOT BUCKET: a
+  * boilerplate shingle (cookie banner, license header) that lands
+  * thousands of documents on one (band, signature) key makes the naive
+  * bucket self-join build an O(n²) pair list inside a single task. The
+  * fix here is a salted replicated join with per-bucket salt
+  * cardinality:
+  *
+  *   - every bucket of n members gets `n_salt = ceil(n / cap)` salts;
+  *   - the LEFT side keeps one salt per row (hash of its id);
+  *   - the RIGHT side is replicated to every salt of its bucket;
+  *   - the join adds `salt` to the bucket key, so each task handles
+  *     ~cap left rows × n right rows instead of n × n.
+  *
+  * For buckets at or under the cap, n_salt = 1 and the plan degenerates
+  * to the plain bucket self-join — one code path, no cold/hot split.
+  * The emitted pair set is IDENTICAL to the uncapped self-join for any
+  * cap (each right row is replicated to every salt, so every ordered
+  * pair meets exactly once): the cap redistributes quadratic work, it
+  * never drops pairs. Hot buckets therefore still cost O(n²/cap) tasks
+  * of O(cap·n) work — callers that want to truncate instead (e.g. route
+  * a 100k-member boilerplate bucket to an exact-dup pass) should filter
+  * on the [[bucketSizes]] frame before calling.
+  *
+  * Telemetry: pass an [[Observation]] to get `hot_bucket_rows` (rows in
+  * over-cap buckets), `hot_buckets` (count of over-cap buckets, via the
+  * sum-of-1/n identity so it needs no distinct aggregate) and
+  * `max_bucket_n` once the query runs — hot buckets are visible, never
+  * silent.
+  */
+object CandidatePairs {
+
+  /** One row per bucket: keyCols + bucket_n. */
+  def bucketSizes(buckets: DataFrame, keyCols: Seq[String]): DataFrame =
+    buckets.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("bucket_n"))
+
+  /** Left/right salted frames (exposed for spec assertions on the salt
+    * distribution). Left rows carry (row cols, bucket_n, n_salt, salt);
+    * right rows are exploded to one copy per salt of their bucket. */
+  private[graft] def salted(
+      buckets: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      cap: Int): (DataFrame, DataFrame) = {
+    val withN = buckets
+      .join(bucketSizes(buckets, keyCols), keyCols)
+      .withColumn("n_salt", expr(s"((bucket_n - 1) div $cap) + 1"))
+    val left = withN.withColumn("salt", pmod(xxhash64(col(idCol)), col("n_salt")))
+    val right = withN.withColumn("salt", explode(sequence(lit(0L), col("n_salt") - 1)))
+    (left, right)
+  }
+
+  /** All distinct (id_a < id_b) pairs of rows sharing a bucket key,
+    * with per-task work bounded by `cap` as described above. */
+  def boundedSelfJoin(
+      buckets: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      cap: Int,
+      obs: Option[Observation] = None): DataFrame = {
+    require(cap > 0, s"bucket cap must be positive, got $cap")
+    val (leftBase, right) = salted(buckets, keyCols, idCol, cap)
+    val left = obs match {
+      case Some(o) => leftBase.observe(
+        o,
+        sum(when(col("bucket_n") > cap, 1L).otherwise(0L)).as("hot_bucket_rows"),
+        round(sum(when(col("bucket_n") > cap, lit(1.0) / col("bucket_n"))
+          .otherwise(lit(0.0)))).cast("long").as("hot_buckets"),
+        max(col("bucket_n")).as("max_bucket_n"))
+      case None => leftBase
+    }
+    val keyEq: Column = (keyCols :+ "salt")
+      .map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    left.alias("a")
+      .join(right.alias("b"), keyEq && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+}

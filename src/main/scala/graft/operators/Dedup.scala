@@ -27,10 +27,13 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB notes: candidate-pair volume is bucket-local; pathological
   * buckets (e.g. boilerplate shingles surviving into a band signature)
-  * are bounded because a band signature is 4 independent min-hashes —
-  * but a production deployment should still cap per-bucket membership
-  * (drop buckets with > B members and route them to a salted second
-  * pass). All hashing bottoms out in md5 (cross-engine reproducible, see
+  * are rarer because a band signature is 4 independent min-hashes — but
+  * they DO happen on real web corpora, so candidate generation enforces
+  * a per-bucket membership cap ([[BucketCap]]): over-cap buckets are
+  * salted into ceil(n/cap) sub-groups via [[CandidatePairs]], bounding
+  * per-task work without dropping any pair, with hot-bucket telemetry
+  * via an optional Observation.
+  * All hashing bottoms out in md5 (cross-engine reproducible, see
   * HashFunctions); swap in xxhash64 for ~3× scan throughput when oracle
   * parity is not required.
   */
@@ -40,6 +43,10 @@ object Dedup {
   val NumHashes = 128
   val Bands = 32
   val RowsPerBand = 4
+  /** Per-bucket membership cap for LSH candidate generation: buckets
+    * beyond this are salted into ceil(n/cap) sub-groups so no task does
+    * O(n²) work (see [[CandidatePairs]]; output-preserving). */
+  val BucketCap = 64
   val JaccardThreshold = 0.8
   val SimhashBits = 48
   val SimhashBands = 4
@@ -83,8 +90,16 @@ object Dedup {
     exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
   }
 
-  /** Candidate pairs from banded LSH bucketing (doc_a < doc_b). */
-  private[graft] def minhashCandidates(sigs: DataFrame): DataFrame = {
+  /** Candidate pairs from banded LSH bucketing (doc_a < doc_b).
+    * Candidate generation goes through [[CandidatePairs.boundedSelfJoin]]:
+    * buckets over `cap` members (boilerplate shingles surviving into a
+    * band signature) are salted so no single task builds an O(n²) pair
+    * list; the emitted pair set is identical for any cap. Pass an
+    * [[Observation]] to surface hot-bucket counts. */
+  private[graft] def minhashCandidates(
+      sigs: DataFrame,
+      cap: Int = BucketCap,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val bandStructs: Seq[Column] = (0 until Bands).map { b =>
       struct(
         lit(b).as("band_id"),
@@ -93,20 +108,23 @@ object Dedup {
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band_id").as("band_id"), col("bs.sig").as("sig"))
-    buckets.alias("a")
-      .join(buckets.alias("b"),
-        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    CandidatePairs.boundedSelfJoin(buckets, Seq("band_id", "sig"), "doc_id", cap, obs)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
   }
 
   /** q12_dedup_minhash — near-dup pairs: LSH candidates verified by exact
     * Jaccard ≥ 0.8 over the shingle sets. */
-  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(spark, sfDir, BucketCap, None)
+
+  /** [[minhashPairs]] with an explicit per-bucket cap + telemetry hook
+    * (the cap is output-preserving — see [[CandidatePairs]]). */
+  def minhashPairs(
+      spark: SparkSession, sfDir: String,
+      cap: Int, obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val sigs = minhashSignatures(spark, sfDir)
     val sets = shingled(spark, sfDir)
-    minhashCandidates(sigs)
+    minhashCandidates(sigs, cap, obs)
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
@@ -205,15 +223,25 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
-  /** q14_ngram_dedup — survivor set: drop every doc that has a near-dup
-    * partner (n-gram Jaccard ≥ 0.8) with a smaller doc_id. The removal
-    * side comes from the LSH pipeline, so the anti-join input is the
-    * verified pair set, never an all-pairs product. */
-  def ngramDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val dupHigher = minhashPairs(spark, sfDir).select(col("doc_b").as("doc_id")).distinct()
-    Tables.documents(spark, sfDir)
+  /** Survivor set from a PRECOMPUTED verified pair frame (cols doc_a,
+    * doc_b): drop every doc that has a near-dup partner with a smaller
+    * doc_id. Callers that already materialized (or localCheckpoint'ed)
+    * the q12 pair set — a curation run chaining q12 → q14 → q31 —
+    * pass it here instead of re-running the whole minhash pipeline. */
+  def ngramDedupFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val dupHigher = pairs.select(col("doc_b").as("doc_id")).distinct()
+    docs
       .join(dupHigher, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id")
   }
+
+  /** q14_ngram_dedup — survivor set: drop every doc that has a near-dup
+    * partner (n-gram Jaccard ≥ 0.8) with a smaller doc_id. The removal
+    * side comes from the LSH pipeline, so the anti-join input is the
+    * verified pair set, never an all-pairs product. (The per-query
+    * contract rebuilds the pair set; see [[ngramDedupFrom]] for the
+    * reuse form.) */
+  def ngramDedup(spark: SparkSession, sfDir: String): DataFrame =
+    ngramDedupFrom(Tables.documents(spark, sfDir), minhashPairs(spark, sfDir))
 }

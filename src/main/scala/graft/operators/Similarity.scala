@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   *    threshold this synthetic corpus needs). The DuckDB oracle
   *    implements the identical spec, so correctness is checked exactly,
   *    not statistically.
-  *  - q17 bucketed ANN: one 6-bit table splits the corpus into 64
-  *    buckets; per-query top-k within its bucket, joined co-partitioned
-  *    on the bucket code — the scale path where the brute-force product
-  *    is infeasible.
+  *  - q17 bucketed ANN: one signed-projection table with
+  *    corpus-adaptive bit count (expected bucket size ~[[TargetBucket]]
+  *    at any scale); per-query top-k within its bucket, joined
+  *    co-partitioned on the bucket code — the scale path where the
+  *    brute-force product is infeasible.
+  *  - q28 IVF ANN: ~sqrt(n) k-means-trained centroids (deterministic
+  *    broadcast Lloyd's), per-cell search skew-bounded by
+  *    [[CandidatePairs]].
   *
   * Implementation note — everything is posexplode + codegen'd joins and
   * aggregates, NO higher-order array functions: `aggregate`/`zip_with`
@@ -44,9 +48,28 @@ object Similarity {
   val NeardupBits = 8
   val CosineThreshold = 0.42
   val AnnK = 5
-  val BucketBits = 6
   val BucketK = 3
-  val IvfCentroids = 16
+  /** Per-bucket membership cap for LSH/IVF candidate generation (see
+    * [[CandidatePairs]]; output-preserving work redistribution). */
+  val BucketCap = 64
+  /** q17 target members per bucket: bucket bits grow with the corpus
+    * (bits = ceil(log2(n / target))) so the within-bucket search stays
+    * ~linear in n instead of O(n²/2^fixed_bits). */
+  val TargetBucket = 64
+  val MaxBucketBits = 24
+  /** q28 IVF: k = max(16, ceil(sqrt(n))) trained centroids (cell size
+    * ~sqrt(n), the standard IVF sizing), fixed deterministic Lloyd's. */
+  val IvfMinCentroids = 16
+  val IvfIterations = 2
+
+  /** Smallest b ≥ 1 with target·2^b ≥ n — the integer-exact form of
+    * ceil(log2(n/target)): no float log, so no off-by-one against the
+    * oracle's `ceil(log2(...))` at exact powers of two. */
+  private[operators] def adaptiveBits(n: Long, target: Long = TargetBucket): Int = {
+    var b = 1
+    while (b < MaxBucketBits && (target << b) < n) b += 1
+    b
+  }
 
   /** Deterministic pseudo-random weight in [-1000, 1000]:
     * first 28 bits of md5("tag_table_bit_dim") mod 2001 - 1000.
@@ -102,16 +125,23 @@ object Similarity {
 
   /** q15_embed_neardup — near-duplicate vector pairs: LSH candidates
     * (8 tables × 8-bit codes) verified by exact cosine ≥ 0.42. */
-  def embedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+  def embedNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    embedNeardup(spark, sfDir, BucketCap, None)
+
+  /** [[embedNeardup]] with an explicit per-bucket cap + telemetry hook:
+    * candidate generation goes through
+    * [[CandidatePairs.boundedSelfJoin]], so a hot code bucket (many
+    * near-identical embeddings hashing to one (table, code)) is salted
+    * across ceil(n/cap) tasks instead of building an O(n²) pair list in
+    * one; the pair set is identical for any cap. */
+  def embedNeardup(
+      spark: SparkSession, sfDir: String,
+      cap: Int, obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val comp = components(spark, sfDir)
     val v = vecs(spark, sfDir)
     val buckets = codes(comp, "lsh", NeardupTables, NeardupBits)
-    val cand = buckets.alias("a")
-      .join(buckets.alias("b"),
-        col("a.t") === col("b.t") && col("a.c") === col("b.c")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+    val cand = CandidatePairs.boundedSelfJoin(buckets, Seq("t", "c"), "vec_id", cap, obs)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
     pairCosine(cand, v)
       .filter(col("cosine") >= CosineThreshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
@@ -136,57 +166,113 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** q28_ann_ivf — IVF-style ANN: the corpus is Voronoi-partitioned by
-    * cosine similarity to a deterministic centroid set (the first
-    * [[IvfCentroids]] vectors — a production deployment plugs k-means
-    * centroids into the same plan), and each query searches only its own
-    * cell. Centroid assignment is a broadcast nested-loop over the tiny
-    * centroid set + per-vector argmax; the in-cell search is a
-    * co-partitioned equi-join on cent_id. */
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = vecs(spark, sfDir)
-    val cents = v.filter(col("vec_id") < IvfCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cent_id").asc)
-    val cells = v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        org.apache.spark.sql.graft.native.cosineSim(col("v"), col("cv")).as("sim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id"))
-    val cand = cells.alias("a")
-      .join(cells.alias("b"),
-        col("a.cent_id") === col("b.cent_id") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+  /** Mirror unordered (id_a < id_b) pairs into both directions — the
+    * equivalent of the `=!=` bucket self-join, but fed from the
+    * skew-bounded [[CandidatePairs.boundedSelfJoin]]. */
+  private def bothDirections(und: DataFrame): DataFrame =
+    und.select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+      .unionAll(und.select(col("id_b").as("vec_a"), col("id_a").as("vec_b")))
+
+  /** Per-query top-k ranking over a candidate pair set. */
+  private def topK(cand: DataFrame, v: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_a"))
       .orderBy(col("cosine").desc, col("vec_b").asc)
     pairCosine(cand, v)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= BucketK)
+      .filter(col("rank") <= k)
       .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
         col("rank"), round(col("cosine"), 6).as("cosine"))
       .orderBy("query_id", "rank")
   }
 
-  /** q17_ann_lsh — bucketed ANN: one 6-bit signed-projection table splits
-    * the corpus into 64 buckets; top-3 neighbors within each query's own
-    * bucket. The self-join is co-partitioned on the bucket code. */
+  /** Corpus row count for LSH/IVF parameter planning. This is a
+    * deliberate driver-side statistics read (parquet footer row counts,
+    * metadata-only — the same thing Catalyst's own stats estimation
+    * reads), NOT a data-path collect: bucket cardinality and centroid
+    * count must be fixed before the plan is built, exactly like AQE
+    * fixes shuffle partitioning from runtime statistics. */
+  private def corpusSize(spark: SparkSession, sfDir: String): Long =
+    Tables.embeddings(spark, sfDir).count()
+
+  /** Deterministic spherical k-means (broadcast Lloyd's): fixed init
+    * (first k vectors), fixed [[IvfIterations]] rounds; assignment by
+    * max cosine with cent_id tie-break; update = per-dimension mean
+    * ROUNDED to 6 decimals — rounding pins the floats so the oracle's
+    * identical recurrence lands on bit-identical centroids regardless
+    * of either engine's summation order; empty cells keep their
+    * previous centroid. Each round is one distributed assignment+mean
+    * job; only k × [[Dims]] doubles ever reach the driver (the MLlib
+    * broadcast-k-means shape — at 100 TB the assignment join and the
+    * per-dimension partial-aggregated means are the whole cost).
+    */
+  private[operators] def trainCentroids(
+      spark: SparkSession, v: DataFrame, k: Int): Seq[(Int, Seq[Double])] = {
+    import spark.implicits._
+    var cents: Seq[(Int, Seq[Double])] = v.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    for (_ <- 0 until IvfIterations) {
+      val cdf = broadcast(cents.toDF("cent_id", "cv"))
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cent_id").asc)
+      val assigned = v.crossJoin(cdf)
+        .select(col("vec_id"), col("cent_id"),
+          org.apache.spark.sql.graft.native.cosineSim(col("v"), col("cv")).as("sim"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id"))
+      val means = v.join(assigned, "vec_id")
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cent_id", "d").agg(round(avg(col("x")), 6).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
+    }
+    cents
+  }
+
+  /** q28_ann_ivf — IVF ANN with TRAINED centroids: k = max(16,
+    * ceil(sqrt(n))) cluster centers from [[trainCentroids]] Voronoi-
+    * partition the corpus (cell size ~sqrt(n), so the in-cell search is
+    * O(n^1.5 / k) pairs total, not O(n²/k_fixed)); each query searches
+    * its own cell. Assignment is a broadcast nested-loop over the tiny
+    * centroid set + per-vector argmax; the in-cell candidate join is
+    * skew-bounded by [[CandidatePairs.boundedSelfJoin]]. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = vecs(spark, sfDir)
+    val n = corpusSize(spark, sfDir)
+    val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cents = broadcast(trainCentroids(spark, v, k).toDF("cent_id", "cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    val cells = v.crossJoin(cents)
+      .select(col("vec_id"), col("cent_id"),
+        org.apache.spark.sql.graft.native.cosineSim(col("v"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    val cand = bothDirections(
+      CandidatePairs.boundedSelfJoin(cells, Seq("cent_id"), "vec_id", BucketCap))
+    topK(cand, v, BucketK)
+  }
+
+  /** q17_ann_lsh — bucketed ANN: ONE signed-projection table whose bit
+    * count GROWS with the corpus (bits = ceil(log2(n/[[TargetBucket]])),
+    * so expected bucket size stays ~[[TargetBucket]] and candidate
+    * volume stays ~linear in n — doubling the corpus adds a bit instead
+    * of squaring the per-bucket join). Top-3 neighbors within each
+    * query's own bucket; the self-join is co-partitioned on the bucket
+    * code and skew-bounded by [[CandidatePairs.boundedSelfJoin]]. */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val comp = components(spark, sfDir)
     val v = vecs(spark, sfDir)
-    val coded = codes(comp, "ivf", 1, BucketBits).select(col("vec_id"), col("c"))
-    val cand = coded.alias("a")
-      .join(coded.alias("b"),
-        col("a.c") === col("b.c") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-    val w = Window.partitionBy(col("vec_a"))
-      .orderBy(col("cosine").desc, col("vec_b").asc)
-    pairCosine(cand, v)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= BucketK)
-      .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
-        col("rank"), round(col("cosine"), 6).as("cosine"))
-      .orderBy("query_id", "rank")
+    val bits = adaptiveBits(corpusSize(spark, sfDir))
+    val coded = codes(comp, "ivf", 1, bits).select(col("vec_id"), col("c"))
+    val cand = bothDirections(
+      CandidatePairs.boundedSelfJoin(coded, Seq("c"), "vec_id", BucketCap))
+    topK(cand, v, BucketK)
   }
 }

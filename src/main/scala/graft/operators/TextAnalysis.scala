@@ -89,7 +89,10 @@ object TextAnalysis {
   /** q34_tfidf — classic TF-IDF: tf = term count / doc length, idf =
     * ln(N / df), top-3 terms per doc by tf·idf (term tie-break). Two
     * shuffles: per-(doc, term) counts and the (small) document-frequency
-    * table, which re-broadcasts onto the term rows. */
+    * table, which re-broadcasts onto the term rows. N is a broadcast
+    * 1-row aggregate cross-joined in, NOT a driver-side `.count()`, so
+    * the whole query stays one lazy plan (composable q33-style without
+    * triggering an extra job at plan-build time). */
   def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = Tables.documents(spark, sfDir)
@@ -97,14 +100,16 @@ object TextAnalysis {
     val termCounts = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
     val docLens = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val df_ = termCounts.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = Tables.documents(spark, sfDir).count().toDouble
+    val nDocs = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf_raw").desc, col("term").asc)
     termCounts
       .join(docLens, "doc_id")
       .join(broadcast(df_), "term")
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf_raw",
-        (col("tc").cast("double") / col("dl")) * log(lit(nDocs) / col("df")))
+        (col("tc").cast("double") / col("dl")) * log(col("n_docs") / col("df")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("rnk"), col("term"), round(col("tfidf_raw"), 6).as("tfidf"))

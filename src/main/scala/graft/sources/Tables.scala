@@ -28,13 +28,17 @@ object Tables {
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads via
     * the nanosAsLong legacy mode; we convert back to a timestamp column
-    * (µs precision) so downstream windows/watermarks work unchanged. */
+    * (µs precision) so downstream windows/watermarks work unchanged.
+    * The ns→µs step is `div` (integral division): `/` would promote to
+    * double, whose 256-ns ulp at epoch-nanosecond magnitude can truncate
+    * one µs low at exact boundaries and flip window/session assignment
+    * vs the ns-exact oracle. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
     raw.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -71,11 +71,14 @@ case class AsOfJoinExec(
 
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow)
-        if (lk == null) {
+        val ltAny = if (lk == null) null else lTsB.eval(lRow)
+        if (lk == null || ltAny == null) {
+          // null key or null timestamp on the left: no defined as-of
+          // point — emit the null-extended row (never match epoch 0)
           project(joined(lRow, nullRight))
         } else {
           val k = lk.asInstanceOf[Long]
-          val t = lTsB.eval(lRow).asInstanceOf[Long]
+          val t = ltAny.asInstanceOf[Long]
           var advance = true
           while (advance && rBuf.hasNext) {
             val head = rBuf.head
@@ -84,10 +87,15 @@ case class AsOfJoinExec(
             else {
               val hk = hkAny.asInstanceOf[Long]
               if (hk < k) { rBuf.next() } // drop keys before ours
-              else if (hk == k && rTsB.eval(head).asInstanceOf[Long] <= t) {
-                // candidate: latest-so-far right row for this key
-                matchRow = head.copy(); matchKey = hk; haveMatch = true
-                rBuf.next()
+              else if (hk == k) {
+                val rtAny = rTsB.eval(head)
+                if (rtAny == null) {
+                  rBuf.next() // null ts can never be a valid as-of match
+                } else if (rtAny.asInstanceOf[Long] <= t) {
+                  // candidate: latest-so-far right row for this key
+                  matchRow = head.copy(); matchKey = hk; haveMatch = true
+                  rBuf.next()
+                } else advance = false
               } else advance = false
             }
           }

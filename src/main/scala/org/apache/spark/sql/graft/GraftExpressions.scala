@@ -33,6 +33,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  // Zero-norm input (all-zero or empty vector) has no defined cosine:
+  // the result is NULL, not NaN, in both eval and codegen paths.
+  // Mismatched lengths truncate to the shorter array (callers supply
+  // equal-dimension vectors; truncation keeps the expression total
+  // rather than throwing mid-query on one bad row).
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -46,7 +52,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -66,7 +73,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $y = $b.getDouble($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 
