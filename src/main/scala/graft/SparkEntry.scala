@@ -81,6 +81,13 @@ object SparkEntry {
       |  JOIN sizes sj ON sj.doc_id = j
       |)""".stripMargin
 
+  /** 131^j mod (2^31-1) for j = 0..15, inlined as (j, p) VALUES rows for
+    * the q21 rolling-hash oracle — mirrors the native RollingHash
+    * expression's family (B = 131, P = 2^31-1, window 16). */
+  private val rollingPow: String =
+    Iterator.iterate(1L)(h => h * 131L % 2147483647L).take(16).zipWithIndex
+      .map { case (p, j) => s"($j, $p)" }.mkString(", ")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -300,18 +307,27 @@ object SparkEntry {
         |       len(text)::INT AS n_chars_measured
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q21_fingerprint" ->
-      """WITH t AS (
-        |  SELECT doc_id, text, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents
-        |),
-        |sh AS (
-        |  SELECT doc_id, text,
-        |         list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2]
-        |                        FOR i IN range(1, len(w) - 1)]) AS gs
-        |  FROM t
-        |)
-        |SELECT doc_id, md5(text) AS content_fp,
-        |       list_min(list_transform(gs, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS shingle_min_hash
-        |FROM sh ORDER BY doc_id""".stripMargin,
+      ("WITH pw(j, p) AS (VALUES " + rollingPow + "),\n" +
+        """t AS (
+          |  SELECT doc_id, text, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents
+          |),
+          |sh AS (
+          |  SELECT doc_id, text,
+          |         list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2]
+          |                        FOR i IN range(1, len(w) - 1)]) AS gs
+          |  FROM t
+          |),
+          |roll0 AS (
+          |  SELECT d.doc_id, s.i,
+          |         (sum(ord(substr(d.text, s.i + 15 - pw.j, 1))::BIGINT * pw.p) % 2147483647)::BIGINT AS h
+          |  FROM documents d, unnest(range(1, len(d.text) - 14)) s(i), pw
+          |  GROUP BY d.doc_id, s.i
+          |),
+          |roll AS (SELECT doc_id, min(h) AS rolling_fp FROM roll0 GROUP BY doc_id)
+          |SELECT sh.doc_id, md5(sh.text) AS content_fp,
+          |       list_min(list_transform(gs, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS shingle_min_hash,
+          |       roll.rolling_fp
+          |FROM sh LEFT JOIN roll USING (doc_id) ORDER BY sh.doc_id""".stripMargin),
     "q22_multimodal" ->
       """SELECT doc_id, 'text' AS media_type,
         |       octet_length(text::BLOB)::INT AS n_bytes,

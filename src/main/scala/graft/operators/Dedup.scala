@@ -174,53 +174,106 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Distributed connected components by the alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", 2014): each round rewires
+    * edges toward per-neighborhood minima —
+    *
+    *   large-star: for every node u, each neighbor v > u is re-linked
+    *     to m = min(neighborhood(u) ∪ u);
+    *   small-star: for every node u, its smaller neighbors (and u
+    *     itself) are re-linked to the minimum smaller neighbor —
+    *
+    * until the edge set reaches its fixpoint {(v, root_v)}. Converges
+    * in O(log n) rounds even on adversarial chain-shaped components,
+    * where min-label propagation needs O(diameter) rounds. Both
+    * operations are a groupBy-min + equi-join over the current edge
+    * list — pure shuffle primitives, nothing driver-resident; the
+    * driver only sequences rounds (one localCheckpoint to truncate
+    * lineage + one anti-join emptiness probe per round).
+    *
+    * Input cols (u, v); returns (assignments (doc_id, cluster_id) for
+    * every node that appears in an edge, rounds used). THROWS if
+    * maxRounds is hit without reaching the fixpoint — an unconverged
+    * result is never silently returned.
+    */
+  private[graft] def connectedComponents(
+      edges0: DataFrame, maxRounds: Int = 25): (DataFrame, Int) = {
+    def sym(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val mins = s.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // no distinct here: the following smallStar's groupBy-min absorbs
+      // duplicates and its own distinct canonicalizes the round's output
+      // — one less shuffle per round
+      s.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = sym(e).filter(col("v") < col("u"))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    // localCheckpoint, NOT cache(): the edge subtree may contain the
+    // wide minhash plan, and registering it in the CacheManager taxes
+    // the planning of every later query in the session (see PLANS.md);
+    // RDD-level checkpointing sidesteps the CacheManager and truncates
+    // the per-round lineage growth.
+    // materialize the input FIRST: every star operation references its
+    // input 4x (sym + groupBy + join), so an expensive upstream plan
+    // (the minhash pipeline) must be cut off before the first pass
+    val base = edges0.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).localCheckpoint()
+    // seed with one small-star pass: near-dup components are close to
+    // cliques with min-first canonical pairs, which a single small-star
+    // collapses to their final star — the loop then converges (and is
+    // detected) one full round earlier; chain-shaped components are
+    // unaffected asymptotically
+    var e = smallStar(base).localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      rounds += 1
+      val changed = next.join(e, Seq("u", "v"), "left_anti")
+        .unionAll(e.join(next, Seq("u", "v"), "left_anti"))
+        .limit(1).count() // fixpoint iff the symmetric difference is empty
+      e = next
+      converged = changed == 0
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "component structure is pathological; raise maxRounds")
+    // at the fixpoint every non-root node carries exactly one (v, root)
+    // edge; the min is a no-op safety net
+    (e.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("cluster_id")), rounds)
+  }
+
   /** q31_dup_clusters — transitive near-duplicate clusters: connected
     * components over the verified ≥0.8-Jaccard pair graph, each doc
     * labeled with the minimum doc_id of its component (singletons label
     * themselves). This is the operator a dedup pipeline actually keys
     * on — pairs alone miss transitive chains (a~b, b~c ⇒ {a,b,c}).
-    *
-    * Implementation: label-propagation to fixpoint — each iteration
-    * joins labels across edges and keeps the min; converges in
-    * O(component diameter) rounds (near-dup components are tiny, so
-    * 2-3 rounds in practice; capped + convergence-checked). At 100 TB
-    * scale with adversarial chain shapes, switch to the
-    * large-star/small-star algorithm — same join primitives,
-    * O(log n) rounds.
-    */
+    * Components come from [[connectedComponents]] (large-star/
+    * small-star, O(log n) rounds); docs with no near-dup partner fall
+    * through the left join and label themselves. */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhashPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    // localCheckpoint, NOT cache(): the edge subtree contains the wide
-    // minhash plan, and registering it in the CacheManager taxes the
-    // planning of every later query in the session (see PLANS.md);
-    // RDD-level checkpointing sidesteps the CacheManager entirely and
-    // also truncates the per-iteration lineage growth below.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 20) {
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("nl")).as("neighbor_min"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("p"), col("n.doc_id") === col("p.doc_id"))
-        .filter(col("n.cluster_id") =!= col("p.cluster_id"))
-        .limit(1).count() // converged iff no label changed
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    labels.orderBy("doc_id")
+    val pairs = minhashPairs(spark, sfDir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val (labels, _) = connectedComponents(pairs)
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
   }
 
   /** Survivor set from a PRECOMPUTED verified pair frame (cols doc_a,

@@ -65,7 +65,7 @@ object Similarity {
   /** Smallest b ≥ 1 with target·2^b ≥ n — the integer-exact form of
     * ceil(log2(n/target)): no float log, so no off-by-one against the
     * oracle's `ceil(log2(...))` at exact powers of two. */
-  private[operators] def adaptiveBits(n: Long, target: Long = TargetBucket): Int = {
+  private[graft] def adaptiveBits(n: Long, target: Long = TargetBucket): Int = {
     var b = 1
     while (b < MaxBucketBits && (target << b) < n) b += 1
     b
@@ -266,13 +266,18 @@ object Similarity {
     * of squaring the per-bucket join). Top-3 neighbors within each
     * query's own bucket; the self-join is co-partitioned on the bucket
     * code and skew-bounded by [[CandidatePairs.boundedSelfJoin]]. */
-  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame =
+    topK(annLshCandidates(spark, sfDir), vecs(spark, sfDir), BucketK)
+
+  /** q17's candidate stage, exposed so SimilaritySpec can assert the
+    * scaling contract directly: candidate volume must grow ~linearly
+    * with corpus size (adaptive bits keep expected bucket size fixed),
+    * not quadratically as a fixed bucket count would. */
+  private[graft] def annLshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val comp = components(spark, sfDir)
-    val v = vecs(spark, sfDir)
     val bits = adaptiveBits(corpusSize(spark, sfDir))
     val coded = codes(comp, "ivf", 1, bits).select(col("vec_id"), col("c"))
-    val cand = bothDirections(
+    bothDirections(
       CandidatePairs.boundedSelfJoin(coded, Seq("c"), "vec_id", BucketCap))
-    topK(cand, v, BucketK)
   }
 }

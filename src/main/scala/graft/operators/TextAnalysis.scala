@@ -145,11 +145,19 @@ object TextAnalysis {
         length(col("norm_text")).as("norm_len"))
       .orderBy("doc_id")
 
-  /** q21_fingerprint — content fingerprints: full-text md5 plus a
-    * min-shingle-hash sketch (winnowing-style), joinable for dedup.
-    * Explode + groupBy(min) keeps the shingle hashing inside codegen
-    * (higher-order array transforms evaluate interpreted); the left join
-    * preserves docs too short to shingle (null sketch). */
+  /** Rolling-hash window for the q21 byte-level fingerprint. */
+  val RollingWindow = 16
+
+  /** q21_fingerprint — content fingerprints: full-text md5, a
+    * min-shingle-hash sketch (winnowing-style over word 3-shingles),
+    * and a byte-level min rolling hash (the native O(n) Rabin-Karp
+    * [[org.apache.spark.sql.graft.RollingHash]] expression over
+    * 16-byte windows — the winnowing primitive at byte granularity,
+    * robust to tokenization differences). All three are joinable dedup
+    * keys. Explode + groupBy(min) keeps the shingle hashing inside
+    * codegen (higher-order array transforms evaluate interpreted); the
+    * left join preserves docs too short to shingle (null sketch), and
+    * array_min returns null for docs under 16 bytes. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val mins = Tables.documents(spark, sfDir)
       .select(col("doc_id"), T.wsTokens(col("text")).as("w"))
@@ -158,7 +166,9 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(min(H.md5Int60(col("g"))).as("shingle_min_hash"))
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), md5(col("text")).as("content_fp"))
+      .select(col("doc_id"), md5(col("text")).as("content_fp"),
+        array_min(org.apache.spark.sql.graft.native.rollingHash(col("text"), RollingWindow))
+          .as("rolling_fp"))
       .join(mins, Seq("doc_id"), "left")
       .orderBy("doc_id")
   }

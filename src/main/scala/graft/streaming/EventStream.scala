@@ -78,11 +78,25 @@ object EventStream {
 
   /** Event-time sessionization via flatMapGroupsWithState with an
     * event-time timeout: a session closes after `gapMinutes` of
-    * inactivity (relative to the watermark) and is emitted exactly once.
-    * State per user is O(1) (count + bounds), evicted on timeout — the
-    * unbounded-stream shape that scales to arbitrarily long streams. */
+    * inactivity and is emitted exactly once. The open session plus the
+    * batch's events are processed in timestamp order and SPLIT at every
+    * >gap boundary — sessions closed by an intra-batch gap are emitted
+    * immediately, matching [[sessionizeBatchQuery]]'s gap semantics
+    * even when several sessions' worth of events land in one
+    * micro-batch (one trigger after a backlog, a bursty source); only
+    * the last (still-open) session stays in state, closed later by the
+    * watermark timeout. State per user is O(1) (count + bounds),
+    * evicted on timeout — the unbounded-stream shape.
+    *
+    * Stream/batch caveat (inherent, not a bug): an event arriving
+    * later than `gap` after the open session's end closes it; the
+    * 10-minute watermark is shorter than the 30-minute gap, so a
+    * within-gap straggler still merges correctly, but an event older
+    * than the watermark is dropped by Spark before reaching the
+    * operator, whereas the batch twin would still see it. */
   def sessionize(spark: SparkSession, events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import spark.implicits._
+    val gapMs = gapMinutes * 60000L
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
@@ -93,19 +107,23 @@ object EventStream {
             state.remove()
             Iterator.single(Session(userId, s.start, s.end, s.n))
           } else {
-            val evs = batch.toSeq
-            val lo = evs.map(_.ts.getTime).min
-            val hi = evs.map(_.ts.getTime).max
-            val cur = state.getOption match {
-              // merge into the open session if the gap is small enough,
-              // else emit nothing here (timeout handles closure) — for
-              // simplicity a batch always extends the open session
-              case Some(s) => SessionState(math.min(s.start, lo), math.max(s.end, hi), s.n + evs.size)
-              case None    => SessionState(lo, hi, evs.size)
+            val times = batch.map(_.ts.getTime).toArray.sorted
+            var closed = List.empty[SessionState]
+            var open = state.getOption.orNull
+            times.foreach { t =>
+              open match {
+                case null =>
+                  open = SessionState(t, t, 1)
+                case s if t - s.end > gapMs =>
+                  closed ::= s // intra-batch gap: close and emit now
+                  open = SessionState(t, t, 1)
+                case s =>
+                  open = SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1)
+              }
             }
-            state.update(cur)
-            state.setTimeoutTimestamp(cur.end + gapMinutes * 60000L)
-            Iterator.empty
+            state.update(open)
+            state.setTimeoutTimestamp(open.end + gapMs)
+            closed.reverse.iterator.map(s => Session(userId, s.start, s.end, s.n))
           }
       }
   }

@@ -81,4 +81,37 @@ class DedupSpec extends SparkSuite {
     val removed = bruteForcePairs.map(_._2)
     assert(survivors == (all -- removed))
   }
+
+  test("large-star/small-star converges in O(log n) rounds on a chain") {
+    import spark.implicits._
+    // a 256-node chain is the adversarial case: min-label propagation
+    // needs 255 rounds, the star algorithm a handful
+    val n = 256
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("u", "v")
+    val (labels, rounds) = Dedup.connectedComponents(chain)
+    assert(rounds <= 12, s"took $rounds rounds on a $n-chain")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L until n.toLong).foreach(i => assert(got(i) == 0L))
+  }
+
+  test("large-star/small-star matches driver-side union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 300
+    val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // ground truth: plain union-find with min-root normalization
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val (labels, _) = Dedup.connectedComponents(edges.toDF("u", "v"))
+    labels.collect().foreach { r =>
+      assert(r.getLong(1) == truth(r.getLong(0)),
+        s"node ${r.getLong(0)}: got ${r.getLong(1)}, want ${truth(r.getLong(0))}")
+    }
+  }
 }

@@ -59,4 +59,29 @@ class SimilaritySpec extends SparkSuite {
       assert(math.abs(c - cosine(vectors(a), vectors(b))) < 1e-5)
     }
   }
+
+  test("adaptive bucket bits: integer-exact ceil(log2(n/target))") {
+    assert(Similarity.adaptiveBits(1) == 1)
+    assert(Similarity.adaptiveBits(64) == 1)
+    assert(Similarity.adaptiveBits(129) == 2)
+    assert(Similarity.adaptiveBits(500) == 3)
+    assert(Similarity.adaptiveBits(2000) == 5)
+    assert(Similarity.adaptiveBits(2048) == 5)  // exact power boundary
+    assert(Similarity.adaptiveBits(2049) == 6)
+    assert(Similarity.adaptiveBits(Long.MaxValue / 2) == Similarity.MaxBucketBits)
+  }
+
+  test("q17 candidate volume grows ~linearly, not quadratically, with the corpus") {
+    val small = "/root/testdata/sf0.01"
+    val large = "/root/testdata/sf0.1"
+    val e = (d: String) => graft.sources.Tables.embeddings(spark, d)
+    val corpusGrowth = e(large).count().toDouble / e(small).count()
+    val candGrowth = Similarity.annLshCandidates(spark, large).count().toDouble /
+      Similarity.annLshCandidates(spark, small).count()
+    // fixed 2^6 buckets would give ~corpusGrowth^2 here; adaptive bits
+    // keep expected bucket size constant, so growth tracks the corpus
+    // (2x headroom for hash-split granularity: bits move in integer steps)
+    assert(candGrowth <= 2.0 * corpusGrowth,
+      s"candidates grew ${candGrowth}x for a ${corpusGrowth}x corpus")
+  }
 }

@@ -92,6 +92,40 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("sessionize splits intra-batch gaps: two sessions from one micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStream.sessionize(spark, stream.toDS(), gapMinutes = 30)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gap_split_out").start()
+    try {
+      // ONE batch carries two >30-min-apart bursts for user 1: the
+      // first session must be emitted from the gap split immediately,
+      // not merged into a single 10:00-11:00 session
+      stream.addData(
+        Event(ts(0), 1, "click", 1.0),
+        Event(ts(5), 1, "view", 2.0),
+        Event(Timestamp.valueOf("2026-01-01 11:00:00"), 1, "click", 3.0))
+      query.processAllAvailable()
+      val afterBatch1 = spark.table("gap_split_out")
+        .as[(Long, Long, Long, Int)].collect().filter(_._1 == 1L)
+      assert(afterBatch1.toSeq ==
+        Seq((1L, ts(0).getTime, ts(5).getTime, 2)))
+      // advance the watermark to flush the second (open) session
+      stream.addData(Event(Timestamp.valueOf("2026-01-01 13:00:00"), 2, "click", 1.0))
+      query.processAllAvailable()
+      stream.addData(Event(Timestamp.valueOf("2026-01-01 13:01:00"), 2, "view", 1.0))
+      query.processAllAvailable()
+      val all = spark.table("gap_split_out")
+        .as[(Long, Long, Long, Int)].collect().filter(_._1 == 1L).sortBy(_._2)
+      val t1100 = Timestamp.valueOf("2026-01-01 11:00:00").getTime
+      assert(all.toSeq == Seq(
+        (1L, ts(0).getTime, ts(5).getTime, 2),
+        (1L, t1100, t1100, 1)))
+    } finally query.stop()
+  }
+
   test("batch and streaming window paths agree on the events table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
