@@ -42,14 +42,21 @@ object CandidatePairs {
 
   /** Left/right salted frames (exposed for spec assertions on the salt
     * distribution). Left rows carry (row cols, bucket_n, n_salt, salt);
-    * right rows are exploded to one copy per salt of their bucket. */
+    * right rows are exploded to one copy per salt of their bucket.
+    *
+    * Bucket sizes come from a window count, NOT a groupBy+join back:
+    * the join form would embed the (possibly expensive) bucket subplan
+    * three more times, while the window form gives left and right an
+    * IDENTICAL exchange+window prefix that Spark's ReuseExchange
+    * computes once. */
   private[graft] def salted(
       buckets: DataFrame,
       keyCols: Seq[String],
       idCol: String,
       cap: Int): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
     val withN = buckets
-      .join(bucketSizes(buckets, keyCols), keyCols)
+      .withColumn("bucket_n", count(lit(1)).over(w))
       .withColumn("n_salt", expr(s"((bucket_n - 1) div $cap) + 1"))
     val left = withN.withColumn("salt", pmod(xxhash64(col(idCol)), col("n_salt")))
     val right = withN.withColumn("salt", explode(sequence(lit(0L), col("n_salt") - 1)))

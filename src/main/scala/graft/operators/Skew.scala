@@ -18,7 +18,13 @@ object Skew {
   /** Two-phase salted aggregation: count/sum-style measures for a
     * possibly-skewed key. Phase 1 aggregates on (key, salt) — spreading a
     * hot key over `n` reducers — phase 2 merges the partials per key.
-    * `saltSource` must be deterministic per row (e.g. a row id column). */
+    *
+    * `saltSource` must be deterministic per row AND high-cardinality
+    * (e.g. a row id column): salting hashes it into [0, n), so a
+    * low-cardinality source (a flag, a date) silently collapses the
+    * salt space back onto few reducers and the hot key stays hot.
+    * Callers picking a key-derived source (never the key itself!)
+    * should sanity-check `approx_count_distinct(saltSource) >> n`. */
   def saltedAgg(df: DataFrame, key: Column, saltSource: Column, n: Int,
                 countAs: String = "cnt", sumCol: Option[Column] = None,
                 sumAs: String = "total"): DataFrame = {

@@ -57,4 +57,21 @@ class AsOfSpec extends SparkSuite {
     }
     assert(run(1) == run(7))
   }
+
+  test("null timestamps never match: left gets null-extension, right is skipped") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, Some(new java.sql.Timestamp(5000L))),
+      (2L, 10L, None)) // null left ts: must NOT match as if at epoch 0
+      .toDF("lid", "l_key", "l_ts")
+    val right = Seq(
+      (10L, Some(new java.sql.Timestamp(1000L)), "real"),
+      (10L, None, "null-ts")) // null right ts: must never be retained
+      .toDF("r_key", "r_ts", "tag")
+    val got = AsOf.join(left, right, "l_key", "l_ts", "r_key", "r_ts")
+      .select(col("lid"), col("tag"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("real"))
+    assert(got(2L).isEmpty, "null left ts must produce the null-extended row")
+  }
 }

@@ -24,6 +24,20 @@ class ExpressionsSpec extends SparkSuite {
     gotNative.foreach { case (k, c) => assert(math.abs(c - gotHof(k)) < 1e-12) }
   }
 
+  test("native cosine_sim returns NULL (not NaN) for zero-norm input") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.0, 0.0), Seq(1.0, 2.0)),  // zero left norm
+      (2L, Seq(1.0, 2.0), Seq(0.0, 0.0)),  // zero right norm
+      (3L, Seq.empty[Double], Seq(1.0)),   // empty array
+      (4L, Seq(3.0, 4.0), Seq(3.0, 4.0))). // sane pair
+      toDF("id", "a", "b")
+    val got = df.select(col("id"), native.cosineSim(col("a"), col("b")).as("c"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty && got(3L).isEmpty)
+    assert(math.abs(got(4L).get - 1.0) < 1e-12)
+  }
+
   test("native cosine_sim is callable from SQL") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")

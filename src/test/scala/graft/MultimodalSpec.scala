@@ -23,6 +23,16 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("expression path and mapPartitions decoder path agree row-for-row") {
+    import spark.implicits._
+    val expr = Multimodal.features(spark, sf)
+      .as[(Long, String, Int, Int, Int, String)].collect().toSet
+    val decoded = Multimodal.decodedFeatures(spark, sf)
+      .as[(Long, String, Int, Int, Int, String)].collect().toSet
+    assert(expr == decoded)
+    assert(expr.nonEmpty)
+  }
+
   test("decoder handles empty content without throwing") {
     val f = MultimodalDecoder.decode(MediaBlob(7L, "image", Array.emptyByteArray, 0))
     assert(f.first_byte == -1 && f.last_byte == -1 && f.n_bytes == 0)

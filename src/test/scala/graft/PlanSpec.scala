@@ -57,4 +57,28 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
     assert(p.contains("Exchange"))
   }
+
+  test("q34 tfidf is one lazy plan: no data-scan job at construction/planning") {
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        js.stageInfos.foreach(si => stages.add(si.name))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // building AND physically planning the query must not run any
+      // data-path job (the corpus count is a broadcast 1-row aggregate
+      // inside the plan, not a driver-side .count()); the only jobs
+      // spark.read itself fires are parquet footer/schema reads at
+      // Tables.table, which are metadata, not data
+      val df = graft.operators.TextAnalysis.tfidf(spark, sf)
+      df.queryExecution.executedPlan // force full planning
+      Thread.sleep(1000) // listener bus is async; let stray jobs surface
+      val dataJobs = stages.toArray(Array.empty[String])
+        .filterNot(_.startsWith("parquet at Tables.scala"))
+      assert(dataJobs.isEmpty, s"plan construction ran data jobs: ${dataJobs.mkString(", ")}")
+      // and the count lives in the plan as a broadcast aggregate column
+      assert(df.queryExecution.optimizedPlan.toString.contains("n_docs"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
