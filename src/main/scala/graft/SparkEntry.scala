@@ -57,7 +57,11 @@ object SparkEntry {
     "q43_string_agg"      -> (Relational.stringAgg _),
     "q44_dates"           -> (Relational.dates _),
     "q45_profile"         -> (Relational.profile _),
-    "q46_argmax"          -> (Relational.argmax _)
+    "q46_argmax"          -> (Relational.argmax _),
+    "q47_cluster_reps"    -> (Pipeline.clusterReps _),
+    "q48_sample"          -> (Sampling.stratifiedSample _),
+    "q49_langstats"       -> (TextAnalysis.langStats _),
+    "q50_pmi"             -> (TextAnalysis.pmi _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -620,6 +624,70 @@ object SparkEntry {
         |       arg_max(o_orderkey, o_totalprice) AS biggest_order,
         |       arg_min(o_orderkey, o_totalprice) AS smallest_order,
         |       round(max(o_totalprice), 2) AS max_price
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q47_cluster_reps" ->
+      (jaccardCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
+        """,
+          |edges AS (
+          |  SELECT i AS src, j AS dst FROM jac WHERE jaccard >= 0.8
+          |  UNION ALL
+          |  SELECT j AS src, i AS dst FROM jac WHERE jaccard >= 0.8
+          |),
+          |reach AS (
+          |  SELECT doc_id AS doc, doc_id AS root FROM documents
+          |  UNION
+          |  SELECT e.src AS doc, r.root
+          |  FROM reach r JOIN edges e ON e.dst = r.doc
+          |),
+          |labels AS (SELECT doc AS doc_id, min(root) AS cluster_id FROM reach GROUP BY doc),
+          |t2 AS (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents),
+          |qual AS (
+          |  SELECT doc_id,
+          |         round(0.4 * round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) * 1.0 / len(w), 4)
+          |             + 0.3 * round(len(list_distinct(w)) * 1.0 / len(w), 4)
+          |             + 0.3 * least(len(w) / 100.0, 1.0), 5) AS quality_score
+          |  FROM t2
+          |),
+          |m AS (
+          |  SELECT l.cluster_id, l.doc_id, q.quality_score,
+          |         count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+          |         row_number() OVER (PARTITION BY l.cluster_id
+          |                            ORDER BY q.quality_score DESC, l.doc_id ASC) AS rn
+          |  FROM labels l JOIN qual q USING (doc_id)
+          |)
+          |SELECT cluster_id, doc_id AS rep_doc_id, quality_score AS rep_quality, n_members
+          |FROM m WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+    "q48_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, source,
+        |         ('0x' || substr(md5('smp_' || doc_id), 1, 7))::BIGINT % 1000 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, source, bucket FROM s
+        |WHERE bucket < (CASE WHEN lang = 'en' THEN 100 ELSE 200 END)
+        |ORDER BY doc_id""".stripMargin,
+    "q49_langstats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       count(DISTINCT source) AS n_sources,
+        |       sum(len(regexp_extract_all(text, '[^ \t\n\r]+')))::BIGINT AS total_tokens,
+        |       round(avg(n_chars), 4) AS mean_chars,
+        |       round(quantile_cont(n_chars, 0.5), 1) AS p50_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q50_pmi" ->
+      """WITH t AS (SELECT regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS tk FROM t),
+        |u AS (SELECT tk, count(*) AS c1 FROM uni GROUP BY tk),
+        |nu AS (SELECT sum(c1)::DOUBLE AS n_uni FROM u),
+        |b0 AS (SELECT unnest([{'ta': w[i], 'tb': w[i+1]} FOR i IN range(1, len(w))]) AS p FROM t),
+        |b AS (SELECT p.ta AS ta, p.tb AS tb, count(*) AS c2 FROM b0 GROUP BY 1, 2),
+        |nb AS (SELECT sum(c2)::DOUBLE AS n_bi FROM b),
+        |scored AS (
+        |  SELECT b.ta, b.tb, b.c2,
+        |         ln((b.c2 / nb.n_bi) / ((ua.c1 / nu.n_uni) * (ub.c1 / nu.n_uni))) AS pmi_raw
+        |  FROM b JOIN u ua ON ua.tk = b.ta JOIN u ub ON ub.tk = b.tb, nu, nb
+        |  WHERE b.c2 >= 3
+        |)
+        |SELECT ta, tb, c2 AS cnt, round(pmi_raw, 6) AS pmi
+        |FROM scored ORDER BY pmi_raw DESC, ta ASC, tb ASC LIMIT 20""".stripMargin
   )
 }

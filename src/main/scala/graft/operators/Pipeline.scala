@@ -24,6 +24,30 @@ object Pipeline {
 
   val QualityThreshold = 0.33
 
+  /** q47_cluster_reps — canonical-document selection: for every
+    * transitive near-dup cluster (q31 components), keep the single
+    * best-quality member (tie → lower doc_id) plus the member count —
+    * the "which copy do we train on" step that follows clustering in a
+    * real curation run. One join + one agg over the cluster labels;
+    * the argmax is a struct-max (quality, -doc_id) so it stays a
+    * partial-aggregable single pass, no window shuffle. */
+  def clusterReps(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Dedup.dupClusters(spark, sfDir)
+    val qual = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    labels.join(qual, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(
+          col("quality_score").as("qs"),
+          (-col("doc_id")).as("nid"),
+          col("doc_id").as("id"))).as("best"))
+      .select(col("cluster_id"), col("best.id").as("rep_doc_id"),
+        col("best.qs").as("rep_quality"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   def curate(spark: SparkSession, sfDir: String): DataFrame = {
     val exactSurvivors = TextAnalysis.normalize(spark, sfDir)
       .groupBy(col("norm_hash"))

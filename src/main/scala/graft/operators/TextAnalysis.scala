@@ -148,6 +148,56 @@ object TextAnalysis {
   /** Rolling-hash window for the q21 byte-level fingerprint. */
   val RollingWindow = 16
 
+  /** q49_langstats — per-language corpus report: doc/source counts,
+    * token totals, char-length mean and exact median. The
+    * profile-by-stratum pass a data mix is planned from. One scan, one
+    * 5-group aggregation; the exact `percentile` is per-group
+    * collected (5 groups — fine); at 100 TB switch the median to
+    * `approx_percentile` (Sketches) with everything else unchanged. */
+  def langStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(toks).as("n_toks"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_toks")).as("total_tokens"),
+        round(avg(col("n_chars")), 4).as("mean_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 1).as("p50_chars"))
+      .orderBy("lang")
+
+  /** q50_pmi — bigram collocation strength: pointwise mutual
+    * information ln(p(a,b) / (p(a)·p(b))) over whitespace tokens, top
+    * 20 pairs with support ≥ 3. The corpus totals are broadcast 1-row
+    * aggregates (lazy, like q34's N); unigram counts broadcast onto the
+    * bigram rows. Integer counts keep the float math bit-identical
+    * cross-engine. */
+  def pmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val toksDf = Tables.documents(spark, sfDir).select(T.wsTokens(col("text")).as("w"))
+    val uni = toksDf.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val nUni = uni.agg(sum(col("c1")).cast("double").as("n_uni"))
+    val bi = toksDf
+      .select(explode(arrays_zip(
+        expr("slice(w, 1, size(w) - 1)"),
+        expr("slice(w, 2, size(w) - 1)"))).as("p"))
+      .select(col("p.0").as("ta"), col("p.1").as("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("c2"))
+    val nBi = bi.agg(sum(col("c2")).cast("double").as("n_bi"))
+    bi.filter(col("c2") >= 3)
+      .join(broadcast(uni.select(col("t").as("ta"), col("c1").as("ca"))), "ta")
+      .join(broadcast(uni.select(col("t").as("tb"), col("c1").as("cb"))), "tb")
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBi))
+      .withColumn("pmi_raw",
+        log((col("c2") / col("n_bi")) /
+          ((col("ca") / col("n_uni")) * (col("cb") / col("n_uni")))))
+      .orderBy(col("pmi_raw").desc, col("ta").asc, col("tb").asc)
+      .limit(20)
+      .select(col("ta"), col("tb"), col("c2").as("cnt"), round(col("pmi_raw"), 6).as("pmi"))
+  }
+
   /** q21_fingerprint — content fingerprints: full-text md5, a
     * min-shingle-hash sketch (winnowing-style over word 3-shingles),
     * and a byte-level min rolling hash (the native O(n) Rabin-Karp

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{Pipeline, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** q47-q50: the curation/reporting operators added in round 3. */
+class CurationOpsSpec extends SparkSuite {
+
+  test("cluster reps: one rep per cluster, rep is a max-quality member") {
+    val reps = Pipeline.clusterReps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val labels = graft.operators.Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qual = TextAnalysis.quality(spark, sf)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(reps.map(_._1).distinct.length == reps.length)
+    assert(reps.length == labels.values.toSet.size)
+    reps.foreach { case (cid, rep, q, n) =>
+      val members = labels.collect { case (d, c) if c == cid => d }.toSeq
+      assert(members.contains(rep), s"rep $rep not in cluster $cid")
+      assert(n == members.size)
+      assert(q == members.map(qual).max, s"rep of $cid is not max-quality")
+      // tie-break: among max-quality members, the lowest doc_id wins
+      assert(rep == members.filter(d => qual(d) == q).min)
+    }
+  }
+
+  test("stratified sample is deterministic and respects per-lang rates") {
+    val a = Sampling.stratifiedSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    val b = Sampling.stratifiedSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "sample must be run-to-run identical")
+    val byLang = Sampling.stratifiedSample(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = graft.sources.Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5 buckets are ~uniform: observed keep fraction within loose
+    // binomial bounds of the configured per-mille rate
+    byLang.foreach { case (lang, kept) =>
+      val rate = (if (lang == "en") Sampling.EnRate else Sampling.DefaultRate) / 1000.0
+      val n = totals(lang).toDouble
+      val sd = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(kept - n * rate) <= 4 * sd + 1,
+        s"$lang kept $kept of $n at rate $rate")
+    }
+  }
+
+  test("langstats totals agree with independent aggregation") {
+    val got = TextAnalysis.langStats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), graft.functions.TextFunctions.wsTokens(col("text")).as("w"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).size))
+    docs.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(got(lang)._1 == rows.size)
+      assert(got(lang)._2 == rows.map(_._2.toLong).sum)
+    }
+  }
+
+  test("pmi matches a driver-side recomputation of the formula") {
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.wsTokens(col("text")).as("w"))
+      .collect().map(_.getSeq[String](0))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nUni = uni.values.sum.toDouble
+    val bi = toks.flatMap(w => w.dropRight(1).zip(w.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nBi = bi.values.sum.toDouble
+    val expected = bi.toSeq.filter(_._2 >= 3)
+      .map { case ((a, b), c2) =>
+        (a, b, c2, math.log((c2 / nBi) / ((uni(a) / nUni) * (uni(b) / nUni))))
+      }
+      .sortBy { case (a, b, _, p) => (-p, a, b) }
+      .take(20)
+      .map { case (a, b, c2, p) =>
+        (a, b, c2, math.rint(p * 1e6) / 1e6) // ~round(p, 6)
+      }
+    val got = TextAnalysis.pmi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3, s"$g != $e")
+      assert(math.abs(g._4 - e._4) < 1e-6)
+    }
+    assert(got.length == expected.length)
+  }
+}
