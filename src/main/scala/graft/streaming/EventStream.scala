@@ -128,6 +128,19 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of q11: drop events
+    * whose key was already seen, with the dedup state BOUNDED by the
+    * watermark (`dropDuplicatesWithinWatermark` evicts keys once they
+    * age past it), so state is O(keys-per-watermark-window), not
+    * O(all keys ever) — the only shape that survives an unbounded
+    * 100 TB/day ingest. Key = the content column(s) a curation
+    * pipeline dedups on. Exercised by StreamingSpec against the batch
+    * `dropDuplicates` twin. */
+  def streamingDedup(events: DataFrame, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Arbitrary stateful processing: per-user running stats via
     * mapGroupsWithState (update mode), the custom-state primitive the
     * brief calls for. Exercised by StreamingSpec. */

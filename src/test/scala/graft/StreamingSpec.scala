@@ -126,6 +126,27 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicate keys exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStream.streamingDedup(stream.toDF(), Seq("user_id", "event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    try {
+      stream.addData(
+        Event(ts(0), 1, "click", 1.0),
+        Event(ts(1), 1, "click", 2.0), // dup key in same batch
+        Event(ts(2), 2, "click", 3.0))
+      query.processAllAvailable()
+      stream.addData(Event(ts(3), 1, "click", 4.0)) // dup key across batches
+      query.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .as[Event].collect().map(e => (e.user_id, e.event_type, e.value))
+      assert(rows.sortBy(_._1).toSeq == Seq((1L, "click", 1.0), (2L, "click", 3.0)))
+    } finally query.stop()
+  }
+
   test("batch and streaming window paths agree on the events table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
