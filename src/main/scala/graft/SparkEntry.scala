@@ -434,20 +434,21 @@ object SparkEntry {
         |  FROM c1 LEFT JOIN (SELECT cent_id, list(m ORDER BY d) AS cv FROM m1 GROUP BY cent_id) n
         |    USING (cent_id)
         |),
-        |cells AS (
-        |  SELECT vec_id, cent_id FROM (
-        |    SELECT e.vec_id, c.cent_id,
-        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |             list_dot_product(e.v, c.cv) /
-        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-        |             c.cent_id ASC) AS rn
-        |    FROM e, c2 c) WHERE rn = 1
+        |asg AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_dot_product(e.v, c.cv) /
+        |           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |           c.cent_id ASC) AS rn
+        |  FROM e, c2 c
         |),
+        |cells AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1),
+        |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= 2),
         |pairs AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |         list_dot_product(ea.v, eb.v) /
         |         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine_raw
-        |  FROM cells a JOIN cells b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+        |  FROM probes a JOIN cells b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
         |  JOIN e ea ON ea.vec_id = a.vec_id
         |  JOIN e eb ON eb.vec_id = b.vec_id
         |),

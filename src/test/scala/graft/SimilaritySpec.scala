@@ -60,6 +60,23 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("IVF with nprobe=2 clears a recall floor vs exact top-3") {
+    val got = Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = vectors.keys.toSeq.sorted
+    val exact = ids.flatMap { q =>
+      ids.filter(_ != q)
+        .map(n => (n, cosine(vectors(q), vectors(n))))
+        .sortBy { case (n, c) => (-c, n) }
+        .take(Similarity.BucketK)
+        .map { case (n, _) => (q, n) }
+    }.toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    // structureless random vectors cap IVF recall (~0.36 measured);
+    // the floor guards against regressions to own-cell-only (~0.25)
+    assert(recall >= 0.3, s"recall@3 = $recall")
+  }
+
   test("adaptive bucket bits: integer-exact ceil(log2(n/target))") {
     assert(Similarity.adaptiveBits(1) == 1)
     assert(Similarity.adaptiveBits(64) == 1)
