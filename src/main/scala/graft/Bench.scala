@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // deliberately NOT GraftSession's AQE config: at bench scale
+    // (sub-second stages) AQE's per-stage re-planning barriers cost
+    // ~7% wall with zero benefit — its coalescing/skew wins need real
+    // data volumes. Production sessions (GraftSession) keep AQE on.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

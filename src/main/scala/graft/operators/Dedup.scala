@@ -73,10 +73,14 @@ object Dedup {
     *
     * Explode + groupBy rather than per-row array transforms: Spark's
     * higher-order functions (`transform`/`aggregate`) evaluate
-    * interpreted, while explode → md5 → 128 codegen'd `min` aggregates
-    * stay inside whole-stage codegen with map-side partial aggregation —
-    * measured ~20× faster here, and at 100 TB the shuffle after partial
-    * agg is only O(docs × 128 longs). */
+    * interpreted — measured ~20× slower. The aggregation itself is the
+    * native [[org.apache.spark.sql.graft.MinHashSignatureAgg]]
+    * TypedImperativeAggregate: one Array[Long] buffer updated in a
+    * tight JVM loop per input row, partials shipped as a single 1 KB
+    * blob (measured ~40% faster than the equivalent 128 codegen'd
+    * `min` aggregate columns, which ExpressionsSpec proves
+    * bit-identical). At 100 TB the shuffle after map-side partial
+    * aggregation is only O(docs × 128 longs). */
   private[graft] def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
     // explode_outer + null filter, NOT plain explode: explode makes the
     // optimizer synthesize a `size(sh) > 0` pre-filter and push it below
@@ -86,8 +90,10 @@ object Dedup {
       .select(col("doc_id"), explode_outer(col("sh")).as("g"))
       .filter(col("g").isNotNull)
       .withColumn("h", H.md5Int28(col("g")))
-    val minCols = (0 until NumHashes).map(i => min(H.affine(col("h"), i)).as(s"m$i"))
-    exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    exploded.groupBy("doc_id")
+      .agg(org.apache.spark.sql.graft.native.minhashSignature(col("h"), NumHashes).as("sig"))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
   }
 
   /** Candidate pairs from banded LSH bucketing (doc_a < doc_b).

@@ -22,6 +22,21 @@ object Profile {
     val sigs = Dedup.minhashSignatures(spark, sfDir)
     t("minhash signatures") { sigs.count() }
     t("minhash signatures 2nd") { sigs.count() }
+    // A/B: the native TypedImperativeAggregate (one Array[Long] buffer)
+    // vs the 128 codegen'd min columns
+    locally {
+      import org.apache.spark.sql.functions._
+      import graft.functions.{HashFunctions => H, TextFunctions => T}
+      val exploded = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), T.wsTokens(col("text")).as("w"))
+        .select(col("doc_id"), explode_outer(T.shingleSet(col("w"), Dedup.ShingleK)).as("g"))
+        .filter(col("g").isNotNull)
+        .withColumn("h", H.md5Int28(col("g")))
+      val typed = exploded.groupBy("doc_id")
+        .agg(org.apache.spark.sql.graft.native.minhashSignature(col("h"), Dedup.NumHashes).as("sig"))
+      t("typed-agg signatures") { typed.count() }
+      t("typed-agg signatures 2nd") { typed.count() }
+    }
     val cand = Dedup.minhashCandidates(sigs)
     t("minhash candidates") { cand.count() }
     t("minhash pairs full") { Dedup.minhashPairs(spark, sfDir).count() }
