@@ -73,4 +73,25 @@ class PropertiesSpec extends SparkSuite {
       assert(m >= 0L && m < graft.functions.HashFunctions.P)
     }
   }
+
+  test("salted bucket self-join equals naive all-pairs for ANY bucket layout and cap") {
+    import spark.implicits._
+    val assignment = for {
+      nBuckets <- Gen.choose(1, 6)
+      n <- Gen.choose(1, 120)
+      ks <- Gen.listOfN(n, Gen.choose(0, nBuckets - 1))
+    } yield ks.zipWithIndex.map { case (k, id) => (s"b$k", id.toLong) }
+    (1 to 5).foreach { seed =>
+      val rows = draw(assignment, seed).distinct
+      val cap = draw(Gen.choose(1, 40), seed + 1000)
+      val df = rows.toDF("k", "id")
+      val got = graft.operators.CandidatePairs.boundedSelfJoin(df, Seq("k"), "id", cap)
+        .as[(Long, Long)].collect().toSet
+      val expected = rows.groupBy(_._1).values.flatMap { members =>
+        val ids = members.map(_._2).sorted
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSet
+      assert(got == expected, s"seed=$seed cap=$cap")
+    }
+  }
 }
