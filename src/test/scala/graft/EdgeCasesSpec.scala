@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators._
+import java.nio.file.Files
+
+/** Degenerate-corpus robustness: every operator family must return an
+  * empty (or singleton) result on empty / single-document inputs, not
+  * throw — at 100 TB a partition-pruned read or an over-aggressive
+  * filter hands operators exactly these shapes. */
+class EdgeCasesSpec extends SparkSuite {
+
+  private def writeCorpus(docs: Seq[(Long, String, String, String, Long)],
+                          vecs: Seq[(Long, Array[Float])]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_edge").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private lazy val emptyDir = writeCorpus(Seq.empty, Seq.empty)
+  private lazy val oneDir = writeCorpus(
+    Seq((0L, "the quick brown fox jumps over the lazy dog", "en", "src0", 43L)),
+    Seq((0L, Array.fill(64)(0.5f))))
+
+  test("dedup family is empty-safe") {
+    assert(Dedup.exactDedup(spark, emptyDir).count() == 0)
+    assert(Dedup.minhashPairs(spark, emptyDir).count() == 0)
+    assert(Dedup.simhashPairs(spark, emptyDir).count() == 0)
+    assert(Dedup.ngramDedup(spark, emptyDir).count() == 0)
+    assert(Dedup.dupClusters(spark, emptyDir).count() == 0)
+  }
+
+  test("similarity family is empty-safe") {
+    assert(Similarity.embedNeardup(spark, emptyDir).count() == 0)
+    assert(Similarity.annBruteForce(spark, emptyDir).count() == 0)
+    assert(Similarity.annLsh(spark, emptyDir).count() == 0)
+    assert(Similarity.annIvf(spark, emptyDir).count() == 0)
+  }
+
+  test("text/curation ops are empty-safe") {
+    assert(TextAnalysis.langId(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.quality(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.tfidf(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.fingerprint(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.langStats(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.pmi(spark, emptyDir).count() == 0)
+    assert(Sampling.stratifiedSample(spark, emptyDir).count() == 0)
+    assert(Pipeline.curate(spark, emptyDir).count() == 0)
+    assert(Pipeline.clusterReps(spark, emptyDir).count() == 0)
+  }
+
+  test("single-document corpus: no pairs, self cluster, own fingerprints") {
+    assert(Dedup.minhashPairs(spark, oneDir).count() == 0)
+    val clusters = Dedup.dupClusters(spark, oneDir).collect()
+    assert(clusters.length == 1 && clusters.head.getLong(1) == 0L)
+    val reps = Pipeline.clusterReps(spark, oneDir).collect()
+    assert(reps.length == 1 && reps.head.getLong(1) == 0L && reps.head.getLong(3) == 1L)
+    assert(Similarity.annLsh(spark, oneDir).count() == 0) // no partner in bucket
+    assert(TextAnalysis.fingerprint(spark, oneDir).count() == 1)
+  }
+}
