@@ -18,6 +18,10 @@ case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
   * The Spark-side plumbing is real: a typed `Dataset[MediaBlob]`, batch
   * iteration via `mapPartitions` (one decoder instance per partition, the
   * shape a JNI/image-lib decoder needs), and a columnar feature output.
+  * `mapPartitions` is the Scala-native equivalent of PySpark's
+  * `mapInPandas` decode boundary: same per-partition batch iterator,
+  * same init-the-native-lib-once placement, minus the Arrow/Python
+  * serialization hop a Scala engine doesn't need.
   *
   * ==== STUB ====
   * The decode step itself is a deterministic fake: this container has no

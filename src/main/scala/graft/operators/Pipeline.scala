@@ -31,10 +31,15 @@ object Pipeline {
     * real curation run. One join + one agg over the cluster labels;
     * the argmax is a struct-max (quality, -doc_id) so it stays a
     * partial-aggregable single pass, no window shuffle. */
-  def clusterReps(spark: SparkSession, sfDir: String): DataFrame = {
-    val labels = Dedup.dupClusters(spark, sfDir)
-    val qual = TextAnalysis.quality(spark, sfDir)
-      .select(col("doc_id"), col("quality_score"))
+  def clusterReps(spark: SparkSession, sfDir: String): DataFrame =
+    clusterRepsFrom(
+      Dedup.dupClusters(spark, sfDir),
+      TextAnalysis.quality(spark, sfDir).select(col("doc_id"), col("quality_score")))
+
+  /** [[clusterReps]] from PRECOMPUTED cluster labels + quality scores —
+    * the reuse surface for a curation run that already materialized
+    * q31's labels (mirrors [[Dedup.ngramDedupFrom]]). */
+  def clusterRepsFrom(labels: DataFrame, qual: DataFrame): DataFrame = {
     labels.join(qual, "doc_id")
       .groupBy("cluster_id")
       .agg(

@@ -269,7 +269,10 @@ object Similarity {
     // found. The probe⋈cell equi-join emits each pair at most once
     // (the neighbor's cell is unique), and the two branches share the
     // assignment window subtree via ReuseExchange. Cell size is
-    // ~sqrt(n) by the k-means sizing, which bounds per-cell join work.
+    // ~sqrt(n) by the k-means sizing, which bounds per-cell join work;
+    // residual cell skew (a degenerate centroid attracting a huge
+    // cell) is a plain equi-join skew, the exact shape AQE's runtime
+    // skew-join splitting handles (on in GraftSession).
     val cells = assigns.filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
     val probes = assigns.filter(col("rn") <= IvfNProbe)
       .select(col("vec_id").as("vec_a"), col("cent_id"))
