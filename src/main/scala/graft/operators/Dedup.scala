@@ -101,20 +101,25 @@ object Dedup {
     * buckets over `cap` members (boilerplate shingles surviving into a
     * band signature) are salted so no single task builds an O(n²) pair
     * list; the emitted pair set is identical for any cap. Pass an
-    * [[Observation]] to surface hot-bucket counts. */
+    * [[Observation]] to surface hot-bucket counts.
+    *
+    * The bucket key is `xxhash64(band, m_b0..m_b3)` — ONE long instead
+    * of a (band_id, 40-byte concat string) pair, so every candidate
+    * shuffle moves 8-byte keys. Collision-safe by construction: equal
+    * band signatures always hash equal (recall is untouched), and a
+    * cross-band hash collision merely merges two buckets, adding
+    * candidates that the exact-Jaccard verify then filters — the
+    * verified pair set cannot change. */
   private[graft] def minhashCandidates(
       sigs: DataFrame,
       cap: Int = BucketCap,
       obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val bandStructs: Seq[Column] = (0 until Bands).map { b =>
-      struct(
-        lit(b).as("band_id"),
-        concat_ws("_", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*).as("sig"))
+    val bandHashes: Seq[Column] = (0 until Bands).map { b =>
+      xxhash64(lit(b) +: (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
     }
     val buckets = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band_id").as("band_id"), col("bs.sig").as("sig"))
-    CandidatePairs.boundedSelfJoin(buckets, Seq("band_id", "sig"), "doc_id", cap, obs)
+      .select(col("doc_id"), explode(array(bandHashes: _*)).as("sig"))
+    CandidatePairs.boundedSelfJoin(buckets, Seq("sig"), "doc_id", cap, obs)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
   }
 
