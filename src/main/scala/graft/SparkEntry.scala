@@ -61,7 +61,8 @@ object SparkEntry {
     "q47_cluster_reps"    -> (Pipeline.clusterReps _),
     "q48_sample"          -> (Sampling.stratifiedSample _),
     "q49_langstats"       -> (TextAnalysis.langStats _),
-    "q50_pmi"             -> (TextAnalysis.pmi _)
+    "q50_pmi"             -> (TextAnalysis.pmi _),
+    "q51_decontaminate"   -> (Dedup.decontaminate _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -689,6 +690,20 @@ object SparkEntry {
         |  WHERE b.c2 >= 3
         |)
         |SELECT ta, tb, c2 AS cnt, round(pmi_raw, 6) AS pmi
-        |FROM scored ORDER BY pmi_raw DESC, ta ASC, tb ASC LIMIT 20""".stripMargin
+        |FROM scored ORDER BY pmi_raw DESC, ta ASC, tb ASC LIMIT 20""".stripMargin,
+    "q51_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4] AS g
+        |  FROM t, unnest(range(1, len(w) - 3)) s(i)
+        |),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM sh JOIN bench USING (g)
+        |WHERE doc_id % 50 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -300,6 +300,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q51_decontaminate — benchmark-overlap detection (the GPT-3-style
+    * decontamination pass): flag every training document that shares at
+    * least one word-5-gram with the held-out/benchmark set, reporting
+    * the distinct overlapping-5-gram count. Here the "benchmark" is the
+    * deterministic doc_id % 50 == 0 slice (a real run passes the actual
+    * eval corpus). Scale shape: the benchmark n-gram set is tiny
+    * relative to the corpus → broadcast hash join against the training
+    * side's exploded shingles, which stay scan-local; one groupBy
+    * shuffle of only the FLAGGED (doc, gram) hits. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), T.wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), explode_outer(T.shingleSet(col("w"), 5)).as("g"))
+      .filter(col("g").isNotNull)
+    val bench = grams.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
+    grams.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits")) // grams per doc are already distinct
+      .orderBy("doc_id")
+  }
+
   /** q14_ngram_dedup — survivor set: drop every doc that has a near-dup
     * partner (n-gram Jaccard ≥ 0.8) with a smaller doc_id. The removal
     * side comes from the LSH pipeline, so the anti-join input is the
