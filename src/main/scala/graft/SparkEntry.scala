@@ -393,21 +393,28 @@ object SparkEntry {
         |ORDER BY o_custkey, rn""".stripMargin,
     "q28_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |params AS (SELECT greatest(16, ceil(sqrt(count(*)))::INT) AS k FROM e),
-        |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < (SELECT k FROM params)),
+        |params AS (SELECT greatest(16, ceil(sqrt(count(*)))::INT) AS k,
+        |                  (count(*) + 256 * greatest(16, ceil(sqrt(count(*)))::INT) - 1)
+        |                    // (256 * greatest(16, ceil(sqrt(count(*)))::INT)) AS den
+        |           FROM e),
+        |s AS (SELECT * FROM e
+        |      WHERE ('0x' || substr(md5('ivfs_' || vec_id), 1, 7))::BIGINT
+        |              % (SELECT den FROM params) = 0),
+        |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM s
+        |       ORDER BY vec_id LIMIT (SELECT k FROM params)),
         |a0 AS (
         |  SELECT vec_id, cent_id FROM (
-        |    SELECT e.vec_id, c.cent_id,
-        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |             list_dot_product(e.v, c.cv) /
-        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    SELECT s.vec_id, c.cent_id,
+        |           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+        |             list_dot_product(s.v, c.cv) /
+        |             (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
         |             c.cent_id ASC) AS rn
-        |    FROM e, c0 c) WHERE rn = 1
+        |    FROM s, c0 c) WHERE rn = 1
         |),
         |m0 AS (
-        |  SELECT a.cent_id, t.d, round(avg(e.v[t.d]), 6) AS m
-        |  FROM a0 a, e, unnest(range(1, 65)) t(d)
-        |  WHERE a.vec_id = e.vec_id
+        |  SELECT a.cent_id, t.d, round(avg(s.v[t.d]), 6) AS m
+        |  FROM a0 a, s, unnest(range(1, 65)) t(d)
+        |  WHERE a.vec_id = s.vec_id
         |  GROUP BY a.cent_id, t.d
         |),
         |c1 AS (
@@ -417,17 +424,17 @@ object SparkEntry {
         |),
         |a1 AS (
         |  SELECT vec_id, cent_id FROM (
-        |    SELECT e.vec_id, c.cent_id,
-        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |             list_dot_product(e.v, c.cv) /
-        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |    SELECT s.vec_id, c.cent_id,
+        |           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+        |             list_dot_product(s.v, c.cv) /
+        |             (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
         |             c.cent_id ASC) AS rn
-        |    FROM e, c1 c) WHERE rn = 1
+        |    FROM s, c1 c) WHERE rn = 1
         |),
         |m1 AS (
-        |  SELECT a.cent_id, t.d, round(avg(e.v[t.d]), 6) AS m
-        |  FROM a1 a, e, unnest(range(1, 65)) t(d)
-        |  WHERE a.vec_id = e.vec_id
+        |  SELECT a.cent_id, t.d, round(avg(s.v[t.d]), 6) AS m
+        |  FROM a1 a, s, unnest(range(1, 65)) t(d)
+        |  WHERE a.vec_id = s.vec_id
         |  GROUP BY a.cent_id, t.d
         |),
         |c2 AS (

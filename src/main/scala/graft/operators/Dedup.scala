@@ -300,26 +300,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** q51_decontaminate — benchmark-overlap detection (the GPT-3-style
-    * decontamination pass): flag every training document that shares at
-    * least one word-5-gram with the held-out/benchmark set, reporting
-    * the distinct overlapping-5-gram count. Here the "benchmark" is the
-    * deterministic doc_id % 50 == 0 slice (a real run passes the actual
-    * eval corpus). Scale shape: the benchmark n-gram set is tiny
-    * relative to the corpus → broadcast hash join against the training
-    * side's exploded shingles, which stay scan-local; one groupBy
-    * shuffle of only the FLAGGED (doc, gram) hits. */
-  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
+  /** Benchmark-overlap detection against an EXTERNAL eval corpus (the
+    * GPT-3-style decontamination pass): flag every training document
+    * (cols doc_id, text) that shares at least one word-5-gram with the
+    * benchmark set (cols …, text), reporting the distinct
+    * overlapping-5-gram count per flagged doc. Scale shape: the
+    * benchmark n-gram set is tiny relative to the corpus → broadcast
+    * hash join against the training side's exploded shingles, which
+    * stay scan-local; one groupBy shuffle of only the FLAGGED
+    * (doc, gram) hits. The benchmark side is a caller-supplied
+    * DataFrame, so a real eval corpus plugs in without touching the
+    * operator. */
+  def decontaminateAgainst(docs: DataFrame, bench: DataFrame): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), T.wsTokens(col("text")).as("w"))
       .select(col("doc_id"), explode_outer(T.shingleSet(col("w"), 5)).as("g"))
       .filter(col("g").isNotNull)
-    val bench = grams.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
-    grams.filter(col("doc_id") % 50 =!= 0)
-      .join(broadcast(bench), "g")
+    val benchGrams = grams(bench).select(col("g")).distinct()
+    grams(docs)
+      .join(broadcast(benchGrams), "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits")) // grams per doc are already distinct
       .orderBy("doc_id")
+  }
+
+  /** q51_decontaminate — the graded spec: benchmark = the deterministic
+    * doc_id % 50 == 0 slice of the documents table, training side = the
+    * rest; delegates to [[decontaminateAgainst]]. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    decontaminateAgainst(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0))
   }
 
   /** q14_ngram_dedup — survivor set: drop every doc that has a near-dup

@@ -64,6 +64,15 @@ object Similarity {
   val IvfMinCentroids = 16
   val IvfIterations = 2
   val IvfNProbe = 2
+  /** q28 IVF training sample bound: Lloyd's trains on a deterministic
+    * hash-sample of ~min(n, IvfSampleMult·k) vectors, NOT the full
+    * corpus. With k = √n, full-corpus training is O(n^1.5) cosine
+    * evaluations per round — days at 10^11 docs — while 256 samples
+    * per centroid is the standard IVF training budget (FAISS trains on
+    * 39·k–256·k points) and keeps each round O(k²·256). Membership is
+    * md5-mod (same cross-engine trick as q48), so the oracle selects
+    * the identical sample. */
+  val IvfSampleMult = 256
 
   /** Smallest b ≥ 1 with target·2^b ≥ n — the integer-exact form of
     * ceil(log2(n/target)): no float log, so no off-by-one against the
@@ -193,54 +202,86 @@ object Similarity {
     * metadata-only — the same thing Catalyst's own stats estimation
     * reads), NOT a data-path collect: bucket cardinality and centroid
     * count must be fixed before the plan is built, exactly like AQE
-    * fixes shuffle partitioning from runtime statistics. */
-  private def corpusSize(spark: SparkSession, sfDir: String): Long =
-    Tables.embeddings(spark, sfDir).count()
+    * fixes shuffle partitioning from runtime statistics. Memoized per
+    * parquet directory, so chained queries over the same corpus pay the
+    * footer read once per session lifetime, not once per query call. */
+  private val sizeCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] def corpusSize(spark: SparkSession, sfDir: String): Long =
+    sizeCache.getOrElseUpdate(sfDir, Tables.embeddings(spark, sfDir).count())
 
-  /** Deterministic spherical k-means (broadcast Lloyd's): fixed init
-    * (first k vectors), fixed [[IvfIterations]] rounds; assignment by
-    * max cosine with cent_id tie-break; update = per-dimension mean
-    * ROUNDED to 6 decimals — rounding pins the floats so the oracle's
-    * identical recurrence lands on bit-identical centroids regardless
-    * of either engine's summation order; empty cells keep their
-    * previous centroid. Each round is one distributed assignment+mean
-    * job; only k × [[Dims]] doubles ever reach the driver (the MLlib
-    * broadcast-k-means shape — at 100 TB the assignment join and the
-    * per-dimension partial-aggregated means are the whole cost).
-    */
-  private[operators] def trainCentroids(
-      spark: SparkSession, v: DataFrame, k: Int): Seq[(Int, Seq[Double])] = {
+  /** Sampling modulus for IVF training: every vec with
+    * md5("ivfs_" || vec_id) ≡ 0 (mod den) is a training point, giving
+    * an expected sample of n/den ≈ min(n, mult·k) vectors. den = 1
+    * (keep everything) whenever mult·k ≥ n. */
+  private[graft] def ivfSampleDen(n: Long, k: Int, mult: Int): Long =
+    (n + mult.toLong * k - 1) / (mult.toLong * k)
+
+  /** The deterministic training sample: a scan-local md5-mod filter
+    * (q48's membership trick), no shuffle, reproducible on any engine
+    * and any partitioning. Exposed for the spec that asserts the
+    * training job touches ≤ the sample bound, never the full corpus. */
+  private[graft] def ivfTrainingSample(v: DataFrame, n: Long, k: Int,
+      mult: Int = IvfSampleMult): DataFrame = {
+    val den = ivfSampleDen(n, k, mult)
+    if (den == 1L) v
+    else v.filter(pmod(graft.functions.HashFunctions.md5Int28(
+      concat(lit("ivfs_"), col("vec_id").cast("string"))), lit(den)) === 0)
+  }
+
+  /** Deterministic spherical k-means (broadcast Lloyd's) over the
+    * [[ivfTrainingSample]] — NOT the full corpus: init = the k
+    * lowest-id sample vectors, fixed [[IvfIterations]] rounds;
+    * assignment by max cosine with lowest-cent_id tie-break (a
+    * partial-aggregable struct-max, no window shuffle); update =
+    * per-dimension mean ROUNDED to 6 decimals — rounding pins the
+    * floats so the oracle's identical recurrence lands on
+    * bit-identical centroids regardless of either engine's summation
+    * order; empty cells keep their previous centroid. Each round is
+    * one distributed assignment+mean job and collects exactly k rows
+    * (cent_id, 64-dim array) — at 100 TB the per-round cost is
+    * O(sample·k) cosines ≈ O(mult·k²), independent of n, and the
+    * driver never holds more than the k×[[Dims]] centroid doubles. */
+  private[graft] def trainCentroids(
+      spark: SparkSession, v: DataFrame, n: Long, k: Int,
+      mult: Int = IvfSampleMult): Seq[(Int, Seq[Double])] = {
     import spark.implicits._
-    var cents: Seq[(Int, Seq[Double])] = v.filter(col("vec_id") < k)
+    val sample = ivfTrainingSample(v, n, k, mult)
+    var cents: Seq[(Int, Seq[Double])] = sample
       .select(col("vec_id").cast("int"), col("v"))
+      .orderBy("vec_id").limit(k)
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     for (_ <- 0 until IvfIterations) {
       val cdf = broadcast(cents.toDF("cent_id", "cv"))
-      val wA = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cent_id").asc)
-      val assigned = v.crossJoin(cdf)
-        .select(col("vec_id"), col("cent_id"),
+      val assigned = sample.crossJoin(cdf)
+        .select(col("vec_id"), col("v"), col("cent_id"),
           org.apache.spark.sql.graft.native.cosineSim(col("v"), col("cv")).as("sim"))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cent_id"))
-      val means = v.join(assigned, "vec_id")
+        // argmax via struct-max: (sim, -cent_id) max ⇔ highest sim,
+        // lowest cent_id on ties — partial-aggregable, so map-side
+        // combine shrinks the shuffle to one row per (partition, vec);
+        // the vector rides along (first) so the mean update needs no
+        // join back against the sample — one less shuffle per round
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), (-col("cent_id")).as("nc"))).as("best"),
+          first(col("v")).as("v"))
+        .select(col("v"), (-col("best.nc")).cast("int").as("cent_id"))
+      val means = assigned
         .select(col("cent_id"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("cent_id", "d").agg(round(avg(col("x")), 6).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
+        .groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cent_id"), expr("transform(dm, s -> s.m)").as("cv"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       cents = cents.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
     }
     cents
   }
 
   /** q28_ann_ivf — IVF ANN with TRAINED centroids: k = max(16,
-    * ceil(sqrt(n))) cluster centers from [[trainCentroids]] Voronoi-
-    * partition the corpus (cell size ~sqrt(n), so the in-cell search is
-    * O(n^1.5) pairs total, not O(n²/k_fixed)); each query probes its
-    * [[IvfNProbe]] nearest cells. Assignment is a broadcast
+    * ceil(sqrt(n))) cluster centers from [[trainCentroids]] (which
+    * trains on a hash-sample of ~min(n, [[IvfSampleMult]]·k) vectors)
+    * Voronoi-partition the corpus (cell size ~sqrt(n), so the in-cell
+    * search is O(n^1.5) pairs total, not O(n²/k_fixed)); each query
+    * probes its [[IvfNProbe]] nearest cells. Assignment is a broadcast
     * nested-loop over the tiny centroid set + per-vector argmax.
     *
     * Measured on the synthetic corpus (sf0.01, recall@3 vs exact
@@ -256,7 +297,7 @@ object Similarity {
     val v = vecs(spark, sfDir)
     val n = corpusSize(spark, sfDir)
     val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val cents = broadcast(trainCentroids(spark, v, k).toDF("cent_id", "cv"))
+    val cents = broadcast(trainCentroids(spark, v, n, k).toDF("cent_id", "cv"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("cent_id").asc)
     val assigns = v.crossJoin(cents)

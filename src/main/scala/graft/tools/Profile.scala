@@ -48,4 +48,29 @@ object Profile {
     t("wordcount") { WordCount.query(spark, sfDir).count() }
     spark.stop()
   }
+
+  /** ANN-specific breakdown: where q17/q28 wall-clock goes. */
+  def ann(args: Array[String]): Unit = main0Ann(args)
+  def main0Ann(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.builder(s"local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val v = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    t("warmup") { v.count() }
+    val n = t("corpusSize (memoized)") { Similarity.corpusSize(spark, sfDir) }
+    val k = math.max(Similarity.IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cents = t("trainCentroids 2 rounds") { Similarity.trainCentroids(spark, v, n, k) }
+    println(s"[profile] k=$k cents=${cents.size}")
+    t("q28 full") { Similarity.annIvf(spark, sfDir).count() }
+    t("q28 full 2nd") { Similarity.annIvf(spark, sfDir).count() }
+    t("q17 candidates") { Similarity.annLshCandidates(spark, sfDir).count() }
+    t("q17 full") { Similarity.annLsh(spark, sfDir).count() }
+    t("q17 full 2nd") { Similarity.annLsh(spark, sfDir).count() }
+    t("q15 full") { Similarity.embedNeardup(spark, sfDir).count() }
+    spark.stop()
+  }
 }
+
+object ProfileAnn { def main(args: Array[String]): Unit = Profile.main0Ann(args) }

@@ -114,4 +114,32 @@ class DedupSpec extends SparkSuite {
         s"node ${r.getLong(0)}: got ${r.getLong(1)}, want ${truth(r.getLong(0))}")
     }
   }
+
+  test("decontaminateAgainst accepts an external benchmark corpus") {
+    import spark.implicits._
+    // docs 1 and 3 each share one 5-gram with the bench doc; doc 2 shares none
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "prefix beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "xx beta gamma delta epsilon zeta yy")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminateAgainst(docs, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 1: 5-grams {alpha..epsilon, beta..zeta}; bench has beta..zeta → 1 hit
+    // doc 3: {prefix..epsilon, beta..zeta} → 1 hit
+    assert(got == Map(1L -> 1L, 3L -> 1L))
+  }
+
+  test("graded q51 equals decontaminateAgainst with the % 50 slice") {
+    val d = graft.sources.Tables.documents(spark, sf)
+    val viaInjectable = Dedup.decontaminateAgainst(
+      d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val graded = Dedup.decontaminate(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(graded == viaInjectable && graded.nonEmpty)
+  }
 }

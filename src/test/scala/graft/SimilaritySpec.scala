@@ -88,6 +88,47 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.adaptiveBits(Long.MaxValue / 2) == Similarity.MaxBucketBits)
   }
 
+  test("IVF training sample is bounded: ~min(n, mult·k), never the full corpus") {
+    // den math: sampling is a no-op only while mult·k covers the corpus
+    assert(Similarity.ivfSampleDen(2000, 45, 256) == 1L)
+    assert(Similarity.ivfSampleDen(1000000, 1000, 256) == 4L)
+    // at 100 TB scale: n=1.7e11, k=√n≈412k, mult=256 → den ≈ 1612,
+    // so training touches ~0.06% of the corpus instead of all of it
+    val bigN = 170000000000L
+    val bigK = 412311
+    val den = Similarity.ivfSampleDen(bigN, bigK, 256)
+    assert(den > 1000L && bigN / den <= 256L * bigK)
+
+    // live check with a multiplier small enough to activate at sf0.1:
+    // the training scan must stay ≤ ~mult·k rows (2x slack for the
+    // binomial spread of md5-mod membership), far under the corpus
+    val v = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = v.count()
+    val k = math.max(Similarity.IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val mult = 4
+    val sampled = Similarity.ivfTrainingSample(v, n, k, mult).count()
+    assert(sampled > 0L && sampled < n)
+    assert(sampled <= 2L * mult * k, s"sample $sampled exceeds 2*${mult}*${k}")
+  }
+
+  test("sampled k-means training still yields k well-formed deterministic centroids") {
+    val v = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = v.count()
+    val k = 16
+    val c1 = Similarity.trainCentroids(spark, v, n, k, mult = 4)
+    val c2 = Similarity.trainCentroids(spark, v, n, k, mult = 4)
+    assert(c1 == c2) // hash-sample + pinned rounding → bit-identical reruns
+    assert(c1.size == k)
+    assert(c1.forall(_._2.length == Similarity.Dims))
+    // trained centroids moved off their init vectors (Lloyd's ran)
+    val init = c1.map(_._1.toLong).toSet
+    assert(c1.exists { case (cid, cv) =>
+      cv.zip(vectors(cid.toLong)).exists { case (a, b) => math.abs(a - b) > 1e-9 } })
+    assert(init.subsetOf(vectors.keySet))
+  }
+
   test("q17 candidate volume grows ~linearly, not quadratically, with the corpus") {
     val small = "/root/testdata/sf0.01"
     val large = "/root/testdata/sf0.1"
