@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`array<float>` 64-d).
@@ -161,41 +160,51 @@ object Similarity {
   }
 
   /** q16_ann_bruteforce — exact top-5 cosine neighbors for the first 10
-    * vectors; the tiny query id set broadcasts, corpus never shuffles. */
+    * vectors; the tiny query id set broadcasts and the per-query top-k
+    * is the partial-aggregable [[topK]] fold, so the only exchange
+    * carries ≤ 10·k pre-reduced rows (the corpus side still plans one
+    * exchange inside [[pairCosine]]'s vec_b join — the scan itself is
+    * what parallelizes linearly at 100 TB). */
   def annBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
     val v = vecs(spark, sfDir)
     val ids = Tables.embeddings(spark, sfDir).select(col("vec_id"))
     val cand = ids.filter(col("vec_id") < 10).select(col("vec_id").as("vec_a"))
       .crossJoin(ids.select(col("vec_id").as("vec_b")))
       .filter(col("vec_a") =!= col("vec_b"))
-    val w = Window.partitionBy(col("vec_a"))
-      .orderBy(col("cosine").desc, col("vec_b").asc)
-    pairCosine(cand, v)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= AnnK)
-      .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
-        col("rank"), round(col("cosine"), 6).as("cosine"))
-      .orderBy("query_id", "rank")
+    topK(cand, v, AnnK)
   }
 
   /** Mirror unordered (id_a < id_b) pairs into both directions — the
     * equivalent of the `=!=` bucket self-join, but fed from the
-    * skew-bounded [[CandidatePairs.boundedSelfJoin]]. */
+    * skew-bounded [[CandidatePairs.boundedSelfJoin]]. An explode of a
+    * 2-element array, NOT a union of two selects: a union embeds the
+    * whole candidate subplan twice (every scan/shuffle runs twice —
+    * measured 12 exchanges vs 6 at sf0.1), while the explode mirrors
+    * rows in a streaming projection over the single subplan. */
   private def bothDirections(und: DataFrame): DataFrame =
-    und.select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
-      .unionAll(und.select(col("id_b").as("vec_a"), col("id_a").as("vec_b")))
+    und.select(explode(array(
+        struct(col("id_a").as("vec_a"), col("id_b").as("vec_b")),
+        struct(col("id_b").as("vec_a"), col("id_a").as("vec_b")))).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"))
 
-  /** Per-query top-k ranking over a candidate pair set. */
-  private def topK(cand: DataFrame, v: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_a"))
-      .orderBy(col("cosine").desc, col("vec_b").asc)
+  /** Per-query top-k ranking over a candidate pair set — the native
+    * [[org.apache.spark.sql.graft.TopKByScore]] aggregate, NOT a
+    * window: a `row_number` window shuffles and sorts every candidate
+    * row, while the aggregate's map-side combine pre-reduces each
+    * partition to ≤ k rows per query before the exchange, so the
+    * shuffle carries O(queries·k) regardless of candidate volume.
+    * Ordering (cosine DESC, vec_b ASC) is identical to the oracle's
+    * row_number window. */
+  private def topK(cand: DataFrame, v: DataFrame, k: Int): DataFrame =
     pairCosine(cand, v)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
-        col("rank"), round(col("cosine"), 6).as("cosine"))
+      .groupBy(col("vec_a"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(col("cosine"), col("vec_b"), k).as("top"))
+      .select(col("vec_a"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("vec_a").as("query_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("s.score"), 6).as("cosine"))
       .orderBy("query_id", "rank")
-  }
 
   /** Corpus row count for LSH/IVF parameter planning. This is a
     * deliberate driver-side statistics read (parquet footer row counts,
@@ -298,25 +307,31 @@ object Similarity {
     val n = corpusSize(spark, sfDir)
     val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
     val cents = broadcast(trainCentroids(spark, v, n, k).toDF("cent_id", "cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cent_id").asc)
-    val assigns = v.crossJoin(cents)
+    // per-vector nearest-IvfNProbe cells via the native top-k aggregate:
+    // the n×k (sim, cent) candidate rows reduce MAP-SIDE to one top-2
+    // buffer per vector, so the exchange carries n rows — a row_number
+    // window here would shuffle and sort all n×k rows, which at k=√n is
+    // the dominant cost of building the index at 100 TB.
+    val top2 = v.crossJoin(cents)
       .select(col("vec_id"), col("cent_id"),
         org.apache.spark.sql.graft.native.cosineSim(col("v"), col("cv")).as("sim"))
-      .withColumn("rn", row_number().over(wAssign))
-    // index side: every vector lives in exactly ONE cell (rn = 1);
+      .groupBy(col("vec_id"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(col("sim"), col("cent_id").cast("long"), IvfNProbe).as("tc"))
+    // index side: every vector lives in exactly ONE cell (its top-1);
     // query side: each vector PROBES its IvfNProbe nearest cells, so a
     // true neighbor sitting just across a Voronoi boundary is still
     // found. The probe⋈cell equi-join emits each pair at most once
     // (the neighbor's cell is unique), and the two branches share the
-    // assignment window subtree via ReuseExchange. Cell size is
-    // ~sqrt(n) by the k-means sizing, which bounds per-cell join work;
-    // residual cell skew (a degenerate centroid attracting a huge
-    // cell) is a plain equi-join skew, the exact shape AQE's runtime
-    // skew-join splitting handles (on in GraftSession).
-    val cells = assigns.filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
-    val probes = assigns.filter(col("rn") <= IvfNProbe)
-      .select(col("vec_id").as("vec_a"), col("cent_id"))
+    // top-2 aggregate subtree via ReuseExchange. Cell size is ~sqrt(n)
+    // by the k-means sizing, which bounds per-cell join work; residual
+    // cell skew (a degenerate centroid attracting a huge cell) is a
+    // plain equi-join skew, the exact shape AQE's runtime skew-join
+    // splitting handles (on in GraftSession).
+    val cells = top2.select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
+    val probes = top2
+      .select(col("vec_id").as("vec_a"), explode(col("tc")).as("s"))
+      .select(col("vec_a"), col("s.id").as("cent_id"))
     val cand = probes
       .join(cells.select(col("vec_id").as("vec_b"), col("cent_id")), "cent_id")
       .filter(col("vec_a") =!= col("vec_b"))

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -152,6 +152,117 @@ case class MinHashSignatureAgg(
     copy(child = newChild)
 }
 
+/** Bounded top-k aggregate over (score, id) pairs: keeps the k best
+  * under (score DESC, id ASC) — exactly `row_number() OVER (ORDER BY
+  * score DESC, id ASC) <= k` — as a k-slot sorted buffer.
+  *
+  * This is THE scale fix for per-group ranking: a window function must
+  * shuffle and sort EVERY candidate row (per-query ANN ranking at
+  * k=√n centroids is n×k rows through one exchange — 10^16+ at 100 TB),
+  * while this aggregate is partial-aggregable, so map-side combine
+  * reduces each partition's contribution to ≤ k rows per group before
+  * the shuffle: the exchange carries O(groups·k), independent of the
+  * candidate count. Update/merge are O(k) per element (k here is 2–5;
+  * a heap would win only for large k).
+  *
+  * Scores compare via java.lang.Double.compare (NaN largest — Spark's
+  * own double ordering); null scores/ids are skipped. Output:
+  * array<struct<score,id>> best-first, so rank = array position + 1.
+  */
+final class TopKBuffer(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var n = 0
+
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
+
+  def add(s: Double, id: Long): Unit = {
+    if (n == k) {
+      if (!better(s, id, scores(k - 1), ids(k - 1))) return
+      n -= 1 // evict current worst; the insert below refills the slot
+    }
+    var pos = n
+    while (pos > 0 && better(s, id, scores(pos - 1), ids(pos - 1))) pos -= 1
+    var j = n
+    while (j > pos) { scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1 }
+    scores(pos) = s; ids(pos) = id; n += 1
+  }
+}
+
+case class TopKByScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression] {
+
+  require(k > 0, s"top-k size must be positive, got $k")
+
+  override def left: Expression = score
+  override def right: Expression = id
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: TopKBuffer, b2: TopKBuffer): TopKBuffer = {
+    var i = 0
+    while (i < b2.n) { b1.add(b2.scores(i), b2.ids(i)); i += 1 }
+    b1
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val out = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(buf.scores(i), buf.ids(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.n)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKBuffer(k)
+    var i = 0
+    // inserts arrive already best-first, so each add is O(1) appends
+    while (i < n) { buf.add(bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k_by_score"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKByScore =
+    copy(score = newLeft, id = newRight)
+}
+
 /** Column-level entry points for the native expressions. */
 object native {
   def cosineSim(a: Column, b: Column): Column =
@@ -161,6 +272,11 @@ object native {
   def minhashSignature(h: Column, numHashes: Int): Column =
     ExpressionUtils.column(
       MinHashSignatureAgg(ExpressionUtils.expression(h), numHashes).toAggregateExpression())
+
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(
+      TopKByScore(ExpressionUtils.expression(score), ExpressionUtils.expression(id), k)
+        .toAggregateExpression())
 
   def rollingHash(s: Column, window: Int): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(s), window))

@@ -98,4 +98,52 @@ class ExpressionsSpec extends SparkSuite {
   test("GraftExtensions registers without error") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
+
+  test("TopKByScore equals the row_number window formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // duplicate scores force the id ASC tie-break; multiple partitions
+    // force real partial/merge paths through the shuffle
+    val rows = Seq.tabulate(5000) { i =>
+      (i % 37L, math.floor(rnd.nextDouble() * 20) / 20.0, rnd.nextInt(500).toLong)
+    }
+    val df = rows.toDF("g", "score", "id").repartition(16).cache()
+    val k = 4
+    val got = df.groupBy(col("g"))
+      .agg(native.topKByScore(col("score"), col("id"), k).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rank"), col("s.score"), col("s.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score").desc, col("id").asc)
+    val want = df
+      // the window ranks EVERY row; dedupe (g, score, id) first so ties
+      // on the full triple don't make row_number arbitrary between them
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .collect().map(r => (r.getLong(0), r.getInt(3).toLong, r.getDouble(1), r.getLong(2))).toSet
+    val gotDedup = df.distinct().groupBy(col("g"))
+      .agg(native.topKByScore(col("score"), col("id"), k).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rank"), col("s.score"), col("s.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(gotDedup == want)
+    assert(got.nonEmpty)
+  }
+
+  test("TopKByScore handles under-full groups and null scores") {
+    import spark.implicits._
+    val df = Seq[(Long, Option[Double], Long)](
+      (1L, Some(0.5), 10L), (1L, Some(0.9), 11L),
+      (2L, None, 20L), (2L, Some(0.1), 21L)
+    ).toDF("g", "score", "id")
+    val got = df.groupBy(col("g"))
+      .agg(native.topKByScore(col("score"), col("id"), 3).as("top"))
+      .select(col("g"), col("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(s => (s.getDouble(0), s.getLong(1)))).toMap
+    assert(got(1L) == Seq((0.9, 11L), (0.5, 10L)))
+    assert(got(2L) == Seq((0.1, 21L))) // null score skipped, group under-full
+  }
 }

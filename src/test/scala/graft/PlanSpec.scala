@@ -51,6 +51,23 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q17 candidates: single subplan (explode mirror) + runtime exchange reuse") {
+    // the both-directions mirror must NOT be a union of two selects over
+    // the candidate subplan — that embeds (and runs) every scan/shuffle
+    // twice. Static check: exactly one parquet scan of the embeddings
+    // table in the whole candidate plan...
+    val cand = graft.operators.Similarity.annLshCandidates(spark, sf)
+    val statics = cand.queryExecution.executedPlan.toString
+    // (left + right of the bucket self-join = 2 scans; a union-duplicated
+    // plan had 4)
+    assert("embeddings\\.parquet".r.findAllIn(statics).size <= 2, statics.take(500))
+    // ...dynamic check: after execution, AQE reuses the bucket-code
+    // exchange between the self-join's left and salted-right sides
+    cand.queryExecution.toRdd.foreach(_ => ())
+    val fin = cand.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange"), fin.take(800))
+  }
+
   test("q01 wordcount aggregates with map-side partial aggregation") {
     val p = plan("q01_wordcount")
     // two HashAggregates (partial + final) around the exchange
