@@ -62,7 +62,8 @@ object SparkEntry {
     "q48_sample"          -> (Sampling.stratifiedSample _),
     "q49_langstats"       -> (TextAnalysis.langStats _),
     "q50_pmi"             -> (TextAnalysis.pmi _),
-    "q51_decontaminate"   -> (Dedup.decontaminate _)
+    "q51_decontaminate"   -> (Dedup.decontaminate _),
+    "q52_curation_chain"  -> (Pipeline.curationChain _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -711,6 +712,48 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_hits
         |FROM sh JOIN bench USING (g)
         |WHERE doc_id % 50 <> 0
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q52_curation_chain" ->
+      ("WITH RECURSIVE " + jaccardCte.stripPrefix("WITH ") +
+        """,
+          |edges AS (
+          |  SELECT i AS src, j AS dst FROM jac WHERE jaccard >= 0.8
+          |  UNION ALL
+          |  SELECT j AS src, i AS dst FROM jac WHERE jaccard >= 0.8
+          |),
+          |reach AS (
+          |  SELECT doc_id AS doc, doc_id AS root FROM documents
+          |  UNION
+          |  SELECT e.src AS doc, r.root
+          |  FROM reach r JOIN edges e ON e.dst = r.doc
+          |),
+          |labels AS (SELECT doc AS doc_id, min(root) AS cluster_id FROM reach GROUP BY doc),
+          |t2 AS (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents),
+          |qual AS (
+          |  SELECT doc_id,
+          |         round(0.4 * round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) * 1.0 / len(w), 4)
+          |             + 0.3 * round(len(list_distinct(w)) * 1.0 / len(w), 4)
+          |             + 0.3 * least(len(w) / 100.0, 1.0), 5) AS quality_score
+          |  FROM t2
+          |),
+          |surv AS (
+          |  SELECT doc_id FROM documents
+          |  WHERE doc_id NOT IN (SELECT DISTINCT j FROM jac WHERE jaccard >= 0.8)
+          |),
+          |kept AS (
+          |  SELECT l.cluster_id, count(*) AS n_kept
+          |  FROM labels l JOIN surv USING (doc_id) GROUP BY 1
+          |),
+          |m AS (
+          |  SELECT l.cluster_id, l.doc_id, q.quality_score,
+          |         count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+          |         row_number() OVER (PARTITION BY l.cluster_id
+          |                            ORDER BY q.quality_score DESC, l.doc_id ASC) AS rn
+          |  FROM labels l JOIN qual q USING (doc_id)
+          |)
+          |SELECT m.cluster_id, m.doc_id AS rep_doc_id, m.quality_score AS rep_quality,
+          |       m.n_members, k.n_kept
+          |FROM m JOIN kept k ON k.cluster_id = m.cluster_id
+          |WHERE m.rn = 1 ORDER BY m.cluster_id""".stripMargin)
   )
 }

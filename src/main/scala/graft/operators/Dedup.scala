@@ -276,15 +276,21 @@ object Dedup {
     * Components come from [[connectedComponents]] (large-star/
     * small-star, O(log n) rounds); docs with no near-dup partner fall
     * through the left join and label themselves. */
-  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhashPairs(spark, sfDir)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val (labels, _) = connectedComponents(pairs)
-    Tables.documents(spark, sfDir).select(col("doc_id"))
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    dupClustersFrom(
+      Tables.documents(spark, sfDir), minhashPairs(spark, sfDir))
+      .orderBy("doc_id")
+
+  /** Transitive cluster labels from a PRECOMPUTED verified pair frame
+    * (cols doc_a, doc_b) — the reuse twin of [[dupClusters]] for
+    * curation runs that materialized the q12 pair set once. */
+  def dupClustersFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val (labels, _) = connectedComponents(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .orderBy("doc_id")
   }
 
   /** Survivor set from a PRECOMPUTED verified pair frame (cols doc_a,

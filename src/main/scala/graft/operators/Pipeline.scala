@@ -53,6 +53,40 @@ object Pipeline {
       .orderBy("cluster_id")
   }
 
+  /** q52_curation_chain — the REUSE composition the per-query contract
+    * can't show: materialize the verified near-dup pair set ONCE
+    * (localCheckpoint — the expensive MinHash-LSH pass), then chain
+    *
+    *   - q14's survivor filter ([[Dedup.ngramDedupFrom]]),
+    *   - q31's transitive clusters ([[Dedup.dupClustersFrom]]),
+    *   - q47's canonical reps ([[clusterRepsFrom]])
+    *
+    * from that one frame. Output per cluster: the representative, its
+    * quality, the member count, and how many members the pairwise
+    * survivor filter keeps (n_kept). Running q14+q31+q47 independently
+    * recomputes the LSH pipeline three times (~16 s at sf0.1); the
+    * chain pays it once. n_kept ≥ 1 always — each cluster's minimum
+    * doc_id has no smaller-id partner (a partner would be in the same
+    * cluster), so the kept join is inner on both engines.
+    *
+    * At 100 TB the localCheckpoint becomes a persisted pair table
+    * (executor-local blocks here; same plan shape either way). */
+  def curationChain(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, sfDir).localCheckpoint()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val survivors = Dedup.ngramDedupFrom(docs, pairs).select(col("doc_id"))
+    val labels = Dedup.dupClustersFrom(docs, pairs)
+    val qual = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    val kept = labels.join(survivors, "doc_id")
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_kept"))
+    clusterRepsFrom(labels, qual)
+      .join(kept, "cluster_id")
+      .select(col("cluster_id"), col("rep_doc_id"), col("rep_quality"),
+        col("n_members"), col("n_kept"))
+      .orderBy("cluster_id")
+  }
+
   def curate(spark: SparkSession, sfDir: String): DataFrame = {
     val exactSurvivors = TextAnalysis.normalize(spark, sfDir)
       .groupBy(col("norm_hash"))

@@ -26,6 +26,26 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("curation chain equals its independently-computed stages") {
+    val chain = Pipeline.curationChain(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // reps columns must equal the standalone q47 result
+    val reps = Pipeline.clusterReps(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(chain.view.mapValues(v => (v._1, v._2, v._3)).toMap == reps)
+    // n_kept must equal the per-cluster count of standalone q14 survivors
+    val survivors = graft.operators.Dedup.ngramDedup(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val labels = graft.operators.Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val wantKept = labels.filter(l => survivors(l._1))
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(chain.view.mapValues(_._4).toMap == wantKept)
+    // every cluster keeps at least its minimum-id member
+    assert(chain.values.forall(_._4 >= 1L))
+  }
+
   test("stratified sample is deterministic and respects per-lang rates") {
     val a = Sampling.stratifiedSample(spark, sf).collect().map(_.getLong(0)).toSeq
     val b = Sampling.stratifiedSample(spark, sf).collect().map(_.getLong(0)).toSeq
