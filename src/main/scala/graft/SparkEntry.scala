@@ -257,7 +257,8 @@ object SparkEntry {
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |         list_dot_product(ea.v, eb.v) /
         |         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine_raw
-        |  FROM codes a JOIN codes b ON a.c = b.c AND a.vec_id <> b.vec_id
+        |  FROM codes a JOIN codes b
+        |    ON bit_count(xor(a.c::BIGINT, b.c::BIGINT)) <= 1 AND a.vec_id <> b.vec_id
         |  JOIN e ea ON ea.vec_id = a.vec_id
         |  JOIN e eb ON eb.vec_id = b.vec_id
         |),

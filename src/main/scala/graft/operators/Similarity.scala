@@ -107,7 +107,7 @@ object Similarity {
   /** vec_id → one bucket code per (table) for the given weight tag;
     * output (vec_id, t, c). Codegen'd: per component row, each bit's
     * contribution is x * element_at(<literal weights>, d+1). */
-  private def codes(comp: DataFrame, tag: String, tables: Int, bits: Int): DataFrame = {
+  private[graft] def codes(comp: DataFrame, tag: String, tables: Int, bits: Int): DataFrame = {
     val dotCols = for (t <- 0 until tables; i <- 0 until bits)
       yield sum(col("x") * element_at(typedlit(weights(tag, t, i)), col("d") + 1))
         .as(s"dot_${t}_${i}")
@@ -339,29 +339,44 @@ object Similarity {
     topK(cand, v, BucketK)
   }
 
-  /** q17_ann_lsh — bucketed ANN: ONE signed-projection table whose bit
-    * count GROWS with the corpus (bits = ceil(log2(n/[[TargetBucket]])),
-    * so expected bucket size stays ~[[TargetBucket]] and candidate
-    * volume stays ~linear in n — doubling the corpus adds a bit instead
-    * of squaring the per-bucket join). Top-3 neighbors within each
-    * query's own bucket; the self-join is co-partitioned on the bucket
-    * code and skew-bounded by [[CandidatePairs.boundedSelfJoin]].
-    * (A further recall knob at fixed bits is multi-probe — also join
-    * each query against the codes at Hamming distance 1 from its own;
-    * not part of the graded spec because adaptive bits already keep
-    * bucket population on target.) */
+  /** q17_ann_lsh — bucketed ANN with MULTI-PROBE: ONE signed-projection
+    * table whose bit count GROWS with the corpus (bits =
+    * ceil(log2(n/[[TargetBucket]])), so expected bucket size stays
+    * ~[[TargetBucket]] and candidate volume stays ~linear in n —
+    * doubling the corpus adds a bit instead of squaring the per-bucket
+    * join), and each query probes its own code PLUS every code at
+    * Hamming distance 1 — the standard multi-probe recall knob: raising
+    * recall at fixed bits costs a bits× candidate factor instead of the
+    * full re-shuffle that re-bucketing to fewer bits would.
+    *
+    * Top-3 neighbors within the probe set; candidates come from
+    * [[annLshCandidates]] (skew-bounded, single subplan). */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame =
     topK(annLshCandidates(spark, sfDir), vecs(spark, sfDir), BucketK)
 
-  /** q17's candidate stage, exposed so SimilaritySpec can assert the
-    * scaling contract directly: candidate volume must grow ~linearly
-    * with corpus size (adaptive bits keep expected bucket size fixed),
-    * not quadratically as a fixed bucket count would. */
+  /** q17's candidate stage: all ordered pairs with
+    * hamming(code_a, code_b) ≤ 1 — exactly "probe own bucket + every
+    * Hamming-1 bucket", which is a SYMMETRIC relation, so it reduces to
+    * a bucket SELF-join over `bits` 1-bit-masked tables: vec v lands in
+    * bucket (i, code & ~(1<<i)) for each bit i, and two codes share ≥1
+    * masked bucket iff they differ in at most one bit (equal codes
+    * share all of them; the final distinct dedups). This keeps the
+    * whole probe expansion inside [[CandidatePairs.boundedSelfJoin]] —
+    * same skew cap, salting and telemetry as the single-bucket form,
+    * no directed probe⋈index join needed. Masked buckets merge two
+    * true buckets (expected ~2·[[TargetBucket]] members), so the cap
+    * doubles.
+    *
+    * Exposed so SimilaritySpec can assert the scaling contract:
+    * candidate volume grows ~linearly×bits with corpus size, never
+    * quadratically. */
   private[graft] def annLshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val comp = components(spark, sfDir)
     val bits = adaptiveBits(corpusSize(spark, sfDir))
     val coded = codes(comp, "ivf", 1, bits).select(col("vec_id"), col("c"))
+    val masked = coded.select(col("vec_id"), posexplode(array(
+      (0 until bits).map(i => col("c").bitwiseAND(lit(~(1 << i)))): _*)).as(Seq("t", "mc")))
     bothDirections(
-      CandidatePairs.boundedSelfJoin(coded, Seq("c"), "vec_id", BucketCap))
+      CandidatePairs.boundedSelfJoin(masked, Seq("t", "mc"), "vec_id", 2 * BucketCap))
   }
 }

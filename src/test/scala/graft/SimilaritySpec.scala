@@ -129,6 +129,45 @@ class SimilaritySpec extends SparkSuite {
     assert(init.subsetOf(vectors.keySet))
   }
 
+  test("multi-probe q17 strictly widens own-bucket candidates and lifts recall@3") {
+    val exact = {
+      val ids = vectors.keys.toSeq.sorted
+      ids.flatMap { q =>
+        ids.filter(_ != q)
+          .map(n => (n, cosine(vectors(q), vectors(n))))
+          .sortBy { case (n, c) => (-c, n) }
+          .take(Similarity.BucketK)
+          .map { case (n, _) => (q, n) }
+      }.toSet
+    }
+    def recallOf(pairs: Set[(Long, Long)]): Double =
+      (pairs & exact).size.toDouble / exact.size
+    val multi = Similarity.annLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multiCand = Similarity.annLshCandidates(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // own-bucket-only reference, same codes, no probing
+    val comp = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    val bits = Similarity.adaptiveBits(n)
+    val ownCand = {
+      val coded = Similarity.codes(comp, "ivf", 1, bits)
+        .select(col("vec_id"), col("c"))
+      graft.operators.CandidatePairs
+        .boundedSelfJoin(coded, Seq("c"), "vec_id", Similarity.BucketCap)
+        .collect().flatMap(r =>
+          Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    }
+    assert(ownCand.subsetOf(multiCand), "multi-probe must cover every own-bucket pair")
+    assert(multiCand.size > ownCand.size, "multi-probe must add hamming-1 pairs")
+    // recall of the final top-3 must not regress vs what the own-bucket
+    // candidate set could possibly achieve, and must clear a floor
+    val ownCeiling = recallOf(ownCand)   // best any own-bucket ranking can do
+    val got = recallOf(multi)
+    assert(got > ownCeiling, s"recall $got did not lift over own-bucket ceiling $ownCeiling")
+  }
+
   test("q17 candidate volume grows ~linearly, not quadratically, with the corpus") {
     val small = "/root/testdata/sf0.01"
     val large = "/root/testdata/sf0.1"
