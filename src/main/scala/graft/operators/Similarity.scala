@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * Three shapes:
   *  - q16 brute-force top-k: the correctness baseline. The SMALL query
-  *    side is broadcast; the corpus is scanned partition-local, never
-  *    shuffled, and the per-query top-k is a window over the query ×
-  *    corpus candidate set. At 100 TB the corpus-side scan dominates and
-  *    parallelizes linearly.
+  *    side is broadcast; the per-query top-k is the partial-aggregable
+  *    native top-k aggregate, so the ranking exchange carries only
+  *    queries×k pre-reduced rows (the corpus side still plans one
+  *    exchange for the pair⋈vector join). At 100 TB the corpus scan
+  *    dominates and parallelizes linearly.
   *  - q15 near-dup pairs: random-hyperplane LSH (8 tables × 8 bits)
   *    generates candidate pairs bucket-locally, then exact cosine ≥
   *    threshold verifies. Recall follows the standard 1-(1-p^b)^L curve
@@ -21,12 +22,12 @@ import org.apache.spark.sql.functions._
   *    not statistically.
   *  - q17 bucketed ANN: one signed-projection table with
   *    corpus-adaptive bit count (expected bucket size ~[[TargetBucket]]
-  *    at any scale); per-query top-k within its bucket, joined
-  *    co-partitioned on the bucket code — the scale path where the
-  *    brute-force product is infeasible.
-  *  - q28 IVF ANN: ~sqrt(n) k-means-trained centroids (deterministic
-  *    broadcast Lloyd's), per-cell search skew-bounded by
-  *    [[CandidatePairs]].
+  *    at any scale) plus Hamming-1 MULTI-PROBE; per-query top-k within
+  *    the probe set, joined co-partitioned on masked bucket codes — the
+  *    scale path where the brute-force product is infeasible.
+  *  - q28 IVF ANN: ~sqrt(n) centroids k-means-trained on a bounded
+  *    hash-sample (deterministic broadcast Lloyd's), per-cell search
+  *    skew-bounded by [[CandidatePairs]].
   *
   * Implementation note — everything is posexplode + codegen'd joins and
   * aggregates, NO higher-order array functions: `aggregate`/`zip_with`

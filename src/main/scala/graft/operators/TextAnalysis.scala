@@ -29,8 +29,13 @@ object TextAnalysis {
 
   private def toks: Column = T.wsTokens(col("text"))
 
+  /** Occurrences of any profile word among the tokens. Per word:
+    * occurrences = size(tokens) - size(array_remove(tokens, word)) —
+    * plain codegen'd collection expressions, NOT `filter(tokens, λ)`:
+    * lambda higher-order functions evaluate interpreted, and this
+    * score sits inside the q18/q19 per-document scoring projections. */
   private def profileScore(tokens: Column, words: Seq[String]): Column =
-    size(filter(tokens, t => t.isin(words.map(lit(_)): _*)))
+    words.map(w => size(tokens) - size(array_remove(tokens, lit(w)))).reduce(_ + _)
 
   /** q18_langid — stopword-profile argmax with deterministic alphabetical
     * tie-break (encoded as ascending sort on (-score, lang)). */
@@ -56,8 +61,13 @@ object TextAnalysis {
     Tables.documents(spark, sfDir)
       .withColumn("w", toks)
       .withColumn("n_tokens", size(col("w")))
+      // sum of token lengths == count of non-whitespace chars, so the
+      // mean word length needs NO higher-order functions (aggregate/
+      // transform evaluate interpreted, breaking codegen in the scoring
+      // projection): strip the whitespace and take the string length —
+      // both codegen'd string expressions.
       .withColumn("mean_word_len",
-        round(aggregate(transform(col("w"), t => length(t)), lit(0), (a, x) => a + x)
+        round(length(regexp_replace(col("text"), "[ \t\n\r]", ""))
           .cast("double") / col("n_tokens"), 4))
       .withColumn("stopword_ratio",
         round(profileScore(col("w"), enWords).cast("double") / col("n_tokens"), 4))

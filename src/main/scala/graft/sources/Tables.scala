@@ -40,6 +40,25 @@ object Tables {
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
+  /** Streaming twin of [[events]]: the same parquet directory as a file
+    * source with the identical ns→µs conversion, so batch and streaming
+    * window queries run the same downstream code path. (File sources
+    * need an explicit schema; it comes from one metadata-only batch
+    * read of the same path.) */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    // the testdata table is a single FILE; the file stream source only
+    // anchors its base at a directory, so address the file through a
+    // single-alternative glob — globbed paths keep the parent as base
+    // (at scale the table is simply a directory and none of this shows)
+    spark.readStream.schema(rawSchema).parquet(s"$sfDir/{events.parquet}")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 

@@ -68,6 +68,16 @@ class PlanSpec extends SparkSuite {
     assert(fin.contains("ReusedExchange"), fin.take(800))
   }
 
+  test("q19 scoring projection stays inside whole-stage codegen (no interpreted HOFs)") {
+    val p = plan("q19_quality")
+    // the feature projection must not use the interpreted higher-order
+    // functions (aggregate/transform/filter lambdas) NOTES bans from hot
+    // paths — every expression left is codegen'd (string/collection ops).
+    // (AQE's formatted explain doesn't print WholeStageCodegen spans
+    // pre-execution, so absence-of-lambdas IS the codegen assertion.)
+    assert(!p.contains("lambdafunction"), p.take(600))
+  }
+
   test("q01 wordcount aggregates with map-side partial aggregation") {
     val p = plan("q01_wordcount")
     // two HashAggregates (partial + final) around the exchange

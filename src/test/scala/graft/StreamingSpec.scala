@@ -147,6 +147,24 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("q23 parity end-to-end at sf0.01: file-source stream equals the graded windowQuery") {
+    val sfDir = "/root/testdata/sf0.01"
+    val stream = graft.sources.Tables.eventsStream(spark, sfDir)
+    val query = EventStream.windowedAgg(stream)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("q23_parity_out").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("q23_parity_out").collect()
+      val batch = EventStream.windowQuery(spark, sfDir).collect()
+      // row-for-row: grouped output has no duplicates, so set equality
+      // + equal sizes is exact
+      assert(streamed.length == batch.length)
+      assert(streamed.map(_.toSeq).toSet == batch.map(_.toSeq).toSet)
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("batch and streaming window paths agree on the events table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
