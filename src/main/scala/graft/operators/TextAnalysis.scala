@@ -29,13 +29,14 @@ object TextAnalysis {
 
   private def toks: Column = T.wsTokens(col("text"))
 
-  /** Occurrences of any profile word among the tokens. Per word:
-    * occurrences = size(tokens) - size(array_remove(tokens, word)) —
-    * plain codegen'd collection expressions, NOT `filter(tokens, λ)`:
-    * lambda higher-order functions evaluate interpreted, and this
-    * score sits inside the q18/q19 per-document scoring projections. */
+  /** Occurrences of any profile word among the tokens — the native
+    * single-pass codegen'd [[org.apache.spark.sql.graft.CountInSet]]
+    * expression. Not `size(filter(tokens, λ))` (interpreted lambda per
+    * element) and not per-word `array_remove` arithmetic (one array
+    * copy per word — measured 2× q33 wall-clock at 8 words): one
+    * hash-probe loop per row, inside whole-stage codegen. */
   private def profileScore(tokens: Column, words: Seq[String]): Column =
-    words.map(w => size(tokens) - size(array_remove(tokens, lit(w)))).reduce(_ + _)
+    org.apache.spark.sql.graft.native.countInSet(tokens, words)
 
   /** q18_langid — stopword-profile argmax with deterministic alphabetical
     * tie-break (encoded as ascending sort on (-score, lang)). */

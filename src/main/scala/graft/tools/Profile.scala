@@ -71,6 +71,24 @@ object Profile {
     t("q15 full") { Similarity.embedNeardup(spark, sfDir).count() }
     spark.stop()
   }
+
+  /** Pipeline breakdown: q33 stage costs. */
+  def main0Pipe(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.builder(s"local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    t("warmup") { graft.sources.Tables.documents(spark, sfDir).count() }
+    t("normalize") { TextAnalysis.normalize(spark, sfDir).count() }
+    t("quality") { TextAnalysis.quality(spark, sfDir).count() }
+    t("minhashPairs") { Dedup.minhashPairs(spark, sfDir).count() }
+    t("q33 full") { Pipeline.curate(spark, sfDir).count() }
+    t("q33 full 2nd") { Pipeline.curate(spark, sfDir).count() }
+    t("q18 langid") { TextAnalysis.langId(spark, sfDir).count() }
+    spark.stop()
+  }
 }
+
+object ProfilePipe { def main(args: Array[String]): Unit = Profile.main0Pipe(args) }
 
 object ProfileAnn { def main(args: Array[String]): Unit = Profile.main0Ann(args) }

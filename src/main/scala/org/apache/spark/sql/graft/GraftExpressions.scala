@@ -152,6 +152,60 @@ case class MinHashSignatureAgg(
     copy(child = newChild)
 }
 
+/** Count of array elements contained in a literal word set — the
+  * stopword-scoring primitive (q18 language-ID profiles, q19 quality).
+  *
+  * One hash-probe loop per row, generated into whole-stage codegen.
+  * The two `functions._` formulations both lose:
+  * `size(filter(arr, λ))` evaluates the lambda interpreted per element,
+  * and `Σ_w (size(arr) - size(array_remove(arr, w)))` copies the array
+  * once per word (measured 2× q33 wall-clock at 8 words). The word set
+  * ships as a reference object of pre-encoded UTF8Strings.
+  */
+case class CountInSet(child: Expression, words: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_in_set"
+
+  @transient private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](words.size * 2)
+    words.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("cnt")
+      s"""
+         |int $c = 0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i) && $setRef.contains($a.getUTF8String($i))) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Bounded top-k aggregate over (score, id) pairs: keeps the k best
   * under (score DESC, id ASC) — exactly `row_number() OVER (ORDER BY
   * score DESC, id ASC) <= k` — as a k-slot sorted buffer.
@@ -272,6 +326,9 @@ object native {
   def minhashSignature(h: Column, numHashes: Int): Column =
     ExpressionUtils.column(
       MinHashSignatureAgg(ExpressionUtils.expression(h), numHashes).toAggregateExpression())
+
+  def countInSet(arr: Column, words: Seq[String]): Column =
+    ExpressionUtils.column(CountInSet(ExpressionUtils.expression(arr), words))
 
   def topKByScore(score: Column, id: Column, k: Int): Column =
     ExpressionUtils.column(

@@ -99,6 +99,29 @@ class ExpressionsSpec extends SparkSuite {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("CountInSet equals the filter-lambda formulation and a driver-side count") {
+    import spark.implicits._
+    val words = Seq("the", "a", "of")
+    val docs = graft.sources.Tables.documents(spark, sf).limit(100)
+      .select(col("doc_id"), graft.functions.TextFunctions.wsTokens(col("text")).as("w"))
+    val gotNative = docs.select(col("doc_id"), native.countInSet(col("w"), words).as("c"))
+      .as[(Long, Int)].collect().toMap
+    val gotHof = docs.select(col("doc_id"),
+        size(filter(col("w"), t => t.isin(words.map(lit(_)): _*))).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(gotNative == gotHof && gotNative.nonEmpty)
+    // driver-side spot check + null/empty handling
+    val wset = words.toSet
+    val direct = docs.as[(Long, Seq[String])].collect()
+      .map { case (id, w) => id -> w.count(wset) }.toMap
+    assert(gotNative == direct)
+    val edge = Seq((1L, Seq.empty[String]), (2L, Seq("the", "the", "xx")))
+      .toDF("id", "w")
+      .select(col("id"), native.countInSet(col("w"), words).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(edge == Map(1L -> 0, 2L -> 2))
+  }
+
   test("TopKByScore equals the row_number window formulation") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
