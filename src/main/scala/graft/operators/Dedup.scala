@@ -247,17 +247,41 @@ object Dedup {
     // collapses to their final star — the loop then converges (and is
     // detected) one full round earlier; chain-shaped components are
     // unaffected asymptotically
+    // per-round convergence check, two tiers:
+    //   1. a scan-local edge-set signature (count, Σu, Σv, Σxxhash(u,v))
+    //      — one 1-row aggregate over the just-checkpointed blocks, NO
+    //      shuffle. Signatures differ ⇒ definitely not converged, next
+    //      round, probe skipped;
+    //   2. only when signatures MATCH, an exact symmetric-difference
+    //      anti-join probe confirms the fixpoint, so the exit criterion
+    //      stays exact (a 192-bit multiset-hash collision merely costs
+    //      one redundant probe, never a wrong answer).
+    // The old per-round probe anti-joined both edge sets — two extra
+    // shuffles of the FULL edge list every round; at 100 TB that probe
+    // doubled per-round shuffle volume.
+    // decimal(38,0) sums: a long sum of xxhash64 values overflows (ANSI
+    // arithmetic) after a handful of edges; decimal is exact to 10^38
+    def signature(d: DataFrame): Seq[Any] =
+      d.agg(count(lit(1)),
+        sum(col("u").cast("decimal(38,0)")),
+        sum(col("v").cast("decimal(38,0)")),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head.toSeq
     var e = smallStar(base).localCheckpoint()
+    var prevSig = signature(e)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint()
       rounds += 1
-      val changed = next.join(e, Seq("u", "v"), "left_anti")
-        .unionAll(e.join(next, Seq("u", "v"), "left_anti"))
-        .limit(1).count() // fixpoint iff the symmetric difference is empty
+      val nextSig = signature(next)
+      if (nextSig == prevSig) {
+        val changed = next.join(e, Seq("u", "v"), "left_anti")
+          .unionAll(e.join(next, Seq("u", "v"), "left_anti"))
+          .limit(1).count() // fixpoint iff the symmetric difference is empty
+        converged = changed == 0
+      }
+      prevSig = nextSig
       e = next
-      converged = changed == 0
     }
     if (!converged)
       throw new IllegalStateException(
