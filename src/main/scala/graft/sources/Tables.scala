@@ -62,6 +62,22 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
+  /** Interchange readers — the read side of [[Sinks]]' csv/json
+    * exports. Pass a schema whenever one is known: schema inference
+    * costs an extra full pass over the files, which at 100 TB is a
+    * second scan of the corpus. */
+  def csv(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  def json(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
   /** The reference's literal source shape: a directory of .txt files read
     * as (file, content) pairs (`example/word-count-taskfile.lua:40-63`
     * `read_source` + `taskfn` :82-88). Spark's file source enumerates and

@@ -39,4 +39,23 @@ class SinksSpec extends SparkSuite {
       .select(col("word"), col("cnt")).as[(String, Long)].collect().toMap
     assert(backJson == expected)
   }
+
+  test("Tables.csv/json readers round-trip sinks with and without explicit schema") {
+    import spark.implicits._
+    val wc = operators.WordCount.query(spark, sf)
+    val expected = wc.as[(String, Long)].collect().toMap
+    val cdir = tmp() + "/rt_csv"
+    Sinks.csv(wc, cdir)
+    val inferred = Tables.csv(spark, cdir)
+      .as[(String, Long)].collect().toMap
+    assert(inferred == expected)
+    val explicit = Tables.csv(spark, cdir, Some(wc.schema))
+      .as[(String, Long)].collect().toMap
+    assert(explicit == expected)
+    val jdir = tmp() + "/rt_json"
+    Sinks.json(wc, jdir)
+    val js = Tables.json(spark, jdir, Some(wc.schema))
+      .as[(String, Long)].collect().toMap
+    assert(js == expected)
+  }
 }
