@@ -63,7 +63,9 @@ object SparkEntry {
     "q49_langstats"       -> (TextAnalysis.langStats _),
     "q50_pmi"             -> (TextAnalysis.pmi _),
     "q51_decontaminate"   -> (Dedup.decontaminate _),
-    "q52_curation_chain"  -> (Pipeline.curationChain _)
+    "q52_curation_chain"  -> (Pipeline.curationChain _),
+    "q53_shard_pack"      -> (Packing.shardPack _),
+    "q54_repetition"      -> (TextAnalysis.repetition _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -755,6 +757,48 @@ object SparkEntry {
           |SELECT m.cluster_id, m.doc_id AS rep_doc_id, m.quality_score AS rep_quality,
           |       m.n_members, k.n_kept
           |FROM m JOIN kept k ON k.cluster_id = m.cluster_id
-          |WHERE m.rn = 1 ORDER BY m.cluster_id""".stripMargin)
+          |WHERE m.rn = 1 ORDER BY m.cluster_id""".stripMargin),
+    "q53_shard_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(regexp_extract_all(text, '[^ \t\n\r]+'))::BIGINT AS n
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, n,
+        |         sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND CURRENT ROW) - n AS pre
+        |  FROM t
+        |)
+        |SELECT (pre // 5000)::BIGINT AS shard_id, count(*) AS n_docs,
+        |       sum(n)::BIGINT AS shard_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q54_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id, len(w) AS n_tokens,
+        |         [w[i] || '_' || w[i+1] || '_' || w[i+2] FOR i IN range(1, len(w) - 1)] AS g
+        |  FROM t
+        |),
+        |r AS (
+        |  SELECT doc_id, n_tokens, len(g) AS n3, len(list_distinct(g)) AS u3 FROM sh
+        |),
+        |topt AS (
+        |  SELECT doc_id, max(c) AS top_c FROM (
+        |    SELECT doc_id, tk, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(w) AS tk FROM t) GROUP BY doc_id, tk)
+        |  GROUP BY doc_id
+        |),
+        |scored AS (
+        |  SELECT r.doc_id,
+        |         round((n3 - u3) * 1.0 / greatest(n3, 1), 4) AS dup_3gram_ratio,
+        |         round(top_c * 1.0 / n_tokens, 4) AS top_token_ratio
+        |  FROM r JOIN topt USING (doc_id)
+        |)
+        |SELECT doc_id, dup_3gram_ratio, top_token_ratio,
+        |       (dup_3gram_ratio > 0.5 OR top_token_ratio > 0.2) AS drop_doc
+        |FROM scored ORDER BY doc_id""".stripMargin
   )
 }

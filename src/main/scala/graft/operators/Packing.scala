@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q53_shard_pack — token-budget shard packing: the step that turns a
+  * curated corpus into training shards. Documents are packed in
+  * deterministic doc_id order; a document's shard is
+  * floor(exclusive-prefix-tokens / budget) — greedy sequential packing
+  * (documents may straddle a boundary; the budget governs where the
+  * NEXT shard starts, the standard pre-tokenization packing rule).
+  *
+  * The interesting part at 100 TB is the GLOBAL CUMULATIVE SUM: a bare
+  * `Window.orderBy(doc_id)` with no partition key collapses the corpus
+  * into ONE task. Instead the prefix sum is computed block-wise:
+  *
+  *   1. block = doc_id div [[BlockSize]] — per-block token totals are a
+  *      partial-aggregable groupBy (tiny result: n/BlockSize rows);
+  *   2. exclusive block prefixes via a window over the BLOCK TOTALS
+  *      only (the one ordered window runs over n/BlockSize rows, not n
+  *      — size the block so that frame stays driver-trivial; at 10^11
+  *      docs and BlockSize 10^6 it is 10^5 rows);
+  *   3. per-doc running sums inside each block (window PARTITIONED by
+  *      block — parallel across blocks) + the broadcast block prefix.
+  *
+  * All heavy shuffles are keyed by block; the unpartitioned window
+  * never sees more than corpus/BlockSize rows. Deterministic integer
+  * arithmetic end-to-end, so the DuckDB oracle's single-window global
+  * cumsum lands on identical shard ids.
+  */
+object Packing {
+
+  /** Tokens per shard (the training-shard budget at this toy scale). */
+  val ShardBudget = 5000L
+
+  /** Docs per prefix block — the parallelism/window-size tradeoff knob:
+    * the ordered block window handles corpus/BlockSize rows. */
+  val BlockSize = 1000L
+
+  def shardPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(T.wsTokens(col("text"))).cast("long").as("n"))
+      .withColumn("blk", expr(s"doc_id div $BlockSize"))
+    val wInBlk = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blkPrefix = toks.groupBy("blk").agg(sum(col("n")).as("bt"))
+      .withColumn("blk_pre",
+        coalesce(sum(col("bt")).over(
+          Window.orderBy(col("blk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("blk"), col("blk_pre"))
+    toks
+      .withColumn("cum_in_blk", sum(col("n")).over(wInBlk))
+      .join(broadcast(blkPrefix), "blk")
+      .withColumn("pre", col("blk_pre") + col("cum_in_blk") - col("n"))
+      .withColumn("shard_id", expr(s"pre div $ShardBudget"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard_id")
+  }
+}

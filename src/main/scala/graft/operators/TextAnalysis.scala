@@ -138,6 +138,43 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("bigram").asc)
       .limit(20)
 
+  /** q54_repetition — intra-document repetition scoring (the Gopher-rule
+    * family): fraction of duplicate word-3-grams, fraction of the doc
+    * taken by its single most frequent token, and the boolean "drop"
+    * flag at the standard-ish thresholds. Catches looping/boilerplate
+    * generations that inter-document dedup cannot (the repetition is
+    * INSIDE one doc).
+    *
+    * dup_3gram_ratio is pure per-row array arithmetic (total − distinct
+    * shingle counts) riding the scan; top_token_ratio needs the
+    * per-doc token mode, computed as explode → count(doc, token) →
+    * max per doc — two partial-aggregable shuffles keyed by doc_id,
+    * no windows, no HOF lambdas. At 100 TB both aggregations combine
+    * map-side (tokens of one doc are scan-adjacent). */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), T.wsTokens(col("text")).as("w"))
+      .withColumn("sh", T.shingles(col("w"), 3))
+      .select(col("doc_id"), col("w"),
+        size(col("sh")).as("n_3grams"),
+        size(array_distinct(col("sh"))).as("n_uniq_3grams"))
+    val topTok = base
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        explode(col("w")).as("t"))
+      .groupBy("doc_id", "n_tokens", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens").agg(max(col("c")).as("top_c"))
+    base.select(col("doc_id"), col("n_3grams"), col("n_uniq_3grams"))
+      .join(topTok, "doc_id")
+      .select(
+        col("doc_id"),
+        round((col("n_3grams") - col("n_uniq_3grams")).cast("double")
+          / greatest(col("n_3grams"), lit(1)), 4).as("dup_3gram_ratio"),
+        round(col("top_c").cast("double") / col("n_tokens"), 4).as("top_token_ratio"))
+      .withColumn("drop_doc",
+        col("dup_3gram_ratio") > 0.5 || col("top_token_ratio") > 0.2)
+      .orderBy("doc_id")
+  }
+
   /** q32_normalize — corpus text normalization: lowercase, strip
     * non-alphanumerics to spaces, collapse runs of whitespace, trim —
     * the canonical pre-tokenization cleaning pass, emitted alongside a

@@ -46,6 +46,53 @@ class CurationOpsSpec extends SparkSuite {
     assert(chain.values.forall(_._4 >= 1L))
   }
 
+  test("shard packing: block-wise cumsum equals a driver-side global cumsum") {
+    import graft.operators.Packing
+    val got = Packing.shardPack(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // independent ground truth: single sequential pass over doc_id order
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(graft.functions.TextFunctions.wsTokens(col("text"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var pre = 0L
+    val assigned = toks.map { case (id, n) =>
+      val shard = pre / Packing.ShardBudget; pre += n; (shard, id, n)
+    }
+    val want = assigned.groupBy(_._1).map { case (s, rows) =>
+      s -> (rows.length.toLong, rows.map(_._3).sum, rows.map(_._2).min, rows.map(_._2).max)
+    }
+    assert(got == want)
+    // shards are contiguous doc_id ranges and every doc is packed
+    val ordered = got.toSeq.sortBy(_._1)
+    ordered.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(a._4 + 1 == b._3)
+      case _ =>
+    }
+    assert(got.values.map(_._1).sum == toks.length)
+  }
+
+  test("repetition scoring matches a driver-side recomputation") {
+    val got = graft.operators.TextAnalysis.repetition(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.take(50).foreach { case (id, text) =>
+      val w = "[^ \t\n\r]+".r.findAllIn(text).toSeq
+      val grams = w.sliding(3).filter(_.size == 3).map(_.mkString("_")).toSeq
+      val dup = BigDecimal((grams.size - grams.distinct.size).toDouble /
+        math.max(grams.size, 1)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val top = BigDecimal(w.groupBy(identity).values.map(_.size).max.toDouble / w.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gd, gt, gf) = got(id)
+      assert(gd == dup, s"doc $id dup ratio")
+      assert(gt == top, s"doc $id top ratio")
+      assert(gf == (dup > 0.5 || top > 0.2))
+    }
+    assert(got.nonEmpty)
+  }
+
   test("stratified sample is deterministic and respects per-lang rates") {
     val a = Sampling.stratifiedSample(spark, sf).collect().map(_.getLong(0)).toSeq
     val b = Sampling.stratifiedSample(spark, sf).collect().map(_.getLong(0)).toSeq
