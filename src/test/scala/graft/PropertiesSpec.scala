@@ -94,4 +94,26 @@ class PropertiesSpec extends SparkSuite {
       assert(got == expected, s"seed=$seed cap=$cap")
     }
   }
+
+  test("TopKBuffer add/merge equals sort-take under arbitrary splits") {
+    import org.apache.spark.sql.graft.TopKBuffer
+    val entries = Gen.listOf(Gen.zip(
+      Gen.choose(0, 8).map(_ / 4.0), // coarse scores force tie-breaks
+      Gen.choose(0L, 30L)))
+    (1 to 20).foreach { seed =>
+      val xs = draw(entries, seed)
+      val k = draw(Gen.choose(1, 6), seed + 500)
+      val cut = if (xs.isEmpty) 0 else draw(Gen.choose(0, xs.size), seed + 900)
+      // two partial buffers merged — exercises the shuffle merge path
+      val b1 = new TopKBuffer(k); val b2 = new TopKBuffer(k)
+      xs.take(cut).foreach { case (s, i) => b1.add(s, i) }
+      xs.drop(cut).foreach { case (s, i) => b2.add(s, i) }
+      (0 until b2.n).foreach(i => b1.add(b2.scores(i), b2.ids(i)))
+      val got = (0 until b1.n).map(i => (b1.scores(i), b1.ids(i))).toList
+      // multiset semantics: duplicates rank separately, same as
+      // row_number over duplicate rows
+      val want = xs.sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(got == want, s"seed=$seed k=$k cut=$cut got=$got want=$want")
+    }
+  }
 }
