@@ -81,7 +81,12 @@ object Dedup {
     * `min` aggregate columns, which ExpressionsSpec proves
     * bit-identical). At 100 TB the shuffle after map-side partial
     * aggregation is only O(docs × 128 longs). */
-  private[graft] def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, sig: array<bigint>) — the native-aggregate signature kept
+    * in ARRAY form: the banding step reads the 4 hashes per band via
+    * element_at, so the plan never materializes a 128-column projection
+    * (whose generated code dominated cold compile time for every
+    * minhash-family query). */
+  private[graft] def minhashSignaturesArr(spark: SparkSession, sfDir: String): DataFrame = {
     // explode_outer + null filter, NOT plain explode: explode makes the
     // optimizer synthesize a `size(sh) > 0` pre-filter and push it below
     // the shingle projection, re-evaluating the (interpreted) shingle
@@ -92,9 +97,14 @@ object Dedup {
       .withColumn("h", H.md5Int28(col("g")))
     exploded.groupBy("doc_id")
       .agg(org.apache.spark.sql.graft.native.minhashSignature(col("h"), NumHashes).as("sig"))
+  }
+
+  /** Column-per-hash view of [[minhashSignaturesArr]] (m0..m127) — kept
+    * for spec parity checks against the k-column min formulation. */
+  private[graft] def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    minhashSignaturesArr(spark, sfDir)
       .select(col("doc_id") +:
         (0 until NumHashes).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
-  }
 
   /** Candidate pairs from banded LSH bucketing (doc_a < doc_b).
     * Candidate generation goes through [[CandidatePairs.boundedSelfJoin]]:
@@ -115,7 +125,8 @@ object Dedup {
       cap: Int = BucketCap,
       obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val bandHashes: Seq[Column] = (0 until Bands).map { b =>
-      xxhash64(lit(b) +: (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
+      xxhash64(lit(b) +: (0 until RowsPerBand)
+        .map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
     }
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandHashes: _*)).as("sig"))
@@ -133,7 +144,7 @@ object Dedup {
   def minhashPairs(
       spark: SparkSession, sfDir: String,
       cap: Int, obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
-    val sigs = minhashSignatures(spark, sfDir)
+    val sigs = minhashSignaturesArr(spark, sfDir)
     val sets = shingled(spark, sfDir)
     minhashCandidates(sigs, cap, obs)
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")

@@ -19,7 +19,7 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
 
     t("warmup count") { graft.sources.Tables.documents(spark, sfDir).count() }
-    val sigs = Dedup.minhashSignatures(spark, sfDir)
+    val sigs = Dedup.minhashSignaturesArr(spark, sfDir)
     t("minhash signatures") { sigs.count() }
     t("minhash signatures 2nd") { sigs.count() }
     // A/B: the native TypedImperativeAggregate (one Array[Long] buffer)
