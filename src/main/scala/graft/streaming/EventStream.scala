@@ -17,6 +17,9 @@ case class SessionState(start: Long, end: Long, n: Int)
 /** A closed user session. */
 case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
 
+/** Token-bucket state for [[EventStream.rateLimit]] (event-time based). */
+case class RateState(last_ms: Long, tokens: Double, dropped: Long)
+
 /** Structured Streaming surface.
   *
   * The transforms are plain DataFrame/Dataset functions, so the SAME code
@@ -140,6 +143,41 @@ object EventStream {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Token-bucket rate limiting via flatMapGroupsWithState — the 0..n
+    * output shape mapGroupsWithState can't express (a group may emit
+    * NOTHING when fully throttled, or several admitted events per
+    * batch). Each user holds a bucket of `capacity` tokens refilling at
+    * `refillPerSec`; events that find a token pass through, the rest
+    * are dropped and counted in the state. Refill is computed from
+    * EVENT time deltas, so replays are deterministic and the operator
+    * is batch/stream agnostic. State is O(users) — the same state-store
+    * scaling as [[runningUserStats]].
+    *
+    * Events inside one batch are processed in ts order (micro-batch
+    * iterators carry no order guarantee after a shuffle). */
+  def rateLimit(
+      spark: SparkSession, events: Dataset[Event],
+      capacity: Double = 2.0, refillPerSec: Double = 0.01): Dataset[Event] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[RateState]) =>
+          var st = state.getOption.getOrElse(RateState(Long.MinValue, capacity, 0L))
+          val admitted = batch.toSeq.sortBy(_.ts.getTime).flatMap { e =>
+            val t = e.ts.getTime
+            val refill =
+              if (st.last_ms == Long.MinValue) 0.0
+              else math.max(0L, t - st.last_ms) / 1000.0 * refillPerSec
+            val tokens = math.min(capacity, st.tokens + refill)
+            if (tokens >= 1.0) { st = RateState(t, tokens - 1.0, st.dropped); Some(e) }
+            else { st = RateState(t, tokens, st.dropped + 1); None }
+          }
+          state.update(st)
+          admitted.iterator
+      }
+  }
 
   /** Arbitrary stateful processing: per-user running stats via
     * mapGroupsWithState (update mode), the custom-state primitive the

@@ -50,6 +50,10 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Sampling.stratifiedSample(spark, emptyDir).count() == 0)
     assert(Pipeline.curate(spark, emptyDir).count() == 0)
     assert(Pipeline.clusterReps(spark, emptyDir).count() == 0)
+    assert(Pipeline.curationChain(spark, emptyDir).count() == 0)
+    assert(Dedup.decontaminate(spark, emptyDir).count() == 0)
+    assert(Packing.shardPack(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.repetition(spark, emptyDir).count() == 0)
   }
 
   test("single-document corpus: no pairs, self cluster, own fingerprints") {

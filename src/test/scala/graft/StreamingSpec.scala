@@ -147,6 +147,34 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("token-bucket rate limit admits per refill schedule across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // capacity 2, refill 1 token / 100 s
+    val query = EventStream.rateLimit(spark, stream.toDS(), capacity = 2.0, refillPerSec = 0.01)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("rate_out").start()
+    try {
+      // burst of 4 at t=0..3min for user 1: 2 admitted (capacity),
+      // 3rd arrives 60s later with 0.6 tokens -> dropped,
+      // 4th at 180s: 0.6+1.2=1.8 tokens -> admitted
+      stream.addData(
+        Event(ts(0), 1, "a", 1.0), Event(ts(0), 1, "b", 1.0),
+        Event(ts(1), 1, "c", 1.0), Event(ts(3), 1, "d", 1.0),
+        Event(ts(0), 2, "x", 1.0))
+      query.processAllAvailable()
+      val first = spark.table("rate_out").as[Event].collect().map(_.event_type).toSet
+      assert(first == Set("a", "b", "d", "x"))
+      // next batch at t=240 s: tokens 0.8 + (240-180)*0.01 = 1.4 ->
+      // "e" admits (0.4 left), "f" is throttled
+      stream.addData(Event(ts(4), 1, "e", 1.0), Event(ts(4), 1, "f", 1.0))
+      query.processAllAvailable()
+      val all = spark.table("rate_out").as[Event].collect().map(_.event_type).toSet
+      assert((all -- first) == Set("e"))
+    } finally query.stop()
+  }
+
   test("q23 parity end-to-end at sf0.01: file-source stream equals the graded windowQuery") {
     val sfDir = "/root/testdata/sf0.01"
     val stream = graft.sources.Tables.eventsStream(spark, sfDir)
