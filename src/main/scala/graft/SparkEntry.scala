@@ -65,7 +65,8 @@ object SparkEntry {
     "q51_decontaminate"   -> (Dedup.decontaminate _),
     "q52_curation_chain"  -> (Pipeline.curationChain _),
     "q53_shard_pack"      -> (Packing.shardPack _),
-    "q54_repetition"      -> (TextAnalysis.repetition _)
+    "q54_repetition"      -> (TextAnalysis.repetition _),
+    "q55_top_supplier"    -> (Relational.topSupplier _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -799,6 +800,14 @@ object SparkEntry {
         |)
         |SELECT doc_id, dup_3gram_ratio, top_token_ratio,
         |       (dup_3gram_ratio > 0.5 OR top_token_ratio > 0.2) AS drop_doc
-        |FROM scored ORDER BY doc_id""".stripMargin
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q55_top_supplier" ->
+      """SELECT s_suppkey, s_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY total_revenue DESC, s_suppkey ASC
+        |LIMIT 10""".stripMargin
   )
 }

@@ -302,6 +302,26 @@ object Relational {
 
   /** q46_argmax — min_by/max_by argmax aggregates: per order-priority,
     * WHICH order has the extreme price (not just the price). */
+  /** q55_top_supplier — TPC-H Q15-flavored: revenue per supplier over a
+    * shipping quarter, top 10. The date filter pushes to the lineitem
+    * scan, the revenue aggregation is map-side partial on l_suppkey, the
+    * tiny supplier dimension broadcasts onto the aggregated (small)
+    * side, and the top-10 plans TakeOrderedAndProject — per-partition
+    * heaps, no global sort. The one full-data shuffle is the suppkey
+    * aggregation, which is unavoidable and minimal. */
+  def topSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("raw"))
+    rev
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name"))), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), round(col("raw"), 2).as("total_revenue"))
+      .orderBy(col("total_revenue").desc, col("s_suppkey").asc)
+      .limit(10)
+  }
+
   def argmax(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .groupBy(col("o_orderpriority"))
