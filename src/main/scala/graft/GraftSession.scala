@@ -26,6 +26,12 @@ object GraftSession {
       // codegen; the default maxFields=100 silently falls back to
       // interpreted eval (~20x slower)
       .config("spark.sql.codegen.maxFields", "256")
+      // split-size ceiling for the scan: 128 MB splits keep a 100 TB
+      // scan at ~800k tasks (healthy granularity for 32k cores) and a
+      // task's column batches comfortably inside executor memory; the
+      // default is the same value — pinned here so a cluster-side
+      // override is a deliberate choice, not an inherited default
+      .config("spark.sql.files.maxPartitionBytes", s"${128L * 1024 * 1024}")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {
