@@ -66,7 +66,8 @@ object SparkEntry {
     "q52_curation_chain"  -> (Pipeline.curationChain _),
     "q53_shard_pack"      -> (Packing.shardPack _),
     "q54_repetition"      -> (TextAnalysis.repetition _),
-    "q55_top_supplier"    -> (Relational.topSupplier _)
+    "q55_top_supplier"    -> (Relational.topSupplier _),
+    "q56_scrub"           -> (TextAnalysis.scrub _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -808,6 +809,14 @@ object SparkEntry {
         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
         |GROUP BY s_suppkey, s_name
         |ORDER BY total_revenue DESC, s_suppkey ASC
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+    "q56_scrub" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[^ \t\n\r]+@[^ \t\n\r]+')) AS n_emails,
+        |       len(regexp_extract_all(text, 'https?://[^ \t\n\r]*')) AS n_urls,
+        |       regexp_replace(
+        |         regexp_replace(text, 'https?://[^ \t\n\r]*', '<URL>', 'g'),
+        |         '[^ \t\n\r]+@[^ \t\n\r]+', '<EMAIL>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -40,10 +40,15 @@ object Packing {
     * the ordered block window handles corpus/BlockSize rows. */
   val BlockSize = 1000L
 
-  def shardPack(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        size(T.wsTokens(col("text"))).cast("long").as("n"))
+  def shardPack(spark: SparkSession, sfDir: String): DataFrame =
+    packFrom(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(T.wsTokens(col("text"))).cast("long").as("n")))
+
+  /** The packing core over a precomputed (doc_id, n) frame — injectable
+    * so specs can drive it with sparse/gapped id spaces (blocks are
+    * doc_id ranges, so gaps simply yield lighter blocks). */
+  private[graft] def packFrom(docTokens: DataFrame): DataFrame = {
+    val toks = docTokens
       .withColumn("blk", expr(s"doc_id div $BlockSize"))
     val wInBlk = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

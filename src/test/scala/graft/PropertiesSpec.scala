@@ -95,6 +95,30 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("block-wise shard packing equals a sequential cumsum on gapped id spaces") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val corpus = for {
+      n <- Gen.choose(0, 400)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 10000L)).map(_.distinct.sorted)
+      lens <- Gen.listOfN(ids.size, Gen.choose(0L, 900L))
+    } yield ids.zip(lens)
+    (1 to 5).foreach { seed =>
+      val docs = draw(corpus, seed)
+      val got = Packing.packFrom(docs.toDF("doc_id", "n").repartition(8))
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      var pre = 0L
+      val want = docs.map { case (id, n) =>
+        val s = pre / Packing.ShardBudget; pre += n; (s, id, n)
+      }.groupBy(_._1).map { case (s, rows) =>
+        s -> (rows.length.toLong, rows.map(_._3).sum, rows.map(_._2).min, rows.map(_._2).max)
+      }
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("TopKBuffer add/merge equals sort-take under arbitrary splits") {
     import org.apache.spark.sql.graft.TopKBuffer
     val entries = Gen.listOf(Gen.zip(
