@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+
+/** Engine-wide scale-shape sweep: structural invariants that must hold
+  * for EVERY graded query, not just the ones PlanSpec examines
+  * individually. A regression that sneaks a cartesian product or an
+  * unpartitioned corpus-wide window into any operator fails here by
+  * name.
+  */
+class ScaleShapeSpec extends SparkSuite {
+
+  /** q53's block-totals window is deliberately unpartitioned — it runs
+    * over corpus/BlockSize rows, never the corpus (PLANS.md §q53). */
+  private val allowUnpartitionedWindow = Set("q53_shard_pack")
+
+  test("no graded query plans an unpartitioned window over row data") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      val unpartitioned = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (allowUnpartitionedWindow(name))
+        assert(unpartitioned.nonEmpty, s"$name: whitelist entry is stale")
+      else
+        assert(unpartitioned.isEmpty,
+          s"$name plans an unpartitioned window: ${unpartitioned.map(_.simpleString(80))}")
+    }
+  }
+
+  test("no graded query executes a CartesianProduct stage") {
+    // bounded products (q16's 10-row query side, q28's centroid set,
+    // the 1-row corpus-total cross joins in tfidf/pmi) plan as
+    // BroadcastNestedLoopJoin — CartesianProduct only appears when BOTH
+    // sides are unbounded, which no operator may ever do
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+}
