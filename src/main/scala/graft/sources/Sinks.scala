@@ -23,4 +23,11 @@ object Sinks {
 
   def json(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** ORC — the other columnar interchange format; same pushdown/pruning
+    * properties as parquet, for stacks standardized on ORC. */
+  def orc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 }

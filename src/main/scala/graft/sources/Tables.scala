@@ -78,6 +78,10 @@ object Tables {
     schema.fold(r)(r.schema).json(path)
   }
 
+  /** ORC reader — self-describing like parquet, no schema needed. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** The reference's literal source shape: a directory of .txt files read
     * as (file, content) pairs (`example/word-count-taskfile.lua:40-63`
     * `read_source` + `taskfn` :82-88). Spark's file source enumerates and

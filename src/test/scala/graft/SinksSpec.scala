@@ -40,6 +40,20 @@ class SinksSpec extends SparkSuite {
     assert(backJson == expected)
   }
 
+  test("orc sink round-trips through the orc reader, schema intact") {
+    import spark.implicits._
+    val wc = operators.WordCount.query(spark, sf)
+    val expected = wc.as[(String, Long)].collect().toMap
+    val dir = tmp() + "/wc_orc"
+    Sinks.orc(wc, dir)
+    val back = Tables.orc(spark, dir)
+    // names+types survive; nullability widens on read (file formats
+    // don't persist Spark's non-null aggregate inference)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      wc.schema.map(f => (f.name, f.dataType)))
+    assert(back.as[(String, Long)].collect().toMap == expected)
+  }
+
   test("Tables.csv/json readers round-trip sinks with and without explicit schema") {
     import spark.implicits._
     val wc = operators.WordCount.query(spark, sf)
