@@ -340,6 +340,76 @@ object Similarity {
     topK(cand, v, BucketK)
   }
 
+  /** Coarse-codebook floor for the hierarchical IVF variant. */
+  val IvfCoarseMin = 4
+
+  /** q57_ann_ivf_hier — two-level IVF: the index-BUILD scale path.
+    *
+    * q28 assigns every corpus vector against all k fine centroids —
+    * n·k cosines, and with k = √n that is n^1.5 once at build time
+    * (~7×10¹⁶ at 10¹¹ docs — the same magnitude that made full-corpus
+    * TRAINING infeasible). Here the fine codebook is coarse-quantized:
+    *
+    *   - coarse codebook = every ⌈k/k1⌉-th fine centroid (sampled
+    *     codebook, k1 ≈ √k groups — deterministic, no second Lloyd's);
+    *   - each fine centroid joins its nearest coarse group
+    *     (k·k1 cosines — negligible);
+    *   - each corpus vector finds its nearest COARSE group (n·k1) and
+    *     ranks only that group's fine centroids (n·k/k1 expected);
+    *
+    * total build cost n·(k1 + k/k1) ≈ n·2√k — ~300× less than n·k at
+    * k = 4×10⁵ — at the price of approximate cell assignment (a
+    * vector's true nearest fine centroid can live in a different
+    * coarse group). Search side (cells ⋈ probes) is identical to q28.
+    * All argmaxes are partial-aggregable struct-max / top-k aggregates;
+    * the oracle replicates the exact same deterministic recurrence. */
+  def annIvfHier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = vecs(spark, sfDir)
+    val n = corpusSize(spark, sfDir)
+    val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val fine = trainCentroids(spark, v, n, k).sortBy(_._1)
+    val k1 = math.max(IvfCoarseMin, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val stride = math.max(1, k / k1)
+    val coarse = fine.zipWithIndex
+      .collect { case ((cid, cv), i) if i % stride == 0 => (cid, cv) }
+    val fineDf = broadcast(fine.toDF("cent_id", "cv"))
+    val coarseDf = broadcast(coarse.toDF("grp_id", "gv"))
+    // fine centroid -> nearest coarse group (tiny: k x k1)
+    val fineGrp = broadcast(
+      fineDf.crossJoin(coarseDf)
+        .select(col("cent_id"), col("grp_id"), col("cv"),
+          org.apache.spark.sql.graft.native.cosineSim(col("cv"), col("gv")).as("sim"))
+        .groupBy("cent_id")
+        .agg(max(struct(col("sim"), (-col("grp_id")).as("ng"))).as("best"),
+          first(col("cv")).as("cv"))
+        .select(col("cent_id"), (-col("best.ng")).cast("int").as("grp_id"), col("cv")))
+    // corpus vector -> nearest coarse group (n x k1, struct-max argmax)
+    val vecGrp = v.crossJoin(coarseDf)
+      .select(col("vec_id"), col("v"), col("grp_id"),
+        org.apache.spark.sql.graft.native.cosineSim(col("v"), col("gv")).as("sim"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("grp_id")).as("ng"))).as("best"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), (-col("best.ng")).cast("int").as("grp_id"))
+    // rank ONLY the group's fine centroids (n x k/k1 expected)
+    val top2 = vecGrp.join(fineGrp, "grp_id")
+      .select(col("vec_id"), col("cent_id"),
+        org.apache.spark.sql.graft.native.cosineSim(col("v"), col("cv")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(col("sim"), col("cent_id").cast("long"), IvfNProbe).as("tc"))
+    val cells = top2.select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
+    val probes = top2
+      .select(col("vec_id").as("vec_a"), explode(col("tc")).as("s"))
+      .select(col("vec_a"), col("s.id").as("cent_id"))
+    val cand = probes
+      .join(cells.select(col("vec_id").as("vec_b"), col("cent_id")), "cent_id")
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+    topK(cand, v, BucketK)
+  }
+
   /** q17_ann_lsh — bucketed ANN with MULTI-PROBE: ONE signed-projection
     * table whose bit count GROWS with the corpus (bits =
     * ceil(log2(n/[[TargetBucket]])), so expected bucket size stays
