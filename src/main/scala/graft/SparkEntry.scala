@@ -399,10 +399,10 @@ object SparkEntry {
         |FROM w WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
     "q28_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |params AS (SELECT greatest(16, ceil(sqrt(count(*)))::INT) AS k,
-        |                  (count(*) + 256 * greatest(16, ceil(sqrt(count(*)))::INT) - 1)
-        |                    // (256 * greatest(16, ceil(sqrt(count(*)))::INT)) AS den
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |params AS (SELECT greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT) AS k,
+        |                  (count(*) + ${Similarity.IvfSampleMult} * greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT) - 1)
+        |                    // (${Similarity.IvfSampleMult} * greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT)) AS den
         |           FROM e),
         |s AS (SELECT * FROM e
         |      WHERE ('0x' || substr(md5('ivfs_' || vec_id), 1, 7))::BIGINT
@@ -762,7 +762,7 @@ object SparkEntry {
           |FROM m JOIN kept k ON k.cluster_id = m.cluster_id
           |WHERE m.rn = 1 ORDER BY m.cluster_id""".stripMargin),
     "q53_shard_pack" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, len(regexp_extract_all(text, '[^ \t\n\r]+'))::BIGINT AS n
         |  FROM documents
         |),
@@ -772,7 +772,7 @@ object SparkEntry {
         |                      AND CURRENT ROW) - n AS pre
         |  FROM t
         |)
-        |SELECT (pre // 5000)::BIGINT AS shard_id, count(*) AS n_docs,
+        |SELECT (pre // ${Packing.ShardBudget})::BIGINT AS shard_id, count(*) AS n_docs,
         |       sum(n)::BIGINT AS shard_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -820,10 +820,10 @@ object SparkEntry {
         |         '[^ \t\n\r]+@[^ \t\n\r]+', '<EMAIL>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q57_ann_ivf_hier" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |params AS (SELECT greatest(16, ceil(sqrt(count(*)))::INT) AS k,
-        |                  (count(*) + 256 * greatest(16, ceil(sqrt(count(*)))::INT) - 1)
-        |                    // (256 * greatest(16, ceil(sqrt(count(*)))::INT)) AS den
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |params AS (SELECT greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT) AS k,
+        |                  (count(*) + ${Similarity.IvfSampleMult} * greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT) - 1)
+        |                    // (${Similarity.IvfSampleMult} * greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT)) AS den
         |           FROM e),
         |s AS (SELECT * FROM e
         |      WHERE ('0x' || substr(md5('ivfs_' || vec_id), 1, 7))::BIGINT
@@ -871,8 +871,8 @@ object SparkEntry {
         |    USING (cent_id)
         |),
         |params2 AS (
-        |  SELECT greatest(4, ceil(sqrt(k))::INT) AS k1,
-        |         greatest(1, k // greatest(4, ceil(sqrt(k))::INT)) AS stride
+        |  SELECT greatest(${Similarity.IvfCoarseMin}, ceil(sqrt(k))::INT) AS k1,
+        |         greatest(1, k // greatest(${Similarity.IvfCoarseMin}, ceil(sqrt(k))::INT)) AS stride
         |  FROM params
         |),
         |fines AS (
