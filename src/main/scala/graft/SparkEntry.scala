@@ -68,7 +68,8 @@ object SparkEntry {
     "q54_repetition"      -> (TextAnalysis.repetition _),
     "q55_top_supplier"    -> (Relational.topSupplier _),
     "q56_scrub"           -> (TextAnalysis.scrub _),
-    "q57_ann_ivf_hier"    -> (Similarity.annIvfHier _)
+    "q57_ann_ivf_hier"    -> (Similarity.annIvfHier _),
+    "q58_winnow_pairs"    -> (Dedup.winnowPairs _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -924,6 +925,29 @@ object SparkEntry {
         |  FROM pairs
         |)
         |SELECT query_id, neighbor_id, rnk::INT AS "rank", round(cosine_raw, 6) AS cosine
-        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "q58_winnow_pairs" ->
+      s"""WITH pw(j, p) AS (VALUES $rollingPow),
+        |roll0 AS (
+        |  SELECT d.doc_id, s.i,
+        |         (sum(ord(substr(d.text, s.i + 15 - pw.j, 1))::BIGINT * pw.p) % 2147483647)::BIGINT AS h
+        |  FROM documents d, unnest(range(1, len(d.text) - 14)) s(i), pw
+        |  GROUP BY d.doc_id, s.i
+        |),
+        |win AS (
+        |  SELECT doc_id, i,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND ${Dedup.WinnowW - 1} FOLLOWING) AS wmin,
+        |         count(*) OVER (PARTITION BY doc_id) AS m
+        |  FROM roll0
+        |),
+        |fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM win WHERE i <= m - ${Dedup.WinnowW - 1}),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY fp) WHERE df <= ${Dedup.WinnowMaxDf}),
+        |kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= ${Dedup.WinnowMinShared}
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

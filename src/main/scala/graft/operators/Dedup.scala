@@ -383,4 +383,48 @@ object Dedup {
     * reuse form.) */
   def ngramDedup(spark: SparkSession, sfDir: String): DataFrame =
     ngramDedupFrom(Tables.documents(spark, sfDir), minhashPairs(spark, sfDir))
+
+  /** Winnowing fingerprint window (minima over [[WinnowW]] consecutive
+    * 16-byte rolling hashes): any shared byte run ≥ 16+[[WinnowW]]-1
+    * bytes guarantees a shared fingerprint (Schleimer et al. 2003). */
+  val WinnowW = 8
+  /** Fingerprints present in more than this many docs are boilerplate
+    * (whitespace runs, common phrases): they carry no pair signal AND
+    * dropping them is the skew bound — every fingerprint bucket in the
+    * pair join has ≤ [[WinnowMaxDf]] members, so no salting is needed. */
+  val WinnowMaxDf = 10
+  /** Minimum shared fingerprints before a pair is reported. */
+  val WinnowMinShared = 2
+
+  /** q58_winnow_pairs — shared-fingerprint detection (the MOSS /
+    * plagiarism-attribution shape): winnowed byte-level fingerprints
+    * per doc, boilerplate fingerprints dropped by document frequency,
+    * then pairs of docs sharing ≥ [[WinnowMinShared]] fingerprints
+    * with the shared count. Unlike the token-level MinHash pipeline
+    * this catches byte-exact shared RUNS (quotes, copied passages)
+    * regardless of surrounding text, with no banding probability.
+    *
+    * Scale shape: fingerprinting rides the scan (native O(n)
+    * rolling-hash + winnow expressions); the only shuffles are the
+    * (fp → df) aggregation and the fp-bucket pair join whose bucket
+    * size the df filter caps at [[WinnowMaxDf]]. */
+  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.native.winnowMin(
+          org.apache.spark.sql.graft.native.rollingHash(col("text"), TextAnalysis.RollingWindow),
+          WinnowW)).as("fp"))
+      .distinct()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowMaxDf)
+      .select(col("fp"))
+    val kept = fps.join(rare, "fp")
+    kept.alias("a")
+      .join(kept.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
 }

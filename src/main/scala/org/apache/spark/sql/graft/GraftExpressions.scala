@@ -317,6 +317,60 @@ case class TopKByScore(
     copy(score = newLeft, id = newRight)
 }
 
+/** Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003) over
+  * a rolling-hash array: the minimum of every `w`-window of hashes,
+  * consecutive duplicates suppressed — the guarantee is that any
+  * shared substring of length ≥ window+w-1 bytes yields at least one
+  * SHARED fingerprint between two documents, at ~2/(w+1) the density
+  * of keeping every hash. One O(n) monotonic-deque pass invoked from
+  * generated code; arrays shorter than w emit nothing (callers treat
+  * sub-window docs as unfingerprintable). */
+case class WinnowMin(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(w > 0, s"winnow window must be positive, got $w")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_min"
+
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(WinnowMin.compute(a.asInstanceOf[ArrayData].toLongArray(), w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"org.apache.spark.sql.graft.WinnowMin.compute($c.toLongArray(), $w))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowMin {
+  /** Per-window minima of every full w-window, consecutive duplicates
+    * dropped. O(n) via a monotonic index deque. */
+  def compute(hs: Array[Long], w: Int): Array[Long] = {
+    val n = hs.length
+    if (n < w) return Array.emptyLongArray
+    val out = new Array[Long](n - w + 1)
+    val deque = new Array[Int](n) // indices, increasing, hs values increasing
+    var head = 0; var tail = 0    // deque is [head, tail)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val v = hs(deque(head))
+        if (m == 0 || out(m - 1) != v) { out(m) = v; m += 1 }
+      }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, m)
+  }
+}
+
 /** Column-level entry points for the native expressions. */
 object native {
   def cosineSim(a: Column, b: Column): Column =
@@ -337,6 +391,9 @@ object native {
 
   def rollingHash(s: Column, window: Int): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(s), window))
+
+  def winnowMin(hashes: Column, w: Int): Column =
+    ExpressionUtils.column(WinnowMin(ExpressionUtils.expression(hashes), w))
 }
 
 /** Native polynomial rolling-hash over a string's UTF-8 bytes: emits the

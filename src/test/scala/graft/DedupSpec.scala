@@ -115,6 +115,30 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("winnow pairs equal a driver-side winnowing recomputation") {
+    import org.apache.spark.sql.graft.{RollingHash, WinnowMin}
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val fps: Map[Long, Set[Long]] = docs.map { case (id, text) =>
+      id -> WinnowMin.compute(
+        RollingHash.compute(text.getBytes("UTF-8"),
+          graft.operators.TextAnalysis.RollingWindow),
+        Dedup.WinnowW).toSet
+    }.toMap
+    val df = fps.toSeq.flatMap { case (id, s) => s.map(f => (f, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rare = df.filter(_._2.size <= Dedup.WinnowMaxDf).keySet
+    val want = (for {
+      (a, fa) <- fps.toSeq; (b, fb) <- fps.toSeq if a < b
+      shared = (fa & fb & rare).size if shared >= Dedup.WinnowMinShared
+    } yield (a, b) -> shared.toLong).toMap
+    val got = Dedup.winnowPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "corpus near-dups must share winnowed fingerprints")
+  }
+
   test("decontaminateAgainst accepts an external benchmark corpus") {
     import spark.implicits._
     // docs 1 and 3 each share one 5-gram with the bench doc; doc 2 shares none

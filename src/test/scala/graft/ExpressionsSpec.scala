@@ -95,6 +95,36 @@ class ExpressionsSpec extends SparkSuite {
     assert(hs(1L).toSet.subsetOf(hs(2L).toSet))
   }
 
+  test("winnow_min equals per-window minima with consecutive dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.WinnowMin
+    // driver-side property over random arrays
+    val rnd = new scala.util.Random(11)
+    (1 to 50).foreach { _ =>
+      val n = rnd.nextInt(40)
+      val w = 1 + rnd.nextInt(6)
+      val hs = Array.fill(n)(rnd.nextInt(20).toLong)
+      val got = WinnowMin.compute(hs, w).toSeq
+      val want =
+        if (n < w) Seq.empty
+        else {
+          val mins = (0 to n - w).map(i => hs.slice(i, i + w).min)
+          mins.foldLeft(Vector.empty[Long]) {
+            case (acc, v) if acc.lastOption.contains(v) => acc
+            case (acc, v) => acc :+ v
+          }
+        }
+      assert(got == want, s"n=$n w=$w hs=${hs.toSeq}")
+      // the fingerprint SET equals the set of all full-window minima
+      assert(got.toSet == want.toSet)
+    }
+    // expression path (codegen) agrees with the driver computation
+    val df = Seq((1L, Seq(5L, 3L, 3L, 7L, 1L, 9L))).toDF("id", "hs")
+    val viaExpr = df.select(native.winnowMin(col("hs"), 3).as("w"))
+      .as[Seq[Long]].head
+    assert(viaExpr == Seq(3L, 1L))
+  }
+
   test("GraftExtensions registers without error") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
