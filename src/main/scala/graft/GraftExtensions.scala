@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSignatureAgg, RollingHash}
+import org.apache.spark.sql.graft.{CosineSimilarity, CountInSet, MinHashSignatureAgg, RollingHash, TopKByScore, WinnowMin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -30,6 +30,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         val w = exprs(1).eval(null).asInstanceOf[Number].intValue()
         RollingHash(exprs.head, w)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("winnow_min"),
+      new ExpressionInfo(classOf[WinnowMin].getName, "winnow_min"),
+      (exprs: Seq[Expression]) => {
+        val w = exprs(1).eval(null).asInstanceOf[Number].intValue()
+        WinnowMin(exprs.head, w)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("count_in_set"),
+      new ExpressionInfo(classOf[CountInSet].getName, "count_in_set"),
+      (exprs: Seq[Expression]) => {
+        val words = exprs(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+        CountInSet(exprs.head, words)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("top_k_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(2).eval(null).asInstanceOf[Number].intValue()
+        TopKByScore(exprs(0), exprs(1), k)
       }))
   }
 }

@@ -129,6 +129,35 @@ class ExpressionsSpec extends SparkSuite {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("new expressions are callable from SQL via temp registration") {
+    import org.apache.spark.sql.graft.{CountInSet, TopKByScore, WinnowMin}
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("winnow_min",
+      exprs => WinnowMin(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("count_in_set",
+      exprs => CountInSet(exprs.head,
+        exprs(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq),
+      "built-in")
+    reg.createOrReplaceTempFunction("top_k_by_score",
+      exprs => TopKByScore(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
+    val w = spark.sql(
+      "SELECT winnow_min(array(5L, 3L, 3L, 7L, 1L), 3) AS w").head.getSeq[Long](0)
+    assert(w == Seq(3L, 1L))
+    val c = spark.sql(
+      "SELECT count_in_set(array('a', 'b', 'a', 'z'), array('a', 'b')) AS c").head.getInt(0)
+    assert(c == 3)
+    val t = spark.sql(
+      """SELECT top_k_by_score(s, i, 2) AS t FROM VALUES
+        |  (0.5d, 1L), (0.9d, 2L), (0.1d, 3L) AS v(s, i)""".stripMargin)
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(t == Seq((0.9, 2L), (0.5, 1L)))
+  }
+
   test("CountInSet equals the filter-lambda formulation and a driver-side count") {
     import spark.implicits._
     val words = Seq("the", "a", "of")
