@@ -31,6 +31,7 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Dedup.simhashPairs(spark, emptyDir).count() == 0)
     assert(Dedup.ngramDedup(spark, emptyDir).count() == 0)
     assert(Dedup.dupClusters(spark, emptyDir).count() == 0)
+    assert(Dedup.winnowPairs(spark, emptyDir).count() == 0)
   }
 
   test("similarity family is empty-safe") {
@@ -38,6 +39,7 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Similarity.annBruteForce(spark, emptyDir).count() == 0)
     assert(Similarity.annLsh(spark, emptyDir).count() == 0)
     assert(Similarity.annIvf(spark, emptyDir).count() == 0)
+    assert(Similarity.annIvfHier(spark, emptyDir).count() == 0)
   }
 
   test("text/curation ops are empty-safe") {
