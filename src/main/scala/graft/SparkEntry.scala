@@ -899,7 +899,7 @@ object SparkEntry {
         |             list_dot_product(e.v, g.gv) /
         |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(g.gv, g.gv))) DESC,
         |             g.grp_id ASC) AS rn
-        |    FROM e, coarse g) WHERE rn = 1
+        |    FROM e, coarse g) WHERE rn <= ${Similarity.IvfCoarseProbe}
         |),
         |asg AS (
         |  SELECT w.vec_id, f.cent_id,
