@@ -69,7 +69,10 @@ object SparkEntry {
     "q55_top_supplier"    -> (Relational.topSupplier _),
     "q56_scrub"           -> (TextAnalysis.scrub _),
     "q57_ann_ivf_hier"    -> (Similarity.annIvfHier _),
-    "q58_winnow_pairs"    -> (Dedup.winnowPairs _)
+    "q58_winnow_pairs"    -> (Dedup.winnowPairs _),
+    "q59_passage_dedup"   -> (Dedup.passageDedup _),
+    "q60_lang_balance"    -> (Sampling.langBalance _),
+    "q61_length_deciles"  -> (Ranking.lengthDeciles _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -948,6 +951,44 @@ object SparkEntry {
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= ${Dedup.WinnowMinShared}
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q59_passage_dedup" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents
+        |),
+        |b AS (
+        |  SELECT doc_id, s.i AS idx,
+        |         array_to_string(w[s.i * ${Dedup.PassageWords} + 1 :
+        |                           s.i * ${Dedup.PassageWords} + ${Dedup.PassageWords}], ' ') AS btext
+        |  FROM t, unnest(range(0, (len(w) + ${Dedup.PassageWords - 1}) // ${Dedup.PassageWords})) s(i)
+        |),
+        |d AS (
+        |  SELECT btext, count(DISTINCT doc_id) AS df, min(doc_id) AS first_doc
+        |  FROM b GROUP BY btext
+        |),
+        |k AS (
+        |  SELECT b.doc_id, b.idx, b.btext,
+        |         (d.df = 1 OR b.doc_id = d.first_doc) AS keep
+        |  FROM b JOIN d USING (btext)
+        |)
+        |SELECT doc_id, count(*) AS n_blocks,
+        |       count(*) FILTER (keep) AS n_kept,
+        |       coalesce(string_agg(btext, ' ' ORDER BY idx) FILTER (keep), '') AS new_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q60_lang_balance" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |t AS (SELECT min(n_lang) AS n_target FROM c)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN c USING (lang), t
+        |WHERE ('0x' || substr(md5('bal_' || d.doc_id), 1, 7))::BIGINT % c.n_lang
+        |        < t.n_target
+        |ORDER BY d.doc_id""".stripMargin,
+    "q61_length_deciles" ->
+      s"""WITH n AS (SELECT count(*) AS cnt FROM documents)
+        |SELECT doc_id, n_chars,
+        |       row_number() OVER (ORDER BY n_chars, doc_id) AS "rank",
+        |       ((row_number() OVER (ORDER BY n_chars, doc_id) - 1)
+        |          * ${Ranking.NumBuckets} // cnt)::BIGINT AS decile
+        |FROM documents, n ORDER BY doc_id""".stripMargin
   )
 }

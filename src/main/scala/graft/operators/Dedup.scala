@@ -427,4 +427,58 @@ object Dedup {
       .filter(col("n_shared") >= WinnowMinShared)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Words per passage block for [[passageDedup]]. */
+  val PassageWords = 10
+
+  /** q59_passage_dedup — sub-document (passage-level) deduplication, the
+    * RefinedWeb-style pass that document-level dedup cannot do: chunk
+    * each doc's token stream into consecutive [[PassageWords]]-word
+    * blocks, find blocks shared across documents, and strip every
+    * repeated occurrence EXCEPT the canonical one (the lowest-doc_id
+    * document keeps its copy), then reassemble the surviving text in
+    * order. Output per doc: block counts and the rewritten text (empty
+    * when everything was boilerplate).
+    *
+    * Scale shape: blocks ride the scan (one regexp tokenize, one
+    * `sequence` explode, `slice`+`array_join` projections — all
+    * codegen); the passage-frequency table is a hash-groupBy on the
+    * 16-byte md5 block key (distinct (block, doc) first, so a doc
+    * repeating its own passage — q54's territory — doesn't inflate df);
+    * the keep/strip decision is an equi-join back on that key; and
+    * reassembly is a per-doc aggregation (sort_array over ≤ n_tokens/10
+    * in-doc structs — bounded by doc length, never corpus). No windows,
+    * no driver state, every shuffle keyed by hash or doc_id. */
+  def passageDedup(spark: SparkSession, sfDir: String): DataFrame =
+    passageDedupFrom(Tables.documents(spark, sfDir))
+
+  /** [[passageDedup]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def passageDedupFrom(docs: DataFrame): DataFrame = {
+    val blocks = docs
+      .select(col("doc_id"), T.wsTokens(col("text")).as("w"))
+      .withColumn("nblk", expr(s"(size(w) + ${PassageWords - 1}) div $PassageWords"))
+      // token-less docs drop here on BOTH engines (oracle: range(0,0) is
+      // empty); without the guard sequence(0, -1) would count DOWN
+      .filter(col("nblk") > 0)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), col("nblk") - 1)).as("idx"))
+      .select(col("doc_id"), col("idx"),
+        array_join(slice(col("w"), col("idx") * PassageWords + 1,
+          lit(PassageWords)), " ").as("btext"))
+      .withColumn("bkey", md5(col("btext")))
+    val passageDf = blocks.select(col("bkey"), col("doc_id")).distinct()
+      .groupBy("bkey")
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_doc"))
+    blocks.join(passageDf, "bkey")
+      .withColumn("keep", col("df") === 1 || col("doc_id") === col("first_doc"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("idx"), col("btext"))))).getField("btext"),
+          " ").as("new_text"))
+      .orderBy("doc_id")
+  }
 }

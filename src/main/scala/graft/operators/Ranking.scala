@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q61_length_deciles — exact global order statistics without a global
+  * sort: assign every document its corpus-wide rank by (n_chars, doc_id)
+  * and from it a decile bucket, the "bucket the corpus by length before
+  * packing/filtering" step of a curation run.
+  *
+  * The naive formulation is `ntile(10) OVER (ORDER BY n_chars, doc_id)`
+  * — an unpartitioned window that drags the whole corpus into ONE task.
+  * Here the rank decomposes into three bounded pieces:
+  *
+  *   rank(d) =   #{docs with value < d.value}               (histogram)
+  *             + #{same value, earlier doc_id block}        (block prefix)
+  *             + #{same value, same block, doc_id ≤ d}      (in-block rank)
+  *
+  *   1. the HISTOGRAM prefix is a groupBy(value) count (partial
+  *      aggregable) plus one ordered window over the DISTINCT VALUES
+  *      only — bounded by the value domain (≤ ~4k char lengths here),
+  *      never the corpus, then broadcast;
+  *   2. the BLOCK prefix partitions by value and orders by doc_id block
+  *      (block = doc_id div [[RankBlockSize]]) — each window partition
+  *      holds blocks-per-value rows, not docs;
+  *   3. the IN-BLOCK row_number partitions by (value, block) — at most
+  *      [[RankBlockSize]] rows per task even when one value dominates
+  *      the corpus (the boilerplate-length skew case).
+  *
+  * Deterministic integer arithmetic end-to-end, so the DuckDB oracle's
+  * single-window `row_number()` lands on identical ranks and deciles.
+  * Same machinery as q53's block-wise cumsum (Packing.scala) generalized
+  * with a partition value — together they cover the two global-order
+  * primitives (prefix aggregation and ranking) that otherwise become
+  * single-task bottlenecks at 100 TB.
+  */
+object Ranking {
+
+  /** Docs per in-block ranking task — bounds the widest window partition
+    * even when every doc shares one value. */
+  val RankBlockSize = 1000L
+
+  val NumBuckets = 10
+
+  /** Global 1-based rank of every row by (valueCol, idCol) ascending,
+    * computed block-wise (no corpus-wide window; see object doc). The id
+    * column must be a unique long. Adds `rank` to the input columns. */
+  private[graft] def globalRank(df: DataFrame, valueCol: String,
+                                idCol: String,
+                                blockSize: Long = RankBlockSize): DataFrame = {
+    val bl = df.withColumn("blk", expr(s"$idCol div $blockSize"))
+    val vb = bl.groupBy(col(valueCol), col("blk"))
+      .agg(count(lit(1)).as("vb_n"))
+    val wBlk = Window.partitionBy(col(valueCol)).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkPre = vb
+      .withColumn("blk_pre", coalesce(sum(col("vb_n")).over(wBlk), lit(0L)))
+      .select(col(valueCol), col("blk"), col("blk_pre"))
+    val wVal = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = vb.groupBy(col(valueCol)).agg(sum(col("vb_n")).as("v_n"))
+      .withColumn("v_pre", coalesce(sum(col("v_n")).over(wVal), lit(0L)))
+      .select(col(valueCol), col("v_pre"))
+    val wIn = Window.partitionBy(col(valueCol), col("blk")).orderBy(col(idCol))
+    bl.withColumn("rn_in", row_number().over(wIn).cast("long"))
+      .join(blkPre, Seq(valueCol, "blk"))
+      .join(broadcast(hist), Seq(valueCol))
+      .withColumn("rank", col("v_pre") + col("blk_pre") + col("rn_in"))
+      .drop("blk", "vb_n", "blk_pre", "v_pre", "rn_in")
+  }
+
+  /** q61_length_deciles — every document's exact global length rank and
+    * decile (0..9) by (n_chars, doc_id). */
+  def lengthDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+    val total = docs.agg(count(lit(1)).as("cnt"))
+    globalRank(docs, "n_chars", "doc_id")
+      .crossJoin(broadcast(total))
+      .withColumn("decile", expr(s"((rank - 1) * $NumBuckets) div cnt"))
+      .select(col("doc_id"), col("n_chars"), col("rank"), col("decile"))
+      .orderBy("doc_id")
+  }
+}

@@ -39,4 +39,40 @@ object Sampling {
       .filter(col("bucket") < col("keep_rate"))
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
       .orderBy("doc_id")
+
+  /** q60_lang_balance — DATA-DEPENDENT rebalancing: downsample every
+    * language to (approximately) the size of the smallest one, the
+    * "flatten the language mix" step of a multilingual training set.
+    * Where q48's rates are fixed configuration, here the rate comes from
+    * the corpus itself: membership is
+    *
+    *   md5("bal_" || doc_id) mod n_lang  <  n_target
+    *
+    * with n_lang = docs in this doc's language and n_target = min over
+    * languages — keeping an ≈ n_target/n_lang fraction of each stratum,
+    * exactly n_target in expectation, and exactly reproducible (the
+    * DuckDB oracle recomputes the identical membership, so the check is
+    * row-exact, not statistical).
+    *
+    * Scale shape: the per-language counts are one partial-aggregable
+    * groupBy whose result (|languages| rows) broadcasts back onto the
+    * scan, the global min is a 1-row broadcast, and membership is a
+    * scan-local filter — no shuffle of the corpus, no RNG state, no
+    * per-group windows (a rank-based exact-n variant would put n/|langs|
+    * rows in one window task; the hash-threshold form is what keeps
+    * this a pure scan at 100 TB). */
+  def langBalance(spark: SparkSession, sfDir: String): DataFrame =
+    langBalanceFrom(Tables.documents(spark, sfDir))
+
+  /** [[langBalance]] over an arbitrary (doc_id, lang, source) frame. */
+  private[graft] def langBalanceFrom(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val target = counts.agg(min(col("n_lang")).as("n_target"))
+    docs.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(target))
+      .filter(pmod(H.md5Int28(concat(lit("bal_"), col("doc_id").cast("string"))),
+        col("n_lang")) < col("n_target"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Dedup, Ranking, Sampling}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** q59-q61: passage dedup, language rebalancing, block-wise global rank. */
+class RankingSamplingSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("globalRank equals a global window on tied, gapped, multi-block data") {
+    // values collide across blocks (v = id % 7), ids are gapped
+    val rows = (0L until 400L).map(_ * 3 + 1).map(id => (id, id % 7))
+    val df = rows.toDF("doc_id", "v")
+    val got = Ranking.globalRank(df, "v", "doc_id", blockSize = 50L)
+      .select($"doc_id", $"rank").as[(Long, Long)].collect().toMap
+    val want = df
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"v", $"doc_id")).cast("long"))
+      .select($"doc_id", $"rank").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("length deciles: buckets are contiguous in rank and near-equal-sized") {
+    val d = Ranking.lengthDeciles(spark, sf)
+      .select($"rank", $"decile").as[(Long, Long)].collect().sortBy(_._1)
+    val n = d.length
+    assert(d.map(_._1).toSeq == (1L to n).toSeq) // ranks are a permutation
+    assert(d.map(_._2).toSeq == d.map(_._2).sorted.toSeq) // monotone in rank
+    val sizes = d.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet.subsetOf((0L until 10L).toSet))
+    assert(sizes.values.forall(s => (s - n / 10).abs <= 1))
+  }
+
+  test("passage dedup strips repeated blocks everywhere but the first doc") {
+    val shared = (1 to Dedup.PassageWords).map(i => s"dup$i").mkString(" ")
+    val a = (1 to Dedup.PassageWords).map(i => s"a$i").mkString(" ")
+    val b = (1 to Dedup.PassageWords).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"$a $shared"),      // canonical holder of the shared block
+      (20L, s"$shared $b"),      // loses it (keeps b)
+      (30L, shared),             // entirely boilerplate -> empty text
+      (40L, "short tail")        // sub-block doc, unique, untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedupFrom(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(10L) == ((2L, 2L, s"$a $shared")))
+    assert(out(20L) == ((2L, 1L, b)))
+    assert(out(30L) == ((1L, 0L, "")))
+    assert(out(40L) == ((1L, 1L, "short tail")))
+  }
+
+  test("passage dedup reassembles surviving blocks in original order") {
+    val blocks = (0 until 5).map(k =>
+      (1 to Dedup.PassageWords).map(i => s"w${k}_$i").mkString(" "))
+    val docs = Seq((1L, blocks.mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.passageDedupFrom(docs)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(out == ((1L, 5L, 5L, blocks.mkString(" "))))
+  }
+
+  test("lang balance keeps the smallest language whole and shrinks the rest") {
+    val docs = ((0L until 40L).map((_, "en")) ++ (40L until 50L).map((_, "fr")))
+      .map { case (id, l) => (id, l, s"src$id") }.toDF("doc_id", "lang", "source")
+    val kept = Sampling.langBalanceFrom(docs)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // n_lang == n_target => pmod(h, n) < n always: the min stratum survives intact
+    assert(byLang("fr") == 10)
+    assert(byLang("en") < 40) // dominant language strictly downsampled
+    // deterministic: a second run selects the identical rows
+    val again = Sampling.langBalanceFrom(docs)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    assert(kept.sorted.toSeq == again.sorted.toSeq)
+  }
+}

@@ -11,8 +11,10 @@ import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
 class ScaleShapeSpec extends SparkSuite {
 
   /** q53's block-totals window is deliberately unpartitioned — it runs
-    * over corpus/BlockSize rows, never the corpus (PLANS.md §q53). */
-  private val allowUnpartitionedWindow = Set("q53_shard_pack")
+    * over corpus/BlockSize rows, never the corpus (PLANS.md §q53).
+    * q61's histogram window likewise runs over the DISTINCT length
+    * values only (value-domain-bounded, PLANS.md §q61). */
+  private val allowUnpartitionedWindow = Set("q53_shard_pack", "q61_length_deciles")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
