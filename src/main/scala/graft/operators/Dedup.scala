@@ -251,6 +251,11 @@ object Dedup {
     // materialize the input FIRST: every star operation references its
     // input 4x (sym + groupBy + join), so an expensive upstream plan
     // (the minhash pipeline) must be cut off before the first pass
+    // base stays EAGER: the upstream here is the expensive minhash
+    // pipeline, and a lazy checkpoint lets the first round's parallel
+    // map stages race to compute it concurrently before any blocks
+    // land (measured +1 s cold); one dedicated materialization job
+    // guarantees it runs exactly once
     val base = edges0.select(col("u"), col("v"))
       .filter(col("u") =!= col("v")).localCheckpoint()
     // seed with one small-star pass: near-dup components are close to
@@ -277,12 +282,12 @@ object Dedup {
         sum(col("u").cast("decimal(38,0)")),
         sum(col("v").cast("decimal(38,0)")),
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head.toSeq
-    var e = smallStar(base).localCheckpoint()
+    var e = smallStar(base).localCheckpoint(eager = false)
     var prevSig = signature(e)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       rounds += 1
       val nextSig = signature(next)
       if (nextSig == prevSig) {
