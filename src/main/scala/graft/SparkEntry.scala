@@ -72,7 +72,8 @@ object SparkEntry {
     "q58_winnow_pairs"    -> (Dedup.winnowPairs _),
     "q59_passage_dedup"   -> (Dedup.passageDedup _),
     "q60_lang_balance"    -> (Sampling.langBalance _),
-    "q61_length_deciles"  -> (Ranking.lengthDeciles _)
+    "q61_length_deciles"  -> (Ranking.lengthDeciles _),
+    "q62_ann_hnsw"        -> (Similarity.annHnsw _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -989,6 +990,88 @@ object SparkEntry {
         |       row_number() OVER (ORDER BY n_chars, doc_id) AS "rank",
         |       ((row_number() OVER (ORDER BY n_chars, doc_id) - 1)
         |          * ${Ranking.NumBuckets} // cnt)::BIGINT AS decile
-        |FROM documents, n ORDER BY doc_id""".stripMargin
+        |FROM documents, n ORDER BY doc_id""".stripMargin,
+    "q62_ann_hnsw" -> annHnswOracle
   )
+
+  /** q62's oracle: the identical graph-build + [[graft.operators
+    * .Similarity.HnswHops]]-hop beam-search recurrence, with one
+    * (nodes, scored, frontier) CTE triple emitted per hop. */
+  private def annHnswOracle: String = {
+    import graft.operators.Similarity.{HnswM, HnswBeam, HnswHops, HnswEntry}
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val hops = (1 to HnswHops).map { h =>
+      val p = s"f${h - 1}"
+      s"""n$h AS (
+        |  SELECT DISTINCT query_id, node FROM (
+        |    SELECT query_id, node FROM $p
+        |    UNION ALL
+        |    SELECT $p.query_id, adj.dst AS node FROM $p JOIN adj ON adj.src = $p.node)
+        |),
+        |s$h AS (
+        |  SELECT n.query_id, n.node, ${cos("q.qv", "e.v")} AS sim
+        |  FROM n$h n JOIN e ON e.vec_id = n.node JOIN q ON q.query_id = n.query_id
+        |  WHERE n.node <> n.query_id
+        |),
+        |f$h AS (
+        |  SELECT query_id, node FROM (
+        |    SELECT query_id, node,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+        |    FROM s$h) WHERE rn <= $HnswBeam
+        |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |params AS (SELECT greatest(1, ceil(log2(count(*) / 64.0)))::INT AS bits FROM e),
+      |grid AS (
+      |  SELECT i, d,
+      |         ('0x' || substr(md5('ivf_0_' || i || '_' || d), 1, 7))::BIGINT % 2001 - 1000 AS w
+      |  FROM unnest(range(0, (SELECT bits FROM params))) t2(i), unnest(range(0, 64)) t3(d)
+      |),
+      |dots AS (
+      |  SELECT e.vec_id, g.i, sum(e.v[g.d + 1] * g.w) AS dot
+      |  FROM e, grid g GROUP BY 1, 2
+      |),
+      |codes AS (
+      |  SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1 << i) ELSE 0 END) AS c
+      |  FROM dots GROUP BY 1
+      |),
+      |cand AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst, ${cos("ea.v", "eb.v")} AS cosine
+      |  FROM codes a JOIN codes b
+      |    ON bit_count(xor(a.c::BIGINT, b.c::BIGINT)) <= 1 AND a.vec_id <> b.vec_id
+      |  JOIN e ea ON ea.vec_id = a.vec_id
+      |  JOIN e eb ON eb.vec_id = b.vec_id
+      |),
+      |adj AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |           row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+      |    FROM cand) WHERE rn <= $HnswM
+      |),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |entry AS (SELECT vec_id AS node FROM e ORDER BY vec_id LIMIT $HnswEntry),
+      |s0 AS (
+      |  SELECT q.query_id, entry.node, ${cos("q.qv", "e.v")} AS sim
+      |  FROM q, entry JOIN e ON e.vec_id = entry.node
+      |  WHERE entry.node <> q.query_id
+      |),
+      |f0 AS (
+      |  SELECT query_id, node FROM (
+      |    SELECT query_id, node,
+      |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+      |    FROM s0) WHERE rn <= $HnswBeam
+      |),
+      |$hops,
+      |sfin AS (
+      |  SELECT f.query_id, f.node, ${cos("q.qv", "e.v")} AS sim
+      |  FROM f$HnswHops f JOIN e ON e.vec_id = f.node JOIN q ON q.query_id = f.query_id
+      |)
+      |SELECT query_id, node AS neighbor_id, rnk::INT AS "rank", round(sim, 6) AS cosine
+      |FROM (
+      |  SELECT query_id, node, sim,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rnk
+      |  FROM sfin) WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+  }
 }

@@ -461,4 +461,89 @@ object Similarity {
     bothDirections(
       CandidatePairs.boundedSelfJoin(masked, Seq("t", "mc"), "vec_id", 2 * BucketCap))
   }
+
+  /** Out-degree of the neighborhood graph (top-M cosine edges kept per
+    * node). */
+  val HnswM = 6
+  /** Beam width of the per-hop frontier. */
+  val HnswBeam = 8
+  /** Fixed hop count — the search runs as [[HnswHops]] static joins in
+    * one lazy plan, no data-dependent driver loop. */
+  val HnswHops = 3
+  /** Entry points: the [[HnswEntry]] lowest vec_ids seed every query's
+    * frontier. */
+  val HnswEntry = 4
+
+  /** q62_ann_hnsw — graph-based ANN (the HNSW/NSW family shape): beam
+    * search over a precomputed neighborhood graph, the third ANN scale
+    * path next to bucketed LSH (q17) and IVF (q28/q57).
+    *
+    *   - GRAPH BUILD: each node keeps its [[HnswM]] highest-cosine
+    *     out-edges among its Hamming-≤1 LSH candidates — exactly q17's
+    *     skew-bounded candidate machinery ([[annLshCandidates]]:
+    *     adaptive bits, bounded+salted bucket self-join) followed by the
+    *     partial-aggregable top-k aggregate. Build cost = the q17
+    *     candidate pass, ~linear in n; the graph is n·M edges (a 100 TB
+    *     corpus yields a graph that is itself just a big keyed table).
+    *   - SEARCH: every query starts from the [[HnswEntry]] lowest-id
+    *     entry nodes and runs [[HnswHops]] rounds of batch beam search:
+    *     frontier ∪ out-neighbors(frontier) → score vs the query →
+    *     keep the top-[[HnswBeam]] (cosine DESC, id ASC). Each round is
+    *     a frontier⋈graph equi-join keyed by node plus one top-k
+    *     aggregate — for a 10⁶-query batch the frontier is a
+    *     (queries×beam)-row TABLE and every hop is set-based shuffle
+    *     work; no per-query driver walk, which is how a navigable-graph
+    *     search has to look on Spark (hop latency amortizes over the
+    *     whole query batch).
+    *
+    * Greedy graph search is heuristic (it can miss a true neighbor the
+    * graph never reaches) but DETERMINISTIC: the oracle replicates the
+    * identical recurrence, so grading is row-exact like q17/q57.
+    * Recall floor vs exact top-3 is asserted in SimilaritySpec. */
+  def annHnsw(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    // adjacency: top-M cosine out-edges per node among Hamming-<=1 pairs
+    // materialized once (localCheckpoint): every hop joins the graph,
+    // and without the cut each hop would embed the whole candidate
+    // pipeline again. At 100 TB the n·M edge list is the index you
+    // persist to a table; this is the single-session equivalent
+    val adj = pairCosine(annLshCandidates(spark, sfDir), v)
+      .groupBy(col("vec_a"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(col("cosine"), col("vec_b"), HnswM).as("top"))
+      .select(col("vec_a").as("src"), explode(col("top")).as("s"))
+      .select(col("src"), col("s.id").as("dst"))
+      .localCheckpoint()
+    val q = broadcast(v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val entry = broadcast(v.orderBy("vec_id").limit(HnswEntry)
+      .select(col("vec_id").as("node")))
+    // score a (query_id, node) frontier against the query vector; a
+    // node is re-scored whenever re-reached — cheaper than carrying
+    // scores through the distinct, and bit-identical either way
+    def scored(frontier: DataFrame): DataFrame = frontier
+      .join(v.select(col("vec_id").as("node"), col("v")), "node")
+      .join(q, "query_id")
+      .filter(col("node") =!= col("query_id"))
+      .select(col("query_id"), col("node"),
+        org.apache.spark.sql.graft.native.cosineSim(col("qv"), col("v")).as("sim"))
+    def beam(sc: DataFrame, k: Int): DataFrame = sc
+      .groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(col("sim"), col("node"), k).as("top"))
+    val f0 = beam(scored(q.select(col("query_id")).crossJoin(entry)), HnswBeam)
+      .select(col("query_id"), explode(col("top")("id")).as("node"))
+    val frontier = (1 to HnswHops).foldLeft(f0) { (f, _) =>
+      val expand = f.join(adj, col("node") === col("src"))
+        .select(col("query_id"), col("dst").as("node"))
+      beam(scored(f.unionAll(expand).distinct()), HnswBeam)
+        .select(col("query_id"), explode(col("top")("id")).as("node"))
+    }
+    beam(scored(frontier), BucketK)
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("s.score"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
 }

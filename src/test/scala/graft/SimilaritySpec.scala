@@ -99,6 +99,30 @@ class SimilaritySpec extends SparkSuite {
     assert(flat - hier <= 0.15, s"hier recall $hier fell too far below flat $flat")
   }
 
+  test("graph ANN (beam search) clears a recall floor and reports true cosines") {
+    val exact = (0L until 10L).flatMap { q =>
+      vectors.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cosine(vectors(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.BucketK)
+        .map { case (id, _) => (q, id) }
+    }.toSet
+    val rows = Similarity.annHnsw(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.sortBy(_.getInt(2)).map(_.getInt(2)).toSeq == (1 to rs.length))
+    }
+    // the reported cosine must be the genuine pairwise cosine
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) -
+        cosine(vectors(r.getLong(0)), vectors(r.getLong(1)))) < 1e-5)
+    }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    // greedy graph search on a structureless corpus: the floor guards
+    // against degenerate regressions (empty graph, dead frontier)
+    assert(recall >= 0.2, s"graph-ANN recall@3 = $recall")
+  }
+
   test("adaptive bucket bits: integer-exact ceil(log2(n/target))") {
     assert(Similarity.adaptiveBits(1) == 1)
     assert(Similarity.adaptiveBits(64) == 1)
