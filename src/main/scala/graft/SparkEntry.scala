@@ -73,7 +73,8 @@ object SparkEntry {
     "q59_passage_dedup"   -> (Dedup.passageDedup _),
     "q60_lang_balance"    -> (Sampling.langBalance _),
     "q61_length_deciles"  -> (Ranking.lengthDeciles _),
-    "q62_ann_hnsw"        -> (Similarity.annHnsw _)
+    "q62_ann_hnsw"        -> (Similarity.annHnsw _),
+    "q63_incremental_dedup" -> (Dedup.incrementalDedup _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -991,7 +992,32 @@ object SparkEntry {
         |       ((row_number() OVER (ORDER BY n_chars, doc_id) - 1)
         |          * ${Ranking.NumBuckets} // cnt)::BIGINT AS decile
         |FROM documents, n ORDER BY doc_id""".stripMargin,
-    "q62_ann_hnsw" -> annHnswOracle
+    "q62_ann_hnsw" -> annHnswOracle,
+    "q63_incremental_dedup" ->
+      (jaccardCte +
+        """,
+          |s AS (SELECT (count(*) * 4) // 5 AS s FROM documents),
+          |exact AS (
+          |  SELECT b.doc_id, min(c.doc_id) AS exact_id
+          |  FROM documents b, documents c, s
+          |  WHERE b.doc_id >= s.s AND c.doc_id < s.s AND md5(b.text) = md5(c.text)
+          |  GROUP BY b.doc_id
+          |),
+          |near AS (
+          |  SELECT j AS doc_id, min(i) AS near_id
+          |  FROM jac, s WHERE jaccard >= 0.8 AND i < s.s AND j >= s.s
+          |  GROUP BY j
+          |),
+          |batch AS (SELECT doc_id FROM documents, s WHERE doc_id >= s.s)
+          |SELECT d.doc_id,
+          |       CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+          |            WHEN n.near_id IS NOT NULL THEN 'near'
+          |            ELSE 'new' END AS status,
+          |       coalesce(e.exact_id, n.near_id) AS match_id
+          |FROM batch d
+          |LEFT JOIN exact e ON e.doc_id = d.doc_id
+          |LEFT JOIN near n ON n.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin)
   )
 
   /** q62's oracle: the identical graph-build + [[graft.operators

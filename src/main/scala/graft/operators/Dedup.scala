@@ -433,6 +433,62 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q63_incremental_dedup — dedup a NEW INGESTION BATCH against the
+    * existing corpus, the shape every continuously-fed training
+    * pipeline actually runs (full-corpus re-dedup per batch is the
+    * naive O(total²) alternative). The graded spec splits the documents
+    * table at the 80th id percentile: ids < S are "the corpus", ids ≥ S
+    * are "the incoming batch". Each batch doc is labeled
+    *
+    *   - `exact` — its content hash matches a corpus doc (match_id =
+    *     lowest such corpus id);
+    *   - `near`  — a verified ≥[[JaccardThreshold]]-Jaccard partner
+    *     exists in the corpus (match_id = lowest partner);
+    *   - `new`   — otherwise (match_id null).
+    *
+    * Batch-internal duplicates are deliberately NOT flagged — that is
+    * q11/q12's job on the batch itself; this operator answers "is it
+    * already in the corpus".
+    *
+    * Scale shape: the exact arm is a hash equi-join against the
+    * pre-aggregated corpus hash table; the near arm REUSES the full
+    * skew-bounded minhash pipeline — since verified pairs are ordered
+    * (doc_a < doc_b), the corpus×batch cross pairs are exactly those
+    * with doc_a < S ≤ doc_b, so incremental dedup is a FILTER over the
+    * same bounded candidate machinery, inheriting its cap/salting
+    * guarantees. The split point is a broadcast 1-row aggregate;
+    * no windows, no driver state. */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalDedupFrom(
+      Tables.documents(spark, sfDir), minhashPairs(spark, sfDir))
+
+  /** [[incrementalDedup]] over arbitrary (doc_id, text) docs + verified
+    * (doc_a < doc_b) pair frames. */
+  private[graft] def incrementalDedupFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val split = docs.agg(expr("(count(1) * 4) div 5").as("s"))
+    val d = docs.crossJoin(broadcast(split))
+    val corpusHashes = d.filter(col("doc_id") < col("s"))
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("exact_id"))
+    val exact = d.filter(col("doc_id") >= col("s"))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpusHashes, "h")
+      .select(col("doc_id"), col("exact_id"))
+    val near = pairs.crossJoin(broadcast(split))
+      .filter(col("doc_a") < col("s") && col("doc_b") >= col("s"))
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("near_id"))
+    d.filter(col("doc_id") >= col("s")).select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("near_id").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"))
+      .orderBy("doc_id")
+  }
+
   /** Words per passage block for [[passageDedup]]. */
   val PassageWords = 10
 

@@ -166,4 +166,28 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(graded == viaInjectable && graded.nonEmpty)
   }
+
+  test("incremental dedup labels exact/near/new and ignores batch-internal pairs") {
+    import spark.implicits._
+    // 15 docs -> split = 12: corpus 0-11, batch 12-14
+    val docs = (0L until 12L).map(i => (i, s"corpus doc number $i body"))
+      .toSeq
+      .updated(3, (3L, "identical content here")) ++ Seq(
+      (12L, "identical content here"),   // exact dup of corpus doc 3
+      (13L, "nearly the same as five"),  // near via the pairs frame
+      (14L, "genuinely novel text"))
+    val pairs = Seq(
+      (5L, 13L),  // corpus -> batch: flags 13 as near
+      (12L, 13L), // batch-internal: must be IGNORED
+      (2L, 11L)   // corpus-internal: irrelevant to the batch
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.incrementalDedupFrom(docs.toDF("doc_id", "text"), pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq(
+      (12L, "exact", 3L),
+      (13L, "near", 5L),
+      (14L, "new", -1L)))
+  }
 }
