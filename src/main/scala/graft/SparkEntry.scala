@@ -74,7 +74,8 @@ object SparkEntry {
     "q60_lang_balance"    -> (Sampling.langBalance _),
     "q61_length_deciles"  -> (Ranking.lengthDeciles _),
     "q62_ann_hnsw"        -> (Similarity.annHnsw _),
-    "q63_incremental_dedup" -> (Dedup.incrementalDedup _)
+    "q63_incremental_dedup" -> (Dedup.incrementalDedup _),
+    "q64_funnel"          -> (Relational.funnel _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1017,7 +1018,30 @@ object SparkEntry {
           |FROM batch d
           |LEFT JOIN exact e ON e.doc_id = d.doc_id
           |LEFT JOIN near n ON n.doc_id = d.doc_id
-          |ORDER BY d.doc_id""".stripMargin)
+          |ORDER BY d.doc_id""".stripMargin),
+    "q64_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT u.user_id,
+        |       CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |            WHEN c.t_click IS NOT NULL THEN 2
+        |            WHEN v.t_view IS NOT NULL THEN 1
+        |            ELSE 0 END AS stage,
+        |       strftime(v.t_view, '%Y-%m-%d %H:%M:%S') AS first_view,
+        |       strftime(c.t_click, '%Y-%m-%d %H:%M:%S') AS first_click,
+        |       strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase
+        |FROM u
+        |LEFT JOIN v ON v.user_id = u.user_id
+        |LEFT JOIN c ON c.user_id = u.user_id
+        |LEFT JOIN p ON p.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin
   )
 
   /** q62's oracle: the identical graph-build + [[graft.operators

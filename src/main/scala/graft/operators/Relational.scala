@@ -402,4 +402,49 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .filter(col("n_events") >= 3)
       .orderBy("user_id")
+
+  /** q64_funnel — strict sequential funnel attribution over the event
+    * stream: for each user, the first `view`, the first `click` AFTER
+    * that view, and the first `purchase` AFTER that click — the
+    * conversion-funnel query every product-analytics stack runs, here
+    * with STRICT ordering semantics (a click before any view does not
+    * count, so funnel stages are causally ordered).
+    *
+    * Scale shape: each stage is a filtered partial-aggregable
+    * groupBy(user) min plus one equi-join keyed by user_id — the
+    * sessionize/window alternative would sort every user's full event
+    * history; this touches only the three event types and carries one
+    * row per user between stages. Timestamps are µs-exact (the events
+    * table is µs-aligned, so the ns→µs load conversion is lossless and
+    * strict inequalities match the ns-native oracle bit-for-bit). */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnelFrom(Tables.events(spark, sfDir))
+
+  /** [[funnel]] over an arbitrary (user_id, event_type, ts) frame. */
+  private[graft] def funnelFrom(ev: DataFrame): DataFrame = {
+    val users = ev.select(col("user_id")).distinct()
+    val view = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val click = ev.filter(col("event_type") === "click")
+      .join(view, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(click, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    users
+      .join(view, Seq("user_id"), "left")
+      .join(click, Seq("user_id"), "left")
+      .join(purchase, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t_purchase").isNotNull, lit(3))
+          .when(col("t_click").isNotNull, lit(2))
+          .when(col("t_view").isNotNull, lit(1))
+          .otherwise(lit(0)).as("stage"),
+        date_format(col("t_view"), "yyyy-MM-dd HH:mm:ss").as("first_view"),
+        date_format(col("t_click"), "yyyy-MM-dd HH:mm:ss").as("first_click"),
+        date_format(col("t_purchase"), "yyyy-MM-dd HH:mm:ss").as("first_purchase"))
+      .orderBy("user_id")
+  }
 }

@@ -61,6 +61,25 @@ class RankingSamplingSpec extends SparkSuite {
     assert(out == ((1L, 5L, 5L, blocks.mkString(" "))))
   }
 
+  test("funnel stages are strictly causally ordered") {
+    import org.apache.spark.sql.functions._
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def t(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val ev = Seq(
+      // A: full ordered funnel -> stage 3
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)),
+      // B: click BEFORE the first view never counts -> stage 1
+      (2L, "click", t(1)), (2L, "view", t(2)), (2L, "purchase", t(3)),
+      // C: purchase before the qualifying click -> stage 2
+      (3L, "view", t(1)), (3L, "purchase", t(2)), (3L, "click", t(3)),
+      // D: no funnel events at all -> stage 0
+      (4L, "signup", t(1))
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.operators.Relational.funnelFrom(ev)
+      .select($"user_id", $"stage").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0))
+  }
+
   test("lang balance keeps the smallest language whole and shrinks the rest") {
     val docs = ((0L until 40L).map((_, "en")) ++ (40L until 50L).map((_, "fr")))
       .map { case (id, l) => (id, l, s"src$id") }.toDF("doc_id", "lang", "source")
