@@ -75,7 +75,8 @@ object SparkEntry {
     "q61_length_deciles"  -> (Ranking.lengthDeciles _),
     "q62_ann_hnsw"        -> (Similarity.annHnsw _),
     "q63_incremental_dedup" -> (Dedup.incrementalDedup _),
-    "q64_funnel"          -> (Relational.funnel _)
+    "q64_funnel"          -> (Relational.funnel _),
+    "q65_char_langid"     -> (TextAnalysis.charLangId _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1041,7 +1042,36 @@ object SparkEntry {
         |LEFT JOIN v ON v.user_id = u.user_id
         |LEFT JOIN c ON c.user_id = u.user_id
         |LEFT JOIN p ON p.user_id = u.user_id
-        |ORDER BY u.user_id""".stripMargin
+        |ORDER BY u.user_id""".stripMargin,
+    "q65_char_langid" ->
+      s"""WITH d AS (SELECT doc_id, lang, text FROM documents
+        |           WHERE len(text) >= ${TextAnalysis.CharGramN}),
+        |g AS (
+        |  SELECT doc_id, lang, substr(text, s.i, ${TextAnalysis.CharGramN}) AS g
+        |  FROM d, unnest(range(1, len(text) - ${TextAnalysis.CharGramN - 2})) s(i)
+        |),
+        |prof AS (
+        |  SELECT lang AS plang, g FROM (
+        |    SELECT lang, g,
+        |           row_number() OVER (PARTITION BY lang
+        |                              ORDER BY count(*) DESC, g ASC) AS rn
+        |    FROM g GROUP BY lang, g) WHERE rn <= ${TextAnalysis.ProfileSize}
+        |),
+        |sc AS (
+        |  SELECT g.doc_id, p.plang, count(*) AS score
+        |  FROM g JOIN prof p USING (g) GROUP BY 1, 2
+        |),
+        |best AS (
+        |  SELECT doc_id, plang, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, plang ASC) AS rn
+        |  FROM sc
+        |)
+        |SELECT d.doc_id, d.lang AS labeled_lang,
+        |       coalesce(b.plang, 'und') AS predicted_lang,
+        |       coalesce(b.score, 0)::BIGINT AS score
+        |FROM d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** q62's oracle: the identical graph-build + [[graft.operators

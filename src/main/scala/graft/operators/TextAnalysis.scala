@@ -295,4 +295,63 @@ object TextAnalysis {
       .join(mins, Seq("doc_id"), "left")
       .orderBy("doc_id")
   }
+
+  /** Character n-gram width for [[charLangId]] profiles. */
+  val CharGramN = 3
+  /** Trigrams kept per language profile. */
+  val ProfileSize = 50
+
+  /** q65_char_langid — corpus-TRAINED character-trigram language ID,
+    * the learned counterpart of q18's fixed stopword lists (and the
+    * train-on-corpus / apply-to-corpus pattern of a real langid model):
+    *
+    *   1. TRAIN: explode every doc into char trigrams, count per
+    *      (lang, trigram), keep each language's [[ProfileSize]] most
+    *      frequent (count DESC, trigram ASC — deterministic);
+    *   2. APPLY: score each doc per language = its trigram occurrences
+    *      that hit that language's profile; predict the argmax
+    *      (ties → lexicographically smallest language).
+    *
+    * Scale shape: the trigram explode rides the scan; profile training
+    * is a partial-aggregable (lang, trigram) count whose ranked output
+    * is bounded by |langs|·|trigram domain| rows (the per-lang ranking
+    * window runs over that domain-bounded aggregate, never the corpus);
+    * the tiny profile table broadcasts back onto the trigram rows; the
+    * per-doc argmax is a partial-aggregable struct-min over ≤ |langs|
+    * rows per doc. One corpus scan per phase, no corpus-sized windows,
+    * no driver state. */
+  def charLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      // guard length >= N: Spark's sequence(1, len-2) would count DOWN
+      // for shorter docs; the oracle's range() is empty there
+      .filter(length(col("text")) >= CharGramN)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val grams = docs
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), length(col("text")) - (CharGramN - 1))).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("lang"),
+        expr(s"substring(text, i, $CharGramN)").as("g"))
+    val wProfile = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("g").asc)
+    val profiles = grams.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wProfile))
+      .filter(col("rn") <= ProfileSize)
+      .select(col("lang").as("plang"), col("g"))
+    val scored = grams.select(col("doc_id"), col("g"))
+      .join(broadcast(profiles), "g")
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(count(lit(1)).as("score"))
+      // argmax via struct-MIN on (-score, lang): highest score first,
+      // then lexicographically smallest language — partial-aggregable
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("plang").as("l"))).as("best"))
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("labeled_lang"),
+        coalesce(col("best.l"), lit("und")).as("predicted_lang"),
+        coalesce((-col("best.ns")), lit(0L)).as("score"))
+      .orderBy("doc_id")
+  }
 }

@@ -80,6 +80,23 @@ class RankingSamplingSpec extends SparkSuite {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0))
   }
 
+  test("char-trigram langid beats chance and is diagonal-dominant") {
+    val rows = graft.operators.TextAnalysis.charLangId(spark, sf)
+      .select($"labeled_lang", $"predicted_lang").as[(String, String)].collect()
+    val langs = rows.map(_._1).distinct
+    assert(rows.forall { case (_, p) => langs.contains(p) || p == "und" })
+    val acc = rows.count(r => r._1 == r._2).toDouble / rows.length
+    // deterministic 0.322 on this corpus (5 langs share a common word
+    // pool — chance is 0.2); floor guards degenerate regressions
+    assert(acc >= 0.25, s"accuracy $acc")
+    // for most languages the modal prediction is the true language
+    val diagonal = langs.count { l =>
+      val preds = rows.filter(_._1 == l).groupBy(_._2).view.mapValues(_.size)
+      preds.maxBy { case (p, n) => (n, p) }._1 == l
+    }
+    assert(diagonal >= 3, s"only $diagonal/${langs.length} languages diagonal-dominant")
+  }
+
   test("lang balance keeps the smallest language whole and shrinks the rest") {
     val docs = ((0L until 40L).map((_, "en")) ++ (40L until 50L).map((_, "fr")))
       .map { case (id, l) => (id, l, s"src$id") }.toDF("doc_id", "lang", "source")
