@@ -76,7 +76,8 @@ object SparkEntry {
     "q62_ann_hnsw"        -> (Similarity.annHnsw _),
     "q63_incremental_dedup" -> (Dedup.incrementalDedup _),
     "q64_funnel"          -> (Relational.funnel _),
-    "q65_char_langid"     -> (TextAnalysis.charLangId _)
+    "q65_char_langid"     -> (TextAnalysis.charLangId _),
+    "q66_embed_outliers"  -> (Similarity.embedOutliers _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1071,7 +1072,23 @@ object SparkEntry {
         |       coalesce(b.plang, 'und') AS predicted_lang,
         |       coalesce(b.score, 0)::BIGINT AS score
         |FROM d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    "q66_embed_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (
+        |  SELECT label, t.d, round(avg(v[t.d]), 6) AS m
+        |  FROM e, unnest(range(1, 65)) t(d) GROUP BY 1, 2
+        |),
+        |c AS (SELECT label, list(m ORDER BY d) AS cv FROM m GROUP BY label),
+        |s AS (
+        |  SELECT e.vec_id, e.label,
+        |         list_dot_product(e.v, c.cv) /
+        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+        |  FROM e JOIN c USING (label)
+        |)
+        |SELECT vec_id, label, round(cos, 6) AS centroid_cos,
+        |       cos < ${Similarity.OutlierCos} AS is_outlier
+        |FROM s ORDER BY vec_id""".stripMargin
   )
 
   /** q62's oracle: the identical graph-build + [[graft.operators

@@ -474,6 +474,41 @@ object Similarity {
     * frontier. */
   val HnswEntry = 4
 
+  /** Own-centroid cosine below this flags the vector as a label
+    * outlier (anti-aligned with its class center). */
+  val OutlierCos = 0.0
+
+  /** q66_embed_outliers — embedding-space outlier detection per label:
+    * each labeled vector is scored by cosine against ITS OWN label's
+    * centroid; vectors anti-aligned with their class center
+    * (cos < [[OutlierCos]]) are flagged — the "find mislabeled /
+    * corrupt samples before training" pass of an embedding-curation
+    * pipeline.
+    *
+    * Scale shape: centroids are one partial-aggregable (label, dim)
+    * mean (means rounded to 6dp — the q28 cross-engine float-parity
+    * trick, so both engines score against bit-identical centroids);
+    * the |labels|-row centroid table broadcasts onto the scan and
+    * scoring + flagging are scan-local codegen (`cosine_sim`). No
+    * corpus shuffle beyond the centroid aggregation. */
+  def embedOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("label", "d").agg(round(avg(col("x")), 6).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+      .select(col("label"), expr("transform(dm, s -> s.m)").as("cv"))
+    e.join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        org.apache.spark.sql.graft.native.cosineSim(col("v"), col("cv")).as("cos"))
+      .select(col("vec_id"), col("label"),
+        round(col("cos"), 6).as("centroid_cos"),
+        (col("cos") < OutlierCos).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   /** q62_ann_hnsw — graph-based ANN (the HNSW/NSW family shape): beam
     * search over a precomputed neighborhood graph, the third ANN scale
     * path next to bucketed LSH (q17) and IVF (q28/q57).

@@ -123,6 +123,31 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, s"graph-ANN recall@3 = $recall")
   }
 
+  test("embed outliers score against the genuine per-label mean centroid") {
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = labels.groupBy(_._2).view.mapValues { members =>
+      val vs = members.map(m => vectors(m._1))
+      val dims = vs.head.length
+      Array.tabulate(dims)(d =>
+        BigDecimal(vs.map(_(d)).sum / vs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val rows = Similarity.embedOutliers(spark, sf).collect()
+    assert(rows.length == labels.size)
+    rows.foreach { r =>
+      val (id, lab, cosR, out) =
+        (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3))
+      val want = cosine(vectors(id), cents(labels(id)))
+      assert(lab == labels(id))
+      assert(math.abs(cosR - want) < 1e-5, s"vec $id cos $cosR vs $want")
+      assert(out == (want < Similarity.OutlierCos) ||
+        math.abs(want - Similarity.OutlierCos) < 1e-9)
+    }
+    assert(rows.exists(_.getBoolean(3)), "no outliers flagged at all")
+  }
+
   test("adaptive bucket bits: integer-exact ceil(log2(n/target))") {
     assert(Similarity.adaptiveBits(1) == 1)
     assert(Similarity.adaptiveBits(64) == 1)
