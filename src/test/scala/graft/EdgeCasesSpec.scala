@@ -16,6 +16,7 @@ class EdgeCasesSpec extends SparkSuite {
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     vecs.toDF("vec_id", "embedding")
+      .withColumn("label", org.apache.spark.sql.functions.lit(0))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
   }
@@ -56,6 +57,36 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Dedup.decontaminate(spark, emptyDir).count() == 0)
     assert(Packing.shardPack(spark, emptyDir).count() == 0)
     assert(TextAnalysis.repetition(spark, emptyDir).count() == 0)
+  }
+
+  test("round-5 operators are empty-safe") {
+    import spark.implicits._
+    assert(Dedup.passageDedup(spark, emptyDir).count() == 0)
+    assert(Sampling.langBalance(spark, emptyDir).count() == 0)
+    assert(Ranking.lengthDeciles(spark, emptyDir).count() == 0)
+    assert(Similarity.annHnsw(spark, emptyDir).count() == 0)
+    assert(Dedup.incrementalDedup(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.charLangId(spark, emptyDir).count() == 0)
+    assert(Similarity.embedOutliers(spark, emptyDir).count() == 0)
+    assert(Relational.funnelFrom(
+      Seq.empty[(Long, String, java.sql.Timestamp)]
+        .toDF("user_id", "event_type", "ts")).count() == 0)
+  }
+
+  test("round-5 operators on a single-document corpus") {
+    val pd = Dedup.passageDedup(spark, oneDir).collect()
+    assert(pd.length == 1 && pd.head.getLong(2) == 1L) // its one block survives
+    val lb = Sampling.langBalance(spark, oneDir).collect()
+    assert(lb.length == 1) // the only language is the smallest: fully kept
+    val ld = Ranking.lengthDeciles(spark, oneDir).collect()
+    assert(ld.length == 1 && ld.head.getLong(2) == 1L && ld.head.getLong(3) == 0L)
+    assert(Similarity.annHnsw(spark, oneDir).count() == 0) // no non-self node
+    val inc = Dedup.incrementalDedup(spark, oneDir).collect()
+    assert(inc.length == 1 && inc.head.getString(1) == "new") // empty corpus side
+    val cl = TextAnalysis.charLangId(spark, oneDir).collect()
+    assert(cl.length == 1 && cl.head.getString(2) == "en") // own profile wins
+    val eo = Similarity.embedOutliers(spark, oneDir).collect()
+    assert(eo.length == 1 && !eo.head.getBoolean(3)) // cos(v, v) = 1
   }
 
   test("single-document corpus: no pairs, self cluster, own fingerprints") {
