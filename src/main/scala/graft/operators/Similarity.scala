@@ -566,13 +566,22 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(org.apache.spark.sql.graft.native
         .topKByScore(col("sim"), col("node"), k).as("top"))
+    // each hop's frontier is localCheckpoint'ed: the next hop references
+    // it TWICE (survive via union + expand via join), so an unmaterialized
+    // fold doubles the subplan per hop — 2^hops embeddings scans (the
+    // NOTES lesson-13 shape; caught by PlanSpec). The frontier is a
+    // (queries × beam)-row table, so the cut is constant-cost at any
+    // corpus scale — it is exactly the per-iteration state an iterative
+    // engine persists
     val f0 = beam(scored(q.select(col("query_id")).crossJoin(entry)), HnswBeam)
       .select(col("query_id"), explode(col("top")("id")).as("node"))
+      .localCheckpoint()
     val frontier = (1 to HnswHops).foldLeft(f0) { (f, _) =>
       val expand = f.join(adj, col("node") === col("src"))
         .select(col("query_id"), col("dst").as("node"))
       beam(scored(f.unionAll(expand).distinct()), HnswBeam)
         .select(col("query_id"), explode(col("top")("id")).as("node"))
+        .localCheckpoint()
     }
     beam(scored(frontier), BucketK)
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))

@@ -85,6 +85,34 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Exchange"))
   }
 
+  test("q59 passage dedup prunes the documents scan to (doc_id, text)") {
+    val p = plan("q59_passage_dedup")
+    // lang/source/n_chars must never be read — every ReadSchema line is
+    // the two-column projection
+    val schemas = p.split("\n").filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty)
+    schemas.foreach(s =>
+      assert(s.contains("struct<doc_id:bigint,text:string>"), s))
+  }
+
+  test("q64 funnel pushes event-type equality into the parquet scan") {
+    val p = plan("q64_funnel")
+    assert(p.contains("EqualTo(event_type,view)"), p.take(400))
+    assert(p.contains("EqualTo(event_type,click)"))
+    assert(p.contains("EqualTo(event_type,purchase)"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q62 graph ANN search hops read the materialized adjacency, not its pipeline") {
+    val p = plan("q62_ann_hnsw")
+    // the localCheckpoint cut: hops scan the checkpointed edge RDD;
+    // without it each hop re-embeds the whole candidate pipeline and the
+    // embeddings table appears many more times
+    assert(p.contains("Scan ExistingRDD"), p.take(400))
+    assert("embeddings\\.parquet".r.findAllIn(p).size <= 8, "adjacency pipeline re-embedded")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q34 tfidf is one lazy plan: no data-scan job at construction/planning") {
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.scheduler.SparkListener {
