@@ -144,6 +144,28 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming twin of q63's exact arm: label an incoming document
+    * STREAM against a static corpus hash table — the stream-static join
+    * shape (the static side is a plain DataFrame the engine re-plans
+    * per micro-batch; at scale a broadcast or bucketed reference
+    * table). Each streamed doc comes out `exact` (content hash already
+    * in the corpus, with the lowest matching corpus id) or `new` —
+    * the continuous-ingestion gate in front of a training corpus.
+    * Works identically on a batch frame (StreamingSpec asserts parity
+    * with the batch arm). */
+  def streamingIncrementalDedup(
+      docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{md5, min, when}
+    val corpusHashes = corpus
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("match_id"))
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpusHashes, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("match_id").isNotNull, "exact").otherwise("new").as("status"),
+        col("match_id"))
+  }
+
   /** Token-bucket rate limiting via flatMapGroupsWithState — the 0..n
     * output shape mapGroupsWithState can't express (a group may emit
     * NOTHING when fully throttled, or several admitted events per

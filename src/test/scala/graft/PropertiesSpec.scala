@@ -41,6 +41,26 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("globalRank equals driver-side sorting on generated skewed data") {
+    import spark.implicits._
+    // heavy ties (few distinct values), gapped ids, sizes straddling
+    // several rank blocks
+    val row = for {
+      id <- Gen.choose(0L, 5000L)
+      v <- Gen.choose(0L, 6L)
+    } yield (id, v)
+    (1 to 5).foreach { seed =>
+      val rows = draw(Gen.listOfN(300, row), seed)
+        .groupBy(_._1).map(_._2.head).toSeq // ids must be unique
+      val df = rows.toDF("id", "v")
+      val got = graft.operators.Ranking.globalRank(df, "v", "id", blockSize = 100L)
+        .select($"id", $"rank").as[(Long, Long)].collect().toMap
+      val expected = rows.sortBy { case (id, v) => (v, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("rolling-hash windows equal direct hashes for generated strings") {
     val gen = for {
       n <- Gen.chooseNum(0, 64)

@@ -212,4 +212,36 @@ class StreamingSpec extends SparkSuite {
       assert(streamed == batch)
     } finally query.stop()
   }
+
+  test("streaming incremental dedup labels a doc stream against a static corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "seen before"), (2L, "also known"), (3L, "seen before"))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val query = EventStream.streamingIncrementalDedup(
+        stream.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("inc_dedup_out").start()
+    try {
+      stream.addData((10L, "seen before"), (11L, "fresh content"))
+      query.processAllAvailable()
+      stream.addData((12L, "also known"))
+      query.processAllAvailable()
+      val rows = spark.table("inc_dedup_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      // match_id is the LOWEST corpus id holding the content (1, not 3)
+      assert(rows == Set((10L, "exact", 1L), (11L, "new", -1L), (12L, "exact", 2L)))
+      // parity: the same function over a batch frame gives the same labels
+      val batchRows = EventStream.streamingIncrementalDedup(
+          Seq((10L, "seen before"), (11L, "fresh content"), (12L, "also known"))
+            .toDF("doc_id", "text"), corpus)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(batchRows == rows)
+    } finally query.stop()
+  }
 }
