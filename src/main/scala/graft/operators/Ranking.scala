@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   *   3. the IN-BLOCK row_number partitions by (value, block) — at most
   *      [[RankBlockSize]] rows per task even when one value dominates
   *      the corpus (the boilerplate-length skew case).
+  *
+  * Worst-case note: under TOTAL single-value skew the level-2 window
+  * still sees corpus/[[RankBlockSize]] block rows in one partition —
+  * the same knob as q53's block-totals window (widen the block, or
+  * recurse the same decomposition one level on the block index). The
+  * level the corpus actually flows through (level 3) is hard-bounded.
   *
   * Deterministic integer arithmetic end-to-end, so the DuckDB oracle's
   * single-window `row_number()` lands on identical ranks and deciles.
