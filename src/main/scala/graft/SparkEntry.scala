@@ -77,7 +77,8 @@ object SparkEntry {
     "q63_incremental_dedup" -> (Dedup.incrementalDedup _),
     "q64_funnel"          -> (Relational.funnel _),
     "q65_char_langid"     -> (TextAnalysis.charLangId _),
-    "q66_embed_outliers"  -> (Similarity.embedOutliers _)
+    "q66_embed_outliers"  -> (Similarity.embedOutliers _),
+    "q67_session_attribution" -> (graft.streaming.EventStream.sessionAttribution _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1088,7 +1089,41 @@ object SparkEntry {
         |)
         |SELECT vec_id, label, round(cos, 6) AS centroid_cos,
         |       cos < ${Similarity.OutlierCos} AS is_outlier
-        |FROM s ORDER BY vec_id""".stripMargin
+        |FROM s ORDER BY vec_id""".stripMargin,
+    "q67_session_attribution" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+        |  FROM o
+        |),
+        |sess AS (
+        |  SELECT user_id, session_no, count(*) AS n_events,
+        |         min(ts) AS s_start, max(ts) AS s_end
+        |  FROM s GROUP BY user_id, session_no
+        |),
+        |err AS (
+        |  SELECT user_id, ts AS e_ts, value AS e_value FROM events
+        |  WHERE event_type = 'error'
+        |)
+        |SELECT sess.user_id, sess.session_no,
+        |       any_value(sess.n_events) AS n_events,
+        |       count(err.e_ts) AS n_errors,
+        |       round(coalesce(sum(err.e_value), 0), 2) AS err_value,
+        |       strftime(any_value(sess.s_start), '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM sess
+        |LEFT JOIN err ON err.user_id = sess.user_id
+        |             AND err.e_ts >= sess.s_start AND err.e_ts <= sess.s_end
+        |GROUP BY sess.user_id, sess.session_no
+        |ORDER BY sess.user_id, sess.session_no""".stripMargin
   )
 
   /** q62's oracle: the identical graph-build + [[graft.operators

@@ -61,7 +61,17 @@ object EventStream {
     * stream into sessions at >30-minute gaps via lag + cumulative-sum
     * windows (the SQL-expressible twin of the streaming [[sessionize]];
     * DuckDB checks it row-for-row). One shuffle, keyed by user. */
-  def sessionizeBatchQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  def sessionizeBatchQuery(spark: SparkSession, sfDir: String): DataFrame =
+    sessionBounds(spark, sfDir)
+      .select(col("user_id"), col("session_no"), col("n_events"),
+        date_format(col("s_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("s_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+      .orderBy("user_id", "session_no")
+
+  /** The session table with TIMESTAMP bounds — the reusable core of
+    * [[sessionizeBatchQuery]] (which formats it) and
+    * [[sessionAttribution]] (which joins against it). */
+  private[graft] def sessionBounds(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -74,8 +84,41 @@ object EventStream {
       .groupBy(col("user_id"), col("session_no"))
       .agg(
         count(lit(1)).as("n_events"),
-        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+        min(col("ts")).as("s_start"),
+        max(col("ts")).as("s_end"))
+  }
+
+  /** q67_session_attribution — attribute one event stream into the
+    * sessions built from another: every `error` event lands in the
+    * session whose [start, end] interval contains it, per session the
+    * error count and summed error value (0 for clean sessions). The
+    * "which session did the failure happen in" join every ops/analytics
+    * stack runs.
+    *
+    * The join SHAPE is the point: interval containment KEYED BY THE
+    * ENTITY (user_id equi-key + range predicate inside the user's
+    * partition). That plans as a user-keyed join where each task scans
+    * one user's sessions × that user's errors — bounded by per-user
+    * activity, scalable at any corpus size. An UNKEYED interval join
+    * has no equi-key and degenerates to a range-bucketed product — the
+    * shape to avoid; keying by entity is what makes containment joins
+    * viable at 100 TB. */
+  def sessionAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val sessions = sessionBounds(spark, sfDir)
+    val errors = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("e_ts"), col("value").as("e_value"))
+    sessions
+      .join(errors,
+        sessions("user_id") === errors("user_id")
+          && col("e_ts") >= col("s_start") && col("e_ts") <= col("s_end"),
+        "left")
+      .groupBy(sessions("user_id"), col("session_no"))
+      .agg(
+        first(col("n_events")).as("n_events"),
+        count(col("e_ts")).as("n_errors"),
+        round(coalesce(sum(col("e_value")), lit(0.0)), 2).as("err_value"),
+        date_format(first(col("s_start")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
       .orderBy("user_id", "session_no")
   }
 

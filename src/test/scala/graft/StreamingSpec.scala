@@ -213,6 +213,20 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("session attribution lands every error in exactly one session") {
+    val rows = EventStream.sessionAttribution(spark, sf).collect()
+    val sessions = EventStream.sessionizeBatchQuery(spark, sf).collect()
+    assert(rows.length == sessions.length) // one output row per session
+    val attributedErrors = rows.map(_.getLong(3)).sum
+    val totalErrors = graft.sources.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "error").count()
+    // sessions partition each user's timeline, so attribution is exact
+    assert(attributedErrors == totalErrors)
+    assert(rows.exists(_.getLong(3) == 0L), "no clean sessions at all?")
+    // n_errors <= n_events always (errors are a subset of session events)
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
+  }
+
   test("streaming incremental dedup labels a doc stream against a static corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
