@@ -1,9 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Default local parallelism when SPARK_GRAFT_CPUS is unset — shared
+    * with TimeQuery so A/B timings run under identical parallelism. */
+  val DefaultCpus = "4"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", DefaultCpus)
     // deliberately NOT GraftSession's AQE config: at bench scale
     // (sub-second stages) AQE's per-stage re-planning barriers cost
     // ~7% wall with zero benefit — its coalescing/skew wins need real

@@ -457,7 +457,13 @@ object Dedup {
     * with doc_a < S ≤ doc_b, so incremental dedup is a FILTER over the
     * same bounded candidate machinery, inheriting its cap/salting
     * guarantees. The split point is a broadcast 1-row aggregate;
-    * no windows, no driver state. */
+    * no windows, no driver state.
+    *
+    * Oracle-parity note: the `near` arm inherits q12's banding recall
+    * (a ≥0.8 pair missed by all 32 bands would label `new` here while
+    * the exact-Jaccard oracle says `near`) — the documented ~5e-8
+    * per-pair false-negative rate, see the recall assumption at
+    * SparkEntry.jaccardCte. */
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame =
     incrementalDedupFrom(
       Tables.documents(spark, sfDir), minhashPairs(spark, sfDir))

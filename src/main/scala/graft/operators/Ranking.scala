@@ -50,12 +50,30 @@ object Ranking {
 
   val NumBuckets = 10
 
+  /** Intermediate column names injected by [[globalRank]]; inputs carrying
+    * any of these (or an existing `rank`) are rejected up front. */
+  private val RankWorkCols =
+    Seq("blk", "vb_n", "blk_pre", "v_pre", "rn_in", "rank")
+
   /** Global 1-based rank of every row by (valueCol, idCol) ascending,
     * computed block-wise (no corpus-wide window; see object doc). The id
-    * column must be a unique long. Adds `rank` to the input columns. */
+    * column must be a unique long. Adds `rank` to the input columns.
+    *
+    * Precondition: the VALUE domain must be small relative to the corpus
+    * (distinct values ≪ rows — char lengths, deciles of a bounded score,
+    * …). The histogram prefix broadcasts one row per distinct value and
+    * ranks them in one unpartitioned window; with an all-distinct value
+    * column (e.g. ranking by a unique id) both degenerate to O(n) and the
+    * decomposition buys nothing — use a different key or pre-bucket the
+    * values first. The opposite extreme (ONE value for the whole corpus)
+    * is bounded by the block decomposition — see the object doc. */
   private[graft] def globalRank(df: DataFrame, valueCol: String,
                                 idCol: String,
                                 blockSize: Long = RankBlockSize): DataFrame = {
+    val clash = df.columns.toSeq.intersect(RankWorkCols)
+    require(clash.isEmpty,
+      s"globalRank injects intermediate columns ${clash.mkString(", ")} " +
+        "already present on the input; rename them before ranking")
     val bl = df.withColumn("blk", expr(s"$idCol div $blockSize"))
     val vb = bl.groupBy(col(valueCol), col("blk"))
       .agg(count(lit(1)).as("vb_n"))
