@@ -70,7 +70,10 @@ object Ranking {
   private[graft] def globalRank(df: DataFrame, valueCol: String,
                                 idCol: String,
                                 blockSize: Long = RankBlockSize): DataFrame = {
-    val clash = df.columns.toSeq.intersect(RankWorkCols)
+    // Spark resolves names case-insensitively by default, so an input
+    // column named e.g. `BLK` would slip past a case-sensitive intersect
+    // and then be clobbered by withColumn/drop below — compare folded.
+    val clash = df.columns.toSeq.filter(c => RankWorkCols.contains(c.toLowerCase))
     require(clash.isEmpty,
       s"globalRank injects intermediate columns ${clash.mkString(", ")} " +
         "already present on the input; rename them before ranking")

@@ -34,6 +34,9 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // timings are only comparable at equal parallelism — make every run
+    // self-describing (the default changed from 32 to 4 cpus once)
+    println(s"[timeq] cpus=$cpus sfDir=$sfDir")
     graft.sources.Tables.documents(spark, sfDir).count() // session warmup
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)

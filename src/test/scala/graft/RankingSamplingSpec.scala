@@ -22,6 +22,20 @@ class RankingSamplingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("globalRank rejects work-column clashes case-insensitively") {
+    // Spark resolves column names case-insensitively: an input column
+    // 'BLK' or 'Rank' would be clobbered just like the lower-case form
+    val df = Seq((1L, 2L, 3L)).toDF("doc_id", "v", "BLK")
+    val e = intercept[IllegalArgumentException] {
+      Ranking.globalRank(df, "v", "doc_id")
+    }
+    assert(e.getMessage.contains("BLK"))
+    val df2 = Seq((1L, 2L, 3L)).toDF("doc_id", "v", "Rank")
+    intercept[IllegalArgumentException] {
+      Ranking.globalRank(df2, "v", "doc_id")
+    }
+  }
+
   test("length deciles: buckets are contiguous in rank and near-equal-sized") {
     val d = Ranking.lengthDeciles(spark, sf)
       .select($"rank", $"decile").as[(Long, Long)].collect().sortBy(_._1)
