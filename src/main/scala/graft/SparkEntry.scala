@@ -78,7 +78,12 @@ object SparkEntry {
     "q64_funnel"          -> (Relational.funnel _),
     "q65_char_langid"     -> (TextAnalysis.charLangId _),
     "q66_embed_outliers"  -> (Similarity.embedOutliers _),
-    "q67_session_attribution" -> (graft.streaming.EventStream.sessionAttribution _)
+    "q67_session_attribution" -> (graft.streaming.EventStream.sessionAttribution _),
+    "q69_domain_cap"      -> (Sampling.domainCap _),
+    "q70_vocab_oov"       -> (TextAnalysis.vocabOov _),
+    "q71_temp_mix"        -> (Sampling.tempMix _),
+    "q72_inverted_index"  -> (Indexing.invertedIndex _),
+    "q74_binned_range_join" -> (Relational.binnedRangeJoin _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1133,7 +1138,86 @@ object SparkEntry {
         |LEFT JOIN err ON err.user_id = sess.user_id
         |             AND err.e_ts >= sess.s_start AND err.e_ts <= sess.s_end
         |GROUP BY sess.user_id, sess.session_no
-        |ORDER BY sess.user_id, sess.session_no""".stripMargin
+        |ORDER BY sess.user_id, sess.session_no""".stripMargin,
+    "q69_domain_cap" ->
+      s"""WITH h AS (
+        |  SELECT source, doc_id,
+        |         ('0x' || substr(md5('cap_' || doc_id), 1, 7))::BIGINT AS h
+        |  FROM documents
+        |),
+        |r AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS cap_rank
+        |  FROM h
+        |)
+        |SELECT source, doc_id, cap_rank FROM r
+        |WHERE cap_rank <= ${Sampling.DomainCapN}
+        |ORDER BY source, cap_rank""".stripMargin,
+    "q70_vocab_oov" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents
+        |),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |v AS (
+        |  SELECT tok, TRUE AS in_vocab FROM (
+        |    SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rn FROM c)
+        |  WHERE rn <= ${TextAnalysis.VocabSize}
+        |),
+        |o AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |         count(*) FILTER (v.in_vocab IS NULL) AS n_oov
+        |  FROM t LEFT JOIN v USING (tok) GROUP BY t.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(o.n_tokens, 0)::BIGINT AS n_tokens,
+        |       coalesce(o.n_oov, 0)::BIGINT AS n_oov,
+        |       (CASE WHEN coalesce(o.n_tokens, 0) = 0 THEN 0
+        |             ELSE (o.n_oov * 1000) // o.n_tokens END)::BIGINT AS oov_permille
+        |FROM documents d LEFT JOIN o USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q71_temp_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |t AS (SELECT min(n_lang) AS n_min FROM c),
+        |r AS (
+        |  SELECT c.lang,
+        |         floor(sqrt(t.n_min::DOUBLE / c.n_lang) * ${Sampling.MixScale})::BIGINT AS keep_ppm
+        |  FROM c, t
+        |)
+        |SELECT d.doc_id, d.lang, d.source, r.keep_ppm
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ('0x' || substr(md5('mix_' || d.doc_id), 1, 7))::BIGINT
+        |        % ${Sampling.MixScale} < r.keep_ppm
+        |ORDER BY d.doc_id""".stripMargin,
+    "q72_inverted_index" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents
+        |),
+        |t AS (
+        |  SELECT doc_id, s.i::INT - 1 AS pos, toks[s.i::INT] AS term
+        |  FROM d, unnest(range(1, len(toks) + 1)) s(i)
+        |),
+        |p AS (
+        |  SELECT term, doc_id, doc_id // ${Indexing.SegmentDocs} AS segment,
+        |         count(*) AS tf,
+        |         doc_id::VARCHAR || ':' || string_agg(pos::VARCHAR, '|' ORDER BY pos) AS posting
+        |  FROM t GROUP BY term, doc_id
+        |)
+        |SELECT term, segment, count(*) AS seg_df, sum(tf)::BIGINT AS seg_tf,
+        |       string_agg(posting, ' ' ORDER BY doc_id) AS postings
+        |FROM p GROUP BY term, segment
+        |ORDER BY term, segment""".stripMargin,
+    "q74_binned_range_join" ->
+      """WITH tiers(tier, lo, hi) AS (
+        |  VALUES ('bronze', 0.0, 50.0), ('silver', 50.0, 150.0),
+        |         ('gold', 150.0, 300.0), ('platinum', 300.0, NULL)
+        |)
+        |SELECT e.event_type, t.tier, count(*) AS n_events,
+        |       round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN tiers t
+        |  ON e.value >= t.lo AND (t.hi IS NULL OR e.value < t.hi)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** q62's oracle: the identical graph-build + [[graft.operators

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q72_inverted_index — SEGMENTED positional inverted index, the classic
+  * MapReduce IR workload (and the shape of the reference's map→group→
+  * reduce pipeline applied to retrieval): term → ordered posting list of
+  * (doc_id, positions).
+  *
+  * The scale problem with the textbook `groupBy(term).collect_list(...)`
+  * is the posting list itself: a stopword's postings are O(corpus) and
+  * land in ONE aggregation buffer / ONE output cell. Real engines
+  * (Lucene segments, Anserini/Hadoop index builds) shard postings by
+  * document range, so the index here is keyed by (term, segment) with
+  * segment = doc_id div [[Indexing.SegmentDocs]]:
+  *
+  *   - per-(term, segment) posting strings are bounded by the segment
+  *     width — no aggregation buffer ever holds more than
+  *     [[Indexing.SegmentDocs]] docs' postings regardless of term
+  *     frequency (the stopword-skew guard);
+  *   - postings within a segment are "doc:p1|p2" in doc_id order, the
+  *     in-doc positions in token order — fully deterministic, so the
+  *     DuckDB oracle compares the posting STRINGS byte-for-byte;
+  *   - df/tf per (term, segment) are partial-aggregable counts; global
+  *     df is one more bounded agg over (term, segment) rows.
+  *
+  * Query-time lookup is then (term, segment-range) — an equi-prefix scan
+  * that parallelizes over segments, which is exactly how the 100 TB
+  * index would be laid out as a bucketed/partitioned parquet table.
+  */
+object Indexing {
+
+  /** Documents per index segment — caps every posting buffer. */
+  val SegmentDocs = 100L
+
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    invertedIndexFrom(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** [[invertedIndex]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def invertedIndexFrom(docs: DataFrame): DataFrame = {
+    // (doc, position, token) — posexplode keeps the in-doc token order
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(T.alphaTokens(col("text"))).as(Seq("pos", "term")))
+    // one row per (term, doc): positions already sorted (ints ascending)
+    val perDoc = toks
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("posting",
+        concat(col("doc_id").cast("string"), lit(":"),
+          array_join(col("positions"), "|")))
+      .withColumn("segment", expr(s"doc_id div $SegmentDocs"))
+    // segment posting string: docs in doc_id order inside the segment
+    perDoc
+      .groupBy(col("term"), col("segment"))
+      .agg(count(lit(1)).as("seg_df"),
+        sum(size(col("positions"))).cast("long").as("seg_tf"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("posting")))),
+            e => e.getField("posting")),
+          " ").as("postings"))
+      .orderBy("term", "segment")
+  }
+}

@@ -447,4 +447,62 @@ object Relational {
         date_format(col("t_purchase"), "yyyy-MM-dd HH:mm:ss").as("first_purchase"))
       .orderBy("user_id")
   }
+
+  /** Value-tier boundaries for [[binnedRangeJoin]]: [lo, hi) half-open,
+    * hi = null ⇒ open-ended top tier. */
+  val ValueTiers: Seq[(String, Double, Option[Double])] = Seq(
+    ("bronze", 0.0, Some(50.0)),
+    ("silver", 50.0, Some(150.0)),
+    ("gold", 150.0, Some(300.0)),
+    ("platinum", 300.0, None))
+
+  /** Bin width for the equi-key that [[binnedRangeJoin]] derives. */
+  val TierBinWidth = 50.0
+
+  /** q74_binned_range_join — interval classification as a BINNED range
+    * join: tag every event with the value tier whose [lo, hi) interval
+    * contains it, then aggregate count/revenue per (event_type, tier).
+    *
+    * A raw `lo <= value AND value < hi` theta-join has no equi-key, so
+    * Spark plans BroadcastNestedLoopJoin — every row tests every
+    * interval, O(n·|tiers|), and with a LARGE interval table it
+    * degenerates to a cartesian product. The binned form restores a
+    * hash join: replicate each tier to the fixed-width bins it overlaps
+    * (`sequence(floor(lo/w), ceil(hi/w))` — interval table rows ×
+    * overlap only), give every event its bin = floor(value/w), equi-join
+    * on bin, refine with the exact range predicate. The join is then
+    * hash-partitionable on bin — broadcastable here, shuffle-on-bin at
+    * 100 TB with an arbitrary-size interval table (the same trick as
+    * q67's entity-keyed containment, for intervals with NO shared key).
+    * The open-ended top tier is bounded by the observed max (a 1-row
+    * broadcast aggregate), so replication never materializes an
+    * unbounded bin list. */
+  def binnedRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val maxBin = ev.agg(
+      floor(max(col("value")) / TierBinWidth).cast("long").as("max_bin"))
+    val tiers = ValueTiers
+      .map { case (t, lo, hi) => (t, lo, hi.map(Double.box).orNull) }
+      .toDF("tier", "lo", "hi")
+    // one row per (tier, overlapped bin); the open top tier extends to
+    // the corpus max bin — data-dependent but broadcast, never collected
+    val tierBins = tiers
+      .crossJoin(broadcast(maxBin))
+      .select(col("tier"), col("lo"), col("hi"),
+        explode(sequence(
+          floor(col("lo") / TierBinWidth).cast("long"),
+          least(
+            coalesce(ceil(col("hi") / TierBinWidth).cast("long"), col("max_bin")),
+            col("max_bin")))).as("bin"))
+    ev.withColumn("bin", floor(col("value") / TierBinWidth).cast("long"))
+      .join(broadcast(tierBins), Seq("bin"))
+      .filter(col("value") >= col("lo") &&
+        (col("hi").isNull || col("value") < col("hi")))
+      .groupBy(col("event_type"), col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("event_type", "tier")
+  }
 }

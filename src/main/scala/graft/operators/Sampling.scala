@@ -64,6 +64,78 @@ object Sampling {
   def langBalance(spark: SparkSession, sfDir: String): DataFrame =
     langBalanceFrom(Tables.documents(spark, sfDir))
 
+  /** Max documents kept per source in [[domainCap]]. */
+  val DomainCapN = 15
+
+  /** q69_domain_cap — per-domain document cap: keep at most
+    * [[DomainCapN]] docs per source, chosen in deterministic hash order
+    * (md5("cap_"‖doc_id), ties → doc_id) — the "one crawl domain floods
+    * the corpus" guard of a web-scale pipeline (CommonCrawl-style
+    * per-domain limits).
+    *
+    * Scale shape: per-source selection runs through the native
+    * `top_k_by_score` aggregate, whose k-slot buffer pre-reduces
+    * MAP-SIDE to ≤ N rows per source per partition — a hot domain with
+    * 10⁹ docs costs its scan, not a window task (row_number over a
+    * flooded domain drags the whole domain into one task; the aggregate
+    * form never materializes more than |sources|·N rows after the
+    * exchange). The hash order makes the kept set independent of
+    * partitioning and engine. */
+  def domainCap(spark: SparkSession, sfDir: String): DataFrame =
+    domainCapFrom(Tables.documents(spark, sfDir), DomainCapN)
+
+  /** [[domainCap]] over an arbitrary (doc_id, source) frame. */
+  private[graft] def domainCapFrom(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.graft.{native => gf}
+    // smallest hash first ⇒ score = -hash; 28-bit hashes are exact in
+    // double, and the aggregate's tie-break (score desc, id asc) gives
+    // the (hash asc, doc_id asc) order the oracle's window replicates
+    val h = H.md5Int28(concat(lit("cap_"), col("doc_id").cast("string")))
+    docs
+      .select(col("source"), col("doc_id"), h.as("h"))
+      .groupBy(col("source"))
+      .agg(gf.topKByScore(-col("h").cast("double"), col("doc_id"), n).as("kept"))
+      .select(col("source"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("source"), col("kv.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("cap_rank"))
+      .orderBy("source", "cap_rank")
+  }
+
+  /** Temperature exponent α=0.5 ⇒ keep fraction √(n_min/n_lang). */
+  val MixScale = 1000000L
+
+  /** q71_temp_mix — temperature-scaled language rebalancing: keep a
+    * √(n_min/n_lang) fraction of every language (α = 0.5 exponential
+    * smoothing, the multilingual-LLM sampling scheme of mBERT/XLM) —
+    * the midpoint between q48's fixed rates, q60's full flatten (α=0)
+    * and no rebalancing (α=1): dominant languages are damped, the tail
+    * is boosted relative to its natural share, the smallest language
+    * survives intact.
+    *
+    * Determinism across engines: `sqrt` is IEEE-correctly-rounded (the
+    * ONLY transcendental with that guarantee — `pow(x, 0.5)` is not),
+    * so floor(√(n_min/n_lang)·10⁶) lands on the identical per-million
+    * threshold in Spark and DuckDB, and membership
+    * md5("mix_"‖doc_id) mod 10⁶ < threshold is the same scan-local,
+    * shuffle-free hash filter as q48/q60 — row-exact oracle, no RNG. */
+  def tempMix(spark: SparkSession, sfDir: String): DataFrame =
+    tempMixFrom(Tables.documents(spark, sfDir))
+
+  /** [[tempMix]] over an arbitrary (doc_id, lang, source) frame. */
+  private[graft] def tempMixFrom(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val target = counts.agg(min(col("n_lang")).as("n_min"))
+    docs.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(target))
+      .withColumn("keep_ppm",
+        floor(sqrt(col("n_min").cast("double") / col("n_lang")) * MixScale)
+          .cast("long"))
+      .filter(pmod(H.md5Int28(concat(lit("mix_"), col("doc_id").cast("string"))),
+        lit(MixScale)) < col("keep_ppm"))
+      .select(col("doc_id"), col("lang"), col("source"), col("keep_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** [[langBalance]] over an arbitrary (doc_id, lang, source) frame. */
   private[graft] def langBalanceFrom(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))

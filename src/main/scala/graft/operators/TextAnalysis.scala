@@ -354,4 +354,46 @@ object TextAnalysis {
         coalesce((-col("best.ns")), lit(0L)).as("score"))
       .orderBy("doc_id")
   }
+
+  /** Vocabulary size for [[vocabOov]] — top-K most frequent tokens. */
+  val VocabSize = 20
+
+  /** q70_vocab_oov — fixed-vocabulary coverage: build the corpus's
+    * top-[[VocabSize]] token vocabulary (count DESC, token ASC —
+    * deterministic), then measure every document's out-of-vocabulary
+    * token count and rate — the "how much of my corpus does a K-entry
+    * tokenizer vocab cover" question asked before training a tokenizer
+    * or pruning an embedding table.
+    *
+    * Scale shape: token counting is one partial-aggregable explode+count;
+    * the ranking window runs over the DOMAIN-BOUNDED token aggregate
+    * (|vocabulary| rows — thousands, never the corpus, the q65 profile
+    * pattern); the K-row vocab broadcasts onto the token stream; per-doc
+    * OOV counting is partial-aggregable keyed by doc_id. The OOV rate is
+    * integer per-mille arithmetic ((n_oov·1000) div n_tokens) — exact
+    * cross-engine parity, no float rounding at grid midpoints. */
+  def vocabOov(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), explode(T.alphaTokens(col("text"))).as("tok"))
+    val wVocab = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok").asc)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wVocab))
+      .filter(col("rn") <= VocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    val perDoc = toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_permille",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("(n_oov * 1000) div n_tokens")))
+      .orderBy("doc_id")
+  }
 }

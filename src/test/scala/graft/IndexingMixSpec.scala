@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.{Indexing, Relational, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** q69-q74 round-7 tier: domain capping, vocab/OOV coverage, temperature
+  * mixing, segmented inverted index, binned range join. */
+class IndexingMixSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("domain cap keeps at most N docs per source, deterministically") {
+    // one flooded source (40 docs), one tiny (5) — the cap must bind
+    // only the flooded one and pick the same set on every run/partitioning
+    val docs = ((0L until 40L).map((_, "big")) ++ (100L until 105L).map((_, "small")))
+      .toDF("doc_id", "source")
+    val kept = Sampling.domainCapFrom(docs, 15)
+      .select($"source", $"doc_id", $"cap_rank")
+      .as[(String, Long, Long)].collect()
+    val bySrc = kept.groupBy(_._1)
+    assert(bySrc("big").length == 15)
+    assert(bySrc("small").length == 5)
+    assert(bySrc("big").map(_._3).sorted.toSeq == (1L to 15L))
+    val again = Sampling.domainCapFrom(docs.repartition(7), 15)
+      .select($"source", $"doc_id", $"cap_rank")
+      .as[(String, Long, Long)].collect()
+    assert(kept.sortBy(r => (r._1, r._3)).toSeq == again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
+  test("temperature mix keeps the min language whole and damps by sqrt") {
+    // en 400 docs, fr 100: keep_ppm(fr)=10^6 (all), keep_ppm(en)=500000
+    val docs = ((0L until 400L).map((_, "en")) ++ (400L until 500L).map((_, "fr")))
+      .map { case (id, l) => (id, l, s"s$id") }.toDF("doc_id", "lang", "source")
+    val out = Sampling.tempMixFrom(docs)
+      .select($"doc_id", $"lang", $"keep_ppm").as[(Long, String, Long)].collect()
+    val byLang = out.groupBy(_._2)
+    assert(byLang("fr").length == 100) // sqrt(100/100)=1 => min stratum intact
+    assert(out.filter(_._2 == "en").head._3 == 500000L) // floor(sqrt(1/4)*1e6)
+    // ~half of en kept (hash-uniform; generous bounds)
+    assert(byLang("en").length > 140 && byLang("en").length < 260)
+    // alpha=0.5 keeps MORE of the dominant language than full flattening
+    val flat = Sampling.langBalanceFrom(docs)
+      .filter($"lang" === "en").count()
+    assert(byLang("en").length > flat)
+  }
+
+  test("vocab OOV counts are exact on a known corpus") {
+    // 21 distinct letter-only tokens; the top-20 vocab cutoff is by
+    // (count DESC, token ASC), so the excluded term is the
+    // lexicographically-largest count-2 token: "wt"
+    val common = ('a' to 't').map(c => s"w$c") // wa..wt, 20 words
+    val text = (common ++ common ++ Seq("zzz")).mkString(" ")
+    val docs = Seq(
+      (1L, text, "en", "s", text.length.toLong),      // wa..wt x2, zzz x1
+      (2L, "wa wb zzz zzz", "en", "s", 12L),          // counts: wa,wb,zzz=3
+      (3L, "", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.vocabOov(spark, sf) // smoke the graded form
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_oov", "oov_permille"))
+    val got = vocabOovFrom(docs)
+    assert(got(1L) == ((41L, 2L, 48L)))  // wt x2 OOV; 2000 div 41 = 48
+    assert(got(2L) == ((4L, 0L, 0L)))    // fully in-vocab
+    assert(got(3L) == ((0L, 0L, 0L)))    // zero-token doc survives
+  }
+
+  /** Runs the q70 pipeline over an injected frame via a temp view swap. */
+  private def vocabOovFrom(docs: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Long, Long, Long)] = {
+    val dir = java.nio.file.Files.createTempDirectory("vocaboov").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    TextAnalysis.vocabOov(spark, dir)
+      .select($"doc_id", $"n_tokens", $"n_oov", $"oov_permille")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("inverted index: exact postings, segment split, stopword bounded") {
+    val docs = Seq(
+      (99L, "alpha beta alpha"),        // segment 0
+      (100L, "beta gamma"),             // segment 1 boundary
+      (101L, "alpha beta beta")         // segment 1
+    ).toDF("doc_id", "text")
+    val rows = Indexing.invertedIndexFrom(docs)
+      .select($"term", $"segment", $"seg_df", $"seg_tf", $"postings")
+      .as[(String, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(rows(("alpha", 0L)) == ((1L, 2L, "99:0|2")))
+    assert(rows(("alpha", 1L)) == ((1L, 1L, "101:0")))
+    assert(rows(("beta", 0L)) == ((1L, 1L, "99:1")))
+    assert(rows(("beta", 1L)) == ((2L, 3L, "100:0 101:1|2"))) // doc order
+    assert(rows(("gamma", 1L)) == ((1L, 1L, "100:1")))
+    // a corpus-wide stopword never concentrates in one group: its
+    // postings stay split per segment
+    assert(rows.keys.count(_._1 == "beta") == 2)
+  }
+
+  test("binned range join classifies every event exactly once") {
+    val out = Relational.binnedRangeJoin(spark, sf)
+    val classified = out.agg(sum($"n_events")).as[Long].head()
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(classified == total)
+    // boundary semantics: [lo, hi) half-open — value 50.0 is silver
+    val tiers = out.select($"tier").distinct().as[String].collect().toSet
+    assert(tiers.subsetOf(Set("bronze", "silver", "gold", "platinum")))
+  }
+
+  test("binned range join plans a hash join, not a nested-loop product") {
+    val p = Relational.binnedRangeJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the bin equi-key must carry the join; BNLJ only for the 1-row
+    // max-bin broadcast (no row-vs-tier nested loop)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected a BroadcastHashJoin on the bin key:\n$p")
+  }
+}

@@ -14,7 +14,10 @@ class ScaleShapeSpec extends SparkSuite {
     * over corpus/BlockSize rows, never the corpus (PLANS.md §q53).
     * q61's histogram window likewise runs over the DISTINCT length
     * values only (value-domain-bounded, PLANS.md §q61). */
-  private val allowUnpartitionedWindow = Set("q53_shard_pack", "q61_length_deciles")
+  // q70's vocab ranking window runs over the distinct-TOKEN aggregate
+  // (vocabulary-domain-bounded, never the corpus).
+  private val allowUnpartitionedWindow =
+    Set("q53_shard_pack", "q61_length_deciles", "q70_vocab_oov")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
