@@ -79,10 +79,12 @@ object SparkEntry {
     "q65_char_langid"     -> (TextAnalysis.charLangId _),
     "q66_embed_outliers"  -> (Similarity.embedOutliers _),
     "q67_session_attribution" -> (graft.streaming.EventStream.sessionAttribution _),
+    "q68_ann_pq"          -> (Similarity.annPq _),
     "q69_domain_cap"      -> (Sampling.domainCap _),
     "q70_vocab_oov"       -> (TextAnalysis.vocabOov _),
     "q71_temp_mix"        -> (Sampling.tempMix _),
     "q72_inverted_index"  -> (Indexing.invertedIndex _),
+    "q73_semdedup"        -> (Similarity.semDedup _),
     "q74_binned_range_join" -> (Relational.binnedRangeJoin _)
   )
 
@@ -424,65 +426,7 @@ object SparkEntry {
         |FROM w WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
     "q28_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |params AS (SELECT greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT) AS k,
-        |                  (count(*) + ${Similarity.IvfSampleMult} * greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT) - 1)
-        |                    // (${Similarity.IvfSampleMult} * greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT)) AS den
-        |           FROM e),
-        |s AS (SELECT * FROM e
-        |      WHERE ('0x' || substr(md5('ivfs_' || vec_id), 1, 7))::BIGINT
-        |              % (SELECT den FROM params) = 0),
-        |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM s
-        |       ORDER BY vec_id LIMIT (SELECT k FROM params)),
-        |a0 AS (
-        |  SELECT vec_id, cent_id FROM (
-        |    SELECT s.vec_id, c.cent_id,
-        |           row_number() OVER (PARTITION BY s.vec_id ORDER BY
-        |             list_dot_product(s.v, c.cv) /
-        |             (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-        |             c.cent_id ASC) AS rn
-        |    FROM s, c0 c) WHERE rn = 1
-        |),
-        |m0 AS (
-        |  SELECT a.cent_id, t.d, round(avg(s.v[t.d]), 6) AS m
-        |  FROM a0 a, s, unnest(range(1, 65)) t(d)
-        |  WHERE a.vec_id = s.vec_id
-        |  GROUP BY a.cent_id, t.d
-        |),
-        |c1 AS (
-        |  SELECT c0.cent_id, coalesce(n.cv, c0.cv) AS cv
-        |  FROM c0 LEFT JOIN (SELECT cent_id, list(m ORDER BY d) AS cv FROM m0 GROUP BY cent_id) n
-        |    USING (cent_id)
-        |),
-        |a1 AS (
-        |  SELECT vec_id, cent_id FROM (
-        |    SELECT s.vec_id, c.cent_id,
-        |           row_number() OVER (PARTITION BY s.vec_id ORDER BY
-        |             list_dot_product(s.v, c.cv) /
-        |             (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-        |             c.cent_id ASC) AS rn
-        |    FROM s, c1 c) WHERE rn = 1
-        |),
-        |m1 AS (
-        |  SELECT a.cent_id, t.d, round(avg(s.v[t.d]), 6) AS m
-        |  FROM a1 a, s, unnest(range(1, 65)) t(d)
-        |  WHERE a.vec_id = s.vec_id
-        |  GROUP BY a.cent_id, t.d
-        |),
-        |c2 AS (
-        |  SELECT c1.cent_id, coalesce(n.cv, c1.cv) AS cv
-        |  FROM c1 LEFT JOIN (SELECT cent_id, list(m ORDER BY d) AS cv FROM m1 GROUP BY cent_id) n
-        |    USING (cent_id)
-        |),
-        |asg AS (
-        |  SELECT e.vec_id, c.cent_id,
-        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |           list_dot_product(e.v, c.cv) /
-        |           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-        |           c.cent_id ASC) AS rn
-        |  FROM e, c2 c
-        |),
-        |cells AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1),
+      (ivfCellsCte + s""",
         |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= 2),
         |pairs AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -498,7 +442,23 @@ object SparkEntry {
         |  FROM pairs
         |)
         |SELECT query_id, neighbor_id, rnk::INT AS "rank", round(cosine_raw, 6) AS cosine
-        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
+    "q73_semdedup" ->
+      (ivfCellsCte + s""",
+        |dup AS (
+        |  SELECT b.vec_id, min(a.vec_id) AS dup_of
+        |  FROM cells a JOIN cells b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE list_dot_product(ea.v, eb.v) /
+        |        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+        |          >= ${graft.operators.Similarity.CosineThreshold}
+        |  GROUP BY b.vec_id
+        |)
+        |SELECT c.vec_id, c.cent_id, d.dup_of IS NOT NULL AS is_dup,
+        |       coalesce(d.dup_of, -1) AS dup_of
+        |FROM cells c LEFT JOIN dup d USING (vec_id)
+        |ORDER BY c.vec_id""".stripMargin),
     "q29_sql" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
@@ -1139,6 +1099,7 @@ object SparkEntry {
         |             AND err.e_ts >= sess.s_start AND err.e_ts <= sess.s_end
         |GROUP BY sess.user_id, sess.session_no
         |ORDER BY sess.user_id, sess.session_no""".stripMargin,
+    "q68_ann_pq" -> annPqOracle,
     "q69_domain_cap" ->
       s"""WITH h AS (
         |  SELECT source, doc_id,
@@ -1219,6 +1180,138 @@ object SparkEntry {
         |  ON e.value >= t.lo AND (t.hi IS NULL OR e.value < t.hi)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
+
+  /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,
+    * final corpus assignment (`asg`, ranked) and top-1 `cells`. */
+  private def ivfCellsCte: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |params AS (SELECT greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT) AS k,
+        |                  (count(*) + ${Similarity.IvfSampleMult} * greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT) - 1)
+        |                    // (${Similarity.IvfSampleMult} * greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT)) AS den
+        |           FROM e),
+        |s AS (SELECT * FROM e
+        |      WHERE ('0x' || substr(md5('ivfs_' || vec_id), 1, 7))::BIGINT
+        |              % (SELECT den FROM params) = 0),
+        |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM s
+        |       ORDER BY vec_id LIMIT (SELECT k FROM params)),
+        |a0 AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT s.vec_id, c.cent_id,
+        |           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+        |             list_dot_product(s.v, c.cv) /
+        |             (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cent_id ASC) AS rn
+        |    FROM s, c0 c) WHERE rn = 1
+        |),
+        |m0 AS (
+        |  SELECT a.cent_id, t.d, round(avg(s.v[t.d]), 6) AS m
+        |  FROM a0 a, s, unnest(range(1, 65)) t(d)
+        |  WHERE a.vec_id = s.vec_id
+        |  GROUP BY a.cent_id, t.d
+        |),
+        |c1 AS (
+        |  SELECT c0.cent_id, coalesce(n.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN (SELECT cent_id, list(m ORDER BY d) AS cv FROM m0 GROUP BY cent_id) n
+        |    USING (cent_id)
+        |),
+        |a1 AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT s.vec_id, c.cent_id,
+        |           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+        |             list_dot_product(s.v, c.cv) /
+        |             (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |             c.cent_id ASC) AS rn
+        |    FROM s, c1 c) WHERE rn = 1
+        |),
+        |m1 AS (
+        |  SELECT a.cent_id, t.d, round(avg(s.v[t.d]), 6) AS m
+        |  FROM a1 a, s, unnest(range(1, 65)) t(d)
+        |  WHERE a.vec_id = s.vec_id
+        |  GROUP BY a.cent_id, t.d
+        |),
+        |c2 AS (
+        |  SELECT c1.cent_id, coalesce(n.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN (SELECT cent_id, list(m ORDER BY d) AS cv FROM m1 GROUP BY cent_id) n
+        |    USING (cent_id)
+        |),
+        |asg AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_dot_product(e.v, c.cv) /
+        |           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |           c.cent_id ASC) AS rn
+        |  FROM e, c2 c
+        |),
+        |cells AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1)""".stripMargin
+
+  /** q68's oracle: the identical PQ recurrence — hash-least init
+    * codebook, one Lloyd round (rounded argmin + rounded means),
+    * encode, per-query ADC lookup sums, top-3 by (dist ASC, id ASC). */
+  private def annPqOracle: String = {
+    import graft.operators.Similarity.{PqCodes, PqSampleMult, PqSubDim}
+    // squared L2 between subvectors of 64-d lists a and b for subspace
+    // `sub` (0-based), as a DuckDB list comprehension (fixed dd order)
+    def subDist(a: String, b: String) =
+      s"round(list_sum([($a[sub * $PqSubDim + dd] - $b[sub * $PqSubDim + dd]) * " +
+        s"($a[sub * $PqSubDim + dd] - $b[sub * $PqSubDim + dd]) " +
+        s"FOR dd IN range(1, ${PqSubDim + 1})]), 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |params AS (SELECT (count(*) + ${PqSampleMult * PqCodes} - 1)
+      |                    // ${PqSampleMult * PqCodes} AS den FROM e),
+      |s AS (SELECT e.* FROM e, params
+      |      WHERE ('0x' || substr(md5('pqs_' || vec_id), 1, 7))::BIGINT % params.den = 0),
+      |init AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, v
+      |  FROM (SELECT vec_id, v,
+      |               ('0x' || substr(md5('pqc_' || vec_id), 1, 7))::BIGINT AS h
+      |        FROM s ORDER BY h, vec_id LIMIT $PqCodes)
+      |),
+      |subs AS (SELECT i AS sub FROM unnest(range(0, ${graft.operators.Similarity.PqSubspaces})) t(i)),
+      |a0 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT s.vec_id, subs.sub, c.code,
+      |           row_number() OVER (PARTITION BY s.vec_id, subs.sub
+      |                              ORDER BY ${subDist("s.v", "c.v")} ASC, c.code ASC) AS rn
+      |    FROM s, subs, init c) WHERE rn = 1
+      |),
+      |m0 AS (
+      |  SELECT a.code, t.d, round(avg(s.v[t.d]), 6) AS m
+      |  FROM a0 a JOIN s USING (vec_id), unnest(range(1, ${graft.operators.Similarity.Dims + 1})) t(d)
+      |  WHERE (t.d - 1) // $PqSubDim = a.sub
+      |  GROUP BY 1, 2
+      |),
+      |cbg AS (
+      |  SELECT g.code, g.d, coalesce(m.m, g.iv) AS cv
+      |  FROM (SELECT c.code, t.d, c.v[t.d] AS iv
+      |        FROM init c, unnest(range(1, ${graft.operators.Similarity.Dims + 1})) t(d)) g
+      |  LEFT JOIN m0 m ON m.code = g.code AND m.d = g.d
+      |),
+      |cbl AS (SELECT code, list(cv ORDER BY d) AS cv FROM cbg GROUP BY code),
+      |enc AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT e.vec_id, subs.sub, c.code,
+      |           row_number() OVER (PARTITION BY e.vec_id, subs.sub
+      |                              ORDER BY ${subDist("e.v", "c.cv")} ASC, c.code ASC) AS rn
+      |    FROM e, subs, cbl c) WHERE rn = 1
+      |),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |lut AS (
+      |  SELECT q.query_id, subs.sub, c.code, ${subDist("q.qv", "c.cv")} AS qdist
+      |  FROM q, subs, cbl c
+      |),
+      |adc AS (
+      |  SELECT l.query_id, enc.vec_id, round(sum(l.qdist), 6) AS adist
+      |  FROM enc JOIN lut l ON l.sub = enc.sub AND l.code = enc.code
+      |  WHERE enc.vec_id <> l.query_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT query_id, vec_id AS neighbor_id, rnk::INT AS "rank", adist AS approx_dist
+      |FROM (SELECT query_id, vec_id, adist,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY adist ASC, vec_id ASC) AS rnk
+      |      FROM adc) WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** q62's oracle: the identical graph-build + [[graft.operators
     * .Similarity.HnswHops]]-hop beam-search recurrence, with one

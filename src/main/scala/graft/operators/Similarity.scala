@@ -590,4 +590,178 @@ object Similarity {
         round(col("s.score"), 6).as("cosine"))
       .orderBy("query_id", "rank")
   }
+
+  /** q73_semdedup — SEMANTIC deduplication (SemDeDup, Abbas et al.
+    * 2023): cluster the embedding space with the q28-trained k-means
+    * cells, then WITHIN each cell flag every vector that has a
+    * lower-id neighbor above cosine [[CosineThreshold]] — the
+    * "remove semantically redundant training examples" pass that
+    * token-level dedup (q12-q14) cannot do, because paraphrases share
+    * no shingles.
+    *
+    * Scale shape: clustering confines the O(cell²) pair search to
+    * cells of ~√n (the SemDeDup trick — the full corpus pair product
+    * is never formed); the in-cell pair generation reuses
+    * [[CandidatePairs.boundedSelfJoin]], so even a degenerate cell
+    * (one centroid attracting everything) is salted into bounded
+    * tasks, output-preserving. Centroid training is the q28
+    * sample-bounded Lloyd's; assignment is the same struct-max argmax
+    * (no window). Verification is exact cosine on candidates only.
+    * Output: every vector with its cell, dup flag and lowest-id
+    * in-cell duplicate (-1 if none) — the keep/drop decision table. */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = vecs(spark, sfDir)
+    val n = corpusSize(spark, sfDir)
+    val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cents = broadcast(trainCentroids(spark, v, n, k).toDF("cent_id", "cv"))
+    // top-1 cell per vector — argmax struct-max, same tie-break as the
+    // oracle's row_number (sim DESC, cent_id ASC) = 1
+    val cells = v.crossJoin(cents)
+      .select(col("vec_id"), col("cent_id"),
+        org.apache.spark.sql.graft.native.cosineSim(col("v"), col("cv")).as("sim"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("cent_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), (-col("best.nc")).cast("int").as("cent_id"))
+    val cand = CandidatePairs
+      .boundedSelfJoin(cells.withColumnRenamed("cent_id", "cell"),
+        Seq("cell"), "vec_id", BucketCap)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+    val dupOf = pairCosine(cand, v)
+      .filter(col("cosine") >= CosineThreshold)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"))
+    cells.join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        col("dup_of").isNotNull.as("is_dup"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** PQ: number of subspaces m (64 dims → 8 subvectors of 8). */
+  val PqSubspaces = 8
+  /** PQ: dims per subvector. */
+  val PqSubDim = Dims / PqSubspaces
+  /** PQ: codebook size per subspace (8-bit codes would be 256; 16 keeps
+    * the oracle's window over n·m·codes rows tractable at sf0.01 while
+    * exercising the identical machinery). */
+  val PqCodes = 16
+  /** PQ training sample budget per code (the q28 convention). */
+  val PqSampleMult = 256
+
+  /** Per-(vec, sub) squared L2 distance to every codebook entry, as
+    * [[PqCodes]] codegen'd sum aggregates over the component rows —
+    * the codebook is inlined as literal arrays exactly like the LSH
+    * hyperplanes, so the hot loop is x±literal inside whole-stage
+    * codegen, never an interpreted higher-order function. Distances
+    * round to 6dp (pins cross-engine float drift before any argmin). */
+  private def pqDists(compSub: DataFrame, cb: Seq[Seq[Double]]): DataFrame = {
+    val distCols = cb.zipWithIndex.map { case (cv, c) =>
+      val diff = col("x") - element_at(typedlit(cv), col("d") + 1)
+      round(sum(diff * diff), 6).as(s"dist_$c")
+    }
+    compSub.groupBy(col("vec_id"), col("sub"))
+      .agg(distCols.head, distCols.tail: _*)
+  }
+
+  /** (dist, code) structs for every codebook entry, from a [[pqDists]]
+    * row — struct order gives (dist ASC, code ASC). */
+  private def pqEntries(nCodes: Int): Seq[Column] =
+    (0 until nCodes).map(c =>
+      struct(col(s"dist_$c").as("dist"), lit(c).as("code")))
+
+  /** Argmin code per (vec, sub): min struct ⇔ the oracle's
+    * row_number() ORDER BY dist ASC, code ASC = 1. */
+  private def pqAssign(compSub: DataFrame, cb: Seq[Seq[Double]]): DataFrame =
+    pqDists(compSub, cb)
+      .select(col("vec_id"), col("sub"),
+        sort_array(array(pqEntries(cb.length): _*)).getItem(0).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+
+  /** (vec_id, d, x, sub) component rows for a (vec_id, v) frame. */
+  private def pqComp(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("sub", expr(s"d div $PqSubDim"))
+
+  /** q68_ann_pq — product-quantization ANN (Jégou et al., PAMI 2011),
+    * the memory-side scale path the IVF family lacks: compress every
+    * vector to m=[[PqSubspaces]] byte-sized codes (here 4-bit:
+    * [[PqCodes]] entries/subspace) and answer queries from the codes
+    * alone via ADC (asymmetric distance computation) — at 100 TB the
+    * 64-dim float corpus (26 TB) becomes an 8-byte-per-vector code
+    * table (~3 TB at full 8-bit codes), and query scans never touch
+    * the raw vectors.
+    *
+    *   1. TRAIN: per-subspace codebooks on the q28-style bounded hash
+    *      sample ("pqs_", ~min(n, 256·codes)); init = the [[PqCodes]]
+    *      lowest-(md5, id) sample vectors' subvectors, one Lloyd round
+    *      (argmin by rounded squared-L2, mean update rounded 6dp — the
+    *      q28 float-parity trick). ALL subspaces train in one pass:
+    *      subspace is data (a column), not plan structure, so the
+    *      distance aggregate computes m×codes sums per vector in one
+    *      job, and the driver collects only codes×[[Dims]] doubles.
+    *   2. ENCODE: one scan assigns every corpus vector its m argmin
+    *      codes — the persisted index table at scale.
+    *   3. SEARCH: per query, an m×codes lookup table of
+    *      query-subvector→codebook-entry distances (tiny, broadcast);
+    *      approx distance = Σ_sub lut[sub, code] — a broadcast
+    *      equi-join on (sub, code) + partial-aggregable sum keyed by
+    *      (query, vec), then the native top-k aggregate. No window
+    *      ever sees the corpus; the only corpus-sized exchanges are
+    *      keyed by vec_id.
+    *
+    * Output: top-3 neighbors per query (vec_id < 10) by approximate
+    * distance (ASC, ties → lowest id), matching the oracle's identical
+    * recurrence in SQL. */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val n = corpusSize(spark, sfDir)
+    val sample = {
+      val den = ivfSampleDen(n, PqCodes, PqSampleMult)
+      if (den == 1L) v
+      else v.filter(pmod(graft.functions.HashFunctions.md5Int28(
+        concat(lit("pqs_"), col("vec_id").cast("string"))), lit(den)) === 0)
+    }
+    // deterministic init: the PqCodes hash-least sample vectors, code
+    // order = (md5, vec_id) ascending — a bounded TakeOrdered collect
+    val init: Seq[Seq[Double]] = sample
+      .select(col("v"),
+        graft.functions.HashFunctions.md5Int28(
+          concat(lit("pqc_"), col("vec_id").cast("string"))).as("h"),
+        col("vec_id"))
+      .orderBy(col("h"), col("vec_id")).limit(PqCodes)
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    // one Lloyd round: sample assignment under the init codebook, then
+    // per-(code, dim) means (6dp) with empty cells keeping init entries
+    val asg0 = pqAssign(pqComp(sample), init)
+    val updated: Map[(Int, Int), Double] = pqComp(sample)
+      .join(asg0, Seq("vec_id", "sub"))
+      .groupBy(col("code"), col("d"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val cb: Seq[Seq[Double]] = init.zipWithIndex.map { case (iv, c) =>
+      iv.indices.map(d => updated.getOrElse((c, d), iv(d)))
+    }
+    val encoded = pqAssign(pqComp(v), cb)
+    // per-query ADC lookup table: m×codes rows per query, broadcast
+    val queries = v.filter(col("vec_id") < 10)
+    val lut = pqDists(pqComp(queries), cb)
+      .select(col("vec_id").as("query_id"), col("sub"),
+        explode(array(pqEntries(cb.length): _*)).as("e"))
+      .select(col("query_id"), col("sub"), col("e.code").as("code"),
+        col("e.dist").as("qdist"))
+    encoded
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("qdist")), 6).as("adist"))
+      .groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(-col("adist"), col("vec_id"), BucketK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("s.score")).as("approx_dist"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -239,6 +239,79 @@ class SimilaritySpec extends SparkSuite {
     assert(got > ownCeiling, s"recall $got did not lift over own-bucket ceiling $ownCeiling")
   }
 
+  test("q68 PQ: per-query top-3 by approx distance, recall above floor") {
+    val out = Similarity.annPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._2).distinct.length == 3)
+      assert(rows.forall(r => r._4 >= 0.0 && r._2 != r._1))
+      // approx distance is non-decreasing in rank
+      assert(rows.sortBy(_._3).map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+    }
+    // recall@3 vs EXACT L2 top-3: PQ with 16 codes on structureless
+    // random vectors is a coarse quantizer; floor guards regressions
+    val v = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val exact = (0L until 10L).map { q =>
+      q -> v.keys.filter(_ != q).toSeq
+        .sortBy(id => (l2(v(q), v(id)), id)).take(3).toSet
+    }.toMap
+    val hits = out.count { case (q, nb, _, _) => exact(q).contains(nb) }
+    val recall = hits.toDouble / 30.0
+    assert(recall >= 0.1, s"PQ recall@3 $recall under floor")
+  }
+
+  test("q68 PQ approx distances approximate exact L2 (rank correlation)") {
+    // ADC must order the corpus roughly like exact L2: for each query,
+    // the mean exact-L2 of PQ's top-3 must beat the corpus mean
+    val v = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val out = Similarity.annPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val picked = out.groupBy(_._1)
+    (0L until 10L).foreach { q =>
+      val corpusMean = v.keys.filter(_ != q).map(id => l2(v(q), v(id))).sum /
+        (v.size - 1)
+      val pqMean = picked(q).map { case (_, nb) => l2(v(q), v(nb)) }.sum / 3.0
+      assert(pqMean < corpusMean,
+        s"query $q: PQ top-3 mean L2 $pqMean not better than corpus mean $corpusMean")
+    }
+  }
+
+  test("q73 semdedup flags are internally consistent") {
+    val rows = Similarity.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getLong(3)))
+    val cellOf = rows.map(r => r._1 -> r._2).toMap
+    val v = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(rows.length == v.size) // every vector decided
+    rows.foreach { case (id, cell, isDup, dupOf) =>
+      if (isDup) {
+        assert(dupOf >= 0 && dupOf < id, s"$id: dup_of $dupOf not a lower id")
+        assert(cellOf(dupOf) == cell, s"$id: dup_of $dupOf in another cell")
+        assert(cos(v(id), v(dupOf)) >= Similarity.CosineThreshold - 1e-9)
+      } else assert(dupOf == -1L)
+    }
+    // determinism: a second run produces the identical decision table
+    val again = Similarity.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getLong(3)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("q17 candidate volume grows ~linearly, not quadratically, with the corpus") {
     val small = "/root/testdata/sf0.01"
     val large = "/root/testdata/sf0.1"
