@@ -209,6 +209,44 @@ object EventStream {
         col("match_id"))
   }
 
+  /** STREAM-STREAM interval join — attribute every click to the views
+    * that preceded it within `windowMinutes`, both sides unbounded
+    * streams (the q30 as-of join's streaming sibling; q63's twin above
+    * is stream-STATIC). Structured Streaming requirements, satisfied
+    * here and asserted by StreamingSpec:
+    *
+    *   - BOTH sides carry event-time watermarks, and the join condition
+    *     bounds view_ts to [click_ts - window, click_ts] — that range +
+    *     the watermarks let the engine EVICT buffered rows (state is
+    *     O(events inside watermark+window), never the stream history);
+    *   - the equality part (user_id) partitions state, so each task
+    *     buffers one user-slice;
+    *   - append-mode-only semantics: each (click, view) pair emits
+    *     exactly once, when both sides have arrived. A per-click argmax
+    *     ("latest view only") is not expressible pre-watermark in a
+    *     stream-stream join — the batch q30 as-of picks the latest
+    *     view; downstream dedup (or the as-of batch job) finishes that.
+    *
+    * Works identically on batch frames (the parity test runs the same
+    * plan both ways). */
+  def streamingClickAttribution(clicks: DataFrame, views: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    c.join(v,
+        col("user_id") === col("view_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** Token-bucket rate limiting via flatMapGroupsWithState — the 0..n
     * output shape mapGroupsWithState can't express (a group may emit
     * NOTHING when fully throttled, or several admitted events per

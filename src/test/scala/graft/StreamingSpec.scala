@@ -258,4 +258,39 @@ class StreamingSpec extends SparkSuite {
       assert(batchRows == rows)
     } finally query.stop()
   }
+
+  test("stream-stream interval join attributes clicks to in-window views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, ts, user_id) on both sides
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStream.streamingClickAttribution(
+      clicks.toDF().toDF("event_id", "ts", "user_id"),
+      views.toDF().toDF("event_id", "ts", "user_id"))
+    val query = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attr_out").start()
+    try {
+      // user 1: view at :00 then click at :10 (in window), click at :50 (out);
+      // user 2: click with NO prior view; view arrives LATE in a later batch
+      views.addData((100L, ts(0), 1L))
+      clicks.addData((200L, ts(10), 1L), (201L, ts(50), 1L), (202L, ts(5), 2L))
+      query.processAllAvailable()
+      views.addData((101L, ts(3), 2L)) // late view for user 2, still in window
+      query.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
+      // click 200 <- view 100 (10 min gap); click 201 matches nothing
+      // (50 min > 30 min window); click 202 <- late view 101 (both sides
+      // buffer until the watermark passes, so the late arrival still joins)
+      assert(rows == Set((200L, 100L), (202L, 101L)))
+      // parity: identical plan over batch frames, same pairs
+      val batchRows = EventStream.streamingClickAttribution(
+          Seq((200L, ts(10), 1L), (201L, ts(50), 1L), (202L, ts(5), 2L))
+            .toDF("event_id", "ts", "user_id"),
+          Seq((100L, ts(0), 1L), (101L, ts(3), 2L)).toDF("event_id", "ts", "user_id"))
+        .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
+      assert(batchRows == rows)
+    } finally query.stop()
+  }
 }
