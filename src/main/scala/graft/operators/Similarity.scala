@@ -731,6 +731,12 @@ object Similarity {
         col("vec_id"))
       .orderBy(col("h"), col("vec_id")).limit(PqCodes)
       .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    // empty corpus ⇒ no codebook ⇒ no neighbors (schema preserved)
+    if (init.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "neighbor_id", "rank", "approx_dist")
+    }
     // one Lloyd round: sample assignment under the init codebook, then
     // per-(code, dim) means (6dp) with empty cells keeping init entries
     val asg0 = pqAssign(pqComp(sample), init)

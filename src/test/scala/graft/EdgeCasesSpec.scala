@@ -89,6 +89,29 @@ class EdgeCasesSpec extends SparkSuite {
     assert(eo.length == 1 && !eo.head.getBoolean(3)) // cos(v, v) = 1
   }
 
+  test("round-7 operators are empty-safe") {
+    assert(Sampling.domainCap(spark, emptyDir).count() == 0)
+    assert(Sampling.tempMix(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.vocabOov(spark, emptyDir).count() == 0)
+    assert(Indexing.invertedIndex(spark, emptyDir).count() == 0)
+    assert(Similarity.annPq(spark, emptyDir).count() == 0)
+    assert(Similarity.semDedup(spark, emptyDir).count() == 0)
+  }
+
+  test("round-7 operators on a single-document corpus") {
+    val dc = Sampling.domainCap(spark, oneDir).collect()
+    assert(dc.length == 1 && dc.head.getLong(2) == 1L) // rank 1 of its source
+    val tm = Sampling.tempMix(spark, oneDir).collect()
+    assert(tm.length == 1 && tm.head.getLong(3) == Sampling.MixScale) // min lang: keep all
+    val vo = TextAnalysis.vocabOov(spark, oneDir).collect()
+    assert(vo.length == 1 && vo.head.getLong(2) == 0L) // 8 distinct words, all in vocab
+    val ii = Indexing.invertedIndex(spark, oneDir).collect()
+    assert(ii.length == 8 && ii.forall(_.getLong(2) == 1L)) // 8 terms ("the" tf=2), seg_df 1
+    assert(Similarity.annPq(spark, oneDir).count() == 0)   // no non-self neighbor
+    val sd = Similarity.semDedup(spark, oneDir).collect()
+    assert(sd.length == 1 && !sd.head.getBoolean(2))       // alone in its cell
+  }
+
   test("single-document corpus: no pairs, self cluster, own fingerprints") {
     assert(Dedup.minhashPairs(spark, oneDir).count() == 0)
     val clusters = Dedup.dupClusters(spark, oneDir).collect()
