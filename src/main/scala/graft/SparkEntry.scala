@@ -85,7 +85,9 @@ object SparkEntry {
     "q71_temp_mix"        -> (Sampling.tempMix _),
     "q72_inverted_index"  -> (Indexing.invertedIndex _),
     "q73_semdedup"        -> (Similarity.semDedup _),
-    "q74_binned_range_join" -> (Relational.binnedRangeJoin _)
+    "q74_binned_range_join" -> (Relational.binnedRangeJoin _),
+    "q75_bm25"            -> (Indexing.bm25 _),
+    "q76_pagerank"        -> (Graph.pageRank _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1169,6 +1171,32 @@ object SparkEntry {
         |       string_agg(posting, ' ' ORDER BY doc_id) AS postings
         |FROM p GROUP BY term, segment
         |ORDER BY term, segment""".stripMargin,
+    "q75_bm25" -> {
+      import graft.operators.Indexing.{Bm25B, Bm25K1, Bm25Query, Bm25TopK}
+      s"""WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents
+        |),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms
+        |  WHERE term IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})
+        |  GROUP BY 1, 2
+        |),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |         ln(((st.n_docs - df.df + 0.5) / (df.df + 0.5)) + 1.0) *
+        |           (tf.tf * ${Bm25K1 + 1.0}) /
+        |           (tf.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl / st.avgdl)) AS s
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st
+        |)
+        |SELECT doc_id, round(sum(s), 6) AS bm25, count(*) AS n_terms_hit
+        |FROM sc GROUP BY doc_id
+        |ORDER BY round(sum(s), 6) DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    },
+    "q76_pagerank" -> pageRankOracle,
     "q74_binned_range_join" ->
       """WITH tiers(tier, lo, hi) AS (
         |  VALUES ('bronze', 0.0, 50.0), ('silver', 50.0, 150.0),
@@ -1243,6 +1271,39 @@ object SparkEntry {
         |  FROM e, c2 c
         |),
         |cells AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1)""".stripMargin
+
+  /** q76's oracle: the identical damped recurrence over the verified
+    * pair graph, one CTE per unrolled iteration, 9dp state rounding. */
+  private def pageRankOracle: String = {
+    import graft.operators.Graph.{Damping, PrIterations, PrStateDp}
+    import graft.operators.Dedup.JaccardThreshold
+    val iters = (1 to PrIterations).map { i =>
+      s"""p$i AS (
+        |  SELECT n.doc_id,
+        |         round(${1.0 - Damping} / nn.n +
+        |               $Damping * coalesce(s.in_sum, 0.0), $PrStateDp) AS pr
+        |  FROM nodes n
+        |  LEFT JOIN (
+        |    SELECT e.dst AS doc_id, sum(p.pr / d.out_deg) AS in_sum
+        |    FROM p${i - 1} p
+        |    JOIN edges e ON e.src = p.doc_id
+        |    JOIN deg d ON d.src = e.src
+        |    GROUP BY e.dst) s USING (doc_id), nn
+        |)""".stripMargin
+    }.mkString(",\n")
+    jaccardCte + s""",
+      |pairs AS (SELECT i AS a, j AS b FROM jac WHERE jaccard >= $JaccardThreshold),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+      |deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+      |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+      |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+      |p0 AS (SELECT doc_id, round(1.0 / nn.n, $PrStateDp) AS pr FROM nodes, nn),
+      |$iters
+      |SELECT p.doc_id, round(p.pr, 6) AS pagerank, d.out_deg
+      |FROM p$PrIterations p JOIN deg d ON d.src = p.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+  }
 
   /** q68's oracle: the identical PQ recurrence — hash-least init
     * codebook, one Lloyd round (rounded argmin + rounded means),

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q76_pagerank — PageRank over the verified near-duplicate graph: THE
+  * canonical iterative MapReduce workload (alongside q01's word count —
+  * the two demos every MapReduce framework ships), here over the graph
+  * the engine itself produces: nodes = documents appearing in q12's
+  * verified ≥0.8-Jaccard pairs, edges = those pairs in both directions.
+  * High-rank documents sit at the center of boilerplate families — the
+  * "which template dominates this crawl" question.
+  *
+  * Spark-native shape, per iteration (fixed [[Graph.PrIterations]]
+  * rounds of the damped recurrence):
+  *
+  *   pr'(v) = (1-d)/n + d · Σ_{u→v} pr(u)/out_deg(u)
+  *
+  *   - contributions are one edges⋈ranks equi-join on src plus a
+  *     partial-aggregable sum keyed by dst — the map/reduce pair of the
+  *     textbook formulation, shuffling O(edges) per round;
+  *   - the edge list is localCheckpoint'ed ONCE: it is referenced by
+  *     every round (plus degree/node tables), and an unmaterialized cut
+  *     would re-run the whole MinHash-LSH pipeline per reference (the
+  *     q31/q62 iterative-input lesson);
+  *   - both directions of each pair come from ONE explode of a 2-struct
+  *     array — a union of two selects would execute the pair subplan
+  *     twice (NOTES lesson 13);
+  *   - symmetric edges ⇒ every node has out_deg ≥ 1, so no dangling-
+  *     mass redistribution term is needed;
+  *   - per-round ranks round to 9dp (the k-means float-parity trick at
+  *     a finer grid — rank mass ~1/n needs more digits than centroid
+  *     means), so both engines iterate bit-identical states; the output
+  *     rounds to 6dp.
+  *
+  * The fixed iteration count (vs convergence detection) keeps the plan
+  * static and the oracle expressible as unrolled CTEs; at 100 TB each
+  * round is one shuffle of the edge list, and the rank state is one
+  * (node, double) table — the classic Pregel/GraphX cost model. */
+object Graph {
+
+  val Damping = 0.85
+  val PrIterations = 3
+  /** Per-iteration state rounding (finer than output: mass ~1/n). */
+  val PrStateDp = 9
+
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame =
+    pageRankFrom(Dedup.minhashPairs(spark, sfDir).select(col("doc_a"), col("doc_b")))
+
+  /** [[pageRank]] over an arbitrary (doc_a, doc_b) undirected pair set. */
+  private[graft] def pageRankFrom(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    val nNodes = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    var pr = nodes.crossJoin(broadcast(nNodes))
+      .select(col("doc_id"), round(lit(1.0) / col("n_nodes"), PrStateDp).as("pr"))
+    for (_ <- 1 to PrIterations) {
+      val contrib = pr
+        .join(edges, col("doc_id") === col("src"))
+        .join(outDeg, "src")
+        .select(col("dst"), (col("pr") / col("out_deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+        .withColumnRenamed("dst", "doc_id")
+      pr = nodes
+        .join(contrib, Seq("doc_id"), "left")
+        .crossJoin(broadcast(nNodes))
+        .select(col("doc_id"),
+          round(lit(1.0 - Damping) / col("n_nodes") +
+            lit(Damping) * coalesce(col("in_sum"), lit(0.0)), PrStateDp).as("pr"))
+    }
+    pr.join(outDeg.withColumnRenamed("src", "doc_id"), "doc_id")
+      .select(col("doc_id"), round(col("pr"), 6).as("pagerank"), col("out_deg"))
+      .orderBy("doc_id")
+  }
+}

@@ -66,4 +66,48 @@ object Indexing {
           " ").as("postings"))
       .orderBy("term", "segment")
   }
+
+  /** BM25 parameters (Robertson/Spärck Jones defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  /** The fixed retrieval query (terms from the corpus vocabulary). */
+  val Bm25Query: Seq[String] = Seq("query", "join", "vector")
+  val Bm25TopK = 20
+
+  /** q75_bm25 — Okapi BM25 retrieval scoring against a fixed term
+    * query: the ranking function the inverted index (q72) exists to
+    * serve, and the classic tf·idf refinement with document-length
+    * normalization (k1=[[Bm25K1]], b=[[Bm25B]]).
+    *
+    * Scale shape: the query-term filter is a scan-local `IN` predicate
+    * (pushed to parquet), so tf aggregation touches only matching
+    * rows; df and the corpus stats (N, avgdl) are broadcast 1-row/
+    * |query|-row aggregates; per-doc summation is partial-aggregable
+    * keyed by doc_id; the final top-[[Bm25TopK]] is
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    * `ln` evaluates identically across engines in practice (the q34
+    * precedent); scores round to 6dp. */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(T.alphaTokens(col("text"))).as("term"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = terms.filter(col("term").isin(Bm25Query: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) + 1.0))
+      .withColumn("s",
+        col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("s")), 6).as("bm25"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
 }

@@ -96,6 +96,8 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Indexing.invertedIndex(spark, emptyDir).count() == 0)
     assert(Similarity.annPq(spark, emptyDir).count() == 0)
     assert(Similarity.semDedup(spark, emptyDir).count() == 0)
+    assert(Indexing.bm25(spark, emptyDir).count() == 0)
+    assert(Graph.pageRank(spark, emptyDir).count() == 0)
   }
 
   test("round-7 operators on a single-document corpus") {

@@ -95,6 +95,76 @@ class IndexingMixSpec extends SparkSuite {
     assert(rows.keys.count(_._1 == "beta") == 2)
   }
 
+  test("bm25 matches a driver-side recompute of the formula") {
+    import graft.operators.Indexing.{Bm25B, Bm25K1, Bm25Query}
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> "[a-z]+".r.findAllIn(t.toLowerCase).toSeq
+    }.toMap
+    val dls = toks.collect { case (id, ts) if ts.nonEmpty => id -> ts.length }
+    val nDocs = dls.size.toDouble
+    val avgdl = dls.values.sum.toDouble / nDocs
+    val dfm = Bm25Query.map(q => q -> toks.count(_._2.contains(q))).toMap
+    val want = toks.flatMap { case (id, ts) =>
+      val s = Bm25Query.map { q =>
+        val tf = ts.count(_ == q)
+        if (tf == 0) 0.0
+        else math.log(((nDocs - dfm(q) + 0.5) / (dfm(q) + 0.5)) + 1.0) *
+          (tf * (Bm25K1 + 1.0)) /
+          (tf + Bm25K1 * ((1.0 - Bm25B) + Bm25B * ts.length / avgdl))
+      }.sum
+      if (s > 0.0) Some(id -> BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }
+    val got = graft.operators.Indexing.bm25(spark, sf)
+      .select($"doc_id", $"bm25").as[(Long, Double)].collect()
+    assert(got.length == math.min(20, want.size))
+    // scores agree with the recompute and arrive in (score desc, id) order
+    got.foreach { case (id, s) => assert(math.abs(want(id) - s) < 2e-6, s"doc $id") }
+    assert(got.map(-_._2).toSeq == got.map(-_._2).sorted.toSeq)
+    val cutoff = got.last._2
+    assert(want.values.count(_ > cutoff + 2e-6) <= 20, "a higher-scoring doc was dropped")
+  }
+
+  test("pagerank matches the hand-simulated recurrence on a path graph") {
+    import graft.operators.Graph
+    // path 1-2-3: node 2 receives from both ends, ranks sum to ~1
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Graph.pageRankFrom(pairs)
+      .select($"doc_id", $"pagerank", $"out_deg").as[(Long, Double, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // simulate: deg(1)=deg(3)=1, deg(2)=2; 9dp state rounding per round
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var p = Map(1L -> r9(1.0 / 3), 2L -> r9(1.0 / 3), 3L -> r9(1.0 / 3))
+    val d = Graph.Damping
+    (1 to Graph.PrIterations).foreach { _ =>
+      p = Map(
+        1L -> r9((1 - d) / 3 + d * (p(2L) / 2)),
+        2L -> r9((1 - d) / 3 + d * (p(1L) / 1 + p(3L) / 1)),
+        3L -> r9((1 - d) / 3 + d * (p(2L) / 2)))
+    }
+    assert(got(1L) == ((r6(p(1L)), 1L)))
+    assert(got(2L) == ((r6(p(2L)), 2L)))
+    assert(got(3L) == ((r6(p(3L)), 1L)))
+    // symmetric graph, no dangling mass: total rank stays ~1
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-5)
+  }
+
+  test("pagerank over the corpus pair graph conserves mass and tops the hub") {
+    import graft.operators.Graph
+    val rows = Graph.pageRank(spark, sf)
+      .select($"doc_id", $"pagerank", $"out_deg").as[(Long, Double, Long)].collect()
+    if (rows.nonEmpty) {
+      assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+      // the max-degree node never ranks below the median
+      val byDeg = rows.maxBy(_._3)
+      val med = rows.map(_._2).sorted.apply(rows.length / 2)
+      assert(byDeg._2 >= med)
+    }
+  }
+
   test("binned range join classifies every event exactly once") {
     val out = Relational.binnedRangeJoin(spark, sf)
     val classified = out.agg(sum($"n_events")).as[Long].head()
