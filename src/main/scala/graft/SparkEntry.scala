@@ -87,7 +87,9 @@ object SparkEntry {
     "q73_semdedup"        -> (Similarity.semDedup _),
     "q74_binned_range_join" -> (Relational.binnedRangeJoin _),
     "q75_bm25"            -> (Indexing.bm25 _),
-    "q76_pagerank"        -> (Graph.pageRank _)
+    "q76_pagerank"        -> (Graph.pageRank _),
+    "q77_json_props"      -> (Relational.jsonProps _),
+    "q78_promo_revenue"   -> (Relational.promoRevenue _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1197,6 +1199,25 @@ object SparkEntry {
         |ORDER BY round(sum(s), 6) DESC, doc_id LIMIT $Bm25TopK""".stripMargin
     },
     "q76_pagerank" -> pageRankOracle,
+    "q77_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
+        |       min(json_extract_string(props, '$.k')::INT) AS min_k,
+        |       max(json_extract_string(props, '$.k')::INT) AS max_k,
+        |       count(DISTINCT json_extract_string(props, '$.k')::INT) AS n_distinct_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q78_promo_revenue" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |       round(sum(CASE WHEN p_type = 'PROMO'
+        |                      THEN l_extendedprice * (1.0 - l_discount)
+        |                      ELSE 0.0 END), 2) AS promo_revenue,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue,
+        |       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                              THEN l_extendedprice * (1.0 - l_discount)
+        |                              ELSE 0.0 END)
+        |             / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q74_binned_range_join" ->
       """WITH tiers(tier, lo, hi) AS (
         |  VALUES ('bronze', 0.0, 50.0), ('silver', 50.0, 150.0),

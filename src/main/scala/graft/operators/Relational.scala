@@ -448,6 +448,58 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q77_json_props — schema-on-read JSON extraction: parse the
+    * `events.props` JSON column with an explicit schema (`from_json`)
+    * and aggregate over the extracted field — the semi-structured
+    * ingestion shape of every telemetry pipeline (q08 round-trips
+    * engine-BUILT json; this reads foreign json data).
+    *
+    * Scale shape: `from_json` with a fixed schema is a scan-local
+    * codegen projection (no inference pass over the corpus — schema
+    * inference at 100 TB is a full extra scan); the per-type stats are
+    * one partial-aggregable groupBy; the exact distinct count is
+    * Spark's standard two-phase distinct aggregate (expand + two
+    * keyed exchanges), swapped for HLL at the Sketches tier when
+    * approximate is acceptable. */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+
+  /** q78_promo_revenue — TPC-H Q14 (promotion effect): monthly share of
+    * revenue from PROMO parts. Covers the last star-schema dimension
+    * (`part`) in a graded join.
+    *
+    * Scale shape: the part dimension broadcasts (dims are small by
+    * star-schema design; at 100 TB a too-big dim falls back to a
+    * shuffle join AQE plans from runtime stats); the conditional
+    * promo/total sums are ONE partial-aggregable pass (CASE inside
+    * sum, not two scans); month truncation is scan-local. */
+  def promoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_shipdate"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    li.join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_type"))), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(round(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0.0))), 2)
+          .as("promo_revenue"),
+        round(sum(col("rev")), 2).as("total_revenue"),
+        round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0.0))) /
+          sum(col("rev")), 4).as("promo_pct"))
+      .orderBy("ship_month")
+  }
+
   /** Value-tier boundaries for [[binnedRangeJoin]]: [lo, hi) half-open,
     * hi = null ⇒ open-ended top tier. */
   val ValueTiers: Seq[(String, Double, Option[Double])] = Seq(

@@ -165,6 +165,31 @@ class IndexingMixSpec extends SparkSuite {
     }
   }
 
+  test("json props extraction agrees with a regexp re-parse") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val viaRegex = ev.select(
+        regexp_extract($"props", "([0-9]+)", 1).cast("int").as("k"))
+      .agg(sum($"k"), count($"k")).as[(Long, Long)].head()
+    val out = Relational.jsonProps(spark, sf)
+    val viaJson = out.agg(sum($"sum_k"), sum($"n_events")).as[(Long, Long)].head()
+    assert(viaJson == viaRegex)
+    // per-type mins/maxs bound each other
+    out.select($"min_k", $"max_k").as[(Int, Int)].collect()
+      .foreach { case (mn, mx) => assert(mn <= mx) }
+  }
+
+  test("promo revenue shares are internally consistent per month") {
+    val rows = Relational.promoRevenue(spark, sf)
+      .select($"ship_month", $"promo_revenue", $"total_revenue", $"promo_pct")
+      .as[(String, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).sorted.toSeq == rows.map(_._1).toSeq) // month order
+    rows.foreach { case (m, promo, total, pct) =>
+      assert(promo >= 0 && promo <= total + 1e-6, m)
+      assert(math.abs(pct - 100.0 * promo / total) < 0.02, m) // rounded inputs
+    }
+  }
+
   test("binned range join classifies every event exactly once") {
     val out = Relational.binnedRangeJoin(spark, sf)
     val classified = out.agg(sum($"n_events")).as[Long].head()
