@@ -89,7 +89,8 @@ object SparkEntry {
     "q75_bm25"            -> (Indexing.bm25 _),
     "q76_pagerank"        -> (Graph.pageRank _),
     "q77_json_props"      -> (Relational.jsonProps _),
-    "q78_promo_revenue"   -> (Relational.promoRevenue _)
+    "q78_promo_revenue"   -> (Relational.promoRevenue _),
+    "q79_lm_score"        -> (TextAnalysis.lmScore _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1218,6 +1219,22 @@ object SparkEntry {
         |             / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q79_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents
+        |),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |tot AS (SELECT sum(cnt)::DOUBLE AS total FROM c),
+        |p AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |         avg(-ln(c.cnt / tot.total)) AS xent_raw
+        |  FROM t JOIN c USING (tok), tot GROUP BY t.doc_id
+        |)
+        |SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+        |       round(coalesce(p.xent_raw, 0.0), 6) AS xent
+        |FROM documents d LEFT JOIN p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q74_binned_range_join" ->
       """WITH tiers(tier, lo, hi) AS (
         |  VALUES ('bronze', 0.0, 50.0), ('silver', 50.0, 150.0),

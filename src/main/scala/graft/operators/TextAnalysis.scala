@@ -355,6 +355,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q79_lm_score — corpus-trained unigram LM cross-entropy per
+    * document, the CCNet-style "language-model quality" filter (docs
+    * whose token distribution diverges from the corpus score high):
+    *
+    *   xent(doc) = mean over tokens of -ln p(w),  p(w) = cnt(w)/total
+    *
+    * Low = typical text, high = rare-token soup — the complement of
+    * q19's surface heuristics (length/punctuation) and q54's
+    * repetition filters: this one reads the corpus DISTRIBUTION. The
+    * LM trains on the corpus it scores, so every token has p > 0 (no
+    * smoothing term to keep cross-engine-exact); a held-out variant
+    * would add Laplace smoothing in both engines identically.
+    *
+    * Scale shape: unigram training is one partial-aggregable token
+    * count (vocabulary-bounded output) + a 1-row total, both broadcast
+    * back onto the token stream; per-doc averaging is partial-
+    * aggregable keyed by doc_id; `ln` per the q34 parity precedent;
+    * zero-token docs surface with xent 0 (left join), not dropped. */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), explode(T.alphaTokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("double").as("total"))
+    val perDoc = toks
+      .join(broadcast(counts), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(-log(col("cnt") / col("total"))).as("xent_raw"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("xent_raw"), lit(0.0)), 6).as("xent"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary size for [[vocabOov]] — top-K most frequent tokens. */
   val VocabSize = 20
 

@@ -98,6 +98,7 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Similarity.semDedup(spark, emptyDir).count() == 0)
     assert(Indexing.bm25(spark, emptyDir).count() == 0)
     assert(Graph.pageRank(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.lmScore(spark, emptyDir).count() == 0)
   }
 
   test("round-7 operators on a single-document corpus") {

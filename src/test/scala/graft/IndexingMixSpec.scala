@@ -165,6 +165,32 @@ class IndexingMixSpec extends SparkSuite {
     }
   }
 
+  test("lm score matches a driver-side recompute and orders rarity") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> "[a-z]+".r.findAllIn(t.toLowerCase).toSeq }.toMap
+    val cnt = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val total = cnt.values.sum.toDouble
+    val got = TextAnalysis.lmScore(spark, sf)
+      .select($"doc_id", $"n_tokens", $"xent").as[(Long, Long, Double)].collect()
+    assert(got.length == docs.length)
+    got.foreach { case (id, n, x) =>
+      assert(n == toks(id).length)
+      if (n > 0) {
+        val want = toks(id).map(w => -math.log(cnt(w) / total)).sum / n
+        assert(math.abs(want - x) < 2e-6, s"doc $id")
+      } else assert(x == 0.0)
+    }
+    // the LM must rank an all-common-token doc below a rare-token doc:
+    // the min-xent doc's mean token frequency exceeds the max-xent doc's
+    val scored = got.filter(_._2 > 0)
+    val lo = scored.minBy(_._3)._1
+    val hi = scored.maxBy(_._3)._1
+    def meanFreq(id: Long) = toks(id).map(cnt(_).toDouble).sum / toks(id).length
+    assert(meanFreq(lo) > meanFreq(hi))
+  }
+
   test("json props extraction agrees with a regexp re-parse") {
     val ev = graft.sources.Tables.events(spark, sf)
     val viaRegex = ev.select(
