@@ -90,7 +90,8 @@ object SparkEntry {
     "q76_pagerank"        -> (Graph.pageRank _),
     "q77_json_props"      -> (Relational.jsonProps _),
     "q78_promo_revenue"   -> (Relational.promoRevenue _),
-    "q79_lm_score"        -> (TextAnalysis.lmScore _)
+    "q79_lm_score"        -> (TextAnalysis.lmScore _),
+    "q80_dedup_report"    -> (Pipeline.dedupReport _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -496,6 +497,31 @@ object SparkEntry {
           |)
           |SELECT doc AS doc_id, min(root) AS cluster_id
           |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin),
+    "q80_dedup_report" ->
+      (jaccardCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
+        """,
+          |edges AS (
+          |  SELECT i AS src, j AS dst FROM jac WHERE jaccard >= 0.8
+          |  UNION ALL
+          |  SELECT j AS src, i AS dst FROM jac WHERE jaccard >= 0.8
+          |),
+          |reach AS (
+          |  SELECT doc_id AS doc, doc_id AS root FROM documents
+          |  UNION
+          |  SELECT e.src AS doc, r.root
+          |  FROM reach r JOIN edges e ON e.dst = r.doc
+          |),
+          |clusters AS (
+          |  SELECT doc AS doc_id, min(root) AS cluster_id FROM reach GROUP BY doc
+          |),
+          |csz AS (
+          |  SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id
+          |)
+          |SELECT cluster_size, count(*) AS n_clusters,
+          |       (cluster_size * count(*))::BIGINT AS n_docs,
+          |       ((cluster_size - 1) * count(*))::BIGINT AS n_removable
+          |FROM csz GROUP BY cluster_size
+          |ORDER BY cluster_size""".stripMargin),
     "q32_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,

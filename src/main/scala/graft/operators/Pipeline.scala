@@ -22,6 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** q80_dedup_report — the summary a curation run ships: distribution
+    * of near-dup cluster sizes over q31's transitive components
+    * (including singletons), one row per size with the cluster count
+    * and docs covered. The removable-duplicate total is
+    * Σ (size-1)·n_clusters — the corpus-shrink the dedup pass buys —
+    * and the report is what decides cap/threshold tuning before a
+    * 100 TB pass is committed.
+    *
+    * Scale shape: two partial-aggregable aggregations over the cluster
+    * labels (docs → clusters → size histogram); output is bounded by
+    * the largest cluster size, never the corpus. */
+  def dedupReport(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.dupClusters(spark, sfDir)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (col("cluster_size") * count(lit(1))).as("n_docs"),
+        ((col("cluster_size") - 1) * count(lit(1))).as("n_removable"))
+      .orderBy("cluster_size")
+
   val QualityThreshold = 0.33
 
   /** q47_cluster_reps — canonical-document selection: for every

@@ -99,6 +99,7 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Indexing.bm25(spark, emptyDir).count() == 0)
     assert(Graph.pageRank(spark, emptyDir).count() == 0)
     assert(TextAnalysis.lmScore(spark, emptyDir).count() == 0)
+    assert(Pipeline.dedupReport(spark, emptyDir).count() == 0)
   }
 
   test("round-7 operators on a single-document corpus") {

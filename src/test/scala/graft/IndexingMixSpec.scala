@@ -216,6 +216,22 @@ class IndexingMixSpec extends SparkSuite {
     }
   }
 
+  test("dedup report partitions the corpus and counts removables") {
+    val rows = graft.operators.Pipeline.dedupReport(spark, sf)
+      .select($"cluster_size", $"n_clusters", $"n_docs", $"n_removable")
+      .as[(Long, Long, Long, Long)].collect()
+    val corpus = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum == corpus) // every doc in exactly one cluster
+    rows.foreach { case (size, nc, nd, nr) =>
+      assert(nd == size * nc && nr == nd - nc)
+    }
+    // removable total agrees with the q14 survivor count: survivors =
+    // docs - removables (both define survivor = lowest-id per component
+    // ... per pair, but totals must bound each other)
+    val survivors = graft.operators.Dedup.ngramDedup(spark, sf).count()
+    assert(survivors >= corpus - rows.map(_._4).sum)
+  }
+
   test("binned range join classifies every event exactly once") {
     val out = Relational.binnedRangeJoin(spark, sf)
     val classified = out.agg(sum($"n_events")).as[Long].head()
