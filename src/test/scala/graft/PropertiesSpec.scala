@@ -160,4 +160,48 @@ class PropertiesSpec extends SparkSuite {
       assert(got == want, s"seed=$seed k=$k cut=$cut got=$got want=$want")
     }
   }
+
+  test("domain cap equals a driver-side hash-rank on generated skew") {
+    import spark.implicits._
+    val row = for {
+      id <- Gen.choose(0L, 500L)
+      src <- Gen.oneOf("hot", "warm", "cold") // skewed source mix
+    } yield (id, src)
+    (1 to 5).foreach { seed =>
+      val rows = draw(Gen.listOfN(120, row), seed).distinctBy(_._1)
+      val n = draw(Gen.choose(1, 10), seed + 13)
+      val got = graft.operators.Sampling
+        .domainCapFrom(rows.toDF("doc_id", "source"), n)
+        .select($"source", $"doc_id", $"cap_rank")
+        .as[(String, Long, Long)].collect().toSet
+      // reference: md5-28-bit order per source, take n
+      def h(id: Long): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"cap_$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 7), 16)
+      }
+      val want = rows.groupBy(_._2).flatMap { case (src, members) =>
+        members.map(_._1).sortBy(id => (h(id), id)).take(n).zipWithIndex
+          .map { case (id, i) => (src, id, (i + 1).toLong) }
+      }.toSet
+      assert(got == want, s"seed=$seed n=$n")
+    }
+  }
+
+  test("pagerank conserves mass on generated undirected graphs") {
+    import spark.implicits._
+    val edge = Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 20L))
+      .suchThat { case (a, b) => a != b }
+    (1 to 3).foreach { seed =>
+      val pairs = draw(Gen.nonEmptyListOf(edge), seed)
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val out = graft.operators.Graph.pageRankFrom(pairs.toDF("doc_a", "doc_b"))
+        .select($"doc_id", $"pagerank").as[(Long, Double)].collect()
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      assert(out.map(_._1).toSet == nodes.toSet, s"seed=$seed node set")
+      assert(math.abs(out.map(_._2).sum - 1.0) < 1e-4, s"seed=$seed mass")
+      assert(out.forall(_._2 > 0), s"seed=$seed positivity")
+    }
+  }
 }
