@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.graft.{CosineSimilarity, CountInSet, MinHashSignatureAgg, RollingHash, TopKByScore, WinnowMin}
+import org.apache.spark.sql.graft.{CompressionRatio, CosineSimilarity, CountInSet, MinHashSignatureAgg, RollingHash, TopKByScore, WinnowMin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .map(_.toString).toSeq
         CountInSet(exprs.head, words)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("compression_ratio"),
+      new ExpressionInfo(classOf[CompressionRatio].getName, "compression_ratio"),
+      (exprs: Seq[Expression]) => CompressionRatio(exprs.head)))
     e.injectFunction((
       new FunctionIdentifier("top_k_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),

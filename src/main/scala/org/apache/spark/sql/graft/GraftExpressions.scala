@@ -371,6 +371,50 @@ object WinnowMin {
   }
 }
 
+/** Deflate-compression ratio of a string's UTF-8 bytes — the classic
+  * "compressibility" quality signal (Gopher/CCNet family): highly
+  * repetitive/boilerplate text compresses far below typical prose, so
+  * low ratios flag templated junk and high ratios flag random noise.
+  * One fused JVM deflate pass per row (raw deflate, fixed level 6 —
+  * deterministic for a given JVM's zlib), codegen'd like the other
+  * native expressions. Not DuckDB-expressible ⇒ test-tier (accuracy
+  * asserted in ExpressionsSpec), not an oracle-graded query. */
+case class CompressionRatio(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "compression_ratio"
+
+  override def nullSafeEval(s: Any): Any =
+    CompressionRatio.compute(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.CompressionRatio.compute($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CompressionRatio {
+  /** deflate(bytes).length / bytes.length; empty input → 1.0. Raw
+    * deflate (nowrap) so tiny strings aren't dominated by the zlib
+    * header. Public + static-shaped for generated code. */
+  def compute(bytes: Array[Byte]): Double = {
+    if (bytes.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total.toDouble / bytes.length
+  }
+}
+
 /** Column-level entry points for the native expressions. */
 object native {
   def cosineSim(a: Column, b: Column): Column =
@@ -394,6 +438,9 @@ object native {
 
   def winnowMin(hashes: Column, w: Int): Column =
     ExpressionUtils.column(WinnowMin(ExpressionUtils.expression(hashes), w))
+
+  def compressionRatio(s: Column): Column =
+    ExpressionUtils.column(CompressionRatio(ExpressionUtils.expression(s)))
 }
 
 /** Native polynomial rolling-hash over a string's UTF-8 bytes: emits the

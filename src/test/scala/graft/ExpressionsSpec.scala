@@ -228,4 +228,42 @@ class ExpressionsSpec extends SparkSuite {
     assert(got(1L) == Seq((0.9, 11L), (0.5, 10L)))
     assert(got(2L) == Seq((0.1, 21L))) // null score skipped, group under-full
   }
+
+  test("compression_ratio separates boilerplate from prose from noise") {
+    import spark.implicits._
+    val boiler = ("lorem ipsum " * 200).trim            // highly repetitive
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders slowly home across nine distinct muddy riverbanks today"
+    val rng = new scala.util.Random(42)                 // seeded: deterministic
+    val noise = Seq.fill(600)(rng.nextPrintableChar()).mkString
+    val df = Seq((1L, boiler), (2L, prose), (3L, noise), (4L, "")).toDF("id", "t")
+    val got = df.select(col("id"),
+        org.apache.spark.sql.graft.native.compressionRatio(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) < 0.1, s"boilerplate ratio ${got(1L)}")   // collapses
+    assert(got(2L) > got(1L) && got(2L) < 1.0)               // prose compresses some
+    assert(got(3L) > got(2L), s"noise ${got(3L)} vs prose ${got(2L)}")
+    assert(got(4L) == 1.0)                                   // empty → neutral
+    // deterministic across evaluation modes: SQL registration agrees
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "compression_ratio",
+      exprs => org.apache.spark.sql.graft.CompressionRatio(exprs.head), "built-in")
+    df.createOrReplaceTempView("cr_in")
+    val viaSql = spark.sql("SELECT id, compression_ratio(t) AS r FROM cr_in")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == got)
+  }
+
+  test("every graded query has an SF-stable output schema") {
+    // a query whose column names/types drift with data volume would
+    // break the driver's oracle compare between smoke (sf0.001) and
+    // graded (sf0.01) scales — catch it locally
+    val small = "/root/testdata/sf0.001"
+    val mid = "/root/testdata/sf0.01"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val a = fn(spark, small).schema.map(f => (f.name, f.dataType))
+      val b = fn(spark, mid).schema.map(f => (f.name, f.dataType))
+      assert(a == b, s"$name schema drifts between SFs:\n  $a\n  $b")
+    }
+  }
 }
