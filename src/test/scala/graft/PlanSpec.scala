@@ -136,4 +136,47 @@ class PlanSpec extends SparkSuite {
       assert(df.queryExecution.optimizedPlan.toString.contains("n_docs"))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("q69 domain cap ranks via the typed top-k aggregate, not a window") {
+    val p = plan("q69_domain_cap")
+    assert(p.contains("ObjectHashAggregate"), "top_k_by_score aggregate missing")
+    assert(!p.contains("Window"), "a flooded source would sort in one window task")
+  }
+
+  test("q70/q75/q79 text aggregations keep map-side partial aggregation") {
+    Seq("q70_vocab_oov", "q75_bm25", "q79_lm_score").foreach { q =>
+      val p = plan(q)
+      // partial + final pairs: at least two HashAggregate levels
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q lost partial aggregation")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q72 inverted index reads only (doc_id, text) and never windows") {
+    val p = plan("q72_inverted_index")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    assert(!p.contains("Window"))
+  }
+
+  test("q78 promo revenue broadcasts the part dim and prunes both scans") {
+    val p = plan("q78_promo_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("struct<p_partkey:bigint,p_type:string>"), "part scan unpruned")
+  }
+
+  test("q68 PQ search joins encoded codes against a broadcast lookup table") {
+    val p = plan("q68_ann_pq")
+    assert(p.contains("BroadcastHashJoin"), "ADC lut join must broadcast")
+    assert(!p.contains("Window"), "PQ path must stay window-free")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q76 pagerank rounds are keyed joins over the checkpointed edges") {
+    val p = plan("q76_pagerank")
+    assert(!p.contains("CartesianProduct"))
+    // the LSH pair pipeline is cut by the localCheckpoint: the final
+    // plan scans the checkpoint, not the documents table again
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 1, "edges not checkpointed")
+  }
 }
