@@ -91,7 +91,9 @@ object SparkEntry {
     "q77_json_props"      -> (Relational.jsonProps _),
     "q78_promo_revenue"   -> (Relational.promoRevenue _),
     "q79_lm_score"        -> (TextAnalysis.lmScore _),
-    "q80_dedup_report"    -> (Pipeline.dedupReport _)
+    "q80_dedup_report"    -> (Pipeline.dedupReport _),
+    "q81_bucketed_join"   -> ((s, dir) =>
+      Bucketing.bucketedJoin(s, dir).orderBy("o_orderkey"))
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -522,6 +524,10 @@ object SparkEntry {
           |       ((cluster_size - 1) * count(*))::BIGINT AS n_removable
           |FROM csz GROUP BY cluster_size
           |ORDER BY cluster_size""".stripMargin),
+    "q81_bucketed_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q32_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
