@@ -93,7 +93,8 @@ object SparkEntry {
     "q79_lm_score"        -> (TextAnalysis.lmScore _),
     "q80_dedup_report"    -> (Pipeline.dedupReport _),
     "q81_bucketed_join"   -> ((s, dir) =>
-      Bucketing.bucketedJoin(s, dir).orderBy("o_orderkey"))
+      Bucketing.bucketedJoin(s, dir).orderBy("o_orderkey")),
+    "q82_ann_ivfpq"       -> (Similarity.annIvfPq _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1232,6 +1233,7 @@ object SparkEntry {
         |ORDER BY round(sum(s), 6) DESC, doc_id LIMIT $Bm25TopK""".stripMargin
     },
     "q76_pagerank" -> pageRankOracle,
+    "q82_ann_ivfpq" -> annIvfPqOracle,
     "q77_json_props" ->
       """SELECT event_type, count(*) AS n_events,
         |       sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
@@ -1373,6 +1375,90 @@ object SparkEntry {
       |SELECT p.doc_id, round(p.pr, 6) AS pagerank, d.out_deg
       |FROM p$PrIterations p JOIN deg d ON d.src = p.doc_id
       |ORDER BY p.doc_id""".stripMargin
+  }
+
+  /** q82's oracle: the IVF cells prefix + the PQ recurrence over
+    * RESIDUALS (v − home-cell centroid), with per-(query, probed-cell)
+    * residual lookup tables — the identical deterministic composition. */
+  private def annIvfPqOracle: String = {
+    import graft.operators.Similarity.{Dims, PqCodes, PqSampleMult, PqSubDim, PqSubspaces}
+    def subDist(a: String, b: String) =
+      s"round(list_sum([($a[sub * $PqSubDim + dd] - $b[sub * $PqSubDim + dd]) * " +
+        s"($a[sub * $PqSubDim + dd] - $b[sub * $PqSubDim + dd]) " +
+        s"FOR dd IN range(1, ${PqSubDim + 1})]), 6)"
+    ivfCellsCte + s""",
+      |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= 2),
+      |res AS (
+      |  SELECT e.vec_id, t.d, e.v[t.d] - c2.cv[t.d] AS rx
+      |  FROM e JOIN cells ce ON ce.vec_id = e.vec_id
+      |  JOIN c2 ON c2.cent_id = ce.cent_id, unnest(range(1, ${Dims + 1})) t(d)
+      |),
+      |resl AS (SELECT vec_id, list(rx ORDER BY d) AS rv FROM res GROUP BY vec_id),
+      |pqp AS (SELECT (count(*) + ${PqSampleMult * PqCodes} - 1)
+      |                 // ${PqSampleMult * PqCodes} AS den FROM e),
+      |s2 AS (SELECT r.* FROM resl r, pqp
+      |       WHERE ('0x' || substr(md5('pqs_' || vec_id), 1, 7))::BIGINT % pqp.den = 0),
+      |pinit AS (
+      |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, rv
+      |  FROM (SELECT vec_id, rv,
+      |               ('0x' || substr(md5('pqc_' || vec_id), 1, 7))::BIGINT AS h
+      |        FROM s2 ORDER BY h, vec_id LIMIT $PqCodes)
+      |),
+      |subs AS (SELECT i AS sub FROM unnest(range(0, $PqSubspaces)) t(i)),
+      |pa0 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT s2.vec_id, subs.sub, c.code,
+      |           row_number() OVER (PARTITION BY s2.vec_id, subs.sub
+      |                              ORDER BY ${subDist("s2.rv", "c.rv")} ASC, c.code ASC) AS rn
+      |    FROM s2, subs, pinit c) WHERE rn = 1
+      |),
+      |pm0 AS (
+      |  SELECT a.code, t.d, round(avg(s2.rv[t.d]), 6) AS m
+      |  FROM pa0 a JOIN s2 USING (vec_id), unnest(range(1, ${Dims + 1})) t(d)
+      |  WHERE (t.d - 1) // $PqSubDim = a.sub
+      |  GROUP BY 1, 2
+      |),
+      |pcbg AS (
+      |  SELECT g.code, g.d, coalesce(m.m, g.iv) AS cv
+      |  FROM (SELECT c.code, t.d, c.rv[t.d] AS iv
+      |        FROM pinit c, unnest(range(1, ${Dims + 1})) t(d)) g
+      |  LEFT JOIN pm0 m ON m.code = g.code AND m.d = g.d
+      |),
+      |pcbl AS (SELECT code, list(cv ORDER BY d) AS cv FROM pcbg GROUP BY code),
+      |penc AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT r.vec_id, subs.sub, c.code,
+      |           row_number() OVER (PARTITION BY r.vec_id, subs.sub
+      |                              ORDER BY ${subDist("r.rv", "c.cv")} ASC, c.code ASC) AS rn
+      |    FROM resl r, subs, pcbl c) WHERE rn = 1
+      |),
+      |qres AS (
+      |  SELECT q.vec_id AS query_id, p.cent_id AS pcell,
+      |         list(q.v[t.d] - c2.cv[t.d] ORDER BY t.d) AS rqv
+      |  FROM e q JOIN probes p ON p.vec_id = q.vec_id
+      |  JOIN c2 ON c2.cent_id = p.cent_id, unnest(range(1, ${Dims + 1})) t(d)
+      |  WHERE q.vec_id < 10
+      |  GROUP BY 1, 2
+      |),
+      |lut AS (
+      |  SELECT qr.query_id, qr.pcell, subs.sub, c.code,
+      |         ${subDist("qr.rqv", "c.cv")} AS qdist
+      |  FROM qres qr, subs, pcbl c
+      |),
+      |adc AS (
+      |  SELECT l.query_id, penc.vec_id, round(sum(l.qdist), 6) AS adist
+      |  FROM penc
+      |  JOIN cells ce ON ce.vec_id = penc.vec_id
+      |  JOIN lut l ON l.pcell = ce.cent_id AND l.sub = penc.sub AND l.code = penc.code
+      |  WHERE penc.vec_id <> l.query_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT query_id, vec_id AS neighbor_id, rnk::INT AS "rank", adist AS approx_dist
+      |FROM (SELECT query_id, vec_id, adist,
+      |             row_number() OVER (PARTITION BY query_id
+      |                                ORDER BY adist ASC, vec_id ASC) AS rnk
+      |      FROM adc) WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
   }
 
   /** q68's oracle: the identical PQ recurrence — hash-least init

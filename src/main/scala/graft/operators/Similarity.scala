@@ -591,6 +591,124 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q82_ann_ivfpq — IVF-PQ: the FAISS-standard composition of the two
+    * index halves this engine already ships — q28's trained Voronoi
+    * cells (the WHERE-to-look half) and q68's product quantization
+    * (the HOW-to-score-cheaply half), quantizing RESIDUALS v − c(v)
+    * rather than raw vectors (residuals concentrate near 0, so the
+    * same code budget spends its precision where the data is — the
+    * reason IVF-PQ beats flat PQ at equal bytes).
+    *
+    *   - index: every vector stores its cell id + m residual codes
+    *     (~9 B/vector at full 8-bit codes); residual components come
+    *     from one broadcast (cent_id, d) centroid-dimension join on
+    *     the component scan — no per-vector array rebuild;
+    *   - PQ training: q68's one-pass machinery over the residual
+    *     components of the bounded "pqs_" hash sample (init = the
+    *     [[PqCodes]] hash-least sample residuals, one Lloyd round,
+    *     6dp-rounded means — centroids are 6dp-rounded so residual
+    *     doubles are bit-identical cross-engine);
+    *   - search: each query probes its [[IvfNProbe]] cells; ADC lookup
+    *     tables are built per (query, probed cell) against the QUERY's
+    *     residual wrt THAT cell's centroid (queries×nprobe×m×codes
+    *     rows, broadcast); a corpus vector joins at most one probe row
+    *     per query (it lives in exactly one cell), so no dedup stage;
+    *   - per-query ranking via the native top-k aggregate.
+    *
+    * Everything corpus-sized is keyed by vec_id or (cell, sub, code);
+    * no windows, no driver-side vectors beyond codes×[[Dims]] doubles. */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = vecs(spark, sfDir)
+    val n = corpusSize(spark, sfDir)
+    val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cents = trainCentroids(spark, v, n, k)
+    val cDf = broadcast(cents.toDF("cent_id", "cv"))
+    val centDims = broadcast(cents.toDF("cent_id", "cv")
+      .select(col("cent_id"), posexplode(col("cv")).as(Seq("cd_d", "cd"))))
+    // top-IvfNProbe cells per vector (top-1 = home cell), q28's shape
+    val top2 = v.crossJoin(cDf)
+      .select(col("vec_id"), col("cent_id"),
+        org.apache.spark.sql.graft.native.cosineSim(col("v"), col("cv")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(col("sim"), col("cent_id").cast("long"), IvfNProbe).as("tc"))
+    val cells = top2.select(col("vec_id"), col("tc")(0)("id").cast("int").as("cell"))
+    // residual components: x − centroid[cell][d], one broadcast join on
+    // the component scan (named "x" so the q68 distance machinery applies)
+    val rcomp = components(spark, sfDir)
+      .join(cells, "vec_id")
+      .join(centDims, col("cell") === col("cent_id") && col("d") === col("cd_d"))
+      .select(col("vec_id"), col("d"), (col("x") - col("cd")).as("x"),
+        expr(s"d div $PqSubDim").as("sub"))
+    val den = ivfSampleDen(n, PqCodes, PqSampleMult)
+    def pqsMember(c: Column): Column =
+      pmod(graft.functions.HashFunctions.md5Int28(
+        concat(lit("pqs_"), c.cast("string"))), lit(den)) === 0
+    val rcompS = if (den == 1L) rcomp else rcomp.filter(pqsMember(col("vec_id")))
+    // init codebook: the PqCodes hash-least sample ids' residuals
+    // (ids via a bounded TakeOrdered, their 16×Dims residuals collected)
+    val initIds: Seq[Long] = {
+      val ids = v.select(col("vec_id"))
+      val sIds = if (den == 1L) ids else ids.filter(pqsMember(col("vec_id")))
+      sIds.withColumn("h", graft.functions.HashFunctions.md5Int28(
+          concat(lit("pqc_"), col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id")).limit(PqCodes)
+        .collect().map(_.getLong(0)).toIndexedSeq
+    }
+    if (initIds.isEmpty)
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "neighbor_id", "rank", "approx_dist")
+    val byVec = rcomp.filter(col("vec_id").isin(initIds: _*))
+      .select(col("vec_id"), col("d"), col("x"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(_._3).toIndexedSeq }
+    val init: Seq[Seq[Double]] = initIds.map(byVec(_))
+    // one Lloyd round over the sample residuals (q68's machinery)
+    val asg0 = pqAssign(rcompS, init)
+    val updated: Map[(Int, Int), Double] = rcompS
+      .join(asg0, Seq("vec_id", "sub"))
+      .groupBy(col("code"), col("d"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val cb: Seq[Seq[Double]] = init.zipWithIndex.map { case (iv, c) =>
+      iv.indices.map(d => updated.getOrElse((c, d), iv(d)))
+    }
+    val encoded = pqAssign(rcomp, cb) // (vec_id, sub, code): the index table
+    // query side: residual wrt EACH probed cell's centroid, LUT per
+    // (query, probed cell) — queries×nprobe×m×codes rows, broadcast
+    val probes = top2.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), explode(col("tc")).as("s"))
+      .select(col("query_id"), col("s.id").cast("int").as("pcell"))
+    val qrcomp = components(spark, sfDir).filter(col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(probes, "query_id")
+      .join(centDims, col("pcell") === col("cent_id") && col("d") === col("cd_d"))
+      .select(col("query_id"), col("pcell"), col("d"),
+        (col("x") - col("cd")).as("x"), expr(s"d div $PqSubDim").as("sub"))
+    val lut = pqDists(qrcomp, cb, Seq("query_id", "pcell", "sub"))
+      .select(col("query_id"), col("pcell"), col("sub"),
+        explode(array(pqEntries(cb.length): _*)).as("e"))
+      .select(col("query_id"), col("pcell"), col("sub").as("lsub"),
+        col("e.code").as("lcode"), col("e.dist").as("qdist"))
+    // a corpus vector matches ≤1 probe row per query (one home cell)
+    encoded.join(cells, "vec_id")
+      .join(broadcast(lut), col("cell") === col("pcell") &&
+        col("sub") === col("lsub") && col("code") === col("lcode"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("qdist")), 6).as("adist"))
+      .groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(-col("adist"), col("vec_id"), BucketK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("s.score")).as("approx_dist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** q73_semdedup — SEMANTIC deduplication (SemDeDup, Abbas et al.
     * 2023): cluster the embedding space with the q28-trained k-means
     * cells, then WITHIN each cell flag every vector that has a
@@ -655,12 +773,13 @@ object Similarity {
     * hyperplanes, so the hot loop is x±literal inside whole-stage
     * codegen, never an interpreted higher-order function. Distances
     * round to 6dp (pins cross-engine float drift before any argmin). */
-  private def pqDists(compSub: DataFrame, cb: Seq[Seq[Double]]): DataFrame = {
+  private def pqDists(compSub: DataFrame, cb: Seq[Seq[Double]],
+      groupCols: Seq[String] = Seq("vec_id", "sub")): DataFrame = {
     val distCols = cb.zipWithIndex.map { case (cv, c) =>
       val diff = col("x") - element_at(typedlit(cv), col("d") + 1)
       round(sum(diff * diff), 6).as(s"dist_$c")
     }
-    compSub.groupBy(col("vec_id"), col("sub"))
+    compSub.groupBy(groupCols.map(col): _*)
       .agg(distCols.head, distCols.tail: _*)
   }
 

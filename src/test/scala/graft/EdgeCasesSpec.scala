@@ -100,6 +100,7 @@ class EdgeCasesSpec extends SparkSuite {
     assert(Graph.pageRank(spark, emptyDir).count() == 0)
     assert(TextAnalysis.lmScore(spark, emptyDir).count() == 0)
     assert(Pipeline.dedupReport(spark, emptyDir).count() == 0)
+    assert(Similarity.annIvfPq(spark, emptyDir).count() == 0)
   }
 
   test("round-7 operators on a single-document corpus") {

@@ -286,6 +286,32 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("q82 IVF-PQ: well-formed top-3, recall above floor") {
+    val out = Similarity.annIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._2).distinct.length == 3)
+      assert(rows.forall(r => r._4 >= 0.0 && r._2 != r._1))
+      assert(rows.sortBy(_._3).map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+    }
+    // recall@3 vs exact L2 top-3 within the probed-cell candidate set is
+    // bounded by IVF recall; against the GLOBAL exact top-3 assert a
+    // floor only (structureless corpus, nprobe=2)
+    val v = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val exact = (0L until 10L).map { q =>
+      q -> v.keys.filter(_ != q).toSeq
+        .sortBy(id => (l2(v(q), v(id)), id)).take(3).toSet
+    }.toMap
+    val hits = out.count { case (q, nb, _, _) => exact(q).contains(nb) }
+    assert(hits.toDouble / 30.0 >= 0.05, s"IVF-PQ recall ${hits / 30.0}")
+  }
+
   test("q73 semdedup flags are internally consistent") {
     val rows = Similarity.semDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getLong(3)))
