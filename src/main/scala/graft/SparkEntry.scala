@@ -436,7 +436,7 @@ object SparkEntry {
         |ORDER BY o_custkey, rn""".stripMargin,
     "q28_ann_ivf" ->
       (ivfCellsCte + s""",
-        |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= 2),
+        |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= ${Similarity.IvfNProbe}),
         |pairs AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |         list_dot_product(ea.v, eb.v) /
@@ -932,7 +932,7 @@ object SparkEntry {
         |  FROM vgrp w JOIN fgrp f ON f.grp_id = w.grp_id
         |),
         |cells AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1),
-        |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= 2),
+        |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= ${Similarity.IvfNProbe}),
         |pairs AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |         list_dot_product(ea.v, eb.v) /
@@ -1236,10 +1236,10 @@ object SparkEntry {
     "q82_ann_ivfpq" -> annIvfPqOracle,
     "q77_json_props" ->
       """SELECT event_type, count(*) AS n_events,
-        |       sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
-        |       min(json_extract_string(props, '$.k')::INT) AS min_k,
-        |       max(json_extract_string(props, '$.k')::INT) AS max_k,
-        |       count(DISTINCT json_extract_string(props, '$.k')::INT) AS n_distinct_k
+        |       sum(TRY_CAST(json_extract_string(props, '$.k') AS INT))::BIGINT AS sum_k,
+        |       min(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |       max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+        |       count(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS n_distinct_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q78_promo_revenue" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
@@ -1387,7 +1387,7 @@ object SparkEntry {
         s"($a[sub * $PqSubDim + dd] - $b[sub * $PqSubDim + dd]) " +
         s"FOR dd IN range(1, ${PqSubDim + 1})]), 6)"
     ivfCellsCte + s""",
-      |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= 2),
+      |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= ${Similarity.IvfNProbe}),
       |res AS (
       |  SELECT e.vec_id, t.d, e.v[t.d] - c2.cv[t.d] AS rx
       |  FROM e JOIN cells ce ON ce.vec_id = e.vec_id

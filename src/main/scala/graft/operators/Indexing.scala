@@ -79,9 +79,11 @@ object Indexing {
     * serve, and the classic tf·idf refinement with document-length
     * normalization (k1=[[Bm25K1]], b=[[Bm25B]]).
     *
-    * Scale shape: the query-term filter is a scan-local `IN` predicate
-    * (pushed to parquet), so tf aggregation touches only matching
-    * rows; df and the corpus stats (N, avgdl) are broadcast 1-row/
+    * Scale shape: the query-term filter is a scan-side `IN` predicate
+    * applied post-tokenize, pre-shuffle (`term` is derived by the
+    * explode, so nothing reaches the parquet scan as a pushed filter),
+    * meaning tf aggregation still only shuffles matching rows; df and
+    * the corpus stats (N, avgdl) are broadcast 1-row/
     * |query|-row aggregates; per-doc summation is partial-aggregable
     * keyed by doc_id; the final top-[[Bm25TopK]] is
     * TakeOrderedAndProject (per-partition heaps, no global sort).

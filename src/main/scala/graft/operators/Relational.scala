@@ -460,13 +460,17 @@ object Relational {
     * one partial-aggregable groupBy; the exact distinct count is
     * Spark's standard two-phase distinct aggregate (expand + two
     * keyed exchanges), swapped for HLL at the Sketches tier when
-    * approximate is acceptable. */
+    * approximate is acceptable.
+    *
+    * Coercion contract: `k` is extracted as STRING then `try_cast` to
+    * int, mirroring the oracle's TRY_CAST(json_extract_string(...)) —
+    * so a string-encoded `{"k":"12"}` coerces to 12 and a non-integer
+    * `{"k":"1.5"}` nulls out IDENTICALLY in both engines, instead of
+    * relying on the test data always encoding k as a JSON integer. */
   def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select(col("event_type"),
-        from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-          .getField("k").as("k"))
+        expr("try_cast(from_json(props, 'k STRING').k AS int)").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(col("k")).as("sum_k"),

@@ -664,7 +664,13 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).map { case (id, rs) =>
         id -> rs.sortBy(_._2).map(_._3).toIndexedSeq }
-    val init: Seq[Seq[Double]] = initIds.map(byVec(_))
+    // a sampled id with a null/short embedding has no (or partial)
+    // residual rows — skip it rather than NPE on an unguarded lookup
+    val init: Seq[Seq[Double]] =
+      initIds.flatMap(byVec.get).filter(_.length == Dims)
+    if (init.isEmpty)
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "neighbor_id", "rank", "approx_dist")
     // one Lloyd round over the sample residuals (q68's machinery)
     val asg0 = pqAssign(rcompS, init)
     val updated: Map[(Int, Int), Double] = rcompS
@@ -849,7 +855,11 @@ object Similarity {
           concat(lit("pqc_"), col("vec_id").cast("string"))).as("h"),
         col("vec_id"))
       .orderBy(col("h"), col("vec_id")).limit(PqCodes)
-      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      .collect().map(_.getSeq[Double](0))
+      // null/short embeddings carry no usable codebook entry — skip
+      // them instead of assuming every sampled row is Dims-complete
+      .filter(s => s != null && s.length == Dims)
+      .map(_.toIndexedSeq).toIndexedSeq
     // empty corpus ⇒ no codebook ⇒ no neighbors (schema preserved)
     if (init.isEmpty) {
       import spark.implicits._
