@@ -202,8 +202,8 @@ object SparkEntry {
         |HAVING count(*) >= 3
         |ORDER BY user_id""".stripMargin,
     "q11_dedup_exact" ->
-      """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_copies
-        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+      """SELECT min(doc_id) AS doc_id, md5(strip_accents(nfc_normalize(text))) AS content_hash, count(*) AS n_copies
+        |FROM documents GROUP BY md5(strip_accents(nfc_normalize(text))) ORDER BY doc_id""".stripMargin,
     "q12_dedup_minhash" ->
       (jaccardCte +
         """
@@ -530,17 +530,20 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
     "q32_normalize" ->
-      """SELECT doc_id,
-        |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
-        |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
-        |       len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))::INT AS norm_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH folded AS (
+        |  SELECT doc_id, lower(strip_accents(nfc_normalize(text))) AS ft FROM documents
+        |)
+        |SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(ft, '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        |       md5(trim(regexp_replace(regexp_replace(ft, '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |       len(trim(regexp_replace(regexp_replace(ft, '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))::INT AS norm_len
+        |FROM folded ORDER BY doc_id""".stripMargin,
     "q33_pipeline" ->
       (jaccardCte +
         """,
           |norm AS (
           |  SELECT doc_id,
-          |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+          |         md5(trim(regexp_replace(regexp_replace(lower(strip_accents(nfc_normalize(text))), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
           |  FROM documents
           |),
           |exact_surv AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY norm_hash),

@@ -53,10 +53,15 @@ object Dedup {
   val HammingMax = 3
 
   /** q11_dedup_exact — exact dedup of documents by content hash; the
-    * survivor of each identical-content group is the min doc_id. */
+    * survivor of each identical-content group is the min doc_id. The
+    * hash key is NFC-normalized and accent-folded first (native
+    * expressions, mirroring DuckDB `strip_accents(nfc_normalize(..))`)
+    * so encoding variants of identical text — composed vs decomposed
+    * "café" — land in the same duplicate group. */
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .groupBy(md5(col("text")).as("content_hash"))
+      .groupBy(md5(org.apache.spark.sql.graft.native.stripAccents(
+        org.apache.spark.sql.graft.native.nfc(col("text")))).as("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("content_hash"), col("n_copies"))
       .orderBy("doc_id")

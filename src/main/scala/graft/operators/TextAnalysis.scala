@@ -4,6 +4,7 @@ import graft.functions.{HashFunctions => H, TextFunctions => T}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.native
 
 /** Per-document text analysis for corpus curation — the reference's
   * word-count tokenizer (`example/word-count-taskfile.lua:118-139`)
@@ -200,18 +201,25 @@ object TextAnalysis {
         .as("scrubbed"))
   }
 
-  /** q32_normalize — corpus text normalization: lowercase, strip
-    * non-alphanumerics to spaces, collapse runs of whitespace, trim —
-    * the canonical pre-tokenization cleaning pass, emitted alongside a
-    * content hash of the normalized form (the exact-dedup key after
-    * normalization). Partition-local, zero shuffles. Regexes restricted
-    * to classes that behave identically in Java regex and RE2 so the
-    * DuckDB oracle checks the normalized text byte-for-byte. */
+  /** q32_normalize — corpus text normalization: Unicode NFC + accent
+    * folding (native [[org.apache.spark.sql.graft.NfcNormalize]]/
+    * [[org.apache.spark.sql.graft.StripAccents]] — composed vs
+    * decomposed encodings of "café" collapse to the same bytes, then
+    * é→e), lowercase, strip non-alphanumerics to spaces, collapse runs
+    * of whitespace, trim — the canonical pre-tokenization cleaning
+    * pass, emitted alongside a content hash of the normalized form
+    * (the exact-dedup key after normalization). Partition-local, zero
+    * shuffles. Regexes restricted to classes that behave identically
+    * in Java regex and RE2, and the Unicode steps mirror DuckDB's
+    * utf8proc `nfc_normalize`/`strip_accents`, so the DuckDB oracle
+    * checks the normalized text byte-for-byte. */
   def normalize(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          regexp_replace(
+            lower(native.stripAccents(native.nfc(col("text")))),
+            "[^a-z0-9 ]", " "),
           " +", " ")).as("norm_text"))
       .select(col("doc_id"), col("norm_text"),
         md5(col("norm_text")).as("norm_hash"),

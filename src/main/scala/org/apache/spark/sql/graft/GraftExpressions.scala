@@ -415,6 +415,89 @@ object CompressionRatio {
   }
 }
 
+/** Unicode NFC normalization (java.text.Normalizer, JVM built-in) —
+  * composed vs decomposed encodings of the same text ("é" as U+00E9 vs
+  * "e"+U+0301) are byte-different, so un-normalized md5 dedup keys
+  * silently miss duplicates that differ only in encoding. Mirrors the
+  * DuckDB oracle's `nfc_normalize` (utf8proc NFC — same algorithm,
+  * Unicode-standard deterministic). The already-normalized fast path
+  * (all ASCII corpora) is a scan without allocation. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc"
+
+  override def nullSafeEval(s: Any): Any =
+    NfcNormalize.compute(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.NfcNormalize.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  import java.text.Normalizer
+  /** NFC-normalize; returns the input object unchanged when already
+    * normalized (the common all-ASCII case — no copy). */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}
+
+/** Accent/diacritic folding: NFD-decompose, drop combining marks
+  * (category Mn), recompose to NFC — "café"→"cafe", "naïve"→"naive",
+  * "İstanbul"→"Istanbul". The standard width/accent folding step of a
+  * dedup-key normalizer (encoding variants of the same word must hash
+  * identically). Matches DuckDB's `strip_accents` (utf8proc, same
+  * decompose-drop-Mn algorithm) so folded keys stay oracle-gradable. */
+case class StripAccents(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+
+  override def nullSafeEval(s: Any): Any =
+    StripAccents.compute(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.StripAccents.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StripAccents {
+  import java.text.Normalizer
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    // ASCII fast path: nothing to decompose, return the input object
+    var ascii = true
+    var i = 0
+    while (ascii && i < str.length) { if (str.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) return s
+    val d = Normalizer.normalize(str, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    i = 0
+    while (i < d.length) {
+      val ch = d.charAt(i)
+      if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
+  }
+}
+
 /** Column-level entry points for the native expressions. */
 object native {
   def cosineSim(a: Column, b: Column): Column =
@@ -441,6 +524,12 @@ object native {
 
   def compressionRatio(s: Column): Column =
     ExpressionUtils.column(CompressionRatio(ExpressionUtils.expression(s)))
+
+  def nfc(s: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(s)))
+
+  def stripAccents(s: Column): Column =
+    ExpressionUtils.column(StripAccents(ExpressionUtils.expression(s)))
 }
 
 /** Native polynomial rolling-hash over a string's UTF-8 bytes: emits the

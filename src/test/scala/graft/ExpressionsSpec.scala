@@ -254,6 +254,45 @@ class ExpressionsSpec extends SparkSuite {
     assert(viaSql == got)
   }
 
+  test("nfc + strip_accents collapse encoding variants to one dedup key") {
+    import spark.implicits._
+    val composed = "caf\u00e9 menu"            // é as U+00E9
+    val decomposed = "cafe\u0301 menu"         // e + combining acute
+    val folded = "cafe menu"                   // accent-stripped ASCII
+    val df = Seq((1L, composed), (2L, decomposed), (3L, folded), (4L, "na\u00efve \uff21"))
+      .toDF("id", "t")
+    val N = org.apache.spark.sql.graft.native
+    // NFC alone: composed == decomposed-after-NFC, but accent remains
+    val nfc = df.select(col("id"), N.nfc(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nfc(1L) == nfc(2L), "NFC must unify composed/decomposed é")
+    assert(nfc(1L) != folded)
+    // NFC + accent folding: all three produce ONE md5 key
+    val keys = df.select(col("id"),
+        md5(N.stripAccents(N.nfc(col("t")))).as("k"),
+        N.stripAccents(N.nfc(col("t"))).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byId = keys.map(k => k._1 -> k._2).toMap
+    assert(byId(1L) == byId(2L) && byId(2L) == byId(3L),
+      "encoding variants must share a dedup key")
+    assert(keys.find(_._1 == 3L).get._3 == folded)
+    assert(keys.find(_._1 == 4L).get._3 == "naive \uff21") // accents fold; width untouched (NFC keeps compat chars)
+    // interpreted == codegen'd (the VectorFunctions-style parity check)
+    val viaEval = Seq(composed, decomposed).map { s =>
+      org.apache.spark.sql.graft.StripAccents.compute(
+        org.apache.spark.sql.graft.NfcNormalize.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s))).toString
+    }
+    assert(viaEval.toSet == Set(folded))
+    // the graded queries see the same collapse: q11's key function over
+    // a composed/decomposed pair yields one group (unit-level mirror of
+    // the oracle's strip_accents(nfc_normalize(...)))
+    val groups = df.filter(col("id") <= 3)
+      .groupBy(md5(N.stripAccents(N.nfc(col("t")))).as("k"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(groups.length == 1 && groups.head.getLong(1) == 3L)
+  }
+
   test("every graded query has an SF-stable output schema") {
     // a query whose column names/types drift with data volume would
     // break the driver's oracle compare between smoke (sf0.001) and
