@@ -32,6 +32,13 @@ object GraftSession {
       // default is the same value — pinned here so a cluster-side
       // override is a deliberate choice, not an inherited default
       .config("spark.sql.files.maxPartitionBytes", s"${128L * 1024 * 1024}")
+      // runtime bloom-filter join pruning: a selective dim side (<10 MB
+      // post-filter) injects a bloom filter into the fact-side scan, so
+      // a 100 TB fact table drops non-joining rows at the scan instead
+      // of shuffling them. Spark-default-on — pinned explicitly because
+      // the 100 TB plans in PLANS.md depend on it, and PlanSpec
+      // demonstrates the injection under forced thresholds.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -44,10 +44,12 @@ object Packing {
     packFrom(Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(T.wsTokens(col("text"))).cast("long").as("n")))
 
-  /** The packing core over a precomputed (doc_id, n) frame — injectable
-    * so specs can drive it with sparse/gapped id spaces (blocks are
-    * doc_id ranges, so gaps simply yield lighter blocks). */
-  private[graft] def packFrom(docTokens: DataFrame): DataFrame = {
+  /** Per-document shard assignment (doc_id, n, shard_id) — the frame a
+    * training run actually consumes (see [[writeShardedCorpus]]); q53
+    * grades its per-shard aggregate. Injectable so specs can drive it
+    * with sparse/gapped id spaces (blocks are doc_id ranges, so gaps
+    * simply yield lighter blocks). */
+  private[graft] def assignFrom(docTokens: DataFrame): DataFrame = {
     val toks = docTokens
       .withColumn("blk", expr(s"doc_id div $BlockSize"))
     val wInBlk = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
@@ -63,11 +65,35 @@ object Packing {
       .join(broadcast(blkPrefix), "blk")
       .withColumn("pre", col("blk_pre") + col("cum_in_blk") - col("n"))
       .withColumn("shard_id", expr(s"pre div $ShardBudget"))
+      .select(col("doc_id"), col("n"), col("shard_id"))
+  }
+
+  private[graft] def packFrom(docTokens: DataFrame): DataFrame =
+    assignFrom(docTokens)
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n")).as("shard_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .orderBy("shard_id")
+
+  /** Materialize the packed corpus as shard_id-partitioned parquet —
+    * the artifact a training loader reads shard-by-shard. Each shard is
+    * one partition directory (`shard_id=K/`), so a loader's
+    * `filter(shard_id = K)` is partition pruning: it lists and reads
+    * exactly one directory, never scanning the corpus. Text rides along
+    * with the assignment so the shard files are self-contained.
+    * Shuffle-wise this adds ONE repartition by shard_id on top of
+    * [[assignFrom]] (otherwise every task could open a file per shard:
+    * with T tasks × S shards that is T·S small files; repartitioning
+    * bounds it at one file per shard). */
+  def writeShardedCorpus(spark: SparkSession, sfDir: String, path: String): Unit = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val asg = assignFrom(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(T.wsTokens(col("text"))).cast("long").as("n")))
+    val packed = asg.join(docs, "doc_id")
+      .select(col("doc_id"), col("n"), col("text"), col("shard_id"))
+      .repartition(col("shard_id"))
+    graft.sources.Sinks.parquet(packed, path, partitionBy = Seq("shard_id"))
   }
 }

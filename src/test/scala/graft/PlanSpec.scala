@@ -179,4 +179,33 @@ class PlanSpec extends SparkSuite {
     // plan scans the checkpoint, not the documents table again
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 1, "edges not checkpointed")
   }
+
+  test("runtime bloom filter injects into the fact scan for a selective dim join") {
+    // At test SF the injection never fires (the application-side scan
+    // threshold is 10 GB), so force the thresholds to prove the 100 TB
+    // behavior PLANS.md depends on: a filtered supplier dim (q55's
+    // shape) plants bloom_filter_might_contain on the lineitem side.
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val forced = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // broadcast would bypass injection
+    val saved = forced.map { case (k, _) => k -> conf.getOption(k) }
+    forced.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      assert(conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true",
+        "GraftSession must pin bloom pruning on")
+      val fact = graft.sources.Tables.lineitem(spark, sf)
+        .select(col("l_suppkey"), col("l_extendedprice"))
+      val dim = graft.sources.Tables.supplier(spark, sf)
+        .filter(col("s_nationkey") === 0).select(col("s_suppkey"))
+      val p = fact.join(dim, col("l_suppkey") === col("s_suppkey"))
+        .queryExecution.explainString(FormattedMode)
+      // creation side: a bloom_filter_agg over the filtered dim keys;
+      // application side: might_contain guarding the fact scan
+      assert(p.contains("bloom_filter_agg"), "no bloom filter built on the dim side")
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter on the fact side:\n$p")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }

@@ -72,4 +72,36 @@ class SinksSpec extends SparkSuite {
       .as[(String, Long)].collect().toMap
     assert(js == expected)
   }
+
+  test("sharded corpus write round-trips assignments and prunes by shard") {
+    import graft.operators.Packing
+    val dir = tmp() + "/shards"
+    Packing.writeShardedCorpus(spark, sf, dir)
+    // one partition directory per shard produced by the q53 aggregate
+    val shardIds = Packing.shardPack(spark, sf)
+      .select(col("shard_id")).collect().map(_.getLong(0)).toSet
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard_id=")).toSet
+    assert(dirs == shardIds.map(s => s"shard_id=$s"))
+    // read-back equality: the written (doc_id, shard_id) assignment is
+    // exactly the computed one, every doc packed once, text intact
+    val back = spark.read.parquet(dir)
+    // partition-dir values are type-inferred on read (int here) — cast
+    val gotAsg = back.select(col("doc_id"), col("shard_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf)
+    val wantAsg = Packing.assignFrom(docs
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.wsTokens(col("text"))).cast("long").as("n")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotAsg == wantAsg)
+    assert(back.count() == docs.count())
+    val doc0Text = back.filter(col("doc_id") === gotAsg.keys.min).select("text").head.getString(0)
+    assert(doc0Text == docs.filter(col("doc_id") === gotAsg.keys.min).select("text").head.getString(0))
+    // a loader's per-shard read is partition pruning, not a corpus scan
+    val one = back.filter(col("shard_id") === shardIds.min)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(shard_id"), s"no partition filter:\n$plan")
+    assert(one.count() == wantAsg.values.count(_ == shardIds.min))
+  }
 }
