@@ -435,25 +435,9 @@ object SparkEntry {
         |FROM w WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
     "q28_ann_ivf" ->
-      (ivfCellsCte + s""",
-        |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= ${Similarity.IvfNProbe}),
-        |pairs AS (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |         list_dot_product(ea.v, eb.v) /
-        |         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine_raw
-        |  FROM probes a JOIN cells b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
-        |  JOIN e ea ON ea.vec_id = a.vec_id
-        |  JOIN e eb ON eb.vec_id = b.vec_id
-        |),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, cosine_raw,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id ASC) AS rnk
-        |  FROM pairs
-        |)
-        |SELECT query_id, neighbor_id, rnk::INT AS "rank", round(cosine_raw, 6) AS cosine
-        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
+      (ivfCellsCte + annProbeRankSuffix),
     "q73_semdedup" ->
-      (ivfCellsCte + s""",
+      (ivfHierCellsCte + s""",
         |dup AS (
         |  SELECT b.vec_id, min(a.vec_id) AS dup_of
         |  FROM cells a JOIN cells b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
@@ -846,111 +830,7 @@ object SparkEntry {
         |         '[^ \t\n\r]+@[^ \t\n\r]+', '<EMAIL>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q57_ann_ivf_hier" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |params AS (SELECT greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT) AS k,
-        |                  (count(*) + ${Similarity.IvfSampleMult} * greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT) - 1)
-        |                    // (${Similarity.IvfSampleMult} * greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT)) AS den
-        |           FROM e),
-        |s AS (SELECT * FROM e
-        |      WHERE ('0x' || substr(md5('ivfs_' || vec_id), 1, 7))::BIGINT
-        |              % (SELECT den FROM params) = 0),
-        |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM s
-        |       ORDER BY vec_id LIMIT (SELECT k FROM params)),
-        |a0 AS (
-        |  SELECT vec_id, cent_id FROM (
-        |    SELECT s.vec_id, c.cent_id,
-        |           row_number() OVER (PARTITION BY s.vec_id ORDER BY
-        |             list_dot_product(s.v, c.cv) /
-        |             (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-        |             c.cent_id ASC) AS rn
-        |    FROM s, c0 c) WHERE rn = 1
-        |),
-        |m0 AS (
-        |  SELECT a.cent_id, t.d, round(avg(s.v[t.d]), 6) AS m
-        |  FROM a0 a, s, unnest(range(1, 65)) t(d)
-        |  WHERE a.vec_id = s.vec_id
-        |  GROUP BY a.cent_id, t.d
-        |),
-        |c1 AS (
-        |  SELECT c0.cent_id, coalesce(n.cv, c0.cv) AS cv
-        |  FROM c0 LEFT JOIN (SELECT cent_id, list(m ORDER BY d) AS cv FROM m0 GROUP BY cent_id) n
-        |    USING (cent_id)
-        |),
-        |a1 AS (
-        |  SELECT vec_id, cent_id FROM (
-        |    SELECT s.vec_id, c.cent_id,
-        |           row_number() OVER (PARTITION BY s.vec_id ORDER BY
-        |             list_dot_product(s.v, c.cv) /
-        |             (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-        |             c.cent_id ASC) AS rn
-        |    FROM s, c1 c) WHERE rn = 1
-        |),
-        |m1 AS (
-        |  SELECT a.cent_id, t.d, round(avg(s.v[t.d]), 6) AS m
-        |  FROM a1 a, s, unnest(range(1, 65)) t(d)
-        |  WHERE a.vec_id = s.vec_id
-        |  GROUP BY a.cent_id, t.d
-        |),
-        |c2 AS (
-        |  SELECT c1.cent_id, coalesce(n.cv, c1.cv) AS cv
-        |  FROM c1 LEFT JOIN (SELECT cent_id, list(m ORDER BY d) AS cv FROM m1 GROUP BY cent_id) n
-        |    USING (cent_id)
-        |),
-        |params2 AS (
-        |  SELECT greatest(${Similarity.IvfCoarseMin}, ceil(sqrt(k))::INT) AS k1,
-        |         greatest(1, k // greatest(${Similarity.IvfCoarseMin}, ceil(sqrt(k))::INT)) AS stride
-        |  FROM params
-        |),
-        |fines AS (
-        |  SELECT cent_id, cv, row_number() OVER (ORDER BY cent_id) - 1 AS idx FROM c2
-        |),
-        |coarse AS (
-        |  SELECT cent_id AS grp_id, cv AS gv FROM fines
-        |  WHERE idx % (SELECT stride FROM params2) = 0
-        |),
-        |fgrp AS (
-        |  SELECT cent_id, grp_id, cv FROM (
-        |    SELECT f.cent_id, g.grp_id, f.cv,
-        |           row_number() OVER (PARTITION BY f.cent_id ORDER BY
-        |             list_dot_product(f.cv, g.gv) /
-        |             (sqrt(list_dot_product(f.cv, f.cv)) * sqrt(list_dot_product(g.gv, g.gv))) DESC,
-        |             g.grp_id ASC) AS rn
-        |    FROM fines f, coarse g) WHERE rn = 1
-        |),
-        |vgrp AS (
-        |  SELECT vec_id, v, grp_id FROM (
-        |    SELECT e.vec_id, e.v, g.grp_id,
-        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |             list_dot_product(e.v, g.gv) /
-        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(g.gv, g.gv))) DESC,
-        |             g.grp_id ASC) AS rn
-        |    FROM e, coarse g) WHERE rn <= ${Similarity.IvfCoarseProbe}
-        |),
-        |asg AS (
-        |  SELECT w.vec_id, f.cent_id,
-        |         row_number() OVER (PARTITION BY w.vec_id ORDER BY
-        |           list_dot_product(w.v, f.cv) /
-        |           (sqrt(list_dot_product(w.v, w.v)) * sqrt(list_dot_product(f.cv, f.cv))) DESC,
-        |           f.cent_id ASC) AS rn
-        |  FROM vgrp w JOIN fgrp f ON f.grp_id = w.grp_id
-        |),
-        |cells AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1),
-        |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= ${Similarity.IvfNProbe}),
-        |pairs AS (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |         list_dot_product(ea.v, eb.v) /
-        |         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine_raw
-        |  FROM probes a JOIN cells b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
-        |  JOIN e ea ON ea.vec_id = a.vec_id
-        |  JOIN e eb ON eb.vec_id = b.vec_id
-        |),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, cosine_raw,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id ASC) AS rnk
-        |  FROM pairs
-        |)
-        |SELECT query_id, neighbor_id, rnk::INT AS "rank", round(cosine_raw, 6) AS cosine
-        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+      (ivfHierCellsCte + annProbeRankSuffix),
     "q58_winnow_pairs" ->
       s"""WITH pw(j, p) AS (VALUES $rollingPow),
         |roll0 AS (
@@ -1286,7 +1166,9 @@ object SparkEntry {
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,
     * final corpus assignment (`asg`, ranked) and top-1 `cells`. */
-  private def ivfCellsCte: String =
+  /** Shared IVF training prefix: the deterministic sample-bounded
+    * 2-round Lloyd recurrence ending in the trained codebook `c2`. */
+  private def ivfTrainCte: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |params AS (SELECT greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT) AS k,
         |                  (count(*) + ${Similarity.IvfSampleMult} * greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT) - 1)
@@ -1336,7 +1218,12 @@ object SparkEntry {
         |  SELECT c1.cent_id, coalesce(n.cv, c1.cv) AS cv
         |  FROM c1 LEFT JOIN (SELECT cent_id, list(m ORDER BY d) AS cv FROM m1 GROUP BY cent_id) n
         |    USING (cent_id)
-        |),
+        |)""".stripMargin
+
+  /** FLAT corpus→cell assignment (q28's n·k build): rank every trained
+    * centroid per vector. */
+  private def ivfCellsCte: String =
+    ivfTrainCte + s""",
         |asg AS (
         |  SELECT e.vec_id, c.cent_id,
         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1346,6 +1233,77 @@ object SparkEntry {
         |  FROM e, c2 c
         |),
         |cells AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1)""".stripMargin
+
+  /** HIERARCHICAL corpus→cell assignment (the n·3√k build path shared
+    * by q57/q73/q82): coarse codebook = every stride-th fine centroid,
+    * fine centroids join their nearest coarse group, each vector probes
+    * its [[graft.operators.Similarity.IvfCoarseProbe]] coarse groups
+    * and ranks only those groups' fine centroids. Ends in the same
+    * `asg`/`cells` names as [[ivfCellsCte]], so the ANN/dedup/PQ
+    * suffixes compose with either assignment unchanged. */
+  private def ivfHierCellsCte: String =
+    ivfTrainCte + s""",
+        |params2 AS (
+        |  SELECT greatest(${Similarity.IvfCoarseMin}, ceil(sqrt(k))::INT) AS k1,
+        |         greatest(1, k // greatest(${Similarity.IvfCoarseMin}, ceil(sqrt(k))::INT)) AS stride
+        |  FROM params
+        |),
+        |fines AS (
+        |  SELECT cent_id, cv, row_number() OVER (ORDER BY cent_id) - 1 AS idx FROM c2
+        |),
+        |coarse AS (
+        |  SELECT cent_id AS grp_id, cv AS gv FROM fines
+        |  WHERE idx % (SELECT stride FROM params2) = 0
+        |),
+        |fgrp AS (
+        |  SELECT cent_id, grp_id, cv FROM (
+        |    SELECT f.cent_id, g.grp_id, f.cv,
+        |           row_number() OVER (PARTITION BY f.cent_id ORDER BY
+        |             list_dot_product(f.cv, g.gv) /
+        |             (sqrt(list_dot_product(f.cv, f.cv)) * sqrt(list_dot_product(g.gv, g.gv))) DESC,
+        |             g.grp_id ASC) AS rn
+        |    FROM fines f, coarse g) WHERE rn = 1
+        |),
+        |vgrp AS (
+        |  SELECT vec_id, v, grp_id FROM (
+        |    SELECT e.vec_id, e.v, g.grp_id,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_dot_product(e.v, g.gv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(g.gv, g.gv))) DESC,
+        |             g.grp_id ASC) AS rn
+        |    FROM e, coarse g) WHERE rn <= ${Similarity.IvfCoarseProbe}
+        |),
+        |asg AS (
+        |  SELECT w.vec_id, f.cent_id,
+        |         row_number() OVER (PARTITION BY w.vec_id ORDER BY
+        |           list_dot_product(w.v, f.cv) /
+        |           (sqrt(list_dot_product(w.v, w.v)) * sqrt(list_dot_product(f.cv, f.cv))) DESC,
+        |           f.cent_id ASC) AS rn
+        |  FROM vgrp w JOIN fgrp f ON f.grp_id = w.grp_id
+        |),
+        |cells AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1)""".stripMargin
+
+  /** Probe-and-rank ANN suffix shared by q28 (flat cells) and q57
+    * (hierarchical cells): probe [[Similarity.IvfNProbe]] cells, exact
+    * cosine on candidates, top-3 per query. */
+  private def annProbeRankSuffix: String =
+    s""",
+        |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= ${Similarity.IvfNProbe}),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         list_dot_product(ea.v, eb.v) /
+        |         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine_raw
+        |  FROM probes a JOIN cells b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine_raw,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id ASC) AS rnk
+        |  FROM pairs
+        |)
+        |SELECT query_id, neighbor_id, rnk::INT AS "rank", round(cosine_raw, 6) AS cosine
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
   /** q76's oracle: the identical damped recurrence over the verified
     * pair graph, one CTE per unrolled iteration, 9dp state rounding. */
@@ -1389,7 +1347,7 @@ object SparkEntry {
       s"round(list_sum([($a[sub * $PqSubDim + dd] - $b[sub * $PqSubDim + dd]) * " +
         s"($a[sub * $PqSubDim + dd] - $b[sub * $PqSubDim + dd]) " +
         s"FOR dd IN range(1, ${PqSubDim + 1})]), 6)"
-    ivfCellsCte + s""",
+    ivfHierCellsCte + s""",
       |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= ${Similarity.IvfNProbe}),
       |res AS (
       |  SELECT e.vec_id, t.d, e.v[t.d] - c2.cv[t.d] AS rx

@@ -246,23 +246,31 @@ object Similarity {
     * per-dimension mean ROUNDED to 6 decimals — rounding pins the
     * floats so the oracle's identical recurrence lands on
     * bit-identical centroids regardless of either engine's summation
-    * order; empty cells keep their previous centroid. Each round is
-    * one distributed assignment+mean job and collects exactly k rows
-    * (cent_id, 64-dim array) — at 100 TB the per-round cost is
-    * O(sample·k) cosines ≈ O(mult·k²), independent of n, and the
-    * driver never holds more than the k×[[Dims]] centroid doubles. */
+    * order; empty cells keep their previous centroid.
+    *
+    * The codebook stays a (cent_id, cv) DATAFRAME through every round,
+    * localCheckpoint'd so each round's plan reads the previous round's
+    * materialized k rows instead of replaying the whole recurrence —
+    * the driver holds NO centroid state (O(1) in both n and k), and a
+    * consumer chooses broadcast vs shuffle join per use: with k = √n
+    * the codebook is ~160 MB at 10^11 docs — broadcastable, but
+    * per-round collect would make the DRIVER a required party to every
+    * training round, and a k beyond broadcast range (multi-billion-row
+    * corpora, larger codebooks) would hard-fail instead of degrading
+    * to a shuffle join. Per-round cost is O(sample·k) cosines ≈
+    * O(mult·k²), independent of n. */
   private[graft] def trainCentroids(
       spark: SparkSession, v: DataFrame, n: Long, k: Int,
-      mult: Int = IvfSampleMult): Seq[(Int, Seq[Double])] = {
-    import spark.implicits._
-    val sample = ivfTrainingSample(v, n, k, mult)
-    var cents: Seq[(Int, Seq[Double])] = sample
-      .select(col("vec_id").cast("int"), col("v"))
-      .orderBy("vec_id").limit(k)
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+      mult: Int = IvfSampleMult): DataFrame = {
+    // the sample is reread every round — materialize it once (bounded:
+    // ~min(n, mult·k) rows, never the corpus)
+    val sample = ivfTrainingSample(v, n, k, mult).localCheckpoint()
+    var cents = sample
+      .select(col("vec_id").cast("int").as("cent_id"), col("v").as("cv"))
+      .orderBy("cent_id").limit(k)
+      .localCheckpoint()
     for (_ <- 0 until IvfIterations) {
-      val cdf = broadcast(cents.toDF("cent_id", "cv"))
-      val assigned = sample.crossJoin(cdf)
+      val assigned = sample.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("v"), col("cent_id"),
           org.apache.spark.sql.graft.native.cosineSim(col("v"), col("cv")).as("sim"))
         // argmax via struct-max: (sim, -cent_id) max ⇔ highest sim,
@@ -279,9 +287,11 @@ object Similarity {
         .groupBy("cent_id", "d").agg(round(avg(col("x")), 6).as("m"))
         .groupBy("cent_id")
         .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-        .select(col("cent_id"), expr("transform(dm, s -> s.m)").as("cv"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      cents = cents.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
+        .select(col("cent_id"), expr("transform(dm, s -> s.m)").as("ncv"))
+      // empty cells keep their previous centroid (left join + coalesce)
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("ncv"), col("cv")).as("cv"))
+        .localCheckpoint()
     }
     cents
   }
@@ -303,11 +313,10 @@ object Similarity {
     * accuracy/cost point (~2·sqrt(n)/n of the corpus scanned per
     * query); the knob is the standard IVF recall dial at any scale. */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val v = vecs(spark, sfDir)
     val n = corpusSize(spark, sfDir)
     val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val cents = broadcast(trainCentroids(spark, v, n, k).toDF("cent_id", "cv"))
+    val cents = broadcast(trainCentroids(spark, v, n, k))
     // per-vector nearest-IvfNProbe cells via the native top-k aggregate:
     // the n×k (sim, cent) candidate rows reduce MAP-SIDE to one top-2
     // buffer per vector, so the exchange carries n rows — a row_number
@@ -344,9 +353,12 @@ object Similarity {
   val IvfCoarseMin = 4
   /** Coarse groups probed during hierarchical ASSIGNMENT: a vector's
     * true nearest fine centroid can sit just across a coarse boundary;
-    * probing 2 coarse groups recovers most of that recall for a 2×
-    * factor on the (already √k-cheap) fine-ranking side. */
-  val IvfCoarseProbe = 2
+    * probing 4 coarse groups closes most of the gap to the flat
+    * assignment (recall@3 0.345 vs flat 0.371 at sf0.01 on the
+    * structureless corpus; 2 groups gave 0.33) for a constant factor on the
+    * (already √k-cheap) fine-ranking side — build cost stays
+    * n·(k1 + [[IvfCoarseProbe]]·k/k1) ≈ n·5√k ≪ n·k. */
+  val IvfCoarseProbe = 4
 
   /** q57_ann_ivf_hier — two-level IVF: the index-BUILD scale path.
     *
@@ -362,29 +374,36 @@ object Similarity {
     *   - each corpus vector finds its nearest COARSE group (n·k1) and
     *     ranks only that group's fine centroids (n·k/k1 expected);
     *
-    * total build cost n·(k1 + [[IvfCoarseProbe]]·k/k1) ≈ n·3√k —
-    * ~250× less than n·k at k = 4×10⁵ — at the price of approximate
+    * total build cost n·(k1 + [[IvfCoarseProbe]]·k/k1) ≈ n·5√k —
+    * ~150× less than n·k at k = 4×10⁵ — at the price of approximate
     * cell assignment (a vector's true nearest fine centroid can live
-    * outside its probed coarse groups; probing 2 groups recovers most
-    * of the loss — recall@3 0.33 vs flat 0.37, own-group-only 0.30).
+    * outside its probed coarse groups; probing [[IvfCoarseProbe]]=4
+    * groups recovers most of the loss — recall@3 0.345 vs flat 0.371
+    * at sf0.01; 2 groups gave 0.33, own-group-only 0.30).
     * Search side (cells ⋈ probes) is identical to q28.
     * All argmaxes are partial-aggregable struct-max / top-k aggregates;
     * the oracle replicates the exact same deterministic recurrence. */
-  def annIvfHier(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val v = vecs(spark, sfDir)
-    val n = corpusSize(spark, sfDir)
-    val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val fine = trainCentroids(spark, v, n, k).sortBy(_._1)
+  /** Hierarchically-assigned top-[[IvfNProbe]] fine cells per corpus
+    * vector: (vec_id, tc) where tc[0] is the home cell — the n·3√k
+    * assignment shared by q57, and composed into q73's clustering and
+    * q82's IVF-PQ so NO consumer pays the flat n·k assignment.
+    *
+    * The coarse codebook is every stride-th fine centroid in cent_id
+    * order — a row_number over the k-row codebook, checkpointed so the
+    * bounded window never appears in consumer plans. */
+  private[graft] def hierCellAssignment(
+      spark: SparkSession, v: DataFrame, fine: DataFrame, k: Int): DataFrame = {
     val k1 = math.max(IvfCoarseMin, math.ceil(math.sqrt(k.toDouble)).toInt)
     val stride = math.max(1, k / k1)
-    val coarse = fine.zipWithIndex
-      .collect { case ((cid, cv), i) if i % stride == 0 => (cid, cv) }
-    val fineDf = broadcast(fine.toDF("cent_id", "cv"))
-    val coarseDf = broadcast(coarse.toDF("grp_id", "gv"))
+    val coarseDf = broadcast(fine
+      .withColumn("idx",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("cent_id")) - 1)
+      .filter(pmod(col("idx"), lit(stride)) === 0)
+      .select(col("cent_id").as("grp_id"), col("cv").as("gv"))
+      .localCheckpoint())
     // fine centroid -> nearest coarse group (tiny: k x k1)
     val fineGrp = broadcast(
-      fineDf.crossJoin(coarseDf)
+      broadcast(fine).crossJoin(coarseDf)
         .select(col("cent_id"), col("grp_id"), col("cv"),
           org.apache.spark.sql.graft.native.cosineSim(col("cv"), col("gv")).as("sim"))
         .groupBy("cent_id")
@@ -392,7 +411,7 @@ object Similarity {
           first(col("cv")).as("cv"))
         .select(col("cent_id"), (-col("best.ng")).cast("int").as("grp_id"), col("cv")))
     // corpus vector -> its IvfCoarseProbe nearest coarse groups
-    // (n x k1 cosines, top-k aggregate; 2 rows out per vector)
+    // (n x k1 cosines, top-k aggregate; IvfCoarseProbe rows per vector)
     val vecGrp = v.crossJoin(coarseDf)
       .select(col("vec_id"), col("v"), col("grp_id"),
         org.apache.spark.sql.graft.native.cosineSim(col("v"), col("gv")).as("sim"))
@@ -404,12 +423,20 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("g.id").cast("int").as("grp_id"))
     // rank the probed groups' fine centroids (n x IvfCoarseProbe·k/k1
     // expected; fine sets of distinct groups are disjoint, no dedup)
-    val top2 = vecGrp.join(fineGrp, "grp_id")
+    vecGrp.join(fineGrp, "grp_id")
       .select(col("vec_id"), col("cent_id"),
         org.apache.spark.sql.graft.native.cosineSim(col("v"), col("cv")).as("sim"))
       .groupBy(col("vec_id"))
       .agg(org.apache.spark.sql.graft.native
         .topKByScore(col("sim"), col("cent_id").cast("long"), IvfNProbe).as("tc"))
+  }
+
+  def annIvfHier(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val n = corpusSize(spark, sfDir)
+    val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val fine = trainCentroids(spark, v, n, k)
+    val top2 = hierCellAssignment(spark, v, fine, k)
     val cells = top2.select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
     val probes = top2
       .select(col("vec_id").as("vec_a"), explode(col("tc")).as("s"))
@@ -623,16 +650,12 @@ object Similarity {
     val n = corpusSize(spark, sfDir)
     val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
     val cents = trainCentroids(spark, v, n, k)
-    val cDf = broadcast(cents.toDF("cent_id", "cv"))
-    val centDims = broadcast(cents.toDF("cent_id", "cv")
+    val centDims = broadcast(cents
       .select(col("cent_id"), posexplode(col("cv")).as(Seq("cd_d", "cd"))))
-    // top-IvfNProbe cells per vector (top-1 = home cell), q28's shape
-    val top2 = v.crossJoin(cDf)
-      .select(col("vec_id"), col("cent_id"),
-        org.apache.spark.sql.graft.native.cosineSim(col("v"), col("cv")).as("sim"))
-      .groupBy(col("vec_id"))
-      .agg(org.apache.spark.sql.graft.native
-        .topKByScore(col("sim"), col("cent_id").cast("long"), IvfNProbe).as("tc"))
+    // top-IvfNProbe cells per vector (top-1 = home cell) via the
+    // HIERARCHICAL assignment — n·3√k build cosines, not q28's flat
+    // n·k; the search/PQ machinery below is unchanged
+    val top2 = hierCellAssignment(spark, v, cents, k)
     val cells = top2.select(col("vec_id"), col("tc")(0)("id").cast("int").as("cell"))
     // residual components: x − centroid[cell][d], one broadcast join on
     // the component scan (named "x" so the q68 distance machinery applies)
@@ -734,19 +757,15 @@ object Similarity {
     * Output: every vector with its cell, dup flag and lowest-id
     * in-cell duplicate (-1 if none) — the keep/drop decision table. */
   def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val v = vecs(spark, sfDir)
     val n = corpusSize(spark, sfDir)
     val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val cents = broadcast(trainCentroids(spark, v, n, k).toDF("cent_id", "cv"))
-    // top-1 cell per vector — argmax struct-max, same tie-break as the
-    // oracle's row_number (sim DESC, cent_id ASC) = 1
-    val cells = v.crossJoin(cents)
-      .select(col("vec_id"), col("cent_id"),
-        org.apache.spark.sql.graft.native.cosineSim(col("v"), col("cv")).as("sim"))
-      .groupBy("vec_id")
-      .agg(max(struct(col("sim"), (-col("cent_id")).as("nc"))).as("best"))
-      .select(col("vec_id"), (-col("best.nc")).cast("int").as("cent_id"))
+    val cents = trainCentroids(spark, v, n, k)
+    // top-1 cell per vector via the HIERARCHICAL assignment (n·3√k, not
+    // n·k — the q57 build path; the oracle replays the same two-level
+    // recurrence), home cell = tc[0]
+    val cells = hierCellAssignment(spark, v, cents, k)
+      .select(col("vec_id"), col("tc")(0)("id").cast("int").as("cent_id"))
     val cand = CandidatePairs
       .boundedSelfJoin(cells.withColumnRenamed("cent_id", "cell"),
         Seq("cell"), "vec_id", BucketCap)

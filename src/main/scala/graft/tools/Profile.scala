@@ -62,7 +62,7 @@ object Profile {
     val n = t("corpusSize (memoized)") { Similarity.corpusSize(spark, sfDir) }
     val k = math.max(Similarity.IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
     val cents = t("trainCentroids 2 rounds") { Similarity.trainCentroids(spark, v, n, k) }
-    println(s"[profile] k=$k cents=${cents.size}")
+    println(s"[profile] k=$k cents=${cents.count()}")
     t("q28 full") { Similarity.annIvf(spark, sfDir).count() }
     t("q28 full 2nd") { Similarity.annIvf(spark, sfDir).count() }
     t("q17 candidates") { Similarity.annLshCandidates(spark, sfDir).count() }

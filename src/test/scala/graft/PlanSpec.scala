@@ -180,6 +180,20 @@ class PlanSpec extends SparkSuite {
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 1, "edges not checkpointed")
   }
 
+  test("q82/q73 cell assignment is group-bounded, not a flat centroid product") {
+    // the composed hierarchical assignment ranks a vector only against
+    // its probed coarse groups' fine centroids: the fine-ranking join
+    // must be an equi-join keyed on grp_id (hash join), with no
+    // corpus×k-centroid nested-loop product anywhere in the plan
+    Seq("q82_ann_ivfpq", "q73_semdedup").foreach { q =>
+      val p = plan(q)
+      assert("Left keys \\[1\\]: \\[grp_id".r.findFirstIn(p).isDefined ||
+        "\\[grp_id#\\d+\\]".r.findFirstIn(p).isDefined,
+        s"$q: fine-centroid ranking not keyed on grp_id")
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+    }
+  }
+
   test("runtime bloom filter injects into the fact scan for a selective dim join") {
     // At test SF the injection never fires (the application-side scan
     // threshold is 10 GB), so force the thresholds to prove the 100 TB

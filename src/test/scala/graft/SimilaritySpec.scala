@@ -92,11 +92,11 @@ class SimilaritySpec extends SparkSuite {
     }
     val flat = recallOf(Similarity.annIvf(spark, sf))
     val hier = recallOf(Similarity.annIvfHier(spark, sf))
-    // measured: flat ~0.36, hier ~0.30 on the structureless corpus —
-    // the coarse-assignment approximation costs a few recall points,
-    // not a collapse (floor guards regressions to something degenerate)
-    assert(hier >= 0.2, s"hier recall $hier")
-    assert(flat - hier <= 0.15, s"hier recall $hier fell too far below flat $flat")
+    // measured at coarse-probe 4: flat 0.355, hier 0.359 at sf0.001
+    // (0.371 / 0.345 at sf0.01) — the coarse-assignment approximation
+    // costs at most a few recall points, never a collapse
+    assert(hier >= 0.3, s"hier recall $hier")
+    assert(flat - hier <= 0.05, s"hier recall $hier fell too far below flat $flat")
   }
 
   test("graph ANN (beam search) clears a recall floor and reports true cosines") {
@@ -188,8 +188,10 @@ class SimilaritySpec extends SparkSuite {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val n = v.count()
     val k = 16
-    val c1 = Similarity.trainCentroids(spark, v, n, k, mult = 4)
-    val c2 = Similarity.trainCentroids(spark, v, n, k, mult = 4)
+    def collectCents(df: org.apache.spark.sql.DataFrame): Seq[(Int, Seq[Double])] =
+      df.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    val c1 = collectCents(Similarity.trainCentroids(spark, v, n, k, mult = 4))
+    val c2 = collectCents(Similarity.trainCentroids(spark, v, n, k, mult = 4))
     assert(c1 == c2) // hash-sample + pinned rounding → bit-identical reruns
     assert(c1.size == k)
     assert(c1.forall(_._2.length == Similarity.Dims))
