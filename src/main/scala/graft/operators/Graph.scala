@@ -45,7 +45,7 @@ object Graph {
   val PrStateDp = 9
 
   def pageRank(spark: SparkSession, sfDir: String): DataFrame =
-    pageRankFrom(Dedup.minhashPairs(spark, sfDir).select(col("doc_a"), col("doc_b")))
+    pageRankFrom(Dedup.verifiedPairs(spark, sfDir).select(col("doc_a"), col("doc_b")))
 
   /** [[pageRank]] over an arbitrary (doc_a, doc_b) undirected pair set. */
   private[graft] def pageRankFrom(pairs: DataFrame): DataFrame = {

@@ -93,7 +93,7 @@ object Pipeline {
     * At 100 TB the localCheckpoint becomes a persisted pair table
     * (executor-local blocks here; same plan shape either way). */
   def curationChain(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Dedup.minhashPairs(spark, sfDir).localCheckpoint()
+    val pairs = Dedup.verifiedPairs(spark, sfDir)
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val survivors = Dedup.ngramDedupFrom(docs, pairs).select(col("doc_id"))
     val labels = Dedup.dupClustersFrom(docs, pairs)
@@ -113,7 +113,7 @@ object Pipeline {
       .groupBy(col("norm_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val nearDupHigher = Dedup.minhashPairs(spark, sfDir)
+    val nearDupHigher = Dedup.verifiedPairs(spark, sfDir)
       .select(col("doc_b").as("doc_id")).distinct()
     val qual = TextAnalysis.quality(spark, sfDir)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
