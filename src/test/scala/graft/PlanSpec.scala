@@ -184,13 +184,26 @@ class PlanSpec extends SparkSuite {
     // the composed hierarchical assignment ranks a vector only against
     // its probed coarse groups' fine centroids: the fine-ranking join
     // must be an equi-join keyed on grp_id (hash join), with no
-    // corpus×k-centroid nested-loop product anywhere in the plan
+    // corpus×k-centroid nested-loop product
+    import org.apache.spark.sql.functions.col
+    val v = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = v.count()
+    val k = math.max(operators.Similarity.IvfMinCentroids,
+      math.ceil(math.sqrt(n.toDouble)).toInt)
+    val fine = operators.Similarity.trainCentroids(spark, v, n, k)
+    val asg = operators.Similarity.hierCellAssignment(spark, v, fine, k)
+    val p = asg.queryExecution.explainString(FormattedMode)
+    assert("\\[grp_id#\\d+".r.findFirstIn(p).isDefined &&
+      p.contains("BroadcastHashJoin"),
+      s"fine-centroid ranking not keyed on grp_id:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // consumers read the MEMOIZED checkpointed assignment (the stored
+    // index artifact), never a flat product over the codebook
     Seq("q82_ann_ivfpq", "q73_semdedup").foreach { q =>
-      val p = plan(q)
-      assert("Left keys \\[1\\]: \\[grp_id".r.findFirstIn(p).isDefined ||
-        "\\[grp_id#\\d+\\]".r.findFirstIn(p).isDefined,
-        s"$q: fine-centroid ranking not keyed on grp_id")
-      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+      val cp = plan(q)
+      assert(cp.contains("Scan ExistingRDD"), s"$q does not read the cell index")
+      assert(!cp.contains("CartesianProduct"), s"$q plans a CartesianProduct")
     }
   }
 
