@@ -94,7 +94,8 @@ object SparkEntry {
     "q80_dedup_report"    -> (Pipeline.dedupReport _),
     "q81_bucketed_join"   -> ((s, dir) =>
       Bucketing.bucketedJoin(s, dir).orderBy("o_orderkey")),
-    "q82_ann_ivfpq"       -> (Similarity.annIvfPq _)
+    "q82_ann_ivfpq"       -> (Similarity.annIvfPq _),
+    "q83_ann_ivf_graph"   -> (Similarity.annIvfGraph _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1117,6 +1118,7 @@ object SparkEntry {
     },
     "q76_pagerank" -> pageRankOracle,
     "q82_ann_ivfpq" -> annIvfPqOracle,
+    "q83_ann_ivf_graph" -> annIvfGraphOracle,
     "q77_json_props" ->
       """SELECT event_type, count(*) AS n_events,
         |       sum(TRY_CAST(json_extract_string(props, '$.k') AS INT))::BIGINT AS sum_k,
@@ -1304,6 +1306,87 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, rnk::INT AS "rank", round(cosine_raw, 6) AS cosine
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+  /** q83's oracle: the IVF training prefix, then the centroid NSW
+    * graph (LSH codes over the codebook, Hamming-≤1 candidates,
+    * top-CgM edges), the unrolled batch beam-search recurrence routing
+    * EVERY corpus vector to its cells, and the shared probe/rank
+    * suffix — the identical deterministic composition. */
+  private def annIvfGraphOracle: String = {
+    import graft.operators.Similarity.{CgBeam, CgEntry, CgHops, CgM}
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val hops = (1 to CgHops).map { h =>
+      val p = s"gf${h - 1}"
+      s"""gn$h AS (
+        |  SELECT DISTINCT vec_id, node FROM (
+        |    SELECT vec_id, node FROM $p
+        |    UNION ALL
+        |    SELECT $p.vec_id, cadj.dst AS node FROM $p JOIN cadj ON cadj.src = $p.node)
+        |),
+        |gs$h AS (
+        |  SELECT n.vec_id, n.node, ${cos("e.v", "c.cv")} AS sim
+        |  FROM gn$h n JOIN e ON e.vec_id = n.vec_id JOIN c2 c ON c.cent_id = n.node
+        |),
+        |gf$h AS (
+        |  SELECT vec_id, node FROM (
+        |    SELECT vec_id, node,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, node ASC) AS rn
+        |    FROM gs$h) WHERE rn <= $CgBeam
+        |)""".stripMargin
+    }.mkString(",\n")
+    ivfTrainCte + s""",
+      |params3 AS (SELECT greatest(1, ceil(log2(k / 64.0)))::INT AS cbits FROM params),
+      |cgrid AS (
+      |  SELECT i, d,
+      |         ('0x' || substr(md5('cg_0_' || i || '_' || d), 1, 7))::BIGINT % 2001 - 1000 AS w
+      |  FROM unnest(range(0, (SELECT cbits FROM params3))) t2(i), unnest(range(0, 64)) t3(d)
+      |),
+      |cdots AS (
+      |  SELECT c.cent_id, g.i, sum(c.cv[g.d + 1] * g.w) AS dot
+      |  FROM c2 c, cgrid g GROUP BY 1, 2
+      |),
+      |ccodes AS (
+      |  SELECT cent_id, sum(CASE WHEN dot > 0 THEN (1 << i) ELSE 0 END) AS cc
+      |  FROM cdots GROUP BY 1
+      |),
+      |ccand AS (
+      |  SELECT a.cent_id AS src, b.cent_id AS dst, ${cos("ca.cv", "cb.cv")} AS cosine
+      |  FROM ccodes a JOIN ccodes b
+      |    ON bit_count(xor(a.cc::BIGINT, b.cc::BIGINT)) <= 1 AND a.cent_id <> b.cent_id
+      |  JOIN c2 ca ON ca.cent_id = a.cent_id
+      |  JOIN c2 cb ON cb.cent_id = b.cent_id
+      |),
+      |cadj AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |           row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+      |    FROM ccand) WHERE rn <= $CgM
+      |),
+      |centry AS (SELECT cent_id AS node FROM c2 ORDER BY cent_id LIMIT $CgEntry),
+      |gs0 AS (
+      |  SELECT e.vec_id, centry.node, ${cos("e.v", "c.cv")} AS sim
+      |  FROM e, centry JOIN c2 c ON c.cent_id = centry.node
+      |),
+      |gf0 AS (
+      |  SELECT vec_id, node FROM (
+      |    SELECT vec_id, node,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, node ASC) AS rn
+      |    FROM gs0) WHERE rn <= $CgBeam
+      |),
+      |$hops,
+      |gsfin AS (
+      |  SELECT f.vec_id, f.node, ${cos("e.v", "c.cv")} AS sim
+      |  FROM gf$CgHops f JOIN e ON e.vec_id = f.vec_id JOIN c2 c ON c.cent_id = f.node
+      |),
+      |asg AS (
+      |  SELECT vec_id, node AS cent_id,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, node ASC) AS rn
+      |  FROM gsfin
+      |),
+      |cells AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1)""".stripMargin +
+      annProbeRankSuffix
+  }
 
   /** q76's oracle: the identical damped recurrence over the verified
     * pair graph, one CTE per unrolled iteration, 9dp state rounding. */

@@ -371,15 +371,7 @@ object Similarity {
     // cell skew (a degenerate centroid attracting a huge cell) is a
     // plain equi-join skew, the exact shape AQE's runtime skew-join
     // splitting handles (on in GraftSession).
-    val cells = top2.select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
-    val probes = top2
-      .select(col("vec_id").as("vec_a"), explode(col("tc")).as("s"))
-      .select(col("vec_a"), col("s.id").as("cent_id"))
-    val cand = probes
-      .join(cells.select(col("vec_id").as("vec_b"), col("cent_id")), "cent_id")
-      .filter(col("vec_a") =!= col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
-    topK(cand, v, BucketK)
+    probeSearch(top2, v)
   }
 
   /** Coarse-codebook floor for the hierarchical IVF variant. */
@@ -464,9 +456,14 @@ object Similarity {
         .topKByScore(col("sim"), col("cent_id").cast("long"), IvfNProbe).as("tc"))
   }
 
-  def annIvfHier(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = vecs(spark, sfDir)
-    val top2 = hierCells(spark, sfDir)
+  def annIvfHier(spark: SparkSession, sfDir: String): DataFrame =
+    probeSearch(hierCells(spark, sfDir), vecs(spark, sfDir))
+
+  /** Shared IVF search tail over a (vec_id, tc) cell assignment:
+    * index side = home cell tc[0], query side probes every tc cell;
+    * the probe⋈cell equi-join emits each pair at most once (one home
+    * cell per vector), exact cosine verifies, top-[[BucketK]] ranks. */
+  private def probeSearch(top2: DataFrame, v: DataFrame): DataFrame = {
     val cells = top2.select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
     val probes = top2
       .select(col("vec_id").as("vec_a"), explode(col("tc")).as("s"))
@@ -476,6 +473,88 @@ object Similarity {
       .filter(col("vec_a") =!= col("vec_b"))
       .select(col("vec_a"), col("vec_b"))
     topK(cand, v, BucketK)
+  }
+
+  /** Out-degree / beam width / hops / entry points of the CENTROID
+    * graph used by the q83 graph-quantized assignment (the q62 search
+    * parameters applied to the codebook). */
+  val CgM = 6
+  val CgBeam = 8
+  val CgHops = 3
+  val CgEntry = 4
+
+  /** q83_ann_ivf_graph — IVF with GRAPH-QUANTIZED assignment: the
+    * codebook itself gets a q62-style NSW neighborhood graph (LSH
+    * candidates among the k centroids → top-[[CgM]] cosine out-edges),
+    * and every corpus vector routes to its cells by BATCH beam search
+    * over that graph — [[CgEntry]] entry centroids, [[CgHops]] static
+    * hops, beam [[CgBeam]], final top-[[IvfNProbe]] = its cells.
+    *
+    * Assignment cost per vector is entry + hops·beam·[[CgM]] ≈ 150
+    * cosines, INDEPENDENT of k — vs n·k flat (q28) and n·5√k
+    * hierarchical (q57): at k = 4×10⁵ that is ~2600× and ~20× fewer
+    * build cosines respectively, the n·O(log k)-family endpoint NOTES
+    * called the step beyond the two-level quantizer. Graph build cost
+    * is k·bucket (LSH-bounded, never k²); the per-hop frontier
+    * (n×beam rows) is the iterative state a deployment persists
+    * between stages — each hop is a keyed equi-join + the partial-
+    * aggregable top-k aggregate, no windows, no driver loops.
+    * Search side is [[probeSearch]], identical to q28/q57; the oracle
+    * replays training + graph + beam recurrence + probe/rank
+    * end-to-end. */
+  def annIvfGraph(spark: SparkSession, sfDir: String): DataFrame =
+    probeSearch(graphCells(spark, sfDir), vecs(spark, sfDir))
+
+  /** The graph-quantized (vec_id, tc) cell assignment feeding q83. */
+  private[graft] def graphCells(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val n = corpusSize(spark, sfDir)
+    val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val fine = trainedCodebook(spark, sfDir)
+    // NSW graph over the codebook: LSH codes on the CENTROID vectors
+    // (tag "cg", bits sized from k), Hamming-<=1 masked-bucket
+    // candidates, top-CgM cosine out-edges per centroid
+    val centComp = fine.select(col("cent_id").cast("long").as("vec_id"),
+      posexplode(col("cv")).as(Seq("d", "x")))
+    val bits = adaptiveBits(k)
+    val coded = codes(centComp, "cg", 1, bits).select(col("vec_id"), col("c"))
+    val masked = coded.select(col("vec_id"), posexplode(array(
+      (0 until bits).map(i => col("c").bitwiseAND(lit(~(1 << i)))): _*)).as(Seq("t", "mc")))
+    val cpairs = bothDirections(
+      CandidatePairs.boundedSelfJoin(masked, Seq("t", "mc"), "vec_id", 2 * BucketCap))
+    val cvAsV = fine.select(col("cent_id").cast("long").as("vec_id"), col("cv").as("v"))
+    val adj = pairCosine(cpairs, cvAsV)
+      .groupBy(col("vec_a"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(col("cosine"), col("vec_b"), CgM).as("top"))
+      .select(col("vec_a").as("src"), explode(col("top")).as("s"))
+      .select(col("src"), col("s.id").as("dst"))
+      .localCheckpoint()
+    // batch beam search: EVERY corpus vector walks the centroid graph
+    val cvNode = broadcast(fine
+      .select(col("cent_id").cast("long").as("node"), col("cv").as("nv")))
+    def scored(frontier: DataFrame): DataFrame = frontier
+      .join(cvNode, "node")
+      .join(v, "vec_id")
+      .select(col("vec_id"), col("node"),
+        org.apache.spark.sql.graft.native.cosineSim(col("v"), col("nv")).as("sim"))
+    def beam(sc: DataFrame, kk: Int): DataFrame = sc
+      .groupBy(col("vec_id"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(col("sim"), col("node"), kk).as("top"))
+    val entry = broadcast(fine.orderBy("cent_id").limit(CgEntry)
+      .select(col("cent_id").cast("long").as("node")))
+    val f0 = beam(scored(v.select(col("vec_id")).crossJoin(entry)), CgBeam)
+      .select(col("vec_id"), explode(col("top")("id")).as("node"))
+      .localCheckpoint()
+    val frontier = (1 to CgHops).foldLeft(f0) { (f, _) =>
+      val expand = f.join(broadcast(adj), col("node") === col("src"))
+        .select(col("vec_id"), col("dst").as("node"))
+      beam(scored(f.unionAll(expand).distinct()), CgBeam)
+        .select(col("vec_id"), explode(col("top")("id")).as("node"))
+        .localCheckpoint()
+    }
+    beam(scored(frontier), IvfNProbe).select(col("vec_id"), col("top").as("tc"))
   }
 
   /** q17_ann_lsh — bucketed ANN with MULTI-PROBE: ONE signed-projection

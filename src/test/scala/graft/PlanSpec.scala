@@ -207,6 +207,15 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q83 graph assignment walks the checkpointed centroid graph, window-free") {
+    val p = plan("q83_ann_ivf_graph")
+    // beam hops read the materialized frontier/adjacency, not their
+    // build pipelines; ranking is the top-k aggregate, never a window
+    assert(p.contains("Scan ExistingRDD"), "frontier/adjacency not checkpointed")
+    assert(!p.contains("Window"), "graph search must stay window-free")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("runtime bloom filter injects into the fact scan for a selective dim join") {
     // At test SF the injection never fires (the application-side scan
     // threshold is 10 GB), so force the thresholds to prove the 100 TB

@@ -97,6 +97,13 @@ class SimilaritySpec extends SparkSuite {
     // costs at most a few recall points, never a collapse
     assert(hier >= 0.3, s"hier recall $hier")
     assert(flat - hier <= 0.05, s"hier recall $hier fell too far below flat $flat")
+    // q83: the graph-quantized assignment (beam search over the
+    // centroid NSW graph, ~150 cosines/vector independent of k)
+    // matches FLAT recall — measured 0.355 vs 0.355 at sf0.001,
+    // 0.369 vs 0.371 at sf0.01
+    val graph = recallOf(Similarity.annIvfGraph(spark, sf))
+    assert(graph >= 0.3, s"graph recall $graph")
+    assert(flat - graph <= 0.03, s"graph recall $graph fell below flat $flat")
   }
 
   test("graph ANN (beam search) clears a recall floor and reports true cosines") {
