@@ -95,7 +95,8 @@ object SparkEntry {
     "q81_bucketed_join"   -> ((s, dir) =>
       Bucketing.bucketedJoin(s, dir).orderBy("o_orderkey")),
     "q82_ann_ivfpq"       -> (Similarity.annIvfPq _),
-    "q83_ann_ivf_graph"   -> (Similarity.annIvfGraph _)
+    "q83_ann_ivf_graph"   -> (Similarity.annIvfGraph _),
+    "q84_ann_sq8"         -> (Similarity.annSq _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1119,6 +1120,32 @@ object SparkEntry {
     "q76_pagerank" -> pageRankOracle,
     "q82_ann_ivfpq" -> annIvfPqOracle,
     "q83_ann_ivf_graph" -> annIvfGraphOracle,
+    "q84_ann_sq8" -> {
+      import graft.operators.Similarity.{BucketK, Dims, SqLevels}
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |comp AS (SELECT vec_id, t.d, v[t.d + 1] AS x FROM e, unnest(range(0, $Dims)) t(d)),
+        |stats AS (SELECT d, min(x) AS lo, max(x) AS hi FROM comp GROUP BY d),
+        |dq AS (
+        |  SELECT c.vec_id, c.d,
+        |         round(s.lo + (CASE WHEN s.hi = s.lo THEN 0
+        |                            ELSE least(floor((c.x - s.lo) * $SqLevels / (s.hi - s.lo)), ${SqLevels}.0) END)::INT
+        |                      * (s.hi - s.lo) / $SqLevels, 6) AS dx
+        |  FROM comp c JOIN stats s USING (d)
+        |),
+        |qs AS (SELECT vec_id AS query_id, d, x AS qx FROM comp WHERE vec_id < 10),
+        |dist AS (
+        |  SELECT q.query_id, v.vec_id, round(sum((q.qx - v.dx) * (q.qx - v.dx)), 6) AS adist
+        |  FROM qs q JOIN dq v ON v.d = q.d AND v.vec_id <> q.query_id
+        |  GROUP BY 1, 2
+        |),
+        |ranked AS (
+        |  SELECT query_id, vec_id AS neighbor_id, adist,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rnk
+        |  FROM dist
+        |)
+        |SELECT query_id, neighbor_id, rnk::INT AS "rank", adist AS approx_dist
+        |FROM ranked WHERE rnk <= $BucketK ORDER BY query_id, rnk""".stripMargin
+    },
     "q77_json_props" ->
       """SELECT event_type, count(*) AS n_events,
         |       sum(TRY_CAST(json_extract_string(props, '$.k') AS INT))::BIGINT AS sum_k,

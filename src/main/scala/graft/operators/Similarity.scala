@@ -1025,4 +1025,61 @@ object Similarity {
         (-col("s.score")).as("approx_dist"))
       .orderBy("query_id", "rank")
   }
+
+  /** SQ quantization levels (8-bit: codes 0..[[SqLevels]]). */
+  val SqLevels = 255
+
+  /** q84_ann_sq8 — scalar-quantization (SQ8) ANN: the THIRD memory-side
+    * index format after PQ (q68) and IVF-PQ (q82), and the simplest —
+    * every dimension is independently affine-quantized to 8 bits
+    * against its corpus [min, max] (64 B/vector vs 512 B raw; PQ is
+    * ~8 B but lossier per byte — SQ8 is the FAISS `SQ8` middle point).
+    *
+    *   - train: per-dimension (lo, hi) — ONE partial-aggregable
+    *     min/max pass, a 64-row broadcast (no sampling needed: min and
+    *     max are exact streaming aggregates, unlike k-means);
+    *   - encode: code = floor((x − lo)·[[SqLevels]]/(hi − lo)) clamped
+    *     to [0, [[SqLevels]]] — scan-local, NO round(): floor over the
+    *     identical IEEE-double expression is bit-reproducible
+    *     cross-engine, where a round() would sit on float grid
+    *     midpoints (the q71 lesson);
+    *   - search: ASYMMETRIC distance — exact query components against
+    *     DEQUANTIZED corpus codes (6dp-rounded reconstruction), summed
+    *     per (query, vec) via a broadcast join on d + one
+    *     partial-aggregable aggregation, ranked by the native top-k.
+    *
+    * Scale shape: encode touches each component once; the search here
+    * is the brute-force memory-tier baseline (n·[[Dims]]·queries
+    * multiply-adds over 8-bit codes) — the where-to-look composition
+    * is q82's cells⋈probes pattern with SQ8 replacing PQ as the
+    * scorer, unchanged plumbing. */
+  def annSq(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = components(spark, sfDir)
+    // per-dimension affine range — 64 rows, broadcast everywhere
+    val stats = broadcast(comp.groupBy("d")
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi")))
+    // encode (code) and 6dp dequantized reconstruction (dx) in one pass
+    val dq = comp.join(stats, "d")
+      .select(col("vec_id"), col("d"),
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(floor((col("x") - col("lo")) * SqLevels / (col("hi") - col("lo"))),
+            lit(SqLevels.toDouble))).cast("int").as("code"),
+        col("lo"), col("hi"))
+      .select(col("vec_id"), col("d"),
+        round(col("lo") + col("code") * (col("hi") - col("lo")) / SqLevels, 6).as("dx"))
+    val qs = broadcast(comp.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("d"), col("x").as("qx")))
+    dq.join(qs, "d")
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum((col("qx") - col("dx")) * (col("qx") - col("dx"))), 6).as("adist"))
+      .groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(-col("adist"), col("vec_id"), BucketK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("s.score")).as("approx_dist"))
+      .orderBy("query_id", "rank")
+  }
 }
