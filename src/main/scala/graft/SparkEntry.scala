@@ -96,7 +96,8 @@ object SparkEntry {
       Bucketing.bucketedJoin(s, dir).orderBy("o_orderkey")),
     "q82_ann_ivfpq"       -> (Similarity.annIvfPq _),
     "q83_ann_ivf_graph"   -> (Similarity.annIvfGraph _),
-    "q84_ann_sq8"         -> (Similarity.annSq _)
+    "q84_ann_sq8"         -> (Similarity.annSq _),
+    "q85_ann_ivf_sq8"     -> (Similarity.annIvfSq _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1120,6 +1121,40 @@ object SparkEntry {
     "q76_pagerank" -> pageRankOracle,
     "q82_ann_ivfpq" -> annIvfPqOracle,
     "q83_ann_ivf_graph" -> annIvfGraphOracle,
+    "q85_ann_ivf_sq8" -> {
+      import graft.operators.Similarity.{BucketK, Dims, IvfNProbe, SqLevels}
+      ivfHierCellsCte + s""",
+        |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= $IvfNProbe),
+        |comp AS (SELECT vec_id, t.d, v[t.d + 1] AS x FROM e, unnest(range(0, $Dims)) t(d)),
+        |stats AS (SELECT d, min(x) AS lo, max(x) AS hi FROM comp GROUP BY d),
+        |dq AS (
+        |  SELECT c.vec_id, c.d,
+        |         round(s2.lo + (CASE WHEN s2.hi = s2.lo THEN 0
+        |                             ELSE least(floor((c.x - s2.lo) * $SqLevels / (s2.hi - s2.lo)), ${SqLevels}.0) END)::INT
+        |                       * (s2.hi - s2.lo) / $SqLevels, 6) AS dx
+        |  FROM comp c JOIN stats s2 USING (d)
+        |),
+        |cand AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        |  FROM probes a JOIN cells b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10
+        |),
+        |qs AS (SELECT vec_id AS query_id, d, x AS qx FROM comp WHERE vec_id < 10),
+        |dist AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |         round(sum((q.qx - v.dx) * (q.qx - v.dx)), 6) AS adist
+        |  FROM cand c JOIN qs q ON q.query_id = c.query_id
+        |  JOIN dq v ON v.vec_id = c.neighbor_id AND v.d = q.d
+        |  GROUP BY 1, 2
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, adist,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rnk
+        |  FROM dist
+        |)
+        |SELECT query_id, neighbor_id, rnk::INT AS "rank", adist AS approx_dist
+        |FROM ranked WHERE rnk <= $BucketK ORDER BY query_id, rnk""".stripMargin
+    },
     "q84_ann_sq8" -> {
       import graft.operators.Similarity.{BucketK, Dims, SqLevels}
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1053,13 +1053,16 @@ object Similarity {
     * multiply-adds over 8-bit codes) — the where-to-look composition
     * is q82's cells⋈probes pattern with SQ8 replacing PQ as the
     * scorer, unchanged plumbing. */
-  def annSq(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (vec_id, d, dx): the 6dp dequantized SQ8 reconstruction of every
+    * corpus component — the decode side of the 64 B/vector code table
+    * (shared by q84's brute-force and q85's IVF-composed search). */
+  private[graft] def sqDequantized(spark: SparkSession, sfDir: String): DataFrame = {
     val comp = components(spark, sfDir)
     // per-dimension affine range — 64 rows, broadcast everywhere
     val stats = broadcast(comp.groupBy("d")
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi")))
     // encode (code) and 6dp dequantized reconstruction (dx) in one pass
-    val dq = comp.join(stats, "d")
+    comp.join(stats, "d")
       .select(col("vec_id"), col("d"),
         when(col("hi") === col("lo"), lit(0))
           .otherwise(least(floor((col("x") - col("lo")) * SqLevels / (col("hi") - col("lo"))),
@@ -1067,6 +1070,11 @@ object Similarity {
         col("lo"), col("hi"))
       .select(col("vec_id"), col("d"),
         round(col("lo") + col("code") * (col("hi") - col("lo")) / SqLevels, 6).as("dx"))
+  }
+
+  def annSq(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = components(spark, sfDir)
+    val dq = sqDequantized(spark, sfDir)
     val qs = broadcast(comp.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("d"), col("x").as("qx")))
     dq.join(qs, "d")
@@ -1076,6 +1084,46 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(org.apache.spark.sql.graft.native
         .topKByScore(-col("adist"), col("vec_id"), BucketK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("s.score")).as("approx_dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q85_ann_ivf_sq8 — IVF × SQ8: the where-to-look half (memoized
+    * hierarchical cells, q57's artifact) composed with the SQ8 scorer
+    * (q84's 64 B/vector code table) — each query scans only its
+    * [[IvfNProbe]] probed cells' codes instead of the corpus, the SQ8
+    * twin of q82's IVF-PQ (near-lossless 64 B codes where PQ spends
+    * 8 B; the accuracy/memory middle point of the composition matrix).
+    *
+    * Scale shape: candidates = probes⋈cells equi-join (each corpus
+    * vector appears once per probing query at most — one home cell);
+    * scoring expands candidates ×[[Dims]] against the dequantized
+    * code scan keyed by vec_id and reduces with one partial-aggregable
+    * sum; the 10×[[Dims]] exact query components broadcast. No
+    * windows, no corpus product. */
+  def annIvfSq(spark: SparkSession, sfDir: String): DataFrame = {
+    val top2 = hierCells(spark, sfDir)
+    val cells = top2.select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
+    val probes = top2.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), explode(col("tc")).as("s"))
+      .select(col("query_id"), col("s.id").as("cent_id"))
+    val cand = probes
+      .join(cells.select(col("vec_id").as("neighbor_id"), col("cent_id")), "cent_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val dq = sqDequantized(spark, sfDir).withColumnRenamed("vec_id", "neighbor_id")
+    val qs = broadcast(components(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("d"), col("x").as("qx")))
+    cand.join(dq, "neighbor_id")
+      .join(qs, Seq("query_id", "d"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum((col("qx") - col("dx")) * (col("qx") - col("dx"))), 6).as("adist"))
+      .groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(-col("adist"), col("neighbor_id"), BucketK).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("query_id"), col("s.id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"),

@@ -386,5 +386,20 @@ class SimilaritySpec extends SparkSuite {
       assert(math.abs(ad - ed) <= 0.05 * math.max(ed, 1.0),
         s"SQ8 dist $ad vs exact $ed for ($q,$n)")
     }
+    // q85 IVF×SQ8: probed-cell candidates scored by the same codes —
+    // recall bounded by cell coverage (measured 0.87 at sf0.01 vs the
+    // exact-L2 top-3); the returned ranking is SQ8-consistent: every
+    // returned pair's approx_dist matches a direct reconstruction
+    val ivfSq = Similarity.annIvfSq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(ivfSq.nonEmpty && ivfSq.map(_._1).distinct.length >= 5)
+    val ivfRecall = (ivfSq.map(t => (t._1, t._2)).toSet & exact).size.toDouble / exact.size
+    assert(ivfRecall >= 0.5, s"IVF-SQ8 recall@3 = $ivfRecall")
+    // IVF×SQ8 distances come from the identical quantizer as q84's
+    val sqDists = dists.map(t => (t._1, t._2) -> t._3).toMap
+    ivfSq.foreach { case (q, n, ad) =>
+      sqDists.get((q, n)).foreach(fd =>
+        assert(fd == ad, s"IVF-SQ8 dist $ad != full-scan SQ8 $fd for ($q,$n)"))
+    }
   }
 }
