@@ -97,7 +97,8 @@ object SparkEntry {
     "q82_ann_ivfpq"       -> (Similarity.annIvfPq _),
     "q83_ann_ivf_graph"   -> (Similarity.annIvfGraph _),
     "q84_ann_sq8"         -> (Similarity.annSq _),
-    "q85_ann_ivf_sq8"     -> (Similarity.annIvfSq _)
+    "q85_ann_ivf_sq8"     -> (Similarity.annIvfSq _),
+    "q86_cluster_balance" -> (Sampling.clusterBalance _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1121,6 +1122,22 @@ object SparkEntry {
     "q76_pagerank" -> pageRankOracle,
     "q82_ann_ivfpq" -> annIvfPqOracle,
     "q83_ann_ivf_graph" -> annIvfGraphOracle,
+    "q86_cluster_balance" -> {
+      import graft.operators.Sampling.MixScale
+      ivfHierCellsCte + s""",
+        |counts AS (SELECT cent_id, count(*) AS n_cell FROM cells GROUP BY cent_id),
+        |tgt AS (SELECT min(n_cell) AS n_min FROM counts),
+        |r AS (
+        |  SELECT c.cent_id,
+        |         floor(sqrt(tgt.n_min::DOUBLE / c.n_cell) * $MixScale)::BIGINT AS keep_ppm
+        |  FROM counts c, tgt
+        |)
+        |SELECT ce.vec_id, ce.cent_id, r.keep_ppm
+        |FROM cells ce JOIN r USING (cent_id)
+        |WHERE ('0x' || substr(md5('cb_' || ce.vec_id), 1, 7))::BIGINT
+        |        % $MixScale < r.keep_ppm
+        |ORDER BY ce.vec_id""".stripMargin
+    },
     "q85_ann_ivf_sq8" -> {
       import graft.operators.Similarity.{BucketK, Dims, IvfNProbe, SqLevels}
       ivfHierCellsCte + s""",

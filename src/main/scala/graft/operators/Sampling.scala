@@ -136,6 +136,34 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** q86_cluster_balance — TOPIC-balanced sampling: q71's temperature
+    * rebalancing applied to EMBEDDING-SPACE clusters instead of
+    * language labels — the semantic diversity pass (DCLM/SemDeDup-era
+    * curation rebalances clusters, not just metadata strata, because a
+    * crawl's topic skew does not announce itself in a `lang` column).
+    * Clusters are the trained k-means cells the session already has
+    * ([[Similarity.hierCells]] — the 4th consumer of the cell-index
+    * artifact after q57/q73/q82): keep fraction √(n_min/n_cell) per
+    * cell, md5-per-million membership, identical determinism story to
+    * q71 (IEEE-exact `sqrt`, integer thresholds, no RNG, scan-local
+    * filter). Per-cell counts broadcast; zero new shuffle beyond the
+    * count aggregation. */
+  def clusterBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Similarity.hierCells(spark, sfDir)
+      .select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
+    val counts = cells.groupBy("cent_id").agg(count(lit(1)).as("n_cell"))
+    val target = counts.agg(min(col("n_cell")).as("n_min"))
+    cells.join(broadcast(counts), "cent_id")
+      .crossJoin(broadcast(target))
+      .withColumn("keep_ppm",
+        floor(sqrt(col("n_min").cast("double") / col("n_cell")) * MixScale)
+          .cast("long"))
+      .filter(pmod(H.md5Int28(concat(lit("cb_"), col("vec_id").cast("string"))),
+        lit(MixScale)) < col("keep_ppm"))
+      .select(col("vec_id"), col("cent_id"), col("keep_ppm"))
+      .orderBy("vec_id")
+  }
+
   /** [[langBalance]] over an arbitrary (doc_id, lang, source) frame. */
   private[graft] def langBalanceFrom(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))

@@ -125,4 +125,29 @@ class RankingSamplingSpec extends SparkSuite {
       .select($"doc_id", $"lang").as[(Long, String)].collect()
     assert(kept.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("cluster balance keeps the smallest cell whole and damps the rest") {
+    import org.apache.spark.sql.functions._
+    val cells = operators.Similarity.hierCells(spark, sf)
+      .select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val sizes = cells.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nMin = sizes.values.min
+    val kept = operators.Sampling.clusterBalance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(kept.nonEmpty)
+    // thresholds follow sqrt(n_min/n_cell): the smallest cell's ppm is
+    // the full scale (every member kept); larger cells are damped
+    val keptBy = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    sizes.filter(_._2 == nMin).keys.foreach { c =>
+      assert(keptBy.getOrElse(c, 0L) == nMin, s"min cell $c not intact")
+    }
+    kept.foreach { case (_, c, ppm) =>
+      val want = math.floor(math.sqrt(nMin.toDouble / sizes(c)) * operators.Sampling.MixScale).toLong
+      assert(ppm == want, s"cell $c ppm $ppm != $want")
+    }
+    // every kept vec belongs to the cell the index assigned it
+    val cellOf = cells.toMap
+    kept.foreach { case (v, c, _) => assert(cellOf(v) == c) }
+  }
 }
