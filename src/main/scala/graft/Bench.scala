@@ -29,7 +29,8 @@ object Bench {
     // shared host confound code with noise (r7's phantom q52/q17
     // "regressions" were exactly that); the median of 3+ is robust to
     // one bad draw while keeping the bench under a few minutes
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
     val names = SparkEntry.queries.keys.toSeq
     val times: Seq[Map[String, Double]] = (1 to reps).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>

@@ -1199,12 +1199,16 @@ object SparkEntry {
         |FROM ranked WHERE rnk <= $BucketK ORDER BY query_id, rnk""".stripMargin
     },
     "q77_json_props" ->
-      """SELECT event_type, count(*) AS n_events,
-        |       sum(TRY_CAST(json_extract_string(props, '$.k') AS INT))::BIGINT AS sum_k,
-        |       min(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-        |       max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-        |       count(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS n_distinct_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+        |              THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |       sum(k)::BIGINT AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        |       count(DISTINCT k) AS n_distinct_k
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q78_promo_revenue" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
         |       round(sum(CASE WHEN p_type = 'PROMO'

@@ -157,9 +157,13 @@ object Dedup {
     * (memoization of a deterministic frame, not an approximation). */
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame =
+  def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // entries keyed by a stopped session are dead weight (their
+    // checkpointed blocks are gone with the context) — evict on access
+    pairCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     pairCache.getOrElseUpdate((spark, sfDir),
       minhashPairs(spark, sfDir).localCheckpoint())
+  }
 
   /** [[minhashPairs]] with an explicit per-bucket cap + telemetry hook
     * (the cap is output-preserving — see [[CandidatePairs]]). */

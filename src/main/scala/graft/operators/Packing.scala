@@ -44,8 +44,9 @@ object Packing {
     packFrom(Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(T.wsTokens(col("text"))).cast("long").as("n")))
 
-  /** Per-document shard assignment (doc_id, n, shard_id) — the frame a
-    * training run actually consumes (see [[writeShardedCorpus]]); q53
+  /** Per-document shard assignment — the input frame's columns plus
+    * `shard_id` (payload columns like `text` ride through, so the
+    * write path is ONE corpus scan, not a scan + self-join); q53
     * grades its per-shard aggregate. Injectable so specs can drive it
     * with sparse/gapped id spaces (blocks are doc_id ranges, so gaps
     * simply yield lighter blocks). */
@@ -65,7 +66,7 @@ object Packing {
       .join(broadcast(blkPrefix), "blk")
       .withColumn("pre", col("blk_pre") + col("cum_in_blk") - col("n"))
       .withColumn("shard_id", expr(s"pre div $ShardBudget"))
-      .select(col("doc_id"), col("n"), col("shard_id"))
+      .select(docTokens.columns.map(col) :+ col("shard_id"): _*)
   }
 
   private[graft] def packFrom(docTokens: DataFrame): DataFrame =
@@ -88,10 +89,12 @@ object Packing {
     * with T tasks × S shards that is T·S small files; repartitioning
     * bounds it at one file per shard). */
   def writeShardedCorpus(spark: SparkSession, sfDir: String, path: String): Unit = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val asg = assignFrom(Tables.documents(spark, sfDir)
-      .select(col("doc_id"), size(T.wsTokens(col("text"))).cast("long").as("n")))
-    val packed = asg.join(docs, "doc_id")
+    // ONE corpus scan: text rides through the assignment (the window
+    // shuffles are blk-keyed either way; a join-back would be a second
+    // scan plus a doc_id shuffle of the same text bytes)
+    val packed = assignFrom(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), size(T.wsTokens(col("text"))).cast("long").as("n"),
+          col("text")))
       .select(col("doc_id"), col("n"), col("text"), col("shard_id"))
       .repartition(col("shard_id"))
     graft.sources.Sinks.parquet(packed, path, partitionBy = Seq("shard_id"))

@@ -462,15 +462,20 @@ object Relational {
     * keyed exchanges), swapped for HLL at the Sketches tier when
     * approximate is acceptable.
     *
-    * Coercion contract: `k` is extracted as STRING then `try_cast` to
-    * int, mirroring the oracle's TRY_CAST(json_extract_string(...)) —
-    * so a string-encoded `{"k":"12"}` coerces to 12 and a non-integer
-    * `{"k":"1.5"}` nulls out IDENTICALLY in both engines, instead of
-    * relying on the test data always encoding k as a JSON integer. */
+    * Coercion contract: `k` is extracted as STRING, accepted only if it
+    * is an INTEGER LITERAL (`^-?[0-9]+$`), then try_cast — the regex
+    * guard is load-bearing: DuckDB's TRY_CAST('1.5' AS INT) ROUNDS to 2
+    * while Spark's try_cast returns NULL, so an unguarded cast silently
+    * diverges on non-integral values; behind the identical regex both
+    * engines yield the same int or NULL (try_cast keeps int-range
+    * overflow at NULL on both sides too), with no reliance on the test
+    * data always encoding k as a JSON integer. */
   def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("from_json(props, 'k STRING').k").as("ks"))
       .select(col("event_type"),
-        expr("try_cast(from_json(props, 'k STRING').k AS int)").as("k"))
+        when(col("ks").rlike("^-?[0-9]+$"),
+          expr("try_cast(ks AS int)")).as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(col("k")).as("sum_k"),

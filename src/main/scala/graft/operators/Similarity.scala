@@ -231,26 +231,31 @@ object Similarity {
     * its raw flat build so the un-indexed cost stays priced. */
   private val codebookCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private[graft] def trainedCodebook(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def trainedCodebook(spark: SparkSession, sfDir: String): DataFrame = {
+    // evict entries of stopped sessions — their checkpoints are gone
+    codebookCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     codebookCache.getOrElseUpdate((spark, sfDir), {
       val v = vecs(spark, sfDir)
       val n = corpusSize(spark, sfDir)
       val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
       trainCentroids(spark, v, n, k)
     })
+  }
 
   private val hierCellsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   /** Memoized [[hierCellAssignment]] over the [[trainedCodebook]] —
     * (vec_id, tc) with tc[0] the home cell, checkpointed (at 100 TB
     * this is the stored cell-id column of the index table). */
-  private[graft] def hierCells(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def hierCells(spark: SparkSession, sfDir: String): DataFrame = {
+    hierCellsCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     hierCellsCache.getOrElseUpdate((spark, sfDir), {
       val v = vecs(spark, sfDir)
       val n = corpusSize(spark, sfDir)
       val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
       hierCellAssignment(spark, v, trainedCodebook(spark, sfDir), k).localCheckpoint()
     })
+  }
 
   /** Sampling modulus for IVF training: every vec with
     * md5("ivfs_" || vec_id) ≡ 0 (mod den) is a training point, giving
@@ -837,14 +842,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum(col("qdist")), 6).as("adist"))
-      .groupBy(col("query_id"))
-      .agg(org.apache.spark.sql.graft.native
-        .topKByScore(-col("adist"), col("vec_id"), BucketK).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
-      .select(col("query_id"), col("s.id").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"),
-        (-col("s.score")).as("approx_dist"))
-      .orderBy("query_id", "rank")
+      .transform(rankApproxDist("vec_id"))
   }
 
   /** q73_semdedup — SEMANTIC deduplication (SemDeDup, Abbas et al.
@@ -1016,15 +1014,23 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum(col("qdist")), 6).as("adist"))
-      .groupBy(col("query_id"))
-      .agg(org.apache.spark.sql.graft.native
-        .topKByScore(-col("adist"), col("vec_id"), BucketK).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
-      .select(col("query_id"), col("s.id").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"),
-        (-col("s.score")).as("approx_dist"))
-      .orderBy("query_id", "rank")
+      .transform(rankApproxDist("vec_id"))
   }
+
+  /** Shared distance-ranking tail of every quantized index search
+    * (q68/q82/q84/q85): (query_id, <id>, adist) rows → the ANN output
+    * contract (neighbor_id, rank, approx_dist) via the native top-k
+    * aggregate — lowest distance first, id-ascending tie-break,
+    * identical to the oracles' row_number(ORDER BY adist, id). */
+  private def rankApproxDist(idCol: String)(d: DataFrame): DataFrame = d
+    .groupBy(col("query_id"))
+    .agg(org.apache.spark.sql.graft.native
+      .topKByScore(-col("adist"), col(idCol), BucketK).as("top"))
+    .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+    .select(col("query_id"), col("s.id").as("neighbor_id"),
+      (col("pos") + 1).cast("int").as("rank"),
+      (-col("s.score")).as("approx_dist"))
+    .orderBy("query_id", "rank")
 
   /** SQ quantization levels (8-bit: codes 0..[[SqLevels]]). */
   val SqLevels = 255
@@ -1081,14 +1087,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum((col("qx") - col("dx")) * (col("qx") - col("dx"))), 6).as("adist"))
-      .groupBy(col("query_id"))
-      .agg(org.apache.spark.sql.graft.native
-        .topKByScore(-col("adist"), col("vec_id"), BucketK).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
-      .select(col("query_id"), col("s.id").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"),
-        (-col("s.score")).as("approx_dist"))
-      .orderBy("query_id", "rank")
+      .transform(rankApproxDist("vec_id"))
   }
 
   /** q85_ann_ivf_sq8 — IVF × SQ8: the where-to-look half (memoized
@@ -1121,13 +1120,6 @@ object Similarity {
       .join(qs, Seq("query_id", "d"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(round(sum((col("qx") - col("dx")) * (col("qx") - col("dx"))), 6).as("adist"))
-      .groupBy(col("query_id"))
-      .agg(org.apache.spark.sql.graft.native
-        .topKByScore(-col("adist"), col("neighbor_id"), BucketK).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
-      .select(col("query_id"), col("s.id").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"),
-        (-col("s.score")).as("approx_dist"))
-      .orderBy("query_id", "rank")
+      .transform(rankApproxDist("neighbor_id"))
   }
 }

@@ -452,12 +452,15 @@ object NfcNormalize {
   }
 }
 
-/** Accent/diacritic folding: NFD-decompose, drop combining marks
-  * (category Mn), recompose to NFC — "café"→"cafe", "naïve"→"naive",
-  * "İstanbul"→"Istanbul". The standard width/accent folding step of a
-  * dedup-key normalizer (encoding variants of the same word must hash
-  * identically). Matches DuckDB's `strip_accents` (utf8proc, same
-  * decompose-drop-Mn algorithm) so folded keys stay oracle-gradable. */
+/** Accent/diacritic folding: NFD-decompose, drop combining marks —
+  * ALL mark categories (Mn non-spacing, Mc spacing like Indic vowel
+  * signs, Me enclosing), not just Mn — recompose to NFC:
+  * "café"→"cafe", "naïve"→"naive", "İstanbul"→"Istanbul",
+  * Bengali "কো"→"ক". The standard accent-folding step of a dedup-key
+  * normalizer (encoding variants of the same word must hash
+  * identically). Matches DuckDB's `strip_accents` (utf8proc STRIPMARK,
+  * which removes Mn+Mc+Me — verified empirically) so folded keys stay
+  * oracle-gradable. */
 case class StripAccents(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -489,8 +492,9 @@ object StripAccents {
     val sb = new java.lang.StringBuilder(d.length)
     i = 0
     while (i < d.length) {
-      val ch = d.charAt(i)
-      if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
+      val t = Character.getType(d.charAt(i))
+      if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK) sb.append(d.charAt(i))
       i += 1
     }
     org.apache.spark.unsafe.types.UTF8String.fromString(

@@ -277,6 +277,14 @@ class ExpressionsSpec extends SparkSuite {
       "encoding variants must share a dedup key")
     assert(keys.find(_._1 == 3L).get._3 == folded)
     assert(keys.find(_._1 == 4L).get._3 == "naive \uff21") // accents fold; width untouched (NFC keeps compat chars)
+    // ALL mark categories fold, matching DuckDB's utf8proc STRIPMARK:
+    // Mc (Bengali vowel sign O) and Me (combining enclosing circle),
+    // not just Mn \u2014 verified against strip_accents(nfc_normalize(..))
+    val marks = Seq((10L, "\u0995\u09cb"), (11L, "a\u20dd")).toDF("id", "t")
+      .select(col("id"), N.stripAccents(N.nfc(col("t"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(marks(10L) == "\u0995", s"Mc not stripped: ${marks(10L)}")
+    assert(marks(11L) == "a", s"Me not stripped: ${marks(11L)}")
     // interpreted == codegen'd (the VectorFunctions-style parity check)
     val viaEval = Seq(composed, decomposed).map { s =>
       org.apache.spark.sql.graft.StripAccents.compute(
