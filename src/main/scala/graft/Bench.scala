@@ -31,9 +31,14 @@ object Bench {
     // one bad draw while keeping the bench under a few minutes
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
-    val names = SparkEntry.queries.keys.toSeq
+    // optional comma-separated subset for fast local iteration; the
+    // driver's full run leaves this unset
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = subset.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    val names = queries.keys.toSeq
     val times: Seq[Map[String, Double]] = (1 to reps).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

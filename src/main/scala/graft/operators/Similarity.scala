@@ -34,8 +34,9 @@ import org.apache.spark.sql.functions._
   * evaluate interpreted (measured ~10× slower on the candidate volumes
   * here). Vectors are exploded once into (vec_id, d, x) rows; dot
   * products and norms are hash-aggregate sums; hyperplane projections
-  * multiply against literal weight arrays via `element_at` inside
-  * whole-stage codegen.
+  * are the fused native [[org.apache.spark.sql.graft.SignedProjection]]
+  * expression — all table codes computed where the vector is scanned,
+  * zero exchanges for code assignment.
   *
   * Hyperplane weights are integers derived from md5 of "tag_table_bit_dim"
   * (see [[weight]]) — cross-engine reproducible, precomputed once on the
@@ -106,21 +107,25 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
 
   /** vec_id → one bucket code per (table) for the given weight tag;
-    * output (vec_id, t, c). Codegen'd: per component row, each bit's
-    * contribution is x * element_at(<literal weights>, d+1). */
-  private[graft] def codes(comp: DataFrame, tag: String, tables: Int, bits: Int): DataFrame = {
-    val dotCols = for (t <- 0 until tables; i <- 0 until bits)
-      yield sum(col("x") * element_at(typedlit(weights(tag, t, i)), col("d") + 1))
-        .as(s"dot_${t}_${i}")
-    val dots = comp.groupBy("vec_id").agg(dotCols.head, dotCols.tail: _*)
-    val tableStructs: Seq[Column] = (0 until tables).map { t =>
-      val c = (0 until bits)
-        .map(i => when(col(s"dot_${t}_${i}") > 0, lit(1 << i)).otherwise(lit(0)))
-        .reduce(_ + _)
-      struct(lit(t).as("t"), c.as("c"))
-    }
-    dots.select(col("vec_id"), explode(array(tableStructs: _*)).as("tc"))
-      .select(col("vec_id"), col("tc.t").as("t"), col("tc.c").as("c"))
+    * output (vec_id, t, c). The whole projection is ONE fused native
+    * expression ([[org.apache.spark.sql.graft.SignedProjection]])
+    * evaluated where the vector is scanned — zero exchanges for code
+    * assignment at any corpus scale. (The previous formulation exploded
+    * every vector to 64 component rows and ran a tables×bits-column
+    * hash aggregate: a 64·n-row shuffle per consumer, and the reason
+    * q15 sat at 2.1× its oracle in round 8.) Dot products accumulate
+    * in ascending-d order over the same doubles, so codes are
+    * bit-identical to the aggregate form and the oracle's SUM.
+    *
+    * Input is the (vec_id, v) frame; empty vectors are filtered (the
+    * exploded form produced no rows for them). */
+  private[graft] def codes(v: DataFrame, tag: String, tables: Int, bits: Int): DataFrame = {
+    val flat: Seq[Double] =
+      for (t <- 0 until tables; i <- 0 until bits; w <- weights(tag, t, i)) yield w
+    v.filter(size(col("v")) > 0)
+      .select(col("vec_id"),
+        posexplode(org.apache.spark.sql.graft.native
+          .signedProjection(col("v"), flat, tables, bits, Dims)).as(Seq("t", "c")))
   }
 
   /** Exact cosine for a candidate pair set (cols vec_a, vec_b): join the
@@ -149,9 +154,8 @@ object Similarity {
   def embedNeardup(
       spark: SparkSession, sfDir: String,
       cap: Int, obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
-    val comp = components(spark, sfDir)
     val v = vecs(spark, sfDir)
-    val buckets = codes(comp, "lsh", NeardupTables, NeardupBits)
+    val buckets = codes(v, "lsh", NeardupTables, NeardupBits)
     val cand = CandidatePairs.boundedSelfJoin(buckets, Seq("t", "c"), "vec_id", cap, obs)
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
     pairCosine(cand, v)
@@ -519,15 +523,13 @@ object Similarity {
     // NSW graph over the codebook: LSH codes on the CENTROID vectors
     // (tag "cg", bits sized from k), Hamming-<=1 masked-bucket
     // candidates, top-CgM cosine out-edges per centroid
-    val centComp = fine.select(col("cent_id").cast("long").as("vec_id"),
-      posexplode(col("cv")).as(Seq("d", "x")))
+    val cvAsV = fine.select(col("cent_id").cast("long").as("vec_id"), col("cv").as("v"))
     val bits = adaptiveBits(k)
-    val coded = codes(centComp, "cg", 1, bits).select(col("vec_id"), col("c"))
+    val coded = codes(cvAsV, "cg", 1, bits).select(col("vec_id"), col("c"))
     val masked = coded.select(col("vec_id"), posexplode(array(
       (0 until bits).map(i => col("c").bitwiseAND(lit(~(1 << i)))): _*)).as(Seq("t", "mc")))
     val cpairs = bothDirections(
       CandidatePairs.boundedSelfJoin(masked, Seq("t", "mc"), "vec_id", 2 * BucketCap))
-    val cvAsV = fine.select(col("cent_id").cast("long").as("vec_id"), col("cv").as("v"))
     val adj = pairCosine(cpairs, cvAsV)
       .groupBy(col("vec_a"))
       .agg(org.apache.spark.sql.graft.native
@@ -594,9 +596,8 @@ object Similarity {
     * candidate volume grows ~linearly×bits with corpus size, never
     * quadratically. */
   private[graft] def annLshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val comp = components(spark, sfDir)
     val bits = adaptiveBits(corpusSize(spark, sfDir))
-    val coded = codes(comp, "ivf", 1, bits).select(col("vec_id"), col("c"))
+    val coded = codes(vecs(spark, sfDir), "ivf", 1, bits).select(col("vec_id"), col("c"))
     val masked = coded.select(col("vec_id"), posexplode(array(
       (0 until bits).map(i => col("c").bitwiseAND(lit(~(1 << i)))): _*)).as(Seq("t", "mc")))
     bothDirections(

@@ -85,6 +85,79 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native random-hyperplane LSH code computation: one fused scan-local
+  * pass turning an `array<double>` vector into its `tables` signed-
+  * projection bucket codes (bit i of table t set iff Σ_d x_d·w_{t,i,d}
+  * > 0).
+  *
+  * This replaces the exploded formulation (posexplode to (vec_id, d, x)
+  * rows + a tables×bits-column hash aggregate) that shuffled 64·n rows
+  * per corpus just to compute codes — the projection is now computed
+  * where the vector is scanned, so code assignment costs ZERO exchanges
+  * at any corpus scale. The inner accumulation runs in ascending-d
+  * order over the same doubles, so every dot product is bit-identical
+  * to the aggregate formulation and to the DuckDB oracle's
+  * group-ordered SUM.
+  *
+  * Weights arrive as a flattened literal `[(t·bits+i)·dims + d]` array
+  * (derived from md5 on the driver, see graft.operators.Similarity
+  * .weight) and are embedded in generated code as a reference object —
+  * no per-row element_at indirection.
+  */
+case class SignedProjection(
+    child: Expression, weights: Seq[Double], tables: Int, bits: Int, dims: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(weights.length == tables * bits * dims,
+    s"weights must be tables*bits*dims = ${tables * bits * dims} long")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "signed_projection"
+
+  @transient private lazy val wArr: Array[Double] = weights.toArray
+
+  override def nullSafeEval(a: Any): Any =
+    SignedProjection.compute(a.asInstanceOf[ArrayData], wArr, tables, bits, dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("projW", wArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.SignedProjection.compute($c, $w, $tables, $bits, $dims)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignedProjection {
+  def compute(v: ArrayData, w: Array[Double], tables: Int, bits: Int, dims: Int): GenericArrayData = {
+    val n = math.min(v.numElements(), dims)
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var code = 0
+      var i = 0
+      while (i < bits) {
+        var dot = 0.0
+        val base = (t * bits + i) * dims
+        var d = 0
+        while (d < n) {
+          // null components contribute nothing — matching SUM's
+          // null-skipping over the exploded rows
+          if (!v.isNullAt(d)) dot += v.getDouble(d) * w(base + d)
+          d += 1
+        }
+        if (dot > 0.0) code |= (1 << i)
+        i += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** All-in-one MinHash signature aggregate: folds a stream of base shingle
   * hashes into the full k-hash signature in a single Array[Long] buffer.
   *
@@ -491,11 +564,16 @@ object StripAccents {
     val d = Normalizer.normalize(str, Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(d.length)
     i = 0
+    // Iterate code points, not chars: supplementary-plane combining marks
+    // (e.g. U+1D167 MUSICAL SYMBOL COMBINING TREMOLO-1) are surrogate pairs,
+    // and Character.getType on either surrogate alone reports SURROGATE, so a
+    // per-char loop would keep marks that utf8proc STRIPMARK removes.
     while (i < d.length) {
-      val t = Character.getType(d.charAt(i))
+      val cp = d.codePointAt(i)
+      val t = Character.getType(cp)
       if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
-          t != Character.ENCLOSING_MARK) sb.append(d.charAt(i))
-      i += 1
+          t != Character.ENCLOSING_MARK) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     org.apache.spark.unsafe.types.UTF8String.fromString(
       Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
@@ -534,6 +612,10 @@ object native {
 
   def stripAccents(s: Column): Column =
     ExpressionUtils.column(StripAccents(ExpressionUtils.expression(s)))
+
+  def signedProjection(v: Column, weights: Seq[Double], tables: Int, bits: Int, dims: Int): Column =
+    ExpressionUtils.column(
+      SignedProjection(ExpressionUtils.expression(v), weights, tables, bits, dims))
 }
 
 /** Native polynomial rolling-hash over a string's UTF-8 bytes: emits the

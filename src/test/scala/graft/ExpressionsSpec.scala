@@ -285,6 +285,17 @@ class ExpressionsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(marks(10L) == "\u0995", s"Mc not stripped: ${marks(10L)}")
     assert(marks(11L) == "a", s"Me not stripped: ${marks(11L)}")
+    // Supplementary-plane marks (surrogate pairs in UTF-16) fold too:
+    // U+1D167 MUSICAL SYMBOL COMBINING TREMOLO-1 is Mn but lives outside
+    // the BMP \u2014 DuckDB strip_accents('a'||chr(119143)) = 'a'. A per-char
+    // (code-unit) loop sees two SURROGATE halves and keeps both.
+    val astral = Seq((12L, "a" + new String(Character.toChars(0x1D167))),
+        (13L, "b" + new String(Character.toChars(0x1D165)))) // Mc U+1D165
+      .toDF("id", "t")
+      .select(col("id"), N.stripAccents(N.nfc(col("t"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(astral(12L) == "a", s"astral Mn not stripped: ${astral(12L)}")
+    assert(astral(13L) == "b", s"astral Mc not stripped: ${astral(13L)}")
     // interpreted == codegen'd (the VectorFunctions-style parity check)
     val viaEval = Seq(composed, decomposed).map { s =>
       org.apache.spark.sql.graft.StripAccents.compute(

@@ -227,12 +227,12 @@ class SimilaritySpec extends SparkSuite {
     val multiCand = Similarity.annLshCandidates(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // own-bucket-only reference, same codes, no probing
-    val comp = graft.sources.Tables.embeddings(spark, sf)
-      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+    val vv = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val n = graft.sources.Tables.embeddings(spark, sf).count()
     val bits = Similarity.adaptiveBits(n)
     val ownCand = {
-      val coded = Similarity.codes(comp, "ivf", 1, bits)
+      val coded = Similarity.codes(vv, "ivf", 1, bits)
         .select(col("vec_id"), col("c"))
       graft.operators.CandidatePairs
         .boundedSelfJoin(coded, Seq("c"), "vec_id", Similarity.BucketCap)
