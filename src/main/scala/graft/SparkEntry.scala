@@ -439,9 +439,9 @@ object SparkEntry {
         |FROM w WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
     "q28_ann_ivf" ->
-      (ivfCellsCte + annProbeRankSuffix),
+      materializeCtes(ivfCellsCte + annProbeRankSuffix),
     "q73_semdedup" ->
-      (ivfHierCellsCte + s""",
+      materializeCtes(ivfHierCellsCte + s""",
         |dup AS (
         |  SELECT b.vec_id, min(a.vec_id) AS dup_of
         |  FROM cells a JOIN cells b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
@@ -834,7 +834,7 @@ object SparkEntry {
         |         '[^ \t\n\r]+@[^ \t\n\r]+', '<EMAIL>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q57_ann_ivf_hier" ->
-      (ivfHierCellsCte + annProbeRankSuffix),
+      materializeCtes(ivfHierCellsCte + annProbeRankSuffix),
     "q58_winnow_pairs" ->
       s"""WITH pw(j, p) AS (VALUES $rollingPow),
         |roll0 AS (
@@ -896,7 +896,7 @@ object SparkEntry {
         |       ((row_number() OVER (ORDER BY n_chars, doc_id) - 1)
         |          * ${Ranking.NumBuckets} // cnt)::BIGINT AS decile
         |FROM documents, n ORDER BY doc_id""".stripMargin,
-    "q62_ann_hnsw" -> annHnswOracle,
+    "q62_ann_hnsw" -> materializeCtes(annHnswOracle),
     "q63_incremental_dedup" ->
       (jaccardCte +
         """,
@@ -1024,7 +1024,7 @@ object SparkEntry {
         |             AND err.e_ts >= sess.s_start AND err.e_ts <= sess.s_end
         |GROUP BY sess.user_id, sess.session_no
         |ORDER BY sess.user_id, sess.session_no""".stripMargin,
-    "q68_ann_pq" -> annPqOracle,
+    "q68_ann_pq" -> materializeCtes(annPqOracle),
     "q69_domain_cap" ->
       s"""WITH h AS (
         |  SELECT source, doc_id,
@@ -1119,12 +1119,12 @@ object SparkEntry {
         |FROM sc GROUP BY doc_id
         |ORDER BY round(sum(s), 6) DESC, doc_id LIMIT $Bm25TopK""".stripMargin
     },
-    "q76_pagerank" -> pageRankOracle,
-    "q82_ann_ivfpq" -> annIvfPqOracle,
-    "q83_ann_ivf_graph" -> annIvfGraphOracle,
+    "q76_pagerank" -> materializeCtes(pageRankOracle),
+    "q82_ann_ivfpq" -> materializeCtes(annIvfPqOracle),
+    "q83_ann_ivf_graph" -> materializeCtes(annIvfGraphOracle),
     "q86_cluster_balance" -> {
       import graft.operators.Sampling.MixScale
-      ivfHierCellsCte + s""",
+      materializeCtes(ivfHierCellsCte + s""",
         |counts AS (SELECT cent_id, count(*) AS n_cell FROM cells GROUP BY cent_id),
         |tgt AS (SELECT min(n_cell) AS n_min FROM counts),
         |r AS (
@@ -1136,11 +1136,11 @@ object SparkEntry {
         |FROM cells ce JOIN r USING (cent_id)
         |WHERE ('0x' || substr(md5('cb_' || ce.vec_id), 1, 7))::BIGINT
         |        % $MixScale < r.keep_ppm
-        |ORDER BY ce.vec_id""".stripMargin
+        |ORDER BY ce.vec_id""".stripMargin)
     },
     "q85_ann_ivf_sq8" -> {
       import graft.operators.Similarity.{BucketK, Dims, IvfNProbe, SqLevels}
-      ivfHierCellsCte + s""",
+      materializeCtes(ivfHierCellsCte + s""",
         |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= $IvfNProbe),
         |comp AS (SELECT vec_id, t.d, v[t.d + 1] AS x FROM e, unnest(range(0, $Dims)) t(d)),
         |stats AS (SELECT d, min(x) AS lo, max(x) AS hi FROM comp GROUP BY d),
@@ -1170,7 +1170,7 @@ object SparkEntry {
         |  FROM dist
         |)
         |SELECT query_id, neighbor_id, rnk::INT AS "rank", adist AS approx_dist
-        |FROM ranked WHERE rnk <= $BucketK ORDER BY query_id, rnk""".stripMargin
+        |FROM ranked WHERE rnk <= $BucketK ORDER BY query_id, rnk""".stripMargin)
     },
     "q84_ann_sq8" -> {
       import graft.operators.Similarity.{BucketK, Dims, SqLevels}
@@ -1253,6 +1253,19 @@ object SparkEntry {
     * final corpus assignment (`asg`, ranked) and top-1 `cells`. */
   /** Shared IVF training prefix: the deterministic sample-bounded
     * 2-round Lloyd recurrence ending in the trained codebook `c2`. */
+  /** Mark every CTE in a composed oracle as `AS MATERIALIZED` — a pure
+    * DuckDB execution hint (results identical) that stops the planner
+    * from INLINING a CTE at each reference. The unrolled index
+    * recurrences (Lloyd's rounds, beam hops, PQ codebooks) reference
+    * each stage several times, so inlining re-evaluates the whole
+    * prefix per reference: measured at sf0.1, the q82/q83/q85/q86
+    * oracles took 869/494/144/63 s un-hinted vs ~2/1/0.5/0.7 s
+    * materialized — ~26 minutes of a 27-minute oracle suite. The
+    * negative lookbehind keeps named `WINDOW w AS (...)` clauses
+    * untouched. */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("""(?<!WINDOW )\b(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
   private def ivfTrainCte: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |params AS (SELECT greatest(${Similarity.IvfMinCentroids}, ceil(sqrt(count(*)))::INT) AS k,
