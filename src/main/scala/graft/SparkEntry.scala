@@ -98,7 +98,8 @@ object SparkEntry {
     "q83_ann_ivf_graph"   -> (Similarity.annIvfGraph _),
     "q84_ann_sq8"         -> (Similarity.annSq _),
     "q85_ann_ivf_sq8"     -> (Similarity.annIvfSq _),
-    "q86_cluster_balance" -> (Sampling.clusterBalance _)
+    "q86_cluster_balance" -> (Sampling.clusterBalance _),
+    "q87_ann_incremental" -> (Similarity.annIncremental _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1138,6 +1139,15 @@ object SparkEntry {
         |        % $MixScale < r.keep_ppm
         |ORDER BY ce.vec_id""".stripMargin)
     },
+    "q87_ann_incremental" ->
+      // Incremental maintenance is row-identical to assigning the batch
+      // within the full hierarchical pass (per-vector deterministic
+      // given the trained codebook), so the oracle is the UNCHANGED
+      // training + assignment prefix with probes restricted to the
+      // first 10 ingestion-batch ids (the q63 4/5 split over e).
+      materializeCtes(ivfHierCellsCte + annProbeRankSuffixWhere(
+        " AND vec_id >= (SELECT (count(*) * 4) // 5 FROM e)" +
+          " AND vec_id < (SELECT (count(*) * 4) // 5 FROM e) + 10")),
     "q85_ann_ivf_sq8" -> {
       import graft.operators.Similarity.{BucketK, Dims, IvfNProbe, SqLevels}
       materializeCtes(ivfHierCellsCte + s""",
@@ -1384,9 +1394,14 @@ object SparkEntry {
   /** Probe-and-rank ANN suffix shared by q28 (flat cells) and q57
     * (hierarchical cells): probe [[Similarity.IvfNProbe]] cells, exact
     * cosine on candidates, top-3 per query. */
-  private def annProbeRankSuffix: String =
+  private def annProbeRankSuffix: String = annProbeRankSuffixWhere("")
+
+  /** [[annProbeRankSuffix]] with an extra predicate on the probing
+    * (query) side — q87 restricts queries to the ingestion batch while
+    * the candidate `cells` side stays the full updated index. */
+  private def annProbeRankSuffixWhere(extraProbeFilter: String): String =
     s""",
-        |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= ${Similarity.IvfNProbe}),
+        |probes AS (SELECT vec_id, cent_id FROM asg WHERE rn <= ${Similarity.IvfNProbe}$extraProbeFilter),
         |pairs AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |         list_dot_product(ea.v, eb.v) /

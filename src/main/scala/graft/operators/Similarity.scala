@@ -484,6 +484,51 @@ object Similarity {
     topK(cand, v, BucketK)
   }
 
+  /** q87_ann_incremental — INCREMENTAL index maintenance, the missing
+    * operation between "build the IVF index" (q28/q57) and "rebuild it
+    * per ingestion batch" (which nobody does at 100 TB): an ingestion
+    * batch (the last fifth of the corpus by vec_id, the q63 split
+    * convention) is assigned to the EXISTING trained cells — one
+    * batch×coarse-probe [[hierCellAssignment]] pass over ONLY the new
+    * vectors, no retraining, no touching the stored base assignment —
+    * and the appended rows union with the base index. Graded output:
+    * top-3 search for the first 10 BATCH vectors over the UPDATED
+    * (corpus+batch) index, proving the appended rows are immediately
+    * searchable.
+    *
+    * Scale shape: the per-batch cost is |batch|·5√k cosines + one
+    * union — independent of the base corpus size, which is the entire
+    * point of incremental maintenance (the base index is the memoized
+    * [[hierCells]] artifact; at 100 TB, the persisted index table).
+    * Because [[hierCellAssignment]] is per-vector deterministic given
+    * the codebook, the appended rows are row-identical to what a full
+    * rebuild would assign — so the oracle reuses the unchanged
+    * training + hierarchical-assignment CTEs and just filters probes
+    * to the batch ids. */
+  def annIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val n = corpusSize(spark, sfDir)
+    val s = n * 4 / 5
+    val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+    // existing index: the session artifact, restricted to the base ids
+    val base = hierCells(spark, sfDir).filter(col("vec_id") < s)
+    // batch maintenance pass: assign ONLY the new vectors to the
+    // existing codebook (no retraining — trainedCodebook is memoized)
+    val batchAsg = hierCellAssignment(
+      spark, v.filter(col("vec_id") >= s), trainedCodebook(spark, sfDir), k)
+    val updated = base.unionAll(batchAsg)
+    val cells = updated.select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
+    // queries = the first 10 batch vectors, probing their assigned cells
+    val probes = batchAsg.filter(col("vec_id") < s + 10)
+      .select(col("vec_id").as("vec_a"), explode(col("tc")).as("p"))
+      .select(col("vec_a"), col("p.id").as("cent_id"))
+    val cand = probes
+      .join(cells.select(col("vec_id").as("vec_b"), col("cent_id")), "cent_id")
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+    topK(cand, v, BucketK)
+  }
+
   /** Out-degree / beam width / hops / entry points of the CENTROID
     * graph used by the q83 graph-quantized assignment (the q62 search
     * parameters applied to the codebook). */

@@ -402,4 +402,32 @@ class SimilaritySpec extends SparkSuite {
         assert(fd == ad, s"IVF-SQ8 dist $ad != full-scan SQ8 $fd for ($q,$n)"))
     }
   }
+
+  test("q87 incremental maintenance: batch assignment equals a full rebuild, queries are batch ids") {
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    val s = n * 4 / 5
+    // the incremental pass must be row-identical to what a full rebuild
+    // would assign (per-vector deterministic given the codebook) — this
+    // is the property that lets a deployment append instead of rebuild
+    val full = Similarity.hierCells(spark, sf)
+      .select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
+      .filter(col("vec_id") >= s)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val k = math.max(Similarity.IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val inc = Similarity.hierCellAssignment(
+        spark, v.filter(col("vec_id") >= s), Similarity.trainedCodebook(spark, sf), k)
+      .select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, "incremental batch assignment diverged from full rebuild")
+    assert(inc.nonEmpty && inc.keys.forall(_ >= s))
+    // graded search: every query is a batch vector, results rank over
+    // the UPDATED index (neighbors may come from base OR batch)
+    val res = Similarity.annIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.nonEmpty)
+    assert(res.map(_._1).forall(q => q >= s && q < s + 10))
+    assert(res.map(_._2).exists(_ < s), "expected at least one base-corpus neighbor")
+  }
 }
