@@ -155,15 +155,16 @@ object Dedup {
     * extends the reuse across the whole session. The checkpoint is
     * corpus-keyed; result rows are identical to an uncached run
     * (memoization of a deterministic frame, not an approximation). */
-  private val pairCache =
+  private[graft] val pairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // entries keyed by a stopped session are dead weight (their
-    // checkpointed blocks are gone with the context) — evict on access
-    pairCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-    pairCache.getOrElseUpdate((spark, sfDir),
-      minhashPairs(spark, sfDir).localCheckpoint())
-  }
+  /** Artifact-store name for the verified pair set; a persisted table
+    * under this name replaces the in-session minhash/LSH/verify build
+    * (see [[graft.sources.IndexStore]] / [[Indexes.persistAll]]). */
+  val PairsArtifact = "dedup_pairs"
+  def verifiedPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.IndexStore.memo(pairCache, spark, sfDir, PairsArtifact) {
+      minhashPairs(spark, sfDir).localCheckpoint()
+    }
 
   /** [[minhashPairs]] with an explicit per-bucket cap + telemetry hook
     * (the cap is output-preserving — see [[CandidatePairs]]). */

@@ -233,33 +233,34 @@ object Similarity {
     * rebuilding it per query would be like re-sorting a B-tree per
     * lookup). Results are row-identical to uncached runs; q28 keeps
     * its raw flat build so the un-indexed cost stays priced. */
-  private val codebookCache =
+  private[graft] val codebookCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private[graft] def trainedCodebook(spark: SparkSession, sfDir: String): DataFrame = {
-    // evict entries of stopped sessions — their checkpoints are gone
-    codebookCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-    codebookCache.getOrElseUpdate((spark, sfDir), {
+  /** Artifact-store name for the trained codebook (see
+    * [[graft.sources.IndexStore]]); a persisted table under this name
+    * replaces the in-session training build. */
+  val CodebookArtifact = "ivf_codebook"
+  private[graft] def trainedCodebook(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.IndexStore.memo(codebookCache, spark, sfDir, CodebookArtifact) {
       val v = vecs(spark, sfDir)
       val n = corpusSize(spark, sfDir)
       val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
       trainCentroids(spark, v, n, k)
-    })
-  }
+    }
 
-  private val hierCellsCache =
+  private[graft] val hierCellsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  val HierCellsArtifact = "ivf_cells"
   /** Memoized [[hierCellAssignment]] over the [[trainedCodebook]] —
     * (vec_id, tc) with tc[0] the home cell, checkpointed (at 100 TB
-    * this is the stored cell-id column of the index table). */
-  private[graft] def hierCells(spark: SparkSession, sfDir: String): DataFrame = {
-    hierCellsCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-    hierCellsCache.getOrElseUpdate((spark, sfDir), {
+    * this is the stored cell-id column of the index table; persisted
+    * across sessions via [[graft.operators.Indexes.persistAll]]). */
+  private[graft] def hierCells(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.IndexStore.memo(hierCellsCache, spark, sfDir, HierCellsArtifact) {
       val v = vecs(spark, sfDir)
       val n = corpusSize(spark, sfDir)
       val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
       hierCellAssignment(spark, v, trainedCodebook(spark, sfDir), k).localCheckpoint()
-    })
-  }
+    }
 
   /** Sampling modulus for IVF training: every vec with
     * md5("ivfs_" || vec_id) ≡ 0 (mod den) is a training point, giving

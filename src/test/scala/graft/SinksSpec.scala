@@ -24,6 +24,47 @@ class SinksSpec extends SparkSuite {
     assert(scanned.contains("PartitionFilters") || scanned.contains("event_type=click"))
   }
 
+  test("index store: persisted artifacts are read back instead of rebuilt") {
+    import graft.operators.{Dedup, Indexes, Similarity}
+    import graft.sources.IndexStore
+    val dir = tmp() + "/indexes"
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0) -> r.getLong(1)
+    try {
+      spark.conf.set(IndexStore.ConfKey, dir)
+      // build + persist all three artifacts
+      val codebook = Similarity.trainedCodebook(spark, sf).collect().map(_.toString).sorted
+      val cells = Similarity.hierCells(spark, sf)
+        .select(col("vec_id"), col("tc")(0)("id")).collect().map(key).toMap
+      val pairs = Dedup.verifiedPairs(spark, sf).collect().map(_.toString).sorted
+      Indexes.persistAll(spark, sf)
+      // a fresh resolution (empty caches = what a new session sees)
+      // must return the persisted rows
+      Indexes.evictSession(spark)
+      assert(Similarity.trainedCodebook(spark, sf).collect().map(_.toString).sorted
+        .sameElements(codebook))
+      assert(Similarity.hierCells(spark, sf)
+        .select(col("vec_id"), col("tc")(0)("id")).collect().map(key).toMap == cells)
+      assert(Dedup.verifiedPairs(spark, sf).collect().map(_.toString).sorted
+        .sameElements(pairs))
+      // prove the store (not a rebuild) is the source: tamper the
+      // persisted codebook and assert the tampered row comes back
+      val p = IndexStore.artifactPath(dir, Similarity.CodebookArtifact, sf)
+      val tampered = spark.read.parquet(p)
+        .withColumn("cent_id", col("cent_id") + lit(1000000))
+      tampered.write.mode("overwrite").parquet(p + "_t")
+      spark.read.parquet(p + "_t").write.mode("overwrite").parquet(p)
+      Indexes.evictSession(spark)
+      val seen = Similarity.trainedCodebook(spark, sf).collect()
+      assert(seen.forall(_.getAs[Number]("cent_id").longValue >= 1000000),
+        "cache resolved a rebuild instead of the persisted table")
+    } finally {
+      // restore: unset the store and rebuild in-session so later tests
+      // see the untampered artifacts
+      spark.conf.unset(IndexStore.ConfKey)
+      Indexes.evictSession(spark)
+    }
+  }
+
   test("csv and json sinks round-trip the wordcount result") {
     import spark.implicits._
     val wc = operators.WordCount.query(spark, sf)
