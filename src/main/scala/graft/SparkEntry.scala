@@ -99,7 +99,8 @@ object SparkEntry {
     "q84_ann_sq8"         -> (Similarity.annSq _),
     "q85_ann_ivf_sq8"     -> (Similarity.annIvfSq _),
     "q86_cluster_balance" -> (Sampling.clusterBalance _),
-    "q87_ann_incremental" -> (Similarity.annIncremental _)
+    "q87_ann_incremental" -> (Similarity.annIncremental _),
+    "q88_stream_window_exec" -> (graft.streaming.EventStream.windowQueryStreamed _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -396,6 +397,13 @@ object SparkEntry {
     "q24_salted_agg" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // identical SQL to q23 — the engine side differs: q88 executes the
+    // aggregation through a real Structured Streaming micro-batch run
+    "q88_stream_window_exec" ->
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "q25_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts,

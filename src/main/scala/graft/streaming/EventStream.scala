@@ -57,6 +57,43 @@ object EventStream {
     windowedAgg(Tables.events(spark, sfDir))
       .orderBy("win_start", "event_type")
 
+  private val streamRunId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q88_stream_window_exec — the SAME windowed aggregation, but graded
+    * through a GENUINE Structured Streaming execution: file-stream
+    * source over the events parquet → watermark → windowed agg →
+    * memory sink in Complete mode, driven to completion with
+    * `processAllAvailable`, then the sink table is returned. This is
+    * the end-to-end micro-batch path (StreamExecution, state store,
+    * incremental aggregation) — not the batch planner — so the oracle
+    * (q23's SQL) now checks a streaming execution row-for-row.
+    *
+    * Complete mode is what makes a bounded run comparable: append mode
+    * emits only windows older than the watermark, leaving the tail
+    * windows unemitted forever on a finite file. Deterministic because
+    * the aggregation result after all input is processed equals the
+    * batch aggregation regardless of micro-batch boundaries.
+    *
+    * At scale this is the standard "stream the corpus through the same
+    * declarative transform" shape: swap the memory sink for a parquet/
+    * Kafka sink and the plan is a production stream; state is bounded
+    * by (window × event_type) cardinality. */
+  def windowQueryStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = Tables.eventsStream(spark, sfDir)
+    val name = s"graft_stream_win_${streamRunId.incrementAndGet()}"
+    val q = withWatermarkedWindow(stream).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // materialize before dropping the sink's temp view so the returned
+    // frame outlives the streaming query
+    val out = spark.table(name)
+      .orderBy("win_start", "event_type").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** q25_sessionize — batch sessionization: split each user's event
     * stream into sessions at >30-minute gaps via lag + cumulative-sum
     * windows (the SQL-expressible twin of the streaming [[sessionize]];
