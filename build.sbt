@@ -15,6 +15,13 @@ run / fork := true
 // every line in the sbt logger's "[info] " prefix — Bench/Verify emit
 // machine-parsed JSON lines that must arrive unprefixed.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's own "[success] Total time: ..." trailer, which
+// otherwise lands AFTER Bench's final JSON line and breaks a
+// read-the-last-stdout-line parser. With both settings, the JSON line
+// Bench prints (post spark.stop()) is the true last line of stdout.
+// target/bench.json carries the same payload as a file artifact.
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -403,6 +403,24 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("datagen invariant: embeddings are dense 64-d with no null vectors or components") {
+    // The q68/q82 PQ codebook guards and q84/q85 component explosion
+    // SKIP null/short embeddings on the engine side, while the DuckDB
+    // oracles keep such rows (NULLS-LAST ranking) — a divergence that
+    // only materializes if the generator ever emits one. This pins the
+    // invariant the oracles rely on, at every shipped scale.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      val bad = e.filter(
+        col("embedding").isNull ||
+          size(col("embedding")) =!= Similarity.Dims ||
+          exists(col("embedding"), x => x.isNull))
+        .count()
+      assert(bad == 0, s"$dir has $bad null/short/sparse embeddings — " +
+        "engine skip vs oracle NULLS-LAST would diverge (see ADVICE r8)")
+    }
+  }
+
   test("q87 incremental maintenance: batch assignment equals a full rebuild, queries are batch ids") {
     val n = graft.sources.Tables.embeddings(spark, sf).count()
     val s = n * 4 / 5
