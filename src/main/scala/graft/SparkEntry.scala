@@ -100,7 +100,10 @@ object SparkEntry {
     "q85_ann_ivf_sq8"     -> (Similarity.annIvfSq _),
     "q86_cluster_balance" -> (Sampling.clusterBalance _),
     "q87_ann_incremental" -> (Similarity.annIncremental _),
-    "q88_stream_window_exec" -> (graft.streaming.EventStream.windowQueryStreamed _)
+    "q88_stream_window_exec" -> (graft.streaming.EventStream.windowQueryStreamed _),
+    "q89_hard_negatives"  -> (Similarity.hardNegatives _),
+    "q90_chunk_passages"  -> (TextAnalysis.chunkPassages _),
+    "q91_cluster_keywords" -> (Pipeline.clusterKeywords _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1156,6 +1159,60 @@ object SparkEntry {
       materializeCtes(ivfHierCellsCte + annProbeRankSuffixWhere(
         " AND vec_id >= (SELECT (count(*) * 4) // 5 FROM e)" +
           " AND vec_id < (SELECT (count(*) * 4) // 5 FROM e) + 10")),
+    "q89_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, label AS ql FROM e WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_dot_product(q.qv, e.v) /
+        |         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine_raw
+        |  FROM q JOIN e ON e.vec_id <> q.query_id AND e.label <> q.ql
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine_raw,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id ASC) AS rnk
+        |  FROM pairs
+        |)
+        |SELECT query_id, neighbor_id, rnk::INT AS "rank", round(cosine_raw, 6) AS cosine
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "q90_chunk_passages" -> {
+      import graft.operators.TextAnalysis.{ChunkStride, ChunkTokens}
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, s.i AS chunk_no, (s.i * $ChunkStride)::INT AS tok_start,
+        |         w[s.i * $ChunkStride + 1 : s.i * $ChunkStride + $ChunkTokens] AS ck
+        |  FROM t, unnest(range(0, (len(w) + ${ChunkStride - 1}) // $ChunkStride)) s(i)
+        |)
+        |SELECT doc_id, chunk_no::INT AS chunk_no, tok_start,
+        |       len(ck)::INT AS n_tokens, array_to_string(ck, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin
+    },
+    "q91_cluster_keywords" -> {
+      import graft.operators.Pipeline.KeywordsPerCluster
+      materializeCtes(ivfHierCellsCte + s""",
+        |toks AS (
+        |  SELECT c.cent_id, u.token
+        |  FROM cells c JOIN documents d ON d.doc_id = c.vec_id,
+        |       unnest(regexp_extract_all(lower(d.text), '[a-z]+')) u(token)
+        |),
+        |tf AS (SELECT cent_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |nc AS (SELECT count(DISTINCT cent_id) AS ncells FROM cells),
+        |sc AS (
+        |  SELECT f.cent_id, f.token,
+        |         f.tf * ((SELECT ncells FROM nc) + 1.0) / (i.df + 1.0) AS score
+        |  FROM tf f JOIN idf i USING (token)
+        |),
+        |rankedk AS (
+        |  SELECT cent_id, token, score,
+        |         row_number() OVER (PARTITION BY cent_id ORDER BY score DESC, token ASC) AS rnk
+        |  FROM sc
+        |)
+        |SELECT cent_id, rnk::INT AS "rank", token, round(score, 6) AS score
+        |FROM rankedk WHERE rnk <= $KeywordsPerCluster ORDER BY cent_id, rnk""".stripMargin)
+    },
     "q85_ann_ivf_sq8" -> {
       import graft.operators.Similarity.{BucketK, Dims, IvfNProbe, SqLevels}
       materializeCtes(ivfHierCellsCte + s""",

@@ -108,6 +108,51 @@ object Pipeline {
       .orderBy("cluster_id")
   }
 
+  /** Keywords kept per cluster by [[clusterKeywords]]. */
+  val KeywordsPerCluster = 5
+
+  /** q91_cluster_keywords — c-TF-IDF cluster labeling (the BERTopic
+    * move): after the corpus is clustered in embedding space (the
+    * trained cell assignment — the session index artifact), name each
+    * cluster by the terms most DISTINCTIVE for it: per-cell term
+    * frequency × a rational idf over cells,
+    * `score = tf · (ncells + 1) / (df_cells + 1)`, top-5 per cell
+    * (score DESC, token ASC). The idf is deliberately a RATIO, not a
+    * log: products/quotients of small integers are bit-identical
+    * across engines, while `ln` is not correctly-rounded (NOTES
+    * lesson: sqrt is the only transcendental you can trust
+    * cross-engine) — and the ranking it induces is identical because
+    * log is monotone.
+    *
+    * Scale shape: docs join their cell (equi-join on the id), tf is a
+    * hash-aggregate on (cell, token), df a second on token; the
+    * ranking window partitions by cent_id over the (cells × vocab)-
+    * bounded tf frame — never a corpus-row window. Reads the memoized
+    * [[Similarity.hierCells]] artifact (5th consumer). */
+  def clusterKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val cells = Similarity.hierCells(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("tc")(0)("id").as("cent_id"))
+    val toks = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(T.alphaTokens(col("text"))).as("token"))
+      .join(cells, "doc_id")
+    val tf = toks.groupBy(col("cent_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nc = cells.agg(countDistinct(col("cent_id")).as("ncells"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(nc))
+      .withColumn("score",
+        col("tf") * (col("ncells") + lit(1.0)) / (col("df") + lit(1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cent_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KeywordsPerCluster)
+      .select(col("cent_id"), col("rnk").cast("int").as("rank"),
+        col("token"), round(col("score"), 6).as("score"))
+      .orderBy("cent_id", "rank")
+  }
+
   def curate(spark: SparkSession, sfDir: String): DataFrame = {
     val exactSurvivors = TextAnalysis.normalize(spark, sfDir)
       .groupBy(col("norm_hash"))

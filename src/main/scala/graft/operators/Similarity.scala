@@ -179,6 +179,28 @@ object Similarity {
     topK(cand, v, AnnK)
   }
 
+  /** q89_hard_negatives — contrastive hard-negative mining: for each
+    * query vector, the top-3 most-similar corpus vectors with a
+    * DIFFERENT label — the "hardest" negatives a contrastive/embedding
+    * trainer wants (high-similarity, wrong-class), per SimCLR/SBERT
+    * practice. Same scale shape as [[annBruteForce]]: the tiny labeled
+    * query side broadcasts (BroadcastNestedLoopJoin, never a cartesian
+    * exchange), the label-mismatch filter rides the scan, and the
+    * per-query ranking is the map-side top-k aggregate — the exchange
+    * carries queries×k rows at any corpus size. An indexed variant
+    * composes exactly like q17/q28 (candidates from buckets/cells
+    * first); the graded form is the exact baseline. */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val full = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val qs = broadcast(full.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("vec_a"), col("label").as("label_a")))
+    val cand = qs
+      .crossJoin(full.select(col("vec_id").as("vec_b"), col("label").as("label_b")))
+      .filter(col("vec_a") =!= col("vec_b") && col("label_a") =!= col("label_b"))
+      .select(col("vec_a"), col("vec_b"))
+    topK(cand, vecs(spark, sfDir), BucketK)
+  }
+
   /** Mirror unordered (id_a < id_b) pairs into both directions — the
     * equivalent of the `=!=` bucket self-join, but fed from the
     * skew-bounded [[CandidatePairs.boundedSelfJoin]]. An explode of a

