@@ -103,7 +103,11 @@ object SparkEntry {
     "q88_stream_window_exec" -> (graft.streaming.EventStream.windowQueryStreamed _),
     "q89_hard_negatives"  -> (Similarity.hardNegatives _),
     "q90_chunk_passages"  -> (TextAnalysis.chunkPassages _),
-    "q91_cluster_keywords" -> (Pipeline.clusterKeywords _)
+    "q91_cluster_keywords" -> (Pipeline.clusterKeywords _),
+    "q92_knn_label"       -> (Similarity.knnLabel _),
+    "q93_mmr_rerank"      -> (Similarity.mmrRerank _),
+    "q94_stream_session_exec" -> (graft.streaming.EventStream.sessionizeStreamed _),
+    "q95_cell_drift"      -> (Pipeline.cellDrift _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1212,6 +1216,146 @@ object SparkEntry {
         |)
         |SELECT cent_id, rnk::INT AS "rank", token, round(score, 6) AS score
         |FROM rankedk WHERE rnk <= $KeywordsPerCluster ORDER BY cent_id, rnk""".stripMargin)
+    },
+    "q92_knn_label" -> {
+      import graft.operators.Similarity.KnnLabelK
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, label AS tl FROM e
+        |      WHERE vec_id % 10 = 0 AND vec_id < 100),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS nl,
+        |         list_dot_product(q.qv, e.v) /
+        |         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine_raw
+        |  FROM q JOIN e ON e.vec_id % 10 <> 0
+        |),
+        |rankedn AS (
+        |  SELECT query_id, nl,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id ASC) AS rnk
+        |  FROM pairs
+        |),
+        |votes AS (
+        |  SELECT query_id, nl, count(*)::BIGINT AS votes
+        |  FROM rankedn WHERE rnk <= $KnnLabelK GROUP BY 1, 2
+        |),
+        |pick AS (
+        |  SELECT query_id, nl, votes,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nl ASC) AS vr
+        |  FROM votes
+        |)
+        |SELECT p.query_id AS vec_id, p.nl::INT AS pred_label, q.tl::INT AS true_label,
+        |       p.votes, (CASE WHEN p.nl = q.tl THEN 1 ELSE 0 END)::INT AS correct
+        |FROM pick p JOIN q ON q.query_id = p.query_id
+        |WHERE p.vr = 1 ORDER BY vec_id""".stripMargin
+    },
+    "q93_mmr_rerank" -> {
+      import graft.operators.Similarity.{MmrK, MmrLambda, MmrPenalty, MmrPool, MmrQueries}
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $MmrQueries),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_dot_product(q.qv, e.v) /
+        |         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine_raw
+        |  FROM q JOIN e ON e.vec_id <> q.query_id
+        |),
+        |pool AS (
+        |  SELECT query_id, neighbor_id, round(cosine_raw, 6) AS cos6 FROM (
+        |    SELECT query_id, neighbor_id, cosine_raw,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id ASC) AS rnk
+        |    FROM pairs) WHERE rnk <= $MmrPool
+        |),
+        |psim AS (
+        |  SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+        |         round(list_dot_product(ea.v, eb.v) /
+        |               (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS ps
+        |  FROM pool a JOIN pool b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+        |       JOIN e ea ON ea.vec_id = a.neighbor_id JOIN e eb ON eb.vec_id = b.neighbor_id
+        |),
+        |s1 AS (
+        |  SELECT query_id, neighbor_id, 1 AS mmr_rank, $MmrLambda * cos6 AS score_raw
+        |  FROM pool QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id ASC) = 1
+        |),
+        |c2 AS (
+        |  SELECT p.query_id, p.neighbor_id,
+        |         $MmrLambda * p.cos6 - $MmrPenalty * max(ps.ps) AS score_raw
+        |  FROM pool p
+        |       JOIN s1 ON s1.query_id = p.query_id AND p.neighbor_id <> s1.neighbor_id
+        |       JOIN psim ps ON ps.query_id = p.query_id AND ps.na = p.neighbor_id
+        |                   AND ps.nb = s1.neighbor_id
+        |  GROUP BY p.query_id, p.neighbor_id, p.cos6
+        |),
+        |s2 AS (
+        |  SELECT query_id, neighbor_id, 2 AS mmr_rank, score_raw
+        |  FROM c2 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_raw DESC, neighbor_id ASC) = 1
+        |),
+        |sel12 AS (
+        |  SELECT query_id, neighbor_id FROM s1 UNION ALL SELECT query_id, neighbor_id FROM s2
+        |),
+        |c3 AS (
+        |  SELECT p.query_id, p.neighbor_id,
+        |         $MmrLambda * p.cos6 - $MmrPenalty * max(ps.ps) AS score_raw
+        |  FROM pool p
+        |       JOIN psim ps ON ps.query_id = p.query_id AND ps.na = p.neighbor_id
+        |       JOIN sel12 s ON s.query_id = ps.query_id AND s.neighbor_id = ps.nb
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel12 x
+        |                    WHERE x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id)
+        |  GROUP BY p.query_id, p.neighbor_id, p.cos6
+        |),
+        |s3 AS (
+        |  SELECT query_id, neighbor_id, 3 AS mmr_rank, score_raw
+        |  FROM c3 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_raw DESC, neighbor_id ASC) = 1
+        |),
+        |allsel AS (
+        |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        |)
+        |SELECT query_id, mmr_rank::INT AS mmr_rank, neighbor_id,
+        |       floor(score_raw * 1000000.0 + 0.5) / 1000000.0 AS score
+        |FROM allsel ORDER BY query_id, mmr_rank""".stripMargin
+    },
+    // q94: session_window semantics — a gap of EXACTLY the 30-minute
+    // threshold starts a NEW session (half-open [ts, ts+gap) windows),
+    // so the split rule is >=, unlike q25's lag rule (>). See
+    // EventStream.sessionizeStreamed.
+    "q94_stream_session_exec" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+        |  FROM o
+        |)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+    "q95_cell_drift" -> {
+      import graft.operators.Pipeline.DriftBound
+      materializeCtes(ivfHierCellsCte + s""",
+        |halfp AS (SELECT count(*) // 2 AS half FROM e),
+        |counts AS (
+        |  SELECT cent_id,
+        |         sum(CASE WHEN vec_id < (SELECT half FROM halfp) THEN 1 ELSE 0 END)::BIGINT AS n_old,
+        |         sum(CASE WHEN vec_id >= (SELECT half FROM halfp) THEN 1 ELSE 0 END)::BIGINT AS n_new
+        |  FROM cells GROUP BY cent_id
+        |),
+        |tots AS (SELECT sum(n_old)::BIGINT AS tot_old, sum(n_new)::BIGINT AS tot_new FROM counts),
+        |ratios AS (
+        |  SELECT c.cent_id, c.n_old, c.n_new,
+        |         round(((c.n_new + 1)::DOUBLE * (t.tot_old + 1)::DOUBLE) /
+        |               ((c.n_old + 1)::DOUBLE * (t.tot_new + 1)::DOUBLE), 6) AS drift_ratio
+        |  FROM counts c, tots t
+        |)
+        |SELECT cent_id, n_old, n_new, drift_ratio,
+        |       (CASE WHEN drift_ratio < ${1.0 / DriftBound} OR drift_ratio > $DriftBound
+        |             THEN 1 ELSE 0 END)::INT AS drifted
+        |FROM ratios ORDER BY cent_id""".stripMargin)
     },
     "q85_ann_ivf_sq8" -> {
       import graft.operators.Similarity.{BucketK, Dims, IvfNProbe, SqLevels}

@@ -153,6 +153,48 @@ object Pipeline {
       .orderBy("cent_id", "rank")
   }
 
+  /** Drift flag bounds for [[cellDrift]]: a cell whose smoothed
+    * new/old share ratio leaves [1/DriftBound, DriftBound] is flagged. */
+  val DriftBound = 2.0
+
+  /** q95_cell_drift — per-cluster corpus drift report: split the corpus
+    * into an "old" and "new" half (vec_id below/above the midpoint —
+    * the stand-in for two ingestion epochs), count each half per
+    * trained embedding cell, and report the add-one-smoothed share
+    * ratio `((n_new+1)·(tot_old+1)) / ((n_old+1)·(tot_new+1))` with a
+    * drifted flag outside [0.5, 2]. This is the monitoring pass a
+    * production pipeline runs per ingestion batch: topic drift in a
+    * crawl shows up as cells gaining/losing share long before any
+    * metadata column moves (the cells are semantic strata — q86's
+    * balancing consumes the same artifact this report watches).
+    *
+    * The ratio is a product/quotient of exact small integers in
+    * doubles — bit-identical cross-engine (the q91 rational-idf
+    * lesson); no log-odds, same ranking. Scale shape: one hash
+    * aggregate over the cell labels (conditional sums, partial
+    * map-side), totals broadcast back over the k-row cell frame —
+    * corpus rows are touched exactly once. Reads the memoized
+    * [[Similarity.hierCells]] artifact (6th consumer). */
+  def cellDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val half = Similarity.corpusSize(spark, sfDir) / 2
+    val cells = Similarity.hierCells(spark, sfDir)
+      .select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
+    val counts = cells.groupBy(col("cent_id")).agg(
+      sum(when(col("vec_id") < half, 1L).otherwise(0L)).as("n_old"),
+      sum(when(col("vec_id") >= half, 1L).otherwise(0L)).as("n_new"))
+    val tot = counts.agg(sum(col("n_old")).as("tot_old"),
+      sum(col("n_new")).as("tot_new"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("drift_ratio", round(
+        ((col("n_new") + lit(1)).cast("double") * (col("tot_old") + lit(1)).cast("double")) /
+          ((col("n_old") + lit(1)).cast("double") * (col("tot_new") + lit(1)).cast("double")),
+        6))
+      .select(col("cent_id"), col("n_old"), col("n_new"), col("drift_ratio"),
+        (col("drift_ratio") < lit(1.0) / lit(DriftBound)
+          || col("drift_ratio") > lit(DriftBound)).cast("int").as("drifted"))
+      .orderBy("cent_id")
+  }
+
   def curate(spark: SparkSession, sfDir: String): DataFrame = {
     val exactSurvivors = TextAnalysis.normalize(spark, sfDir)
       .groupBy(col("norm_hash"))

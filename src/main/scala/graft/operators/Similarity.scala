@@ -201,6 +201,142 @@ object Similarity {
     topK(cand, vecs(spark, sfDir), BucketK)
   }
 
+  /** q92 neighbors per held-out query for the majority vote. */
+  val KnnLabelK = 3
+
+  /** q92_knn_label — kNN label propagation: predict each held-out
+    * vector's label as the majority vote of its [[KnnLabelK]] nearest
+    * LABELED neighbors by cosine — the semi-supervised move behind
+    * classifier-score propagation over a corpus (label a small seed set,
+    * extend by embedding neighborhood; FineWeb-Edu-style quality labels
+    * are exactly this shape at corpus scale). Held-out queries are
+    * `vec_id % 10 == 0` (first 10 of them graded); the labeled pool is
+    * the complement, so a query can never vote for itself.
+    *
+    * Scale shape = [[annBruteForce]]: the query side broadcasts, the
+    * per-query ranking is the map-side top-k aggregate, and the vote
+    * itself runs over queries×k rows — driver-free, corpus-size-free.
+    * Ties are (votes DESC, label ASC), the same deterministic ordering
+    * contract as every ranking here. */
+  def knnLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    val full = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val qs = full.filter(col("vec_id") % 10 === 0 && col("vec_id") < 100)
+    val cand = broadcast(qs.select(col("vec_id").as("vec_a")))
+      .crossJoin(full.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("vec_b")))
+    val nn = topK(cand, vecs(spark, sfDir), KnnLabelK)
+    val votes = nn
+      .join(full.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+        "neighbor_id")
+      .groupBy(col("query_id"), col("nl"))
+      .agg(count(lit(1)).as("n_votes"))
+    val pred = votes.groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(col("n_votes").cast("double"), col("nl").cast("long"), 1).as("top"))
+      .select(col("query_id"),
+        col("top")(0)("id").cast("int").as("pred_label"),
+        col("top")(0)("score").cast("long").as("votes"))
+    pred
+      .join(broadcast(qs.select(col("vec_id"), col("label").as("true_label"))),
+        pred("query_id") === col("vec_id"))
+      .select(col("vec_id"), col("pred_label"), col("true_label"), col("votes"),
+        (col("pred_label") === col("true_label")).cast("int").as("correct"))
+      .orderBy("vec_id")
+  }
+
+  /** q93 MMR knobs: queries, candidate pool, selections, relevance
+    * weight λ (penalty weight written literally as [[MmrPenalty]] —
+    * `1 - 0.7` is 0.30000000000000004 in IEEE doubles, so BOTH engines
+    * must use the same literal, not one derive it). */
+  val MmrQueries = 5
+  val MmrPool = 8
+  val MmrK = 3
+  val MmrLambda = 0.7
+  val MmrPenalty = 0.3
+
+  /** q93_mmr_rerank — Maximal Marginal Relevance (Carbonell & Goldstein
+    * 1998): greedily pick [[MmrK]] results from each query's exact
+    * top-[[MmrPool]] cosine pool, each step maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — relevance minus
+    * redundancy, the standard diversity re-rank a RAG retriever runs so
+    * three near-identical passages don't fill the context window.
+    *
+    * The corpus-scale work is exactly one [[topK]] pool build (same
+    * shape as q16); everything after operates on queries×pool rows —
+    * the pool and its pairwise-similarity frame are localCheckpointed
+    * once (queries·pool² rows, bounded by the knobs, not the corpus)
+    * and the greedy recurrence is [[MmrK]] tiny joins + the native
+    * top-1 aggregate, no windows. Similarities are rounded to 6 before
+    * scoring on both engines (NOTES: round-then-combine is the
+    * cross-engine float contract); argmax ties break on neighbor_id. */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val ids = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+    val cand = broadcast(ids.filter(col("vec_id") < MmrQueries)
+        .select(col("vec_id").as("vec_a")))
+      .crossJoin(ids.select(col("vec_id").as("vec_b")))
+      .filter(col("vec_a") =!= col("vec_b"))
+    // (query_id, neighbor_id, rank, cosine): cosine rounded 6 by topK —
+    // the value MMR scores over (the oracle rounds identically)
+    val pool = topK(cand, v, MmrPool).localCheckpoint()
+    val m = pool.select(col("query_id"), col("neighbor_id"))
+    val within = broadcast(m.as("a")).join(m.as("b"), Seq("query_id"))
+      .filter(col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("query_id"), col("a.neighbor_id").as("na"),
+        col("b.neighbor_id").as("nb"))
+    val psim = broadcast(within)
+      .join(v.select(col("vec_id").as("na"), col("v").as("va")), "na")
+      .join(v.select(col("vec_id").as("nb"), col("v").as("vb")), "nb")
+      .select(col("query_id"), col("na"), col("nb"),
+        round(org.apache.spark.sql.graft.native
+          .cosineSim(col("va"), col("vb")), 6).as("ps"))
+      .localCheckpoint()
+    // step 1: pure relevance (empty selected set ⇒ zero penalty).
+    // Argmax over the ROUNDED cosine (not pool rank, which orders by the
+    // raw value): scoring operates on the rounded frame on both engines,
+    // so the selection ordering must too.
+    var selected = pool
+      .groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(col("cosine"), col("neighbor_id"), 1).as("top"))
+      .select(col("query_id"), col("top")(0)("id").as("neighbor_id"),
+        lit(1).as("mmr_rank"),
+        (lit(MmrLambda) * col("top")(0)("score")).as("score_raw"))
+    for (t <- 2 to MmrK) {
+      val remaining = pool
+        .join(selected.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+      val pen = psim
+        .join(selected.select(col("query_id"), col("neighbor_id").as("nb")),
+          Seq("query_id", "nb"))
+        .groupBy(col("query_id"), col("na")).agg(max(col("ps")).as("pen"))
+      val next = remaining
+        .join(pen, remaining("neighbor_id") === pen("na")
+          && remaining("query_id") === pen("query_id"))
+        .select(remaining("query_id"),
+          (lit(MmrLambda) * col("cosine") - lit(MmrPenalty) * col("pen"))
+            .as("score_raw"),
+          col("neighbor_id"))
+        .groupBy(col("query_id"))
+        .agg(org.apache.spark.sql.graft.native
+          .topKByScore(col("score_raw"), col("neighbor_id"), 1).as("top"))
+        .select(col("query_id"), col("top")(0)("id").as("neighbor_id"),
+          lit(t).as("mmr_rank"), col("top")(0)("score").as("score_raw"))
+      selected = selected.union(next)
+    }
+    // floor-based half-up rounding, NOT round(): the scores are
+    // products of 6-decimal-rounded sims, which land exactly on decimal
+    // midpoints (0.7·0.371485 = 0.2600395) — Spark's round goes through
+    // the shortest decimal repr (→ .26004) while DuckDB rounds the true
+    // binary value (→ .260039). floor(x·1e6 + 0.5)/1e6 evaluates the
+    // identical IEEE expression on both engines (NOTES lesson 29).
+    selected
+      .select(col("query_id"), col("mmr_rank").cast("int").as("mmr_rank"),
+        col("neighbor_id"),
+        (floor(col("score_raw") * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"))
+      .orderBy("query_id", "mmr_rank")
+  }
+
   /** Mirror unordered (id_a < id_b) pairs into both directions — the
     * equivalent of the `=!=` bucket self-join, but fed from the
     * skew-bounded [[CandidatePairs.boundedSelfJoin]]. An explode of a

@@ -94,6 +94,55 @@ object EventStream {
     out
   }
 
+  /** q94_stream_session_exec — sessionization graded through a GENUINE
+    * Structured Streaming execution, via Spark's native
+    * `session_window`: file-stream source → groupBy(user_id,
+    * session_window(ts, 30 min)) → memory sink in Complete mode, driven
+    * with `processAllAvailable` (q88's pattern applied to the
+    * merging-session state operator instead of tumbling windows —
+    * UpdatingSessionsExec / session merge in the state store is on the
+    * graded path).
+    *
+    * Boundary semantics BY CONSTRUCTION, not data accident:
+    * `session_window` extends each event to [ts, ts+gap) and merges
+    * overlapping windows, so a gap of EXACTLY 30 minutes starts a new
+    * session (half-open), while q25's lag rule (`diff > gap` continues)
+    * would merge it. The oracle for THIS query therefore splits on
+    * `diff >= gap` — the session_window contract — rather than reusing
+    * q25's SQL verbatim; on corpora with no exact-gap ties the two
+    * agree (the shipped data has none at any SF, but the oracle does
+    * not rely on that).
+    *
+    * Output mirrors q25: session_no is a user-partitioned row_number
+    * over the SESSION frame (cardinality = sessions, not events — the
+    * window runs over the already-aggregated sink table). At scale the
+    * state is bounded by open sessions per user and a real deployment
+    * adds a watermark + Append mode; Complete is what makes a bounded
+    * file run comparable (append never emits the tail sessions). */
+  def sessionizeStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = Tables.eventsStream(spark, sfDir)
+    val name = s"graft_stream_sess_${streamRunId.incrementAndGet()}"
+    val q = stream
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("s_start"))
+    val out = spark.table(name)
+      .select(col("user_id"), col("n_events"), col("s_start"), col("s_end"))
+      .withColumn("session_no", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_no"), col("n_events"),
+        date_format(col("s_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("s_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+      .orderBy("user_id", "session_no").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** q25_sessionize — batch sessionization: split each user's event
     * stream into sessions at >30-minute gaps via lag + cumulative-sum
     * windows (the SQL-expressible twin of the streaming [[sessionize]];

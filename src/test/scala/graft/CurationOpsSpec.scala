@@ -239,4 +239,25 @@ class CurationOpsSpec extends SparkSuite {
     val ncells = kw.map(_._1).distinct.length
     assert(ncells > 1, "needs multiple cells to be a labeling")
   }
+
+  test("q95 cell drift: halves partition the corpus, ratios and flags recompute") {
+    val rows = Pipeline.cellDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    val totOld = rows.map(_._2).sum
+    val totNew = rows.map(_._3).sum
+    assert(totOld + totNew == n, "old/new halves must partition the corpus")
+    // midpoint split: both halves populated
+    assert(totOld > 0 && totNew > 0)
+    for ((cent, nOld, nNew, ratio, drifted) <- rows) {
+      val expect = BigDecimal.valueOf(
+          ((nNew + 1L).toDouble * (totOld + 1L).toDouble) /
+            ((nOld + 1L).toDouble * (totNew + 1L).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+      assert(ratio == expect, s"cell $cent ratio $ratio != $expect")
+      val bound = graft.operators.Pipeline.DriftBound
+      assert(drifted == (if (ratio < 1.0 / bound || ratio > bound) 1 else 0))
+    }
+  }
 }

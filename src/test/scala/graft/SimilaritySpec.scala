@@ -448,4 +448,69 @@ class SimilaritySpec extends SparkSuite {
     assert(res.map(_._1).forall(q => q >= s && q < s + 10))
     assert(res.map(_._2).exists(_ < s), "expected at least one base-corpus neighbor")
   }
+
+  private lazy val labelOf: Map[Long, Int] =
+    graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("q92 kNN label propagation matches a driver-side vote over exact top-3 labeled neighbors") {
+    val got = Similarity.knnLabel(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))).toMap
+    val queries = labelOf.keys.filter(id => id % 10 == 0 && id < 100).toSeq.sorted
+    assert(got.keys.toSeq.sorted == queries)
+    for (q <- queries) {
+      val qv = vectors(q)
+      val top = vectors.toSeq.filter(_._1 % 10 != 0)
+        .map { case (id, v) => (id, cosine(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.KnnLabelK)
+      val votes = top.groupBy(p => labelOf(p._1)).view.mapValues(_.size.toLong).toMap
+      val (pred, nv) = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      val (gp, gt, gv, gc) = got(q)
+      assert(gp == pred && gv == nv, s"query $q: got ($gp, $gv) expected ($pred, $nv)")
+      assert(gt == labelOf(q) && gc == (if (pred == labelOf(q)) 1 else 0))
+    }
+  }
+
+  /** Spark round() semantics (shortest-decimal-repr HALF_UP) — what the
+    * engine's pool/psim rounding produces. */
+  private def sparkRound6(d: Double): Double =
+    BigDecimal.valueOf(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+
+  test("q93 MMR re-rank replays the greedy recurrence over rounded sims") {
+    val got = Similarity.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == Similarity.MmrQueries * Similarity.MmrK)
+    val byQuery = got.groupBy(_._1)
+    for (q <- 0L until Similarity.MmrQueries.toLong) {
+      val qv = vectors(q)
+      val pool = vectors.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cosine(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Similarity.MmrPool)
+        .map { case (id, c) => (id, sparkRound6(c)) }
+      val ps = (for ((a, _) <- pool; (b, _) <- pool if a != b)
+        yield (a, b) -> sparkRound6(cosine(vectors(a), vectors(b)))).toMap
+      var selected = Vector.empty[(Long, Double)]
+      for (_ <- 1 to Similarity.MmrK) {
+        // step 1 argmaxes the rounded COSINE (like the engine/oracle),
+        // not λ·cosine — multiplying by λ could merge near-ties
+        val cand = pool.filterNot(p => selected.exists(_._1 == p._1)).map { case (id, c) =>
+          if (selected.isEmpty) (id, c, Similarity.MmrLambda * c)
+          else {
+            val pen = selected.map(s => ps((id, s._1))).max
+            val score = Similarity.MmrLambda * c - Similarity.MmrPenalty * pen
+            (id, score, score)
+          }
+        }
+        val pick = cand.sortBy { case (id, key, _) => (-key, id) }.head
+        selected :+= ((pick._1, pick._3))
+      }
+      val exp = selected.zipWithIndex.map { case ((id, sc), i) =>
+        (q, i + 1, id, math.floor(sc * 1e6 + 0.5) / 1e6) }
+      val gotQ = byQuery(q).sortBy(_._2).map(t => (t._1, t._2, t._3, t._4)).toVector
+      assert(gotQ == exp, s"query $q: got $gotQ expected $exp")
+    }
+  }
 }

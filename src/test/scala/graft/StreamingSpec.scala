@@ -293,4 +293,31 @@ class StreamingSpec extends SparkSuite {
       assert(batchRows == rows)
     } finally query.stop()
   }
+
+  test("q94 streamed session_window equals a batch >=-gap sessionization row-for-row") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val got = EventStream.sessionizeStreamed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    // batch twin with session_window's split rule: a gap of EXACTLY the
+    // 30-minute threshold starts a new session (half-open windows)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = graft.sources.Tables.events(spark, sfDir)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull
+          || unix_millis(col("ts")) - col("prev_ms") >= 1800000L, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    assert(got.sorted.toSeq == expected.sorted.toSeq,
+      "streaming session_window diverged from the batch >=-gap rule")
+    assert(got.nonEmpty)
+  }
 }
