@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Indexes {
 
-  /** Build (or reuse) and persist all three index artifacts for a
+  /** Build (or reuse) and persist all four index artifacts for a
     * corpus. Requires `spark.graft.indexDir` to be set. */
   def persistAll(spark: SparkSession, sfDir: String): Unit = {
     IndexStore.write(spark, Similarity.trainedCodebook(spark, sfDir),
@@ -28,6 +28,8 @@ object Indexes {
       Similarity.HierCellsArtifact, sfDir)
     IndexStore.write(spark, Dedup.verifiedPairs(spark, sfDir),
       Dedup.PairsArtifact, sfDir)
+    IndexStore.write(spark, Similarity.sqStats(spark, sfDir),
+      Similarity.SqStatsArtifact, sfDir)
   }
 
   /** Drop this session's in-memory artifact entries so the next access
@@ -38,6 +40,7 @@ object Indexes {
   def evictSession(spark: SparkSession): Unit = {
     IndexStore.evict(Similarity.codebookCache, spark)
     IndexStore.evict(Similarity.hierCellsCache, spark)
+    IndexStore.evict(Similarity.sqStatsCache, spark)
     IndexStore.evict(Dedup.pairCache, spark)
   }
 }

@@ -1255,43 +1255,72 @@ object Similarity {
     *     cross-engine, where a round() would sit on float grid
     *     midpoints (the q71 lesson);
     *   - search: ASYMMETRIC distance — exact query components against
-    *     DEQUANTIZED corpus codes (6dp-rounded reconstruction), summed
-    *     per (query, vec) via a broadcast join on d + one
-    *     partial-aggregable aggregation, ranked by the native top-k.
+    *     the DEQUANTIZED reconstruction (6dp-rounded), fused into ONE
+    *     native scan-local expression ([[org.apache.spark.sql.graft
+    *     .Sq8AsymDist]]: encode + dequantize + squared-diff accumulate
+    *     per candidate row), ranked by the native top-k. The grid rides
+    *     along as a broadcast 1-row frame.
     *
-    * Scale shape: encode touches each component once; the search here
-    * is the brute-force memory-tier baseline (n·[[Dims]]·queries
-    * multiply-adds over 8-bit codes) — the where-to-look composition
-    * is q82's cells⋈probes pattern with SQ8 replacing PQ as the
-    * scorer, unchanged plumbing. */
-  /** (vec_id, d, dx): the 6dp dequantized SQ8 reconstruction of every
-    * corpus component — the decode side of the 64 B/vector code table
-    * (shared by q84's brute-force and q85's IVF-composed search). */
-  private[graft] def sqDequantized(spark: SparkSession, sfDir: String): DataFrame = {
-    val comp = components(spark, sfDir)
-    // per-dimension affine range — 64 rows, broadcast everywhere
-    val stats = broadcast(comp.groupBy("d")
-      .agg(min(col("x")).as("lo"), max(col("x")).as("hi")))
-    // encode (code) and 6dp dequantized reconstruction (dx) in one pass
-    comp.join(stats, "d")
-      .select(col("vec_id"), col("d"),
-        when(col("hi") === col("lo"), lit(0))
-          .otherwise(least(floor((col("x") - col("lo")) * SqLevels / (col("hi") - col("lo"))),
-            lit(SqLevels.toDouble))).cast("int").as("code"),
+    * Scale shape: the search is the brute-force memory-tier baseline
+    * (n·[[Dims]]·queries multiply-adds over 8-bit codes) but carries
+    * only n·queries SCORED rows into the ranking exchange — the
+    * previous exploded formulation shuffled the full n·Dims·queries
+    * component product (measured 4× q84 wall-clock at sf0.1); the
+    * where-to-look composition is q82's cells⋈probes pattern with SQ8
+    * replacing PQ as the scorer, unchanged plumbing. */
+  /** One-row frame holding the packed SQ8 quantizer
+    * `s = [lo_0, hi_0, …, lo_63, hi_63] ++ grid`, where
+    * `grid[d·(SqLevels+1) + code]` is the 6dp-rounded reconstruction of
+    * `code` in dimension d. The (lo, hi) pairs come from ONE exact
+    * partial-aggregable min/max pass; the reconstruction GRID is
+    * precomputed here over the dims×(SqLevels+1) code table — 16k
+    * `round()`s once per train, instead of one decimal rounding per
+    * scored component (measured: the in-loop rounding was most of q84's
+    * scoring cost). The collect_list/transform tails run on 64- and
+    * 16k-row frames — interpreted eval is irrelevant there (NOTES:
+    * higher-order functions stay off CORPUS-sized paths, not off
+    * knob-bounded frames). */
+  private[graft] val sqStatsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Artifact-store name for the packed SQ8 quantizer. */
+  val SqStatsArtifact = "sq8_quantizer"
+  private[graft] def sqStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.IndexStore.memo(sqStatsCache, spark, sfDir, SqStatsArtifact) {
+      buildSqStats(spark, sfDir).localCheckpoint()
+    }
+
+  private def buildSqStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = components(spark, sfDir)
+      .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val lohi = st
+      .agg(sort_array(collect_list(struct(col("d"), col("lo"), col("hi")))).as("sl"))
+      .select(flatten(transform(col("sl"), e => array(e("lo"), e("hi")))).as("lh"))
+    // dx via the same Column round() the exploded form used — Spark
+    // round (shortest-decimal HALF_UP) semantics, evaluated 16k times
+    // total rather than per scored component
+    val grid = st
+      .select(col("d"), explode(sequence(lit(0), lit(SqLevels))).as("code"),
         col("lo"), col("hi"))
-      .select(col("vec_id"), col("d"),
+      .select(col("d"), col("code"),
         round(col("lo") + col("code") * (col("hi") - col("lo")) / SqLevels, 6).as("dx"))
+      .agg(sort_array(collect_list(struct(col("d"), col("code"), col("dx")))).as("gl"))
+      .select(transform(col("gl"), e => e("dx")).as("g"))
+    lohi.crossJoin(grid).select(concat(col("lh"), col("g")).as("s"))
   }
 
   def annSq(spark: SparkSession, sfDir: String): DataFrame = {
-    val comp = components(spark, sfDir)
-    val dq = sqDequantized(spark, sfDir)
-    val qs = broadcast(comp.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("d"), col("x").as("qx")))
-    dq.join(qs, "d")
+    val v = vecs(spark, sfDir)
+    val qs = broadcast(v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    // encode+dequantize+distance fused into the native expression at the
+    // corpus scan — the exploded 64×-row join/aggregate this replaces
+    // paid a Dims·n·queries-row shuffle for the same doubles
+    v.crossJoin(broadcast(sqStats(spark, sfDir)))
+      .crossJoin(qs)
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(round(sum((col("qx") - col("dx")) * (col("qx") - col("dx"))), 6).as("adist"))
+      .select(col("query_id"), col("vec_id"),
+        round(org.apache.spark.sql.graft.native
+          .sq8Adist(col("qv"), col("v"), col("s"), SqLevels), 6).as("adist"))
       .transform(rankApproxDist("vec_id"))
   }
 
@@ -1318,13 +1347,16 @@ object Similarity {
       .join(cells.select(col("vec_id").as("neighbor_id"), col("cent_id")), "cent_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
-    val dq = sqDequantized(spark, sfDir).withColumnRenamed("vec_id", "neighbor_id")
-    val qs = broadcast(components(spark, sfDir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("d"), col("x").as("qx")))
-    cand.join(dq, "neighbor_id")
-      .join(qs, Seq("query_id", "d"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(round(sum((col("qx") - col("dx")) * (col("qx") - col("dx"))), 6).as("adist"))
+    val v = vecs(spark, sfDir)
+    val qs = broadcast(v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    cand
+      .join(v.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
+      .join(qs, "query_id")
+      .crossJoin(broadcast(sqStats(spark, sfDir)))
+      .select(col("query_id"), col("neighbor_id"),
+        round(org.apache.spark.sql.graft.native
+          .sq8Adist(col("qv"), col("nv"), col("s"), SqLevels), 6).as("adist"))
       .transform(rankApproxDist("neighbor_id"))
   }
 }

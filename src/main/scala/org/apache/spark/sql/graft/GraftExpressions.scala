@@ -9,7 +9,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
@@ -155,6 +155,73 @@ object SignedProjection {
       t += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+/** Fused SQ8 asymmetric squared-L2 distance: exact query components vs
+  * the scalar-quantized reconstruction of a corpus vector, in ONE
+  * scan-local pass — encode (floor against the per-dimension affine
+  * [lo, hi] grid), 6-decimal dequantize, and the squared-difference
+  * accumulation that the exploded formulation ran as a 64×-row
+  * broadcast join + shuffled aggregate (the q15/SignedProjection
+  * precedent applied to the SQ8 scorer: distance is computed where the
+  * code row is scanned, zero exchanges beyond the candidate join).
+  *
+  * `stats` is the packed quantizer `[lo_0, hi_0, …, lo_{dims-1},
+  * hi_{dims-1}] ++ grid` where `grid[d·(levels+1) + code]` is the
+  * PRE-ROUNDED reconstruction of `code` in dimension d (dims derived
+  * from the array length as `len / (levels+3)`) — a corpus aggregate
+  * carried as a broadcast 1-row frame rather than a literal. The
+  * encode arithmetic is EXPRESSION-IDENTICAL to the Column/oracle form
+  * (NOTES: floor — never round — on the quantizer grid); the decimal
+  * rounding of the reconstruction happens ONCE per (d, code) when the
+  * grid is built (a per-component `BigDecimal` rounding in this loop
+  * was most of the scoring cost — `valueOf` stringifies), and the
+  * accumulation runs in ascending-d order so results are
+  * deterministic. Null components contribute nothing, matching SUM's
+  * null-skip over exploded rows. */
+case class Sq8AsymDist(first: Expression, second: Expression, third: Expression, levels: Int)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_adist"
+
+  override def nullSafeEval(q: Any, v: Any, s: Any): Any =
+    Sq8AsymDist.compute(q.asInstanceOf[ArrayData], v.asInstanceOf[ArrayData],
+      s.asInstanceOf[ArrayData], levels)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, v, s) =>
+      s"org.apache.spark.sql.graft.Sq8AsymDist.compute($q, $v, $s, $levels)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object Sq8AsymDist {
+  def compute(q: ArrayData, v: ArrayData, s: ArrayData, levels: Int): Double = {
+    val dims = s.numElements() / (levels + 3) // 2 lo/hi + (levels+1) grid per dim
+    val gridBase = 2 * dims
+    val n = math.min(math.min(q.numElements(), v.numElements()), dims)
+    var acc = 0.0
+    var d = 0
+    while (d < n) {
+      if (!q.isNullAt(d) && !v.isNullAt(d)) {
+        val lo = s.getDouble(2 * d)
+        val hi = s.getDouble(2 * d + 1)
+        val code =
+          if (hi == lo) 0
+          else math.min(math.floor((v.getDouble(d) - lo) * levels / (hi - lo)), levels.toDouble).toInt
+        val dx = s.getDouble(gridBase + d * (levels + 1) + code)
+        val diff = q.getDouble(d) - dx
+        acc += diff * diff
+      }
+      d += 1
+    }
+    acc
   }
 }
 
@@ -616,6 +683,11 @@ object native {
   def signedProjection(v: Column, weights: Seq[Double], tables: Int, bits: Int, dims: Int): Column =
     ExpressionUtils.column(
       SignedProjection(ExpressionUtils.expression(v), weights, tables, bits, dims))
+
+  def sq8Adist(q: Column, v: Column, stats: Column, levels: Int): Column =
+    ExpressionUtils.column(
+      Sq8AsymDist(ExpressionUtils.expression(q), ExpressionUtils.expression(v),
+        ExpressionUtils.expression(stats), levels))
 }
 
 /** Native polynomial rolling-hash over a string's UTF-8 bytes: emits the
