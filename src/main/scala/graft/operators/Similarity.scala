@@ -263,12 +263,13 @@ object Similarity {
     *
     * The corpus-scale work is exactly one [[topK]] pool build (same
     * shape as q16); everything after operates on queries×pool rows —
-    * the pool and its pairwise-similarity frame are localCheckpointed
-    * once (queries·pool² rows, bounded by the knobs, not the corpus)
-    * and the greedy recurrence is [[MmrK]] tiny joins + the native
-    * top-1 aggregate, no windows. Similarities are rounded to 6 before
-    * scoring on both engines (NOTES: round-then-combine is the
-    * cross-engine float contract); argmax ties break on neighbor_id. */
+    * the greedy recurrence replays entirely inside the native
+    * [[org.apache.spark.sql.graft.MmrSelectAgg]] aggregate (one
+    * ObjectHashAggregate pass over the pool⋈vectors frame; pairwise
+    * sims computed in-buffer over ≤pool² pairs per group, never
+    * materialized). Similarities are rounded to 6 before scoring on
+    * both engines (NOTES: round-then-combine is the cross-engine float
+    * contract); argmax ties break on neighbor_id. */
   def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
     val v = vecs(spark, sfDir)
     val ids = Tables.embeddings(spark, sfDir).select(col("vec_id"))
@@ -278,62 +279,29 @@ object Similarity {
       .filter(col("vec_a") =!= col("vec_b"))
     // (query_id, neighbor_id, rank, cosine): cosine rounded 6 by topK —
     // the value MMR scores over (the oracle rounds identically)
-    val pool = topK(cand, v, MmrPool).localCheckpoint()
-    val m = pool.select(col("query_id"), col("neighbor_id"))
-    val within = broadcast(m.as("a")).join(m.as("b"), Seq("query_id"))
-      .filter(col("a.neighbor_id") =!= col("b.neighbor_id"))
-      .select(col("query_id"), col("a.neighbor_id").as("na"),
-        col("b.neighbor_id").as("nb"))
-    val psim = broadcast(within)
-      .join(v.select(col("vec_id").as("na"), col("v").as("va")), "na")
-      .join(v.select(col("vec_id").as("nb"), col("v").as("vb")), "nb")
-      .select(col("query_id"), col("na"), col("nb"),
-        round(org.apache.spark.sql.graft.native
-          .cosineSim(col("va"), col("vb")), 6).as("ps"))
-      .localCheckpoint()
-    // step 1: pure relevance (empty selected set ⇒ zero penalty).
-    // Argmax over the ROUNDED cosine (not pool rank, which orders by the
-    // raw value): scoring operates on the rounded frame on both engines,
-    // so the selection ordering must too.
-    var selected = pool
+    val pool = topK(cand, v, MmrPool)
+    // the greedy recurrence runs INSIDE the native aggregate — one pass
+    // over the (queries×pool)-row frame, each group replaying argmax
+    // λ·rel − penalty·max round6(cos) with the same tie/NULL rules the
+    // unrolled join formulation had (which cost k tiny Spark jobs + two
+    // checkpointed frames per run; the pool build stays the only
+    // corpus-scale stage)
+    broadcast(pool.select(col("query_id"), col("neighbor_id"), col("cosine")))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
       .groupBy(col("query_id"))
       .agg(org.apache.spark.sql.graft.native
-        .topKByScore(col("cosine"), col("neighbor_id"), 1).as("top"))
-      .select(col("query_id"), col("top")(0)("id").as("neighbor_id"),
-        lit(1).as("mmr_rank"),
-        (lit(MmrLambda) * col("top")(0)("score")).as("score_raw"))
-    for (t <- 2 to MmrK) {
-      val remaining = pool
-        .join(selected.select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id"), "left_anti")
-      val pen = psim
-        .join(selected.select(col("query_id"), col("neighbor_id").as("nb")),
-          Seq("query_id", "nb"))
-        .groupBy(col("query_id"), col("na")).agg(max(col("ps")).as("pen"))
-      val next = remaining
-        .join(pen, remaining("neighbor_id") === pen("na")
-          && remaining("query_id") === pen("query_id"))
-        .select(remaining("query_id"),
-          (lit(MmrLambda) * col("cosine") - lit(MmrPenalty) * col("pen"))
-            .as("score_raw"),
-          col("neighbor_id"))
-        .groupBy(col("query_id"))
-        .agg(org.apache.spark.sql.graft.native
-          .topKByScore(col("score_raw"), col("neighbor_id"), 1).as("top"))
-        .select(col("query_id"), col("top")(0)("id").as("neighbor_id"),
-          lit(t).as("mmr_rank"), col("top")(0)("score").as("score_raw"))
-      selected = selected.union(next)
-    }
-    // floor-based half-up rounding, NOT round(): the scores are
-    // products of 6-decimal-rounded sims, which land exactly on decimal
-    // midpoints (0.7·0.371485 = 0.2600395) — Spark's round goes through
-    // the shortest decimal repr (→ .26004) while DuckDB rounds the true
-    // binary value (→ .260039). floor(x·1e6 + 0.5)/1e6 evaluates the
-    // identical IEEE expression on both engines (NOTES lesson 29).
-    selected
-      .select(col("query_id"), col("mmr_rank").cast("int").as("mmr_rank"),
-        col("neighbor_id"),
-        (floor(col("score_raw") * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"))
+        .mmrSelect(col("cosine"), col("neighbor_id"), col("v"),
+          MmrLambda, MmrPenalty, MmrK).as("sel"))
+      .select(col("query_id"), posexplode(col("sel")).as(Seq("pos", "s")))
+      // floor-based half-up rounding, NOT round(): the scores are
+      // products of 6-decimal-rounded sims, which land exactly on decimal
+      // midpoints (0.7·0.371485 = 0.2600395) — Spark's round goes through
+      // the shortest decimal repr (→ .26004) while DuckDB rounds the true
+      // binary value (→ .260039). floor(x·1e6 + 0.5)/1e6 evaluates the
+      // identical IEEE expression on both engines (NOTES lesson 29).
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("mmr_rank"),
+        col("s.neighbor_id").as("neighbor_id"),
+        (floor(col("s.score_raw") * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"))
       .orderBy("query_id", "mmr_rank")
   }
 

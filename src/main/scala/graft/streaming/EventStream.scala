@@ -59,6 +59,21 @@ object EventStream {
 
   private val streamRunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered:
+    * a stateful streaming query instantiates one state-store instance
+    * per shuffle partition PER MICRO-BATCH (load + commit + delta
+    * file), so a bounded local run pays 32× that machinery for
+    * state that fits in a handful of stores. Production streams size
+    * this to their load; the graded bounded runs size it to theirs.
+    * The conf is restored even if the stream fails — batch queries
+    * planned after this call are unaffected. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** q88_stream_window_exec — the SAME windowed aggregation, but graded
     * through a GENUINE Structured Streaming execution: file-stream
     * source over the events parquet → watermark → windowed agg →
@@ -81,11 +96,13 @@ object EventStream {
   def windowQueryStreamed(spark: SparkSession, sfDir: String): DataFrame = {
     val stream = Tables.eventsStream(spark, sfDir)
     val name = s"graft_stream_win_${streamRunId.incrementAndGet()}"
-    val q = withWatermarkedWindow(stream).writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, 4) {
+      val q = withWatermarkedWindow(stream).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // materialize before dropping the sink's temp view so the returned
     // frame outlives the streaming query
     val out = spark.table(name)
@@ -122,14 +139,16 @@ object EventStream {
   def sessionizeStreamed(spark: SparkSession, sfDir: String): DataFrame = {
     val stream = Tables.eventsStream(spark, sfDir)
     val name = s"graft_stream_sess_${streamRunId.incrementAndGet()}"
-    val q = stream
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, 4) {
+      val q = stream
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("s_start"))
     val out = spark.table(name)

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, TernaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -647,6 +647,201 @@ object StripAccents {
   }
 }
 
+/** Greedy Maximal-Marginal-Relevance selection as ONE aggregate over a
+  * query's candidate pool: buffers (relevance, id, vector) rows, then at
+  * eval replays the Carbonell-Goldstein recurrence — pick argmax
+  * `λ·rel − penalty·max_{s∈selected} round6(cos(v, v_s))`, k times —
+  * entirely inside the aggregate. Replaces the k-step join/aggregate
+  * recurrence (k tiny Spark jobs + two checkpointed frames) with one
+  * ObjectHashAggregate pass over the pool frame; the corpus-scale work
+  * (building the pool) stays upstream.
+  *
+  * Determinism contract (must stay bit-identical to the unrolled SQL
+  * oracle): relevance arrives ALREADY 6dp-rounded; pairwise cosines
+  * accumulate ascending-d (the [[CosineSimilarity]] fold) and are
+  * rounded via `BigDecimal.valueOf` HALF_UP = Spark `round(_, 6)`;
+  * every argmax breaks score ties on lower id ([[TopKBuffer]]'s rule);
+  * zero-norm pairwise cosines are skipped like SQL `max` skips NULLs,
+  * and a candidate with NO defined pairwise cosine drops out of later
+  * steps exactly as the inner pen-join dropped it. Output is the
+  * selection order: `array<struct<neighbor_id, score_raw>>`. */
+case class MmrSelectAgg(
+    first: Expression,  // 6dp-rounded relevance (cosine to the query)
+    second: Expression, // candidate id
+    third: Expression,  // candidate vector (array<double>)
+    lambda: Double,
+    penalty: Double,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MmrBuffer] with TernaryLike[Expression] {
+
+  override def createAggregationBuffer(): MmrBuffer = new MmrBuffer
+
+  override def update(buf: MmrBuffer, input: InternalRow): MmrBuffer = {
+    val r = first.eval(input)
+    val i = second.eval(input)
+    val v = third.eval(input)
+    if (r != null && i != null && v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val arr = new Array[Double](a.numElements())
+      var d = 0
+      while (d < arr.length) {
+        arr(d) = if (a.isNullAt(d)) Double.NaN else a.getDouble(d)
+        d += 1
+      }
+      buf.add(r.asInstanceOf[Double], i.asInstanceOf[Long], arr)
+    }
+    buf
+  }
+
+  override def merge(b1: MmrBuffer, b2: MmrBuffer): MmrBuffer = { b1.addAll(b2); b1 }
+
+  override def eval(buf: MmrBuffer): Any = {
+    val sel = buf.select(lambda, penalty, k)
+    val out = new Array[Any](sel.length)
+    var i = 0
+    while (i < sel.length) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(sel(i)._1, sel(i)._2)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: MmrBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): MmrBuffer = MmrBuffer.fromBytes(bytes)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("score_raw", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "mmr_select"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MmrSelectAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MmrSelectAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): MmrSelectAgg =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+final class MmrBuffer {
+  var rels: Array[Double] = new Array[Double](8)
+  var ids: Array[Long] = new Array[Long](8)
+  var vectors: Array[Array[Double]] = new Array[Array[Double]](8)
+  var n = 0
+
+  def add(rel: Double, id: Long, v: Array[Double]): Unit = {
+    if (n == rels.length) {
+      rels = java.util.Arrays.copyOf(rels, n * 2)
+      ids = java.util.Arrays.copyOf(ids, n * 2)
+      vectors = java.util.Arrays.copyOf(vectors, n * 2)
+    }
+    rels(n) = rel; ids(n) = id; vectors(n) = v; n += 1
+  }
+
+  def addAll(o: MmrBuffer): Unit = {
+    var i = 0
+    while (i < o.n) { add(o.rels(i), o.ids(i), o.vectors(i)); i += 1 }
+  }
+
+  /** round6(cosine) with the CosineSimilarity fold; NaN marks undefined
+    * (zero-norm), the aggregate's stand-in for SQL NULL. */
+  private def psim(a: Array[Double], b: Array[Double]): Double = {
+    val m = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var d = 0
+    while (d < m) {
+      val x = a(d); val y = b(d)
+      if (!x.isNaN && !y.isNaN) { dot += x * y; na += x * x; nb += y * y }
+      d += 1
+    }
+    if (na == 0.0 || nb == 0.0) Double.NaN
+    else java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
+
+  def select(lambda: Double, penalty: Double, k: Int): Array[(Long, Double)] = {
+    val taken = new Array[Boolean](n)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    var step = 1
+    while (step <= k) {
+      var best = -1
+      var bestScore = 0.0
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          var score = Double.NaN
+          if (step == 1) {
+            // pure relevance step: argmax over the ROUNDED relevance,
+            // score recorded as λ·rel
+            score = rels(i)
+          } else {
+            var pen = Double.NaN
+            var j = 0
+            while (j < n) {
+              if (taken(j)) {
+                val p = psim(vectors(i), vectors(j))
+                if (!p.isNaN && (pen.isNaN || p > pen)) pen = p
+              }
+              j += 1
+            }
+            if (!pen.isNaN) score = lambda * rels(i) - penalty * pen
+          }
+          if (!score.isNaN && (best < 0 || better(score, ids(i), bestScore, ids(best))))
+            { best = i; bestScore = score }
+        }
+        i += 1
+      }
+      if (best < 0) return out.toArray // pool exhausted (or no defined pen)
+      taken(best) = true
+      out += ((ids(best), if (step == 1) lambda * rels(best) else bestScore))
+      step += 1
+    }
+    out.toArray
+  }
+
+  def toBytes: Array[Byte] = {
+    var size = 4
+    var i = 0
+    while (i < n) { size += 8 + 8 + 4 + 8 * vectors(i).length; i += 1 }
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(n)
+    i = 0
+    while (i < n) {
+      bb.putDouble(rels(i)); bb.putLong(ids(i)); bb.putInt(vectors(i).length)
+      vectors(i).foreach(bb.putDouble)
+      i += 1
+    }
+    bb.array()
+  }
+}
+
+object MmrBuffer {
+  def fromBytes(bytes: Array[Byte]): MmrBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new MmrBuffer
+    val m = bb.getInt
+    var i = 0
+    while (i < m) {
+      val r = bb.getDouble; val id = bb.getLong
+      val len = bb.getInt
+      val v = new Array[Double](len)
+      var d = 0
+      while (d < len) { v(d) = bb.getDouble; d += 1 }
+      buf.add(r, id, v)
+      i += 1
+    }
+    buf
+  }
+}
+
 /** Column-level entry points for the native expressions. */
 object native {
   def cosineSim(a: Column, b: Column): Column =
@@ -688,6 +883,12 @@ object native {
     ExpressionUtils.column(
       Sq8AsymDist(ExpressionUtils.expression(q), ExpressionUtils.expression(v),
         ExpressionUtils.expression(stats), levels))
+
+  def mmrSelect(rel: Column, id: Column, vec: Column,
+      lambda: Double, penalty: Double, k: Int): Column =
+    ExpressionUtils.column(
+      MmrSelectAgg(ExpressionUtils.expression(rel), ExpressionUtils.expression(id),
+        ExpressionUtils.expression(vec), lambda, penalty, k).toAggregateExpression())
 }
 
 /** Native polynomial rolling-hash over a string's UTF-8 bytes: emits the
