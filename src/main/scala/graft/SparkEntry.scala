@@ -107,7 +107,13 @@ object SparkEntry {
     "q92_knn_label"       -> (Similarity.knnLabel _),
     "q93_mmr_rerank"      -> (Similarity.mmrRerank _),
     "q94_stream_session_exec" -> (graft.streaming.EventStream.sessionizeStreamed _),
-    "q95_cell_drift"      -> (Pipeline.cellDrift _)
+    "q95_cell_drift"      -> (Pipeline.cellDrift _),
+    "q96_phrase_search"   -> (Indexing.phraseSearch _),
+    "q97_bpe_merges"      -> (TextAnalysis.bpeMerges _),
+    "q98_ngram_novelty"   -> (TextAnalysis.ngramNovelty _),
+    "q99_split_assign"    -> (Sampling.splitAssign _),
+    "q100_corpus_overlap" -> (Pipeline.corpusOverlap _),
+    "q101_event_paths"    -> (Relational.eventPaths _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1356,6 +1362,115 @@ object SparkEntry {
         |       (CASE WHEN drift_ratio < ${1.0 / DriftBound} OR drift_ratio > $DriftBound
         |             THEN 1 ELSE 0 END)::INT AS drifted
         |FROM ratios ORDER BY cent_id""".stripMargin)
+    },
+    "q96_phrase_search" -> {
+      import graft.operators.Indexing.{PhraseQueries, PhraseTopK}
+      val values = PhraseQueries.map { p =>
+        val Array(a, b) = p.split(" ", 2)
+        s"('$p', '$a', '$b')"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        |tok AS (SELECT doc_id, i AS pos, w[i] AS term
+        |        FROM t, unnest(range(1, len(w) + 1)) s(i)),
+        |q(phrase, w1, w2) AS (VALUES $values),
+        |hits AS (
+        |  SELECT q.phrase, a.doc_id, count(*)::BIGINT AS n_hits
+        |  FROM q
+        |  JOIN tok a ON a.term = q.w1
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = q.w2
+        |  GROUP BY 1, 2
+        |),
+        |ranked AS (
+        |  SELECT phrase, doc_id, n_hits,
+        |         row_number() OVER (PARTITION BY phrase ORDER BY n_hits DESC, doc_id ASC) AS rnk
+        |  FROM hits
+        |)
+        |SELECT phrase, rnk::INT AS "rank", doc_id, n_hits
+        |FROM ranked WHERE rnk <= $PhraseTopK ORDER BY phrase, rnk""".stripMargin
+    },
+    "q97_bpe_merges" -> {
+      import graft.operators.TextAnalysis.BpeTopK
+      s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS n FROM w GROUP BY 1),
+        |p AS (SELECT substr(w, i, 2) AS pair, n
+        |      FROM wc, unnest(range(1, length(w))) t(i)
+        |      WHERE length(w) >= 2)
+        |SELECT pair, sum(n)::BIGINT AS freq FROM p GROUP BY 1
+        |ORDER BY freq DESC, pair ASC LIMIT $BpeTopK""".stripMargin
+    },
+    "q98_ngram_novelty" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] AS g
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents),
+        |       unnest(range(1, len(w) - 1)) t(i)
+        |),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+        |       sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        |       floor(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::DOUBLE
+        |             / count(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS novelty
+        |FROM sh s JOIN f USING (g) GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    "q99_split_assign" -> {
+      import graft.operators.Sampling.{TrainPerMille, ValPerMille}
+      s"""WITH a AS (
+        |  SELECT lang,
+        |         CASE WHEN ('0x' || substr(md5('spl_' || doc_id), 1, 7))::BIGINT % 1000 < $TrainPerMille THEN 'train'
+        |              WHEN ('0x' || substr(md5('spl_' || doc_id), 1, 7))::BIGINT % 1000 < $ValPerMille THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents
+        |),
+        |ps AS (SELECT lang, split, count(*)::BIGINT AS n_docs FROM a GROUP BY 1, 2),
+        |pl AS (SELECT lang, sum(n_docs)::BIGINT AS n_lang FROM ps GROUP BY 1)
+        |SELECT ps.lang, ps.split, ps.n_docs,
+        |       floor(ps.n_docs::DOUBLE / pl.n_lang::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS share
+        |FROM ps JOIN pl USING (lang) ORDER BY lang, split""".stripMargin
+    },
+    "q100_corpus_overlap" ->
+      """WITH halfp AS (SELECT count(*) // 2 AS half FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] AS g
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents),
+        |       unnest(range(1, len(w) - 1)) t(i)
+        |),
+        |bits AS (
+        |  SELECT g,
+        |         max(CASE WHEN doc_id < (SELECT half FROM halfp) THEN 1 ELSE 0 END)::BIGINT AS in_old,
+        |         max(CASE WHEN doc_id >= (SELECT half FROM halfp) THEN 1 ELSE 0 END)::BIGINT AS in_new
+        |  FROM sh GROUP BY 1
+        |)
+        |SELECT sum(in_old)::BIGINT AS n_old, sum(in_new)::BIGINT AS n_new,
+        |       sum(in_old * in_new)::BIGINT AS n_common,
+        |       floor(sum(in_old * in_new)::DOUBLE /
+        |             (sum(in_old) + sum(in_new) - sum(in_old * in_new))::DOUBLE
+        |             * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+        |       floor(sum(in_old * in_new)::DOUBLE / sum(in_new)::DOUBLE
+        |             * 1000000.0 + 0.5) / 1000000.0 AS containment_new
+        |FROM bits""".stripMargin,
+    "q101_event_paths" -> {
+      import graft.operators.Relational.PathTopK
+      s"""WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM o
+        |),
+        |p AS (
+        |  SELECT event_type || '>' || lead(event_type, 1) OVER w2
+        |           || '>' || lead(event_type, 2) OVER w2 AS path,
+        |         lead(event_type, 2) OVER w2 AS e3
+        |  FROM s
+        |  WINDOW w2 AS (PARTITION BY user_id, session_no ORDER BY ts, event_id)
+        |)
+        |SELECT path, count(*)::BIGINT AS n FROM p WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT $PathTopK""".stripMargin
     },
     "q85_ann_ivf_sq8" -> {
       import graft.operators.Similarity.{BucketK, Dims, IvfNProbe, SqLevels}

@@ -67,6 +67,50 @@ object Indexing {
       .orderBy("term", "segment")
   }
 
+  /** The fixed phrase queries (each exactly two corpus-vocabulary
+    * words) and per-phrase result depth. */
+  val PhraseQueries: Seq[String] = Seq("table hash", "customer join", "merge group")
+  val PhraseTopK = 10
+
+  /** q96_phrase_search — exact phrase retrieval, the query type the
+    * POSITIONAL index (q72) stores positions for: a two-word phrase
+    * matches where the words occupy ADJACENT token positions
+    * (pos₂ = pos₁ + 1), and each phrase returns its top
+    * [[PhraseTopK]] documents by occurrence count (ties on doc_id).
+    *
+    * Scale shape: the query-term membership filter rides the tokenize
+    * projection, so only query-term postings ever reach a shuffle —
+    * the posting-list join is keyed by (phrase, doc_id), meaning a
+    * stopword-heavy phrase grows each doc's key group by its in-doc
+    * tf, never by corpus df (the q72 segment lesson applied to
+    * retrieval); the adjacency test is an equi-join on pos+1 inside
+    * that key; per-phrase ranking is the native map-side top-k
+    * aggregate ([[org.apache.spark.sql.graft.TopKByScore]]: count
+    * DESC, doc_id ASC — the exchange carries phrases×k rows). */
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(T.alphaTokens(col("text"))).as(Seq("pos", "term")))
+    val q = PhraseQueries.map { p =>
+      val Array(a, b) = p.split(" ", 2)
+      (p, a, b)
+    }.toDF("phrase", "w1", "w2")
+    val t1 = toks.join(broadcast(q.select(col("phrase"), col("w1").as("term"))), "term")
+      .select(col("phrase"), col("doc_id"), col("pos"))
+    val t2 = toks.join(broadcast(q.select(col("phrase"), col("w2").as("term"))), "term")
+      .select(col("phrase"), col("doc_id"), (col("pos") - 1).as("pos"))
+    t1.join(t2, Seq("phrase", "doc_id", "pos"))
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .groupBy(col("phrase"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(col("n_hits").cast("double"), col("doc_id"), PhraseTopK).as("top"))
+      .select(col("phrase"), posexplode(col("top")).as(Seq("p", "s")))
+      .select(col("phrase"), (col("p") + 1).cast("int").as("rank"),
+        col("s.id").as("doc_id"), col("s.score").cast("long").as("n_hits"))
+      .orderBy("phrase", "rank")
+  }
+
   /** BM25 parameters (Robertson/Spärck Jones defaults). */
   val Bm25K1 = 1.2
   val Bm25B = 0.75

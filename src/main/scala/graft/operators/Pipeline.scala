@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.functions.{TextFunctions => T}
+import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -193,6 +195,41 @@ object Pipeline {
         (col("drift_ratio") < lit(1.0) / lit(DriftBound)
           || col("drift_ratio") > lit(DriftBound)).cast("int").as("drifted"))
       .orderBy("cent_id")
+  }
+
+  /** q100_corpus_overlap — cross-corpus n-gram overlap report: split
+    * the corpus at the doc_id midpoint into an "old" and "new" half
+    * (two ingestion epochs, the q95 convention) and measure their
+    * DISTINCT word-3-shingle overlap — shingle counts per half, the
+    * intersection, Jaccard, and new-half containment. This is the
+    * corpus-pair diligence check run before merging an acquired/new
+    * dataset into a training mix (high containment ⇒ the new corpus
+    * adds little; the aggregate form of q51's per-doc contamination
+    * and q98's per-doc novelty).
+    *
+    * Scale shape: ONE keyed aggregate over exploded distinct shingles
+    * (per-shingle old/new presence bits via conditional max — partial
+    * map-side), then a 1-row total roll-up; the midpoint is a 1-row
+    * broadcast, so corpus rows stream through exactly once. Ratios use
+    * the floor(x·1e6+0.5) contract (NOTES lesson 29). */
+  def corpusOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val halfF = docs.agg(expr("count(1) div 2").as("half"))
+    val bits = docs.crossJoin(broadcast(halfF))
+      .select(col("doc_id"), col("half"),
+        explode(T.shingleSet(T.wsTokens(col("text")), 3)).as("g"))
+      .groupBy(col("g"))
+      .agg(max(when(col("doc_id") < col("half"), 1L).otherwise(0L)).as("in_old"),
+        max(when(col("doc_id") >= col("half"), 1L).otherwise(0L)).as("in_new"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    bits.agg(sum(col("in_old")).as("n_old"), sum(col("in_new")).as("n_new"),
+        sum(col("in_old") * col("in_new")).as("n_common"))
+      .select(col("n_old"), col("n_new"), col("n_common"),
+        r6(col("n_common").cast("double") /
+          (col("n_old") + col("n_new") - col("n_common")).cast("double")).as("jaccard"),
+        r6(col("n_common").cast("double") / col("n_new").cast("double"))
+          .as("containment_new"))
   }
 
   def curate(spark: SparkSession, sfDir: String): DataFrame = {

@@ -448,6 +448,49 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Result depth for [[eventPaths]]. */
+  val PathTopK = 10
+
+  /** q101_event_paths — session path mining: the top-[[PathTopK]] most
+    * frequent 3-step `event_type` sequences taken by consecutive
+    * events INSIDE one session (q25's session rule: a >30-minute gap
+    * splits) — the navigation-pattern summary behind "what do users do
+    * before purchasing" product analytics, and the event-stream twin
+    * of q35's n-gram counting.
+    *
+    * Scale shape: sessions + the two lookaheads are windows partitioned
+    * by user_id (per-user history, bounded — the q25/q27 precedent;
+    * the lead window additionally keys by session so a path can never
+    * straddle a session boundary); ordering adds event_id after ts so
+    * same-timestamp events have ONE deterministic order on both
+    * engines (q25 gets this for free from its µs-unique data, but a
+    * path query is order-SENSITIVE, so the contract is explicit);
+    * path counting is one partial-aggregable aggregate and the final
+    * ranking is orderBy+limit (TakeOrderedAndProject). */
+  def eventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(byUser).isNull
+          || unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(byUser) > 1800000L,
+          1L).otherwise(0L))
+      .withColumn("session_no",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val bySession = Window.partitionBy(col("user_id"), col("session_no"))
+      .orderBy(col("ts"), col("event_id"))
+    ev
+      .withColumn("e2", lead(col("event_type"), 1).over(bySession))
+      .withColumn("e3", lead(col("event_type"), 2).over(bySession))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(PathTopK)
+  }
+
   /** q77_json_props — schema-on-read JSON extraction: parse the
     * `events.props` JSON column with an explicit schema (`from_json`)
     * and aggregate over the extracted field — the semi-structured

@@ -164,6 +164,46 @@ object Sampling {
       .orderBy("vec_id")
   }
 
+  /** Per-mille split boundaries: bucket < 800 → train,
+    * < 900 → val, else test. */
+  val TrainPerMille = 800
+  val ValPerMille = 900
+
+  /** q99_split_assign — leakage-free train/val/test assignment: every
+    * doc lands in exactly ONE split via its md5 per-mille bucket
+    * (80/10/10), and the graded output is the per-(lang, split) audit —
+    * counts plus each split's observed share of its language stratum.
+    * Hash-splitting is how production pipelines do it (a ranked exact
+    * split would need per-stratum global order — q61's machinery — and
+    * re-shuffles membership every time the corpus grows; hash buckets
+    * are STABLE under ingestion, so yesterday's test doc can never
+    * drift into tomorrow's train set).
+    *
+    * Scale shape: assignment is a scan-local projection (no RNG, no
+    * shuffle — the q48 membership trick with disjoint ranges instead
+    * of a keep predicate); the audit is one partial-aggregable
+    * aggregate over (lang, split) plus a broadcast-back of the
+    * |languages|-row stratum totals. The share uses the
+    * floor(x·1e6+0.5) contract (small-integer ratios sit on decimal
+    * midpoints — NOTES lesson 29). */
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = Tables.documents(spark, sfDir)
+      .withColumn("bucket",
+        pmod(H.md5Int28(concat(lit("spl_"), col("doc_id").cast("string"))), lit(1000)))
+      .withColumn("split",
+        when(col("bucket") < TrainPerMille, lit("train"))
+          .when(col("bucket") < ValPerMille, lit("val"))
+          .otherwise(lit("test")))
+    val perSplit = assigned.groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+    val perLang = perSplit.groupBy("lang").agg(sum(col("n_docs")).as("n_lang"))
+    perSplit.join(broadcast(perLang), "lang")
+      .select(col("lang"), col("split"), col("n_docs"),
+        (floor(col("n_docs").cast("double") / col("n_lang").cast("double") * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("share"))
+      .orderBy("lang", "split")
+  }
+
   /** [[langBalance]] over an arbitrary (doc_id, lang, source) frame. */
   private[graft] def langBalanceFrom(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))

@@ -475,4 +475,64 @@ object TextAnalysis {
         size(col("ck")).as("n_tokens"),
         array_join(col("ck"), " ").as("chunk_text"))
       .orderBy("doc_id", "chunk_no")
+
+  /** Merge candidates returned by [[bpeMerges]]. */
+  val BpeTopK = 20
+
+  /** q97_bpe_merges — the first BPE induction step (Sennrich et al.
+    * 2016): rank adjacent character-pair frequencies over the corpus;
+    * the top pair is the merge a tokenizer trainer would perform first.
+    *
+    * The classic scale trick applies verbatim: pair counting runs over
+    * the DISTINCT word VOCABULARY weighted by word frequency, not over
+    * corpus tokens — the corpus-scale stage is exactly one word-count
+    * shuffle (q01's shape); the char-pair explode touches vocab·len
+    * rows and the pair aggregate is alphabet²-bounded. Single-char
+    * words are filtered BEFORE the position explode (Spark's
+    * `sequence(1, 0)` counts DOWN, not empty). Ranking is
+    * orderBy+limit = TakeOrderedAndProject (q35's convention — no
+    * global sort, no window). */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(T.alphaTokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("n"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"), col("n"))
+      .groupBy("pair").agg(sum(col("n")).as("freq"))
+      .orderBy(col("freq").desc, col("pair").asc)
+      .limit(BpeTopK)
+
+  /** q98_ngram_novelty — temporal novelty scoring: for each document
+    * (in doc_id = ingestion order), the fraction of its DISTINCT
+    * word-3-shingles whose global first occurrence is this document.
+    * The contribution metric a dedup'd-corpus curator tracks: a crawl
+    * snapshot whose docs score near zero adds nothing the corpus
+    * doesn't already contain (the inverse of q51's contamination
+    * view, and the doc-level form of the q63 incremental split).
+    *
+    * Scale shape: distinct-shingle explode rides the scan; global
+    * first-occurrence is ONE partial-aggregable min keyed by shingle;
+    * the join back is keyed by the same shingle (co-partitioned with
+    * the aggregate — AQE reuses the exchange); the per-doc roll-up is
+    * keyed by doc_id. No windows, no corpus product. The ratio uses
+    * the floor(x·1e6 + 0.5) contract, NOT round() — per-doc shingle
+    * counts are small so n_new/n_shingles lands on decimal midpoints
+    * (1/640-style) where shortest-repr and true-binary rounding split
+    * (NOTES lesson 29). */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(T.shingleSet(T.wsTokens(col("text")), 3)).as("g"))
+    val first = sh.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("doc_id"), col("n_shingles"), col("n_new"),
+        (floor(col("n_new").cast("double") / col("n_shingles").cast("double") * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("novelty"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,148 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.operators.{Indexing, Pipeline, Relational, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-9 tail operators: phrase search (q96), BPE merge induction
+  * (q97), n-gram novelty (q98), split assignment (q99), corpus overlap
+  * (q100), event path mining (q101). Each test replays the operator's
+  * contract driver-side on the sf0.001 corpus and compares exactly.
+  */
+class TailOpsSpec extends SparkSuite {
+
+  private lazy val docs: Seq[(Long, String)] =
+    graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private def alphaTokens(t: String): Seq[String] =
+    "[a-z]+".r.findAllIn(t.toLowerCase).toSeq
+
+  private def wsShingles(t: String): Set[String] = {
+    val w = "[^ \\t\\n\\r]+".r.findAllIn(t).toSeq
+    w.sliding(3).filter(_.length == 3).map(_.mkString("_")).toSet
+  }
+
+  test("q96 phrase search equals a driver-side adjacency count") {
+    val got = Indexing.phraseSearch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    for (p <- Indexing.PhraseQueries) {
+      val Array(a, b) = p.split(" ", 2)
+      val perDoc = docs.flatMap { case (id, t) =>
+        val w = alphaTokens(t)
+        val n = w.sliding(2).count(pr => pr.length == 2 && pr.head == a && pr(1) == b)
+        if (n > 0) Some(id -> n.toLong) else None
+      }
+      val want = perDoc.sortBy { case (id, n) => (-n, id) }
+        .take(Indexing.PhraseTopK).zipWithIndex
+        .map { case ((id, n), i) => (p, i + 1, id, n) }
+      assert(got.filter(_._1 == p).sortBy(_._2).toSeq == want,
+        s"phrase '$p' ranking diverges")
+    }
+  }
+
+  test("q97 BPE merge candidates equal the vocabulary-weighted pair counts") {
+    val wordCounts = docs.flatMap(d => alphaTokens(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairFreq = wordCounts.toSeq.filter(_._1.length >= 2)
+      .flatMap { case (w, n) => w.sliding(2).map(p => p -> n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = pairFreq.toSeq.sortBy { case (p, f) => (-f, p) }
+      .take(TextAnalysis.BpeTopK)
+    val got = TextAnalysis.bpeMerges(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // the top merge really is the most frequent adjacent pair
+    assert(got.head._2 == pairFreq.values.max)
+  }
+
+  test("q98 novelty: first doc scores 1.0, n_new totals the distinct shingle count") {
+    val got = TextAnalysis.ngramNovelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val shingled = docs.map { case (id, t) => id -> wsShingles(t) }
+      .filter(_._2.nonEmpty)
+    assert(got.map(_._1).toSeq == shingled.map(_._1).sorted)
+    // every shingle's first occurrence is claimed exactly once
+    val allDistinct = shingled.flatMap(_._2).toSet
+    assert(got.map(_._3).sum == allDistinct.size.toLong)
+    // the lowest doc_id with shingles can only contain first occurrences
+    val firstDoc = shingled.map(_._1).min
+    val firstRow = got.find(_._1 == firstDoc).get
+    assert(firstRow._4 == 1.0 && firstRow._2 == firstRow._3)
+    // replay the per-doc ratio contract
+    val firstOf = shingled.flatMap { case (id, s) => s.map(g => g -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    for ((id, n, nNew, nov) <- got) {
+      val s = shingled.find(_._1 == id).get._2
+      assert(n == s.size.toLong)
+      assert(nNew == s.count(g => firstOf(g) == id).toLong)
+      assert(nov == math.floor(nNew.toDouble / n.toDouble * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  private def md5PerMille(prefix: String, id: Long): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"$prefix$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(7), 16) % 1000
+  }
+
+  test("q99 split assignment is disjoint, exhaustive, and hash-replayable") {
+    val got = Sampling.splitAssign(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val langs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // exhaustive: every doc in exactly one split
+    assert(got.map(_._3).sum == langs.length.toLong)
+    val want = langs.groupBy { case (id, lang) =>
+      val b = md5PerMille("spl_", id)
+      val split = if (b < Sampling.TrainPerMille) "train"
+        else if (b < Sampling.ValPerMille) "val" else "test"
+      (lang, split)
+    }.view.mapValues(_.size.toLong).toMap
+    assert(got.map(t => (t._1, t._2) -> t._3).toMap == want)
+    val perLang = langs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    for ((lang, _, n, share) <- got)
+      assert(share == math.floor(n.toDouble / perLang(lang).toDouble * 1e6 + 0.5) / 1e6)
+  }
+
+  test("q100 corpus overlap equals the set arithmetic over the doc_id halves") {
+    val half = docs.length / 2
+    val old = docs.filter(_._1 < half).flatMap(d => wsShingles(d._2)).toSet
+    val neu = docs.filter(_._1 >= half).flatMap(d => wsShingles(d._2)).toSet
+    val common = (old intersect neu).size.toLong
+    val r = Pipeline.corpusOverlap(spark, sf).collect().head
+    assert(r.getLong(0) == old.size.toLong && r.getLong(1) == neu.size.toLong)
+    assert(r.getLong(2) == common)
+    assert(r.getDouble(3) ==
+      math.floor(common.toDouble / (old.size + neu.size - common).toDouble * 1e6 + 0.5) / 1e6)
+    assert(r.getDouble(4) ==
+      math.floor(common.toDouble / neu.size.toDouble * 1e6 + 0.5) / 1e6)
+  }
+
+  test("q101 event paths equal a driver-side session walk") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      // split sessions at >30-minute gaps, then take consecutive triples
+      val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, Long, Long, String)]]) {
+        case (acc, e) =>
+          if (acc.isEmpty || e._2 - acc.last.last._2 > 1800000L) acc :+ Vector(e)
+          else acc.init :+ (acc.last :+ e)
+      }
+      sessions.flatMap(s => s.sliding(3).filter(_.length == 3)
+        .map(t => t.map(_._4).mkString(">")))
+    }
+    val want = paths.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(Relational.PathTopK)
+    val got = Relational.eventPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+}
