@@ -113,7 +113,12 @@ object SparkEntry {
     "q98_ngram_novelty"   -> (TextAnalysis.ngramNovelty _),
     "q99_split_assign"    -> (Sampling.splitAssign _),
     "q100_corpus_overlap" -> (Pipeline.corpusOverlap _),
-    "q101_event_paths"    -> (Relational.eventPaths _)
+    "q101_event_paths"    -> (Relational.eventPaths _),
+    "q102_bpe_train"      -> (TextAnalysis.bpeTrain _),
+    "q103_zorder_layout"  -> (Layout.zorderLayout _),
+    "q104_dup_triangles"  -> (Graph.dupTriangles _),
+    "q105_merge_upsert"   -> (Relational.mergeUpsert _),
+    "q106_stream_dedup_exec" -> (graft.streaming.EventStream.dedupStreamed _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1472,6 +1477,105 @@ object SparkEntry {
         |SELECT path, count(*)::BIGINT AS n FROM p WHERE e3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT $PathTopK""".stripMargin
     },
+    "q102_bpe_train" -> {
+      // Replays the training recurrence: round CTE r$i picks the argmax
+      // adjacent pair over vocab v$(i-1); v$i applies it via the same
+      // left-fold merge the engine runs (list_reduce ≡ Spark aggregate).
+      import graft.operators.TextAnalysis.BpeRounds
+      val rounds = (1 to BpeRounds).map { r =>
+        val pick =
+          s"""r$r AS MATERIALIZED (
+             |  SELECT string_split(pair, ' ')[1] AS px, string_split(pair, ' ')[2] AS py, freq FROM (
+             |    SELECT t[i] || ' ' || t[i + 1] AS pair, sum(n) AS freq
+             |    FROM (SELECT string_split(s, ' ') AS t, n FROM v${r - 1}),
+             |         unnest(range(1, len(t))) u(i)
+             |    GROUP BY 1 ORDER BY freq DESC, pair ASC LIMIT 1))"""
+        val apply =
+          if (r == BpeRounds) ""
+          else s""",
+             |v$r AS MATERIALIZED (
+             |  SELECT ltrim(list_reduce(list_prepend('', string_split(s, ' ')), (acc, t) ->
+             |           CASE WHEN t = py AND ends_with(acc, ' ' || px)
+             |                THEN left(acc, length(acc) - length(px)) || px || py
+             |                ELSE acc || ' ' || t END)) AS s, n
+             |  FROM v${r - 1}, r$r)"""
+        pick + apply
+      }.mkString(",\n")
+      val sel = (1 to BpeRounds).map(r =>
+        s"SELECT $r AS merge_no, px AS lhs, py AS rhs, px || py AS merged, freq::BIGINT AS freq FROM r$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH wc AS MATERIALIZED (
+         |  SELECT w, count(*) AS n
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+         |  GROUP BY 1),
+         |v0 AS MATERIALIZED (
+         |  SELECT rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, n
+         |  FROM wc WHERE length(w) >= 2),
+         |$rounds
+         |$sel
+         |ORDER BY merge_no""".stripMargin
+    },
+    "q103_zorder_layout" -> {
+      import graft.operators.Layout.{ProbeHi, ProbeLo, ZCells, ZFiles}
+      val morton = (0 until 8).map { i =>
+        s"((cx // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + ((cy // ${1L << i}) % 2) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+      s"""WITH mm AS (SELECT min(o_custkey) AS ck_lo, max(o_custkey) AS ck_hi,
+         |                   min(o_orderdate) AS d_lo, max(o_orderdate) AS d_hi FROM orders),
+         |g AS (SELECT ((o_custkey - ck_lo) * $ZCells) // (ck_hi - ck_lo + 1) AS cx,
+         |             (date_diff('day', d_lo, o_orderdate) * $ZCells)
+         |               // (date_diff('day', d_lo, d_hi) + 1) AS cy
+         |      FROM orders, mm),
+         |z AS (SELECT cx, cy, $morton AS z FROM g),
+         |f AS (SELECT 'zorder' AS layout, (z * $ZFiles) // ${ZCells.toLong * ZCells} AS file_id, cx, cy FROM z
+         |      UNION ALL SELECT 'linear', (cx * $ZFiles) // $ZCells, cx, cy FROM z),
+         |a AS (SELECT layout, file_id, count(*)::BIGINT AS n_rows,
+         |             min(cx)::BIGINT AS min_cx, max(cx)::BIGINT AS max_cx,
+         |             min(cy)::BIGINT AS min_cy, max(cy)::BIGINT AS max_cy
+         |      FROM f GROUP BY 1, 2)
+         |SELECT layout, file_id::BIGINT AS file_id, n_rows, min_cx, max_cx, min_cy, max_cy,
+         |       (max_cx >= $ProbeLo AND min_cx <= $ProbeHi)::INT AS hit_ck,
+         |       (max_cy >= $ProbeLo AND min_cy <= $ProbeHi)::INT AS hit_date
+         |FROM a ORDER BY layout, file_id""".stripMargin
+    },
+    "q104_dup_triangles" -> {
+      import graft.operators.Dedup.JaccardThreshold
+      materializeCtes(jaccardCte + s""",
+        |p AS (SELECT i AS a, j AS b FROM jac WHERE jaccard >= $JaccardThreshold),
+        |deg AS (SELECT v, count(*) AS d
+        |        FROM (SELECT a AS v FROM p UNION ALL SELECT b AS v FROM p) GROUP BY 1),
+        |dw AS (SELECT count(*)::BIGINT AS n_nodes,
+        |              coalesce(sum((d * (d - 1)) // 2), 0)::BIGINT AS n_wedges FROM deg),
+        |ne AS (SELECT count(*)::BIGINT AS n_edges FROM p),
+        |tr AS (SELECT count(*)::BIGINT AS n_triangles
+        |       FROM p e1 JOIN p e2 ON e1.b = e2.a
+        |       JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |       CASE WHEN n_wedges = 0 THEN 0.0
+        |            ELSE floor(3.0 * n_triangles / n_wedges * 1000000.0 + 0.5) / 1000000.0
+        |       END AS clustering_coeff
+        |FROM dw, ne, tr""".stripMargin)
+    },
+    "q105_merge_upsert" ->
+      """WITH h AS (SELECT count(*) // 2 AS half FROM events),
+        |k AS (
+        |  SELECT user_id, event_type,
+        |         max(CASE WHEN event_id < (SELECT half FROM h) THEN 1 ELSE 0 END) AS has_base,
+        |         max(CASE WHEN event_id >= (SELECT half FROM h) THEN 1 ELSE 0 END) AS has_new,
+        |         (max({'ts': ts, 'id': event_id})).id AS wid
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, count(*)::BIGINT AS n_keys,
+        |       sum(CASE WHEN has_base = 0 THEN 1 ELSE 0 END)::BIGINT AS n_inserted,
+        |       sum(CASE WHEN has_base = 1 AND has_new = 1
+        |                 AND wid >= (SELECT half FROM h) THEN 1 ELSE 0 END)::BIGINT AS n_updated,
+        |       sum(CASE WHEN has_base = 1 AND has_new = 1
+        |                 AND wid < (SELECT half FROM h) THEN 1 ELSE 0 END)::BIGINT AS n_retained,
+        |       sum(CASE WHEN has_new = 0 THEN 1 ELSE 0 END)::BIGINT AS n_carried
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q106_stream_dedup_exec" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "q85_ann_ivf_sq8" -> {
       import graft.operators.Similarity.{BucketK, Dims, IvfNProbe, SqLevels}
       materializeCtes(ivfHierCellsCte + s""",

@@ -78,4 +78,44 @@ object Graph {
       .select(col("doc_id"), round(col("pr"), 6).as("pagerank"), col("out_deg"))
       .orderBy("doc_id")
   }
+
+  /** q104_dup_triangles — triangle census of the verified near-dup
+    * graph: node/edge/wedge/triangle counts and the global clustering
+    * coefficient 3·triangles/wedges. Near-dup graphs from boilerplate
+    * families are near-cliques, so the coefficient separates "template
+    * family" clusters (→1) from chain-like accidental matches (→0) —
+    * the diagnostic read BEFORE trusting q31's transitive closure to
+    * define dedup groups (transitivity is an assumption about this
+    * graph, and this is the operator that measures it).
+    *
+    * Spark-native shape — the node-iterator triangle count (Schank &
+    * Wagner 2005) on a<b ordered edges: triangles = e1(a,b)⋈e2(b,c)
+    * ⋈e3(a,c), each equi-keyed on a vertex so every stage is a keyed
+    * shuffle of the (capped, skew-bounded) pair set; each triangle is
+    * counted exactly once because a<b<c fixes the orientation. Wedges
+    * are one degree aggregate (Σ d(d-1)/2). The pair set is the shared
+    * session artifact ([[Dedup.verifiedPairs]], 8th consumer) — at
+    * 100 TB these joins run on the persisted pair table, orders of
+    * magnitude smaller than the corpus. */
+  def dupTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Dedup.verifiedPairs(spark, sfDir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val degStats = e
+      .select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(expr("(d * (d - 1)) div 2")), lit(0L)).as("n_wedges"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nTri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    degStats.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nTri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(floor(lit(3.0) * col("n_triangles") / col("n_wedges")
+            * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("clustering_coeff"))
+  }
 }

@@ -216,8 +216,9 @@ object Pipeline {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val halfF = docs.agg(expr("count(1) div 2").as("half"))
     val bits = docs.crossJoin(broadcast(halfF))
+      .select(col("doc_id"), col("half"), T.wsTokens(col("text")).as("w"))
       .select(col("doc_id"), col("half"),
-        explode(T.shingleSet(T.wsTokens(col("text")), 3)).as("g"))
+        explode(T.shingleSet(col("w"), 3)).as("g"))
       .groupBy(col("g"))
       .agg(max(when(col("doc_id") < col("half"), 1L).otherwise(0L)).as("in_old"),
         max(when(col("doc_id") >= col("half"), 1L).otherwise(0L)).as("in_new"))

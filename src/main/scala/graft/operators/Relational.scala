@@ -609,4 +609,43 @@ object Relational {
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy("event_type", "tier")
   }
+
+  /** q105_merge_upsert — the CDC / lakehouse MERGE compaction audit:
+    * treat the first half of the event stream (by event_id) as the
+    * base table and the second half as an ingestion batch keyed by
+    * (user_id, event_type), resolve latest-wins by (ts, event_id),
+    * and report per event_type how the merge lands: keys inserted
+    * (batch-only), updated (batch row newer), retained (base row
+    * newer — out-of-order CDC arrivals), carried (base-only). This is
+    * the per-batch reconciliation report a Delta/Hudi-style MERGE INTO
+    * pipeline emits.
+    *
+    * Spark-native shape: ONE partial-aggregable keyed aggregate does
+    * the entire merge — presence bits are conditional maxes and the
+    * winner is `max(struct(ts, event_id))` (lexicographic struct
+    * ordering = argmax with a total tie-break, the q46 convention
+    * without a window); the per-type roll-up is a second tiny
+    * aggregate. At 100 TB this is exactly one shuffle of the keyed
+    * deltas — no join of base against batch, because both live in the
+    * same aggregate's hash state. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val half = ev.agg(expr("count(1) div 2").as("half"))
+    ev.crossJoin(broadcast(half))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(when(col("event_id") < col("half"), 1).otherwise(0)).as("has_base"),
+        max(when(col("event_id") >= col("half"), 1).otherwise(0)).as("has_new"),
+        max(struct(col("ts"), col("event_id"))).as("w"),
+        max(col("half")).as("half"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("has_base") === 0, 1L).otherwise(0L)).as("n_inserted"),
+        sum(when(col("has_base") === 1 && col("has_new") === 1
+          && col("w.event_id") >= col("half"), 1L).otherwise(0L)).as("n_updated"),
+        sum(when(col("has_base") === 1 && col("has_new") === 1
+          && col("w.event_id") < col("half"), 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("has_new") === 0, 1L).otherwise(0L)).as("n_carried"))
+      .orderBy("event_type")
+  }
 }

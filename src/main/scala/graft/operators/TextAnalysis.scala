@@ -504,6 +504,76 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("pair").asc)
       .limit(BpeTopK)
 
+  /** Merge rounds performed by [[bpeTrain]]. */
+  val BpeRounds = 5
+
+  /** q102_bpe_train — iterative BPE merge training (Sennrich et al.
+    * 2016, §3.2): [[bpeMerges]] performs induction step 1; this runs
+    * the actual training loop for [[BpeRounds]] rounds — count adjacent
+    * token-pair frequencies over the vocabulary, adopt the argmax pair
+    * as a merge, re-segment, repeat. Output is the learned merge table
+    * (round, lhs, rhs, merged token, frequency at adoption time) — the
+    * artifact a tokenizer trainer ships.
+    *
+    * Scale shape — the canonical BPE-trainer decomposition: the ONLY
+    * corpus-scale stage is q01's word-count shuffle, run once; every
+    * training round then touches vocab-sized data (distinct words
+    * weighted by frequency, localCheckpointed so the recurrence plan
+    * stays bounded — the `trainCentroids` convention). Pair counting
+    * is a vocab·len explode + alphabet²-bounded aggregate; the argmax
+    * read is ONE row per round (the bounded PQ-codebook-read
+    * precedent). The checkpointed vocab is deliberately coalesced to
+    * one partition — published BPE trainers run the merge loop
+    * single-node over the vocab for the same reason (a 100 TB corpus
+    * has a ~10M-word vocab; the parallel stage is the word count, not
+    * the recurrence), and 32-partition stages over a few-thousand-row
+    * frame were pure scheduler overhead (2.6 s → ~1 s at sf0.1).
+    * Merge application is a left-to-right `aggregate` fold
+    * over each word's token list — token boundaries are anchored by
+    * the separator (`endswith(acc, ' ' || lhs)` can only match a whole
+    * trailing token), and a token merged in this round never re-pairs
+    * within the round (fold acc ends with the MERGED token), which is
+    * exactly canonical BPE application. Cross-engine parity: DuckDB's
+    * `list_reduce` left-fold replays the identical recurrence. */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vocab0 = Tables.documents(spark, sfDir)
+      .select(explode(T.alphaTokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(length(col("w")) >= 2)
+      .select(rtrim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("n"))
+      .coalesce(1)
+      .localCheckpoint()
+
+    var vocab = vocab0
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val top = vocab
+        .select(split(col("s"), " ").as("t"), col("n"))
+        .filter(size(col("t")) >= 2)
+        .select(col("t"), col("n"),
+          explode(sequence(lit(0), size(col("t")) - 2)).as("i"))
+        .select(concat(element_at(col("t"), col("i") + 1), lit(" "),
+          element_at(col("t"), col("i") + 2)).as("pair"), col("n"))
+        .groupBy("pair").agg(sum(col("n")).as("freq"))
+        .orderBy(col("freq").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val Array(x, y) = top(0).getString(0).split(" ", 2)
+        merges += ((r, x, y, x + y, top(0).getLong(1)))
+        vocab = vocab.select(ltrim(expr(
+          s"""aggregate(split(s, ' '), '', (acc, t) ->
+             |  CASE WHEN t = '$y' AND endswith(acc, ' ' || '$x')
+             |       THEN left(acc, length(acc) - ${x.length}) || '$x$y'
+             |       ELSE acc || ' ' || t END)""".stripMargin)).as("s"),
+          col("n"))
+      }
+    }
+    merges.result()
+      .toDF("merge_no", "lhs", "rhs", "merged", "freq")
+      .orderBy("merge_no")
+  }
+
   /** q98_ngram_novelty — temporal novelty scoring: for each document
     * (in doc_id = ingestion order), the fraction of its DISTINCT
     * word-3-shingles whose global first occurrence is this document.
@@ -512,26 +582,42 @@ object TextAnalysis {
     * doesn't already contain (the inverse of q51's contamination
     * view, and the doc-level form of the q63 incremental split).
     *
-    * Scale shape: distinct-shingle explode rides the scan; global
-    * first-occurrence is ONE partial-aggregable min keyed by shingle;
-    * the join back is keyed by the same shingle (co-partitioned with
-    * the aggregate — AQE reuses the exchange); the per-doc roll-up is
-    * keyed by doc_id. No windows, no corpus product. The ratio uses
-    * the floor(x·1e6 + 0.5) contract, NOT round() — per-doc shingle
-    * counts are small so n_new/n_shingles lands on decimal midpoints
-    * (1/640-style) where shortest-repr and true-binary rounding split
-    * (NOTES lesson 29). */
+    * Scale shape: per-doc `n_shingles` is the SIZE of the scan-local
+    * distinct-shingle set — no shuffle at all; per-doc `n_new` falls
+    * straight out of the global first-occurrence aggregate (ONE
+    * partial-aggregable min keyed by shingle, then a doc-keyed count
+    * of the winners — the aggregate output is first-occurrence rows,
+    * so no join back through the corpus-scale shingle frame ever
+    * happens). The final join is doc-count-sized on both sides.
+    *
+    * Two expression-placement rules, each measured ~10× here (NOTES
+    * lesson 30): the token ARRAY is bound to an attribute before
+    * shingling (the [[T.shingles]] builder rule), but the shingle
+    * expression itself is exploded INLINE — exploding a projected
+    * alias of an expensive array expression re-evaluates it per
+    * emitted row (13.4 s vs 0.8 s at sf0.1). The doc filter is
+    * `size(w) >= 3` (equivalent to `n_shingles > 0`), which pushes
+    * into the scan as one cheap predicate — filtering on the computed
+    * n_shingles re-inlines the whole shingle expression into the scan
+    * filter (7.3 s vs 0.3 s at sf0.1). No windows, no corpus product.
+    * The ratio uses the floor(x·1e6 + 0.5) contract, NOT round() —
+    * per-doc shingle counts are small so n_new/n_shingles lands on
+    * decimal midpoints (1/640-style) where shortest-repr and
+    * true-binary rounding split (NOTES lesson 29). */
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode(T.shingleSet(T.wsTokens(col("text")), 3)).as("g"))
-    val first = sh.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-    sh.join(first, "g")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
-      .select(col("doc_id"), col("n_shingles"), col("n_new"),
-        (floor(col("n_new").cast("double") / col("n_shingles").cast("double") * lit(1e6)
+    def toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), T.wsTokens(col("text")).as("w"))
+    val perDoc = toks.filter(size(col("w")) >= 3)
+      .select(col("doc_id"), size(T.shingleSet(col("w"), 3)).cast("long").as("n_shingles"))
+    val firstCounts = toks
+      .select(col("doc_id"), explode(T.shingleSet(col("w"), 3)).as("g"))
+      .groupBy("g").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    perDoc.join(firstCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (floor(coalesce(col("n_new"), lit(0L)).cast("double")
+          / col("n_shingles").cast("double") * lit(1e6)
           + lit(0.5)) / lit(1e6)).as("novelty"))
       .orderBy("doc_id")
   }

@@ -2,7 +2,7 @@ package graft
 
 import java.security.MessageDigest
 
-import graft.operators.{Indexing, Pipeline, Relational, Sampling, TextAnalysis}
+import graft.operators.{Graph, Indexing, Layout, Pipeline, Relational, Sampling, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Round-9 tail operators: phrase search (q96), BPE merge induction
@@ -143,6 +143,121 @@ class TailOpsSpec extends SparkSuite {
       .sortBy { case (p, n) => (-n, p) }.take(Relational.PathTopK)
     val got = Relational.eventPaths(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("q102 BPE training replays the canonical merge recurrence") {
+    def applyMerge(toks: Vector[String], x: String, y: String): Vector[String] =
+      toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+        if (acc.nonEmpty && acc.last == x && t == y) acc.init :+ (x + y)
+        else acc :+ t
+      }
+    var vocab: Seq[(Vector[String], Long)] = docs.flatMap { case (_, t) => alphaTokens(t) }
+      .groupBy(identity).toSeq
+      .collect { case (w, g) if w.length >= 2 =>
+        (w.map(_.toString).toVector, g.size.toLong)
+      }
+    val want = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to TextAnalysis.BpeRounds) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((toks, n) <- vocab; i <- 0 until toks.length - 1) {
+        val k = (toks(i), toks(i + 1))
+        pairs(k) = pairs.getOrElse(k, 0L) + n
+      }
+      val ((x, y), f) = pairs.toSeq
+        .minBy { case ((a, b), n) => (-n, s"$a $b") }(
+          Ordering.Tuple2(Ordering.Long, Ordering.String))
+      want += ((r, x, y, x + y, f))
+      vocab = vocab.map { case (toks, n) => (applyMerge(toks, x, y), n) }
+    }
+    val got = TextAnalysis.bpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got == want.result())
+  }
+
+  test("q103 z-order layout replays the curve math; date probe prunes on the curve only") {
+    val o = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (ckLo, ckHi) = (o.map(_._1).min, o.map(_._1).max)
+    val (dLo, dHi) = (o.map(_._2).min, o.map(_._2).max)
+    def morton(cx: Long, cy: Long): Long =
+      (0 until 8).map(i => (((cx >> i) & 1L) << (2 * i + 1)) + (((cy >> i) & 1L) << (2 * i))).sum
+    val rows = o.flatMap { case (ck, d) =>
+      val cx = (ck - ckLo) * Layout.ZCells / (ckHi - ckLo + 1)
+      val cy = (d - dLo) * Layout.ZCells / (dHi - dLo + 1)
+      Seq(("zorder", morton(cx, cy) * Layout.ZFiles / (Layout.ZCells.toLong * Layout.ZCells), cx, cy),
+        ("linear", cx * Layout.ZFiles / Layout.ZCells, cx, cy))
+    }
+    val want = rows.groupBy(r => (r._1, r._2)).toSeq.map { case ((lay, f), g) =>
+      val (cxs, cys) = (g.map(_._3), g.map(_._4))
+      (lay, f, g.size.toLong, cxs.min, cxs.max, cys.min, cys.max,
+        if (cxs.max >= Layout.ProbeLo && cxs.min <= Layout.ProbeHi) 1 else 0,
+        if (cys.max >= Layout.ProbeLo && cys.min <= Layout.ProbeHi) 1 else 0)
+    }.sortBy(r => (r._1, r._2))
+    val got = Layout.zorderLayout(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getInt(7), r.getInt(8))).toSeq
+    assert(got == want)
+    // the layout contrast the operator exists to show: every linear file
+    // is hit by the date probe; the curve layout skips some
+    val lin = got.filter(_._1 == "linear")
+    assert(lin.forall(_._9 == 1))
+    assert(got.filter(_._1 == "zorder").exists(_._9 == 0))
+  }
+
+  test("q104 triangle census equals the driver-side count over the verified pairs") {
+    val pairs = graft.operators.Dedup.verifiedPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val eset = pairs.toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val deg = pairs.flatMap(p => Seq(p._1, p._2)).groupBy(identity).view.mapValues(_.size.toLong)
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val tris = (for {
+      (a, b) <- pairs; c <- nodes
+      if b < c && eset((b, c)) && eset((a, c))
+    } yield 1).size.toLong
+    val r = Graph.dupTriangles(spark, sf).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((nodes.size.toLong, pairs.size.toLong, wedges, tris)))
+    val coeff = if (wedges == 0) 0.0 else math.floor(3.0 * tris / wedges * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(4) == coeff)
+  }
+
+  test("q105 merge upsert classes partition the key set") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), unix_millis(col("ts")), col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val half = ev.length / 2
+    val want = ev.groupBy(e => (e._3, e._4)).toSeq.map { case ((_, typ), g) =>
+      val hasBase = g.exists(_._1 < half)
+      val hasNew = g.exists(_._1 >= half)
+      val winner = g.maxBy(e => (e._2, e._1))
+      (typ, hasBase, hasNew, winner._1 >= half)
+    }.groupBy(_._1).toSeq.map { case (typ, ks) =>
+      (typ, ks.size.toLong,
+        ks.count(!_._2).toLong,
+        ks.count(k => k._2 && k._3 && k._4).toLong,
+        ks.count(k => k._2 && k._3 && !k._4).toLong,
+        ks.count(!_._3).toLong)
+    }.sortBy(_._1)
+    val got = Relational.mergeUpsert(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    assert(got.forall(r => r._3 + r._4 + r._5 + r._6 == r._2))
+  }
+
+  test("q106 streamed dedup emits exactly the batch-distinct key set") {
+    val got = graft.streaming.EventStream.dedupStreamed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+      .orderBy("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == want)
   }
 }
