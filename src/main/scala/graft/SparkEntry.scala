@@ -118,7 +118,9 @@ object SparkEntry {
     "q103_zorder_layout"  -> (Layout.zorderLayout _),
     "q104_dup_triangles"  -> (Graph.dupTriangles _),
     "q105_merge_upsert"   -> (Relational.mergeUpsert _),
-    "q106_stream_dedup_exec" -> (graft.streaming.EventStream.dedupStreamed _)
+    "q106_stream_dedup_exec" -> (graft.streaming.EventStream.dedupStreamed _),
+    "q107_bpe_encode"     -> (TextAnalysis.bpeEncode _),
+    "q108_minhash_error"  -> (Dedup.minhashError _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1478,42 +1480,42 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT $PathTopK""".stripMargin
     },
     "q102_bpe_train" -> {
-      // Replays the training recurrence: round CTE r$i picks the argmax
-      // adjacent pair over vocab v$(i-1); v$i applies it via the same
-      // left-fold merge the engine runs (list_reduce ≡ Spark aggregate).
       import graft.operators.TextAnalysis.BpeRounds
-      val rounds = (1 to BpeRounds).map { r =>
-        val pick =
-          s"""r$r AS MATERIALIZED (
-             |  SELECT string_split(pair, ' ')[1] AS px, string_split(pair, ' ')[2] AS py, freq FROM (
-             |    SELECT t[i] || ' ' || t[i + 1] AS pair, sum(n) AS freq
-             |    FROM (SELECT string_split(s, ' ') AS t, n FROM v${r - 1}),
-             |         unnest(range(1, len(t))) u(i)
-             |    GROUP BY 1 ORDER BY freq DESC, pair ASC LIMIT 1))"""
-        val apply =
-          if (r == BpeRounds) ""
-          else s""",
-             |v$r AS MATERIALIZED (
-             |  SELECT ltrim(list_reduce(list_prepend('', string_split(s, ' ')), (acc, t) ->
-             |           CASE WHEN t = py AND ends_with(acc, ' ' || px)
-             |                THEN left(acc, length(acc) - length(px)) || px || py
-             |                ELSE acc || ' ' || t END)) AS s, n
-             |  FROM v${r - 1}, r$r)"""
-        pick + apply
-      }.mkString(",\n")
       val sel = (1 to BpeRounds).map(r =>
         s"SELECT $r AS merge_no, px AS lhs, py AS rhs, px || py AS merged, freq::BIGINT AS freq FROM r$r")
         .mkString("\nUNION ALL ")
-      s"""WITH wc AS MATERIALIZED (
-         |  SELECT w, count(*) AS n
-         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
-         |  GROUP BY 1),
-         |v0 AS MATERIALIZED (
-         |  SELECT rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, n
-         |  FROM wc WHERE length(w) >= 2),
-         |$rounds
+      s"""$bpeTrainCte
          |$sel
          |ORDER BY merge_no""".stripMargin
+    },
+    "q107_bpe_encode" -> {
+      // Same training chain, then encode the per-(lang, word) vocabulary
+      // through the 5 merges (nested list_reduce folds ≡ the engine's
+      // chained aggregate folds) and roll fertility up per language.
+      import graft.operators.TextAnalysis.BpeRounds
+      val folded = (1 to BpeRounds).foldLeft(
+        "rtrim(regexp_replace(w, '(.)', '\\1 ', 'g'))") { (s, r) =>
+        s"ltrim(list_reduce(list_prepend('', string_split($s, ' ')), (acc, t) -> " +
+          s"CASE WHEN t = r$r.py AND ends_with(acc, ' ' || r$r.px) " +
+          s"THEN left(acc, length(acc) - length(r$r.px)) || r$r.px || r$r.py " +
+          s"ELSE acc || ' ' || t END))"
+      }
+      val crossRs = (1 to BpeRounds).map(r => s"r$r").mkString(", ")
+      s"""$bpeTrainCte,
+         |wl AS MATERIALIZED (
+         |  SELECT lang, w, count(*) AS n
+         |  FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+         |  GROUP BY 1, 2),
+         |enc AS (SELECT lang, w, n, $folded AS s FROM wl, $crossRs)
+         |SELECT lang, sum(n)::BIGINT AS n_words,
+         |       sum(n * length(w))::BIGINT AS n_chars,
+         |       sum(n * len(string_split(s, ' ')))::BIGINT AS n_tokens,
+         |       floor(sum(n * len(string_split(s, ' ')))::DOUBLE / sum(n)::DOUBLE
+         |             * 1000000.0 + 0.5) / 1000000.0 AS tokens_per_word,
+         |       floor(sum(n * length(w))::DOUBLE
+         |             / sum(n * len(string_split(s, ' ')))::DOUBLE
+         |             * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token
+         |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "q103_zorder_layout" -> {
       import graft.operators.Layout.{ProbeHi, ProbeLo, ZCells, ZFiles}
@@ -1576,6 +1578,27 @@ object SparkEntry {
     "q106_stream_dedup_exec" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "q108_minhash_error" -> {
+      import graft.operators.Dedup.{JaccardThreshold, NumHashes}
+      materializeCtes(jaccardCte + s""",
+        |p AS (SELECT i AS doc_a, j AS doc_b, jaccard FROM jac WHERE jaccard >= $JaccardThreshold),
+        |pd AS (SELECT DISTINCT doc_id
+        |       FROM (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p)),
+        |hs AS (SELECT s.doc_id, ('0x' || substr(md5(s.g), 1, 7))::BIGINT AS h
+        |       FROM sh s JOIN pd USING (doc_id)),
+        |sigs AS (SELECT doc_id, t.i,
+        |                min(((2 * t.i + 1) * h + 101 * t.i + 7) % 2147483647) AS s
+        |         FROM hs, unnest(range(0, $NumHashes)) t(i) GROUP BY 1, 2),
+        |est AS (SELECT p.doc_a, p.doc_b, round(p.jaccard, 6) AS jaccard,
+        |               sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS m
+        |        FROM p JOIN sigs a ON a.doc_id = p.doc_a
+        |        JOIN sigs b ON b.doc_id = p.doc_b AND b.i = a.i
+        |        GROUP BY 1, 2, 3)
+        |SELECT doc_a, doc_b, jaccard,
+        |       m / ${NumHashes}.0 AS est_jaccard,
+        |       round(abs(jaccard - m / ${NumHashes}.0), 6) AS abs_err
+        |FROM est ORDER BY doc_a, doc_b""".stripMargin)
+    },
     "q85_ann_ivf_sq8" -> {
       import graft.operators.Similarity.{BucketK, Dims, IvfNProbe, SqLevels}
       materializeCtes(ivfHierCellsCte + s""",
@@ -1701,6 +1724,41 @@ object SparkEntry {
     * materialized — ~26 minutes of a 27-minute oracle suite. The
     * negative lookbehind keeps named `WINDOW w AS (...)` clauses
     * untouched. */
+  /** Shared BPE training chain (q102/q107): word-count vocab `wc`,
+    * spaced form `v0`, then per round r: argmax pair `r$r` and the
+    * re-segmented vocab `v$r` via the same left-fold merge the engine
+    * runs (DuckDB list_reduce ≡ Spark aggregate). */
+  private def bpeTrainCte: String = {
+    import graft.operators.TextAnalysis.BpeRounds
+    val rounds = (1 to BpeRounds).map { r =>
+      val pick =
+        s"""r$r AS MATERIALIZED (
+           |  SELECT string_split(pair, ' ')[1] AS px, string_split(pair, ' ')[2] AS py, freq FROM (
+           |    SELECT t[i] || ' ' || t[i + 1] AS pair, sum(n) AS freq
+           |    FROM (SELECT string_split(s, ' ') AS t, n FROM v${r - 1}),
+           |         unnest(range(1, len(t))) u(i)
+           |    GROUP BY 1 ORDER BY freq DESC, pair ASC LIMIT 1))"""
+      val apply =
+        if (r == BpeRounds) ""
+        else s""",
+           |v$r AS MATERIALIZED (
+           |  SELECT ltrim(list_reduce(list_prepend('', string_split(s, ' ')), (acc, t) ->
+           |           CASE WHEN t = py AND ends_with(acc, ' ' || px)
+           |                THEN left(acc, length(acc) - length(px)) || px || py
+           |                ELSE acc || ' ' || t END)) AS s, n
+           |  FROM v${r - 1}, r$r)"""
+      pick + apply
+    }.mkString(",\n")
+    s"""WITH wc AS MATERIALIZED (
+       |  SELECT w, count(*) AS n
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+       |  GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, n
+       |  FROM wc WHERE length(w) >= 2),
+       |$rounds"""
+  }
+
   private def materializeCtes(sql: String): String =
     sql.replaceAll("""(?<!WINDOW )\b(\w+) AS \(""", "$1 AS MATERIALIZED (")
 

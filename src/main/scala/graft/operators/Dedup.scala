@@ -91,12 +91,17 @@ object Dedup {
     * element_at, so the plan never materializes a 128-column projection
     * (whose generated code dominated cold compile time for every
     * minhash-family query). */
-  private[graft] def minhashSignaturesArr(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def minhashSignaturesArr(spark: SparkSession, sfDir: String): DataFrame =
+    minhashSignaturesOf(shingled(spark, sfDir))
+
+  /** Signature aggregate over an arbitrary (doc_id, sh) frame — the
+    * injectable form [[minhashError]] uses to hash only audited docs. */
+  private[graft] def minhashSignaturesOf(sh: DataFrame): DataFrame = {
     // explode_outer + null filter, NOT plain explode: explode makes the
     // optimizer synthesize a `size(sh) > 0` pre-filter and push it below
     // the shingle projection, re-evaluating the (interpreted) shingle
     // expression 3x per doc
-    val exploded = shingled(spark, sfDir)
+    val exploded = sh
       .select(col("doc_id"), explode_outer(col("sh")).as("g"))
       .filter(col("g").isNotNull)
       .withColumn("h", H.md5Int28(col("g")))
@@ -574,5 +579,38 @@ object Dedup {
             struct(col("idx"), col("btext"))))).getField("btext"),
           " ").as("new_text"))
       .orderBy("doc_id")
+  }
+
+  /** q108_minhash_error — sketch accuracy audit: for every verified
+    * near-dup pair, the MinHash ESTIMATE of Jaccard (matching signature
+    * components / [[NumHashes]]) against the exact shingle Jaccard, with
+    * the absolute error. The per-index-family counterpart of q109's
+    * recall audit: LSH banding DECIDES from the signatures, so the
+    * estimation error on the accepted pairs is the sketch's measured
+    * quality — drift here (e.g. after a shingle-size change) is caught
+    * before it silently shifts the dedup threshold.
+    *
+    * Scale shape: the audited docs are SEMI-JOIN PRUNED before any
+    * hashing — signatures are computed only for documents appearing in
+    * the (capped, skew-bounded) verified pair set, not the corpus; the
+    * estimate is one `zip_with` equality count over two 128-long
+    * arrays per pair. 9th consumer of the shared pair artifact. */
+  def minhashError(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = verifiedPairs(spark, sfDir)
+    val pd = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sigs = minhashSignaturesOf(shingled(spark, sfDir).join(pd, "doc_id"))
+    val est = size(filter(
+      zip_with(col("sa"), col("sb"), (a, b) => a === b), x => x))
+      .cast("double") / lit(NumHashes.toDouble)
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"),
+        est.as("est_jaccard"),
+        round(abs(col("jaccard") - est), 6).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
   }
 }

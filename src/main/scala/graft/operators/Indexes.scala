@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Indexes {
 
-  /** Build (or reuse) and persist all four index artifacts for a
+  /** Build (or reuse) and persist all five index artifacts for a
     * corpus. Requires `spark.graft.indexDir` to be set. */
   def persistAll(spark: SparkSession, sfDir: String): Unit = {
     IndexStore.write(spark, Similarity.trainedCodebook(spark, sfDir),
@@ -30,6 +30,8 @@ object Indexes {
       Dedup.PairsArtifact, sfDir)
     IndexStore.write(spark, Similarity.sqStats(spark, sfDir),
       Similarity.SqStatsArtifact, sfDir)
+    IndexStore.write(spark, TextAnalysis.trainedBpeMerges(spark, sfDir),
+      TextAnalysis.BpeMergesArtifact, sfDir)
   }
 
   /** Drop this session's in-memory artifact entries so the next access
@@ -42,5 +44,6 @@ object Indexes {
     IndexStore.evict(Similarity.hierCellsCache, spark)
     IndexStore.evict(Similarity.sqStatsCache, spark)
     IndexStore.evict(Dedup.pairCache, spark)
+    IndexStore.evict(TextAnalysis.bpeMergesCache, spark)
   }
 }

@@ -561,17 +561,79 @@ object TextAnalysis {
       if (top.nonEmpty) {
         val Array(x, y) = top(0).getString(0).split(" ", 2)
         merges += ((r, x, y, x + y, top(0).getLong(1)))
-        vocab = vocab.select(ltrim(expr(
-          s"""aggregate(split(s, ' '), '', (acc, t) ->
-             |  CASE WHEN t = '$y' AND endswith(acc, ' ' || '$x')
-             |       THEN left(acc, length(acc) - ${x.length}) || '$x$y'
-             |       ELSE acc || ' ' || t END)""".stripMargin)).as("s"),
-          col("n"))
+        vocab = vocab.select(expr(mergeFoldSql(x, y, "s")).as("s"), col("n"))
       }
     }
     merges.result()
       .toDF("merge_no", "lhs", "rhs", "merged", "freq")
       .orderBy("merge_no")
+  }
+
+  /** Left-to-right merge application of pair (x, y) over a spaced
+    * token string — canonical BPE (the separator anchors whole tokens;
+    * a just-merged token never re-pairs within the pass). Shared by
+    * the trainer and the encoder; DuckDB `list_reduce` replays it. */
+  private def mergeFoldSql(x: String, y: String, in: String): String =
+    s"""ltrim(aggregate(split($in, ' '), '', (acc, t) ->
+       |  CASE WHEN t = '$y' AND endswith(acc, ' ' || '$x')
+       |       THEN left(acc, length(acc) - ${x.length}) || '$x$y'
+       |       ELSE acc || ' ' || t END))""".stripMargin
+
+  private[graft] val bpeMergesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Artifact name for the persisted index tier. */
+  val BpeMergesArtifact = "bpe_merges"
+
+  /** The trained merge table as a session index artifact (the
+    * `hierCells` convention): built once per (session, corpus) —
+    * or loaded from the persisted store — and shared by consumers;
+    * [[bpeTrain]] itself stays the raw trainer so q102's bench number
+    * keeps pricing the build. */
+  def trainedBpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.IndexStore.memo(bpeMergesCache, spark, sfDir, BpeMergesArtifact) {
+      bpeTrain(spark, sfDir).coalesce(1).localCheckpoint()
+    }
+
+  /** q107_bpe_encode — apply the trained merge table ([[bpeTrain]]'s
+    * output, the session artifact) to the corpus and report tokenizer
+    * FERTILITY per language: words, characters, post-merge tokens,
+    * tokens/word and chars/token. Fertility is the acceptance metric
+    * for a tokenizer build — a merge table trained on one language
+    * mix shows inflated tokens/word exactly on the languages it
+    * under-serves, and this report is how that is caught before a
+    * training run burns compute on a bad vocabulary.
+    *
+    * Scale shape: the ONLY corpus-scale stage is the (lang, word)
+    * count — one word-count-shaped shuffle; merge application is the
+    * native codegen [[org.apache.spark.sql.graft.BpeTokenCount]]
+    * expression over that vocabulary-sized frame (the q97/q102
+    * vocabulary trick: encode each distinct word once, weight by
+    * frequency — nested interpreted `aggregate` folds measured ~100
+    * µs/word, the native loop replaces them), and the per-language
+    * roll-up is a 5-row aggregate. The merge pairs are a bounded
+    * artifact read (5 rows). Unlike training, encoding includes
+    * single-char words — they encode as themselves (1 token) and
+    * belong in fertility. */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = trainedBpeMerges(spark, sfDir)
+      .orderBy("merge_no").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val base = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(T.alphaTokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+    def r6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    base.select(col("lang"), col("n"), (col("n") * length(col("w"))).as("nc"),
+        (col("n") * native.bpeTokenCount(col("w"), merges)).as("nt"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_words"), sum(col("nc")).as("n_chars"),
+        sum(col("nt")).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+        r6(col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("tokens_per_word"),
+        r6(col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy("lang")
   }
 
   /** q98_ngram_novelty — temporal novelty scoring: for each document

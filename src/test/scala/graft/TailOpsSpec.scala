@@ -251,6 +251,62 @@ class TailOpsSpec extends SparkSuite {
     assert(got.forall(r => r._3 + r._4 + r._5 + r._6 == r._2))
   }
 
+  test("q107 BPE encode fertility equals the driver-side application of the trained merges") {
+    // merges from the engine trainer (itself proven equal to the driver
+    // recurrence by the q102 test); this test focuses on application
+    val merges = TextAnalysis.bpeTrain(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def encode(w: String): Int =
+      merges.foldLeft(w.map(_.toString).toVector) { case (toks, (x, y)) =>
+        toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+          if (acc.nonEmpty && acc.last == x && t == y) acc.init :+ (x + y)
+          else acc :+ t
+        }
+      }.length
+    val dl = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = dl.flatMap { case (lang, t) => alphaTokens(t).map(w => (lang, w)) }
+      .groupBy(identity).toSeq
+      .map { case ((lang, w), g) => (lang, g.size.toLong, w) }
+      .groupBy(_._1).toSeq.map { case (lang, ws) =>
+        val nWords = ws.map(_._2).sum
+        val nChars = ws.map(x => x._2 * x._3.length).sum
+        val nToks = ws.map(x => x._2 * encode(x._3)).sum
+        (lang, nWords, nChars, nToks,
+          math.floor(nToks.toDouble / nWords * 1e6 + 0.5) / 1e6,
+          math.floor(nChars.toDouble / nToks * 1e6 + 0.5) / 1e6)
+      }.sortBy(_._1)
+    val got = TextAnalysis.bpeEncode(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == want)
+  }
+
+  test("q108 minhash estimate matches a driver-side signature computation") {
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h28(g: String) = java.lang.Long.parseLong(md5hex(g).take(7), 16)
+    def sig(t: String): Array[Long] = {
+      val hs = wsShingles(t).map(h28)
+      Array.tabulate(128)(i =>
+        if (hs.isEmpty) Long.MaxValue
+        else hs.map(x => ((2L * i + 1) * x + 101L * i + 7) % 2147483647L).min)
+    }
+    val textById = docs.toMap
+    val nPairs = graft.operators.Dedup.verifiedPairs(spark, sf).count()
+    val got = graft.operators.Dedup.minhashError(spark, sf).collect()
+    assert(got.length == nPairs)
+    for (r <- got) {
+      val (sa, sb) = (sig(textById(r.getLong(0))), sig(textById(r.getLong(1))))
+      val m = (0 until 128).count(i => sa(i) == sb(i))
+      assert(r.getDouble(3) == m / 128.0)
+      val err = BigDecimal(math.abs(r.getDouble(2) - m / 128.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == err)
+    }
+  }
+
   test("q106 streamed dedup emits exactly the batch-distinct key set") {
     val got = graft.streaming.EventStream.dedupStreamed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
