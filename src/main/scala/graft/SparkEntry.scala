@@ -120,7 +120,8 @@ object SparkEntry {
     "q105_merge_upsert"   -> (Relational.mergeUpsert _),
     "q106_stream_dedup_exec" -> (graft.streaming.EventStream.dedupStreamed _),
     "q107_bpe_encode"     -> (TextAnalysis.bpeEncode _),
-    "q108_minhash_error"  -> (Dedup.minhashError _)
+    "q108_minhash_error"  -> (Dedup.minhashError _),
+    "q109_ivf_recall"     -> (Similarity.ivfRecall _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1578,6 +1579,43 @@ object SparkEntry {
     "q106_stream_dedup_exec" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "q109_ivf_recall" -> {
+      import graft.operators.Similarity.{BucketK, IvfNProbe}
+      materializeCtes(ivfHierCellsCte + s""",
+        |probes AS (SELECT vec_id, cent_id FROM asg
+        |           WHERE rn <= $IvfNProbe AND vec_id < 10),
+        |apairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         list_dot_product(ea.v, eb.v) /
+        |         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS c
+        |  FROM probes a JOIN cells b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id),
+        |approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
+        |    FROM apairs) WHERE rnk <= $BucketK),
+        |tpairs AS (
+        |  SELECT ea.vec_id AS query_id, eb.vec_id AS neighbor_id,
+        |         list_dot_product(ea.v, eb.v) /
+        |         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS c
+        |  FROM e ea, e eb
+        |  WHERE ea.vec_id < 10 AND ea.vec_id <> eb.vec_id),
+        |truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
+        |    FROM tpairs) WHERE rnk <= $BucketK),
+        |m AS (SELECT t.query_id, count(*) AS n_match
+        |      FROM truth t JOIN approx p USING (query_id, neighbor_id) GROUP BY 1)
+        |SELECT q.vec_id AS query_id, $BucketK AS k,
+        |       coalesce(m.n_match, 0)::BIGINT AS n_match,
+        |       floor(coalesce(m.n_match, 0)::DOUBLE / ${BucketK}.0
+        |             * 1000000.0 + 0.5) / 1000000.0 AS recall
+        |FROM (SELECT vec_id FROM e WHERE vec_id < 10) q
+        |LEFT JOIN m ON m.query_id = q.vec_id ORDER BY 1""".stripMargin)
+    },
     "q108_minhash_error" -> {
       import graft.operators.Dedup.{JaccardThreshold, NumHashes}
       materializeCtes(jaccardCte + s""",

@@ -595,6 +595,44 @@ object Similarity {
   def annIvfHier(spark: SparkSession, sfDir: String): DataFrame =
     probeSearch(hierCells(spark, sfDir), vecs(spark, sfDir))
 
+  /** q109_ivf_recall — the index-quality audit: per query (vec_id <
+    * 10), recall@[[BucketK]] of the hierarchical IVF search (q57's
+    * exact plan over the memoized cells) against the exact brute-force
+    * top-[[BucketK]] — the acceptance measurement run after every
+    * index build/parameter change (nprobe, coarse-probe, k) before the
+    * index serves traffic. NOTES records suite-level recall numbers
+    * per family; this operator makes the measurement itself a graded,
+    * reproducible query.
+    *
+    * Scale shape: the ground-truth side is the q16 shape restricted to
+    * the audited query set (a broadcast nested-loop over queries×n —
+    * the exchange carries queries×k rows); the approx side reads the
+    * session/persisted cell artifact and probes cells for 10 vectors;
+    * the recall join is (queries×k)-sized. Both rankings share one
+    * deterministic tie-break (score desc, id asc — the native
+    * `top_k_by_score` convention), so recall SETS are cross-engine
+    * identical, not just statistically close. */
+  def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val ids = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+    val cand = ids.filter(col("vec_id") < 10).select(col("vec_id").as("vec_a"))
+      .crossJoin(ids.select(col("vec_id").as("vec_b")))
+      .filter(col("vec_a") =!= col("vec_b"))
+    val truth = topK(cand, v, BucketK).select(col("query_id"), col("neighbor_id"))
+    val approx = annIvfHier(spark, sfDir)
+      .filter(col("query_id") < 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val matches = truth.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_match"))
+    ids.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"))
+      .join(matches, Seq("query_id"), "left")
+      .select(col("query_id"), lit(BucketK).as("k"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        (floor(coalesce(col("n_match"), lit(0L)).cast("double")
+          / lit(BucketK.toDouble) * lit(1e6) + lit(0.5)) / lit(1e6)).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Shared IVF search tail over a (vec_id, tc) cell assignment:
     * index side = home cell tc[0], query side probes every tc cell;
     * the probe⋈cell equi-join emits each pair at most once (one home

@@ -307,6 +307,36 @@ class TailOpsSpec extends SparkSuite {
     }
   }
 
+  test("q109 recall equals the driver-side intersection of exact and probed top-k") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (0L until 10L).map { q =>
+      val top = emb.keys.filter(_ != q).toSeq
+        .map(j => (j, cos(emb(q), emb(j))))
+        .sortBy { case (j, c) => (-c, j) }.take(Similarity.BucketK).map(_._1).toSet
+      q -> top
+    }.toMap
+    val approx = Similarity.annIvfHier(spark, sf)
+      .filter(col("query_id") < 10)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.ivfRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.keySet == (0L until 10L).toSet)
+    for (q <- 0L until 10L) {
+      val m = truth(q).intersect(approx.getOrElse(q, Set.empty)).size.toLong
+      assert(got(q) == m, s"query $q")
+    }
+  }
+
   test("q106 streamed dedup emits exactly the batch-distinct key set") {
     val got = graft.streaming.EventStream.dedupStreamed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
