@@ -121,7 +121,8 @@ object SparkEntry {
     "q106_stream_dedup_exec" -> (graft.streaming.EventStream.dedupStreamed _),
     "q107_bpe_encode"     -> (TextAnalysis.bpeEncode _),
     "q108_minhash_error"  -> (Dedup.minhashError _),
-    "q109_ivf_recall"     -> (Similarity.ivfRecall _)
+    "q109_ivf_recall"     -> (Similarity.ivfRecall _),
+    "q110_stream_userstats_exec" -> (graft.streaming.EventStream.userStatsStreamed _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -1579,6 +1580,10 @@ object SparkEntry {
     "q106_stream_dedup_exec" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "q110_stream_userstats_exec" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q109_ivf_recall" -> {
       import graft.operators.Similarity.{BucketK, IvfNProbe}
       materializeCtes(ivfHierCellsCte + s""",

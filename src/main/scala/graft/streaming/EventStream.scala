@@ -406,6 +406,46 @@ object EventStream {
       }
   }
 
+  /** q110_stream_userstats_exec — the CUSTOM-STATE API graded through a
+    * GENUINE streaming execution: file stream → `groupByKey(user_id)` →
+    * [[runningUserStats]]'s `mapGroupsWithState` fold (arbitrary
+    * user-defined state, not a built-in aggregate) → Update-mode memory
+    * sink (q88's harness; fourth graded streaming path, and the one
+    * that exercises FlatMapGroupsWithStateExec). The sink accumulates
+    * one row per (key, micro-batch that touched it); the final state
+    * per key is recovered as `max(struct(n_events, total_value))` —
+    * counts strictly increase across a key's updates, so the struct max
+    * IS the last update, independent of micro-batch boundaries.
+    *
+    * The oracle is the batch aggregate: per-user event count and
+    * 2dp-rounded value sum — the count is order-exact; the double sum
+    * follows q23/q88's rounding convention (micro-batch fold order vs
+    * batch partial-aggregation order differ by ulps, invisible at 2dp).
+    * At scale the same plan runs with a timeout to age out idle users;
+    * NoTimeout keeps the bounded graded run exact. */
+  def userStatsStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stream = Tables.eventsStream(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val name = s"graft_stream_ustats_${streamRunId.incrementAndGet()}"
+    withStatePartitions(spark, 4) {
+      val q = runningUserStats(spark, stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val out = spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_value"))).as("w"))
+      .select(col("user_id"), col("w.n_events").as("n_events"),
+        round(col("w.total_value"), 2).as("total_value"))
+      .orderBy("user_id").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** q106_stream_dedup_exec — deduplication graded through a GENUINE
     * streaming execution: file-stream source → `dropDuplicates` on the
     * (user_id, event_type) key → memory sink in Append mode, driven

@@ -337,6 +337,17 @@ class TailOpsSpec extends SparkSuite {
     }
   }
 
+  test("q110 streamed custom-state user stats equal the batch per-user aggregate") {
+    val got = graft.streaming.EventStream.userStatsStreamed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
   test("q106 streamed dedup emits exactly the batch-distinct key set") {
     val got = graft.streaming.EventStream.dedupStreamed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
