@@ -122,7 +122,9 @@ object SparkEntry {
     "q107_bpe_encode"     -> (TextAnalysis.bpeEncode _),
     "q108_minhash_error"  -> (Dedup.minhashError _),
     "q109_ivf_recall"     -> (Similarity.ivfRecall _),
-    "q110_stream_userstats_exec" -> (graft.streaming.EventStream.userStatsStreamed _)
+    "q110_stream_userstats_exec" -> (graft.streaming.EventStream.userStatsStreamed _),
+    "q111_quality_percentile" -> (Ranking.qualityPercentile _),
+    "q112_dup_savings"    -> (Pipeline.dupSavings _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -360,21 +362,20 @@ object SparkEntry {
         |SELECT doc_id, lang AS labeled_lang, plang AS predicted_lang, score::INT AS score
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q19_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents
-        |),
-        |f AS (
-        |  SELECT doc_id,
-        |         len(w)::INT AS n_tokens,
-        |         round(list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w), 4) AS mean_word_len,
-        |         round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) * 1.0 / len(w), 4) AS stopword_ratio,
-        |         round(len(list_distinct(w)) * 1.0 / len(w), 4) AS uniq_ratio
-        |  FROM t
-        |)
-        |SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, uniq_ratio,
-        |       round(0.4 * stopword_ratio + 0.3 * uniq_ratio
-        |             + 0.3 * least(n_tokens / 100.0, 1.0), 5) AS quality_score
-        |FROM f ORDER BY doc_id""".stripMargin,
+      (qualityCte + """
+        |SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, uniq_ratio, quality_score
+        |FROM qual ORDER BY doc_id""".stripMargin),
+    "q111_quality_percentile" -> {
+      import graft.operators.Ranking.KeepPctAbove
+      val pct = "floor(cume_dist() OVER (PARTITION BY lang ORDER BY quality_score)" +
+        " * 1000000.0 + 0.5) / 1000000.0"
+      qualityCte + s""",
+        |j AS (SELECT q.doc_id, d.lang, q.quality_score
+        |      FROM qual q JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, quality_score, $pct AS pct,
+        |       ($pct > $KeepPctAbove)::INT AS keep_top
+        |FROM j ORDER BY doc_id""".stripMargin
+    },
     "q20_tokencount" ->
       """SELECT doc_id,
         |       len(regexp_extract_all(text, '[^ \t\n\r]+'))::INT AS n_ws_tokens,
@@ -504,21 +505,20 @@ object SparkEntry {
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY click_id""".stripMargin,
     "q31_dup_clusters" ->
-      (jaccardCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
-        """,
-          |edges AS (
-          |  SELECT i AS src, j AS dst FROM jac WHERE jaccard >= 0.8
-          |  UNION ALL
-          |  SELECT j AS src, i AS dst FROM jac WHERE jaccard >= 0.8
-          |),
-          |reach AS (
-          |  SELECT doc_id AS doc, doc_id AS root FROM documents
-          |  UNION
-          |  SELECT e.src AS doc, r.root
-          |  FROM reach r JOIN edges e ON e.dst = r.doc
-          |)
-          |SELECT doc AS doc_id, min(root) AS cluster_id
-          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin),
+      (dupClustersCte + """
+          |SELECT doc_id, cluster_id FROM clus ORDER BY doc_id""".stripMargin),
+    "q112_dup_savings" ->
+      (dupClustersCte + """,
+          |rep AS (
+          |  SELECT c.cluster_id, count(*) AS n_docs, sum(d.n_chars) AS total_chars,
+          |         min(c.doc_id) AS kept_doc
+          |  FROM clus c JOIN documents d USING (doc_id)
+          |  GROUP BY 1 HAVING count(*) >= 2)
+          |SELECT r.cluster_id, r.n_docs::BIGINT AS n_docs,
+          |       r.total_chars::BIGINT AS total_chars, r.kept_doc,
+          |       (r.total_chars - dk.n_chars)::BIGINT AS chars_saved
+          |FROM rep r JOIN documents dk ON dk.doc_id = r.kept_doc
+          |ORDER BY chars_saved DESC, cluster_id ASC LIMIT 20""".stripMargin),
     "q80_dedup_report" ->
       (jaccardCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
         """,
@@ -1767,6 +1767,49 @@ object SparkEntry {
     * materialized — ~26 minutes of a 27-minute oracle suite. The
     * negative lookbehind keeps named `WINDOW w AS (...)` clauses
     * untouched. */
+  /** Shared transitive-closure chain (q31/q112): the exact-Jaccard
+    * pairs as symmetric edges, recursive reachability, and the
+    * min-root cluster assignment `clus(doc_id, cluster_id)`. */
+  private def dupClustersCte: String =
+    jaccardCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") +
+      """,
+        |edges AS (
+        |  SELECT i AS src, j AS dst FROM jac WHERE jaccard >= 0.8
+        |  UNION ALL
+        |  SELECT j AS src, i AS dst FROM jac WHERE jaccard >= 0.8
+        |),
+        |reach AS (
+        |  SELECT doc_id AS doc, doc_id AS root FROM documents
+        |  UNION
+        |  SELECT e.src AS doc, r.root
+        |  FROM reach r JOIN edges e ON e.dst = r.doc
+        |),
+        |clus AS (
+        |  SELECT doc AS doc_id, min(root) AS cluster_id
+        |  FROM reach GROUP BY doc
+        |)""".stripMargin
+
+  /** Shared quality-scoring chain (q19/q111): tokenized docs `t`,
+    * surface features `f`, composite 5dp score `qual`. */
+  private def qualityCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents
+      |),
+      |f AS (
+      |  SELECT doc_id,
+      |         len(w)::INT AS n_tokens,
+      |         round(list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w), 4) AS mean_word_len,
+      |         round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) * 1.0 / len(w), 4) AS stopword_ratio,
+      |         round(len(list_distinct(w)) * 1.0 / len(w), 4) AS uniq_ratio
+      |  FROM t
+      |),
+      |qual AS (
+      |  SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, uniq_ratio,
+      |         round(0.4 * stopword_ratio + 0.3 * uniq_ratio
+      |               + 0.3 * least(n_tokens / 100.0, 1.0), 5) AS quality_score
+      |  FROM f
+      |)""".stripMargin
+
   /** Shared BPE training chain (q102/q107): word-count vocab `wc`,
     * spaced form `v0`, then per round r: argmax pair `r$r` and the
     * re-segmented vocab `v$r` via the same left-fold merge the engine

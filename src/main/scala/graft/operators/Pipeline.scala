@@ -233,6 +233,39 @@ object Pipeline {
           .as("containment_new"))
   }
 
+  /** Clusters reported by [[dupSavings]]. */
+  val SavingsTopK = 20
+
+  /** q112_dup_savings — the per-cluster cost report: for the
+    * [[SavingsTopK]] duplicate clusters with the most redundant bytes,
+    * the member count, total characters, surviving document (min id —
+    * the q14/q31 survivor convention), and characters saved by keeping
+    * only the survivor. q80 reports dedup totals; this names the
+    * specific boilerplate families worth investigating — "which
+    * template is costing us the most storage/compute" is the question
+    * an operator actually asks a dedup dashboard.
+    *
+    * Scale shape: one doc-keyed join of the cluster assignment (shared
+    * transitive-closure output, itself built from the capped pair
+    * artifact) against per-doc char counts, a cluster-keyed aggregate,
+    * a kept-doc lookup join, and orderBy+limit ranking
+    * (TakeOrderedAndProject). 10th consumer of the pair artifact. */
+  def dupSavings(spark: SparkSession, sfDir: String): DataFrame = {
+    val chars = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val rep = Dedup.dupClusters(spark, sfDir)
+      .join(chars, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("kept_doc"))
+      .filter(col("n_docs") >= 2)
+    rep.join(chars.select(col("doc_id").as("kept_doc"), col("n_chars").as("kept_chars")),
+        "kept_doc")
+      .select(col("cluster_id"), col("n_docs"), col("total_chars"), col("kept_doc"),
+        (col("total_chars") - col("kept_chars")).as("chars_saved"))
+      .orderBy(col("chars_saved").desc, col("cluster_id").asc)
+      .limit(SavingsTopK)
+  }
+
   def curate(spark: SparkSession, sfDir: String): DataFrame = {
     val exactSurvivors = TextAnalysis.normalize(spark, sfDir)
       .groupBy(col("norm_hash"))

@@ -110,4 +110,46 @@ object Ranking {
       .select(col("doc_id"), col("n_chars"), col("rank"), col("decile"))
       .orderBy("doc_id")
   }
+
+  /** Percentile threshold for [[qualityPercentile]]'s keep flag —
+    * "keep the top 30% per language". */
+  val KeepPctAbove = 0.7
+
+  /** q111_quality_percentile — per-LANGUAGE percentile normalization of
+    * the q19 quality score, plus the "top 30% of its language" keep
+    * flag. Absolute quality thresholds are incomparable across
+    * languages (surface statistics shift with morphology), so real
+    * curation mixes filter per-stratum percentiles, not raw scores —
+    * this operator turns the raw score into that calibrated form.
+    *
+    * Scale shape: the score is 5dp-rounded, so its domain is a bounded
+    * GRID (≤10⁵ cells), never corpus-sized — percentiles therefore
+    * come from a histogram, not a row window: one partial-aggregable
+    * (lang, score) count, a cumulative window over the per-language
+    * BUCKET rows (bounded by the grid; the q61 histogram-prefix idea
+    * with a stratum key), per-language totals broadcast back, and a
+    * co-partitioned join onto the per-doc rows. cume_dist semantics
+    * (P[X ≤ x], ties share a value) — the keep flag compares the
+    * 6dp-ROUNDED percentile so both engines flag identically even on
+    * a boundary tie. */
+  def qualityPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")), "doc_id")
+    val counts = q.groupBy(col("lang"), col("quality_score"))
+      .agg(count(lit(1)).as("cnt"))
+    val wLang = Window.partitionBy(col("lang")).orderBy(col("quality_score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("cnt")).over(wLang))
+      .select(col("lang"), col("quality_score"), col("cum"))
+    val totals = q.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    q.join(cum, Seq("lang", "quality_score"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("pct",
+        floor(col("cum").cast("double") / col("n_lang").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6))
+      .select(col("doc_id"), col("lang"), col("quality_score"), col("pct"),
+        (col("pct") > KeepPctAbove).cast("int").as("keep_top"))
+      .orderBy("doc_id")
+  }
 }

@@ -348,6 +348,63 @@ class TailOpsSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("q111 per-language quality percentile equals the driver-side cume_dist") {
+    val scores = TextAnalysis.quality(spark, sf)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val langs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val byLang = langs.groupBy(_._2).view.mapValues(_.keys.toSeq.map(scores))
+    val got = graft.operators.Ranking.qualityPercentile(spark, sf).collect()
+    assert(got.length == scores.size)
+    for (r <- got) {
+      val (id, lang, q, pct, keep) =
+        (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getInt(4))
+      assert(lang == langs(id) && q == scores(id))
+      val grp = byLang(lang)
+      val want = math.floor(grp.count(_ <= q).toDouble / grp.size * 1e6 + 0.5) / 1e6
+      assert(pct == want, s"doc $id")
+      assert(keep == (if (pct > graft.operators.Ranking.KeepPctAbove) 1 else 0))
+    }
+  }
+
+  test("datagen invariant: every document has at least one whitespace token") {
+    // q19's per-token ratios divide by the token count; a zero-token doc
+    // would score null/NaN, which q111's (lang, score) equi-join DROPS
+    // while the DuckDB oracle ranks it NULLS-LAST — a row-count
+    // divergence that only materializes if the generator ever ships an
+    // empty/whitespace-only text. Pins the invariant at every scale
+    // (the embeddings twin of this test lives in SimilaritySpec).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val bad = graft.sources.Tables.documents(spark, dir)
+        .filter(size(graft.functions.TextFunctions.wsTokens(col("text"))) === 0)
+        .count()
+      assert(bad == 0, s"$dir has $bad token-less documents — " +
+        "q111's score join would drop them while the oracle ranks NULLS-LAST")
+    }
+  }
+
+  test("q112 dup savings equals the driver-side per-cluster arithmetic") {
+    val nchars = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val clus = graft.operators.Dedup.dupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = clus.groupBy(_._2).toSeq
+      .map { case (cid, ms) =>
+        val ids = ms.map(_._1)
+        (cid, ids.size.toLong, ids.map(nchars).sum, ids.min,
+          ids.map(nchars).sum - nchars(ids.min))
+      }
+      .filter(_._2 >= 2)
+      .sortBy { case (cid, _, _, _, saved) => (-saved, cid) }
+      .take(Pipeline.SavingsTopK)
+    val got = Pipeline.dupSavings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
   test("q106 streamed dedup emits exactly the batch-distinct key set") {
     val got = graft.streaming.EventStream.dedupStreamed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
