@@ -124,7 +124,9 @@ object SparkEntry {
     "q109_ivf_recall"     -> (Similarity.ivfRecall _),
     "q110_stream_userstats_exec" -> (graft.streaming.EventStream.userStatsStreamed _),
     "q111_quality_percentile" -> (Ranking.qualityPercentile _),
-    "q112_dup_savings"    -> (Pipeline.dupSavings _)
+    "q112_dup_savings"    -> (Pipeline.dupSavings _),
+    "q113_stream_join_exec" -> (graft.streaming.EventStream.clickAttributionStreamed _),
+    "q114_lang_confusion" -> (TextAnalysis.langConfusion _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -341,26 +343,30 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rnk::INT AS "rank", round(cosine_raw, 6) AS cosine
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     "q18_langid" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents
-        |),
-        |scores AS (
-        |  SELECT doc_id, lang, sl.plang,
-        |         len(list_filter(w, x -> list_contains(sl.words, x))) AS score
-        |  FROM toks, (VALUES
-        |    ('de', ['der','die','das','und','ist','ein','zu']),
-        |    ('en', ['the','a','of','and','to','in','is','it']),
-        |    ('es', ['el','los','y','es','un','una','que']),
-        |    ('fr', ['le','les','et','est','une','dans','que']),
-        |    ('zh', ['de','shi','bu','wo','le','ren','you'])) sl(plang, words)
-        |),
-        |ranked AS (
-        |  SELECT doc_id, lang, plang, score,
-        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
-        |  FROM scores
-        |)
+      (langIdCte + """
         |SELECT doc_id, lang AS labeled_lang, plang AS predicted_lang, score::INT AS score
-        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |FROM pred ORDER BY doc_id""".stripMargin),
+    "q113_stream_join_exec" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       v.event_id AS view_id,
+        |       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+        |FROM events c JOIN events v
+        |  ON v.user_id = c.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+        |ORDER BY click_id, view_id""".stripMargin,
+    "q114_lang_confusion" ->
+      (langIdCte + """,
+        |cm AS (SELECT lang AS labeled_lang, plang AS predicted_lang,
+        |              count(*)::BIGINT AS n_docs
+        |       FROM pred GROUP BY 1, 2),
+        |tot AS (SELECT labeled_lang, sum(n_docs)::BIGINT AS n_lang FROM cm GROUP BY 1)
+        |SELECT cm.labeled_lang, cm.predicted_lang, cm.n_docs,
+        |       floor(cm.n_docs::DOUBLE / t.n_lang::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS share_of_labeled
+        |FROM cm JOIN tot t USING (labeled_lang)
+        |ORDER BY labeled_lang, predicted_lang""".stripMargin),
     "q19_quality" ->
       (qualityCte + """
         |SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, uniq_ratio, quality_score
@@ -1767,6 +1773,30 @@ object SparkEntry {
     * materialized — ~26 minutes of a 27-minute oracle suite. The
     * negative lookbehind keeps named `WINDOW w AS (...)` clauses
     * untouched. */
+  /** Shared stopword-profile language-ID chain (q18/q114): per-doc
+    * per-profile hit scores, argmax with the alphabetical tie-break,
+    * ending in `pred(doc_id, lang, plang, score)`. */
+  private def langIdCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents
+      |),
+      |scores AS (
+      |  SELECT doc_id, lang, sl.plang,
+      |         len(list_filter(w, x -> list_contains(sl.words, x))) AS score
+      |  FROM toks, (VALUES
+      |    ('de', ['der','die','das','und','ist','ein','zu']),
+      |    ('en', ['the','a','of','and','to','in','is','it']),
+      |    ('es', ['el','los','y','es','un','una','que']),
+      |    ('fr', ['le','les','et','est','une','dans','que']),
+      |    ('zh', ['de','shi','bu','wo','le','ren','you'])) sl(plang, words)
+      |),
+      |ranked AS (
+      |  SELECT doc_id, lang, plang, score,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
+      |  FROM scores
+      |),
+      |pred AS (SELECT doc_id, lang, plang, score FROM ranked WHERE rn = 1)""".stripMargin
+
   /** Shared transitive-closure chain (q31/q112): the exact-Jaccard
     * pairs as symmetric edges, recursive reachability, and the
     * min-root cluster assignment `clus(doc_id, cluster_id)`. */

@@ -504,6 +504,32 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("pair").asc)
       .limit(BpeTopK)
 
+  /** q114_lang_confusion — the language-ID confusion matrix: q18's
+    * stopword-profile classifier evaluated against the labeled `lang`
+    * column, as (labeled, predicted, count, share-of-labeled) rows.
+    * The evaluation a pipeline runs BEFORE trusting a classifier to
+    * route/filter a corpus — per-language precision/recall read
+    * straight off the matrix, and a profile change (new stopword list)
+    * diffs as a matrix delta. zh's romanized stopword collisions with
+    * other languages show up exactly here.
+    *
+    * Scale shape: the classifier is q18's scan-local argmax; the
+    * matrix is one partial-aggregable (labeled, predicted) count —
+    * at most |langs|² rows — and the share denominator is a
+    * labeled-lang roll-up of the matrix itself (no second corpus
+    * pass), broadcast back. */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val cm = langId(spark, sfDir)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cm.groupBy(col("labeled_lang")).agg(sum(col("n_docs")).as("n_lang"))
+    cm.join(broadcast(tot), Seq("labeled_lang"))
+      .select(col("labeled_lang"), col("predicted_lang"), col("n_docs"),
+        (floor(col("n_docs").cast("double") / col("n_lang").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("share_of_labeled"))
+      .orderBy("labeled_lang", "predicted_lang")
+  }
+
   /** Merge rounds performed by [[bpeTrain]]. */
   val BpeRounds = 5
 

@@ -406,6 +406,43 @@ object EventStream {
       }
   }
 
+  /** q113_stream_join_exec — the STREAM-STREAM JOIN graded through a
+    * genuine streaming execution: two file-stream sources (clicks,
+    * views) → [[streamingClickAttribution]]'s watermarked interval
+    * join → Append memory sink (q88's harness; fifth graded streaming
+    * path — StreamingSymmetricHashJoinExec joins the windowed-agg,
+    * session-merge, dedup and custom-state operators on the graded
+    * surface, completing Structured Streaming's stateful-operator
+    * family). An INNER stream-stream join emits each matched pair
+    * exactly once when both sides have arrived, so the drained result
+    * over a bounded file equals the batch interval join row-for-row —
+    * watermarks exist to EVICT state, not to gate emission, and the
+    * single-file source arrives inside one micro-batch anyway.
+    * Timestamps are second-formatted in the output (q23/q25
+    * convention); rows stay unique via the two event ids. */
+  def clickAttributionStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = Tables.eventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+    val views = Tables.eventsStream(spark, sfDir)
+      .filter(col("event_type") === "view")
+    val name = s"graft_stream_attr_${streamRunId.incrementAndGet()}"
+    withStatePartitions(spark, 4) {
+      val q = streamingClickAttribution(clicks, views)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val out = spark.table(name)
+      .select(col("click_id"), col("user_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("view_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"))
+      .orderBy("click_id", "view_id").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** q110_stream_userstats_exec — the CUSTOM-STATE API graded through a
     * GENUINE streaming execution: file stream → `groupByKey(user_id)` →
     * [[runningUserStats]]'s `mapGroupsWithState` fold (arbitrary

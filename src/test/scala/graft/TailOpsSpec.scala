@@ -405,6 +405,41 @@ class TailOpsSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("q113 streamed interval join equals the batch interval join") {
+    val got = graft.streaming.EventStream.clickAttributionStreamed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getString(4))).toSeq
+    val ev = graft.sources.Tables.events(spark, sf)
+    val want = ev.as("c").filter(col("c.event_type") === "click")
+      .join(ev.as("v").filter(col("v.event_type") === "view"),
+        col("v.user_id") === col("c.user_id") &&
+          col("v.ts") <= col("c.ts") &&
+          col("v.ts") >= col("c.ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("c.event_id"), col("c.user_id"),
+        date_format(col("c.ts"), "yyyy-MM-dd HH:mm:ss"),
+        col("v.event_id"), date_format(col("v.ts"), "yyyy-MM-dd HH:mm:ss"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getString(4)))
+      .toSeq.sortBy(r => (r._1, r._4))
+    assert(got == want)
+  }
+
+  test("q114 confusion matrix totals the q18 predictions and partitions each language") {
+    val preds = TextAnalysis.langId(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val want = preds.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((l, p), n) =>
+        val nl = preds.count(_._1 == l).toLong
+        (l, p, n, math.floor(n.toDouble / nl * 1e6 + 0.5) / 1e6)
+      }.sortBy(r => (r._1, r._2))
+    val got = TextAnalysis.langConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    // each labeled language's shares sum to ~1
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    }
+  }
+
   test("q106 streamed dedup emits exactly the batch-distinct key set") {
     val got = graft.streaming.EventStream.dedupStreamed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
