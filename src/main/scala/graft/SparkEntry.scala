@@ -126,7 +126,11 @@ object SparkEntry {
     "q111_quality_percentile" -> (Ranking.qualityPercentile _),
     "q112_dup_savings"    -> (Pipeline.dupSavings _),
     "q113_stream_join_exec" -> (graft.streaming.EventStream.clickAttributionStreamed _),
-    "q114_lang_confusion" -> (TextAnalysis.langConfusion _)
+    "q114_lang_confusion" -> (TextAnalysis.langConfusion _),
+    "q115_hll_distinct"   -> (Sketches.hllDistinct _),
+    "q116_heavy_hitters"  -> (Sketches.heavyHitters _),
+    "q117_retention"      -> (Relational.retention _),
+    "q118_bloom_decontam" -> (Dedup.bloomDecontam _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -367,6 +371,109 @@ object SparkEntry {
         |         / 1000000.0 AS share_of_labeled
         |FROM cm JOIN tot t USING (labeled_lang)
         |ORDER BY labeled_lang, predicted_lang""".stripMargin),
+    "q115_hll_distinct" ->
+      s"""WITH toks AS (
+        |  SELECT lang, unnest(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS tok
+        |  FROM documents
+        |),
+        |h AS (SELECT lang, tok, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM toks),
+        |regs AS (
+        |  SELECT lang, h % ${Sketches.HllM} AS reg,
+        |         max(${Sketches.HllRankBits + 1} - length(ltrim(bin(h // ${Sketches.HllM}), '0'))) AS mj
+        |  FROM h GROUP BY 1, 2),
+        |est0 AS (
+        |  SELECT lang, count(*)::BIGINT AS v,
+        |         sum(1.0 / (1::BIGINT << mj)::DOUBLE) AS s
+        |  FROM regs GROUP BY 1),
+        |est1 AS (
+        |  SELECT lang,
+        |         (0.7213/(1.0+1.079/${Sketches.HllM}.0)) * ${Sketches.HllM}.0 * ${Sketches.HllM}.0
+        |           / (s + (${Sketches.HllM} - v)::DOUBLE) AS e_raw,
+        |         (${Sketches.HllM} - v)::DOUBLE AS z
+        |  FROM est0),
+        |est2 AS (
+        |  SELECT lang, CASE WHEN e_raw <= ${2.5 * Sketches.HllM} AND z > 0
+        |                    THEN ${Sketches.HllM}.0 * ln(${Sketches.HllM}.0 / z)
+        |                    ELSE e_raw END AS e FROM est1),
+        |exact AS (SELECT lang, count(DISTINCT tok)::BIGINT AS exact_distinct FROM toks GROUP BY 1)
+        |SELECT x.lang, x.exact_distinct,
+        |       floor(e * 10000.0 + 0.5)/10000.0 AS hll_estimate,
+        |       floor((e - x.exact_distinct::DOUBLE)/x.exact_distinct::DOUBLE * 10000.0 + 0.5)/10000.0 AS rel_error
+        |FROM exact x JOIN est2 USING (lang)
+        |ORDER BY lang""".stripMargin,
+    "q116_heavy_hitters" ->
+      s"""WITH occ AS (
+        |  SELECT unnest(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS tok FROM documents
+        |),
+        |oh AS (SELECT tok, ('0x'||substr(md5(tok),1,7))::BIGINT AS h FROM occ),
+        |cells AS (
+        |  SELECT i.i AS r,
+        |         ((h*(2*i.i+1) + 101*i.i + 7) % ${graft.functions.HashFunctions.P}) % ${Sketches.CmsW} AS b,
+        |         count(*)::BIGINT AS c
+        |  FROM oh CROSS JOIN (VALUES (0),(1),(2),(3)) i(i) GROUP BY 1, 2),
+        |top AS (
+        |  SELECT tok, count(*)::BIGINT AS exact_cnt
+        |  FROM occ GROUP BY tok ORDER BY exact_cnt DESC, tok ASC LIMIT ${Sketches.CmsTopK}),
+        |th AS (SELECT tok, exact_cnt, ('0x'||substr(md5(tok),1,7))::BIGINT AS h FROM top),
+        |est AS (
+        |  SELECT t.tok, t.exact_cnt, min(c.c) AS cms_estimate
+        |  FROM th t CROSS JOIN (VALUES (0),(1),(2),(3)) i(i)
+        |  JOIN cells c ON c.r = i.i
+        |    AND c.b = ((t.h*(2*i.i+1) + 101*i.i + 7) % ${graft.functions.HashFunctions.P}) % ${Sketches.CmsW}
+        |  GROUP BY 1, 2)
+        |SELECT tok, exact_cnt, cms_estimate, (cms_estimate - exact_cnt) AS overestimate
+        |FROM est ORDER BY exact_cnt DESC, tok ASC""".stripMargin,
+    "q117_retention" ->
+      s"""WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |         floor((epoch_ms(ts) - ${Relational.RetentionEpochMs})::DOUBLE
+        |               / ${Relational.WeekMs}.0)::INT AS wk
+        |  FROM events
+        |),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1),
+        |sizes AS (SELECT cohort_week, count(*)::BIGINT AS cohort_size FROM cohort GROUP BY 1),
+        |act AS (
+        |  SELECT c.cohort_week, (uw.wk - c.cohort_week)::INT AS week_offset,
+        |         count(*)::BIGINT AS n_active
+        |  FROM uw JOIN cohort c USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+        |       floor(a.n_active::DOUBLE / s.cohort_size::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS retention
+        |FROM act a JOIN sizes s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q118_bloom_decontam" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\r]+') AS w FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4] AS g
+        |  FROM t, unnest(range(1, len(w) - 3)) s(i)
+        |),
+        |hp AS (
+        |  SELECT doc_id, g,
+        |         ((('0x'||substr(md5(g),1,7))::BIGINT*(2*i.i+1) + 101*i.i + 7)
+        |            % ${graft.functions.HashFunctions.P}) % ${Dedup.BloomM} AS pos
+        |  FROM sh CROSS JOIN (VALUES (0),(1),(2)) i(i)
+        |),
+        |refpos AS (SELECT DISTINCT pos FROM hp WHERE doc_id % 50 = 0),
+        |flag AS (
+        |  SELECT hp.doc_id, hp.g,
+        |         min(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END) AS hit
+        |  FROM hp LEFT JOIN refpos r USING (pos)
+        |  WHERE hp.doc_id % 50 <> 0
+        |  GROUP BY 1, 2
+        |),
+        |bloom AS (SELECT doc_id, count(*)::BIGINT AS n_bloom FROM flag WHERE hit = 1 GROUP BY 1),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+        |exact AS (
+        |  SELECT sh.doc_id, count(*)::BIGINT AS n_exact
+        |  FROM sh JOIN bench USING (g)
+        |  WHERE sh.doc_id % 50 <> 0 GROUP BY 1)
+        |SELECT b.doc_id, coalesce(e.n_exact, 0)::BIGINT AS n_exact, b.n_bloom,
+        |       (b.n_bloom - coalesce(e.n_exact, 0))::BIGINT AS n_false_pos
+        |FROM bloom b LEFT JOIN exact e USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q19_quality" ->
       (qualityCte + """
         |SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, uniq_ratio, quality_score

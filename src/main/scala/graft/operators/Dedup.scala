@@ -412,6 +412,72 @@ object Dedup {
       d.filter(col("doc_id") % 50 === 0))
   }
 
+  /** Bloom hash count for [[bloomDecontam]]. */
+  val BloomK = 3
+  /** Bloom filter bits (2^16 → an 8 KB bitmap). */
+  val BloomM = 65536
+
+  /** q118_bloom_decontam — q51's decontamination pass run the way a
+    * 100 TB deployment actually runs it: the benchmark 5-gram set is
+    * compressed into a [[BloomM]]-bit / [[BloomK]]-hash Bloom filter
+    * (Bloom 1970) and the corpus is probed against the BITMAP, never
+    * joined against the gram strings. Per training doc the query
+    * reports the bloom-flagged gram count next to q51's exact overlap
+    * count, so the filter's false-positive cost is a GRADED number
+    * (n_false_pos), and the no-false-negative guarantee is checked row
+    * by row (n_bloom ≥ n_exact always; DedupSpec pins it).
+    *
+    * Scale shape: the bitmap is built from the benchmark side's ≤
+    * min(k·|bench grams|, m) distinct bit positions — bounded by m =
+    * 8 KB of driver state however large the benchmark, then embedded
+    * as a plan literal (cheaper than a broadcast exchange); probing is
+    * SCAN-LOCAL — one md5 + k affine mods + k bit tests per gram inside
+    * whole-stage codegen, no shuffle and no join for the membership
+    * test, which is exactly why a bloom filter (and not the q51
+    * broadcast join) is what you ship against 100 TB when the
+    * benchmark set itself is large. The only shuffled rows are the
+    * flagged (doc, gram) hits, same as q51.
+    *
+    * Oracle form: membership in the bitmap ⟺ every one of the gram's k
+    * positions is in the benchmark's position SET, so DuckDB verifies
+    * the identical semantics via a positions anti-check — the bitmap is
+    * an ENCODING of that set, not an approximation of the query. */
+  def bloomDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    val train = d.filter(col("doc_id") % 50 =!= 0)
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), T.wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), explode_outer(T.shingleSet(col("w"), 5)).as("g"))
+      .filter(col("g").isNotNull)
+    def positions(gr: DataFrame): DataFrame = {
+      val h = H.md5Int28(col("g"))
+      gr.select(Seq(col("doc_id"), col("g")) ++
+        (0 until BloomK).map(i =>
+          pmod(H.affine(h, i), lit(BloomM.toLong)).as(s"p$i")): _*)
+    }
+    // the index artifact: ≤ m distinct bit positions → an m-bit bitmap
+    val refPos = positions(grams(bench))
+      .select(explode(array((0 until BloomK).map(i => col(s"p$i")): _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    val bitmap = new Array[Long](BloomM / 64)
+    refPos.foreach(p => bitmap(p.toInt >> 6) |= (1L << (p.toInt & 63)))
+    val probed = positions(grams(train))
+      .withColumn("bm", typedLit(bitmap.toSeq))
+    val allBitsSet = (0 until BloomK).map(i => expr(
+      s"(shiftright(element_at(bm, cast(p$i div 64 as int) + 1), " +
+        s"cast(p$i % 64 as int)) & 1) = 1")).reduce(_ && _)
+    val bloomCounts = probed.filter(allBitsSet)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bloom"))
+    val exact = decontaminateAgainst(train, bench)
+      .withColumnRenamed("n_hits", "n_exact")
+    bloomCounts.join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("n_bloom"),
+        (col("n_bloom") - coalesce(col("n_exact"), lit(0L))).as("n_false_pos"))
+      .orderBy("doc_id")
+  }
+
   /** q14_ngram_dedup — survivor set: drop every doc that has a near-dup
     * partner (n-gram Jaccard ≥ 0.8) with a smaller doc_id. The removal
     * side comes from the LSH pipeline, so the anti-join input is the

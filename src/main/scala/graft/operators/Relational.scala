@@ -648,4 +648,44 @@ object Relational {
         sum(when(col("has_new") === 0, 1L).otherwise(0L)).as("n_carried"))
       .orderBy("event_type")
   }
+
+  /** Week-zero epoch for [[retention]] (2024-01-01T00:00:00Z, ms). */
+  val RetentionEpochMs = 1704067200000L
+  /** One week in milliseconds. */
+  val WeekMs = 604800000L
+
+  /** q117_retention — the cohort retention matrix: users are cohorted by
+    * the calendar week (relative to [[RetentionEpochMs]]) of their FIRST
+    * event, and each (cohort_week, week_offset) cell reports how many of
+    * that cohort were active `offset` weeks later, as a count and a
+    * share of the cohort — the growth-analytics complement of q64's
+    * funnel (the funnel measures conversion depth, retention measures
+    * return over time).
+    *
+    * Scale shape: the corpus-sized work is ONE distinct over
+    * (user_id, week) — partial-aggregable, and the row count after it
+    * is |users|·|weeks|, not |events|; the cohort assignment is a
+    * user-keyed min over those same rows (co-partitioned — the distinct
+    * and the min share the user_id shuffle key, so AQE reuses the
+    * exchange); the matrix is a second aggregate over ≤ weeks² cells
+    * and cohort sizes broadcast back onto it. Week ids are integer
+    * arithmetic on `unix_millis` (µs-exact load, q64's contract), so
+    * every engine computes identical cohorts. */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val wk = floor((unix_millis(col("ts")) - lit(RetentionEpochMs)).cast("double")
+      / lit(WeekMs.toDouble)).cast("int")
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"), wk.as("wk"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
+        (floor(col("n_active").cast("double") / col("cohort_size").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
+import graft.functions.{HashFunctions => H, TextFunctions => T}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate aggregation sketches — the constant-memory substitutes a
@@ -11,11 +12,137 @@ import org.apache.spark.sql.functions._
   * (`approx_percentile`). Both are mergeable partial aggregates, so they
   * partial-combine map-side like any sum.
   *
-  * Approximate results are engine-specific by nature, so these carry no
-  * DuckDB hash oracle; `SketchesSpec` bounds their error against exact
-  * computation instead (SURVEY §2 row 30).
+  * Spark's built-in sketches are engine-specific, so [[eventSketches]]
+  * carries no DuckDB hash oracle (`SketchesSpec` bounds its error
+  * instead). [[hllDistinct]] and [[heavyHitters]] close that gap the
+  * graft way: the SAME sketches hand-built on the md5 parity hash
+  * ([[graft.functions.HashFunctions]]), so register values, cell counts
+  * and estimates are bit-reproducible by the DuckDB oracle and the
+  * driver grades the sketch EXACTLY — including its error against the
+  * exact answer, reported in the same row.
   */
 object Sketches {
+
+  /** HLL register-index bits (m = 2^[[HllP]] = 256 registers). */
+  val HllP = 8
+  /** Register count. */
+  val HllM = 256
+  /** Rank bits available after the register index: md5Int60 minus
+    * [[HllP]] → 52, so ranks span 1..53. */
+  val HllRankBits = 52
+
+  /** q115_hll_distinct — per-language distinct-token cardinality via a
+    * hand-rolled, CROSS-ENGINE-DETERMINISTIC HyperLogLog (Flajolet et
+    * al. 2007), audited in the same row against the exact distinct
+    * count. The register map (max leading-zero rank per md5 bucket) is
+    * the ~256-cell mergeable state a 100 TB pipeline keeps per stratum
+    * instead of the unbounded distinct set; grading the estimate AND
+    * its relative error makes the sketch's accuracy a verified
+    * contract, not a hope (q108/q109's audit pattern applied to
+    * cardinality).
+    *
+    * Determinism: register = h mod 256 and rank = 53 − bitlength(h div
+    * 256) are integer arithmetic on the md5 parity hash; the harmonic
+    * sum Σ 2^−M_j is a sum of dyadic rationals spanning < 53 bits of
+    * exponent, so IT IS EXACT in IEEE double in any summation order;
+    * α·m²/Z is correctly-rounded IEEE division. Only the small-range
+    * correction's ln() can differ in the last ulp cross-engine, which
+    * the 4dp rounding absorbs.
+    *
+    * Scale shape: one scan-local explode+hash, ONE partial-aggregable
+    * groupBy(lang, register) max — ≤ 256·|langs| rows out of the map
+    * side regardless of corpus size — then a |langs|-row estimator
+    * aggregate. The exact side (the audit) is the usual two-phase
+    * distinct; at 100 TB you run it once to certify the sketch, then
+    * ship the sketch. */
+  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(T.wsTokens(col("text"))).as("tok"))
+    val h = toks.withColumn("h", H.md5Int60(col("tok")))
+    val regs = h
+      .groupBy(col("lang"), pmod(col("h"), lit(HllM.toLong)).as("reg"))
+      .agg(max(lit(HllRankBits + 1) -
+        length(ltrim(bin(shiftright(col("h"), HllP)), "0"))).as("mj"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllM.toDouble))
+    val est = regs
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("v"),
+        sum(lit(1.0) / expr("shiftleft(1L, mj)").cast("double")).as("s"))
+      .select(col("lang"),
+        (alpha * lit(HllM.toDouble) * lit(HllM.toDouble) /
+          (col("s") + (lit(HllM) - col("v")).cast("double"))).as("e_raw"),
+        (lit(HllM) - col("v")).cast("double").as("z"))
+      .select(col("lang"),
+        when(col("e_raw") <= lit(2.5 * HllM) && col("z") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("z")))
+          .otherwise(col("e_raw")).as("e"))
+    val exact = toks.groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("exact_distinct"))
+    exact.join(broadcast(est), "lang")
+      .select(col("lang"), col("exact_distinct"),
+        round4(col("e")).as("hll_estimate"),
+        round4((col("e") - col("exact_distinct").cast("double"))
+          / col("exact_distinct").cast("double")).as("rel_error"))
+      .orderBy("lang")
+  }
+
+  /** floor(x·10⁴ + 0.5)/10⁴ — the sign-stable HALF_UP the oracle
+    * mirrors verbatim (Spark's round() rounds negatives AWAY from zero,
+    * DuckDB's toward — floor+0.5 is identical in both). */
+  private def round4(c: Column): Column =
+    floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+
+  /** Count-min depth (hash rows). */
+  val CmsD = 4
+  /** Count-min width (buckets per row). */
+  val CmsW = 512
+  /** Heavy hitters reported. */
+  val CmsTopK = 20
+
+  /** q116_heavy_hitters — token heavy hitters through a hand-rolled
+    * count-min sketch (Cormode & Muthukrishnan 2005): d=4 affine hash
+    * rows × w=512 buckets of occurrence counts, estimate = min over the
+    * token's d cells, audited in the same row against the exact count
+    * (CMS never underestimates, so `overestimate` is the materialized
+    * collision error). The fixed 2048-cell grid is what a 100 TB
+    * pipeline keeps when the token space itself (billions of keys)
+    * can't be counted exactly per window — and like q115, building it
+    * on the md5 parity hash makes every cell and estimate exactly
+    * reproducible by the oracle.
+    *
+    * Scale shape: one md5 per occurrence + the affine family fan-out
+    * (HashFunctions' O(tokens), not O(tokens·d)); the sketch is ONE
+    * partial-aggregable groupBy over a hard 2048-cell key space — no
+    * skew possible by construction; probing broadcasts the 2048-cell
+    * frame onto the top-k rows. The exact top-k (the audit side) is the
+    * standard count + TakeOrdered. */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val occ = Tables.documents(spark, sfDir)
+      .select(explode(T.wsTokens(col("text"))).as("tok"))
+      .withColumn("h", H.md5Int28(col("tok")))
+    val cells = occ
+      .select(explode(array((0 until CmsD).map(i =>
+        struct(lit(i).as("r"), pmod(H.affine(col("h"), i), lit(CmsW.toLong)).as("b"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = occ.groupBy(col("tok"), col("h"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc)
+      .limit(CmsTopK)
+    val probes = top
+      .select(col("tok"), col("exact_cnt"),
+        explode(array((0 until CmsD).map(i =>
+          struct(lit(i).as("r"), pmod(H.affine(col("h"), i), lit(CmsW.toLong)).as("b"))): _*))
+          .as("rb"))
+      .select(col("tok"), col("exact_cnt"), col("rb.r").as("r"), col("rb.b").as("b"))
+    probes.join(broadcast(cells), Seq("r", "b"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_estimate"))
+      .select(col("tok"), col("exact_cnt"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_cnt")).as("overestimate"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc)
+  }
 
   /** Per-event-type approximate user cardinality + value percentiles,
     * alongside the exact count for the accuracy tests. */

@@ -16,6 +16,38 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("q115 hand-rolled HLL estimate is within the m=256 error regime") {
+    val rows = Sketches.hllDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("hll_estimate")
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val rel = r.getAs[Double]("rel_error")
+      assert(est > 0)
+      // 1.04/sqrt(256) ≈ 6.5% std error; 4 sigma is a generous pin
+      assert(math.abs(rel) < 0.26, s"${r.getString(0)}: est=$est exact=$exact rel=$rel")
+      assert(math.abs((est - exact) / exact - rel) < 1e-3)
+    }
+  }
+
+  test("q116 count-min never underestimates and ranks the true top-k") {
+    import spark.implicits._
+    val rows = Sketches.heavyHitters(spark, sf).collect()
+    assert(rows.length == Sketches.CmsTopK)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact_cnt"),
+        s"CMS underestimated ${r.getString(0)}")
+      assert(r.getAs[Long]("overestimate") ==
+        r.getAs[Long]("cms_estimate") - r.getAs[Long]("exact_cnt"))
+    }
+    val wantTop = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().sortBy { case (t, c) => (-c, t) }
+      .take(Sketches.CmsTopK).toSeq
+    assert(rows.map(r => (r.getString(0), r.getAs[Long]("exact_cnt"))).toSeq == wantTop)
+  }
+
   test("approximate percentiles bracket the exact median sensibly") {
     import spark.implicits._
     val rows = Sketches.eventSketches(spark, sf)

@@ -440,6 +440,42 @@ class TailOpsSpec extends SparkSuite {
     }
   }
 
+  test("q117 retention week-0 cell is the full cohort and offsets are non-negative") {
+    val rows = graft.operators.Relational.retention(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, nAct, size, ret) =>
+      assert(off >= 0)
+      assert(nAct <= size)
+      assert(math.abs(ret - math.floor(nAct.toDouble / size * 1e6 + 0.5) / 1e6) < 1e-9)
+    }
+    // every cohort has a week-0 row where everyone is active by definition
+    val cohorts = rows.map(_._1).distinct
+    cohorts.foreach { cw =>
+      val w0 = rows.filter(r => r._1 == cw && r._2 == 0)
+      assert(w0.length == 1 && w0.head._3 == w0.head._4, s"cohort $cw week-0 broken")
+    }
+    // week-0 actives across cohorts = total distinct users
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0).map(_._3).sum == users)
+  }
+
+  test("q118 bloom probe has no false negatives against the exact overlap") {
+    val bloom = graft.operators.Dedup.bloomDecontam(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bloom.nonEmpty)
+    bloom.foreach { case (id, nExact, nBloom, nFp) =>
+      assert(nBloom >= nExact, s"doc $id: bloom $nBloom < exact $nExact — false negative")
+      assert(nFp == nBloom - nExact)
+    }
+    // every doc the exact decontamination flags is bloom-flagged too
+    val exactIds = graft.operators.Dedup.decontaminate(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val bloomIds = bloom.map(_._1).toSet
+    assert(exactIds.subsetOf(bloomIds))
+  }
+
   test("q106 streamed dedup emits exactly the batch-distinct key set") {
     val got = graft.streaming.EventStream.dedupStreamed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
