@@ -130,7 +130,9 @@ object SparkEntry {
     "q115_hll_distinct"   -> (Sketches.hllDistinct _),
     "q116_heavy_hitters"  -> (Sketches.heavyHitters _),
     "q117_retention"      -> (Relational.retention _),
-    "q118_bloom_decontam" -> (Dedup.bloomDecontam _)
+    "q118_bloom_decontam" -> (Dedup.bloomDecontam _),
+    "q119_priority_sample" -> (Sampling.prioritySample _),
+    "q120_anomaly_weeks"  -> (Relational.anomalyWeeks _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -474,6 +476,59 @@ object SparkEntry {
         |       (b.n_bloom - coalesce(e.n_exact, 0))::BIGINT AS n_false_pos
         |FROM bloom b LEFT JOIN exact e USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q119_priority_sample" ->
+      s"""WITH pr AS (
+        |  SELECT doc_id, n_chars AS w,
+        |         n_chars::DOUBLE * ${Sampling.PriorityGrid}
+        |           / (('0x' || substr(md5('pri_' || doc_id), 1, 7))::BIGINT + 1)::DOUBLE AS q
+        |  FROM documents
+        |),
+        |rk AS (
+        |  SELECT doc_id, w, q,
+        |         row_number() OVER (ORDER BY q DESC, doc_id ASC) AS rnk
+        |  FROM pr
+        |),
+        |tau AS (SELECT q AS tau FROM rk WHERE rnk = ${Sampling.PriorityN + 1})
+        |SELECT r.rnk::BIGINT AS smp_rank, r.doc_id, r.w, r.q AS priority, t.tau,
+        |       greatest(r.w::DOUBLE, t.tau) AS w_est
+        |FROM rk r CROSS JOIN tau t
+        |WHERE r.rnk <= ${Sampling.PriorityN}
+        |ORDER BY smp_rank""".stripMargin,
+    "q120_anomaly_weeks" ->
+      s"""WITH weekly AS (
+        |  SELECT event_type,
+        |         floor((epoch_ms(ts) - ${Relational.RetentionEpochMs})::DOUBLE
+        |               / ${Relational.WeekMs}.0)::INT AS wk,
+        |         count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1, 2
+        |),
+        |w AS (
+        |  SELECT event_type, wk, n_events,
+        |         count(n_events) OVER f::DOUBLE AS k,
+        |         sum(n_events) OVER f::DOUBLE AS s,
+        |         sum(n_events * n_events) OVER f::DOUBLE AS s2
+        |  FROM weekly
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY wk
+        |               ROWS BETWEEN ${Relational.AnomalyTrailW} PRECEDING AND 1 PRECEDING)
+        |),
+        |z AS (
+        |  SELECT event_type, wk, n_events, k, s / k AS mean,
+        |         CASE WHEN k >= 2
+        |              THEN sqrt(greatest((s2 - s * s / k) / (k - 1.0), 0.0)) END AS std
+        |  FROM w
+        |),
+        |zz AS (
+        |  SELECT event_type, wk, n_events, k, mean, std,
+        |         CASE WHEN std > 0 THEN (n_events::DOUBLE - mean) / std END AS z
+        |  FROM z
+        |)
+        |SELECT event_type, wk, n_events,
+        |       CASE WHEN k >= 1 THEN floor(mean * 10000.0 + 0.5) / 10000.0 END AS trail_mean,
+        |       floor(std * 10000.0 + 0.5) / 10000.0 AS trail_std,
+        |       floor(z * 10000.0 + 0.5) / 10000.0 AS z,
+        |       CASE WHEN z IS NOT NULL THEN abs(z) >= ${Relational.AnomalyZ} END AS is_anomaly
+        |FROM zz
+        |ORDER BY event_type, wk""".stripMargin,
     "q19_quality" ->
       (qualityCte + """
         |SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, uniq_ratio, quality_score

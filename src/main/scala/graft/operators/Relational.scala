@@ -671,6 +671,59 @@ object Relational {
     * and cohort sizes broadcast back onto it. Week ids are integer
     * arithmetic on `unix_millis` (µs-exact load, q64's contract), so
     * every engine computes identical cohorts. */
+  /** Trailing window (weeks) for [[anomalyWeeks]]. */
+  val AnomalyTrailW = 4
+  /** |z| threshold above which a week is flagged. */
+  val AnomalyZ = 2.0
+
+  /** q120_anomaly_weeks — volume anomaly detection over the weekly
+    * event series: each (event_type, week) count is z-scored against
+    * the trailing [[AnomalyTrailW]] observed weeks (frame excludes the
+    * current week — the monitor must not normalize away the spike it is
+    * looking for), flagged when |z| ≥ [[AnomalyZ]] — the
+    * drop-detector / spike-detector every ingestion pipeline runs
+    * before trusting a day's data.
+    *
+    * Float parity: the trailing sums are integer-exact (counts), and
+    * mean/var/z are the SAME correctly-rounded IEEE expression tree on
+    * both engines — mean = s/k, var = max((s2 − s·s/k)/(k−1), 0) — so
+    * z is deterministic and the 4dp floor-round is cosmetic, not a
+    * tolerance. Weeks with an empty or variance-free trail emit NULL
+    * z (never a division default), and the flag is NULL with them.
+    *
+    * Scale shape: the corpus-sized work is ONE partial-aggregable
+    * (event_type, week) count; the window runs partitioned by
+    * event_type over the ≤|weeks| aggregated rows per type — bounded
+    * post-agg data, not row data (the ScaleShapeSpec contract). */
+  def anomalyWeeks(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    val wk = floor((unix_millis(col("ts")) - lit(RetentionEpochMs)).cast("double")
+      / lit(WeekMs.toDouble)).cast("int")
+    val weekly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), wk.as("wk"))
+      .agg(count(lit(1)).as("n_events"))
+    val frame = Window.partitionBy("event_type").orderBy("wk")
+      .rowsBetween(-AnomalyTrailW, -1)
+    val k = count(col("n_events")).over(frame).cast("double")
+    val s = sum(col("n_events")).over(frame).cast("double")
+    val s2 = sum(col("n_events") * col("n_events")).over(frame).cast("double")
+    val r4 = (c: Column) => floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+    weekly
+      .withColumn("k", k).withColumn("s", s).withColumn("s2", s2)
+      .withColumn("mean", col("s") / col("k"))
+      .withColumn("std", when(col("k") >= 2,
+        sqrt(greatest((col("s2") - col("s") * col("s") / col("k"))
+          / (col("k") - lit(1.0)), lit(0.0)))))
+      .withColumn("z", when(col("std") > 0,
+        (col("n_events").cast("double") - col("mean")) / col("std")))
+      .select(col("event_type"), col("wk"), col("n_events"),
+        when(col("k") >= 1, r4(col("mean"))).as("trail_mean"),
+        r4(col("std")).as("trail_std"), r4(col("z")).as("z"),
+        when(col("z").isNotNull, abs(col("z")) >= lit(AnomalyZ)).as("is_anomaly"))
+      .orderBy("event_type", "wk")
+  }
+
   def retention(spark: SparkSession, sfDir: String): DataFrame = {
     val wk = floor((unix_millis(col("ts")) - lit(RetentionEpochMs)).cast("double")
       / lit(WeekMs.toDouble)).cast("int")

@@ -215,4 +215,53 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
   }
+
+  /** Sample size for [[prioritySample]]. */
+  val PriorityN = 100
+  /** 2^28 — the md5Int28 value grid, so u = (h+1)/2^28 ∈ (0, 1]. */
+  val PriorityGrid = 268435456.0
+
+  /** q119_priority_sample — weight-proportional sampling WITHOUT
+    * replacement via priority sampling (Duffield, Lund & Thorup 2007):
+    * priority q = w / u with u deterministic from md5, take the
+    * [[PriorityN]] largest, and report the DLT estimator
+    * ŵ = max(w, τ) (τ = the (n+1)-th priority) whose sample sum
+    * unbiasedly estimates the TOTAL corpus weight — the "estimate a
+    * corpus-wide statistic from n rows" primitive a 100 TB pipeline
+    * uses when even one aggregation pass over the raw corpus is worth
+    * avoiding (weight here = n_chars, so the sample estimates total
+    * corpus bytes). SamplingSpec pins the estimator against the true
+    * total.
+    *
+    * Cross-engine exactness: u = (h+1)/2^28 makes q = w·2^28/(h+1) a
+    * SINGLE correctly-rounded IEEE division of two ≤2^53 integers —
+    * bit-identical in Spark and DuckDB, so the graded output carries
+    * the raw doubles, no rounding needed. Ties broken (q desc, id asc)
+    * both sides.
+    *
+    * Scale shape: the priority is scan-local arithmetic on the
+    * projected (doc_id, n_chars) columns; selection is the native
+    * `top_k_by_score` aggregate — a (n+1)-slot buffer with map-side
+    * combine, so the corpus never shuffles and the driver never sees
+    * more than n+1 rows; the weight lookup joins the n-row sample
+    * (broadcast) back to the scan. */
+  def prioritySample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{native => gf}
+    val pr = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").as("w"),
+        (col("n_chars").cast("double") * lit(PriorityGrid) /
+          (H.md5Int28(concat(lit("pri_"), col("doc_id").cast("string"))) + lit(1L))
+            .cast("double")).as("q"))
+    val top = pr.groupBy()
+      .agg(gf.topKByScore(col("q"), col("doc_id"), PriorityN + 1).as("t"))
+      .select(element_at(col("t"), PriorityN + 1).getField("score").as("tau"),
+        posexplode(col("t")).as(Seq("pos", "s")))
+      .filter(col("pos") < PriorityN)
+      .select((col("pos") + 1).cast("long").as("smp_rank"),
+        col("s.id").as("doc_id"), col("s.score").as("priority"), col("tau"))
+    pr.select(col("doc_id"), col("w")).join(broadcast(top), "doc_id")
+      .select(col("smp_rank"), col("doc_id"), col("w"), col("priority"), col("tau"),
+        greatest(col("w").cast("double"), col("tau")).as("w_est"))
+      .orderBy("smp_rank")
+  }
 }

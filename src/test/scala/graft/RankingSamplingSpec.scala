@@ -150,4 +150,34 @@ class RankingSamplingSpec extends SparkSuite {
     val cellOf = cells.toMap
     kept.foreach { case (v, c, _) => assert(cellOf(v) == c) }
   }
+
+  test("q119 priority sample matches the driver-side DLT selection and estimates the total weight") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pri = docs.map { case (id, w) =>
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"pri_$id").substring(0, 7), 16)
+      (id, w, w.toDouble * operators.Sampling.PriorityGrid / (h + 1).toDouble)
+    }
+    val ordered = pri.sortBy { case (id, _, q) => (-q, id) }
+    val tau = ordered(operators.Sampling.PriorityN)._3
+    val want = ordered.take(operators.Sampling.PriorityN).zipWithIndex
+      .map { case ((id, w, q), i) => (i + 1L, id, w, q, tau, math.max(w.toDouble, tau)) }
+    val got = operators.Sampling.prioritySample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.length == operators.Sampling.PriorityN)
+    // selection, rank order, tau, and the estimator column are exact
+    got.zip(want).foreach { case ((gr, gid, gw, gq, gt, ge), (wr, wid, ww, wq, wt, _)) =>
+      assert((gr, gid, gw) == (wr, wid, ww))
+      assert(gq == wq && gt == wt)
+      assert(ge == math.max(gw.toDouble, gt))
+      assert(gq >= gw.toDouble, "priority = w/u with u <= 1 is never below w")
+    }
+    // DLT unbiasedness: the sample-sum estimator lands near the true total
+    val est = got.map(_._6).sum
+    val truth = docs.map(_._2).sum.toDouble
+    assert(math.abs(est - truth) / truth < 0.25, s"est=$est truth=$truth")
+  }
 }

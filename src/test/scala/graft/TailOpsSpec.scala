@@ -476,6 +476,35 @@ class TailOpsSpec extends SparkSuite {
     assert(exactIds.subsetOf(bloomIds))
   }
 
+  test("q120 z-scores equal the driver-side trailing-window arithmetic") {
+    val rows = graft.operators.Relational.anomalyWeeks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      val counts = sorted.map(_.getLong(2))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val trail = counts.slice(math.max(0, i - graft.operators.Relational.AnomalyTrailW), i)
+        val k = trail.length.toDouble
+        def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+        if (k < 1) assert(r.isNullAt(3))
+        else assert(r.getDouble(3) == r4(trail.sum / k))
+        if (k < 2) { assert(r.isNullAt(4)); assert(r.isNullAt(5)); assert(r.isNullAt(6)) }
+        else {
+          val s = trail.sum.toDouble
+          val s2 = trail.map(c => c * c).sum.toDouble
+          val std = math.sqrt(math.max((s2 - s * s / k) / (k - 1.0), 0.0))
+          assert(r.getDouble(4) == r4(std))
+          if (std > 0) {
+            val z = (counts(i).toDouble - s / k) / std
+            assert(r.getDouble(5) == r4(z))
+            assert(r.getBoolean(6) == (math.abs(z) >= graft.operators.Relational.AnomalyZ))
+          } else { assert(r.isNullAt(5)); assert(r.isNullAt(6)) }
+        }
+      }
+    }
+  }
+
   test("q106 streamed dedup emits exactly the batch-distinct key set") {
     val got = graft.streaming.EventStream.dedupStreamed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
