@@ -55,14 +55,29 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
-    // file copy first: sbt's [success] stdout trailer has broken the
-    // driver's stdout parse every round, so target/bench.json is the
-    // canonical machine-readable artifact
+    // full-precision, full-name copy: target/bench.json is the canonical
+    // machine-readable artifact (sbt's [success] trailer broke stdout
+    // parses for rounds 1-6; round 9's tail was the right line but the
+    // reader keeps only the LAST 2000 chars, so a 120-query line with
+    // full names + ns precision could never fit)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench.json"), json + "\n")
+    // stdout line must fit a 2000-char tail buffer: keys shortened to
+    // their qNN prefix, values rounded to ms — ~1.7 KB for 120 queries.
+    // If the suite ever grows past the buffer at 3 decimals, degrade
+    // precision rather than lose parseability.
+    def shortJson(scale: Int): String = {
+      val qsShort = results.map { case (k, v) =>
+        val short = k.takeWhile(_ != '_')
+        s"\"" + short + "\":" + BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      }.mkString("{", ",", "}")
+      val t = BigDecimal(total).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      s"""{"metric":"total","value":$t,"unit":"sec","queries":$qsShort,"sf":"$sfDir","reps":$reps}"""
+    }
+    val jsonShort = (3 to 1 by -1).map(shortJson).find(_.length <= 1900).getOrElse(shortJson(1))
     spark.stop()
     // final stdout line (after spark.stop() so no shutdown logs trail it)
-    println(json)
+    println(jsonShort)
   }
 }

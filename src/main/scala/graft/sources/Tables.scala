@@ -35,10 +35,30 @@ object Tables {
     * vs the ns-exact oracle. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, sfDir, "events")
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(table(spark, sfDir, "events"))
+  }
+
+  /** The testdata generator has shipped `events.ts` as both
+    * TIMESTAMP(NANOS) (read as BIGINT ns under nanosAsLong) and plain
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ since the writer marks it
+    * not-UTC-adjusted). Downstream operators are written against
+    * TimestampType, so normalize by SCHEMA, not by vintage: ns-as-long
+    * gets the exact integral `div` conversion; NTZ gets an
+    * instant-preserving cast (sessions run with UTC session time, so
+    * naive-UTC data keeps the same instant). */
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // ns→µs must be integral division: `/` promotes to double, whose
+        // 256-ns ulp at epoch-ns magnitude can truncate one µs low at
+        // exact boundaries and flip window/session assignment
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   /** Streaming twin of [[events]]: the same parquet directory as a file
     * source with the identical ns→µs conversion, so batch and streaming
@@ -53,10 +73,8 @@ object Tables {
     // anchors its base at a directory, so address the file through a
     // single-alternative glob — globbed paths keep the parent as base
     // (at scale the table is simply a directory and none of this shows)
-    spark.readStream.schema(rawSchema).parquet(s"$sfDir/{events.parquet}")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(s"$sfDir/{events.parquet}"))
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
