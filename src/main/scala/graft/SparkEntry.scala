@@ -132,7 +132,15 @@ object SparkEntry {
     "q117_retention"      -> (Relational.retention _),
     "q118_bloom_decontam" -> (Dedup.bloomDecontam _),
     "q119_priority_sample" -> (Sampling.prioritySample _),
-    "q120_anomaly_weeks"  -> (Relational.anomalyWeeks _)
+    "q120_anomaly_weeks"  -> (Relational.anomalyWeeks _),
+    "q121_rrf_fusion"     -> (Indexing.rrfFusion _),
+    "q122_ann_ndcg"       -> (Similarity.annNdcg _),
+    "q123_scd2"           -> (Relational.scd2 _),
+    "q124_session_incidents" -> (Relational.sessionIncidents _),
+    "q125_interpolate"    -> (Relational.interpolate _),
+    "q126_cooccurrence"   -> (Graph.cooccurrence _),
+    "q127_cluster_inertia" -> (Similarity.clusterInertia _),
+    "q128_markov_transitions" -> (Relational.markovTransitions _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -147,6 +155,57 @@ object SparkEntry {
     * mysterious hash mismatch. That event is the documented false-negative
     * rate of the operator, not a bug; if it ever fires, check the missed
     * pair's per-band signatures before suspecting the pipeline. */
+  /** Shared CTE prefix: q120's per-(type, week) trailing z-scores, ending
+    * in `zz(event_type, wk, n_events, k, mean, std, z)` — consumed by
+    * q120 (the full report) and q124 (the anomalous-week interval side). */
+  private def anomalyZCte: String =
+    s"""WITH weekly AS (
+      |  SELECT event_type,
+      |         floor((epoch_ms(ts) - ${graft.operators.Relational.RetentionEpochMs})::DOUBLE
+      |               / ${graft.operators.Relational.WeekMs}.0)::INT AS wk,
+      |         count(*)::BIGINT AS n_events
+      |  FROM events GROUP BY 1, 2
+      |),
+      |w AS (
+      |  SELECT event_type, wk, n_events,
+      |         count(n_events) OVER f::DOUBLE AS k,
+      |         sum(n_events) OVER f::DOUBLE AS s,
+      |         sum(n_events * n_events) OVER f::DOUBLE AS s2
+      |  FROM weekly
+      |  WINDOW f AS (PARTITION BY event_type ORDER BY wk
+      |               ROWS BETWEEN ${graft.operators.Relational.AnomalyTrailW} PRECEDING AND 1 PRECEDING)
+      |),
+      |z AS (
+      |  SELECT event_type, wk, n_events, k, s / k AS mean,
+      |         CASE WHEN k >= 2
+      |              THEN sqrt(greatest((s2 - s * s / k) / (k - 1.0), 0.0)) END AS std
+      |  FROM w
+      |),
+      |zz AS (
+      |  SELECT event_type, wk, n_events, k, mean, std,
+      |         CASE WHEN std > 0 THEN (n_events::DOUBLE - mean) / std END AS z
+      |  FROM z
+      |)""".stripMargin
+
+  /** Shared CTE prefix: the 30-minute-gap sessionization, ending in
+    * `s(user_id, ts, event_id, event_type, session_no)` — consumed by
+    * q101 (paths), q124 (session intervals), q128 (transitions). */
+  private def sessionCte: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |s AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM o
+      |)""".stripMargin
+
   private val jaccardCte: String =
     """WITH sh AS (
       |  SELECT DISTINCT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] AS g
@@ -495,40 +554,14 @@ object SparkEntry {
         |WHERE r.rnk <= ${Sampling.PriorityN}
         |ORDER BY smp_rank""".stripMargin,
     "q120_anomaly_weeks" ->
-      s"""WITH weekly AS (
-        |  SELECT event_type,
-        |         floor((epoch_ms(ts) - ${Relational.RetentionEpochMs})::DOUBLE
-        |               / ${Relational.WeekMs}.0)::INT AS wk,
-        |         count(*)::BIGINT AS n_events
-        |  FROM events GROUP BY 1, 2
-        |),
-        |w AS (
-        |  SELECT event_type, wk, n_events,
-        |         count(n_events) OVER f::DOUBLE AS k,
-        |         sum(n_events) OVER f::DOUBLE AS s,
-        |         sum(n_events * n_events) OVER f::DOUBLE AS s2
-        |  FROM weekly
-        |  WINDOW f AS (PARTITION BY event_type ORDER BY wk
-        |               ROWS BETWEEN ${Relational.AnomalyTrailW} PRECEDING AND 1 PRECEDING)
-        |),
-        |z AS (
-        |  SELECT event_type, wk, n_events, k, s / k AS mean,
-        |         CASE WHEN k >= 2
-        |              THEN sqrt(greatest((s2 - s * s / k) / (k - 1.0), 0.0)) END AS std
-        |  FROM w
-        |),
-        |zz AS (
-        |  SELECT event_type, wk, n_events, k, mean, std,
-        |         CASE WHEN std > 0 THEN (n_events::DOUBLE - mean) / std END AS z
-        |  FROM z
-        |)
+      (anomalyZCte + s"""
         |SELECT event_type, wk, n_events,
         |       CASE WHEN k >= 1 THEN floor(mean * 10000.0 + 0.5) / 10000.0 END AS trail_mean,
         |       floor(std * 10000.0 + 0.5) / 10000.0 AS trail_std,
         |       floor(z * 10000.0 + 0.5) / 10000.0 AS z,
         |       CASE WHEN z IS NOT NULL THEN abs(z) >= ${Relational.AnomalyZ} END AS is_anomaly
         |FROM zz
-        |ORDER BY event_type, wk""".stripMargin,
+        |ORDER BY event_type, wk""".stripMargin),
     "q19_quality" ->
       (qualityCte + """
         |SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, uniq_ratio, quality_score
@@ -1625,20 +1658,7 @@ object SparkEntry {
         |FROM bits""".stripMargin,
     "q101_event_paths" -> {
       import graft.operators.Relational.PathTopK
-      s"""WITH o AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
-        |              THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |),
-        |s AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                          ROWS UNBOUNDED PRECEDING) AS session_no
-        |  FROM o
-        |),
+      sessionCte + s""",
         |p AS (
         |  SELECT event_type || '>' || lead(event_type, 1) OVER w2
         |           || '>' || lead(event_type, 2) OVER w2 AS path,
@@ -1918,7 +1938,246 @@ object SparkEntry {
         |       round(sum(e.value), 2) AS sum_value
         |FROM events e JOIN tiers t
         |  ON e.value >= t.lo AND (t.hi IS NULL OR e.value < t.hi)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q121_rrf_fusion" -> {
+      import graft.operators.Indexing.{RrfC, RrfK}
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_dot_product(q.qv, e.v) /
+        |         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS c
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |sem AS (
+        |  SELECT query_id, neighbor_id, rnk AS sem_rank FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
+        |    FROM pairs) WHERE rnk <= $RrfK),
+        |tok AS (SELECT DISTINCT doc_id, term FROM (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents)),
+        |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+        |qt AS (SELECT doc_id AS query_id, term FROM tok WHERE doc_id < 10),
+        |inter AS (
+        |  SELECT qt.query_id, t.doc_id AS neighbor_id, count(*)::BIGINT AS ni
+        |  FROM qt JOIN tok t USING (term)
+        |  WHERE t.doc_id <> qt.query_id GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT i.query_id, i.neighbor_id,
+        |         i.ni::DOUBLE / (sq.n + sn.n - i.ni)::DOUBLE AS j
+        |  FROM inter i JOIN sz sq ON sq.doc_id = i.query_id
+        |  JOIN sz sn ON sn.doc_id = i.neighbor_id),
+        |lex AS (
+        |  SELECT query_id, neighbor_id, rnk AS lex_rank FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY j DESC, neighbor_id ASC) AS rnk
+        |    FROM jac) WHERE rnk <= $RrfK),
+        |fuse AS (
+        |  SELECT coalesce(s.query_id, l.query_id) AS query_id,
+        |         coalesce(s.neighbor_id, l.neighbor_id) AS neighbor_id,
+        |         s.sem_rank::INT AS sem_rank, l.lex_rank::INT AS lex_rank,
+        |         coalesce(1.0::DOUBLE / ($RrfC + s.sem_rank)::DOUBLE, 0.0::DOUBLE)
+        |           + coalesce(1.0::DOUBLE / ($RrfC + l.lex_rank)::DOUBLE, 0.0::DOUBLE) AS rrf
+        |  FROM sem s FULL OUTER JOIN lex l
+        |    ON s.query_id = l.query_id AND s.neighbor_id = l.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sem_rank, lex_rank, rrf,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id ASC) AS rnk
+        |  FROM fuse)
+        |SELECT query_id, neighbor_id, rnk::INT AS fused_rank, sem_rank, lex_rank,
+        |       floor(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf
+        |FROM ranked WHERE rnk <= $RrfK ORDER BY query_id, fused_rank""".stripMargin
+    },
+    "q122_ann_ndcg" -> {
+      import graft.operators.Similarity.{BucketK, IvfNProbe}
+      val idcg12 = (1 to BucketK).map(i => (BucketK + 1 - i) * (12 / (i + 1))).sum
+      materializeCtes(ivfHierCellsCte + s""",
+        |probes AS (SELECT vec_id, cent_id FROM asg
+        |           WHERE rn <= $IvfNProbe AND vec_id < 10),
+        |apairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         list_dot_product(ea.v, eb.v) /
+        |         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS c
+        |  FROM probes a JOIN cells b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id),
+        |approx AS (
+        |  SELECT query_id, neighbor_id, rnk FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
+        |    FROM apairs) WHERE rnk <= $BucketK),
+        |tpairs AS (
+        |  SELECT ea.vec_id AS query_id, eb.vec_id AS neighbor_id,
+        |         list_dot_product(ea.v, eb.v) /
+        |         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS c
+        |  FROM e ea, e eb
+        |  WHERE ea.vec_id < 10 AND ea.vec_id <> eb.vec_id),
+        |truth AS (
+        |  SELECT query_id, neighbor_id, ($BucketK + 1 - rnk) AS rel FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rnk
+        |    FROM tpairs) WHERE rnk <= $BucketK),
+        |g AS (
+        |  SELECT a.query_id,
+        |         coalesce(t.rel, 0) * (CASE a.rnk WHEN 1 THEN 6 WHEN 2 THEN 4 WHEN 3 THEN 3 END) AS g12,
+        |         CASE WHEN t.rel IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM approx a LEFT JOIN truth t USING (query_id, neighbor_id)),
+        |agg AS (SELECT query_id, sum(g12)::BIGINT AS dcg12,
+        |               sum(hit)::BIGINT AS n_hits FROM g GROUP BY 1)
+        |SELECT q.vec_id AS query_id, $BucketK AS k,
+        |       coalesce(agg.n_hits, 0)::BIGINT AS n_hits,
+        |       coalesce(agg.dcg12, 0)::BIGINT AS dcg12,
+        |       floor(coalesce(agg.dcg12, 0)::DOUBLE / $idcg12.0
+        |             * 1000000.0 + 0.5) / 1000000.0 AS ndcg
+        |FROM (SELECT vec_id FROM e WHERE vec_id < 10) q
+        |LEFT JOIN agg ON agg.query_id = q.vec_id ORDER BY 1""".stripMargin)
+    },
+    "q123_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, ts, event_id, event_type FROM ev
+        |  WHERE prev_state IS NULL OR prev_state <> event_type),
+        |v AS (
+        |  SELECT user_id, event_type AS state,
+        |         row_number() OVER w AS version,
+        |         epoch_us(ts) AS valid_from_us,
+        |         epoch_us(lead(ts) OVER w) AS valid_to_us
+        |  FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, state, version::INT AS version, valid_from_us, valid_to_us,
+        |       (valid_to_us IS NULL) AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+    "q124_session_incidents" -> {
+      import graft.operators.Relational.{AnomalyZ, RetentionEpochMs, WeekMs}
+      anomalyZCte + s""",
+        |anom AS (
+        |  SELECT event_type AS anomaly_type, wk FROM zz
+        |  WHERE z IS NOT NULL AND abs(z) >= $AnomalyZ),
+        |o AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |sess AS (
+        |  SELECT user_id,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_no,
+        |         ts
+        |  FROM o
+        |),
+        |siv AS (
+        |  SELECT user_id, session_no, min(ts) AS s_start, max(ts) AS s_end,
+        |         count(*)::BIGINT AS n_events
+        |  FROM sess GROUP BY 1, 2),
+        |sw AS (
+        |  SELECT user_id, session_no, s_start, s_end, n_events,
+        |         unnest(range(
+        |           floor((epoch_ms(s_start) - $RetentionEpochMs)::DOUBLE / $WeekMs.0)::INT,
+        |           floor((epoch_ms(s_end) - $RetentionEpochMs)::DOUBLE / $WeekMs.0)::INT + 1))::INT AS wk
+        |  FROM siv)
+        |SELECT sw.user_id, sw.session_no,
+        |       epoch_us(sw.s_start) AS session_start_us,
+        |       epoch_us(sw.s_end) AS session_end_us,
+        |       sw.n_events, sw.wk, a.anomaly_type
+        |FROM sw JOIN anom a USING (wk)
+        |ORDER BY user_id, session_no, wk, anomaly_type""".stripMargin
+    },
+    "q125_interpolate" -> {
+      import graft.operators.Relational.{HourMs, RetentionEpochMs}
+      s"""WITH hourly AS (
+        |  SELECT event_type,
+        |         floor((epoch_ms(ts) - $RetentionEpochMs)::DOUBLE / $HourMs.0)::BIGINT AS hr,
+        |         count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, unnest(range(mn, mx + 1)) AS hr
+        |  FROM (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1)),
+        |dense AS (
+        |  SELECT s.event_type, s.hr, h.n,
+        |         last_value(h.n IGNORE NULLS) OVER pw AS pv,
+        |         last_value(CASE WHEN h.n IS NOT NULL THEN s.hr END IGNORE NULLS) OVER pw AS ph,
+        |         first_value(h.n IGNORE NULLS) OVER nw AS nv,
+        |         first_value(CASE WHEN h.n IS NOT NULL THEN s.hr END IGNORE NULLS) OVER nw AS nh
+        |  FROM spine s LEFT JOIN hourly h USING (event_type, hr)
+        |  WINDOW pw AS (PARTITION BY s.event_type ORDER BY s.hr
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         nw AS (PARTITION BY s.event_type ORDER BY s.hr
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hr, n AS n_obs,
+        |       floor(CASE WHEN n IS NOT NULL THEN n::DOUBLE
+        |                  ELSE pv::DOUBLE + (nv - pv)::DOUBLE
+        |                       * ((hr - ph)::DOUBLE / (nh - ph)::DOUBLE) END
+        |             * 1000000.0 + 0.5) / 1000000.0 AS filled,
+        |       (n IS NULL) AS is_interpolated
+        |FROM dense ORDER BY event_type, hr""".stripMargin
+    },
+    "q126_cooccurrence" -> {
+      import graft.operators.Graph.{CoocTopK, MaxBasketItems}
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           row_number() OVER (PARTITION BY l_orderkey ORDER BY
+        |             ('0x' || substr(md5('bk_' || l_orderkey || '_' || l_partkey), 1, 7))::BIGINT,
+        |             l_partkey) AS rn
+        |    FROM items) WHERE rn <= $MaxBasketItems),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*)::BIGINT AS n_ab
+        |  FROM capped a JOIN capped b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |supp AS (SELECT l_partkey, count(*)::BIGINT AS n FROM capped GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_baskets FROM capped)
+        |SELECT p.part_a, p.part_b, p.n_ab, sa.n AS n_a, sb.n AS n_b,
+        |       floor((p.n_ab * nb.n_baskets)::DOUBLE / (sa.n * sb.n)::DOUBLE
+        |             * 1000000.0 + 0.5) / 1000000.0 AS lift,
+        |       floor(p.n_ab::DOUBLE / (sa.n + sb.n - p.n_ab)::DOUBLE
+        |             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM pairs p
+        |JOIN supp sa ON sa.l_partkey = p.part_a
+        |JOIN supp sb ON sb.l_partkey = p.part_b
+        |CROSS JOIN nb
+        |ORDER BY p.n_ab DESC, p.part_a, p.part_b LIMIT $CoocTopK""".stripMargin
+    },
+    "q127_cluster_inertia" ->
+      materializeCtes(ivfHierCellsCte + s""",
+        |sims AS (
+        |  SELECT c.cent_id,
+        |         list_dot_product(e.v, f.cv) /
+        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(f.cv, f.cv))) AS cc
+        |  FROM cells c JOIN e ON e.vec_id = c.vec_id
+        |  JOIN c2 f ON f.cent_id = c.cent_id),
+        |per AS (
+        |  SELECT cent_id, count(*)::BIGINT AS n_vecs,
+        |         sum(floor(cc * 1000.0)::BIGINT)::BIGINT AS sum_permille,
+        |         min(cc) AS min_c
+        |  FROM sims GROUP BY 1),
+        |tot AS (SELECT sum(n_vecs)::BIGINT AS n_total FROM per)
+        |SELECT per.cent_id, per.n_vecs,
+        |       floor(per.sum_permille::DOUBLE / per.n_vecs::DOUBLE + 0.5) / 1000.0 AS mean_cohesion,
+        |       floor(per.min_c * 1000000.0 + 0.5) / 1000000.0 AS min_cohesion,
+        |       floor(per.n_vecs::DOUBLE / tot.n_total::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS share
+        |FROM per CROSS JOIN tot ORDER BY per.cent_id""".stripMargin),
+    "q128_markov_transitions" ->
+      (sessionCte + """,
+        |tr AS (
+        |  SELECT event_type AS src, lead(event_type, 1) OVER w2 AS dst
+        |  FROM s
+        |  WINDOW w2 AS (PARTITION BY user_id, session_no ORDER BY ts, event_id)
+        |),
+        |cnt AS (SELECT src, dst, count(*)::BIGINT AS n_trans
+        |        FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT src, sum(n_trans)::BIGINT AS n_src FROM cnt GROUP BY 1)
+        |SELECT c.src, c.dst, c.n_trans,
+        |       floor(c.n_trans::DOUBLE / t.n_src::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS p
+        |FROM cnt c JOIN tot t USING (src)
+        |ORDER BY src, dst""".stripMargin)
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -117,5 +118,66 @@ object Graph {
           .otherwise(floor(lit(3.0) * col("n_triangles") / col("n_wedges")
             * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("clustering_coeff"))
+  }
+
+  /** q126 knobs: the per-basket item cap (the skew guard — pair count
+    * per basket is ≤ cap², so one pathological 10⁵-item basket can
+    * never emit 10¹⁰ pairs) and the report depth. */
+  val MaxBasketItems = 8
+  val CoocTopK = 50
+
+  /** q126_cooccurrence — market-basket co-occurrence mining over
+    * (order, part) baskets: pair support `n_ab`, per-item supports,
+    * LIFT `n_ab·N / (n_a·n_b)` and basket-Jaccard — the
+    * association-rule / item-affinity primitive behind co-view and
+    * co-purchase recommenders (Agrawal & Srikant's support counting,
+    * reported flat rather than rule-expanded).
+    *
+    * The scale hazard is the within-basket self-join: pairs per basket
+    * grow quadratically, so one flooded basket (a crawler's cart, a
+    * bot session) dominates the shuffle. The [[MaxBasketItems]] cap
+    * bounds it: items are ranked inside each basket by a deterministic
+    * md5 draw (tie → part id) and only the first cap survive — the
+    * q69 domain-cap pattern applied to pair GENERATION (the q12
+    * CandidatePairs cap+salt argument; the cap is part of the spec, so
+    * the oracle mirrors it and correctness is exact, not approximate).
+    *
+    * Scale shape: the ranking window is per-basket (bounded per key);
+    * the pair join is an equi-join on the basket key with ≤cap²
+    * output per basket; supports and pair counts are partial-aggregable
+    * groupBys; the final report is TakeOrdered over the aggregated
+    * pair domain. */
+  def cooccurrence(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val draw = graft.functions.HashFunctions.md5Int28(
+      concat(lit("bk_"), col("l_orderkey").cast("string"),
+        lit("_"), col("l_partkey").cast("string")))
+    val byBasket = Window.partitionBy(col("l_orderkey"))
+      .orderBy(draw, col("l_partkey"))
+    val capped = items
+      .withColumn("rn", row_number().over(byBasket))
+      .filter(col("rn") <= MaxBasketItems)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = capped.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(capped.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+    val supp = capped.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val nBaskets = capped.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    pairs
+      .join(broadcast(supp.select(col("l_partkey").as("part_a"), col("n").as("n_a"))), "part_a")
+      .join(broadcast(supp.select(col("l_partkey").as("part_b"), col("n").as("n_b"))), "part_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        (floor((col("n_ab") * col("n_baskets")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)).as("lift"),
+        (floor(col("n_ab").cast("double")
+          / (col("n_a") + col("n_b") - col("n_ab")).cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("jaccard"))
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+      .limit(CoocTopK)
   }
 }

@@ -156,4 +156,79 @@ object Indexing {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(Bm25TopK)
   }
+
+  /** q121 fusion constants: the RRF smoothing constant (60 per Cormack/
+    * Clarke/Buettcher 2009 — robust across collections, so fusers use
+    * it unchanged), and list depth / fused depth. */
+  val RrfC = 60
+  val RrfK = 5
+
+  /** q121_rrf_fusion — HYBRID retrieval via Reciprocal Rank Fusion
+    * (Cormack, Clarke & Buettcher, SIGIR 2009): for each query document
+    * (`doc_id < 10`, the engine's held-out-query convention; `vec_id` ↔
+    * `doc_id` aligned in the testdata), fuse two independent rankings of
+    * the rest of the corpus —
+    *
+    *   - SEMANTIC: exact cosine top-[[RrfK]] over the embedding column
+    *     ([[Similarity.annBruteForce]]'s ranking — at scale the probed
+    *     IVF ranking drops in unchanged, same columns);
+    *   - LEXICAL: top-[[RrfK]] by token-SET Jaccard overlap with the
+    *     query document. Deliberately NOT bm25 here: Jaccard is exact
+    *     rational arithmetic (|A∩B| / |A∪B| of integer counts), keeping
+    *     every value on the ordering path bit-stable cross-engine,
+    *     where idf's `log` is only ulp-reproducible after rounding;
+    *
+    * into `rrf(d) = Σ_list 1/([[RrfC]] + rank_list(d))`, keeping the
+    * fused top-[[RrfK]]. This is the standard production shape for
+    * "vector search + keyword search" hybrid relevance (RRF needs no
+    * score calibration between the two lists — only ranks).
+    *
+    * Scale shape: the query side is a bounded set that broadcasts; the
+    * lexical intersection is an equi-join on `term` against the
+    * (doc, term) distinct-token frame (the q72 index's key — at 100 TB
+    * the inverted index IS this join's right side, term-partitioned);
+    * both per-query rankings and the fused ranking use the map-side
+    * [[org.apache.spark.sql.graft.native.topKByScore]] aggregate, so
+    * every exchange after the scans carries O(queries × k) rows. No
+    * window over row data, no cartesian stage. */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.native.topKByScore
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(T.alphaTokens(col("text"))).as("term"))
+      .distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val qt = broadcast(toks.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("term")))
+    val inter = qt.join(toks.select(col("doc_id").as("neighbor_id"), col("term")), "term")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("ni"))
+    val jac = inter
+      .join(broadcast(sizes.select(col("doc_id").as("query_id"), col("n_tok").as("nq"))), "query_id")
+      .join(sizes.select(col("doc_id").as("neighbor_id"), col("n_tok").as("nn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (col("ni").cast("double") /
+          (col("nq") + col("nn") - col("ni")).cast("double")).as("j"))
+    val lex = jac.groupBy(col("query_id"))
+      .agg(topKByScore(col("j"), col("neighbor_id"), RrfK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("lex_rank"))
+    val sem = Similarity.annBruteForce(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("sem_rank"))
+    val fused = sem.join(lex, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"), col("sem_rank"), col("lex_rank"),
+        (coalesce(lit(1.0) / (lit(RrfC) + col("sem_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("lex_rank")), lit(0.0))).as("rrf"))
+    fused.groupBy(col("query_id"))
+      .agg(topKByScore(col("rrf"), col("neighbor_id"), RrfK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("fused_rank"))
+      .join(fused, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("fused_rank"),
+        col("sem_rank"), col("lex_rank"),
+        (floor(col("rrf") * lit(1e6) + lit(0.5)) / lit(1e6)).as("rrf"))
+      .orderBy("query_id", "fused_rank")
+  }
 }

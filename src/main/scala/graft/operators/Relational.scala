@@ -741,4 +741,173 @@ object Relational {
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("retention"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** q123_scd2 — Type-2 slowly-changing-dimension history (Kimball's
+    * SCD2): compress each user's event stream into a STATE HISTORY —
+    * one row per state CHANGE carrying `[valid_from, valid_to)` and an
+    * `is_current` flag — the standard dimension-table build every
+    * warehouse runs on CDC feeds (q105 keeps only the LATEST state;
+    * SCD2 keeps the full validity timeline, which is what as-of joins
+    * like q30 probe against).
+    *
+    * Change detection is `lag(state) != state` per user; validity ends
+    * at the NEXT change's timestamp (`lead`), open (null / is_current)
+    * for the last state. Timestamps surface as epoch MICROSECONDS
+    * (exact integers — no format/timezone surface in the compare).
+    *
+    * Scale shape: two windows, both partitioned by `user_id` and both
+    * over that user's rows only — the per-key cardinality is bounded by
+    * a user's event count, never the corpus; at 100 TB this is the
+    * standard keyed-shuffle + per-key-sort plan. Ties broken by
+    * `event_id` so ordering is total cross-engine. */
+  def scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_state", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+    changes
+      .withColumn("version", row_number().over(byUser).cast("int"))
+      .withColumn("valid_to_us", unix_micros(lead(col("ts"), 1).over(byUser)))
+      .select(col("user_id"), col("event_type").as("state"), col("version"),
+        unix_micros(col("ts")).as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** q124_session_incidents — INTERVAL-OVERLAP join via aligned-bin
+    * replication: which user sessions overlap an anomalous traffic week
+    * (q120's z-score weeks)? Both sides are intervals — sessions
+    * `[start, end]` and weeks `[wk·W, (wk+1)·W)` — the shape Spark's
+    * equi-join can't express directly and a naive theta-join plans as
+    * BNLJ over the corpus (the q74 lesson, now with two interval
+    * sides).
+    *
+    * Because one side (weeks) IS the bin grid, replicating each session
+    * onto the week range it spans (`sequence(first_wk, last_wk)` — a
+    * session's span is gap-bounded, so the replication factor is ~1-2)
+    * turns the overlap into an exact equi-join on `wk`: session s
+    * overlaps week w  ⇔  floor-week(start) ≤ w ≤ floor-week(end). The
+    * anomalous-week side is a filtered aggregate (≤ weeks×types rows)
+    * and broadcasts.
+    *
+    * Scale shape: sessionization is the per-user keyed window (bounded
+    * per key); the explode is ×(weeks-spanned); the join is an
+    * equi-join against a broadcast side. No theta-join, no cartesian. */
+  def sessionIncidents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(byUser).isNull
+          || unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(byUser) > 1800000L,
+          1L).otherwise(0L))
+      .withColumn("session_no",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"),
+        count(lit(1)).as("n_events"))
+    val wkOf = (c: org.apache.spark.sql.Column) =>
+      floor((unix_millis(c) - lit(RetentionEpochMs)).cast("double")
+        / lit(WeekMs.toDouble)).cast("int")
+    val anomalous = anomalyWeeks(spark, sfDir)
+      .filter(col("is_anomaly"))
+      .select(col("event_type").as("anomaly_type"), col("wk"))
+    sessions
+      .select(col("user_id"), col("session_no"), col("n_events"),
+        col("s_start"), col("s_end"),
+        explode(sequence(wkOf(col("s_start")), wkOf(col("s_end")))).as("wk"))
+      .join(broadcast(anomalous), "wk")
+      .select(col("user_id"), col("session_no"),
+        unix_micros(col("s_start")).as("session_start_us"),
+        unix_micros(col("s_end")).as("session_end_us"),
+        col("n_events"), col("wk"), col("anomaly_type"))
+      .orderBy("user_id", "session_no", "wk", "anomaly_type")
+  }
+
+  /** q125 gap-fill granularity. */
+  val HourMs = 3600000L
+
+  /** q125_interpolate — time-series GAP FILL with linear interpolation:
+    * hourly event counts per type, densified onto the full hour spine
+    * between each type's first and last active hour, missing hours
+    * filled as `prev + (next−prev)·(h−h_prev)/(h_next−h_prev)` — the
+    * standard regularization step before any windowed/forecast model
+    * consumes an irregular event feed.
+    *
+    * Determinism: counts and hour indexes are exact integers; the
+    * interpolation is one double expression evaluated in the same
+    * operand order on both engines, then grid-rounded.
+    *
+    * Scale shape: the window runs over the per-(type, hour) AGGREGATE —
+    * time-domain-bounded rows (hours in range), never corpus rows — the
+    * q61/q70 argument; the spine explode is bounded by the same domain.
+    * The groupBy is the only corpus-scale exchange. */
+  def interpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hr = floor((unix_millis(col("ts")) - lit(RetentionEpochMs)).cast("double")
+      / lit(HourMs.toDouble)).cast("bigint")
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), hr.as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val prevW = w.rowsBetween(Window.unboundedPreceding, -1)
+    val nextW = w.rowsBetween(1, Window.unboundedFollowing)
+    val dense = spine.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("pv", last(col("n"), ignoreNulls = true).over(prevW))
+      .withColumn("ph", last(when(col("n").isNotNull, col("hr")), ignoreNulls = true).over(prevW))
+      .withColumn("nv", first(col("n"), ignoreNulls = true).over(nextW))
+      .withColumn("nh", first(when(col("n").isNotNull, col("hr")), ignoreNulls = true).over(nextW))
+    dense.select(col("event_type"), col("hr"), col("n").as("n_obs"),
+      (floor(
+        when(col("n").isNotNull, col("n").cast("double"))
+          .otherwise(col("pv").cast("double")
+            + (col("nv") - col("pv")).cast("double")
+              * ((col("hr") - col("ph")).cast("double")
+                / (col("nh") - col("ph")).cast("double")))
+        * lit(1e6) + lit(0.5)) / lit(1e6)).as("filled"),
+      col("n").isNull.as("is_interpolated"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** q128_markov_transitions — first-order Markov transition matrix over
+    * in-session event sequences: `P(next=dst | cur=src)` with exact
+    * count ratios — the behavioral-model fit behind next-event
+    * prediction and funnel simulation (q101 surfaces top PATHS; this is
+    * the normalized edge model those paths walk).
+    *
+    * Scale shape: sessionization + `lead` are the per-user keyed
+    * windows (bounded per key); the transition count is a
+    * partial-aggregable groupBy over (src, dst) — a types² domain; the
+    * row-count denominator joins back by broadcast. */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(byUser).isNull
+          || unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(byUser) > 1800000L,
+          1L).otherwise(0L))
+      .withColumn("session_no",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val bySession = Window.partitionBy(col("user_id"), col("session_no"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = ev
+      .withColumn("dst", lead(col("event_type"), 1).over(bySession))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = trans.groupBy("src").agg(sum(col("n_trans")).as("n_src"))
+    trans.join(broadcast(totals), "src")
+      .select(col("src"), col("dst"), col("n_trans"),
+        (floor(col("n_trans").cast("double") / col("n_src").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("p"))
+      .orderBy("src", "dst")
+  }
 }

@@ -633,6 +633,100 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** q122_ann_ndcg — the RANKED index-quality audit, one step past
+    * q109's set-based recall: NDCG@[[BucketK]] of the hierarchical IVF
+    * ranking against the exact ranking, with graded relevance
+    * `rel(d) = K+1 − exact_rank(d)` (K..1 for the exact top-K, 0
+    * otherwise). Recall can't see that an index returns the right set
+    * in the wrong ORDER; NDCG charges for it, which is what an ANN
+    * serving team actually tracks per index build.
+    *
+    * Determinism: the discount is HARMONIC (1/(i+1), the DCG variant of
+    * Järvelin & Kekäläinen 2002 with rank-reciprocal discounts) rather
+    * than 1/log2(i+1) — with K=3 every per-rank gain is a rational with
+    * denominator dividing 12, so `dcg12 = Σ rel·(12/(i+1))` is an exact
+    * INTEGER aggregate (no float summation order to disagree on between
+    * engines) and `ndcg = dcg12 / 29` (idcg12 = 3·6+2·4+1·3 = 29) is a
+    * single division applied to identical integers on both sides.
+    *
+    * Scale shape: identical to [[ivfRecall]] — both rankings are
+    * (queries×k)-row frames; everything downstream of the two top-k
+    * aggregates is join/agg over O(queries·k) rows. */
+  def annNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val ids = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+    val cand = ids.filter(col("vec_id") < 10).select(col("vec_id").as("vec_a"))
+      .crossJoin(ids.select(col("vec_id").as("vec_b")))
+      .filter(col("vec_a") =!= col("vec_b"))
+    val truth = topK(cand, v, BucketK)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(BucketK + 1) - col("rank")).as("rel"))
+    val approx = annIvfHier(spark, sfDir)
+      .filter(col("query_id") < 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    // 12/(i+1) is integral for i = 1..3: 6, 4, 3
+    val disc12 = element_at(array(lit(6), lit(4), lit(3)), col("rank"))
+    val gains = approx.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("rel"), lit(0)) * disc12).as("g12"),
+        when(col("rel").isNotNull, 1).otherwise(0).as("hit"))
+    val idcg12 = (1 to BucketK).map(i => (BucketK + 1 - i) * (12 / (i + 1))).sum
+    ids.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"))
+      .join(gains.groupBy("query_id")
+        .agg(sum(col("g12")).as("dcg12"), sum(col("hit")).as("n_hits")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), lit(BucketK).as("k"),
+        coalesce(col("n_hits"), lit(0L)).cast("bigint").as("n_hits"),
+        coalesce(col("dcg12"), lit(0L)).cast("bigint").as("dcg12"),
+        (floor(coalesce(col("dcg12"), lit(0L)).cast("double")
+          / lit(idcg12.toDouble) * lit(1e6) + lit(0.5)) / lit(1e6)).as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  /** q127_cluster_inertia — the INDEX-GEOMETRY audit completing the
+    * audit trio's coverage of the IVF family (q95 watches cell
+    * population DRIFT, q109/q122 watch search QUALITY; this watches the
+    * clustering itself): per trained cell, the member count, corpus
+    * share, MEAN member→centroid cohesion and the WORST member — the
+    * spherical-k-means analogue of k-means inertia, read after every
+    * (re)train to spot under-split cells (low mean cohesion → raise k
+    * or retrain) and assignment outliers (low min).
+    *
+    * Determinism: per-member cosines are bit-identical cross-engine
+    * (same fused expression both sides), but their SUM is not — float
+    * summation order differs — so each cosine is floor-quantized to
+    * integer per-mille FIRST and the aggregate sums exact integers
+    * (the q115/q116 integer-sketch-sum move); `min` needs no such
+    * guard (order-independent). One division at the end per metric.
+    *
+    * Scale shape: one equi-join of the cell assignment artifact with
+    * the corpus and the broadcast k-row codebook, then a
+    * partial-aggregable groupBy(cell) — a single keyed exchange over
+    * (cell, int) rows. */
+  def clusterInertia(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val cells = hierCells(spark, sfDir)
+      .select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
+    val cb = trainedCodebook(spark, sfDir)
+    val sims = cells.join(v, "vec_id")
+      .join(broadcast(cb), "cent_id")
+      .select(col("cent_id"),
+        org.apache.spark.sql.graft.native.cosineSim(col("v"), col("cv")).as("c"))
+    val per = sims.groupBy("cent_id").agg(
+      count(lit(1)).as("n_vecs"),
+      sum(floor(col("c") * lit(1000.0)).cast("long")).as("sum_permille"),
+      min(col("c")).as("min_c"))
+    val tot = per.agg(sum(col("n_vecs")).as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cent_id"), col("n_vecs"),
+        (floor(col("sum_permille").cast("double") / col("n_vecs").cast("double")
+          + lit(0.5)) / lit(1000.0)).as("mean_cohesion"),
+        (floor(col("min_c") * lit(1e6) + lit(0.5)) / lit(1e6)).as("min_cohesion"),
+        (floor(col("n_vecs").cast("double") / col("n_total").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("share"))
+      .orderBy("cent_id")
+  }
+
   /** Shared IVF search tail over a (vec_id, tc) cell assignment:
     * index side = home cell tc[0], query side probes every tc cell;
     * the probe⋈cell equi-join emits each pair at most once (one home
