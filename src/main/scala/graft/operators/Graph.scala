@@ -148,25 +148,46 @@ object Graph {
     * groupBys; the final report is TakeOrdered over the aggregated
     * pair domain. */
   def cooccurrence(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
     val draw = graft.functions.HashFunctions.md5Int28(
       concat(lit("bk_"), col("l_orderkey").cast("string"),
         lit("_"), col("l_partkey").cast("string")))
-    val byBasket = Window.partitionBy(col("l_orderkey"))
-      .orderBy(draw, col("l_partkey"))
-    val capped = items
-      .withColumn("rn", row_number().over(byBasket))
-      .filter(col("rn") <= MaxBasketItems)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val pairs = capped.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(capped.select(col("l_orderkey"), col("l_partkey").as("part_b")), "l_orderkey")
-      .filter(col("part_a") < col("part_b"))
+    // dedup + cap in ONE bounded map-side aggregate: the distinct-id
+    // top-k buffer (`top_k_distinct_by_score`) keeps ≤cap slots per
+    // basket — duplicate (basket, item) rows collapse in-buffer (their
+    // draw is a function of the pair, so set-top-k over the multiset is
+    // exact), score = −draw ⇒ the cap smallest draws, tie → smaller
+    // part id, exactly the oracle's distinct + ORDER BY draw, part.
+    // One keyed exchange replaces distinct-then-rank's two, and a
+    // flooded basket never materializes, let alone sorts. The ≤cap
+    // item arrays (one row per basket) are materialized once — they
+    // feed three consumers (pairs, supports, basket count; the q31
+    // multi-reference lesson) and are the basket table a 100 TB
+    // deployment would persist anyway.
+    val capped = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        // the draw is computed in this codegen'd PROJECTION, not inside
+        // the aggregate: a TypedImperativeAggregate evals its input
+        // expressions interpreted per row, so md5 must already be a
+        // materialized attribute when the buffer reads it
+        (lit(0L) - draw).cast("double").as("neg_draw"))
+      .groupBy(col("l_orderkey"))
+      .agg(org.apache.spark.sql.graft.native.topKDistinctByScore(
+        col("neg_draw"), col("l_partkey"), MaxBasketItems).as("top"))
+      .select(col("l_orderkey"), expr("transform(top, x -> x.id)").as("items"))
+      .localCheckpoint()
+    // in-array pair generation: ≤cap² interpreted element ops per
+    // basket (bounded by the cap, so the interpreted higher-order
+    // functions touch ≤28 structs/row — never a hot path), replacing a
+    // basket-keyed self-JOIN whose both sides would re-exchange
+    val pairs = capped.select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items)), y -> " +
+          "struct(least(x, y) AS a, greatest(x, y) AS b))))")).as("p"))
+      .select(col("p.a").as("part_a"), col("p.b").as("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
-    val supp = capped.groupBy("l_partkey").agg(count(lit(1)).as("n"))
-    val nBaskets = capped.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
+    val supp = capped.select(explode(col("items")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val nBaskets = capped.agg(count(lit(1)).as("n_baskets"))
     pairs
       .join(broadcast(supp.select(col("l_partkey").as("part_a"), col("n").as("n_a"))), "part_a")
       .join(broadcast(supp.select(col("l_partkey").as("part_b"), col("n").as("n_b"))), "part_b")

@@ -193,10 +193,21 @@ object Indexing {
     * window over row data, no cartesian stage. */
   def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.graft.native.topKByScore
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(T.alphaTokens(col("text"))).as("term"))
-      .distinct()
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    // one scan builds each doc's DISTINCT token set, materialized once:
+    // the frame feeds three consumers (set sizes, query side, corpus
+    // side) and would re-run the tokenizer per reference otherwise (the
+    // q31 multi-reference lesson). At 100 TB the persisted q72 inverted
+    // index IS this frame's term-keyed layout — swap it in as the
+    // corpus side and the plan below is unchanged.
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_distinct(T.alphaTokens(col("text"))).as("terms"))
+      .localCheckpoint()
+    val sizes = base.select(col("doc_id"), size(col("terms")).cast("long").as("n_tok"))
+    // explode_outer + null filter: plain explode synthesizes a size>0
+    // pre-filter that re-inlines the array expression (NOTES lesson 36)
+    val toks = base
+      .select(col("doc_id"), explode_outer(col("terms")).as("term"))
+      .filter(col("term").isNotNull)
     val qt = broadcast(toks.filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"), col("term")))
     val inter = qt.join(toks.select(col("doc_id").as("neighbor_id"), col("term")), "term")
@@ -216,10 +227,13 @@ object Indexing {
     val sem = Similarity.annBruteForce(spark, sfDir)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("int").as("sem_rank"))
+    // ≤ 2k rows (queries × two lists), but its PLAN is both upstream
+    // pipelines — materialize before the double reference below
     val fused = sem.join(lex, Seq("query_id", "neighbor_id"), "full_outer")
       .select(col("query_id"), col("neighbor_id"), col("sem_rank"), col("lex_rank"),
         (coalesce(lit(1.0) / (lit(RrfC) + col("sem_rank")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(RrfC) + col("lex_rank")), lit(0.0))).as("rrf"))
+      .localCheckpoint()
     fused.groupBy(col("query_id"))
       .agg(topKByScore(col("rrf"), col("neighbor_id"), RrfK).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))

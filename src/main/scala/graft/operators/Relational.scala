@@ -903,8 +903,14 @@ object Relational {
       .filter(col("dst").isNotNull)
       .groupBy(col("event_type").as("src"), col("dst"))
       .agg(count(lit(1)).as("n_trans"))
-    val totals = trans.groupBy("src").agg(sum(col("n_trans")).as("n_src"))
-    trans.join(broadcast(totals), "src")
+    // the denominator is a window over the AGGREGATED (src, dst) frame —
+    // a types² domain, so the window input is bounded by the label
+    // vocabulary, and the sessionize/lead pipeline executes ONCE (a
+    // groupBy+join denominator would reference `trans` twice and re-run
+    // the corpus windows per reference — the q31 multi-reference lesson)
+    val bySrc = Window.partitionBy(col("src"))
+    trans
+      .withColumn("n_src", sum(col("n_trans")).over(bySrc))
       .select(col("src"), col("dst"), col("n_trans"),
         (floor(col("n_trans").cast("double") / col("n_src").cast("double")
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("p"))

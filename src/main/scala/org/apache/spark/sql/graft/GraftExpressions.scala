@@ -384,12 +384,37 @@ final class TopKBuffer(val k: Int) {
     while (j > pos) { scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1 }
     scores(pos) = s; ids(pos) = id; n += 1
   }
+
+  /** [[add]] with at most one slot per id: an incoming duplicate id is
+    * skipped unless it improves that id's score (then the old slot is
+    * replaced). The scan is O(k) — the buffer is the cap. EXACT set-
+    * top-k over multiset input whenever the score is a function of the
+    * id (the dedup-cap use: a repeated (basket, item) row carries the
+    * same deterministic draw), which lets a dedup+cap collapse into ONE
+    * keyed exchange instead of distinct-then-rank. */
+  def addDistinct(s: Double, id: Long): Unit = {
+    var i = 0
+    while (i < n) {
+      if (ids(i) == id) {
+        if (java.lang.Double.compare(s, scores(i)) <= 0) return
+        // improved score for a seen id: drop the old slot, re-insert
+        var j = i
+        while (j < n - 1) { scores(j) = scores(j + 1); ids(j) = ids(j + 1); j += 1 }
+        n -= 1
+        add(s, id)
+        return
+      }
+      i += 1
+    }
+    add(s, id)
+  }
 }
 
 case class TopKByScore(
     score: Expression,
     id: Expression,
     k: Int,
+    distinctIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression] {
@@ -404,13 +429,17 @@ case class TopKByScore(
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    if (s != null && i != null) {
+      if (distinctIds) buf.addDistinct(s.asInstanceOf[Double], i.asInstanceOf[Long])
+      else buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    }
     buf
   }
 
   override def merge(b1: TopKBuffer, b2: TopKBuffer): TopKBuffer = {
     var i = 0
-    while (i < b2.n) { b1.add(b2.scores(i), b2.ids(i)); i += 1 }
+    if (distinctIds) { while (i < b2.n) { b1.addDistinct(b2.scores(i), b2.ids(i)); i += 1 } }
+    else { while (i < b2.n) { b1.add(b2.scores(i), b2.ids(i)); i += 1 } }
     b1
   }
 
@@ -909,6 +938,14 @@ object native {
     ExpressionUtils.column(
       TopKByScore(ExpressionUtils.expression(score), ExpressionUtils.expression(id), k)
         .toAggregateExpression())
+
+  /** [[topKByScore]] with one buffer slot per id (see
+    * [[TopKBuffer.addDistinct]]) — exact set-top-k over multiset input
+    * when the score is a function of the id. */
+  def topKDistinctByScore(score: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(
+      TopKByScore(ExpressionUtils.expression(score), ExpressionUtils.expression(id), k,
+        distinctIds = true).toAggregateExpression())
 
   def rollingHash(s: Column, window: Int): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(s), window))

@@ -214,6 +214,32 @@ class ExpressionsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("TopKDistinctByScore equals distinct-then-topK when score is a function of id") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // duplicated (g, id) rows with an id-determined score — the dedup-cap
+    // contract (q126): set-top-k over the multiset must be exact
+    val rows = (1 to 4000).map { _ =>
+      val g = rnd.nextInt(40).toLong
+      val id = rnd.nextInt(30).toLong
+      (g, (id * 2654435761L % 97).toDouble, id)
+    }
+    val df = rows.toDF("g", "score", "id").repartition(16).cache()
+    val k = 5
+    def collect(frame: org.apache.spark.sql.DataFrame, aggCol: org.apache.spark.sql.Column) =
+      frame.groupBy(col("g")).agg(aggCol.as("top"))
+        .select(col("g"), posexplode(col("top")).as(Seq("pos", "s")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getStruct(2).getDouble(0),
+          r.getStruct(2).getLong(1))).toSet
+    val got = collect(df, native.topKDistinctByScore(col("score"), col("id"), k))
+    val want = collect(df.distinct(), native.topKByScore(col("score"), col("id"), k))
+    assert(got == want)
+    // improved-score path: a later better score for a seen id replaces its slot
+    val df2 = Seq((1L, 1.0, 7L), (1L, 3.0, 7L), (1L, 2.0, 8L)).toDF("g", "score", "id")
+    val got2 = collect(df2.coalesce(1), native.topKDistinctByScore(col("score"), col("id"), 2))
+    assert(got2 == Set((1L, 0, 3.0, 7L), (1L, 1, 2.0, 8L)))
+  }
+
   test("TopKByScore handles under-full groups and null scores") {
     import spark.implicits._
     val df = Seq[(Long, Option[Double], Long)](
