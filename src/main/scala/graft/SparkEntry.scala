@@ -140,7 +140,9 @@ object SparkEntry {
     "q125_interpolate"    -> (Relational.interpolate _),
     "q126_cooccurrence"   -> (Graph.cooccurrence _),
     "q127_cluster_inertia" -> (Similarity.clusterInertia _),
-    "q128_markov_transitions" -> (Relational.markovTransitions _)
+    "q128_markov_transitions" -> (Relational.markovTransitions _),
+    "q129_ship_priority"  -> (Relational.shipPriority _),
+    "q130_centroid_label" -> (Similarity.centroidLabel _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -2177,7 +2179,45 @@ object SparkEntry {
         |       floor(c.n_trans::DOUBLE / t.n_src::DOUBLE * 1000000.0 + 0.5)
         |         / 1000000.0 AS p
         |FROM cnt c JOIN tot t USING (src)
-        |ORDER BY src, dst""".stripMargin)
+        |ORDER BY src, dst""".stripMargin),
+    "q129_ship_priority" -> {
+      import graft.operators.Relational.{ShipCutoff, ShipTopK}
+      s"""SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o.o_orderpriority,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '$ShipCutoff'
+        |  AND l.l_shipdate > TIMESTAMP '$ShipCutoff'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o.o_orderkey LIMIT $ShipTopK""".stripMargin
+    },
+    "q130_centroid_label" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |cells AS (
+        |  SELECT label, d, v[d + 1] AS x
+        |  FROM (SELECT label, v FROM e WHERE vec_id % 10 <> 0),
+        |       unnest(range(0, len(v))) t(d)),
+        |means AS (
+        |  SELECT label, d, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |  FROM cells GROUP BY 1, 2),
+        |cent AS (SELECT label AS clabel, list(m ORDER BY d) AS cv FROM means GROUP BY 1),
+        |q AS (SELECT vec_id, label, v FROM e WHERE vec_id % 10 = 0),
+        |sc AS (
+        |  SELECT q.vec_id, q.label, c.clabel,
+        |         list_dot_product(q.v, c.cv) /
+        |         (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cc
+        |  FROM q CROSS JOIN cent c),
+        |rk AS (
+        |  SELECT vec_id, label, clabel, cc,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, clabel ASC) AS rn
+        |  FROM sc)
+        |SELECT vec_id, label, clabel::INT AS predicted,
+        |       floor(cc * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+        |       (clabel = label) AS correct
+        |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -875,6 +875,49 @@ object Relational {
       .orderBy("event_type", "hr")
   }
 
+  /** q129 cutoff (TPC-H Q3's ':2'/':3' date parameter, centered for the
+    * testdata's 1995-2001 span) and report depth. */
+  val ShipCutoff = "1996-06-30"
+  val ShipTopK = 10
+
+  /** q129_ship_priority — TPC-H Q3, the canonical 3-way star join +
+    * top-k: unshipped-revenue by order for one market segment, orders
+    * placed before / lines shipped after the cutoff. Together with q78
+    * (Q14) and q55 (Q2-flavor) this pins the classic OLAP join shapes
+    * the reference's relational tier implies.
+    *
+    * Scale shape: the segment-filtered customer dimension BROADCASTS
+    * into the orders scan (with runtime bloom pruning available on the
+    * fact side — GraftSession pins it on); the orders⋈lineitem join is
+    * the one keyed fact-fact exchange, both sides date-pruned AT THE
+    * SCAN (predicate pushdown — the filters are scan-local, `.explain`
+    * shows PushedFilters); the ranking is TakeOrdered over the
+    * per-order aggregate, never a global sort. Revenue rounds to 4dp
+    * before ordering: per-group sums are ≤7 doubles, so cross-engine
+    * summation-order drift sits at ~1e-8 relative — far below the
+    * rounding grid — and the rounded value gives both engines one
+    * total order (tie → orderkey). */
+  def shipPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit(ShipCutoff).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit(ShipCutoff).cast("timestamp"))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("rev")), 4).as("revenue"))
+      .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(ShipTopK)
+  }
+
   /** q128_markov_transitions — first-order Markov transition matrix over
     * in-session event sequences: `P(next=dst | cur=src)` with exact
     * count ratios — the behavioral-model fit behind next-event

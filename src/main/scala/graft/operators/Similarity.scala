@@ -683,6 +683,52 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** q130_centroid_label — nearest-CENTROID classification (Rocchio):
+    * one mean embedding per label over the labeled pool, each held-out
+    * vector (the q92 `vec_id % 10 == 0` split) predicted as its
+    * max-cosine centroid — the O(labels)-per-query classifier that
+    * brackets q92's kNN from the cheap side (kNN scans neighbors;
+    * Rocchio scans ≤|labels| centroids — the first thing a team ships
+    * when label propagation must run over the full corpus).
+    *
+    * Determinism: per-dimension centroid means round to 6dp (the
+    * k-means/lesson-10 pin — engine summation-order drift sits below
+    * the grid), centroids rebuild as dimension-ORDERED arrays so the
+    * query×centroid cosine is the same ascending-d accumulation both
+    * engines, and the argmax is the `top_k_by_score` k=1 fold (tie →
+    * smaller label id, matching the oracle's rank ORDER BY).
+    *
+    * Scale shape: means are one partial-aggregable groupBy over
+    * exploded (label, dim) cells; the ≤labels×dims centroid table
+    * broadcasts; prediction is a broadcast nested-loop over queries ×
+    * centroids with the map-side k=1 fold — corpus rows stream once,
+    * no window, no corpus-side shuffle beyond the mean aggregate. */
+  def centroidLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cells = e.filter(col("vec_id") % 10 =!= 0)
+      .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+    val means = cells.groupBy(col("label"), col("d"))
+      .agg((floor(avg(col("x")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("m"))
+    val centroids = means.groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(d, m))), s -> s.m)").as("cv"))
+      .select(col("label").as("clabel"), col("cv"))
+    val queries = e.filter(col("vec_id") % 10 === 0)
+    val scored = queries.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"),
+        org.apache.spark.sql.graft.native
+          .cosineSim(col("v"), col("cv")).as("c"), col("clabel"))
+    scored.groupBy(col("vec_id"), col("label"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(col("c"), col("clabel").cast("long"), 1).as("top"))
+      .select(col("vec_id"), col("label"),
+        col("top")(0)("id").cast("int").as("predicted"),
+        (floor(col("top")(0)("score") * lit(1e6) + lit(0.5)) / lit(1e6)).as("cosine"),
+        (col("top")(0)("id").cast("int") === col("label")).as("correct"))
+      .orderBy("vec_id")
+  }
+
   /** q127_cluster_inertia — the INDEX-GEOMETRY audit completing the
     * audit trio's coverage of the IVF family (q95 watches cell
     * population DRIFT, q109/q122 watch search QUALITY; this watches the

@@ -171,6 +171,36 @@ class Round10OpsSpec extends SparkSuite {
     assert(math.abs(rows.map(_._5).sum - 1.0) < rows.length * 5e-7 + 1e-6)
   }
 
+  test("q129 ship priority respects the cutoff and the ranking contract") {
+    import graft.operators.Relational.{ShipCutoff, ShipTopK}
+    val rows = graft.operators.Relational.shipPriority(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= ShipTopK)
+    rows.foreach { case (_, d, _, rev) =>
+      assert(d < ShipCutoff, s"order date $d not before cutoff")
+      assert(rev > 0.0)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1))
+      case _ => ()
+    }
+  }
+
+  test("q130 centroid classifier covers every held-out vector with a valid label") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val held = e.filter(col("vec_id") % 10 === 0).count()
+    val labels = e.select("label").distinct().collect().map(_.getInt(0)).toSet
+    val rows = graft.operators.Similarity.centroidLabel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.length == held, "one prediction per held-out vector")
+    rows.foreach { case (id, label, pred, c, correct) =>
+      assert(id % 10 == 0)
+      assert(labels(pred), s"predicted label $pred not in the label domain")
+      assert(correct == (pred == label))
+      assert(c >= -1.0 - 1e-6 && c <= 1.0 + 1e-6)
+    }
+  }
+
   test("q128 transition rows are a stochastic matrix over observed transitions") {
     val rows = graft.operators.Relational.markovTransitions(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
