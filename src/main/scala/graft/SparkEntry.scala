@@ -142,7 +142,8 @@ object SparkEntry {
     "q127_cluster_inertia" -> (Similarity.clusterInertia _),
     "q128_markov_transitions" -> (Relational.markovTransitions _),
     "q129_ship_priority"  -> (Relational.shipPriority _),
-    "q130_centroid_label" -> (Similarity.centroidLabel _)
+    "q130_centroid_label" -> (Similarity.centroidLabel _),
+    "q131_mix_card"       -> (Pipeline.mixCard _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -2217,7 +2218,29 @@ object SparkEntry {
         |SELECT vec_id, label, clabel::INT AS predicted,
         |       floor(cc * 1000000.0 + 0.5) / 1000000.0 AS cosine,
         |       (clabel = label) AS correct
-        |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q131_mix_card" -> {
+      import graft.operators.Pipeline.MixQualityThreshold
+      "WITH RECURSIVE " +
+        langIdCte.stripPrefix("WITH ") + ",\n" +
+        qualityCte.stripPrefix("WITH ") + ",\n" +
+        dupClustersCte.stripPrefix("WITH RECURSIVE ") + s""",
+        |mix AS (
+        |  SELECT p.plang AS predicted_lang,
+        |         CASE WHEN q.quality_score >= $MixQualityThreshold
+        |              THEN 'high' ELSE 'low' END AS quality_tier,
+        |         CASE WHEN c.cluster_id = q.doc_id THEN 'keep' ELSE 'dup' END AS dup_status,
+        |         q.n_tokens
+        |  FROM qual q JOIN pred p USING (doc_id) JOIN clus c USING (doc_id)),
+        |agg AS (
+        |  SELECT predicted_lang, quality_tier, dup_status,
+        |         count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+        |  FROM mix GROUP BY 1, 2, 3),
+        |tot AS (SELECT sum(n_tokens)::DOUBLE AS tt FROM agg)
+        |SELECT predicted_lang, quality_tier, dup_status, n_docs, n_tokens,
+        |       floor(n_tokens::DOUBLE / tot.tt * 1000000.0 + 0.5) / 1000000.0 AS token_share
+        |FROM agg CROSS JOIN tot ORDER BY 1, 2, 3""".stripMargin
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

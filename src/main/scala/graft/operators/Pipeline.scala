@@ -282,4 +282,50 @@ object Pipeline {
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
       .orderBy("doc_id")
   }
+
+  /** q131 quality split — on the 5dp score grid, near the corpus
+    * median, so both tiers are populated at every SF. */
+  val MixQualityThreshold = 0.33
+
+  /** q131_mix_card — the TRAINING-MIX CARD, the round's composition
+    * capstone: the one-page breakdown every data team publishes before
+    * a training run — token counts and shares by (predicted language ×
+    * quality tier × dup status). Joins three of the engine's own
+    * signals per document: q18's language prediction, q19's composite
+    * quality score (tiered at [[MixQualityThreshold]]), and q31's
+    * transitive duplicate clusters (a doc is `keep` iff it is its
+    * cluster's min-id representative — singletons keep themselves).
+    * The "how many high-quality English tokens survive dedup" number
+    * IS this table's (en, high, keep) row.
+    *
+    * Scale shape: three scan-parallel per-doc signal pipelines (the
+    * cluster side reads the memoized verified-pair artifact), one
+    * 3-way equi-join on doc_id, one partial-aggregable rollup to the
+    * langs×2×2 domain; the ≤40-row aggregate is materialized once and
+    * its total joins back by broadcast (no second pipeline execution,
+    * no unpartitioned window over row data). */
+  def mixCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val lang = TextAnalysis.langId(spark, sfDir)
+      .select(col("doc_id"), col("predicted_lang"))
+    val qual = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val clus = Dedup.dupClusters(spark, sfDir)
+    val agg = qual.join(lang, "doc_id").join(clus, "doc_id")
+      .select(col("predicted_lang"),
+        when(col("quality_score") >= MixQualityThreshold, "high")
+          .otherwise("low").as("quality_tier"),
+        when(col("cluster_id") === col("doc_id"), "keep")
+          .otherwise("dup").as("dup_status"),
+        col("n_tokens"))
+      .groupBy("predicted_lang", "quality_tier", "dup_status")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .localCheckpoint()
+    val tot = agg.agg(sum(col("n_tokens")).as("tot_tokens"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("predicted_lang"), col("quality_tier"), col("dup_status"),
+        col("n_docs"), col("n_tokens"),
+        (floor(col("n_tokens").cast("double") / col("tot_tokens").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("token_share"))
+      .orderBy("predicted_lang", "quality_tier", "dup_status")
+  }
 }

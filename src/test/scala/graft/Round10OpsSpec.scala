@@ -201,6 +201,23 @@ class Round10OpsSpec extends SparkSuite {
     }
   }
 
+  test("q131 mix card partitions the corpus and its token shares sum to ~1") {
+    val rows = graft.operators.Pipeline.mixCard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_._4).sum == nDocs, "every document lands in exactly one cell")
+    assert(math.abs(rows.map(_._6).sum - 1.0) <= rows.length * 5e-7)
+    rows.foreach { case (_, tier, status, nd, nt, share) =>
+      assert(Set("high", "low")(tier) && Set("keep", "dup")(status))
+      assert(nd > 0 && nt > 0 && share > 0.0)
+    }
+    // keys are unique and sorted
+    val keys = rows.map(r => (r._1, r._2, r._3))
+    assert(keys.distinct.length == keys.length && keys.sorted.sameElements(keys))
+  }
+
   test("q128 transition rows are a stochastic matrix over observed transitions") {
     val rows = graft.operators.Relational.markovTransitions(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
