@@ -12,9 +12,13 @@ object Bench {
     // (sub-second stages) AQE's per-stage re-planning barriers cost
     // ~7% wall with zero benefit — its coalescing/skew wins need real
     // data volumes. Production sessions (GraftSession) keep AQE on.
+    // shuffle width decoupled from executor threads: at bench SF most
+    // post-shuffle partitions are tiny, so fewer/wider shuffle tasks cut
+    // pure scheduler overhead while scans still use all threads
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.codegen.maxFields", "256")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
