@@ -143,7 +143,10 @@ object SparkEntry {
     "q128_markov_transitions" -> (Relational.markovTransitions _),
     "q129_ship_priority"  -> (Relational.shipPriority _),
     "q130_centroid_label" -> (Similarity.centroidLabel _),
-    "q131_mix_card"       -> (Pipeline.mixCard _)
+    "q131_mix_card"       -> (Pipeline.mixCard _),
+    "q132_pricing_summary" -> (Relational.pricingSummary _),
+    "q133_dup_degrees"    -> (Graph.dupDegrees _),
+    "q134_brand_skyline"  -> (Relational.brandSkyline _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -2240,7 +2243,51 @@ object SparkEntry {
         |SELECT predicted_lang, quality_tier, dup_status, n_docs, n_tokens,
         |       floor(n_tokens::DOUBLE / tot.tt * 1000000.0 + 0.5) / 1000000.0 AS token_share
         |FROM agg CROSS JOIN tot ORDER BY 1, 2, 3""".stripMargin
-    }
+    },
+    "q132_pricing_summary" -> {
+      import graft.operators.Relational.PricingCutoff
+      s"""SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(avg(l_extendedprice), 6) AS avg_price,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*)::BIGINT AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '$PricingCutoff'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "q133_dup_degrees" -> {
+      import graft.operators.Dedup.JaccardThreshold
+      (jaccardCte + s""",
+        |p AS (SELECT i, j FROM jac WHERE jaccard >= $JaccardThreshold),
+        |deg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS degree FROM (
+        |    SELECT i AS doc_id FROM p UNION ALL SELECT j AS doc_id FROM p)
+        |  GROUP BY 1),
+        |hist AS (SELECT degree, count(*)::BIGINT AS n_docs FROM deg GROUP BY 1),
+        |z AS (SELECT 0::BIGINT AS degree,
+        |             ((SELECT count(*) FROM documents)
+        |               - (SELECT count(*) FROM deg))::BIGINT AS n_docs)
+        |SELECT degree, n_docs FROM hist
+        |UNION ALL SELECT degree, n_docs FROM z WHERE n_docs > 0
+        |ORDER BY degree""".stripMargin)
+    },
+    "q134_brand_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_brand, p_retailprice AS price, p_size AS size,
+        |         count(*)::BIGINT AS n_parts
+        |  FROM part GROUP BY 1, 2, 3)
+        |SELECT p.p_brand, p.price, p.size, p.n_parts
+        |FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.p_brand = p.p_brand
+        |    AND q.price <= p.price AND q.size >= p.size
+        |    AND (q.price < p.price OR q.size > p.size))
+        |ORDER BY p_brand, price, size""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

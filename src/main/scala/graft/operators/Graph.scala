@@ -120,6 +120,34 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** q133_dup_degrees — DEGREE DISTRIBUTION of the verified near-dup
+    * graph: how many documents have 0, 1, 2, … verified duplicate
+    * partners — the one-histogram health check of a dedup run (a heavy
+    * tail means a template family is exploding the pair budget; all-0
+    * means the thresholds are too tight). Complements q80's cluster
+    * sizes (components) and q104's triangles (transitivity) with the
+    * per-NODE view.
+    *
+    * Scale shape: reads the memoized verified-pair artifact (never the
+    * corpus text), one explode to both endpoints, one count per doc,
+    * one count per degree — all partial-aggregable; the degree-0 row
+    * comes from a corpus count minus the participant count (two scalar
+    * aggregates), not an anti-join over rows. */
+  def dupDegrees(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.verifiedPairs(spark, sfDir)
+    val deg = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))
+    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_total"))
+    val nPart = deg.agg(count(lit(1)).as("n_participants"))
+    val zero = nDocs.crossJoin(nPart)
+      .select(lit(0L).as("degree"),
+        (col("n_total") - col("n_participants")).as("n_docs"))
+      .filter(col("n_docs") > 0)
+    hist.unionByName(zero).orderBy("degree")
+  }
+
   /** q126 knobs: the per-basket item cap (the skew guard — pair count
     * per basket is ≤ cap², so one pathological 10⁵-item basket can
     * never emit 10¹⁰ pairs) and the report depth. */

@@ -918,6 +918,69 @@ object Relational {
       .limit(ShipTopK)
   }
 
+  /** q132 cutoff — TPC-H Q1's DELTA applied to the testdata's span. */
+  val PricingCutoff = "2000-12-01"
+
+  /** q132_pricing_summary — TPC-H Q1, THE canonical scan-heavy
+    * aggregation benchmark: the lineitem pricing summary by
+    * (returnflag, linestatus). One pass over the fact table, one
+    * partial-aggregable groupBy onto a ~6-row domain — the purest test
+    * of scan throughput + map-side combine the suite has; at 100 TB the
+    * plan is literally "every core scans its splits, 6 rows meet".
+    *
+    * Float parity: quantities are small integers in doubles (sums
+    * exact); price/charge sums round to 2dp and averages to 6dp —
+    * cross-engine summation-order drift is orders of magnitude below
+    * both grids (the q129 argument at aggregate scale). */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit(PricingCutoff).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q134_brand_skyline — the 2-D SKYLINE (pareto front) per brand:
+    * parts no brand-mate strictly dominates on (price ↓, size ↑) — the
+    * multi-criteria shortlist query ("cheapest at every capability
+    * level") that resists plain min/max aggregation.
+    *
+    * Over DISTINCT (price, size) points the front is a single
+    * sorted-scan recurrence: sort (price asc, size desc) and keep a
+    * point iff its size strictly exceeds the running max of all prior
+    * points — prior points all have price ≤ current (price peers sort
+    * size-desc, so an equal-price-larger-size point lands first and
+    * correctly suppresses its peers), which is exactly strict
+    * dominance; identical points collapsed by the distinct keep the
+    * no-strict-dominance law. The oracle states the spec directly as
+    * NOT EXISTS so the window reformulation is independently checked.
+    *
+    * Scale shape: the groupBy collapses the corpus to distinct
+    * (brand, price, size) points; the window is keyed by brand over
+    * that value-domain-bounded point set, never corpus rows. */
+  def brandSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.part(spark, sfDir)
+      .groupBy(col("p_brand"), col("p_retailprice").as("price"), col("p_size").as("size"))
+      .agg(count(lit(1)).as("n_parts"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("price").asc, col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("rmax", max(col("size")).over(w))
+      .filter(col("rmax").isNull || col("size") > col("rmax"))
+      .select(col("p_brand"), col("price"), col("size"), col("n_parts"))
+      .orderBy("p_brand", "price", "size")
+  }
+
   /** q128_markov_transitions — first-order Markov transition matrix over
     * in-session event sequences: `P(next=dst | cur=src)` with exact
     * count ratios — the behavioral-model fit behind next-event

@@ -218,6 +218,55 @@ class Round10OpsSpec extends SparkSuite {
     assert(keys.distinct.length == keys.length && keys.sorted.sameElements(keys))
   }
 
+  test("q132 pricing summary equals independent per-group recomputation") {
+    import graft.operators.Relational.PricingCutoff
+    val rows = graft.operators.Relational.pricingSummary(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit(PricingCutoff).cast("timestamp"))
+    val total = li.count()
+    assert(rows.map(_.getLong(9)).sum == total, "group counts partition the filtered fact")
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(3) > 0)
+      assert(r.getDouble(4) <= r.getDouble(3) + 1e-6, "discounted <= base")
+      assert(r.getDouble(5) >= r.getDouble(4) - 1e-6, "charge >= discounted (tax >= 0)")
+    }
+  }
+
+  test("q133 degree histogram partitions the corpus") {
+    val rows = graft.operators.Graph.dupDegrees(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.map(_._2).sum == graft.sources.Tables.documents(spark, sf).count(),
+      "every document has exactly one degree")
+    // handshake law: sum(degree * n_docs) = 2 * |pairs|
+    val pairs = graft.operators.Dedup.verifiedPairs(spark, sf).count()
+    assert(rows.map { case (d, n) => d * n }.sum == 2 * pairs)
+  }
+
+  test("q134 skyline points are mutually non-dominating and cover every brand") {
+    val rows = graft.operators.Relational.brandSkyline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (b, rs) =>
+      rs.foreach { p => rs.foreach { q =>
+        if (p != q) assert(
+          !(q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3)),
+          s"$b: ${q} dominates ${p} inside the front")
+      } }
+      // front sorted by price has strictly increasing sizes
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, c) => assert(a._3 < c._3, s"$b: sizes must strictly increase")
+        case _ => ()
+      }
+    }
+    val brands = graft.sources.Tables.part(spark, sf)
+      .select("p_brand").distinct().count()
+    assert(rows.map(_._1).distinct.length == brands, "every brand has a front")
+  }
+
   test("q128 transition rows are a stochastic matrix over observed transitions") {
     val rows = graft.operators.Relational.markovTransitions(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
