@@ -146,7 +146,9 @@ object SparkEntry {
     "q131_mix_card"       -> (Pipeline.mixCard _),
     "q132_pricing_summary" -> (Relational.pricingSummary _),
     "q133_dup_degrees"    -> (Graph.dupDegrees _),
-    "q134_brand_skyline"  -> (Relational.brandSkyline _)
+    "q134_brand_skyline"  -> (Relational.brandSkyline _),
+    "q135_fuzzy_names"    -> (Dedup.fuzzyNames _),
+    "q136_value_cdf"      -> (Relational.valueCdf _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -2287,7 +2289,35 @@ object SparkEntry {
         |  WHERE q.p_brand = p.p_brand
         |    AND q.price <= p.price AND q.size >= p.size
         |    AND (q.price < p.price OR q.size > p.size))
-        |ORDER BY p_brand, price, size""".stripMargin
+        |ORDER BY p_brand, price, size""".stripMargin,
+    "q135_fuzzy_names" -> {
+      import graft.operators.Dedup.FuzzyMaxDistance
+      s"""WITH names AS (
+        |  SELECT p_name, count(*)::BIGINT AS n_parts FROM part GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       levenshtein(a.p_name, b.p_name)::INT AS distance,
+        |       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        |FROM names a JOIN names b ON a.p_name < b.p_name
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= $FuzzyMaxDistance
+        |  AND levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDistance
+        |ORDER BY name_a, name_b""".stripMargin
+    },
+    "q136_value_cdf" -> {
+      import graft.operators.Relational.CdfProbes
+      // ::DOUBLE: a bare VALUES (10.0) is DECIMAL in DuckDB — both the
+      // comparison and the output column must be double for parity
+      val probes = CdfProbes.map(p => s"(${p}::DOUBLE)").mkString(", ")
+      s"""WITH g AS (
+        |  SELECT e.event_type, p.probe,
+        |         sum(CASE WHEN e.value <= p.probe THEN 1 ELSE 0 END)::BIGINT AS n_le,
+        |         count(*)::BIGINT AS n_total
+        |  FROM events e CROSS JOIN (VALUES $probes) p(probe)
+        |  GROUP BY 1, 2)
+        |SELECT event_type, probe, n_le, n_total,
+        |       floor(n_le::DOUBLE / n_total::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS cdf
+        |FROM g ORDER BY event_type, probe""".stripMargin
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -679,4 +679,42 @@ object Dedup {
         round(abs(col("jaccard") - est), 6).as("abs_err"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** q135 edit-distance bound for a fuzzy name match. */
+  val FuzzyMaxDistance = 2
+
+  /** q135_fuzzy_names — RECORD LINKAGE over the catalog's name
+    * vocabulary: pairs of distinct part names within Levenshtein
+    * distance [[FuzzyMaxDistance]], each carrying its usage count —
+    * the entity-resolution primitive ("are 'red widgit' and 'red
+    * widget' the same product?") that string-EQUALITY dedup (q11)
+    * cannot see. Operates on the DISTINCT-name domain with
+    * multiplicities, the standard linkage move: catalogs have a name
+    * VOCABULARY ≪ the corpus (64 names across 2,000 parts here), so
+    * the pair search runs on the vocabulary like q70's vocab ranking —
+    * never on corpus rows.
+    *
+    * Scale shape: the corpus collapses to (name, n_parts) via one
+    * partial-aggregable groupBy; the vocabulary side broadcasts into a
+    * BroadcastNestedLoopJoin (never a CartesianProduct stage) with the
+    * cheap |len(a)−len(b)| ≤ d metric pre-filter ahead of the DP
+    * `levenshtein` verify — the length-band pre-filter is exactly what
+    * becomes the banded equi-join key when a vocabulary outgrows the
+    * broadcast threshold (the q74 binned-join move, documented, not
+    * needed at catalog scale). Levenshtein is an integer metric —
+    * identical in both engines, nothing to round. */
+  def fuzzyNames(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+    val a = names.select(col("p_name").as("name_a"), col("n_parts").as("n_parts_a"))
+    val b = names.select(col("p_name").as("name_b"), col("n_parts").as("n_parts_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("name_a") < col("name_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= FuzzyMaxDistance)
+      .withColumn("distance", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("distance") <= FuzzyMaxDistance)
+      .select(col("name_a"), col("name_b"), col("distance").cast("int").as("distance"),
+        col("n_parts_a"), col("n_parts_b"))
+      .orderBy("name_a", "name_b")
+  }
 }

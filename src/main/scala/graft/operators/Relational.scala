@@ -981,6 +981,38 @@ object Relational {
       .orderBy("p_brand", "price", "size")
   }
 
+  /** q136 CDF probe grid — fixed points spanning the value range. */
+  val CdfProbes = Seq(10.0, 25.0, 50.0, 100.0, 250.0)
+
+  /** q136_value_cdf — empirical CDF probes per event type:
+    * P(value ≤ p) at a fixed probe grid — the monitoring-friendly
+    * distribution summary (latency/size SLO curves are exactly this
+    * shape) that needs no percentile machinery: counts against fixed
+    * thresholds are partial-aggregable conditional sums, where a true
+    * quantile would need a sort or sketch.
+    *
+    * One corpus pass computes all probes as |grid| conditional sums per
+    * type (a single groupBy, no explode multiplier on corpus rows); the
+    * per-type row then unpivots to (type, probe) rows — grid×types
+    * rows, after aggregation. All-integer counts; one division. */
+  def valueCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val sums = CdfProbes.zipWithIndex.map { case (p, i) =>
+      sum(when(col("value") <= lit(p), 1L).otherwise(0L)).as(s"c$i")
+    }
+    val agg = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"), sums: _*)
+    val probeArr = array(CdfProbes.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("probe"), col(s"c$i").as("n_le"))
+    }: _*)
+    agg.select(col("event_type"), col("n_total"), explode(probeArr).as("s"))
+      .select(col("event_type"), col("s.probe").as("probe"),
+        col("s.n_le").as("n_le"), col("n_total"),
+        (floor(col("s.n_le").cast("double") / col("n_total").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("cdf"))
+      .orderBy("event_type", "probe")
+  }
+
   /** q128_markov_transitions — first-order Markov transition matrix over
     * in-session event sequences: `P(next=dst | cur=src)` with exact
     * count ratios — the behavioral-model fit behind next-event

@@ -267,6 +267,47 @@ class Round10OpsSpec extends SparkSuite {
     assert(rows.map(_._1).distinct.length == brands, "every brand has a front")
   }
 
+  test("q135 fuzzy pairs respect the distance bound and a spot-checked metric") {
+    import graft.operators.Dedup.FuzzyMaxDistance
+    val rows = graft.operators.Dedup.fuzzyNames(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { case (a, b, dist, na, nb) =>
+      assert(a < b && dist >= 1 && dist <= FuzzyMaxDistance)
+      assert(dist == lev(a, b), s"distance mismatch for ($a, $b)")
+      assert(na >= 1 && nb >= 1)
+    }
+  }
+
+  test("q136 cdf is monotone in the probe and ends at the full mass only past the max") {
+    import graft.operators.Relational.CdfProbes
+    val rows = graft.operators.Relational.valueCdf(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(rs.length == CdfProbes.length)
+      assert(rs.map(_._4).distinct.length == 1, s"$t: one total per type")
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 <= b._3 && a._5 <= b._5, s"$t: CDF must be monotone")
+        case _ => ()
+      }
+      rs.foreach { case (_, _, nle, tot, cdf) =>
+        assert(nle <= tot)
+        assert(math.abs(cdf - math.floor(nle.toDouble / tot * 1e6 + 0.5) / 1e6) < 1e-9)
+      }
+    }
+  }
+
   test("q128 transition rows are a stochastic matrix over observed transitions") {
     val rows = graft.operators.Relational.markovTransitions(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
