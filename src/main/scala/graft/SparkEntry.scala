@@ -148,7 +148,8 @@ object SparkEntry {
     "q133_dup_degrees"    -> (Graph.dupDegrees _),
     "q134_brand_skyline"  -> (Relational.brandSkyline _),
     "q135_fuzzy_names"    -> (Dedup.fuzzyNames _),
-    "q136_value_cdf"      -> (Relational.valueCdf _)
+    "q136_value_cdf"      -> (Relational.valueCdf _),
+    "q137_local_supplier_volume" -> (Relational.localSupplierVolume _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -2317,6 +2318,21 @@ object SparkEntry {
         |       floor(n_le::DOUBLE / n_total::DOUBLE * 1000000.0 + 0.5)
         |         / 1000000.0 AS cdf
         |FROM g ORDER BY event_type, probe""".stripMargin
+    },
+    "q137_local_supplier_volume" -> {
+      import graft.operators.Relational.{LocalRegion, LocalYearEnd, LocalYearStart}
+      s"""SELECT n.n_name, round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = '$LocalRegion'
+        |  AND c.c_nationkey = s.s_nationkey
+        |  AND o.o_orderdate >= TIMESTAMP '$LocalYearStart'
+        |  AND o.o_orderdate < TIMESTAMP '$LocalYearEnd'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
     }
   )
 

@@ -981,6 +981,53 @@ object Relational {
       .orderBy("p_brand", "price", "size")
   }
 
+  /** q137 parameters — TPC-H Q5's region + one order-date year. */
+  val LocalRegion = "ASIA"
+  val LocalYearStart = "1997-01-01"
+  val LocalYearEnd = "1998-01-01"
+
+  /** q137_local_supplier_volume — TPC-H Q5, the 6-way star join with the
+    * LOCAL-supplier co-location condition (`c_nationkey = s_nationkey`):
+    * revenue by nation for one region and one order year, where the
+    * customer and the line's supplier must share a nation. The suite's
+    * widest graded join (region→nation→customer→orders→lineitem←
+    * supplier) — the query optimizers use to show off join reorder.
+    *
+    * Scale shape: region/nation broadcast (tiny dims); their keys
+    * reduce customer to a region-filtered dim that BROADCASTS into the
+    * date-pruned orders scan; orders⋈lineitem is the single fact-fact
+    * keyed exchange; the supplier join broadcasts and the co-location
+    * predicate (`c_nationkey = s_nationkey`) filters after it — no
+    * plan stage ever shuffles more than the date-windowed fact slice.
+    * Revenue rounds 2dp before the DESC ordering (the q129/q132
+    * summation-order argument; nation domain is tiny so ties break on
+    * n_name). */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === LocalRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(LocalYearStart).cast("timestamp")
+        && col("o_orderdate") < lit(LocalYearEnd).cast("timestamp"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("rev")), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** q136 CDF probe grid — fixed points spanning the value range. */
   val CdfProbes = Seq(10.0, 25.0, 50.0, 100.0, 250.0)
 

@@ -308,6 +308,24 @@ class Round10OpsSpec extends SparkSuite {
     }
   }
 
+  test("q137 local supplier volume is revenue-ordered over the region's nations") {
+    val rows = graft.operators.Relational.localSupplierVolume(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rev) => assert(rev > 0.0) }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      case _ => ()
+    }
+    // every reported nation belongs to the target region
+    import graft.operators.Relational.LocalRegion
+    val regionNations = graft.sources.Tables.nation(spark, sf)
+      .join(graft.sources.Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === LocalRegion)
+      .select("n_name").collect().map(_.getString(0)).toSet
+    rows.foreach { case (n, _) => assert(regionNations(n)) }
+  }
+
   test("q128 transition rows are a stochastic matrix over observed transitions") {
     val rows = graft.operators.Relational.markovTransitions(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
