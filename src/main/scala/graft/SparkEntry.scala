@@ -149,7 +149,11 @@ object SparkEntry {
     "q134_brand_skyline"  -> (Relational.brandSkyline _),
     "q135_fuzzy_names"    -> (Dedup.fuzzyNames _),
     "q136_value_cdf"      -> (Relational.valueCdf _),
-    "q137_local_supplier_volume" -> (Relational.localSupplierVolume _)
+    "q137_local_supplier_volume" -> (Relational.localSupplierVolume _),
+    "q138_stratified_n"   -> (Sampling.stratifiedN _),
+    "q139_returned_items" -> (Relational.returnedItems _),
+    "q140_ngram_diversity" -> (TextAnalysis.ngramDiversity _),
+    "q141_burstiness"     -> (Relational.burstiness _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -2333,6 +2337,73 @@ object SparkEntry {
         |  AND o.o_orderdate >= TIMESTAMP '$LocalYearStart'
         |  AND o.o_orderdate < TIMESTAMP '$LocalYearEnd'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+    },
+    "q138_stratified_n" -> {
+      import graft.operators.Sampling.StratumN
+      s"""WITH d AS (
+        |  SELECT lang, doc_id,
+        |         ('0x' || substr(md5('strat_' || doc_id), 1, 7))::BIGINT AS draw
+        |  FROM documents),
+        |rk AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rn
+        |  FROM d)
+        |SELECT lang, rn::INT AS smp_rank, doc_id
+        |FROM rk WHERE rn <= $StratumN ORDER BY lang, smp_rank""".stripMargin
+    },
+    "q139_returned_items" -> {
+      import graft.operators.Relational.{ReturnedQuarterEnd, ReturnedQuarterStart, ReturnedTopK}
+      s"""WITH agg AS (
+        |  SELECT o.o_custkey,
+        |         round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |  FROM orders o
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '$ReturnedQuarterStart'
+        |    AND o.o_orderdate < TIMESTAMP '$ReturnedQuarterEnd'
+        |    AND l.l_returnflag = 'R'
+        |  GROUP BY 1)
+        |SELECT c.c_custkey, c.c_name, n.n_name, a.revenue
+        |FROM agg a
+        |JOIN customer c ON c.c_custkey = a.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |ORDER BY a.revenue DESC, c.c_custkey LIMIT $ReturnedTopK""".stripMargin
+    },
+    "q140_ngram_diversity" ->
+      """WITH t AS (
+        |  SELECT lang, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents),
+        |uni AS (SELECT lang, unnest(w) AS tok FROM t),
+        |uc AS (SELECT lang, count(*)::BIGINT AS n_tokens,
+        |              count(DISTINCT tok)::BIGINT AS d1 FROM uni GROUP BY 1),
+        |bi AS (
+        |  SELECT lang, w[i] || '_' || w[i + 1] AS bg
+        |  FROM t, unnest(range(1, len(w))) u(i)),
+        |bc AS (SELECT lang, count(*)::BIGINT AS n_bigrams,
+        |              count(DISTINCT bg)::BIGINT AS d2 FROM bi GROUP BY 1)
+        |SELECT uc.lang, uc.n_tokens, uc.d1, bc.n_bigrams, bc.d2,
+        |       floor(uc.d1::DOUBLE / uc.n_tokens::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS distinct1,
+        |       floor(bc.d2::DOUBLE / bc.n_bigrams::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS distinct2
+        |FROM uc JOIN bc USING (lang) ORDER BY lang""".stripMargin,
+    "q141_burstiness" -> {
+      import graft.operators.Relational.{HourMs, RetentionEpochMs}
+      s"""WITH hourly AS (
+        |  SELECT event_type,
+        |         floor((epoch_ms(ts) - $RetentionEpochMs)::DOUBLE / $HourMs.0)::BIGINT AS hr,
+        |         count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_hours,
+        |         sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS s2
+        |  FROM hourly GROUP BY 1)
+        |SELECT event_type, n_hours,
+        |       floor(s::DOUBLE / n_hours::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS mean_per_hour,
+        |       floor(((s2::DOUBLE - s::DOUBLE * s::DOUBLE / n_hours::DOUBLE)
+        |                / n_hours::DOUBLE)
+        |              / (s::DOUBLE / n_hours::DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS fano
+        |FROM agg ORDER BY event_type""".stripMargin
     }
   )
 

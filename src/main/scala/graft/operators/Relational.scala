@@ -1028,6 +1028,73 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** q139 parameters — TPC-H Q10's quarter window + report depth. */
+  val ReturnedQuarterStart = "1997-01-01"
+  val ReturnedQuarterEnd = "1997-04-01"
+  val ReturnedTopK = 20
+
+  /** q139_returned_items — TPC-H Q10: the customers who returned the
+    * most revenue in one quarter — the classic "who is hurting us"
+    * account-review query (fact slice → dimension enrich → top-k).
+    * With Q1 (q132), Q3 (q129), Q5 (q137) and Q14 (q78) this closes
+    * the canonical TPC-H join-shape set the relational tier targets.
+    *
+    * Scale shape: the quarter predicate and `l_returnflag = 'R'` are
+    * scan-pushed; orders⋈lineitem is the single fact-fact exchange;
+    * customer/nation broadcast; TakeOrdered(20) over the per-customer
+    * aggregate. Revenue rounds 2dp before ordering (q129 argument). */
+  def returnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(ReturnedQuarterStart).cast("timestamp")
+        && col("o_orderdate") < lit(ReturnedQuarterEnd).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+    ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("rev")), 2).as("revenue"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(ReturnedTopK)
+  }
+
+  /** q141_burstiness — the Fano factor (variance-to-mean ratio) of
+    * hourly event counts per type: ≈1 for Poisson-like traffic, ≫1 for
+    * bursty arrivals — the one-number burstiness diagnostic sitting
+    * between q120's per-week z-scores and q136's value CDF. Integer
+    * sums (n, Σc, Σc²) make mean and variance exact rationals; the
+    * final divisions round on the 1e-6 grid. Hours with zero events
+    * count as zero observations of the spine (present-hour statistics
+    * only — the spec the oracle mirrors). */
+  def burstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val hr = floor((unix_millis(col("ts")) - lit(RetentionEpochMs)).cast("double")
+      / lit(HourMs.toDouble)).cast("bigint")
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), hr.as("hr"))
+      .agg(count(lit(1)).as("c"))
+    hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("event_type"), col("n_hours"),
+        (floor(col("s").cast("double") / col("n_hours").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean_per_hour"),
+        (floor(
+          ((col("s2").cast("double")
+            - col("s").cast("double") * col("s").cast("double")
+              / col("n_hours").cast("double"))
+            / col("n_hours").cast("double"))
+            / (col("s").cast("double") / col("n_hours").cast("double"))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("fano"))
+      .orderBy("event_type")
+  }
+
   /** q136 CDF probe grid — fixed points spanning the value range. */
   val CdfProbes = Seq(10.0, 25.0, 50.0, 100.0, 250.0)
 

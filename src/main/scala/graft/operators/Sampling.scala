@@ -23,6 +23,36 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** q138 per-stratum sample size. */
+  val StratumN = 20
+
+  /** q138_stratified_n — EXACT-n stratified sampling: precisely
+    * [[StratumN]] documents per language (all of them when a stratum is
+    * smaller), selected as the stratum's smallest deterministic md5
+    * draws — the eval-set construction move ("exactly 20 per language
+    * for the annotation batch") that rate-based sampling (q48/q60)
+    * cannot promise: a rate gives a BINOMIAL stratum size, annotation
+    * budgets need an exact one.
+    *
+    * Scale shape: the per-stratum selection is the bounded map-side
+    * `top_k_by_score` fold (score = −draw ⇒ the n smallest draws, tie →
+    * smaller doc id) — one keyed exchange carrying ≤ n rows per
+    * stratum, never a window sort over the corpus. */
+  def stratifiedN(spark: SparkSession, sfDir: String): DataFrame = {
+    val draw = graft.functions.HashFunctions.md5Int28(
+      concat(lit("strat_"), col("doc_id").cast("string")))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        (lit(0L) - draw).cast("double").as("neg_draw"))
+      .groupBy(col("lang"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(col("neg_draw"), col("doc_id"), StratumN).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("smp_rank"),
+        col("s.id").as("doc_id"))
+      .orderBy("lang", "smp_rank")
+  }
+
   /** Per-mille keep rates per language; the dominant language (en, ~44%
     * of the synthetic corpus) is downsampled 2× vs the tail. */
   val DefaultRate = 200

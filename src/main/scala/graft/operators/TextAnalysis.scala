@@ -709,4 +709,35 @@ object TextAnalysis {
           + lit(0.5)) / lit(1e6)).as("novelty"))
       .orderBy("doc_id")
   }
+
+  /** q140_ngram_diversity — per-language distinct-1/distinct-2 ratios
+    * (Li et al. 2016's diversity metrics): distinct unigrams and
+    * bigrams over their totals — the corpus-health number that exposes
+    * template floods and mode-collapsed synthetic data (low distinct-2
+    * with normal distinct-1 = the same phrases recombined), the
+    * corpus-level complement of q54's per-document repetition.
+    *
+    * Scale shape: two explode passes (unigrams, 2-shingles), each a
+    * pair of partial-aggregable counts (total per lang; Spark's
+    * standard two-phase distinct for the distinct count); all-integer
+    * counts, two divisions, grid-rounded. */
+  def ngramDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), T.wsTokens(col("text")).as("w"))
+    val uni = docs.select(col("lang"), explode_outer(col("w")).as("t"))
+      .filter(col("t").isNotNull)
+    val uc = uni.groupBy("lang").agg(count(lit(1)).as("n_tokens"),
+      countDistinct(col("t")).as("d1"))
+    val bi = docs.select(col("lang"), explode_outer(T.shingles(col("w"), 2)).as("b"))
+      .filter(col("b").isNotNull)
+    val bc = bi.groupBy("lang").agg(count(lit(1)).as("n_bigrams"),
+      countDistinct(col("b")).as("d2"))
+    uc.join(bc, "lang")
+      .select(col("lang"), col("n_tokens"), col("d1"), col("n_bigrams"), col("d2"),
+        (floor(col("d1").cast("double") / col("n_tokens").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("distinct1"),
+        (floor(col("d2").cast("double") / col("n_bigrams").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("distinct2"))
+      .orderBy("lang")
+  }
 }

@@ -326,6 +326,74 @@ class Round10OpsSpec extends SparkSuite {
     rows.foreach { case (n, _) => assert(regionNations(n)) }
   }
 
+  test("q138 every stratum gets exactly min(n, stratum size) docs with contiguous ranks") {
+    import graft.operators.Sampling.StratumN
+    val rows = graft.operators.Sampling.stratifiedN(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val sizes = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.length == math.min(StratumN.toLong, sizes(lang)),
+        s"$lang: expected min(n, stratum) rows")
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+      assert(rs.map(_._3).distinct.length == rs.length)
+    }
+    assert(rows.groupBy(_._1).keySet == sizes.keySet, "every language is sampled")
+  }
+
+  test("q139 returned-items report is revenue-ordered with positive revenue") {
+    import graft.operators.Relational.ReturnedTopK
+    val rows = graft.operators.Relational.returnedItems(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= ReturnedTopK)
+    rows.foreach { case (_, name, _, rev) =>
+      assert(name.nonEmpty && rev > 0.0)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1))
+      case _ => ()
+    }
+  }
+
+  test("q140 diversity ratios obey counting laws") {
+    val rows = graft.operators.TextAnalysis.ngramDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nt, d1, nb, d2, r1, r2) =>
+      assert(d1 <= nt && d2 <= nb, s"$lang: distinct cannot exceed total")
+      assert(nb < nt, s"$lang: bigram count is total tokens minus one per doc")
+      assert(r1 > 0.0 && r1 <= 1.0 && r2 > 0.0 && r2 <= 1.0)
+      // distinct-2 >= ... no general law; but d2 >= d1 - something is not guaranteed.
+      assert(math.abs(r1 - math.floor(d1.toDouble / nt * 1e6 + 0.5) / 1e6) < 1e-9)
+      assert(math.abs(r2 - math.floor(d2.toDouble / nb * 1e6 + 0.5) / 1e6) < 1e-9)
+    }
+  }
+
+  test("q141 fano factor equals the recomputed variance-to-mean of hourly counts") {
+    val rows = graft.operators.Relational.burstiness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    import graft.operators.Relational.{HourMs, RetentionEpochMs}
+    val hourly = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        floor((unix_millis(col("ts")) - lit(RetentionEpochMs)).cast("double")
+          / lit(HourMs.toDouble)).cast("bigint").as("hr"))
+      .count().collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { case (t, nh, mean, fano) =>
+      val cs = hourly(t)
+      assert(nh == cs.length)
+      val m = cs.sum.toDouble / cs.length
+      val v = cs.map(c => (c - m) * (c - m)).sum / cs.length
+      assert(math.abs(mean - math.floor(m * 1e6 + 0.5) / 1e6) < 1e-9)
+      assert(math.abs(fano - v / m) < 2e-6, s"$t: fano $fano vs recomputed ${v / m}")
+      assert(fano > 0.0)
+    }
+  }
+
   test("q128 transition rows are a stochastic matrix over observed transitions") {
     val rows = graft.operators.Relational.markovTransitions(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
