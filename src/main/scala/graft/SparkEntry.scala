@@ -153,7 +153,16 @@ object SparkEntry {
     "q138_stratified_n"   -> (Sampling.stratifiedN _),
     "q139_returned_items" -> (Relational.returnedItems _),
     "q140_ngram_diversity" -> (TextAnalysis.ngramDiversity _),
-    "q141_burstiness"     -> (Relational.burstiness _)
+    "q141_burstiness"     -> (Relational.burstiness _),
+    "q142_priority_returns" -> (Relational.priorityReturns _),
+    "q143_order_distribution" -> (Relational.orderDistribution _),
+    "q144_large_orders"   -> (Relational.largeOrders _),
+    "q145_disjunctive_revenue" -> (Relational.disjunctiveRevenue _),
+    "q146_idle_accounts"  -> (Relational.idleAccounts _),
+    "q147_silhouette"     -> (Similarity.silhouette _),
+    "q148_vocab_growth"   -> (TextAnalysis.vocabGrowth _),
+    "q149_embed_isotropy" -> (Similarity.embedIsotropy _),
+    "q150_zipf_slope"     -> (TextAnalysis.zipfSlope _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -2404,6 +2413,160 @@ object SparkEntry {
         |              / (s::DOUBLE / n_hours::DOUBLE)
         |             * 1000000.0 + 0.5) / 1000000.0 AS fano
         |FROM agg ORDER BY event_type""".stripMargin
+    },
+    "q142_priority_returns" -> {
+      import graft.operators.Relational.{PriorityQuarterEnd, PriorityQuarterStart}
+      s"""SELECT o.o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '$PriorityQuarterStart'
+        |  AND o.o_orderdate < TIMESTAMP '$PriorityQuarterEnd'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q143_order_distribution" ->
+      """WITH pc AS (SELECT o_custkey, count(*)::BIGINT AS n FROM orders GROUP BY 1)
+        |SELECT coalesce(pc.n, 0)::BIGINT AS c_count, count(*)::BIGINT AS custdist
+        |FROM customer c LEFT JOIN pc ON pc.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q144_large_orders" -> {
+      import graft.operators.Relational.{LargeOrdersTopK, LargeQtyThreshold}
+      s"""WITH qty AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > $LargeQtyThreshold)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o.o_totalprice, q.total_qty
+        |FROM qty q
+        |JOIN orders o ON o.o_orderkey = q.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT $LargeOrdersTopK""".stripMargin
+    },
+    "q145_disjunctive_revenue" -> {
+      import graft.operators.Relational.DisjunctiveBranches
+      val branches = DisjunctiveBranches.map { case (brand, (szLo, szHi), (qLo, qHi)) =>
+        s"(p.p_brand = '$brand' AND p.p_size BETWEEN $szLo AND $szHi" +
+          s" AND l.l_quantity BETWEEN $qLo AND $qHi)"
+      }.mkString("\n        |   OR ")
+      s"""SELECT count(*)::BIGINT AS n_lines,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE $branches""".stripMargin
+    },
+    "q146_idle_accounts" -> {
+      import graft.operators.Relational.{IdleNationKeys, IdleSince}
+      s"""WITH cohort AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |  WHERE c_nationkey IN (${IdleNationKeys.mkString(", ")})),
+        |ab AS (SELECT avg(c_acctbal) AS avg_bal FROM cohort WHERE c_acctbal > 0.0)
+        |SELECT c.c_nationkey, count(*)::BIGINT AS numcust,
+        |       round(sum(c.c_acctbal), 2) AS totacctbal
+        |FROM cohort c CROSS JOIN ab
+        |WHERE c.c_acctbal > ab.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '$IdleSince')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q147_silhouette" ->
+      materializeCtes(ivfHierCellsCte + """,
+        |ranked_cc AS (
+        |  SELECT w.vec_id, f.cent_id,
+        |         list_dot_product(w.v, f.cv) /
+        |         (sqrt(list_dot_product(w.v, w.v)) * sqrt(list_dot_product(f.cv, f.cv))) AS cc,
+        |         row_number() OVER (PARTITION BY w.vec_id ORDER BY
+        |           list_dot_product(w.v, f.cv) /
+        |           (sqrt(list_dot_product(w.v, w.v)) * sqrt(list_dot_product(f.cv, f.cv))) DESC,
+        |           f.cent_id ASC) AS rn
+        |  FROM vgrp w JOIN fgrp f ON f.grp_id = w.grp_id),
+        |pv AS (
+        |  SELECT a.cent_id, (1.0 - a.cc) AS da, (1.0 - b.cc) AS db
+        |  FROM ranked_cc a JOIN ranked_cc b ON b.vec_id = a.vec_id AND b.rn = 2
+        |  WHERE a.rn = 1),
+        |sv AS (
+        |  SELECT cent_id,
+        |         CASE WHEN greatest(da, db) < 1e-12 THEN 0.0
+        |              ELSE (db - da) / greatest(da, db) END AS s
+        |  FROM pv),
+        |per_cell AS (
+        |  SELECT cent_id, count(*)::BIGINT AS n_vecs,
+        |         sum(floor(s * 1000.0)::BIGINT)::BIGINT AS sp, min(s) AS mn
+        |  FROM sv GROUP BY 1)
+        |SELECT cent_id, n_vecs,
+        |       floor(sp::DOUBLE / n_vecs::DOUBLE + 0.5) / 1000.0 AS mean_silhouette,
+        |       floor(mn * 1000000.0 + 0.5) / 1000000.0 AS min_silhouette
+        |FROM per_cell ORDER BY cent_id""".stripMargin),
+    "q148_vocab_growth" -> {
+      import graft.operators.TextAnalysis.GrowthFractions
+      val fr = GrowthFractions.map(f => s"($f::DOUBLE)").mkString(", ")
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\r]+') AS w FROM documents),
+        |mx AS (SELECT max(doc_id)::BIGINT AS max_id FROM t),
+        |cuts AS (
+        |  SELECT f.frac, floor(mx.max_id::DOUBLE * f.frac)::BIGINT AS cut
+        |  FROM (VALUES $fr) f(frac) CROSS JOIN mx),
+        |tf AS (
+        |  SELECT tok, min(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY 1),
+        |va AS (
+        |  SELECT c.frac, c.cut, count(*)::BIGINT AS vocab
+        |  FROM tf JOIN cuts c ON tf.first_doc <= c.cut GROUP BY 1, 2),
+        |ta AS (
+        |  SELECT c.frac, c.cut, sum(len(w))::BIGINT AS n_tokens
+        |  FROM t JOIN cuts c ON t.doc_id <= c.cut GROUP BY 1, 2)
+        |SELECT va.frac, va.cut, ta.n_tokens, va.vocab,
+        |       floor(va.vocab::DOUBLE / ta.n_tokens::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS ttr
+        |FROM va JOIN ta USING (frac, cut) ORDER BY frac""".stripMargin
+    },
+    "q149_embed_isotropy" ->
+      materializeCtes("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |comp AS (SELECT vec_id, t.d, v[t.d] AS x FROM e, unnest(range(1, 65)) t(d)),
+        |means AS (
+        |  SELECT d, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |  FROM comp GROUP BY 1),
+        |mv AS (SELECT list(m ORDER BY d) AS mvv FROM means),
+        |nrm AS (
+        |  SELECT mvv,
+        |         floor(list_dot_product(mvv, mvv) * 1000000.0 + 0.5)
+        |           / 1000000.0 AS mean_norm2
+        |  FROM mv),
+        |cs AS (
+        |  SELECT n.mean_norm2,
+        |         list_dot_product(e.v, n.mvv) /
+        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(n.mvv, n.mvv))) AS c
+        |  FROM e CROSS JOIN nrm n)
+        |SELECT count(*)::BIGINT AS n_vecs, mean_norm2,
+        |       floor(sum(floor(c * 1000.0)::BIGINT)::DOUBLE / count(*)::DOUBLE + 0.5)
+        |         / 1000.0 AS mean_cos_to_mean,
+        |       floor(min(c) * 1000000.0 + 0.5) / 1000000.0 AS min_cos,
+        |       floor(max(c) * 1000000.0 + 0.5) / 1000000.0 AS max_cos
+        |FROM cs GROUP BY mean_norm2""".stripMargin),
+    "q150_zipf_slope" -> {
+      import graft.operators.TextAnalysis.ZipfTopK
+      s"""WITH freq AS (
+        |  SELECT lang, tok, count(*)::BIGINT AS n
+        |  FROM (SELECT lang, unnest(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |topn AS (
+        |  SELECT lang, n,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rnk
+        |  FROM freq QUALIFY rnk <= $ZipfTopK),
+        |q AS (
+        |  SELECT lang,
+        |         floor(ln(rnk::DOUBLE) * 1000000.0 + 0.5)::BIGINT AS lx,
+        |         floor(ln(n::DOUBLE) * 1000000.0 + 0.5)::BIGINT AS ly, n
+        |  FROM topn),
+        |agg AS (
+        |  SELECT lang, count(*)::BIGINT AS n_ranks, sum(n)::BIGINT AS total_top_freq,
+        |         sum(lx)::BIGINT AS sx, sum(ly)::BIGINT AS sy,
+        |         sum(lx * ly)::BIGINT AS sxy, sum(lx * lx)::BIGINT AS sxx
+        |  FROM q GROUP BY 1)
+        |SELECT lang, n_ranks, total_top_freq,
+        |       floor((n_ranks * sxy - sx * sy)::DOUBLE
+        |             / (n_ranks * sxx - sx * sx)::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS zipf_slope
+        |FROM agg ORDER BY lang""".stripMargin
     }
   )
 

@@ -1168,4 +1168,161 @@ object Relational {
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("p"))
       .orderBy("src", "dst")
   }
+
+  /** q142 window — one order-date quarter for the priority/returns
+    * audit (TPC-H Q4's ':1' parameter on the testdata's span). */
+  val PriorityQuarterStart = "1998-01-01"
+  val PriorityQuarterEnd = "1998-04-01"
+
+  /** q142_priority_returns — TPC-H Q4's shape on the available columns:
+    * per order priority, how many of the quarter's orders had at least
+    * one RETURNED line (the testdata carries no commit/receipt dates,
+    * so "late" becomes "returned" — the EXISTS-correlation shape is
+    * identical). The canonical fact-fact LEFT SEMI join: the probe side
+    * never duplicates however many lines match.
+    *
+    * Scale shape: the quarter predicate and `l_returnflag = 'R'` are
+    * scan-pushed on their respective sides; the semi-join is the single
+    * keyed fact-fact exchange (AQE can flip it to broadcast when the
+    * returned-lines slice is small); the groupBy lands on the ~5-row
+    * priority domain map-side. */
+  def priorityReturns(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(PriorityQuarterStart).cast("timestamp")
+        && col("o_orderdate") < lit(PriorityQuarterEnd).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val ret = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    ord.join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q143_order_distribution — TPC-H Q13: the customer-order-count
+    * distribution INCLUDING the zero bucket — the classic left-outer +
+    * double-aggregate that catches engines which lose unmatched rows
+    * (how many customers never ordered is usually the business point).
+    *
+    * Scale shape: orders pre-aggregate to (custkey, n) BEFORE the join
+    * — the outer join carries one row per customer per side, not one
+    * per order; both sides key on custkey (one co-partitioned
+    * exchange); the second aggregate lands on the tiny order-count
+    * domain map-side. No window, no skew (custkey is the natural key). */
+  def orderDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    Tables.customer(spark, sfDir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** q144 threshold/depth — sum-of-quantity cutoff (≈99.9th pct of the
+    * per-order distribution at sf0.01) and report depth. */
+  val LargeQtyThreshold = 300.0
+  val LargeOrdersTopK = 20
+
+  /** q144_large_orders — TPC-H Q18: orders whose TOTAL quantity exceeds
+    * a threshold, enriched with their customer — the HAVING-subquery
+    * shape (aggregate first, then use the aggregate as the join
+    * filter).
+    *
+    * Scale shape: lineitem pre-aggregates per order (partial map-side
+    * sums; the HAVING filter drops ~99.9% of orders BEFORE any join);
+    * the surviving handful joins orders by key and broadcasts into
+    * customer enrichment; TakeOrdered(20) — never a global sort.
+    * Quantities are small integers in doubles, so the sums are exact
+    * (no rounding grid needed). */
+  def largeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val qty = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > lit(LargeQtyThreshold))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"))
+    qty.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(LargeOrdersTopK)
+  }
+
+  /** q145 predicate triples — (brand, size window, quantity window),
+    * TPC-H Q19's three OR'd branches on the available columns. */
+  val DisjunctiveBranches: Seq[(String, (Int, Int), (Double, Double))] = Seq(
+    ("Brand#11", (1, 15), (1.0, 15.0)),
+    ("Brand#22", (1, 25), (10.0, 30.0)),
+    ("Brand#3", (1, 35), (25.0, 50.0)))
+
+  /** q145_disjunctive_revenue — TPC-H Q19: revenue under an OR of three
+    * (brand ∧ size-range ∧ quantity-range) conjunctions — the
+    * disjunctive-predicate join that breaks naive pushdown (no single
+    * conjunct holds across branches, yet each branch is selective).
+    *
+    * Scale shape: part is the small side and BROADCASTS (it carries the
+    * brand/size half of every branch); the OR evaluates inside the join
+    * as a residual condition, so lineitem streams through the broadcast
+    * hash join probe-side with no shuffle at all; the result is one
+    * scalar row via a partial-aggregable global sum. Catalyst factors
+    * the common `l_partkey = p_partkey` equi-key out of the OR — the
+    * join stays a hash join, never a nested loop. */
+  def disjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val part = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val branch = DisjunctiveBranches.map { case (brand, (szLo, szHi), (qLo, qHi)) =>
+      col("p_brand") === brand &&
+        col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    }.reduce(_ || _)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey") && branch)
+      .agg(count(lit(1)).as("n_lines"), round(sum(col("rev")), 2).as("revenue"))
+  }
+
+  /** q146 cohort — the nation keys eligible for the idle-account scan
+    * (TPC-H Q22's country-code list on the available columns) and the
+    * recency cutoff that defines "dormant" (every testdata customer
+    * has SOME order, so Q22's literal no-orders-ever arm is empty;
+    * no-orders-since keeps the anti-join shape AND a real answer). */
+  val IdleNationKeys: Seq[Int] = Seq(1, 3, 5, 7, 9, 11, 13)
+  val IdleSince = "2000-07-01"
+
+  /** q146_idle_accounts — TPC-H Q22: customers from a nation cohort
+    * with ABOVE-AVERAGE positive balances and no order since
+    * [[IdleSince]] — the scalar-subquery + NOT EXISTS (anti-join)
+    * shape; the classic "dormant high-value accounts" report.
+    *
+    * Scale shape: the cohort average is one scalar aggregate that
+    * broadcasts into the filter; the anti-join keys on custkey against
+    * the date-pruned orders slice (predicate pushed to the scan) —
+    * ONE keyed fact exchange (the filtered customer side is far
+    * smaller); the final groupBy lands on the ≤7-row nation domain.
+    * Balances round 2dp after the sum (2dp inputs sum exactly in
+    * doubles at this magnitude). */
+  def idleAccounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val cohort = Tables.customer(spark, sfDir)
+      .filter(col("c_nationkey").isin(IdleNationKeys: _*))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val avgBal = cohort.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val rich = cohort.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+    val ords = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(IdleSince).cast("timestamp"))
+      .select(col("o_custkey"))
+    rich.join(ords, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
 }

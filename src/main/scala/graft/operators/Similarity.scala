@@ -773,6 +773,93 @@ object Similarity {
       .orderBy("cent_id")
   }
 
+  /** q147_silhouette — the per-cell SILHOUETTE audit completing the
+    * clustering-quality pair with q127 (inertia says how TIGHT each
+    * cell is; silhouette says how SEPARATED it is from its nearest
+    * rival): for each vector, a = cosine distance to its home
+    * centroid, b = distance to the runner-up centroid from its own
+    * probe ranking, s = (b − a) / max(a, b) ∈ [0, 1] — near 0 means
+    * the vector sits on a cell boundary (assignment is arbitrary →
+    * consider merging cells or raising nprobe), near 1 means clean
+    * separation.
+    *
+    * This is the INDEX-NATIVE silhouette: both distances are read
+    * straight from the memoized [[hierCells]] probe ranking (tc[0] /
+    * tc[1]) — ZERO extra cosines at any corpus scale, which is exactly
+    * how a 100 TB deployment audits its index (the classic simplified
+    * silhouette recomputes n·k cosines; the probed variant is the
+    * scalable estimator and identical for vectors whose true second
+    * cell is probed). Vectors with a single probed cell (possible only
+    * in degenerate tiny-k corners) are excluded by spec.
+    *
+    * Determinism: per-vector s floor-quantizes to integer per-mille
+    * before the mean (the q127 sum-order rule); `min` is
+    * order-independent and rounds at 1e-6. */
+  def silhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = hierCells(spark, sfDir)
+      .filter(size(col("tc")) >= 2)
+      .select(col("tc")(0)("id").as("cent_id"),
+        (lit(1.0) - col("tc")(0)("score")).as("da"),
+        (lit(1.0) - col("tc")(1)("score")).as("db"))
+    val sil = t.select(col("cent_id"),
+      when(greatest(col("da"), col("db")) < lit(1e-12), lit(0.0))
+        .otherwise((col("db") - col("da")) / greatest(col("da"), col("db")))
+        .as("s"))
+    sil.groupBy(col("cent_id")).agg(
+      count(lit(1)).as("n_vecs"),
+      sum(floor(col("s") * lit(1000.0)).cast("long")).as("sum_permille"),
+      min(col("s")).as("min_s"))
+      .select(col("cent_id"), col("n_vecs"),
+        (floor(col("sum_permille").cast("double") / col("n_vecs").cast("double")
+          + lit(0.5)) / lit(1000.0)).as("mean_silhouette"),
+        (floor(col("min_s") * lit(1e6) + lit(0.5)) / lit(1e6)).as("min_silhouette"))
+      .orderBy("cent_id")
+  }
+
+  /** q149_embed_isotropy — corpus-level embedding-geometry diagnostics:
+    * the mean vector's squared norm (an isotropic cloud has a mean
+    * near the origin; a large norm = a dominant common direction —
+    * the anisotropy problem that breaks cosine retrieval) and the
+    * distribution of per-vector cosines to that mean (uniformly high
+    * = all vectors share one cone → ANN recall and near-dup
+    * thresholds degrade). Read before trusting any cosine-based
+    * operator on a new embedding table.
+    *
+    * Determinism: per-dim means round to 1e-6 (the q130/codebook
+    * convention — cross-engine sum drift is orders below that grid),
+    * making the mean vector exactly representable; its squared norm is
+    * then a 64-term sum of grid rationals (drift ~1e-16, rounded 1e-6);
+    * per-vector cosines to the broadcast mean use the same fused
+    * expression as every ANN oracle and floor-quantize to per-mille
+    * before the integer mean (the q127 rule).
+    *
+    * Scale shape: one partial-aggregable (d → mean) aggregate over
+    * exploded components; the 64-row mean vector broadcasts back into
+    * a single scan computing cosines — two passes, no corpus shuffle
+    * beyond the 64-group aggregate. */
+  def embedIsotropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = components(spark, sfDir)
+    val means = comp.groupBy(col("d"))
+      .agg((floor(avg(col("x")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("m"))
+    val meanVec = means
+      .agg(expr("transform(sort_array(collect_list(struct(d, m))), s -> s.m)").as("mv"))
+      .select(col("mv"),
+        (floor(expr("aggregate(mv, 0.0d, (acc, e) -> acc + e * e)") * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("mean_norm2"))
+    val cos = vecs(spark, sfDir).crossJoin(broadcast(meanVec))
+      .select(col("mean_norm2"),
+        org.apache.spark.sql.graft.native.cosineSim(col("v"), col("mv")).as("c"))
+    cos.groupBy(col("mean_norm2")).agg(
+      count(lit(1)).as("n_vecs"),
+      sum(floor(col("c") * lit(1000.0)).cast("long")).as("sum_permille"),
+      min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+      .select(col("n_vecs"), col("mean_norm2"),
+        (floor(col("sum_permille").cast("double") / col("n_vecs").cast("double")
+          + lit(0.5)) / lit(1000.0)).as("mean_cos_to_mean"),
+        (floor(col("min_c") * lit(1e6) + lit(0.5)) / lit(1e6)).as("min_cos"),
+        (floor(col("max_c") * lit(1e6) + lit(0.5)) / lit(1e6)).as("max_cos"))
+  }
+
   /** Shared IVF search tail over a (vec_id, tc) cell assignment:
     * index side = home cell tc[0], query side probes every tc cell;
     * the probe⋈cell equi-join emits each pair at most once (one home

@@ -740,4 +740,98 @@ object TextAnalysis {
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("distinct2"))
       .orderBy("lang")
   }
+
+  /** q148 probe points — corpus-prefix fractions for the growth curve
+    * (log-spaced: vocabulary growth is front-loaded, so uniform probes
+    * would all land on the saturated tail). */
+  val GrowthFractions: Seq[Double] = Seq(0.01, 0.05, 0.2, 0.5, 1.0)
+
+  /** q148_vocab_growth — the Heaps'-law vocabulary-growth curve:
+    * distinct-token count and type/token ratio at increasing corpus
+    * prefixes (by doc_id) — the scaling diagnostic behind "how much
+    * new data still adds new vocabulary" (sublinear growth is healthy;
+    * a flat curve means the corpus is saturated/templated, a linear
+    * one means noise). Prefix cutoffs are doc_id quantiles of the max
+    * id, so the probe set is scale-free.
+    *
+    * Scale shape: each token contributes its FIRST document id (one
+    * partial-aggregable min over the exploded scan — the q98 novelty
+    * move); the growth curve is then conditional sums of that
+    * vocab-sized frame against the 5 broadcast cutoffs, never a
+    * re-scan per probe; per-doc token counts aggregate once the same
+    * way. All-integer until the final ratio division. */
+  def vocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), T.wsTokens(col("text")).as("w"))
+    val maxId = docs.agg(max(col("doc_id")).as("max_id"))
+    val cuts = maxId.select(explode(array(GrowthFractions.map { f =>
+      struct(lit(f).as("frac"),
+        floor(col("max_id").cast("double") * lit(f)).cast("long").as("cut"))
+    }: _*)).as("p")).select(col("p.frac").as("frac"), col("p.cut").as("cut"))
+    val tokFirst = docs.select(col("doc_id"), explode_outer(col("w")).as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy(col("t")).agg(min(col("doc_id")).as("first_doc"))
+    val vocabAt = tokFirst.crossJoin(broadcast(cuts))
+      .filter(col("first_doc") <= col("cut"))
+      .groupBy(col("frac"), col("cut"))
+      .agg(count(lit(1)).as("vocab"))
+    val tokensAt = docs.select(col("doc_id"), size(col("w")).cast("long").as("n"))
+      .crossJoin(broadcast(cuts))
+      .filter(col("doc_id") <= col("cut"))
+      .groupBy(col("frac"), col("cut"))
+      .agg(sum(col("n")).as("n_tokens"))
+    vocabAt.join(tokensAt, Seq("frac", "cut"))
+      .select(col("frac"), col("cut"), col("n_tokens"), col("vocab"),
+        (floor(col("vocab").cast("double") / col("n_tokens").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("ttr"))
+      .orderBy("frac")
+  }
+
+  /** q150 depth — how many top ranks feed the log-log fit. */
+  val ZipfTopK = 20
+
+  /** q150_zipf_slope — the Zipf rank-frequency exponent per language:
+    * least-squares slope of (ln rank, ln frequency) over the top
+    * [[ZipfTopK]] tokens — natural text sits near −1; a much flatter
+    * slope flags templated/synthetic floods, a steeper one a
+    * degenerate vocabulary. The corpus-level power-law companion to
+    * q140's diversity ratios.
+    *
+    * Determinism: ln values quantize to integer micros FIRST (both
+    * engines' `ln` agree to ~1 ulp — far inside the 1e-6 grid, and ln
+    * of an integer count never sits ON a grid point), so the
+    * regression sums are exact integer arithmetic; one double division
+    * at the end. Σ-products stay ≤ ~1e16, inside BIGINT range, and the
+    * final numerator/denominator differences are ≤ 2^53, exact in
+    * doubles.
+    *
+    * Scale shape: token frequencies are one partial-aggregable groupBy;
+    * ranking is a lang-keyed window over the VOCAB-sized aggregate
+    * (never corpus rows — the q61 aggregate-window rule); everything
+    * after the top-K filter is a ≤langs×K frame. */
+  def zipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode_outer(T.wsTokens(col("text"))).as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("t").asc)
+    val top = freq.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= ZipfTopK)
+      .select(col("lang"),
+        floor(log(col("rnk").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("lx"),
+        floor(log(col("n").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("ly"),
+        col("n"))
+    top.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_ranks"), sum(col("n")).as("total_top_freq"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"), sum(col("lx") * col("lx")).as("sxx"))
+      .select(col("lang"), col("n_ranks"), col("total_top_freq"),
+        (floor((col("n_ranks") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n_ranks") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("zipf_slope"))
+      .orderBy("lang")
+  }
 }

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-10 tail operators (q142-q150): the
+  * remaining TPC-H join shapes (semi, outer-distribution, having-join,
+  * disjunctive, anti), the index silhouette, vocabulary growth,
+  * embedding isotropy and the Zipf fit. The DuckDB oracle checks exact
+  * values; these specs pin the structural laws each operator must
+  * satisfy on any corpus. */
+class Round10TailSpec extends SparkSuite {
+
+  test("q142 priority counts equal an independently composed semi-join") {
+    import graft.operators.Relational.{PriorityQuarterEnd, PriorityQuarterStart}
+    val rows = graft.operators.Relational.priorityReturns(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.nonEmpty)
+    // recompose the other way round: distinct returned orderkeys,
+    // inner join, countDistinct
+    val ret = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey")).distinct()
+    val expect = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit(PriorityQuarterStart).cast("timestamp")
+        && col("o_orderdate") < lit(PriorityQuarterEnd).cast("timestamp"))
+      .join(ret, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority").agg(countDistinct(col("o_orderkey")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows == expect)
+  }
+
+  test("q143 distribution accounts for every customer and every matched order") {
+    val rows = graft.operators.Relational.orderDistribution(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = graft.sources.Tables.customer(spark, sf).count()
+    assert(rows.map(_._2).sum == nCust, "custdist must partition the customers")
+    val matchedOrders = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(rows.map { case (c, d) => c * d }.sum == matchedOrders,
+      "sum(c_count*custdist) must equal the orders that found a customer")
+    // ordering contract: custdist desc, then c_count desc
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 > b._2 || (a._2 == b._2 && a._1 > b._1))
+      case _ => ()
+    }
+  }
+
+  test("q144 large orders respect the threshold, the depth and a recomputed quantity") {
+    import graft.operators.Relational.{LargeOrdersTopK, LargeQtyThreshold}
+    val rows = graft.operators.Relational.largeOrders(spark, sf).collect()
+    assert(rows.length <= LargeOrdersTopK && rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(5) > LargeQtyThreshold))
+    val prices = rows.map(r => (r.getDouble(4), r.getLong(2)))
+    prices.sliding(2).foreach {
+      case Array(a, b) => assert(a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      case _ => ()
+    }
+    val probe = rows.head
+    val recomputed = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") === probe.getLong(2))
+      .agg(sum(col("l_quantity"))).collect()(0).getDouble(0)
+    assert(recomputed == probe.getDouble(5))
+  }
+
+  test("q145 branch sums are disjoint and add up to the combined report") {
+    import graft.operators.Relational.DisjunctiveBranches
+    val row = graft.operators.Relational.disjunctiveRevenue(spark, sf).collect()(0)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val part = graft.sources.Tables.part(spark, sf)
+    val perBranch = DisjunctiveBranches.map { case (brand, (szLo, szHi), (qLo, qHi)) =>
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") === brand && col("p_size").between(szLo, szHi)
+          && col("l_quantity").between(qLo, qHi))
+        .agg(count(lit(1)), sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .collect()(0)
+    }
+    assert(perBranch.map(_.getLong(0)).sum == row.getLong(0),
+      "branches must be disjoint and jointly exhaustive for the OR")
+    val revSum = perBranch.map(r => Option(r.get(1)).fold(0.0)(_ => r.getDouble(1))).sum
+    assert(math.abs(revSum - row.getDouble(1)) < 0.02)
+  }
+
+  test("q146 dormant accounts are above average and really quiet since the cutoff") {
+    import graft.operators.Relational.{IdleNationKeys, IdleSince}
+    val rows = graft.operators.Relational.idleAccounts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(IdleNationKeys.contains(r.getInt(0))))
+    val cohort = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_nationkey").isin(IdleNationKeys: _*))
+    val avgBal = cohort.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal"))).collect()(0).getDouble(0)
+    val recent = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit(IdleSince).cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val expect = cohort.filter(col("c_acctbal") > avgBal)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toMap == expect)
+    // each member is above the cohort average, so the sum must clear it
+    rows.foreach(r => assert(r.getDouble(2) > avgBal * r.getLong(1) - 0.01))
+  }
+
+  test("q147 silhouette covers the probed corpus with values in [0, 1]") {
+    val rows = graft.operators.Similarity.silhouette(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nProbed = graft.operators.Similarity.hierCells(spark, sf)
+      .filter(size(col("tc")) >= 2).count()
+    assert(rows.map(_.getLong(1)).sum == nProbed,
+      "per-cell counts must partition the probed vectors")
+    rows.foreach { r =>
+      val (mean, min) = (r.getDouble(2), r.getDouble(3))
+      assert(min >= 0.0 && mean <= 1.0 && min <= 1.0)
+      // per-mille floor before the mean can pull it at most 1e-3 under
+      assert(min <= mean + 0.001 + 1e-9)
+    }
+  }
+
+  test("q148 growth curve is monotone and lands on the full corpus totals") {
+    val rows = graft.operators.TextAnalysis.vocabGrowth(spark, sf)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == graft.operators.TextAnalysis.GrowthFractions.length)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 <= b._3 && a._4 <= b._4, "tokens and vocab must be monotone")
+      case _ => ()
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val tot = docs.select(explode(split(col("text"), "[ \t\n\r]+")).as("t"))
+      .filter(length(col("t")) > 0)
+    assert(rows.last._3 == tot.count(), "frac=1 must count every token")
+    assert(rows.last._4 == tot.distinct().count(), "frac=1 must count the full vocabulary")
+  }
+
+  test("q149 isotropy report bounds its cosines and counts the corpus") {
+    val r = graft.operators.Similarity.embedIsotropy(spark, sf).collect()(0)
+    assert(r.getLong(0) == graft.sources.Tables.embeddings(spark, sf).count())
+    val (norm2, mean, min, max) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(norm2 >= 0.0)
+    assert(min <= max && min >= -1.0 - 1e-9 && max <= 1.0 + 1e-9)
+    assert(mean >= min - 0.001 - 1e-9 && mean <= max + 1e-9)
+  }
+
+  test("q150 zipf slope equals a from-scratch least-squares fit per language") {
+    import graft.operators.TextAnalysis.ZipfTopK
+    val rows = graft.operators.TextAnalysis.zipfSlope(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val freqs = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), "[ \t\n\r]+")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("lang", "t").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val top = freqs.filter(_._1 == lang).map(t => (t._3, t._2))
+        .sortBy { case (n, tok) => (-n, tok) }.take(ZipfTopK)
+      assert(r.getLong(1) == top.length)
+      assert(r.getLong(2) == top.map(_._1).sum)
+      val pts = top.zipWithIndex.map { case ((n, _), i) =>
+        (math.floor(math.log((i + 1).toDouble) * 1e6 + 0.5),
+          math.floor(math.log(n.toDouble) * 1e6 + 0.5))
+      }
+      val k = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val (sxy, sxx) = (pts.map(p => p._1 * p._2).sum, pts.map(p => p._1 * p._1).sum)
+      val slope = math.floor((k * sxy - sx * sy) / (k * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(3) == slope, s"$lang slope mismatch")
+      assert(r.getDouble(3) < 0.0, "rank-frequency must fall")
+    }
+  }
+}
