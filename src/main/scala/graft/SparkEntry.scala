@@ -162,7 +162,13 @@ object SparkEntry {
     "q147_silhouette"     -> (Similarity.silhouette _),
     "q148_vocab_growth"   -> (TextAnalysis.vocabGrowth _),
     "q149_embed_isotropy" -> (Similarity.embedIsotropy _),
-    "q150_zipf_slope"     -> (TextAnalysis.zipfSlope _)
+    "q150_zipf_slope"     -> (TextAnalysis.zipfSlope _),
+    "q151_data_quality"   -> (DataQuality.dataQuality _),
+    "q152_source_drift"   -> (TextAnalysis.sourceDrift _),
+    "q153_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
+    "q154_embed_variance" -> (Similarity.embedVariance _),
+    "q155_incremental_stats" -> (DataQuality.incrementalStats _),
+    "q156_forecast_revenue" -> (Relational.forecastRevenue _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -2567,6 +2573,124 @@ object SparkEntry {
         |             / (n_ranks * sxx - sx * sx)::DOUBLE * 1000000.0 + 0.5)
         |         / 1000000.0 AS zipf_slope
         |FROM agg ORDER BY lang""".stripMargin
+    },
+    "q151_data_quality" ->
+      """WITH m AS (
+        |  SELECT 'orders_pk_unique' AS "check",
+        |         (count(*) - count(DISTINCT o_orderkey))::BIGINT AS metric FROM orders
+        |  UNION ALL
+        |  SELECT 'customer_pk_unique',
+        |         (count(*) - count(DISTINCT c_custkey))::BIGINT FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_ri', count(*)::BIGINT FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders_custkey_ri', count(*)::BIGINT FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_positive',
+        |         sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)::BIGINT FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range',
+        |         sum(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_quantity_positive',
+        |         sum(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_orderdate_nonnull',
+        |         sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT FROM orders)
+        |SELECT "check", metric, metric = 0 AS passed FROM m ORDER BY "check"""".stripMargin,
+    "q152_source_drift" ->
+      """WITH sl AS (SELECT source, lang, count(*)::BIGINT AS n_sl
+        |            FROM documents GROUP BY 1, 2),
+        |s AS (SELECT source, sum(n_sl)::BIGINT AS n_s FROM sl GROUP BY 1),
+        |l AS (SELECT lang, sum(n_sl)::BIGINT AS n_l FROM sl GROUP BY 1),
+        |tot AS (SELECT sum(n_sl)::BIGINT AS n_tot FROM sl),
+        |terms AS (
+        |  SELECT sl.source, s.n_s,
+        |         floor((sl.n_sl::DOUBLE / s.n_s::DOUBLE)
+        |               * ln((sl.n_sl * tot.n_tot)::DOUBLE / (s.n_s * l.n_l)::DOUBLE)
+        |               * 1000000000.0 + 0.5)::BIGINT AS t_nano
+        |  FROM sl JOIN s USING (source) JOIN l USING (lang) CROSS JOIN tot)
+        |SELECT source, n_s AS n_docs, count(*)::BIGINT AS n_langs,
+        |       sum(t_nano)::BIGINT::DOUBLE / 1000000000.0 AS kl
+        |FROM terms GROUP BY source, n_s ORDER BY source""".stripMargin,
+    "q153_vocab_coverage" -> {
+      import graft.operators.TextAnalysis.CoverageDepths
+      val depths = CoverageDepths.map(d => s"($d)").mkString(", ")
+      s"""WITH freq AS (
+        |  SELECT lang, tok, count(*)::BIGINT AS n
+        |  FROM (SELECT lang, unnest(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, n,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rnk
+        |  FROM freq),
+        |totals AS (SELECT lang, sum(n)::BIGINT AS n_tokens FROM freq GROUP BY 1),
+        |cov AS (
+        |  SELECT r.lang, d.depth, sum(r.n)::BIGINT AS n_covered
+        |  FROM ranked r JOIN (VALUES $depths) d(depth) ON r.rnk <= d.depth
+        |  GROUP BY 1, 2)
+        |SELECT c.lang, c.depth, c.n_covered, t.n_tokens,
+        |       floor(c.n_covered::DOUBLE / t.n_tokens::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS coverage
+        |FROM cov c JOIN totals t USING (lang) ORDER BY lang, depth""".stripMargin
+    },
+    "q154_embed_variance" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT t.d, floor(v[t.d] * 1000000.0 + 0.5)::BIGINT AS xq
+        |      FROM e, unnest(range(1, 65)) t(d)),
+        |per_dim AS (
+        |  SELECT d, count(*)::BIGINT AS n, sum(xq)::BIGINT AS sx,
+        |         sum(xq * xq)::BIGINT AS sxx
+        |  FROM q GROUP BY 1),
+        |pv AS (
+        |  SELECT d, n,
+        |         floor((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+        |               / n::DOUBLE / 1000000000000.0 * 1000000000.0 + 0.5)::BIGINT
+        |           AS var_nano
+        |  FROM per_dim),
+        |spec AS (
+        |  SELECT count(*)::BIGINT AS n_dims, max(n)::BIGINT AS n_vecs,
+        |         sum(var_nano)::BIGINT AS tot_nano, max(var_nano)::BIGINT AS max_nano,
+        |         sum(var_nano * var_nano)::BIGINT AS sq_nano2
+        |  FROM pv)
+        |SELECT n_vecs, n_dims,
+        |       tot_nano::DOUBLE / 1000000000.0 AS total_var,
+        |       max_nano::DOUBLE / 1000000000.0 AS max_var,
+        |       floor(tot_nano::DOUBLE * tot_nano::DOUBLE / sq_nano2::DOUBLE
+        |             * 1000000.0 + 0.5) / 1000000.0 AS participation_ratio
+        |FROM spec""".stripMargin,
+    "q155_incremental_stats" -> {
+      import graft.operators.DataQuality.StatsBatchDen
+      s"""WITH split AS (
+        |  SELECT (count(*) * ${StatsBatchDen - 1}) // $StatsBatchDen AS s FROM documents),
+        |base AS (
+        |  SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |  FROM documents, split WHERE doc_id < split.s GROUP BY 1),
+        |batch AS (
+        |  SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |  FROM documents, split WHERE doc_id >= split.s GROUP BY 1),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM batch)
+        |SELECT lang, sum(n_docs)::BIGINT AS n_docs, sum(sum_chars)::BIGINT AS sum_chars,
+        |       min(min_chars) AS min_chars, max(max_chars) AS max_chars,
+        |       floor(sum(sum_chars)::DOUBLE / sum(n_docs)::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS mean_chars
+        |FROM u GROUP BY 1 ORDER BY lang""".stripMargin
+    },
+    "q156_forecast_revenue" -> {
+      import graft.operators.Relational.{ForecastDiscHi, ForecastDiscLo, ForecastMaxQty, ForecastYearEnd, ForecastYearStart}
+      s"""SELECT count(*)::BIGINT AS n_lines,
+        |       round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '$ForecastYearStart'
+        |  AND l_shipdate < TIMESTAMP '$ForecastYearEnd'
+        |  AND l_discount BETWEEN $ForecastDiscLo AND $ForecastDiscHi
+        |  AND l_quantity < $ForecastMaxQty""".stripMargin
     }
   )
 

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-level data-quality machinery: the constraint-suite report a
+  * pipeline runs before trusting a new snapshot (the Deequ-style
+  * check battery) and the mergeable-statistics proof behind
+  * incremental ingestion.
+  *
+  * Scale design: every check is either a partial-aggregable scan
+  * aggregate (null/range/uniqueness counts) or ONE keyed anti-join
+  * (referential integrity) — no check ever materializes violating
+  * rows beyond a count, so the report costs one pass per table at any
+  * corpus size.
+  */
+object DataQuality {
+
+  /** q151_data_quality — the constraint battery over the star schema:
+    * key uniqueness, referential integrity, null counts and range
+    * laws, emitted as one (check, metric, passed) report — metric is
+    * the VIOLATION count, so passed ⇔ metric = 0 and the report stays
+    * a handful of rows however large the tables.
+    *
+    * Scale shape: uniqueness = count − distinct-count (two-phase
+    * distinct, partial-aggregable); RI = LEFT ANTI join count keyed on
+    * the foreign key (the only exchanges); ranges/nulls are scan-local
+    * conditional sums. The per-check results are 1-row aggregates
+    * unioned into the report — a fixed ~8-row frame. */
+  def dataQuality(spark: SparkSession, sfDir: String): DataFrame =
+    dataQualityFrom(Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.lineitem(spark, sfDir))
+
+  /** The battery over arbitrary orders/customer/lineitem frames —
+    * injectable so the spec can plant violations (dup keys, orphan FKs,
+    * out-of-range values) and prove each check actually fires. */
+  private[graft] def dataQualityFrom(orders: DataFrame, customer: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    def check(name: String, metric: DataFrame): DataFrame =
+      metric.select(lit(name).as("check"), col("metric").cast("long").as("metric"),
+        (col("metric") === 0L).as("passed"))
+    val checks = Seq(
+      check("orders_pk_unique",
+        orders.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("metric"))),
+      check("customer_pk_unique",
+        customer.agg((count(lit(1)) - countDistinct(col("c_custkey"))).as("metric"))),
+      check("lineitem_orderkey_ri",
+        lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("metric"))),
+      check("orders_custkey_ri",
+        orders.join(customer, orders("o_custkey") === customer("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("metric"))),
+      check("orders_totalprice_positive",
+        orders.agg(sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("metric"))),
+      check("lineitem_discount_range",
+        lineitem.agg(sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
+          .otherwise(0L)).as("metric"))),
+      check("lineitem_quantity_positive",
+        lineitem.agg(sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)).as("metric"))),
+      check("orders_orderdate_nonnull",
+        orders.agg(sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("metric"))))
+    checks.reduce(_.union(_)).orderBy("check")
+  }
+
+  /** q155 split — the ingestion-batch convention (the q63/q87 split:
+    * the last fifth of the id space is "new"). */
+  val StatsBatchDen = 5
+
+  /** q155_incremental_stats — MERGEABLE partial statistics: per-language
+    * (count, Σchars, min, max) computed SEPARATELY over the base corpus
+    * and an ingestion batch, then combined with the algebraic merge
+    * (+, +, min, max) — the operator contract behind every incremental
+    * ingestion pipeline: stats(base ⊎ batch) must equal
+    * merge(stats(base), stats(batch)) without rescanning base. The
+    * oracle computes the union directly, so the hash-match IS the
+    * proof that the merge is lossless.
+    *
+    * Scale shape: two scan-pruned partial aggregates (langs-sized
+    * frames) union into a second langs-keyed merge aggregate — at
+    * 100 TB the base aggregate is the stored stats table and only the
+    * batch is scanned; every statistic here is from the mergeable
+    * (commutative-monoid) family, which is exactly why they survive
+    * this decomposition. */
+  def incrementalStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    // the q63 split convention: doc_id ≥ ⌊4n/5⌋ is the ingestion batch
+    val split = docs.agg(expr(s"(count(1) * ${StatsBatchDen - 1}) div $StatsBatchDen").as("s"))
+    val tagged = docs.crossJoin(broadcast(split))
+      .withColumn("is_batch", col("doc_id") >= col("s"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+    val base = partial(tagged.filter(!col("is_batch")))
+    val batch = partial(tagged.filter(col("is_batch")))
+    base.union(batch)
+      .groupBy(col("lang")).agg(
+        sum(col("n_docs")).as("n_docs"), sum(col("sum_chars")).as("sum_chars"),
+        min(col("min_chars")).as("min_chars"), max(col("max_chars")).as("max_chars"))
+      .withColumn("mean_chars",
+        floor(col("sum_chars").cast("double") / col("n_docs").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6))
+      .orderBy("lang")
+  }
+}

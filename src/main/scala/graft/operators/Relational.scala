@@ -1325,4 +1325,34 @@ object Relational {
       .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
       .orderBy("c_nationkey")
   }
+
+  /** q156 parameters — TPC-H Q6's year + discount band + quantity cap. */
+  val ForecastYearStart = "1996-01-01"
+  val ForecastYearEnd = "1997-01-01"
+  val ForecastDiscLo = 0.05
+  val ForecastDiscHi = 0.07
+  val ForecastMaxQty = 24.0
+
+  /** q156_forecast_revenue — TPC-H Q6, the revenue-change forecast: how
+    * much revenue would appear if discounts in a band were dropped —
+    * THE canonical filter-everything-aggregate-one-number query. With
+    * Q1/Q3/Q4/Q5/Q10/Q13/Q14/Q18/Q19/Q22 shapes this completes every
+    * classic TPC-H pattern the testdata's columns can express.
+    *
+    * Scale shape: ALL three predicates reach the parquet scan as
+    * PushedFilters (date window, discount band, quantity cap) — with
+    * date/discount-sorted or zoned files most row groups never leave
+    * disk (min/max pruning; the q103 layout argument); the aggregate
+    * is one partial-aggregable global sum, so the plan is "scan the
+    * pruned splits, one number meets". Discounts sit on the 1e-2 grid
+    * so the band is drift-proof; revenue rounds 2dp post-sum (q129
+    * argument). */
+  def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(ForecastYearStart).cast("timestamp")
+        && col("l_shipdate") < lit(ForecastYearEnd).cast("timestamp")
+        && col("l_discount").between(ForecastDiscLo, ForecastDiscHi)
+        && col("l_quantity") < ForecastMaxQty)
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
 }

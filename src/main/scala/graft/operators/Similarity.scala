@@ -860,6 +860,51 @@ object Similarity {
         (floor(col("max_c") * lit(1e6) + lit(0.5)) / lit(1e6)).as("max_cos"))
   }
 
+  /** q154_embed_variance — the variance SPECTRUM diagnostic completing
+    * q149's first-moment view with second moments: per-dimension
+    * variances collapse into (total variance, max-variance dimension,
+    * participation ratio PR = (Σσ²)²/Σσ⁴) — PR is the "effective
+    * dimensionality" of the cloud (64 = perfectly isotropic, ≈1 =
+    * rank-collapsed embeddings that will defeat both ANN recall and
+    * near-dup thresholds). The diagonal-covariance estimate of the
+    * spectral picture — no eigensolve, one aggregate.
+    *
+    * Determinism: components floor-quantize to integer micros at the
+    * scan, so per-dim (n, Σx, Σx²) are EXACT integer sums (Σx² ≤
+    * 64·n·(2²⁰)² ≪ 2⁶³) and every variance is the same rational on
+    * both engines; the spectrum sums run over 64 such rationals in a
+    * bounded frame. Variances quantize to 1e-9 before Σσ² / Σσ⁴ (the
+    * summand grid), with the final ratios on the 1e-6 grid.
+    *
+    * Scale shape: ONE partial-aggregable 64-group aggregate over the
+    * exploded scan; everything after is a 64-row frame. */
+  def embedVariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = components(spark, sfDir)
+      .select(col("d"), floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("xq"))
+    val perDim = q.groupBy(col("d")).agg(
+      count(lit(1)).as("n"), sum(col("xq")).as("sx"), sum(col("xq") * col("xq")).as("sxx"))
+      // var = (Σx² − (Σx)²/n) / n in micro² units → back to unit scale,
+      // quantized to 1e-9 so the spectrum sums are integer
+      .select(col("d"), col("n"),
+        floor((col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double") / col("n").cast("double"))
+          / col("n").cast("double") / lit(1e12) * lit(1e9) + lit(0.5))
+          .cast("long").as("var_nano"))
+    val spectrum = perDim.agg(
+      count(lit(1)).as("n_dims"),
+      max(col("n")).as("n_vecs"),
+      sum(col("var_nano")).as("tot_nano"),
+      max(col("var_nano")).as("max_nano"),
+      sum(col("var_nano") * col("var_nano")).as("sq_nano2"))
+    spectrum.select(
+      col("n_vecs"), col("n_dims"),
+      (col("tot_nano").cast("double") / lit(1e9)).as("total_var"),
+      (col("max_nano").cast("double") / lit(1e9)).as("max_var"),
+      (floor(col("tot_nano").cast("double") * col("tot_nano").cast("double")
+        / col("sq_nano2").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("participation_ratio"))
+  }
+
   /** Shared IVF search tail over a (vec_id, tc) cell assignment:
     * index side = home cell tc[0], query side probes every tc cell;
     * the probe⋈cell equi-join emits each pair at most once (one home

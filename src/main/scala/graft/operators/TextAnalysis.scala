@@ -834,4 +834,77 @@ object TextAnalysis {
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("zipf_slope"))
       .orderBy("lang")
   }
+
+  /** q152_source_drift — per-source language-mix divergence from the
+    * corpus: KL(p_source ‖ p_corpus) over the language distribution —
+    * the mix-monitoring number that flags a crawler/source whose
+    * language composition drifted from the corpus profile (the
+    * per-SOURCE companion of q131's corpus-level mix card). KL = 0
+    * means the source mirrors the corpus; each extra nat ≈ one
+    * language dominating that shouldn't.
+    *
+    * Determinism: p and q are exact integer-count ratios, so each
+    * summand p·ln(p/q) computes from the same integers on both
+    * engines (ln agrees to ~1 ulp); summands floor-quantize to 1e-9
+    * integers BEFORE the per-source sum (the q127 sum-order rule at a
+    * finer grid — summands can be ±1e-3), one division at the end.
+    *
+    * Scale shape: one (source, lang) partial-aggregable count ( ≤
+    * sources×langs rows), the two marginals derive from it, and the
+    * KL is an integer sum over that bounded frame — corpus rows are
+    * touched exactly once. */
+  def sourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val sl = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_sl"))
+    val s = sl.groupBy(col("source")).agg(sum(col("n_sl")).as("n_s"))
+    val l = sl.groupBy(col("lang")).agg(sum(col("n_sl")).as("n_l"))
+    val tot = sl.agg(sum(col("n_sl")).as("n_tot"))
+    val terms = sl.join(s, "source").join(broadcast(l), "lang")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"),
+        floor((col("n_sl").cast("double") / col("n_s").cast("double"))
+          * log((col("n_sl") * col("n_tot")).cast("double")
+            / (col("n_s") * col("n_l")).cast("double"))
+          * lit(1e9) + lit(0.5)).cast("long").as("t_nano"))
+    terms.groupBy(col("source"), col("n_s"))
+      .agg(sum(col("t_nano")).as("kl_nano"), count(lit(1)).as("n_langs"))
+      .select(col("source"), col("n_s").as("n_docs"), col("n_langs"),
+        (col("kl_nano").cast("double") / lit(1e9)).as("kl"))
+      .orderBy("source")
+  }
+
+  /** q153 probe depths — vocabulary sizes for the coverage curve. */
+  val CoverageDepths: Seq[Int] = Seq(1, 5, 10, 20)
+
+  /** q153_vocab_coverage — coverage@N per language: the fraction of
+    * token OCCURRENCES covered by the N most frequent types — the
+    * tokenizer-budget curve (how small a vocabulary still covers 90%
+    * of running text) and the q150 Zipf fit's operational readout.
+    *
+    * Scale shape: one (lang, token) frequency aggregate; the ranking
+    * window is lang-keyed over that VOCAB-sized frame (q61 rule); the
+    * curve is conditional sums against the 4 broadcast depths over
+    * the ≤langs×maxN ranked head — all-integer until the division. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode_outer(T.wsTokens(col("text"))).as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("t").asc)
+    val ranked = freq.withColumn("rnk", row_number().over(w))
+    val totals = freq.groupBy(col("lang")).agg(sum(col("n")).as("n_tokens"))
+    val depths = CoverageDepths.map(d => struct(lit(d).as("depth"))).toArray
+    val head = ranked.filter(col("rnk") <= CoverageDepths.max)
+      .select(col("lang"), col("rnk"), col("n"),
+        explode(array(depths: _*)).as("p"))
+      .filter(col("rnk") <= col("p.depth"))
+      .groupBy(col("lang"), col("p.depth").as("depth"))
+      .agg(sum(col("n")).as("n_covered"))
+    head.join(broadcast(totals), "lang")
+      .select(col("lang"), col("depth"), col("n_covered"), col("n_tokens"),
+        (floor(col("n_covered").cast("double") / col("n_tokens").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("coverage"))
+      .orderBy("lang", "depth")
+  }
 }

@@ -143,6 +143,108 @@ class Round10TailSpec extends SparkSuite {
     assert(mean >= min - 0.001 - 1e-9 && mean <= max + 1e-9)
   }
 
+  test("q151 all checks pass on testdata, and each check fires on planted violations") {
+    import spark.implicits._
+    val rows = graft.operators.DataQuality.dataQuality(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(1) == 0L))
+      assert(r.getBoolean(2), s"testdata must be clean: ${r.getString(0)}")
+    }
+    // planted violations: dup order key, orphan lineitem, orphan order
+    // custkey, negative price/discount/quantity, null orderdate
+    val badOrders = Seq(
+      (1L, 10L, Some(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")), -5.0),
+      (1L, 10L, Some(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")), 10.0),
+      (2L, 99L, None: Option[java.sql.Timestamp], 10.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val badCust = Seq((10L, 0.0)).toDF("c_custkey", "c_acctbal")
+    val badLines = Seq((1L, 1.5, 0.1), (7L, -2.0, 1.5))
+      .toDF("l_orderkey", "l_quantity", "l_discount")
+    val report = graft.operators.DataQuality
+      .dataQualityFrom(badOrders, badCust, badLines)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(report("orders_pk_unique") == 1L)
+    assert(report("lineitem_orderkey_ri") == 1L)
+    assert(report("orders_custkey_ri") == 1L)
+    assert(report("orders_totalprice_positive") == 1L)
+    assert(report("lineitem_discount_range") == 1L)
+    assert(report("lineitem_quantity_positive") == 1L)
+    assert(report("orders_orderdate_nonnull") == 1L)
+    assert(report("customer_pk_unique") == 0L)
+  }
+
+  test("q152 drift is nonnegative, partitions the corpus and zeroes a mirrored source") {
+    val rows = graft.operators.TextAnalysis.sourceDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      // per-summand 1e-9 floors can pull KL at most n_langs nano under 0
+      assert(r.getDouble(3) >= -r.getLong(2) * 1e-9, s"${r.getString(0)} negative KL")
+    }
+  }
+
+  test("q153 coverage is monotone in depth and exact at depth 1") {
+    val rows = graft.operators.TextAnalysis.vocabCoverage(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byDepth = rs.sortBy(_._2)
+      byDepth.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 <= b._3 && a._5 <= b._5 + 1e-9)
+        case _ => ()
+      }
+      byDepth.foreach(r => assert(r._5 >= 0.0 && r._5 <= 1.0))
+      // depth-1 coverage is the top token's share, recomputed from scratch
+      val freqs = graft.sources.Tables.documents(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("lang") === lang)
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), "[ \t\n\r]+")).as("t"))
+        .filter(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("t")) > 0)
+        .groupBy("t").count().collect().map(_.getLong(1))
+      assert(byDepth.head._3 == freqs.max)
+      assert(byDepth.head._4 == freqs.sum)
+    }
+  }
+
+  test("q154 variance spectrum bounds: 64 dims, PR in [1, 64], max <= total") {
+    val r = graft.operators.Similarity.embedVariance(spark, sf).collect()(0)
+    assert(r.getLong(1) == 64)
+    assert(r.getLong(0) == graft.sources.Tables.embeddings(spark, sf).count())
+    val (tot, mx, pr) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(mx >= 0.0 && tot >= mx)
+    assert(pr >= 1.0 - 1e-6 && pr <= 64.0 + 1e-6)
+  }
+
+  test("q155 merged stats equal a direct single-pass aggregate (mergeability law)") {
+    import org.apache.spark.sql.functions._
+    val merged = graft.operators.DataQuality.incrementalStats(spark, sf)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val direct = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)), sum("n_chars"), min("n_chars"), max("n_chars"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(merged == direct)
+  }
+
+  test("q156 forecast revenue equals the recomposed predicate sum") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational._
+    val r = graft.operators.Relational.forecastRevenue(spark, sf).collect()(0)
+    assert(r.getLong(0) > 0)
+    val direct = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate").between(lit(ForecastYearStart).cast("timestamp"),
+        lit(ForecastYearEnd).cast("timestamp"))
+        && col("l_shipdate") =!= lit(ForecastYearEnd).cast("timestamp")
+        && col("l_discount") >= ForecastDiscLo && col("l_discount") <= ForecastDiscHi
+        && col("l_quantity") < ForecastMaxQty)
+      .agg(count(lit(1)), sum(col("l_extendedprice") * col("l_discount")))
+      .collect()(0)
+    assert(direct.getLong(0) == r.getLong(0))
+    assert(math.abs(math.floor(direct.getDouble(1) * 100 + 0.5) / 100 - r.getDouble(1)) < 0.011)
+  }
+
   test("q150 zipf slope equals a from-scratch least-squares fit per language") {
     import graft.operators.TextAnalysis.ZipfTopK
     val rows = graft.operators.TextAnalysis.zipfSlope(spark, sf).collect()
