@@ -168,7 +168,14 @@ object SparkEntry {
     "q153_vocab_coverage" -> (TextAnalysis.vocabCoverage _),
     "q154_embed_variance" -> (Similarity.embedVariance _),
     "q155_incremental_stats" -> (DataQuality.incrementalStats _),
-    "q156_forecast_revenue" -> (Relational.forecastRevenue _)
+    "q156_forecast_revenue" -> (Relational.forecastRevenue _),
+    "q157_nation_volume"  -> (Relational.nationVolume _),
+    "q158_market_share"   -> (Relational.marketShare _),
+    "q159_top_supplier_rev" -> (Relational.topSupplierRev _),
+    "q160_small_qty_revenue" -> (Relational.smallQtyRevenue _),
+    "q161_cell_purity"    -> (Similarity.cellPurity _),
+    "q162_length_moments" -> (TextAnalysis.lengthMoments _),
+    "q163_stream_ratelimit_exec" -> (graft.streaming.EventStream.rateLimitStreamed _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -2691,6 +2698,159 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '$ForecastYearEnd'
         |  AND l_discount BETWEEN $ForecastDiscLo AND $ForecastDiscHi
         |  AND l_quantity < $ForecastMaxQty""".stripMargin
+    },
+    "q157_nation_volume" -> {
+      import graft.operators.Relational.{VolumeNationA, VolumeNationB, VolumeShipEnd, VolumeShipStart}
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       year(l.l_shipdate)::INT AS l_year,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '$VolumeShipStart'
+        |  AND l.l_shipdate < TIMESTAMP '$VolumeShipEnd'
+        |  AND ((sn.n_name = '$VolumeNationA' AND cn.n_name = '$VolumeNationB')
+        |    OR (sn.n_name = '$VolumeNationB' AND cn.n_name = '$VolumeNationA'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
+    "q158_market_share" -> {
+      import graft.operators.Relational.{ShareNation, ShareOrderEnd, ShareOrderStart, ShareRegion, ShareType}
+      s"""WITH f AS (
+        |  SELECT year(o.o_orderdate)::INT AS o_year,
+        |         l.l_extendedprice * (1.0 - l.l_discount) AS rev,
+        |         (ns.n_name = '$ShareNation') AS is_share
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = '$ShareType'
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = nc.n_regionkey AND r.r_name = '$ShareRegion'
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '$ShareOrderStart'
+        |    AND o.o_orderdate < TIMESTAMP '$ShareOrderEnd'),
+        |g AS (
+        |  SELECT o_year,
+        |         round(sum(CASE WHEN is_share THEN rev ELSE 0.0 END), 2) AS share_rev,
+        |         round(sum(rev), 2) AS total_rev
+        |  FROM f GROUP BY 1)
+        |SELECT o_year, share_rev, total_rev,
+        |       floor(share_rev / total_rev * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+        |FROM g ORDER BY o_year""".stripMargin
+    },
+    "q159_top_supplier_rev" -> {
+      import graft.operators.Relational.{TopSuppQuarterEnd, TopSuppQuarterStart}
+      s"""WITH rev AS (
+        |  SELECT l_suppkey,
+        |         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '$TopSuppQuarterStart'
+        |    AND l_shipdate < TIMESTAMP '$TopSuppQuarterEnd'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(total_rev) AS m FROM rev)
+        |SELECT s.s_suppkey, s.s_name, r.total_rev
+        |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |CROSS JOIN mx WHERE r.total_rev = mx.m
+        |ORDER BY s.s_suppkey""".stripMargin
+    },
+    "q160_small_qty_revenue" -> {
+      import graft.operators.Relational.{SmallQtyBrand, SmallQtyFactor}
+      s"""WITH lines AS (
+        |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_brand = '$SmallQtyBrand'),
+        |a AS (
+        |  SELECT l_partkey, $SmallQtyFactor * avg(l_quantity) AS qty_threshold
+        |  FROM lines GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_lines,
+        |       round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lines l JOIN a ON a.l_partkey = l.l_partkey
+        |WHERE l.l_quantity < a.qty_threshold""".stripMargin
+    },
+    "q161_cell_purity" ->
+      materializeCtes(ivfHierCellsCte + """,
+        |cl AS (
+        |  SELECT c.cent_id, em.label, count(*)::BIGINT AS c
+        |  FROM cells c JOIN embeddings em ON em.vec_id = c.vec_id
+        |  GROUP BY 1, 2),
+        |ctot AS (SELECT cent_id, sum(c)::BIGINT AS n_vecs FROM cl GROUP BY 1),
+        |cterms AS (
+        |  SELECT cl.cent_id, cl.c, cl.label,
+        |         floor((cl.c::DOUBLE / t.n_vecs::DOUBLE)
+        |               * (0.0 - ln(cl.c::DOUBLE / t.n_vecs::DOUBLE))
+        |               * 1000000000.0 + 0.5)::BIGINT AS h_nano
+        |  FROM cl JOIN ctot t USING (cent_id)),
+        |ctop AS (
+        |  SELECT cent_id, label AS top_label, c,
+        |         row_number() OVER (PARTITION BY cent_id ORDER BY c DESC, label ASC) AS rn
+        |  FROM cl),
+        |cent AS (
+        |  SELECT cent_id, sum(h_nano)::BIGINT AS ent_nano, count(*)::BIGINT AS n_labels
+        |  FROM cterms GROUP BY 1)
+        |SELECT e.cent_id, t.n_vecs, e.n_labels, tp.top_label::INT AS top_label,
+        |       floor(tp.c::DOUBLE / t.n_vecs::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS top_share,
+        |       e.ent_nano::DOUBLE / 1000000000.0 AS entropy
+        |FROM cent e JOIN ctot t USING (cent_id)
+        |JOIN ctop tp ON tp.cent_id = e.cent_id AND tp.rn = 1
+        |ORDER BY e.cent_id""".stripMargin),
+    "q162_length_moments" ->
+      """WITH agg AS (
+        |  SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s1,
+        |         sum(n_chars * n_chars)::BIGINT AS s2,
+        |         sum(n_chars * n_chars * n_chars)::BIGINT AS s3,
+        |         sum(n_chars * n_chars * n_chars * n_chars)::BIGINT AS s4
+        |  FROM documents GROUP BY 1),
+        |m AS (
+        |  SELECT lang, n,
+        |         s1::DOUBLE / n::DOUBLE AS mu,
+        |         s2::DOUBLE / n::DOUBLE - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE) AS m2,
+        |         s3::DOUBLE / n::DOUBLE
+        |           - 3.0 * (s1::DOUBLE / n::DOUBLE) * (s2::DOUBLE / n::DOUBLE)
+        |           + 2.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE) AS m3,
+        |         s4::DOUBLE / n::DOUBLE
+        |           - 4.0 * (s1::DOUBLE / n::DOUBLE) * (s3::DOUBLE / n::DOUBLE)
+        |           + 6.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE) * (s2::DOUBLE / n::DOUBLE)
+        |           - 3.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+        |               * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE) AS m4
+        |  FROM agg)
+        |SELECT lang, n,
+        |       floor(mu * 1000000.0 + 0.5) / 1000000.0 AS mean_chars,
+        |       floor(sqrt(m2) * 1000000.0 + 0.5) / 1000000.0 AS std_chars,
+        |       floor(m3 / (sqrt(m2) * m2) * 1000000.0 + 0.5) / 1000000.0 AS skewness,
+        |       floor((m4 / (m2 * m2) - 3.0) * 1000000.0 + 0.5) / 1000000.0 AS kurtosis_excess
+        |FROM m ORDER BY lang""".stripMargin,
+    "q163_stream_ratelimit_exec" -> {
+      import graft.streaming.EventStream.{RateCapacity, RateRefillPerSec}
+      s"""WITH RECURSIVE ue AS (
+        |  SELECT user_id, epoch_ms(ts) AS t, ts, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events),
+        |rec AS (
+        |  -- seed types define the recursion's types: tokens MUST be
+        |  -- ::DOUBLE or DuckDB carries the whole state in DECIMAL(2,1)
+        |  SELECT user_id, 0::BIGINT AS rn, CAST(NULL AS BIGINT) AS last_ms,
+        |         ${RateCapacity}::DOUBLE AS tokens, false AS admitted,
+        |         CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS VARCHAR) AS event_type,
+        |         CAST(NULL AS DOUBLE) AS value
+        |  FROM (SELECT DISTINCT user_id FROM ue)
+        |  UNION ALL
+        |  SELECT user_id, rn, last_ms,
+        |         tk - CASE WHEN tk >= 1.0 THEN 1.0 ELSE 0.0 END AS tokens,
+        |         tk >= 1.0 AS admitted, ts, event_type, value
+        |  FROM (
+        |    SELECT u.user_id, u.rn, u.t AS last_ms,
+        |           least(${RateCapacity}::DOUBLE, r.tokens
+        |             + CASE WHEN r.last_ms IS NULL THEN 0.0
+        |                    ELSE greatest(0, u.t - r.last_ms)::DOUBLE / 1000.0
+        |                         * $RateRefillPerSec END) AS tk,
+        |           u.ts, u.event_type, u.value
+        |    FROM rec r JOIN ue u ON u.user_id = r.user_id AND u.rn = r.rn + 1))
+        |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
+        |FROM rec WHERE admitted ORDER BY user_id, ts""".stripMargin
     }
   )
 

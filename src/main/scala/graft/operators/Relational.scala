@@ -1355,4 +1355,173 @@ object Relational {
         && col("l_quantity") < ForecastMaxQty)
       .agg(count(lit(1)).as("n_lines"),
         round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** q157 parameters — TPC-H Q7's trading nation pair + ship window. */
+  val VolumeNationA = "NATION_12"
+  val VolumeNationB = "NATION_10"
+  val VolumeShipStart = "1996-01-01"
+  val VolumeShipEnd = "1998-01-01"
+
+  /** q157_nation_volume — TPC-H Q7, the bilateral trade-volume report:
+    * revenue shipped between two nations (both directions) by shipment
+    * year, where the SUPPLIER sits in one nation and the CUSTOMER in
+    * the other — the two-role dimension join (nation keys enter
+    * through two independent paths that must NOT be collapsed).
+    *
+    * Scale shape: supplier and the nation-tagged customer dim
+    * broadcast; orders⋈lineitem is the single fact-fact exchange; the
+    * pair filter evaluates after both roles resolve (either
+    * direction); the aggregate lands on a 2×years domain. Revenue
+    * rounds 2dp (q129 argument). */
+  def nationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(VolumeNationA, VolumeNationB))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(VolumeNationA, VolumeNationB))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, sfDir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(VolumeShipStart).cast("timestamp")
+        && col("l_shipdate") < lit(VolumeShipEnd).cast("timestamp"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === VolumeNationA && col("cust_nation") === VolumeNationB)
+        || (col("supp_nation") === VolumeNationB && col("cust_nation") === VolumeNationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** q158 parameters — TPC-H Q8's market, product type and the
+    * nation whose share is being tracked. */
+  val ShareRegion = "EUROPE"
+  val ShareType = "ECONOMY"
+  val ShareNation = "NATION_3"
+  val ShareOrderStart = "1996-01-01"
+  val ShareOrderEnd = "1998-01-01"
+
+  /** q158_market_share — TPC-H Q8: one nation's supplier share of a
+    * region's purchases of a product type, by order year — the
+    * conditional-sum-over-sum query (share = Σ_if / Σ) that every BI
+    * layer compiles to, with nations again entering through both the
+    * customer (market) and supplier (share) roles.
+    *
+    * Determinism: numerator and denominator sums round 2dp FIRST (the
+    * q129 grid argument), then one division floors on the 1e-6 grid —
+    * both engines divide the identical rounded values.
+    *
+    * Scale shape: part (type filter) and the region-filtered customer
+    * dim broadcast into the facts; orders⋈lineitem is the single
+    * keyed exchange; supplier broadcast tags the share flag; the
+    * aggregate lands on the years domain with the conditional sum
+    * partial-aggregable. */
+  def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_type") === ShareType).select(col("p_partkey"))
+    val nations = Tables.nation(spark, sfDir)
+    val regionNations = nations
+      .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === ShareRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(ShareOrderStart).cast("timestamp")
+        && col("o_orderdate") < lit(ShareOrderEnd).cast("timestamp"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(nations.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), (col("n_name") === ShareNation).as("is_share"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("o_year"), col("is_share"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .groupBy(col("o_year"))
+      .agg(round(sum(when(col("is_share"), col("rev")).otherwise(0.0)), 2).as("share_rev"),
+        round(sum(col("rev")), 2).as("total_rev"))
+      .select(col("o_year"), col("share_rev"), col("total_rev"),
+        (floor(col("share_rev") / col("total_rev") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** q159 window — TPC-H Q15's quarter. */
+  val TopSuppQuarterStart = "1998-04-01"
+  val TopSuppQuarterEnd = "1998-07-01"
+
+  /** q159_top_supplier_rev — TPC-H Q15: the supplier(s) with the
+    * MAXIMUM quarterly revenue — the aggregate-equals-scalar-max shape
+    * (Q15's revenue view + correlated max), which returns ALL tied
+    * maxima, not an arbitrary LIMIT 1. Ties are real here because
+    * revenue rounds 2dp before the comparison (both engines compare
+    * identical rounded values — the grid IS the tie law).
+    *
+    * Scale shape: one partial-aggregable per-supplier aggregate over
+    * the date-pruned fact slice; the scalar max broadcasts back; the
+    * supplier dim enriches the ≤tied-rows result by broadcast. */
+  def topSupplierRev(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(TopSuppQuarterStart).cast("timestamp")
+        && col("l_shipdate") < lit(TopSuppQuarterEnd).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** q160 parameters — TPC-H Q17's brand + the small-quantity factor. */
+  val SmallQtyBrand = "Brand#5"
+  val SmallQtyFactor = 0.2
+
+  /** q160_small_qty_revenue — TPC-H Q17: average yearly revenue lost if
+    * small-quantity orders (below 20% of the part's average quantity)
+    * were not taken — the correlated-aggregate query (each line
+    * compares against ITS part's average).
+    *
+    * Determinism: quantities are integer-valued doubles, so each
+    * part's Σqty is exact in any summation order and avg = one
+    * division — both engines compute the identical threshold double;
+    * the comparison is then bit-deterministic.
+    *
+    * Scale shape: the brand filter reduces part to a broadcast dim;
+    * the per-part average is a partial-aggregable groupBy over the
+    * brand-pruned fact slice (lineitem joins the broadcast part dim
+    * first, so only the brand's lines shuffle — ~1/brands of the
+    * fact); the ≤parts-row average table broadcasts back into the
+    * same pruned slice. */
+  def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === SmallQtyBrand).select(col("p_partkey"))
+    val lines = Tables.lineitem(spark, sfDir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQty = lines.groupBy(col("l_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+      .select(col("l_partkey").as("a_partkey"),
+        (lit(SmallQtyFactor) * col("avg_qty")).as("qty_threshold"))
+    lines.join(broadcast(avgQty), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
+  }
 }

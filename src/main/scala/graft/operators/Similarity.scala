@@ -905,6 +905,50 @@ object Similarity {
         .as("participation_ratio"))
   }
 
+  /** q161_cell_purity — the EXTERNAL-LABEL audit of the trained cells:
+    * per cell, the majority label, its share, and the label-entropy —
+    * the supervised complement of q127 (cohesion) and q147
+    * (separation): those ask whether the geometry is tight; this asks
+    * whether the cells MEAN anything (a pure cell = the index doubles
+    * as a cheap classifier / topic shard; uniform entropy = cells cut
+    * across semantics and cluster-balanced sampling (q86) won't
+    * balance topics).
+    *
+    * Determinism: label counts are exact integers; the majority pick
+    * is max(struct(count, −label)) — the deterministic
+    * largest-count-smallest-label law with no window; entropy
+    * summands −(c/n)·ln(c/n) compute from the same integers both
+    * engines and floor-quantize to 1e-9 before the per-cell integer
+    * sum (the q152 rule); shares floor on the 1e-6 grid.
+    *
+    * Scale shape: one equi-join of the memoized cell artifact with
+    * the (vec_id, label) projection, a (cell, label) count aggregate
+    * (≤ k·labels rows), and two bounded-frame folds — corpus rows
+    * stream once, zero cosines. */
+  def cellPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = hierCells(spark, sfDir)
+      .select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
+    val labels = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val cl = cells.join(labels, "vec_id")
+      .groupBy(col("cent_id"), col("label")).agg(count(lit(1)).as("c"))
+    val tot = cl.groupBy(col("cent_id")).agg(sum(col("c")).as("n_vecs"))
+    val terms = cl.join(tot, "cent_id")
+      .select(col("cent_id"), col("n_vecs"), col("c"), col("label"),
+        floor((col("c").cast("double") / col("n_vecs").cast("double"))
+          * (lit(0.0) - log(col("c").cast("double") / col("n_vecs").cast("double")))
+          * lit(1e9) + lit(0.5)).cast("long").as("h_nano"))
+    terms.groupBy(col("cent_id"), col("n_vecs"))
+      .agg(max(struct(col("c"), (lit(0L) - col("label").cast("long")).as("nl"))).as("top"),
+        sum(col("h_nano")).as("ent_nano"),
+        count(lit(1)).as("n_labels"))
+      .select(col("cent_id"), col("n_vecs"), col("n_labels"),
+        (lit(0L) - col("top.nl")).cast("int").as("top_label"),
+        (floor(col("top.c").cast("double") / col("n_vecs").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("top_share"),
+        (col("ent_nano").cast("double") / lit(1e9)).as("entropy"))
+      .orderBy("cent_id")
+  }
+
   /** Shared IVF search tail over a (vec_id, tc) cell assignment:
     * index side = home cell tc[0], query side probes every tc cell;
     * the probe⋈cell equi-join emits each pair at most once (one home

@@ -907,4 +907,48 @@ object TextAnalysis {
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("coverage"))
       .orderBy("lang", "depth")
   }
+
+  /** q162_length_moments — per-language distribution SHAPE of document
+    * length: mean, stddev, skewness and excess kurtosis from exact
+    * integer power sums — the distribution-profiling pass behind
+    * length-filter design (a heavy right skew means a tail of
+    * monster docs that length caps (q61) will truncate; negative
+    * excess kurtosis flags the suspiciously-uniform lengths of
+    * templated corpora). Completes q39's mean/min/max with the third
+    * and fourth moments.
+    *
+    * Determinism: n_chars is an integer column, so (n, Σx, Σx², Σx³,
+    * Σx⁴) are EXACT integer sums in any order (Σx⁴ ≤ n·(4·10³)⁴ ≈
+    * 10¹⁹ would overflow at extreme corpus×length scales — the
+    * DECIMAL(38) escape is documented in PLANS); the central-moment
+    * and ratio arithmetic is the identical expression tree over those
+    * integers on both engines (powers via sqrt·multiply, never
+    * pow(x, 1.5)), rounded on the 1e-6 grid.
+    *
+    * Scale shape: ONE partial-aggregable scan aggregate onto the langs
+    * domain — nothing else. */
+  def lengthMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("n_chars").cast("long")
+    val agg = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+    val nd = col("n").cast("double")
+    val mu = col("s1").cast("double") / nd
+    val m2 = col("s2").cast("double") / nd - mu * mu
+    val m3 = col("s3").cast("double") / nd -
+      lit(3.0) * mu * (col("s2").cast("double") / nd) + lit(2.0) * mu * mu * mu
+    val m4 = col("s4").cast("double") / nd -
+      lit(4.0) * mu * (col("s3").cast("double") / nd) +
+      lit(6.0) * mu * mu * (col("s2").cast("double") / nd) -
+      lit(3.0) * mu * mu * mu * mu
+    def grid(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    agg.select(col("lang"), col("n"),
+      grid(mu).as("mean_chars"),
+      grid(sqrt(m2)).as("std_chars"),
+      grid(m3 / (sqrt(m2) * m2)).as("skewness"),
+      grid(m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
+      .orderBy("lang")
+  }
 }

@@ -387,6 +387,51 @@ object EventStream {
       }
   }
 
+  /** q163 bucket parameters for the graded run: capacity 2, refill
+    * 2e-5 tokens/s (one token per ~14 h) — calibrated to the
+    * testdata's arrival density (median per-user gap ~7 h) so the
+    * graded run REALLY throttles (~36% of events dropped at sf0.01);
+    * a looser bucket admits everything and grades nothing. */
+  val RateCapacity = 2.0
+  val RateRefillPerSec = 0.00002
+
+  /** q163_stream_ratelimit_exec — [[rateLimit]]'s token bucket graded
+    * through a GENUINE streaming execution (sixth graded streaming
+    * path, and the second through FlatMapGroupsWithStateExec after
+    * q110 — this one exercising the 0..n Append-mode output shape):
+    * file stream → per-user flatMapGroupsWithState bucket → Append
+    * memory sink, drained with `processAllAvailable`.
+    *
+    * The oracle replays the IDENTICAL recurrence as a recursive SQL
+    * fold over each user's ts-ordered events (refill = Δt·rate capped
+    * at capacity, admit iff ≥1 token): event-time-based refill makes
+    * the operator replay-deterministic, so the streamed admitted set
+    * equals the batch recurrence row-for-row. Order within a user is
+    * ts (the graded corpus has no (user, ts) ties — asserted by spec,
+    * so the sort is total); the float token arithmetic is the same
+    * op sequence both engines (max, /1000·rate, min, ≥1, −1). */
+  def rateLimitStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stream = Tables.eventsStream(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val name = s"graft_stream_rate_${streamRunId.incrementAndGet()}"
+    withStatePartitions(spark, 4) {
+      val q = rateLimit(spark, stream, RateCapacity, RateRefillPerSec)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val out = spark.table(name)
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("event_type"), col("value"))
+      .orderBy("user_id", "ts").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Arbitrary stateful processing: per-user running stats via
     * mapGroupsWithState (update mode), the custom-state primitive the
     * brief calls for. Exercised by StreamingSpec. */

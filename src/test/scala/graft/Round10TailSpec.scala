@@ -245,6 +245,119 @@ class Round10TailSpec extends SparkSuite {
     assert(math.abs(math.floor(direct.getDouble(1) * 100 + 0.5) / 100 - r.getDouble(1)) < 0.011)
   }
 
+  test("q157 bilateral volume stays inside the pair and the ship window") {
+    import graft.operators.Relational._
+    val rows = graft.operators.Relational.nationVolume(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pair = Set(VolumeNationA, VolumeNationB)
+    rows.foreach { r =>
+      assert(pair(r.getString(0)) && pair(r.getString(1)))
+      assert(r.getString(0) != r.getString(1), "intra-nation trade is not bilateral")
+      assert(r.getInt(2) >= 1996 && r.getInt(2) <= 1997)
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("q158 market share is the ratio of its own reported sums") {
+    val rows = graft.operators.Relational.marketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (shareRev, totalRev, share) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(shareRev >= 0.0 && shareRev <= totalRev)
+      assert(share == math.floor(shareRev / totalRev * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("q159 every reported supplier ties at the recomputed quarterly maximum") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational._
+    val rows = graft.operators.Relational.topSupplierRev(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit(TopSuppQuarterStart).cast("timestamp")
+        && col("l_shipdate") < lit(TopSuppQuarterEnd).cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("r"))
+      .collect().map(_.getDouble(1))
+    val mx = revs.max
+    rows.foreach(r => assert(r.getDouble(2) == mx))
+    assert(rows.length == revs.count(_ == mx), "all tied maxima must be reported")
+  }
+
+  test("q160 small-quantity lines clear their part's threshold, recomputed") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational._
+    val r = graft.operators.Relational.smallQtyRevenue(spark, sf).collect()(0)
+    assert(r.getLong(0) > 0)
+    val lines = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.part(spark, sf)
+        .filter(col("p_brand") === SmallQtyBrand).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+    val avg = lines.groupBy(_._1).map { case (k, ls) =>
+      k -> SmallQtyFactor * (ls.map(_._2).sum / ls.length) }
+    val small = lines.filter { case (k, q, _) => q < avg(k) }
+    assert(small.length.toLong == r.getLong(0))
+    assert(math.abs(small.map(_._3).sum / 7.0 - r.getDouble(1)) < 0.011)
+  }
+
+  test("q161 purity partitions the corpus with entropy/share laws holding") {
+    val rows = graft.operators.Similarity.cellPurity(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.sources.Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val (n, nLabels) = (r.getLong(1), r.getLong(2))
+      val (share, ent) = (r.getDouble(4), r.getDouble(5))
+      assert(nLabels >= 1 && nLabels <= n)
+      // the majority label holds at least an equal share
+      assert(share >= 1.0 / nLabels - 1e-6)
+      assert(ent >= 0.0 && ent <= math.log(nLabels.toDouble) + 1e-6)
+      if (nLabels == 1) assert(ent == 0.0 && share == 1.0)
+    }
+  }
+
+  test("q162 moments equal a from-scratch computation per language") {
+    val rows = graft.operators.TextAnalysis.lengthMoments(spark, sf).collect()
+    val data = graft.sources.Tables.documents(spark, sf)
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toDouble)).toMap
+    rows.foreach { r =>
+      val xs = data(r.getString(0))
+      val n = xs.length.toDouble
+      assert(r.getLong(1) == xs.length)
+      val mu = xs.sum / n
+      val m2 = xs.map(x => (x - mu) * (x - mu)).sum / n
+      def close(a: Double, b: Double) = math.abs(a - b) < 1e-4
+      assert(close(r.getDouble(2), mu))
+      assert(close(r.getDouble(3), math.sqrt(m2)))
+      val m3 = xs.map(x => math.pow(x - mu, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - mu, 4)).sum / n
+      assert(close(r.getDouble(4), m3 / (math.sqrt(m2) * m2)))
+      assert(close(r.getDouble(5), m4 / (m2 * m2) - 3.0))
+    }
+  }
+
+  test("q163 streamed rate limiter really throttles and admits each user's first event") {
+    val out = graft.streaming.EventStream.rateLimitStreamed(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val events = graft.sources.Tables.events(spark, sf)
+    val total = events.count()
+    assert(out.length > 0 && out.length < total, "bucket must drop SOMETHING")
+    // the graded order is total: no (user, ts) ties on the corpus
+    import org.apache.spark.sql.functions._
+    assert(events.groupBy("user_id", "ts").count()
+      .filter(col("count") > 1).count() == 0)
+    // a fresh bucket holds >= 1 token: every user's first event passes
+    val firsts = events
+      .groupBy(col("user_id"))
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("f"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val admitted = out.toSet
+    firsts.foreach { case (u, f) => assert(admitted((u, f)), s"user $u first event dropped") }
+  }
+
   test("q150 zipf slope equals a from-scratch least-squares fit per language") {
     import graft.operators.TextAnalysis.ZipfTopK
     val rows = graft.operators.TextAnalysis.zipfSlope(spark, sf).collect()
