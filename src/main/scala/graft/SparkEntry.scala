@@ -175,7 +175,12 @@ object SparkEntry {
     "q160_small_qty_revenue" -> (Relational.smallQtyRevenue _),
     "q161_cell_purity"    -> (Similarity.cellPurity _),
     "q162_length_moments" -> (TextAnalysis.lengthMoments _),
-    "q163_stream_ratelimit_exec" -> (graft.streaming.EventStream.rateLimitStreamed _)
+    "q163_stream_ratelimit_exec" -> (graft.streaming.EventStream.rateLimitStreamed _),
+    "q164_json_roundtrip_agg" -> (Interchange.jsonRoundtripAgg _),
+    "q165_dedup_sensitivity" -> (Dedup.dedupSensitivity _),
+    "q166_lsh_bucket_stats" -> (Similarity.lshBucketStats _),
+    "q167_join_skew_advisor" -> (Relational.joinSkewAdvisor _),
+    "q168_stream_static_exec" -> (graft.streaming.EventStream.streamStaticDedupExec _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -2851,7 +2856,100 @@ object SparkEntry {
         |    FROM rec r JOIN ue u ON u.user_id = r.user_id AND u.rn = r.rn + 1))
         |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
         |FROM rec WHERE admitted ORDER BY user_id, ts""".stripMargin
-    }
+    },
+    "q164_json_roundtrip_agg" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |       count(DISTINCT lang)::BIGINT AS n_langs,
+        |       sum(n_chars)::BIGINT AS sum_chars,
+        |       sum(length(text))::BIGINT AS sum_text_len,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+    "q165_dedup_sensitivity" -> {
+      import graft.operators.Dedup.{JaccardThreshold, SensitivityThresholds}
+      val ths = SensitivityThresholds.map(t => s"($t::DOUBLE)").mkString(", ")
+      materializeCtes(jaccardCte + s""",
+        |p AS (SELECT i, j, round(jaccard, 6) AS jc FROM jac
+        |      WHERE jaccard >= $JaccardThreshold),
+        |ths AS (SELECT * FROM (VALUES $ths) t(th)),
+        |cnt AS (SELECT t.th, count(*)::BIGINT AS n_pairs
+        |        FROM p JOIN ths t ON p.jc >= t.th GROUP BY 1),
+        |eps AS (SELECT th, count(DISTINCT d)::BIGINT AS n_docs FROM (
+        |          SELECT t.th, p.i AS d FROM p JOIN ths t ON p.jc >= t.th
+        |          UNION ALL
+        |          SELECT t.th, p.j FROM p JOIN ths t ON p.jc >= t.th)
+        |        GROUP BY th),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM documents)
+        |SELECT t.th AS threshold,
+        |       coalesce(c.n_pairs, 0)::BIGINT AS n_pairs,
+        |       coalesce(e.n_docs, 0)::BIGINT AS n_docs_affected,
+        |       floor(coalesce(e.n_docs, 0)::DOUBLE / tot.n::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS affected_share
+        |FROM ths t LEFT JOIN cnt c ON c.th = t.th LEFT JOIN eps e ON e.th = t.th
+        |CROSS JOIN tot ORDER BY threshold""".stripMargin)
+    },
+    "q166_lsh_bucket_stats" ->
+      materializeCtes("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |params AS (SELECT greatest(1, ceil(log2(count(*) / 64.0)))::INT AS bits FROM e),
+        |grid AS (
+        |  SELECT i, d,
+        |         ('0x' || substr(md5('ivf_0_' || i || '_' || d), 1, 7))::BIGINT % 2001 - 1000 AS w
+        |  FROM unnest(range(0, (SELECT bits FROM params))) t2(i), unnest(range(0, 64)) t3(d)
+        |),
+        |dots AS (
+        |  SELECT e.vec_id, g.i, sum(e.v[g.d + 1] * g.w) AS dot
+        |  FROM e, grid g GROUP BY 1, 2
+        |),
+        |cds AS (
+        |  SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1 << i) ELSE 0 END) AS c
+        |  FROM dots GROUP BY 1
+        |),
+        |sizes AS (SELECT c, count(*)::BIGINT AS s FROM cds GROUP BY 1),
+        |tot AS (SELECT sum(s)::BIGINT AS n_vecs FROM sizes)
+        |SELECT s AS bucket_size, count(*)::BIGINT AS n_buckets,
+        |       (s * count(*))::BIGINT AS n_rows,
+        |       (count(*) * (s * (s - 1) // 2))::BIGINT AS selfjoin_pairs,
+        |       floor((s * count(*))::DOUBLE / any_value(tot.n_vecs)::DOUBLE
+        |             * 1000000.0 + 0.5) / 1000000.0 AS row_share
+        |FROM sizes CROSS JOIN tot GROUP BY s ORDER BY bucket_size""".stripMargin),
+    "q167_join_skew_advisor" -> {
+      import graft.operators.Relational.SkewHotFactor
+      def arm(label: String, table: String, key: String): String =
+        s"""  SELECT '$label' AS join_key, sa.n_keys, sa.n_rows, sa.max_freq,
+          |         ha.n_hot_keys, ha.hot_rows
+          |  FROM (SELECT count(*)::BIGINT AS n_keys, sum(f)::BIGINT AS n_rows,
+          |               max(f)::BIGINT AS max_freq
+          |        FROM (SELECT $key, count(*)::BIGINT AS f FROM $table GROUP BY 1)) sa
+          |  CROSS JOIN (
+          |    SELECT count(*)::BIGINT AS n_hot_keys, coalesce(sum(f), 0)::BIGINT AS hot_rows
+          |    FROM (SELECT $key, count(*)::BIGINT AS f FROM $table GROUP BY 1) fa
+          |    CROSS JOIN (SELECT count(*)::BIGINT AS nk, sum(ff)::BIGINT AS nr
+          |                FROM (SELECT count(*)::BIGINT AS ff FROM $table GROUP BY $key)) st
+          |    WHERE fa.f::DOUBLE > $SkewHotFactor * (st.nr::DOUBLE / st.nk::DOUBLE)) ha""".stripMargin
+      s"""WITH u AS (
+        |${arm("lineitem.l_orderkey", "lineitem", "l_orderkey")}
+        |  UNION ALL
+        |${arm("orders.o_custkey", "orders", "o_custkey")})
+        |SELECT join_key, n_keys, n_rows, max_freq,
+        |       floor(n_rows::DOUBLE / n_keys::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS mean_freq,
+        |       floor(max_freq::DOUBLE * n_keys::DOUBLE / n_rows::DOUBLE
+        |             * 1000000.0 + 0.5) / 1000000.0 AS skew_factor,
+        |       n_hot_keys,
+        |       floor(hot_rows::DOUBLE / n_rows::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS hot_row_share
+        |FROM u ORDER BY join_key""".stripMargin
+    },
+    "q168_stream_static_exec" ->
+      """WITH split AS (SELECT (count(*) * 4) // 5 AS s FROM documents),
+        |ch AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS match_id
+        |  FROM documents, split WHERE doc_id < split.s GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CASE WHEN ch.match_id IS NOT NULL THEN 'exact' ELSE 'new' END AS status,
+        |       ch.match_id
+        |FROM documents d CROSS JOIN split
+        |LEFT JOIN ch ON ch.h = md5(d.text)
+        |WHERE d.doc_id >= split.s ORDER BY d.doc_id""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

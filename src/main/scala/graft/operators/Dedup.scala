@@ -717,4 +717,48 @@ object Dedup {
         col("n_parts_a"), col("n_parts_b"))
       .orderBy("name_a", "name_b")
   }
+
+  /** q165 threshold grid (all ≥ [[JaccardThreshold]] — the artifact's
+    * own floor, so the sweep reads the stored pairs, never re-mines). */
+  val SensitivityThresholds: Seq[Double] = Seq(0.8, 0.85, 0.9, 0.95, 1.0)
+
+  /** q165_dedup_sensitivity — the threshold-sensitivity sweep every
+    * dedup rollout runs before picking its cut: at each candidate
+    * threshold, how many near-dup pairs survive and how many documents
+    * they touch — the "how aggressive can we deduplicate before we eat
+    * real data" curve (pairs collapse fast above 0.9 → safe; a flat
+    * curve means the corpus has a continuum of near-dups and the
+    * threshold choice is load-bearing).
+    *
+    * Reads ONLY the memoized verified-pair artifact (thresholds ≥ the
+    * artifact's mining floor by construction): the sweep costs one
+    * pass over |pairs| rows per threshold — independent of corpus
+    * size, which is how a 100 TB deployment tunes without re-mining.
+    * Comparisons are on the stored 1e-6-rounded jaccard, so the grid
+    * IS the tie law cross-engine. */
+  def dedupSensitivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = verifiedPairs(spark, sfDir)
+    val ths = SensitivityThresholds.map(t => struct(lit(t).as("th"))).toArray
+    val swept = pairs.select(col("doc_a"), col("doc_b"), col("jaccard"),
+      explode(array(ths: _*)).as("p"))
+      .filter(col("jaccard") >= col("p.th"))
+      .select(col("p.th").as("threshold"), col("doc_a"), col("doc_b"))
+    val nPairs = swept.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val nDocs = swept
+      .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("threshold")).agg(countDistinct(col("d")).as("n_docs_affected"))
+    val tot = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_corpus"))
+    import spark.implicits._
+    val grid = SensitivityThresholds.toDF("threshold")
+    grid.join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"),
+        (floor(coalesce(col("n_docs_affected"), lit(0L)).cast("double")
+          / col("n_corpus").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("affected_share"))
+      .orderBy("threshold")
+  }
 }

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.sources.{Sinks, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interchange-format operators: the GRADED read-write-read path over
+  * the text sinks (SinksSpec covers the writers unit-wise; this runs
+  * one end-to-end through the verification oracle).
+  */
+object Interchange {
+
+  /** q164_json_roundtrip_agg — the JSON export path graded end-to-end:
+    * write the documents table as JSON lines, read it back through the
+    * schema-driven reader, aggregate per source — the oracle computes
+    * the identical aggregate from the ORIGINAL parquet, so the
+    * hash-match proves the JSON round-trip is lossless for every value
+    * that reaches the aggregate (ids, counts, language strings, text
+    * lengths). The export-to-labeling-vendor / reimport cycle every
+    * curation pipeline runs eventually.
+    *
+    * Scale shape: the write is one scan partitioned like the input
+    * (JSON lines split cleanly, so the read-back parallelizes the same
+    * way); the aggregate is partial-aggregable onto the sources
+    * domain. The round-trip doubles I/O by design — that cost IS the
+    * operator. */
+  def jsonRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = s"target/graft-roundtrip/${math.abs(sfDir.hashCode)}/documents_json"
+    Sinks.json(docs, dir)
+    val back = Tables.json(spark, dir, Some(docs.schema))
+    back.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("source")
+  }
+}

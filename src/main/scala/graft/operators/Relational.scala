@@ -1524,4 +1524,53 @@ object Relational {
       .agg(count(lit(1)).as("n_lines"),
         round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
   }
+
+  /** q167 hot-key law: a key is "hot" when its row count exceeds this
+    * multiple of the mean rows-per-key. */
+  val SkewHotFactor = 10.0
+
+  /** q167_join_skew_advisor — the pre-join SKEW report for the suite's
+    * two canonical fact join keys (lineitem.l_orderkey,
+    * orders.o_custkey): keys, rows, max/mean frequency, the skew
+    * factor (max/mean) and how much of the table sits in HOT keys
+    * (> [[SkewHotFactor]]× mean) — exactly the numbers that decide
+    * between a plain hash join, AQE skew splitting, or explicit
+    * salting (q24's machinery). Run it BEFORE the join at 100 TB;
+    * a skew factor near 1 means hash partitioning balances, a big one
+    * with hot-row mass means the join needs the q24 treatment.
+    *
+    * Determinism: all counts are exact integers; mean = rows/keys is
+    * one division used identically in both engines' hot predicate
+    * (integer freq > factor·mean — the operands are bit-identical
+    * doubles); reported ratios floor on the 1e-6 grid.
+    *
+    * Scale shape: per key-column, ONE partial-aggregable frequency
+    * aggregate (the keyed exchange), one scalar summary over the key
+    * frame, and one conditional re-aggregate for the hot mass —
+    * nothing wider than the key domain ever shuffles. */
+  def joinSkewAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(label: String, df: DataFrame, key: String): DataFrame = {
+      val freq = df.groupBy(col(key)).agg(count(lit(1)).as("f"))
+      val s = freq.agg(count(lit(1)).as("n_keys"), sum(col("f")).as("n_rows"),
+        max(col("f")).as("max_freq"))
+      val hot = freq.crossJoin(broadcast(s))
+        .filter(col("f").cast("double") >
+          lit(SkewHotFactor) * (col("n_rows").cast("double") / col("n_keys").cast("double")))
+        .agg(count(lit(1)).as("n_hot_keys"), sum(col("f")).as("hot_rows"))
+      s.crossJoin(broadcast(hot))
+        .select(lit(label).as("join_key"), col("n_keys"), col("n_rows"), col("max_freq"),
+          (floor(col("n_rows").cast("double") / col("n_keys").cast("double")
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean_freq"),
+          (floor(col("max_freq").cast("double") * col("n_keys").cast("double")
+            / col("n_rows").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("skew_factor"),
+          coalesce(col("n_hot_keys"), lit(0L)).as("n_hot_keys"),
+          (floor(coalesce(col("hot_rows"), lit(0L)).cast("double")
+            / col("n_rows").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("hot_row_share"))
+    }
+    audit("lineitem.l_orderkey", Tables.lineitem(spark, sfDir), "l_orderkey")
+      .union(audit("orders.o_custkey", Tables.orders(spark, sfDir), "o_custkey"))
+      .orderBy("join_key")
+  }
 }

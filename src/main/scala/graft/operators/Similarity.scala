@@ -1130,6 +1130,37 @@ object Similarity {
       CandidatePairs.boundedSelfJoin(masked, Seq("t", "mc"), "vec_id", 2 * BucketCap))
   }
 
+  /** q166_lsh_bucket_stats — the LSH load-balance audit: the bucket-size
+    * HISTOGRAM of q17's code table (size → how many buckets, rows
+    * carried, self-join pair cost s·(s−1)/2) — the number an operator
+    * reads before trusting an LSH rollout: a fat head means the cap/
+    * salting machinery (CandidatePairs) is doing real work and recall
+    * rests on the Hamming-probe tier; a flat histogram means the bits
+    * under-split nothing. Completes the index-ops audit family (q95
+    * cell drift, q108 sketch error, q109/q122 search quality, q127/
+    * q147/q161 cell geometry — this one watches the BUCKETS).
+    *
+    * All-integer (sizes, counts, exact pair arithmetic); one division
+    * for the row share. Scale shape: the fused code projection at the
+    * scan (zero exchanges), one (code) count aggregate, then a
+    * histogram aggregate over the ≤2^bits bucket-size domain. */
+  def lshBucketStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val bits = adaptiveBits(corpusSize(spark, sfDir))
+    val sizes = codes(vecs(spark, sfDir), "ivf", 1, bits)
+      .groupBy(col("c")).agg(count(lit(1)).as("s"))
+    val tot = sizes.agg(sum(col("s")).as("n_vecs"))
+    sizes.groupBy(col("s").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket_size"), col("n_buckets"),
+        (col("bucket_size") * col("n_buckets")).as("n_rows"),
+        expr("n_buckets * (bucket_size * (bucket_size - 1) div 2)").as("selfjoin_pairs"),
+        (floor((col("bucket_size") * col("n_buckets")).cast("double")
+          / col("n_vecs").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("row_share"))
+      .orderBy("bucket_size")
+  }
+
   /** Out-degree of the neighborhood graph (top-M cosine edges kept per
     * node). */
   val HnswM = 6

@@ -80,6 +80,14 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
+  /** Streaming twin of [[documents]] (the [[eventsStream]] single-file
+    * glob trick; schema from one metadata-only batch read) — the
+    * ingestion-stream source for the graded stream-static paths. */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream.schema(rawSchema).parquet(s"$sfDir/{documents.parquet}")
+  }
+
   /** Interchange readers — the read side of [[Sinks]]' csv/json
     * exports. Pass a schema whenever one is known: schema inference
     * costs an extra full pass over the files, which at 100 TB is a

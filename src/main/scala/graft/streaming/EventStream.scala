@@ -314,6 +314,39 @@ object EventStream {
         col("match_id"))
   }
 
+  /** q168_stream_static_exec — [[streamingIncrementalDedup]] graded
+    * through a GENUINE streaming execution (seventh graded streaming
+    * path, and the one exercising the STREAM-STATIC join: the static
+    * corpus hash side is re-planned per micro-batch — at scale a
+    * broadcast or bucketed reference table): the ingestion batch
+    * (q63's doc_id ≥ ⌊4n/5⌋ split) arrives as a document file stream
+    * and every arriving doc is labeled `exact` (content hash already
+    * in the static base corpus, lowest matching id) or `new` — the
+    * continuous admission gate in front of a training corpus. The
+    * oracle is the batch split + left join, which the drained Append
+    * stream must equal row-for-row (the join is stateless per row, so
+    * micro-batching cannot reorder semantics). */
+  def streamStaticDedupExec(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val split = docs.agg(expr("(count(1) * 4) div 5")).collect()(0).getLong(0)
+    val corpus = docs.filter(col("doc_id") < split)
+    val stream = Tables.documentsStream(spark, sfDir)
+      .filter(col("doc_id") >= split)
+    val name = s"graft_stream_ssd_${streamRunId.incrementAndGet()}"
+    withStatePartitions(spark, 4) {
+      val q = streamingIncrementalDedup(stream, corpus)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val out = spark.table(name)
+      .select(col("doc_id"), col("status"), col("match_id"))
+      .orderBy("doc_id").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** STREAM-STREAM interval join — attribute every click to the views
     * that preceded it within `windowMinutes`, both sides unbounded
     * streams (the q30 as-of join's streaming sibling; q63's twin above

@@ -358,6 +358,85 @@ class Round10TailSpec extends SparkSuite {
     firsts.foreach { case (u, f) => assert(admitted((u, f)), s"user $u first event dropped") }
   }
 
+  test("q164 json roundtrip aggregate equals the direct parquet aggregate") {
+    import org.apache.spark.sql.functions._
+    val viaJson = graft.operators.Interchange.jsonRoundtripAgg(spark, sf).collect()
+    val direct = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)), countDistinct(col("lang")), sum(col("n_chars")),
+        sum(length(col("text")).cast("long")), min(col("doc_id")), max(col("doc_id")))
+      .orderBy("source").collect()
+    assert(viaJson.length == direct.length && viaJson.nonEmpty)
+    viaJson.zip(direct).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq, s"roundtrip drift for source ${a.getString(0)}")
+    }
+  }
+
+  test("q165 sensitivity curve is monotone and anchored at the artifact floor") {
+    import graft.operators.Dedup.{JaccardThreshold, SensitivityThresholds}
+    val rows = graft.operators.Dedup.dedupSensitivity(spark, sf)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == SensitivityThresholds.length)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 >= b._2 && a._3 >= b._3, "raising the threshold cannot add pairs")
+      case _ => ()
+    }
+    val artifact = graft.operators.Dedup.verifiedPairs(spark, sf)
+    assert(rows.head._1 == JaccardThreshold)
+    assert(rows.head._2 == artifact.count(), "floor row must cover the whole artifact")
+    rows.foreach(r => assert(r._4 >= 0.0 && r._4 <= 1.0))
+  }
+
+  test("q166 bucket histogram partitions the corpus and prices the self-join") {
+    val rows = graft.operators.Similarity.lshBucketStats(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._3).sum == n, "histogram rows must partition the corpus")
+    rows.foreach { case (size, buckets, nRows, pairs) =>
+      assert(nRows == size * buckets)
+      assert(pairs == buckets * (size * (size - 1) / 2))
+    }
+  }
+
+  test("q167 skew report matches per-table totals and the hot-key law") {
+    import graft.operators.Relational.SkewHotFactor
+    val rows = graft.operators.Relational.joinSkewAdvisor(spark, sf).collect()
+    assert(rows.length == 2)
+    val byKey = rows.map(r => r.getString(0) -> r).toMap
+    assert(byKey("lineitem.l_orderkey").getLong(2) ==
+      graft.sources.Tables.lineitem(spark, sf).count())
+    assert(byKey("orders.o_custkey").getLong(2) ==
+      graft.sources.Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      val (nKeys, nRows, maxFreq) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(maxFreq * nKeys >= nRows, "max cannot undercut the mean")
+      assert(r.getDouble(5) >= 1.0 - 1e-6)
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
+      // hot keys each exceed factor×mean, so their mass bounds from below
+      val meanFreq = nRows.toDouble / nKeys
+      assert(r.getDouble(7) * nRows >= r.getLong(6) * SkewHotFactor * meanFreq - nRows * 1e-6 - 1)
+    }
+  }
+
+  test("q168 streamed stream-static labels equal the batch twin") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.EventStream.streamStaticDedupExec(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val split = docs.agg(expr("(count(1) * 4) div 5")).collect()(0).getLong(0)
+    val batch = graft.streaming.EventStream.streamingIncrementalDedup(
+      docs.filter(col("doc_id") >= split), docs.filter(col("doc_id") < split))
+      .collect().map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(streamed.sorted.toSeq == batch.sorted.toSeq)
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (_, status, m) =>
+      assert(status == "exact" || status == "new")
+      assert((status == "exact") == (m >= 0))
+      if (m >= 0) assert(m < split, "match must point into the static corpus")
+    }
+  }
+
   test("q150 zipf slope equals a from-scratch least-squares fit per language") {
     import graft.operators.TextAnalysis.ZipfTopK
     val rows = graft.operators.TextAnalysis.zipfSlope(spark, sf).collect()
