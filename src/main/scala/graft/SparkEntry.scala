@@ -180,7 +180,8 @@ object SparkEntry {
     "q165_dedup_sensitivity" -> (Dedup.dedupSensitivity _),
     "q166_lsh_bucket_stats" -> (Similarity.lshBucketStats _),
     "q167_join_skew_advisor" -> (Relational.joinSkewAdvisor _),
-    "q168_stream_static_exec" -> (graft.streaming.EventStream.streamStaticDedupExec _)
+    "q168_stream_static_exec" -> (graft.streaming.EventStream.streamStaticDedupExec _),
+    "q169_hll_merge"      -> (Sketches.hllMerge _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -2949,7 +2950,48 @@ object SparkEntry {
         |       ch.match_id
         |FROM documents d CROSS JOIN split
         |LEFT JOIN ch ON ch.h = md5(d.text)
-        |WHERE d.doc_id >= split.s ORDER BY d.doc_id""".stripMargin
+        |WHERE d.doc_id >= split.s ORDER BY d.doc_id""".stripMargin,
+    "q169_hll_merge" -> {
+      import graft.operators.Sketches
+      def est(src: String, alias: String) =
+        s"""${alias}0 AS (
+          |  SELECT count(*)::BIGINT AS v,
+          |         sum(1.0 / (1::BIGINT << mj)::DOUBLE) AS s
+          |  FROM $src),
+          |${alias}1 AS (
+          |  SELECT (0.7213/(1.0+1.079/${Sketches.HllM}.0)) * ${Sketches.HllM}.0 * ${Sketches.HllM}.0
+          |           / (s + (${Sketches.HllM} - v)::DOUBLE) AS e_raw,
+          |         (${Sketches.HllM} - v)::DOUBLE AS z
+          |  FROM ${alias}0),
+          |${alias}2 AS (
+          |  SELECT CASE WHEN e_raw <= ${2.5 * Sketches.HllM} AND z > 0
+          |              THEN ${Sketches.HllM}.0 * ln(${Sketches.HllM}.0 / z)
+          |              ELSE e_raw END AS e FROM ${alias}1)""".stripMargin
+      materializeCtes(s"""WITH toks AS (
+        |  SELECT lang, unnest(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT lang, tok, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM toks),
+        |perlang AS (
+        |  SELECT lang, h % ${Sketches.HllM} AS reg,
+        |         max(${Sketches.HllRankBits + 1} - length(ltrim(bin(h // ${Sketches.HllM}), '0'))) AS mj
+        |  FROM h GROUP BY 1, 2),
+        |mergedr AS (SELECT reg, max(mj) AS mj FROM perlang GROUP BY 1),
+        |directr AS (
+        |  SELECT h % ${Sketches.HllM} AS reg,
+        |         max(${Sketches.HllRankBits + 1} - length(ltrim(bin(h // ${Sketches.HllM}), '0'))) AS mj
+        |  FROM h GROUP BY 1),
+        |${est("mergedr", "me")},
+        |${est("directr", "de")},
+        |exact AS (SELECT count(DISTINCT tok)::BIGINT AS exact_distinct FROM toks)
+        |SELECT x.exact_distinct,
+        |       floor(me2.e * 10000.0 + 0.5)/10000.0 AS merged_estimate,
+        |       floor(de2.e * 10000.0 + 0.5)/10000.0 AS direct_estimate,
+        |       floor(me2.e * 10000.0 + 0.5)/10000.0
+        |         = floor(de2.e * 10000.0 + 0.5)/10000.0 AS merge_equals_rebuild,
+        |       floor((floor(me2.e * 10000.0 + 0.5)/10000.0 - x.exact_distinct::DOUBLE)
+        |             / x.exact_distinct::DOUBLE * 10000.0 + 0.5)/10000.0 AS rel_error
+        |FROM exact x CROSS JOIN me2 CROSS JOIN de2""".stripMargin)
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

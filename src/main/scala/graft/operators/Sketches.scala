@@ -92,6 +92,59 @@ object Sketches {
   private def round4(c: Column): Column =
     floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
 
+  /** The HLL estimator over a (reg, mj) register frame collapsed to one
+    * row — shared by the merged and direct arms of [[hllMerge]]. */
+  private def hllEstimate(regs: DataFrame): DataFrame = {
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllM.toDouble))
+    regs.agg(count(lit(1)).as("v"),
+      sum(lit(1.0) / expr("shiftleft(1L, mj)").cast("double")).as("s"))
+      .select(
+        (alpha * lit(HllM.toDouble) * lit(HllM.toDouble) /
+          (col("s") + (lit(HllM) - col("v")).cast("double"))).as("e_raw"),
+        (lit(HllM) - col("v")).cast("double").as("z"))
+      .select(when(col("e_raw") <= lit(2.5 * HllM) && col("z") > 0,
+        lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("z")))
+        .otherwise(col("e_raw")).as("e"))
+  }
+
+  /** q169_hll_merge — the MERGEABILITY proof for the cardinality
+    * sketch (q155's commutative-monoid contract applied to HLL, which
+    * is the whole reason sketches exist at 100 TB): per-language
+    * register maps MERGE by per-register max, and the merged sketch's
+    * corpus estimate must equal the estimate of a sketch built
+    * directly over the whole corpus — exactly equal, not
+    * approximately, because max is associative over the register
+    * partition. One graded row carries both estimates, the equality
+    * flag (the proof bit), the exact corpus distinct and the relative
+    * error, so the oracle hash-match certifies merge = rebuild.
+    *
+    * Scale shape: the per-stratum register maps are ≤256·strata rows
+    * (the shipped state); the merge is one 256-group max — the
+    * pattern that lets every shard/day/stratum keep its own sketch
+    * and still answer global questions without a corpus rescan. */
+  def hllMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(T.wsTokens(col("text"))).as("tok"))
+    val h = toks.withColumn("h", H.md5Int60(col("tok")))
+    val perLang = h
+      .groupBy(col("lang"), pmod(col("h"), lit(HllM.toLong)).as("reg"))
+      .agg(max(lit(HllRankBits + 1) -
+        length(ltrim(bin(shiftright(col("h"), HllP)), "0"))).as("mj"))
+    val merged = perLang.groupBy(col("reg")).agg(max(col("mj")).as("mj"))
+    val direct = h
+      .groupBy(pmod(col("h"), lit(HllM.toLong)).as("reg"))
+      .agg(max(lit(HllRankBits + 1) -
+        length(ltrim(bin(shiftright(col("h"), HllP)), "0"))).as("mj"))
+    val exact = toks.agg(countDistinct(col("tok")).as("exact_distinct"))
+    val me = hllEstimate(merged).select(round4(col("e")).as("merged_estimate"))
+    val de = hllEstimate(direct).select(round4(col("e")).as("direct_estimate"))
+    exact.crossJoin(broadcast(me)).crossJoin(broadcast(de))
+      .select(col("exact_distinct"), col("merged_estimate"), col("direct_estimate"),
+        (col("merged_estimate") === col("direct_estimate")).as("merge_equals_rebuild"),
+        round4((col("merged_estimate") - col("exact_distinct").cast("double"))
+          / col("exact_distinct").cast("double")).as("rel_error"))
+  }
+
   /** Count-min depth (hash rows). */
   val CmsD = 4
   /** Count-min width (buckets per row). */

@@ -437,6 +437,15 @@ class Round10TailSpec extends SparkSuite {
     }
   }
 
+  test("q169 merged sketch exactly equals the rebuilt sketch and stays in the error regime") {
+    val r = graft.operators.Sketches.hllMerge(spark, sf).collect()(0)
+    assert(r.getBoolean(3), "merge(per-lang registers) must equal rebuild")
+    assert(r.getDouble(1) == r.getDouble(2))
+    // m=256 → standard error ~1.04/sqrt(256) = 6.5%; allow 4 sigma
+    assert(math.abs(r.getDouble(4)) < 0.26, s"rel_error ${r.getDouble(4)} out of regime")
+    assert(r.getLong(0) > 0)
+  }
+
   test("q150 zipf slope equals a from-scratch least-squares fit per language") {
     import graft.operators.TextAnalysis.ZipfTopK
     val rows = graft.operators.TextAnalysis.zipfSlope(spark, sf).collect()
