@@ -181,7 +181,8 @@ object SparkEntry {
     "q166_lsh_bucket_stats" -> (Similarity.lshBucketStats _),
     "q167_join_skew_advisor" -> (Relational.joinSkewAdvisor _),
     "q168_stream_static_exec" -> (graft.streaming.EventStream.streamStaticDedupExec _),
-    "q169_hll_merge"      -> (Sketches.hllMerge _)
+    "q169_hll_merge"      -> (Sketches.hllMerge _),
+    "q170_ann_filtered"   -> (Similarity.filteredSearch _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -2991,6 +2992,29 @@ object SparkEntry {
         |       floor((floor(me2.e * 10000.0 + 0.5)/10000.0 - x.exact_distinct::DOUBLE)
         |             / x.exact_distinct::DOUBLE * 10000.0 + 0.5)/10000.0 AS rel_error
         |FROM exact x CROSS JOIN me2 CROSS JOIN de2""".stripMargin)
+    },
+    "q170_ann_filtered" -> {
+      import graft.operators.Similarity.{BucketK, IvfNProbe}
+      materializeCtes(ivfHierCellsCte + s""",
+        |fprobes AS (SELECT vec_id, cent_id FROM asg
+        |            WHERE rn <= $IvfNProbe AND vec_id < 10),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |fpairs AS (
+        |  SELECT a.vec_id AS query_id, la.label, b.vec_id AS neighbor_id,
+        |         list_dot_product(ea.v, eb.v) /
+        |         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine_raw
+        |  FROM fprobes a JOIN cells b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+        |  JOIN lab la ON la.vec_id = a.vec_id
+        |  JOIN lab lb ON lb.vec_id = b.vec_id AND lb.label = la.label
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id),
+        |franked AS (
+        |  SELECT query_id, label, neighbor_id, cosine_raw,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id ASC) AS rnk
+        |  FROM fpairs)
+        |SELECT query_id, label, neighbor_id, rnk::INT AS "rank",
+        |       round(cosine_raw, 6) AS cosine
+        |FROM franked WHERE rnk <= $BucketK ORDER BY query_id, rnk""".stripMargin)
     }
   )
 

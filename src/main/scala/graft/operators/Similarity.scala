@@ -595,6 +595,45 @@ object Similarity {
   def annIvfHier(spark: SparkSession, sfDir: String): DataFrame =
     probeSearch(hierCells(spark, sfDir), vecs(spark, sfDir))
 
+  /** q170_ann_filtered — FILTERED vector search (the metadata-constrained
+    * ANN every retrieval stack grew in the RAG era): top-[[BucketK]]
+    * neighbors per query (vec_id < 10) restricted to candidates
+    * sharing the query's label — "nearest neighbors WITHIN my
+    * class/language/tenant". The constraint composes with the probed
+    * IVF index as a post-probe predicate (single-stage filtering):
+    * candidates come from the same memoized cell artifact as q57, the
+    * label equality prunes BEFORE the exact-cosine verify, and the
+    * map-side top-k fold ranks what survives — no second index, no
+    * over-fetch-then-refilter loop.
+    *
+    * Scale shape: identical to the unfiltered probe search (bounded
+    * cell-local candidates, O(queries·k) exchange) plus one keyed join
+    * against the (vec_id, label) projection — at 100 TB the label
+    * column lives IN the index table, so that join is free (here it
+    * prices the general metadata-table case). Recall caveat (real and
+    * documented): a selective filter thins probed cells, so filtered
+    * recall ≤ unfiltered recall at equal nprobe — the operational fix
+    * is raising nprobe with filter selectivity. */
+  def filteredSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val top2 = hierCells(spark, sfDir)
+    val labels = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val cells = top2.select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
+    val probes = top2.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("vec_a"), explode(col("tc")).as("s"))
+      .select(col("vec_a"), col("s.id").as("cent_id"))
+    val cand = probes
+      .join(cells.select(col("vec_id").as("vec_b"), col("cent_id")), "cent_id")
+      .filter(col("vec_a") =!= col("vec_b"))
+      .join(labels.select(col("vec_id").as("vec_a"), col("label").as("la")), "vec_a")
+      .join(labels.select(col("vec_id").as("vec_b"), col("label").as("lb")), "vec_b")
+      .filter(col("la") === col("lb"))
+      .select(col("vec_a"), col("vec_b"))
+    topK(cand, vecs(spark, sfDir), BucketK)
+      .join(broadcast(labels.select(col("vec_id").as("query_id"), col("label"))), "query_id")
+      .select(col("query_id"), col("label"), col("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** q109_ivf_recall — the index-quality audit: per query (vec_id <
     * 10), recall@[[BucketK]] of the hierarchical IVF search (q57's
     * exact plan over the memoized cells) against the exact brute-force

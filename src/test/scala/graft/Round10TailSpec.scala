@@ -446,6 +446,23 @@ class Round10TailSpec extends SparkSuite {
     assert(r.getLong(0) > 0)
   }
 
+  test("q170 filtered search returns same-label neighbors with contiguous ranks") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Similarity.filteredSearch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+      rs.foreach { r =>
+        assert(r.getInt(1) == labels(q), "query label column must be the query's label")
+        assert(labels(r.getLong(2)) == labels(q), s"neighbor of $q crosses the label filter")
+        assert(r.getLong(2) != q)
+      }
+    }
+  }
+
   test("q150 zipf slope equals a from-scratch least-squares fit per language") {
     import graft.operators.TextAnalysis.ZipfTopK
     val rows = graft.operators.TextAnalysis.zipfSlope(spark, sf).collect()
