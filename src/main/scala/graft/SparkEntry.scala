@@ -182,7 +182,8 @@ object SparkEntry {
     "q167_join_skew_advisor" -> (Relational.joinSkewAdvisor _),
     "q168_stream_static_exec" -> (graft.streaming.EventStream.streamStaticDedupExec _),
     "q169_hll_merge"      -> (Sketches.hllMerge _),
-    "q170_ann_filtered"   -> (Similarity.filteredSearch _)
+    "q170_ann_filtered"   -> (Similarity.filteredSearch _),
+    "q171_sparse_cosine"  -> (Indexing.sparseCosine _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -3015,6 +3016,45 @@ object SparkEntry {
         |SELECT query_id, label, neighbor_id, rnk::INT AS "rank",
         |       round(cosine_raw, 6) AS cosine
         |FROM franked WHERE rnk <= $BucketK ORDER BY query_id, rnk""".stripMargin)
+    },
+    "q171_sparse_cosine" -> {
+      import graft.operators.Indexing.SparseSimThreshold
+      materializeCtes("""WITH sterms AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\r]+')) AS term
+        |  FROM documents),
+        |stc AS (SELECT doc_id, term, count(*)::BIGINT AS tc FROM sterms GROUP BY 1, 2),
+        |sdl AS (SELECT doc_id, sum(tc)::BIGINT AS dl FROM stc GROUP BY 1),
+        |sdf AS (SELECT term, count(*)::BIGINT AS df FROM stc GROUP BY 1),
+        |sn AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+        |sw AS (
+        |  SELECT t.doc_id, t.term,
+        |         floor((t.tc::DOUBLE / d.dl::DOUBLE) * ln(sn.nd / f.df::DOUBLE)
+        |               * 1000000.0 + 0.5)::BIGINT AS wi
+        |  FROM stc t JOIN sdl d USING (doc_id) JOIN sdf f USING (term) CROSS JOIN sn),
+        |stop1 AS (
+        |  SELECT doc_id, term AS bterm FROM (
+        |    SELECT doc_id, term,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY wi DESC, term ASC) AS rn
+        |    FROM sw) WHERE rn = 1),
+        |scand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM stop1 a JOIN stop1 b ON a.bterm = b.bterm AND a.doc_id < b.doc_id),
+        |snrm AS (SELECT doc_id, sum(wi * wi)::BIGINT AS n2 FROM sw GROUP BY 1),
+        |sdots AS (
+        |  SELECT c.id_a, c.id_b, sum(wa.wi * wb.wi)::BIGINT AS dp
+        |  FROM scand c
+        |  JOIN sw wa ON wa.doc_id = c.id_a
+        |  JOIN sw wb ON wb.doc_id = c.id_b AND wb.term = wa.term
+        |  GROUP BY 1, 2)
+        |SELECT s.id_a AS doc_a, s.id_b AS doc_b,
+        |       floor(s.dp::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))
+        |             * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        |FROM sdots s
+        |JOIN snrm na ON na.doc_id = s.id_a
+        |JOIN snrm nb ON nb.doc_id = s.id_b
+        |WHERE floor(s.dp::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))
+        |            * 1000000.0 + 0.5) / 1000000.0 >= """.stripMargin +
+        s"$SparseSimThreshold\n        |ORDER BY doc_a, doc_b".stripMargin)
     }
   )
 

@@ -245,4 +245,72 @@ object Indexing {
         (floor(col("rrf") * lit(1e6) + lit(0.5)) / lit(1e6)).as("rrf"))
       .orderBy("query_id", "fused_rank")
   }
+
+  /** q171 parameters: report threshold + the per-block pair cap. */
+  val SparseSimThreshold = 0.9
+  val SparseBlockCap = 200
+
+  /** q171_sparse_cosine — LEXICAL near-duplicate pairs by TF-IDF cosine
+    * over the term space: the sparse-vector similarity that catches
+    * same-vocabulary rewrites shingle Jaccard (word ORDER-sensitive,
+    * q12) and embedding cosine (model-dependent, q15) both miss — the
+    * third leg of the near-dup triad, and the similarity BM25-era
+    * dedup pipelines actually ran.
+    *
+    * Candidates block on each document's TOP TF-IDF term (argmax
+    * blocking: near-identical term distributions share their argmax;
+    * the standard prefix-filtering family's 1-prefix member), through
+    * the salted [[CandidatePairs.boundedSelfJoin]] — same cap/skew
+    * machinery as the LSH buckets, so a corpus-scale hot block never
+    * floods a task. Like every blocked scheme the recall contract is
+    * the blocker's (documented; raise to k-prefix blocking for more).
+    *
+    * Determinism: weights quantize to integer micros at the (doc,
+    * term) level (tf·idf from exact counts — one division, one ln,
+    * identical both engines), so dot products and norms are EXACT
+    * integer sums (products ≤ ~7e13 × doc-len terms, inside BIGINT);
+    * one final cosine division floors on the 1e-6 grid.
+    *
+    * Scale shape: weights are the q34 aggregates; blocking is one
+    * keyed exchange of (block, doc) rows; the dot product joins the
+    * two posting slices per candidate pair on term — pair-local work
+    * proportional to shared terms, never a corpus-wide window. */
+  def sparseCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(T.wsTokens(col("text"))).as("term"))
+    val tc = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tc"))
+    val dl = tc.groupBy(col("doc_id")).agg(sum(col("tc")).as("dl"))
+    val df_ = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = tc.join(dl, "doc_id").join(broadcast(df_), "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        floor((col("tc").cast("double") / col("dl").cast("double"))
+          * log(col("n_docs") / col("df").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("wi"))
+      .localCheckpoint()
+    val byW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("wi").desc, col("term").asc)
+    val top1 = w.withColumn("rn", row_number().over(byW))
+      .filter(col("rn") === 1)
+      .select(col("term").as("bterm"), col("doc_id"))
+    val cand = CandidatePairs.boundedSelfJoin(top1, Seq("bterm"), "doc_id", SparseBlockCap)
+    val norms = w.groupBy(col("doc_id")).agg(sum(col("wi") * col("wi")).as("n2"))
+    val dots = cand
+      .join(w.select(col("doc_id").as("id_a"), col("term"), col("wi").as("wa")), "id_a")
+      .join(w.select(col("doc_id").as("id_b"), col("term"), col("wi").as("wb")),
+        Seq("id_b", "term"))
+      .groupBy(col("id_a"), col("id_b")).agg(sum(col("wa") * col("wb")).as("dp"))
+    dots
+      .join(norms.select(col("doc_id").as("id_a"), col("n2").as("na")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("n2").as("nb")), "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        (floor(col("dp").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("cosine"))
+      .filter(col("cosine") >= SparseSimThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -463,6 +463,41 @@ class Round10TailSpec extends SparkSuite {
     }
   }
 
+  test("q171 sparse cosine pairs clear the threshold with a recomputed similarity") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Indexing.SparseSimThreshold
+    val rows = graft.operators.Indexing.sparseCosine(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be ordered a < b")
+      assert(r.getDouble(2) >= SparseSimThreshold && r.getDouble(2) <= 1.0 + 1e-9)
+    }
+    // recompute the first pair's cosine from raw token counts
+    val (a, b) = (rows.head.getLong(0), rows.head.getLong(1))
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(a, b))
+      .select(col("doc_id"), explode(split(col("text"), "[ \t\n\r]+")).as("t"))
+      .filter(length(col("t")) > 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val df = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), "[ \t\n\r]+")).as("t"))
+      .filter(length(col("t")) > 0).distinct()
+      .groupBy("t").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = graft.sources.Tables.documents(spark, sf).count().toDouble
+    def wvec(id: Long): Map[String, Long] = {
+      val ts = toks.filter(_._1 == id).map(_._2)
+      val dl = ts.length.toDouble
+      ts.groupBy(identity).map { case (t, o) =>
+        t -> math.floor(o.length / dl * math.log(n / df(t)) * 1e6 + 0.5).toLong }
+    }
+    val (wa, wb) = (wvec(a), wvec(b))
+    val dp = wa.keySet.intersect(wb.keySet).toSeq.map(t => wa(t) * wb(t)).sum
+    val cos = dp.toDouble /
+      (math.sqrt(wa.values.map(x => x * x).sum.toDouble) *
+        math.sqrt(wb.values.map(x => x * x).sum.toDouble))
+    assert(math.abs(rows.head.getDouble(2) - cos) < 2e-6)
+  }
+
   test("q150 zipf slope equals a from-scratch least-squares fit per language") {
     import graft.operators.TextAnalysis.ZipfTopK
     val rows = graft.operators.TextAnalysis.zipfSlope(spark, sf).collect()
