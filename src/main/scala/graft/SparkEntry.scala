@@ -183,7 +183,12 @@ object SparkEntry {
     "q168_stream_static_exec" -> (graft.streaming.EventStream.streamStaticDedupExec _),
     "q169_hll_merge"      -> (Sketches.hllMerge _),
     "q170_ann_filtered"   -> (Similarity.filteredSearch _),
-    "q171_sparse_cosine"  -> (Indexing.sparseCosine _)
+    "q171_sparse_cosine"  -> (Indexing.sparseCosine _),
+    "q172_shuffle_manifest" -> (Layout.shuffleManifest _),
+    "q173_quantile_merge" -> (Sketches.quantileMerge _),
+    "q174_robust_outliers" -> (DataQuality.robustOutliers _),
+    "q175_length_n50"     -> (TextAnalysis.lengthN50 _),
+    "q176_golden_record"  -> (Dedup.goldenRecords _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -3055,6 +3060,150 @@ object SparkEntry {
         |WHERE floor(s.dp::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))
         |            * 1000000.0 + 0.5) / 1000000.0 >= """.stripMargin +
         s"$SparseSimThreshold\n        |ORDER BY doc_a, doc_b".stripMargin)
+    },
+    "q172_shuffle_manifest" -> {
+      import graft.operators.Layout.{ShuffleSeed, ShuffleWidth}
+      s"""WITH sh AS (
+        |  SELECT doc_id, n_chars,
+        |         ('0x'||substr(md5('$ShuffleSeed'||doc_id::VARCHAR),1,15))::BIGINT AS h
+        |  FROM documents),
+        |ss AS (SELECT doc_id, n_chars, h, h // $ShuffleWidth AS shard_id FROM sh),
+        |sm AS (
+        |  SELECT shard_id, count(*)::BIGINT AS n_docs,
+        |         count(DISTINCT h)::BIGINT AS n_hashes,
+        |         sum(n_chars)::BIGINT AS total_chars,
+        |         min(h) AS min_h, max(h) AS max_h,
+        |         min_by(doc_id, h) AS first_doc, max_by(doc_id, h) AS last_doc,
+        |         sum(h % 1000000007)::BIGINT AS checksum
+        |  FROM ss GROUP BY 1)
+        |SELECT shard_id, n_docs, n_hashes = n_docs AS hash_unique,
+        |       coalesce(sum(n_docs) OVER (ORDER BY shard_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |         AS global_offset,
+        |       total_chars, min_h, max_h, first_doc, last_doc, checksum
+        |FROM sm ORDER BY shard_id""".stripMargin
+    },
+    "q173_quantile_merge" -> {
+      import graft.operators.Sketches.{QhBinW, QhBins}
+      s"""WITH qd AS (
+        |  SELECT source, n_chars, least(n_chars // $QhBinW, ${QhBins - 1})::BIGINT AS bin
+        |  FROM documents),
+        |per_source AS (SELECT source, bin, count(*)::BIGINT AS c FROM qd GROUP BY 1, 2),
+        |merged AS (SELECT bin, sum(c)::BIGINT AS c FROM per_source GROUP BY 1),
+        |direct AS (SELECT bin, count(*)::BIGINT AS c FROM qd GROUP BY 1),
+        |bm AS (
+        |  SELECT min(coalesce(m.c, -1) = coalesce(dd.c, -2)) AS bins_match
+        |  FROM merged m FULL OUTER JOIN direct dd USING (bin)),
+        |cum AS (
+        |  SELECT bin, c, coalesce(sum(c) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_below
+        |  FROM merged),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM qd),
+        |probes AS (
+        |  SELECT p, n, ((n * num + den - 1) // den)::BIGINT AS target
+        |  FROM (VALUES ('p50', 1::BIGINT, 2::BIGINT), ('p90', 9, 10), ('p99', 99, 100))
+        |       pr(p, num, den)
+        |  CROSS JOIN nn),
+        |est AS (
+        |  SELECT p, n, target,
+        |         (bin * $QhBinW + ((target - cum_below) * $QhBinW) // c)::BIGINT AS est_value
+        |  FROM probes JOIN cum ON cum_below < target AND cum_below + c >= target),
+        |vc AS (SELECT n_chars, count(*)::BIGINT AS vc FROM qd GROUP BY 1),
+        |vcum AS (
+        |  SELECT n_chars, vc, coalesce(sum(vc) OVER (ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_below
+        |  FROM vc)
+        |SELECT p, n, target, est_value, n_chars::BIGINT AS exact_value,
+        |       abs(est_value - n_chars)::BIGINT AS abs_err, bins_match
+        |FROM est JOIN vcum ON vcum.cum_below < est.target AND vcum.cum_below + vc >= est.target
+        |CROSS JOIN bm
+        |ORDER BY p""".stripMargin
+    },
+    "q174_robust_outliers" -> {
+      """WITH rx AS (
+        |  SELECT lang, doc_id,
+        |         len(regexp_extract_all(text, '[^ \t\n\r]+'))::BIGINT AS x
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT lang, doc_id, x,
+        |         row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM rx),
+        |med AS (
+        |  SELECT lang, max(n)::BIGINT AS n,
+        |         sum(x * ((rn = (n + 1) // 2)::BIGINT + (rn = (n + 2) // 2)::BIGINT))::BIGINT AS med2
+        |  FROM r1 GROUP BY 1),
+        |dev AS (
+        |  SELECT r.lang, r.doc_id, abs(r.x * 2 - m.med2)::BIGINT AS dev2
+        |  FROM rx r JOIN med m USING (lang)),
+        |d1 AS (
+        |  SELECT lang, doc_id, dev2,
+        |         row_number() OVER (PARTITION BY lang ORDER BY dev2, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM dev),
+        |mad AS (
+        |  SELECT lang,
+        |         sum(dev2 * ((rn = (n + 1) // 2)::BIGINT + (rn = (n + 2) // 2)::BIGINT))::BIGINT AS mad4
+        |  FROM d1 GROUP BY 1)
+        |SELECT d.lang, m.n,
+        |       m.med2::DOUBLE / 2.0 AS median_tokens,
+        |       a.mad4::DOUBLE / 4.0 AS mad_tokens,
+        |       sum((d.dev2 * 2 > a.mad4 * 3)::BIGINT)::BIGINT AS n_outliers,
+        |       max(d.dev2)::DOUBLE / 2.0 AS max_abs_dev
+        |FROM dev d JOIN med m USING (lang) JOIN mad a USING (lang)
+        |GROUP BY 1, 2, m.med2, a.mad4
+        |ORDER BY lang""".stripMargin
+    },
+    "q175_length_n50" -> {
+      """WITH bv AS (
+        |  SELECT lang, n_chars, count(*)::BIGINT AS cnt, sum(n_chars)::BIGINT AS chars
+        |  FROM documents GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT lang, n_chars, cnt,
+        |         sum(chars) OVER (PARTITION BY lang ORDER BY n_chars DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+        |         sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_docs,
+        |         sum(chars) OVER (PARTITION BY lang)::BIGINT AS tot,
+        |         sum(cnt) OVER (PARTITION BY lang)::BIGINT AS n_docs
+        |  FROM bv)
+        |SELECT lang, max(n_docs)::BIGINT AS n_docs, max(tot)::BIGINT AS total_chars,
+        |       max(CASE WHEN cum * 2 >= tot THEN n_chars END)::BIGINT AS n50,
+        |       min(CASE WHEN cum * 2 >= tot THEN cum_docs END)::BIGINT AS n_docs_ge_n50,
+        |       max(CASE WHEN cum * 10 >= tot * 9 THEN n_chars END)::BIGINT AS n90,
+        |       min(CASE WHEN cum * 10 >= tot * 9 THEN cum_docs END)::BIGINT AS n_docs_ge_n90
+        |FROM cw GROUP BY 1 ORDER BY lang""".stripMargin
+    },
+    "q176_golden_record" -> {
+      import graft.operators.Dedup.FuzzyMaxDistance
+      s"""WITH RECURSIVE gnames AS (
+        |  SELECT p_name, count(*)::BIGINT AS n_parts FROM part GROUP BY 1),
+        |gids AS (
+        |  SELECT p_name, n_parts, row_number() OVER (ORDER BY p_name) AS nid
+        |  FROM gnames),
+        |gpairs AS (
+        |  SELECT a.nid AS u, b.nid AS v
+        |  FROM gids a JOIN gids b ON a.p_name < b.p_name
+        |  WHERE abs(len(a.p_name) - len(b.p_name)) <= $FuzzyMaxDistance
+        |    AND levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDistance),
+        |gedges AS (
+        |  SELECT u AS src, v AS dst FROM gpairs
+        |  UNION ALL SELECT v AS src, u AS dst FROM gpairs),
+        |greach AS (
+        |  SELECT nid AS node, nid AS root FROM gids
+        |  UNION SELECT e.src AS node, r.root
+        |        FROM greach r JOIN gedges e ON e.dst = r.node),
+        |gclus AS (SELECT node, min(root) AS cid FROM greach GROUP BY 1),
+        |glab AS (
+        |  SELECT i.p_name, i.n_parts, i.nid, c.cid
+        |  FROM gids i JOIN gclus c ON c.node = i.nid)
+        |SELECT min(p_name) AS cluster_key, count(*)::BIGINT AS n_names,
+        |       sum(n_parts)::BIGINT AS total_parts,
+        |       (max(struct_pack(np := n_parts, ng := -nid, nm := p_name))).nm
+        |         AS golden_name,
+        |       string_agg(p_name, '|' ORDER BY p_name) AS members
+        |FROM glab GROUP BY cid HAVING count(*) >= 2
+        |ORDER BY cluster_key""".stripMargin
     }
   )
 

@@ -104,4 +104,61 @@ object DataQuality {
           * lit(1e6) + lit(0.5)) / lit(1e6))
       .orderBy("lang")
   }
+
+  /** q174_robust_outliers — per-language MAD-based outlier counts over
+    * doc token counts. Mean/std anomaly rules (q120) break exactly when
+    * they matter most: a few monster documents inflate σ until nothing
+    * is an outlier. The robust pair — median and median-absolute-
+    * deviation — has a 50% breakdown point, so the fence
+    * |x − median| > 3·MAD holds even on heavy-tailed crawl data; this is
+    * the per-language screen a curation pipeline runs before trusting
+    * length-based quality tiers.
+    *
+    * Determinism: exact medians are kept on the half grid as DOUBLED
+    * integers (med2 = x(k) + x(k2), the two middle order statistics;
+    * equal for odd n), the deviations dev2 = |2x − med2| are integers,
+    * their median is the QUADRUPLED integer mad4, and the fence
+    * 2·dev2 > 3·mad4 compares integers — no float touches the
+    * decision; the reported median/MAD divide by 2/4 onto exact
+    * dyadic grids.
+    *
+    * Scale shape: two lang-partitioned rank windows (shard-local sorts
+    * over the lang domain — at 100 TB this is a per-partition sort
+    * after one lang exchange, no global order) each feeding a
+    * langs-sized aggregate; the fence pass is scan-local conditional
+    * counting against the broadcast ≤|langs|-row stats frame. */
+  def robustOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    import org.apache.spark.sql.expressions.Window
+    val x = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), size(T.wsTokens(col("text"))).cast("long").as("x"))
+    def doubledMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("lang")).orderBy(col(valueCol), col("doc_id"))
+      df.select(col("lang"), col(valueCol),
+          row_number().over(w).cast("long").as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("lang"))).as("n"))
+        .groupBy(col("lang"))
+        .agg(max(col("n")).as("n"),
+          sum(col(valueCol) *
+            (expr("cast(rn = (n + 1) div 2 as long)") +
+             expr("cast(rn = (n + 2) div 2 as long)"))).as(out))
+    }
+    val med = doubledMedian(x, "x", "med2").select(col("lang"), col("n"), col("med2"))
+    val dev = x.join(broadcast(med), Seq("lang"))
+      .select(col("lang"), col("doc_id"), col("x"),
+        abs(col("x") * 2 - col("med2")).as("dev2"))
+    val mad = doubledMedian(dev, "dev2", "mad4").select(col("lang"), col("mad4"))
+    dev.join(broadcast(med), Seq("lang")).join(broadcast(mad), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n"), max(col("med2")).as("med2"),
+        max(col("mad4")).as("mad4"),
+        sum((col("dev2") * 2 > col("mad4") * 3).cast("long")).as("n_outliers"),
+        max(col("dev2")).as("max_dev2"))
+      .select(col("lang"), col("n"),
+        (col("med2").cast("double") / lit(2.0)).as("median_tokens"),
+        (col("mad4").cast("double") / lit(4.0)).as("mad_tokens"),
+        col("n_outliers"),
+        (col("max_dev2").cast("double") / lit(2.0)).as("max_abs_dev"))
+      .orderBy("lang")
+  }
 }

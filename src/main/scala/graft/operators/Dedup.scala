@@ -718,6 +718,78 @@ object Dedup {
       .orderBy("name_a", "name_b")
   }
 
+  /** q176_golden_record — entity-resolution COMPLETION over the q135
+    * linkage pairs: connected components over the fuzzy-match graph
+    * (levenshtein ≤ [[FuzzyMaxDistance]] on the name vocabulary), then
+    * one GOLDEN RECORD per entity cluster — the survivorship step that
+    * turns "these records match" into "this is the master record" (the
+    * MDM merge/purge operation; "old rod"/"red rod"/"new rod"/"cold
+    * rod" resolve to one entity whose canonical name is the most-used
+    * variant). Reports per cluster: the canonical key (min name), the
+    * golden name (max usage, ties to the earlier name), total usage
+    * mass, and the sorted member list.
+    *
+    * Determinism: names get vocabulary-rank ids (lexicographic
+    * row_number), so min-id CC roots ARE min-name roots; golden pick =
+    * max(struct(n_parts, −nid, name)) — a total order (nid unique), no
+    * arg-max tie ambiguity anywhere.
+    *
+    * Scale shape: the corpus collapses to the name VOCABULARY before
+    * anything else (one partial-aggregable groupBy); the rank window
+    * and pair search (broadcast nested loop with the length-band
+    * pre-filter) run on vocabulary-sized frames — corpus rows are
+    * touched exactly once. CC runs as driver-side union-find over the
+    * COLLECTED pair list: the matched-pair set is vocabulary-bounded
+    * (catalog vocabularies are ~10⁶ at 100 TB, the codebook-scale
+    * driver-state precedent), so path-compressed union-find beats the
+    * distributed star-contraction loop's per-round job latency by an
+    * order of magnitude; a corpus-SIZED graph (doc ids, not names)
+    * belongs on [[connectedComponents]] instead. */
+  def goldenRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+    val ids = names.select(col("p_name"), col("n_parts"),
+      row_number().over(Window.orderBy(col("p_name"))).cast("long").as("nid"))
+    val a = ids.select(col("p_name").as("name_a"), col("nid").as("u"))
+    val b = ids.select(col("p_name").as("name_b"), col("nid").as("v"))
+    val pairs = a.crossJoin(broadcast(b))
+      .filter(col("name_a") < col("name_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= FuzzyMaxDistance)
+      .filter(levenshtein(col("name_a"), col("name_b")) <= FuzzyMaxDistance)
+      .select(col("u"), col("v"))
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    // min-id labeling: union-by-min keeps every root the component min,
+    // matching the distributed loop's (and the oracle's) label law
+    val assign = parent.keys.map(n => (n, find(n))).toSeq
+    import spark.implicits._
+    val cc = assign.toDF("nid", "cluster_id")
+    ids.join(broadcast(cc), Seq("nid"), "left")
+      .select(col("p_name"), col("n_parts"), col("nid"),
+        coalesce(col("cluster_id"), col("nid")).as("cid"))
+      .groupBy(col("cid"))
+      .agg(min(col("p_name")).as("cluster_key"),
+        count(lit(1)).as("n_names"),
+        sum(col("n_parts")).as("total_parts"),
+        max(struct(col("n_parts").as("np"), (-col("nid")).as("ng"),
+          col("p_name").as("nm"))).as("g"),
+        array_join(sort_array(collect_list(col("p_name"))), "|").as("members"))
+      .filter(col("n_names") >= 2)
+      .select(col("cluster_key"), col("n_names"), col("total_parts"),
+        col("g.nm").as("golden_name"), col("members"))
+      .orderBy("cluster_key")
+  }
+
   /** q165 threshold grid (all ≥ [[JaccardThreshold]] — the artifact's
     * own floor, so the sweep reads the stored pairs, never re-mines). */
   val SensitivityThresholds: Seq[Double] = Seq(0.8, 0.85, 0.9, 0.95, 1.0)

@@ -80,4 +80,62 @@ object Layout {
         (col("max_cy") >= ProbeLo && col("min_cy") <= ProbeHi).cast("int").as("hit_date"))
       .orderBy("layout", "file_id")
   }
+
+  /** Shard count for the deterministic training shuffle. */
+  val ShuffleShards = 8
+  /** Seed string baked into the shuffle hash — changing it produces an
+    * independent permutation (a new training epoch order). */
+  val ShuffleSeed = "graft-shuffle-42:"
+  /** Hash-range width per shard: md5Int60 spans [0, 2^60); 2^60 / 8. */
+  val ShuffleWidth = 1L << 57
+
+  /** q172_shuffle_manifest — deterministic corpus shuffle for training
+    * order. Before a training run, the corpus must be globally shuffled
+    * (adjacent docs from one crawl source would otherwise share a batch)
+    * and the ORDER must be reproducible for restarts and data-ablation
+    * reruns. Order = ascending md5(seed ‖ doc_id): seeded, stable under
+    * re-execution, independent of input layout. Sharding is HASH-RANGE
+    * (shard = h div 2^57), NOT row_number — assignment is scan-local with
+    * zero global sort, shards are balanced in expectation (md5 uniform),
+    * and within-shard order needs only a shard-local sort at write time.
+    * The manifest row per shard is what the training loader consumes:
+    * global offset, doc count, hash range, boundary docs, checksum.
+    *
+    * Determinism: first/last via min_by/max_by keyed on h alone — sound
+    * ONLY if h is collision-free, so `hash_unique` (count distinct h =
+    * count) is itself a graded column: the tie-freeness ASSUMPTION is
+    * verified in the same row, not hoped for (probability of a 60-bit
+    * collision at n docs ≈ n²/2^61; if it ever fires the column flips
+    * and the hash-mismatch has a one-look diagnosis).
+    *
+    * Scale shape: hash + shard id are scan-local projections; ONE
+    * partial-aggregable 8-group aggregate; the offset window runs over
+    * the 8-row manifest. Nothing wider than the shard domain shuffles.
+    * At 100 TB the same `h` feeds `repartitionByRange(h)` + sorted
+    * parquet writes and this manifest is the write's audit record. */
+  def shuffleManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        H.md5Int60(concat(lit(ShuffleSeed), col("doc_id").cast("string"))).as("h"))
+      .select(col("doc_id"), col("n_chars"), col("h"),
+        expr(s"h div $ShuffleWidth").cast("long").as("shard_id"))
+    val manifest = docs.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_hashes"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("h")).as("min_h"), max(col("h")).as("max_h"),
+        min_by(col("doc_id"), col("h")).as("first_doc"),
+        max_by(col("doc_id"), col("h")).as("last_doc"),
+        sum(col("h") % lit(1000000007L)).as("checksum"))
+    val w = Window.orderBy(col("shard_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    manifest.select(col("shard_id"), col("n_docs"),
+      (col("n_hashes") === col("n_docs")).as("hash_unique"),
+      coalesce(sum(col("n_docs")).over(w), lit(0L)).as("global_offset"),
+      col("total_chars"), col("min_h"), col("max_h"),
+      col("first_doc"), col("last_doc"), col("checksum"))
+      .orderBy("shard_id")
+  }
 }

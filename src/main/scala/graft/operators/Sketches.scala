@@ -197,6 +197,76 @@ object Sketches {
       .orderBy(col("exact_cnt").desc, col("tok").asc)
   }
 
+  /** Histogram-quantile bin width (chars). */
+  val QhBinW = 32L
+  /** Histogram-quantile bin count — bin = min(n_chars div 32, 31). */
+  val QhBins = 32L
+
+  /** q173_quantile_merge — mergeable equi-width histogram quantiles with
+    * the merge-equals-rebuild proof and an exact-answer audit. Exact
+    * percentiles don't merge (you can't combine two medians), so a
+    * 100 TB pipeline keeps a fixed-bin histogram per shard/source —
+    * a commutative-monoid state like q155's moments and q169's HLL
+    * registers — merges by bin-sum, and answers any quantile from the
+    * merged cumulative. This query grades the whole contract in one
+    * row per probe: per-SOURCE histograms merged bin-wise must equal
+    * the histogram built directly over the corpus (`bins_match`), the
+    * p50/p90/p99 estimates interpolate the merged cumulative, and each
+    * estimate sits next to the EXACT rank-k value and its error — the
+    * sketch's resolution guarantee (≤ one 32-char bin) verified, not
+    * assumed.
+    *
+    * Determinism: bin ids, cumulative counts, rank targets
+    * (ceil(p·n) as (n·num + den − 1) div den) and the within-bin
+    * interpolation ((target − cum_below)·W div bin_count) are ALL
+    * integer arithmetic — no float touches the result.
+    *
+    * Scale shape: both histograms are partial-aggregable aggregates
+    * onto a HARD 32-bin key space (the per-source one ≤ 32·|sources|
+    * rows); cumulative + probe matching run on the 32-row frame. The
+    * exact audit aggregates onto the VALUE domain (≤ ~600 distinct
+    * lengths) — domain-sized, not corpus-sized, then a domain window.
+    * Nothing anywhere is wider than its key domain. */
+  def quantileMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars"),
+        expr(s"least(n_chars div $QhBinW, ${QhBins - 1})").cast("long").as("bin"))
+    val perSource = docs.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c"))
+    val merged = perSource.groupBy(col("bin")).agg(sum(col("c")).as("c"))
+    val direct = docs.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val binsMatch = merged.as("m").join(direct.as("d"), Seq("bin"), "full_outer")
+      .agg(min(coalesce(col("m.c"), lit(-1L)) === coalesce(col("d.c"), lit(-2L)))
+        .as("bins_match"))
+    val wBin = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, -1)
+    val cum = merged.select(col("bin"), col("c"),
+      coalesce(sum(col("c")).over(wBin), lit(0L)).as("cum_below"))
+    val nRow = docs.agg(count(lit(1)).as("n"))
+    import spark.implicits._
+    val probes = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+      .toDF("p", "num", "den")
+      .crossJoin(broadcast(nRow))
+      .select(col("p"), col("n"),
+        expr("(n * num + den - 1) div den").cast("long").as("target"))
+    val est = probes.join(broadcast(cum),
+        col("cum_below") < col("target") && col("cum_below") + col("c") >= col("target"))
+      .select(col("p"), col("n"), col("target"),
+        (col("bin") * lit(QhBinW) +
+          expr(s"((target - cum_below) * $QhBinW) div c").cast("long")).as("est_value"))
+    val valCum = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("vc"))
+    val wVal = Window.orderBy(col("n_chars")).rowsBetween(Window.unboundedPreceding, -1)
+    val exact = valCum.select(col("n_chars"), col("vc"),
+      coalesce(sum(col("vc")).over(wVal), lit(0L)).as("cum_below"))
+    val exactAt = est.join(broadcast(exact),
+        col("cum_below") < col("target") && col("cum_below") + col("vc") >= col("target"))
+      .select(col("p"), col("n"), col("target"), col("est_value"),
+        col("n_chars").as("exact_value"))
+    exactAt.crossJoin(broadcast(binsMatch))
+      .select(col("p"), col("n"), col("target"), col("est_value"), col("exact_value"),
+        abs(col("est_value") - col("exact_value")).as("abs_err"), col("bins_match"))
+      .orderBy("p")
+  }
+
   /** Per-event-type approximate user cardinality + value percentiles,
     * alongside the exact count for the accuracy tests. */
   def eventSketches(spark: SparkSession, sfDir: String): DataFrame =

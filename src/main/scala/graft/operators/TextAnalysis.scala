@@ -951,4 +951,46 @@ object TextAnalysis {
       grid(m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
       .orderBy("lang")
   }
+
+  /** q175_length_n50 — per-language N50/N90 of document length: the
+    * length L such that docs of length ≥ L hold ≥ 50% (90%) of the
+    * language's character MASS. Count-quantiles (q38/q61) answer "how
+    * long is the median doc"; mass-quantiles answer the question
+    * packing and token-budget planning actually ask — "where do the
+    * characters live" (a handful of monster docs can carry half the
+    * corpus; the genome-assembly N50 applied to corpus curation).
+    * Reported with doc counts above each cut, so the row reads as
+    * "half the mass sits in the N_docs_ge_n50 longest docs".
+    *
+    * Determinism: thresholds are the integer comparisons 2·cum ≥ tot
+    * and 10·cum ≥ 9·tot over exact integer character sums — no
+    * division anywhere.
+    *
+    * Scale shape: one partial-aggregable (lang, n_chars) VALUE-domain
+    * aggregate (≤ |langs|·|distinct lengths| rows — domain-sized, not
+    * corpus-sized), a lang-partitioned descending window over that
+    * frame, and a langs-sized final aggregate. The corpus is scanned
+    * once. */
+  def lengthN50(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("lang"))
+    byVal
+      .select(col("lang"), col("n_chars"), col("cnt"),
+        sum(col("chars")).over(w).as("cum"),
+        sum(col("cnt")).over(w).as("cum_docs"),
+        sum(col("chars")).over(wAll).as("tot"),
+        sum(col("cnt")).over(wAll).as("n_docs"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("tot")).as("total_chars"),
+        max(when(col("cum") * 2 >= col("tot"), col("n_chars"))).as("n50"),
+        min(when(col("cum") * 2 >= col("tot"), col("cum_docs"))).as("n_docs_ge_n50"),
+        max(when(col("cum") * 10 >= col("tot") * 9, col("n_chars"))).as("n90"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("cum_docs"))).as("n_docs_ge_n90"))
+      .orderBy("lang")
+  }
 }
