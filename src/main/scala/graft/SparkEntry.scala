@@ -188,7 +188,13 @@ object SparkEntry {
     "q173_quantile_merge" -> (Sketches.quantileMerge _),
     "q174_robust_outliers" -> (DataQuality.robustOutliers _),
     "q175_length_n50"     -> (TextAnalysis.lengthN50 _),
-    "q176_golden_record"  -> (Dedup.goldenRecords _)
+    "q176_golden_record"  -> (Dedup.goldenRecords _),
+    "q177_pca_power"      -> (Similarity.pcaPower _),
+    "q178_stream_late_exec" -> (graft.streaming.EventStream.lateDataStreamed _),
+    "q179_item_neighbors" -> (Graph.itemNeighbors _),
+    "q180_image_dedup"    -> (Multimodal.imageDedup _),
+    "q181_containment_dedup" -> (Dedup.containmentDedup _),
+    "q182_sliding_window" -> (graft.streaming.EventStream.hoppingWindowQuery _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -3204,6 +3210,178 @@ object SparkEntry {
         |       string_agg(p_name, '|' ORDER BY p_name) AS members
         |FROM glab GROUP BY cid HAVING count(*) >= 2
         |ORDER BY cluster_key""".stripMargin
+    },
+    "q177_pca_power" -> {
+      import graft.operators.Similarity.{PcaIters, PcaQ, PcaTopDims}
+      val iters = (1 to PcaIters).map { i =>
+        s"""pw$i AS (
+          |  SELECT m.j, sum(m.mv * v.vi) AS w
+          |  FROM pm m JOIN pv${i - 1} v ON v.j = m.k GROUP BY 1),
+          |pwm$i AS (SELECT max(abs(w)) AS wmax FROM pw$i),
+          |pv$i AS (
+          |  SELECT j, (CASE WHEN w < 0 THEN -1 ELSE 1 END)::HUGEINT
+          |            * ((abs(w) * $PcaQ) // wmax) AS vi
+          |  FROM pw$i CROSS JOIN pwm$i)""".stripMargin
+      }.mkString(",\n")
+      materializeCtes(s"""WITH pe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pq AS (
+        |  SELECT vec_id, (t.d - 1)::BIGINT AS j,
+        |         floor(v[t.d] * $PcaQ.0 + 0.5)::BIGINT AS xq
+        |  FROM pe, unnest(range(1, 65)) t(d)),
+        |pn AS (SELECT count(*)::BIGINT AS n FROM pe),
+        |psj AS (SELECT j, sum(xq)::BIGINT AS s FROM pq GROUP BY 1),
+        |pg AS (
+        |  SELECT a.j AS j, b.j AS k, sum(a.xq * b.xq)::BIGINT AS sjk
+        |  FROM pq a JOIN pq b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |pm AS (
+        |  SELECT g.j, g.k,
+        |         (pn.n::HUGEINT * g.sjk::HUGEINT - sa.s::HUGEINT * sb.s::HUGEINT) AS mv
+        |  FROM pg g CROSS JOIN pn
+        |  JOIN psj sa ON sa.j = g.j JOIN psj sb ON sb.j = g.k),
+        |pv0 AS (
+        |  SELECT (t.d - 1)::BIGINT AS j, $PcaQ::HUGEINT AS vi
+        |  FROM unnest(range(1, 65)) t(d)),
+        |$iters,
+        |plead AS (SELECT vi FROM pv$PcaIters ORDER BY abs(vi) DESC, j ASC LIMIT 1),
+        |pvf AS (
+        |  SELECT j, CASE WHEN (SELECT vi FROM plead) < 0 THEN -vi ELSE vi END AS vi
+        |  FROM pv$PcaIters),
+        |pr1 AS (
+        |  SELECT sum(a.vi * m.mv * b.vi) AS vmv
+        |  FROM pm m JOIN pvf a ON a.j = m.j JOIN pvf b ON b.j = m.k),
+        |pvv AS (SELECT sum(vi * vi) AS vv FROM pvf),
+        |ptr AS (SELECT sum(mv) AS tr FROM pm WHERE j = k),
+        |pl AS (
+        |  SELECT (vmv * 1000000000) // (vv * n * n * $PcaQ * $PcaQ) AS lambda_nano,
+        |         (vmv * 1000000) // (vv * tr) AS share_ppm
+        |  FROM pr1 CROSS JOIN pvv CROSS JOIN ptr CROSS JOIN pn),
+        |psel AS (
+        |  SELECT j, vi, row_number() OVER (ORDER BY abs(vi) DESC, j ASC) AS rnk
+        |  FROM pvf)
+        |SELECT rnk::BIGINT AS loading_rank, j::BIGINT AS dim,
+        |       vi::DOUBLE / $PcaQ.0 AS loading,
+        |       lambda_nano::DOUBLE / 1000000000.0 AS lambda1,
+        |       share_ppm::DOUBLE / 1000000.0 AS explained_share
+        |FROM psel CROSS JOIN pl WHERE rnk <= $PcaTopDims ORDER BY rnk""".stripMargin)
+    },
+    "q178_stream_late_exec" -> {
+      import graft.streaming.EventStream.LateEveryN
+      s"""WITH lev AS (
+        |  SELECT event_id, ts, event_type,
+        |         CASE WHEN day(ts) <= 10 THEN 0
+        |              WHEN day(ts) <= 20 THEN 1 ELSE 2 END AS base
+        |  FROM events),
+        |lb AS (
+        |  SELECT event_id, ts, event_type,
+        |         CASE WHEN base < 2 AND event_id % $LateEveryN = 0 THEN 2
+        |              ELSE base END AS b
+        |  FROM lev),
+        |lwm AS (
+        |  SELECT bb.b,
+        |         (SELECT max(ts) FROM lb p WHERE p.b <= bb.b - 2)
+        |           - INTERVAL 10 MINUTE AS wm
+        |  FROM (SELECT DISTINCT b FROM lb) bb),
+        |lkept AS (
+        |  SELECT l.ts, l.event_type
+        |  FROM lb l JOIN lwm w ON w.b = l.b
+        |  WHERE w.wm IS NULL
+        |     OR time_bucket(INTERVAL '1 hour', l.ts) + INTERVAL 1 HOUR > w.wm),
+        |lfin AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wmf FROM lb)
+        |SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+        |         AS win_start,
+        |       event_type, count(*)::BIGINT AS n_events
+        |FROM lkept CROSS JOIN lfin
+        |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR <= wmf
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+    },
+    "q179_item_neighbors" -> {
+      import graft.operators.Graph.{ItemNeighborsK, MaxBasketItems, MinCoocSupport}
+      s"""WITH nitems AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ncapped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           row_number() OVER (PARTITION BY l_orderkey ORDER BY
+        |             ('0x' || substr(md5('bk_' || l_orderkey || '_' || l_partkey), 1, 7))::BIGINT,
+        |             l_partkey) AS rn
+        |    FROM nitems) WHERE rn <= $MaxBasketItems),
+        |npairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*)::BIGINT AS n_ab
+        |  FROM ncapped a JOIN ncapped b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2
+        |  HAVING count(*) >= $MinCoocSupport),
+        |nsupp AS (SELECT l_partkey, count(*)::BIGINT AS n FROM ncapped GROUP BY 1),
+        |nsym AS (
+        |  SELECT part_a AS item, part_b AS neighbor, n_ab FROM npairs
+        |  UNION ALL SELECT part_b AS item, part_a AS neighbor, n_ab FROM npairs),
+        |nsc AS (
+        |  SELECT s.item, s.neighbor, s.n_ab,
+        |         floor(s.n_ab::DOUBLE / sqrt((si.n * sn.n)::DOUBLE)
+        |               * 1000000.0 + 0.5)::BIGINT AS cos_ppm
+        |  FROM nsym s
+        |  JOIN nsupp si ON si.l_partkey = s.item
+        |  JOIN nsupp sn ON sn.l_partkey = s.neighbor),
+        |nrk AS (
+        |  SELECT item, neighbor, n_ab, cos_ppm,
+        |         row_number() OVER (PARTITION BY item
+        |           ORDER BY cos_ppm DESC, neighbor ASC) AS rnk
+        |  FROM nsc)
+        |SELECT item, rnk::BIGINT AS neighbor_rank, neighbor, n_ab,
+        |       cos_ppm::DOUBLE / 1000000.0 AS cosine
+        |FROM nrk WHERE rnk <= $ItemNeighborsK
+        |ORDER BY item, neighbor_rank""".stripMargin
+    },
+    "q180_image_dedup" -> {
+      // the oracle computes the aHash bits from the pixel ARITHMETIC;
+      // the Spark side computes them from PNG-encoded-then-decoded
+      // pixels — equality proves the codec round-trip byte-exact
+      """WITH ih AS (
+        |  SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS h FROM documents),
+        |ipx AS (
+        |  SELECT doc_id, t.i,
+        |         ((h % 1048576) * 31 + t.i * 97 + (t.i * t.i) % 251) % 256 AS g
+        |  FROM ih, unnest(range(0, 64)) t(i)),
+        |isum AS (SELECT doc_id, sum(g)::BIGINT AS s FROM ipx GROUP BY 1),
+        |ibits AS (
+        |  SELECT p.doc_id,
+        |         string_agg(CASE WHEN 64 * p.g > s.s THEN '1' ELSE '0' END, ''
+        |                    ORDER BY p.i) AS ahash,
+        |         min(s.s // 64)::BIGINT AS mg
+        |  FROM ipx p JOIN isum s USING (doc_id) GROUP BY 1)
+        |SELECT ahash, count(*)::BIGINT AS n_docs, min(doc_id) AS rep_doc,
+        |       min(mg)::BIGINT AS mean_gray
+        |FROM ibits GROUP BY 1 HAVING count(*) >= 2 ORDER BY ahash""".stripMargin
+    },
+    "q181_containment_dedup" -> {
+      import graft.operators.Dedup.ContainmentThreshold
+      // exact ALL-PAIRS containment — the lossless prefix filter on the
+      // Spark side must reproduce it exactly (a theorem, not a tuning)
+      s"""WITH csh AS (
+        |  SELECT DISTINCT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] AS g
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\r]+') AS w
+        |        FROM documents),
+        |       unnest(range(1, len(w) - 1)) t(i)),
+        |csz AS (SELECT doc_id, count(*)::BIGINT AS na FROM csh GROUP BY 1),
+        |cint AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+        |  FROM csh a JOIN csh b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, s.na AS n_a, i.n_shared,
+        |       floor(i.n_shared::DOUBLE / s.na::DOUBLE * 1000000.0 + 0.5)
+        |         / 1000000.0 AS containment
+        |FROM cint i JOIN csz s ON s.doc_id = i.doc_a
+        |WHERE floor(i.n_shared::DOUBLE / s.na::DOUBLE * 1000000.0 + 0.5)
+        |        / 1000000.0 >= $ContainmentThreshold
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q182_sliding_window" -> {
+      """WITH hw AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - t.k * INTERVAL '15 minutes' AS ws,
+        |         event_type, value
+        |  FROM events, unnest(range(0, 4)) t(k))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+        |FROM hw GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
     }
   )
 

@@ -790,6 +790,70 @@ object Dedup {
       .orderBy("cluster_key")
   }
 
+  /** q181 containment floor: ≥ 90% of the contained doc's shingles
+    * must appear in the container. */
+  val ContainmentThreshold = 0.9
+
+  /** q181_containment_dedup — ASYMMETRIC near-duplication: doc A is
+    * contained in doc B when ≥ [[ContainmentThreshold]] of A's
+    * 3-shingles appear in B (Broder's containment coefficient
+    * |A∩B|/|A|). This is the quote/excerpt/boilerplate-wrapper case
+    * the whole Jaccard family (q12/q13/q14) STRUCTURALLY misses: a
+    * page embedding a short document whole has tiny Jaccard (the union
+    * is dominated by B) but containment 1.0 — and minhash banding,
+    * tuned to resemblance, won't even surface the pair as a candidate.
+    *
+    * Blocking is the PREFIX FILTER, and unlike LSH it is LOSSLESS: if
+    * at most ⌊(1−t)·|A|⌋ of A's shingles may miss B, then among any
+    * ⌊(1−t)·|A|⌋+1 of them at least one is in B (pigeonhole) — so
+    * probing the posting lists of A's ⌊|A|/10⌋+1 RAREST shingles
+    * (global df ascending, the choice that minimizes candidate fan-out)
+    * finds every qualifying pair by construction. The recall contract
+    * is a theorem, not a tuned probability — which is why the exact
+    * all-pairs oracle can hash-match it.
+    *
+    * Determinism: shingle sets, df ranks (tie → shingle asc), sizes and
+    * intersections are exact integers; the single containment division
+    * floors to 1e-6 on an identical IEEE tree (the q171 rule).
+    *
+    * Scale shape: df is one partial-aggregable shingle-domain
+    * aggregate; the prefix rank is a doc-partitioned window over the
+    * (doc, shingle) frame; the candidate probe is ONE keyed join from
+    * the ~|A|/10-sized prefixes into the posting lists (rare shingles ⇒
+    * short postings — the df-ascending prefix is also the skew guard);
+    * verification joins the two shingle-set arrays per surviving
+    * candidate. */
+  def containmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the shingle frame feeds FIVE plan references (explode, sizes, two
+    // verify sides) — cut the regexp+shingle subtree off once (the q31
+    // multi-reference rule) or the scan re-tokenizes per reference
+    val sets = shingled(spark, sfDir).localCheckpoint()
+    val ex = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)
+    val prefix = ex.join(dfreq, "s")
+      .withColumn("rn", row_number().over(w))
+      .join(sets.select(col("doc_id"), size(col("sh")).as("na")), "doc_id")
+      .filter(col("rn") <= expr("na div 10 + 1"))
+      .select(col("doc_id").as("cand_a"), col("s"))
+    val cands = prefix
+      .join(ex.select(col("doc_id").as("cand_b"), col("s")), "s")
+      .filter(col("cand_a") =!= col("cand_b"))
+      .select(col("cand_a"), col("cand_b")).distinct()
+    cands
+      .join(sets.select(col("doc_id").as("cand_a"), col("sh").as("sha")), "cand_a")
+      .join(sets.select(col("doc_id").as("cand_b"), col("sh").as("shb")), "cand_b")
+      .select(col("cand_a").as("doc_a"), col("cand_b").as("doc_b"),
+        size(col("sha")).cast("long").as("n_a"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_shared"))
+      .withColumn("containment",
+        floor(col("n_shared").cast("double") / col("n_a").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6))
+      .filter(col("containment") >= ContainmentThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q165 threshold grid (all ≥ [[JaccardThreshold]] — the artifact's
     * own floor, so the sweep reads the stored pairs, never re-mines). */
   val SensitivityThresholds: Seq[Double] = Seq(0.8, 0.85, 0.9, 0.95, 1.0)

@@ -175,44 +175,64 @@ object Graph {
     * output per basket; supports and pair counts are partial-aggregable
     * groupBys; the final report is TakeOrdered over the aggregated
     * pair domain. */
-  def cooccurrence(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The capped (basket → ≤[[MaxBasketItems]] items) table shared by
+    * q126 and q179 — see [[cooccurrence]] for the cap rationale. */
+  private def cappedBaskets(spark: SparkSession, sfDir: String): DataFrame = {
     val draw = graft.functions.HashFunctions.md5Int28(
       concat(lit("bk_"), col("l_orderkey").cast("string"),
         lit("_"), col("l_partkey").cast("string")))
-    // dedup + cap in ONE bounded map-side aggregate: the distinct-id
-    // top-k buffer (`top_k_distinct_by_score`) keeps ≤cap slots per
-    // basket — duplicate (basket, item) rows collapse in-buffer (their
-    // draw is a function of the pair, so set-top-k over the multiset is
-    // exact), score = −draw ⇒ the cap smallest draws, tie → smaller
-    // part id, exactly the oracle's distinct + ORDER BY draw, part.
-    // One keyed exchange replaces distinct-then-rank's two, and a
-    // flooded basket never materializes, let alone sorts. The ≤cap
-    // item arrays (one row per basket) are materialized once — they
-    // feed three consumers (pairs, supports, basket count; the q31
-    // multi-reference lesson) and are the basket table a 100 TB
-    // deployment would persist anyway.
-    val capped = Tables.lineitem(spark, sfDir)
+    Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"),
-        // the draw is computed in this codegen'd PROJECTION, not inside
-        // the aggregate: a TypedImperativeAggregate evals its input
-        // expressions interpreted per row, so md5 must already be a
-        // materialized attribute when the buffer reads it
         (lit(0L) - draw).cast("double").as("neg_draw"))
       .groupBy(col("l_orderkey"))
       .agg(org.apache.spark.sql.graft.native.topKDistinctByScore(
         col("neg_draw"), col("l_partkey"), MaxBasketItems).as("top"))
       .select(col("l_orderkey"), expr("transform(top, x -> x.id)").as("items"))
       .localCheckpoint()
-    // in-array pair generation: ≤cap² interpreted element ops per
-    // basket (bounded by the cap, so the interpreted higher-order
-    // functions touch ≤28 structs/row — never a hot path), replacing a
-    // basket-keyed self-JOIN whose both sides would re-exchange
-    val pairs = capped.select(explode(expr(
+  }
+
+  private val basketCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  /** Artifact-store name for the capped basket table. */
+  val BasketsArtifact = "basket_items"
+  /** Session-memoized capped-basket artifact (the verifiedPairs
+    * pattern): q126 keeps building raw so the basket-construction cost
+    * stays priced through the query that owns it; consumers (q179)
+    * read the per-(session, corpus) checkpoint — the basket table a
+    * deployment persists once and serves many affinity queries from. */
+  private[graft] def basketArtifact(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.IndexStore.memo(basketCache, spark, sfDir, BasketsArtifact) {
+      cappedBaskets(spark, sfDir)
+    }
+
+  /** Unordered within-basket pair supports over the capped baskets. */
+  private def basketPairs(capped: DataFrame): DataFrame =
+    capped.select(explode(expr(
         "flatten(transform(items, (x, i) -> " +
           "transform(slice(items, i + 2, size(items)), y -> " +
           "struct(least(x, y) AS a, greatest(x, y) AS b))))")).as("p"))
       .select(col("p.a").as("part_a"), col("p.b").as("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+
+  def cooccurrence(spark: SparkSession, sfDir: String): DataFrame = {
+    // dedup + cap in ONE bounded map-side aggregate (cappedBaskets): the
+    // distinct-id top-k buffer (`top_k_distinct_by_score`) keeps ≤cap
+    // slots per basket — duplicate (basket, item) rows collapse
+    // in-buffer (their draw is a function of the pair, so set-top-k over
+    // the multiset is exact), score = −draw ⇒ the cap smallest draws,
+    // tie → smaller part id, exactly the oracle's distinct + ORDER BY
+    // draw, part. One keyed exchange replaces distinct-then-rank's two,
+    // and a flooded basket never materializes, let alone sorts. The draw
+    // is computed in the codegen'd PROJECTION feeding the aggregate, not
+    // inside it (a TypedImperativeAggregate evals its inputs interpreted
+    // per row). The ≤cap item arrays are materialized once — they feed
+    // three consumers (pairs, supports, basket count; the q31
+    // multi-reference lesson) and are the basket table a 100 TB
+    // deployment would persist anyway. Pair generation (basketPairs) is
+    // in-array: ≤cap² interpreted element ops per basket, replacing a
+    // basket-keyed self-JOIN whose both sides would re-exchange.
+    val capped = cappedBaskets(spark, sfDir)
+    val pairs = basketPairs(capped)
     val supp = capped.select(explode(col("items")).as("l_partkey"))
       .groupBy("l_partkey").agg(count(lit(1)).as("n"))
     val nBaskets = capped.agg(count(lit(1)).as("n_baskets"))
@@ -228,5 +248,55 @@ object Graph {
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("jaccard"))
       .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
       .limit(CoocTopK)
+  }
+
+  /** q179 knobs: neighbors served per item and the minimum pair
+    * support (a 1-basket co-occurrence is noise, not affinity). */
+  val ItemNeighborsK = 3
+  val MinCoocSupport = 2L
+
+  /** q179_item_neighbors — the ITEM-TO-ITEM COLLABORATIVE FILTERING
+    * serving table over the q126 baskets: for every item, its top
+    * [[ItemNeighborsK]] neighbors by co-occurrence COSINE
+    * n_ab/√(n_a·n_b) (the Amazon item2item similarity), min support
+    * [[MinCoocSupport]]. q126 reports the global strongest PAIRS (the
+    * analyst view); this emits the per-item ranked neighbor lists a
+    * recommender actually serves — the difference is the per-key
+    * bounded ranking, which is also the difference in plan shape.
+    *
+    * Determinism: supports and pair counts are exact integers; the
+    * cosine floors to ppm BEFORE ranking, so the rank order (cos_ppm
+    * desc, neighbor asc) is a cross-engine total order.
+    *
+    * Scale shape: reuses the capped-basket artifact (pair output
+    * ≤cap²/basket — the skew guard) and the aggregated pair/support
+    * frames; the symmetric expansion doubles the PAIR domain (not the
+    * corpus), supports broadcast twice, and the per-item top-k is one
+    * window over the item-keyed pair domain. At serving scale the
+    * window swaps for the bounded `top_k_by_score` aggregate — the
+    * pair domain here is small enough that the window's sort is
+    * per-item-partition and the plan stays one exchange either way. */
+  def itemNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = basketArtifact(spark, sfDir)
+    val pairs = basketPairs(capped).filter(col("n_ab") >= MinCoocSupport)
+    val supp = capped.select(explode(col("items")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val sym = pairs.select(col("part_a").as("item"), col("part_b").as("neighbor"), col("n_ab"))
+      .unionAll(pairs.select(col("part_b").as("item"), col("part_a").as("neighbor"), col("n_ab")))
+    val scored = sym
+      .join(broadcast(supp.select(col("l_partkey").as("item"), col("n").as("n_i"))), "item")
+      .join(broadcast(supp.select(col("l_partkey").as("neighbor"), col("n").as("n_j"))), "neighbor")
+      .select(col("item"), col("neighbor"), col("n_ab"),
+        floor(col("n_ab").cast("double")
+          / sqrt((col("n_i") * col("n_j")).cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("cos_ppm"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cos_ppm").desc, col("neighbor").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= ItemNeighborsK)
+      .select(col("item"), col("rnk").as("neighbor_rank"), col("neighbor"),
+        col("n_ab"), (col("cos_ppm").cast("double") / lit(1e6)).as("cosine"))
+      .orderBy("item", "neighbor_rank")
   }
 }

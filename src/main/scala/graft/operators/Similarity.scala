@@ -944,6 +944,97 @@ object Similarity {
         .as("participation_ratio"))
   }
 
+  /** q177 PCA quantization: components → integer tenth-millis. */
+  val PcaQ = 10000L
+  /** q177 power-iteration rounds (fixed — determinism over adaptivity). */
+  val PcaIters = 8
+  /** q177 reported loadings. */
+  val PcaTopDims = 5
+
+  /** q177_pca_power — top principal component of the embedding table by
+    * power iteration over the distributed covariance Gram matrix: the
+    * direction along which the corpus actually varies. q149 (isotropy)
+    * and q154 (variance spectrum) DIAGNOSE anisotropy; this op is the
+    * remediation input — the leading axis an embedding pipeline removes
+    * (all-but-the-top ABTT / post-processing whitening) or monitors for
+    * drift, with its eigenvalue and explained-variance share graded
+    * beside the top loadings.
+    *
+    * EXACT-INTEGER power iteration, the cross-engine trick: components
+    * quantize to [[PcaQ]] integers at the scan, so the 64×64 scatter
+    * matrix M = n·Σxxᵀ − (Σx)(Σx)ᵀ (= n²·Cov, scaled) is an exact
+    * integer matrix; the iterate v stays INTEGER (max-normalized:
+    * v ← sign(w)·(|w|·Q div max|w|), w = M·v in big-integer space), so
+    * EVERY iteration is arbitrary-precision integer arithmetic with NO
+    * float anywhere — sum order, ulps, and sqrt parity problems never
+    * arise (Scala BigInt ↔ DuckDB HUGEINT). Sign canonicalization:
+    * flip so the largest-|loading| dim (ties → lowest dim) is
+    * positive. λ and the explained share come from integer Rayleigh
+    * quotients (truncating division at 1e-9/1e-6) — one float division
+    * each, on identical integers.
+    *
+    * Scale shape: the Gram matrix is ONE partial-aggregable 4096-group
+    * aggregate over a scan-local double-posexplode (n·d² rows, the
+    * irreducible Gram cost, map-side combined to 4096 rows per
+    * partition — never a corpus-keyed shuffle); the column sums are a
+    * 64-group aggregate. The 8 iterations run on the COLLECTED 64×64
+    * matrix — O(d²) driver state (the codebook precedent), zero Spark
+    * jobs per iteration; at any corpus size the distributed cost is
+    * the two aggregates. Magnitude budget: |xq| ≤ 0.6·Q, so
+    * M ≤ n²·(0.6·Q)² ≈ 1.4e14 at n = 2000 — Spark's long sums hold to
+    * n ≈ 5e8 vectors; past that the Gram aggregate moves to
+    * decimal(38,0) (the CC-signature precedent). */
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val withJ = e.select(posexplode(col("v")).as(Seq("j", "xj")), col("v"))
+      .select(col("j").cast("long").as("j"),
+        floor(col("xj") * PcaQ + lit(0.5)).cast("long").as("qj"), col("v"))
+    val gram = withJ
+      .select(col("j"), col("qj"), posexplode(col("v")).as(Seq("k", "xk")))
+      .select(col("j"), col("qj"), col("k").cast("long").as("k"),
+        floor(col("xk") * PcaQ + lit(0.5)).cast("long").as("qk"))
+      .groupBy(col("j"), col("k")).agg(sum(col("qj") * col("qk")).as("sjk"))
+    val sums = e.select(posexplode(col("v")).as(Seq("j", "x")))
+      .select(col("j").cast("long").as("j"),
+        floor(col("x") * PcaQ + lit(0.5)).cast("long").as("xq"))
+      .groupBy(col("j")).agg(sum(col("xq")).as("s"), count(lit(1)).as("n"))
+    // driver assembly: 64 column sums + 4096 scatter entries — O(d²)
+    val sRows = sums.collect()
+    val d = sRows.length
+    val n = sRows.head.getAs[Long]("n")
+    val sj = Array.ofDim[Long](d)
+    sRows.foreach(r => sj(r.getAs[Long]("j").toInt) = r.getAs[Long]("s"))
+    val m = Array.ofDim[BigInt](d, d)
+    gram.collect().foreach { r =>
+      val (j, k) = (r.getAs[Long]("j").toInt, r.getAs[Long]("k").toInt)
+      m(j)(k) = BigInt(n) * r.getAs[Long]("sjk") - BigInt(sj(j)) * sj(k)
+    }
+    var v = Array.fill(d)(BigInt(PcaQ))
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(d)(j => (0 until d).map(k => m(j)(k) * v(k)).sum)
+      val wmax = w.map(_.abs).max
+      v = w.map(wj => wj.signum * (wj.abs * PcaQ / wmax))
+    }
+    // canonical sign: the largest-|loading| dim (ties → lowest) positive
+    val lead = (0 until d).maxBy(j => (v(j).abs, BigInt(-j)))
+    if (v(lead).signum < 0) v = v.map(-_)
+    val vMv = (for (j <- 0 until d; k <- 0 until d) yield v(j) * m(j)(k) * v(k)).sum
+    val vv = v.map(x => x * x).sum
+    val trace = (0 until d).map(j => m(j)(j)).sum
+    val lambdaNano = vMv * BigInt(1000000000L) /
+      (vv * BigInt(n) * BigInt(n) * BigInt(PcaQ) * BigInt(PcaQ))
+    val sharePpm = vMv * BigInt(1000000L) / (vv * trace)
+    val top = (0 until d).map(j => (v(j).abs, j)).sortBy(t => (-t._1, t._2))
+      .take(PcaTopDims).zipWithIndex
+      .map { case ((_, j), i) =>
+        (i + 1L, j.toLong, v(j).toLong.toDouble / PcaQ,
+          lambdaNano.toLong.toDouble / 1e9, sharePpm.toLong.toDouble / 1e6)
+      }
+    import spark.implicits._
+    top.toSeq.toDF("loading_rank", "dim", "loading", "lambda1", "explained_share")
+  }
+
   /** q161_cell_purity — the EXTERNAL-LABEL audit of the trained cells:
     * per cell, the majority label, its share, and the label-entropy —
     * the supervised complement of q127 (cohesion) and q147

@@ -57,6 +57,27 @@ object EventStream {
     windowedAgg(Tables.events(spark, sfDir))
       .orderBy("win_start", "event_type")
 
+  /** q182_sliding_window — HOPPING (sliding) windows: 1-hour windows
+    * advancing every 15 minutes, so each event lands in exactly 4
+    * overlapping windows — the smoothed-rate view behind "errors per
+    * hour, updated every 15 min" alerting, where tumbling windows
+    * (q23) quantize a burst to whichever boundary it straddles.
+    * `window(ts, "1 hour", "15 minutes")` expands each row to its 4
+    * windows BEFORE the aggregation — the fan-out is the operator's
+    * honest cost (×overlap rows into the partial aggregate, still
+    * map-side combined; state in the streaming form is bounded by
+    * open windows × key like any watermarked agg). Same code path runs
+    * under readStream; the batch execution is what the oracle can
+    * hash-grade, as with q23 vs q88. */
+  def hoppingWindowQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   private val streamRunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered:
@@ -593,6 +614,84 @@ object EventStream {
     }
     val out = spark.table(name)
       .orderBy("user_id", "event_type").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  /** q178 late-arrival rule: every 20th event of the first two arrival
+    * windows straggles into the last batch (ts unchanged — it is the
+    * ARRIVAL that is late, the event time is the truth). */
+  val LateEveryN = 20
+
+  /** q178_stream_late_exec — WATERMARK LATE-DATA SEMANTICS graded
+    * through a real streaming run (8th graded streaming path, and the
+    * first where the watermark provably DROPS data): the events table
+    * arrives as three deterministic files (day 1-10, 11-20, 21-30 —
+    * one micro-batch each via maxFilesPerTrigger=1 + ordered mod
+    * times), except every [[LateEveryN]]th event of the first two
+    * spans STRAGGLES into batch 3. By then the watermark (max seen
+    * event time − 10 min) has passed their hourly windows, so the
+    * engine must drop them; stragglers landing in a still-open window
+    * (the last pre-cutoff hour) must be KEPT — both sides of the fence
+    * are exercised, and Append mode additionally emits ONLY windows
+    * the final watermark has closed. The oracle replays the exact
+    * per-batch watermark fold in SQL — with the MEASURED commit
+    * timing: the watermark filtering micro-batch k is computed from
+    * event-time stats through batch k−2, not k−1 (batch k's offsets
+    * and watermark commit before batch k−1's stats land, so an update
+    * takes effect two batches on; verified against the engine at all
+    * three SFs, and the post-data catch-up batches still close every
+    * window ≤ global-max − delay). So: wm(k) = max(ts | batch ≤ k−2)
+    * − 10 min; a row survives iff its window end > wm(its batch); a
+    * window emits iff its end ≤ wm(final). Nothing here is
+    * approximate — the micro-batch boundaries are deterministic by
+    * construction, so late-data handling itself becomes a
+    * hash-graded contract.
+    *
+    * At scale this IS the production shape: late data is the normal
+    * case in distributed collection, the watermark bounds state (open
+    * windows only), and the same plan runs against a Kafka source —
+    * the file batches stand in for arrival order, which no test
+    * corpus can otherwise control. */
+  def lateDataStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val base = when(dayofmonth(col("ts")) <= 10, 0)
+      .when(dayofmonth(col("ts")) <= 20, 1).otherwise(2)
+    val tagged = ev.withColumn("b",
+      when(base < 2 && col("event_id") % LateEveryN === 0, 2).otherwise(base))
+    val dir = Files.createTempDirectory("graft_late_").toFile
+    (0 to 2).foreach { k =>
+      val tmp = new java.io.File(dir, s"_tmp$k")
+      tagged.filter(col("b") === k).select("event_id", "ts", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"batch$k.parquet")
+      Files.move(part.toPath, dst.toPath)
+      // distinct, ascending mod times pin the FileStreamSource order
+      dst.setLastModified(1700000000000L + k * 60000L)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+    val stream = spark.readStream
+      .schema(tagged.select("event_id", "ts", "event_type").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val name = s"graft_stream_late_${streamRunId.incrementAndGet()}"
+    withStatePartitions(spark, 4) {
+      val q = stream.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n_events"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val out = spark.table(name)
+      .orderBy("win_start", "event_type").localCheckpoint()
     spark.catalog.dropTempView(name)
     out
   }

@@ -179,4 +179,115 @@ class Round11OpsSpec extends SparkSuite {
         "two output clusters are linkable — CC not maximal")
     }
   }
+
+  test("q177 matches an independent exact-integer replication of the algorithm") {
+    import graft.operators.Similarity.{PcaIters, PcaQ}
+    val rows = graft.operators.Similarity.pcaPower(spark, sf).collect()
+    assert(rows.length == graft.operators.Similarity.PcaTopDims)
+    // independent replication from the raw table
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = vecs.length
+    val d = vecs.head.length
+    val q = vecs.map(_.map(x => math.floor(x * PcaQ + 0.5).toLong))
+    val sj = Array.tabulate(d)(j => q.map(_(j)).sum)
+    val m = Array.tabulate(d, d)((j, k) =>
+      BigInt(n) * q.map(v => v(j) * v(k)).sum - BigInt(sj(j)) * sj(k))
+    var v = Array.fill(d)(BigInt(PcaQ))
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(d)(j => (0 until d).map(k => m(j)(k) * v(k)).sum)
+      val wmax = w.map(_.abs).max
+      v = w.map(wj => wj.signum * (wj.abs * PcaQ / wmax))
+    }
+    val lead = (0 until d).maxBy(j => (v(j).abs, BigInt(-j)))
+    if (v(lead).signum < 0) v = v.map(-_)
+    val expTop = (0 until d).map(j => (v(j).abs, j)).sortBy(t => (-t._1, t._2)).take(5)
+    rows.zip(expTop).foreach { case (r, (_, j)) =>
+      assert(r.getAs[Long]("dim") == j)
+      assert(r.getAs[Double]("loading") == v(j).toDouble / PcaQ)
+    }
+    // structural laws: max-normalized leading loading, PSD eigenvalue,
+    // share inside (0, 1]
+    assert(math.abs(rows.head.getAs[Double]("loading")) == 1.0)
+    assert(rows.head.getAs[Double]("lambda1") >= 0.0)
+    val share = rows.head.getAs[Double]("explained_share")
+    assert(share > 0.0 && share <= 1.0)
+  }
+
+  test("q178 equals the per-batch watermark fold recomputed in the driver") {
+    import graft.streaming.EventStream.LateEveryN
+    val out = graft.streaming.EventStream.lateDataStreamed(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_events")).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        dayofmonth(col("ts")).as("dd"))
+      .collect().map { r =>
+        val base = if (r.getAs[Int]("dd") <= 10) 0 else if (r.getAs[Int]("dd") <= 20) 1 else 2
+        val b = if (base < 2 && r.getAs[Long]("event_id") % LateEveryN == 0) 2 else base
+        (r.getTimestamp(1).getTime, r.getString(2), b)
+      }
+    val delayMs = 10L * 60 * 1000
+    val hourMs = 3600L * 1000
+    // wm(k) = max ts through batch k-2, minus delay (measured engine law)
+    def wm(k: Int): Long = {
+      val prior = ev.filter(_._3 <= k - 2).map(_._1)
+      if (prior.isEmpty) Long.MinValue else prior.max - delayMs
+    }
+    val wmf = ev.map(_._1).max - delayMs
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val expected = ev
+      .filter { case (ts, _, b) => (ts / hourMs) * hourMs + hourMs > wm(b) }
+      .filter { case (ts, _, _) => (ts / hourMs) * hourMs + hourMs <= wmf }
+      .groupBy { case (ts, et, _) => (fmt.format((ts / hourMs) * hourMs), et) }
+      .view.mapValues(_.length.toLong).toMap
+    assert(out == expected,
+      s"streamed result diverges from the watermark fold " +
+        s"(only-stream=${(out.keySet -- expected.keySet).take(3)}, " +
+        s"only-fold=${(expected.keySet -- out.keySet).take(3)})")
+    // the fence is exercised: some late rows dropped, some kept
+    val lateRows = ev.filter(_._3 == 2).filter { case (ts, _, _) =>
+      // late = arrived in batch 2 with day ≤ 20 event time
+      new java.util.Date(ts).toInstant.atZone(java.time.ZoneOffset.UTC).getDayOfMonth <= 20
+    }
+    val dropped = lateRows.count { case (ts, _, b) => (ts / hourMs) * hourMs + hourMs <= wm(b) }
+    assert(lateRows.nonEmpty && dropped > 0 && dropped < lateRows.length,
+      s"late fence not exercised on both sides: $dropped of ${lateRows.length}")
+  }
+
+  test("q179 neighbor lists are symmetric-consistent, ranked, and support-floored") {
+    import graft.operators.Graph.{ItemNeighborsK, MinCoocSupport}
+    val rows = graft.operators.Graph.itemNeighbors(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byItem = rows.groupBy(_.getAs[Long]("item"))
+    byItem.foreach { case (_, rs) =>
+      assert(rs.length <= ItemNeighborsK)
+      val sorted = rs.sortBy(_.getAs[Long]("neighbor_rank"))
+      assert(sorted.map(_.getAs[Long]("neighbor_rank")).toSeq ==
+        (1L to sorted.length).toSeq)
+      // rank order follows (cosine desc, neighbor asc)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (ca, cb) = (a.getAs[Double]("cosine"), b.getAs[Double]("cosine"))
+          assert(ca > cb || (ca == cb &&
+            a.getAs[Long]("neighbor") < b.getAs[Long]("neighbor")))
+        case _ => ()
+      }
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ab") >= MinCoocSupport)
+      val c = r.getAs[Double]("cosine")
+      assert(c > 0.0 && c <= 1.0)
+      assert(r.getAs[Long]("item") != r.getAs[Long]("neighbor"))
+    }
+    // the pair relation under the lists is symmetric: if b is scored for
+    // a, the SAME support underlies (b, a) — spot-check via a reverse map
+    val support = rows.map(r => (r.getAs[Long]("item"), r.getAs[Long]("neighbor")) ->
+      r.getAs[Long]("n_ab")).toMap
+    support.foreach { case ((a, b), s) =>
+      support.get((b, a)).foreach(s2 => assert(s2 == s,
+        s"asymmetric support for ($a,$b): $s vs $s2"))
+    }
+  }
 }

@@ -16,8 +16,14 @@ class ScaleShapeSpec extends SparkSuite {
     * values only (value-domain-bounded, PLANS.md §q61). */
   // q70's vocab ranking window runs over the distinct-TOKEN aggregate
   // (vocabulary-domain-bounded, never the corpus).
+  // q172's offset window runs over the 8-row shard manifest; q173's
+  // cumulative windows run over the 32-bin histogram and the distinct
+  // length-VALUE domain; q176's rank window runs over the part-name
+  // vocabulary aggregate — all domain-bounded, never corpus rows
+  // (PLANS.md §round-11).
   private val allowUnpartitionedWindow =
-    Set("q53_shard_pack", "q61_length_deciles", "q70_vocab_oov")
+    Set("q53_shard_pack", "q61_length_deciles", "q70_vocab_oov",
+      "q172_shuffle_manifest", "q173_quantile_merge", "q176_golden_record")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
