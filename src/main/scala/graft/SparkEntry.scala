@@ -194,7 +194,10 @@ object SparkEntry {
     "q179_item_neighbors" -> (Graph.itemNeighbors _),
     "q180_image_dedup"    -> (Multimodal.imageDedup _),
     "q181_containment_dedup" -> (Dedup.containmentDedup _),
-    "q182_sliding_window" -> (graft.streaming.EventStream.hoppingWindowQuery _)
+    "q182_sliding_window" -> (graft.streaming.EventStream.hoppingWindowQuery _),
+    "q183_mutual_knn"     -> (Similarity.mutualKnn _),
+    "q184_cross_source_dup" -> (Pipeline.crossSourceDup _),
+    "q185_dup_weights"    -> (Pipeline.dupWeights _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -3382,7 +3385,59 @@ object SparkEntry {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
         |       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
         |FROM hw GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
-    }
+    },
+    "q183_mutual_knn" -> {
+      import graft.operators.Similarity.BucketK
+      materializeCtes(ivfHierCellsCte + s""",
+        |mkd AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         list_dot_product(ea.v, eb.v) /
+        |         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS c
+        |  FROM cells a JOIN cells b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id),
+        |mkr AS (
+        |  SELECT va, vb, c,
+        |         row_number() OVER (PARTITION BY va ORDER BY c DESC, vb ASC) AS rn
+        |  FROM mkd)
+        |SELECT f.va AS vec_a, f.vb AS vec_b, round(f.c, 6) AS cosine,
+        |       f.rn::INT AS rank_ab, r.rn::INT AS rank_ba
+        |FROM mkr f JOIN mkr r ON r.va = f.vb AND r.vb = f.va
+        |WHERE f.va < f.vb AND f.rn <= $BucketK AND r.rn <= $BucketK
+        |ORDER BY vec_a, vec_b""".stripMargin)
+    },
+    "q184_cross_source_dup" ->
+      materializeCtes(jaccardCte + """,
+        |vp AS (SELECT i AS doc_a, j AS doc_b FROM jac WHERE jaccard >= 0.8),
+        |sp AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |         least(da.source, db.source) AS src_x,
+        |         greatest(da.source, db.source) AS src_y
+        |  FROM vp p JOIN documents da ON da.doc_id = p.doc_a
+        |            JOIN documents db ON db.doc_id = p.doc_b),
+        |np AS (SELECT src_x, src_y, count(*)::BIGINT AS n_pairs FROM sp GROUP BY 1, 2),
+        |nd AS (SELECT src_x, src_y, count(DISTINCT doc)::BIGINT AS n_docs
+        |       FROM (SELECT src_x, src_y, unnest([doc_a, doc_b]) AS doc FROM sp)
+        |       GROUP BY 1, 2)
+        |SELECT np.src_x, np.src_y, np.n_pairs, nd.n_docs
+        |FROM np JOIN nd USING (src_x, src_y) ORDER BY src_x, src_y""".stripMargin),
+    "q185_dup_weights" ->
+      (dupClustersCte + """,
+        |dsz AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM clus GROUP BY 1),
+        |dw AS (
+        |  SELECT d.source, d.n_chars, z.csize,
+        |         (d.n_chars * 1000000) // z.csize AS w_chars_ppm
+        |  FROM documents d JOIN clus c ON c.doc_id = d.doc_id
+        |  JOIN dsz z ON z.cluster_id = c.cluster_id),
+        |dagg AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |         sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END)::BIGINT AS n_clustered_docs,
+        |         sum(n_chars)::BIGINT AS raw_chars,
+        |         sum(w_chars_ppm)::BIGINT AS eff_chars_ppm
+        |  FROM dw GROUP BY source)
+        |SELECT source, n_docs, n_clustered_docs, raw_chars, eff_chars_ppm,
+        |       floor(eff_chars_ppm::DOUBLE / raw_chars::DOUBLE + 0.5) / 1000000.0 AS keep_ratio
+        |FROM dagg ORDER BY source""".stripMargin)
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -328,4 +328,82 @@ object Pipeline {
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("token_share"))
       .orderBy("predicted_lang", "quality_tier", "dup_status")
   }
+
+  /** q184_cross_source_dup — the source×source near-duplicate overlap
+    * matrix: for every unordered source pair (including a source with
+    * itself), the count of verified ≥0.8-Jaccard pairs crossing it and
+    * the distinct documents involved. This is the provenance readout a
+    * curation run uses to decide WHICH crawl to drop when two sources
+    * mirror each other (a heavy off-diagonal cell means one source is
+    * largely a re-crawl of the other — dedup one side wholesale instead
+    * of pair-by-pair), and the diagonal measures intra-source
+    * boilerplate.
+    *
+    * Scale shape: reads the memoized verified-pair artifact (built once
+    * per session; at 100 TB the persisted pair table), joins the tiny
+    * (doc_id, source) projection onto both endpoints — at scale that
+    * projection join is doc_id-keyed and the pair set is orders of
+    * magnitude smaller than the corpus — then two partial-aggregable
+    * aggregates over the sources² domain (pair counts directly; doc
+    * counts from one explode + distinct on the (src pair, doc) rows).
+    * Nothing wider than |pairs| shuffles. */
+  def crossSourceDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val pairs = Dedup.verifiedPairs(spark, sfDir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        least(col("sa"), col("sb")).as("src_x"),
+        greatest(col("sa"), col("sb")).as("src_y"))
+      .localCheckpoint()
+    val nPairs = pairs.groupBy(col("src_x"), col("src_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = pairs
+      .select(col("src_x"), col("src_y"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy(col("src_x"), col("src_y"))
+      .agg(countDistinct(col("doc")).as("n_docs"))
+    nPairs.join(nDocs, Seq("src_x", "src_y"))
+      .orderBy("src_x", "src_y")
+  }
+
+  /** q185_dup_weights — SOFT dedup: instead of dropping duplicates, emit
+    * per-source loss-weight mass where every member of a near-dup
+    * cluster carries weight 1/|cluster| (singletons weight 1) — the
+    * "count each unique text once in expectation" training objective
+    * used when hard dedup is too aggressive (it preserves the natural
+    * distribution while removing duplication bias). Output per source:
+    * docs, docs in non-trivial clusters, raw char mass, and the
+    * effective (weighted) char mass the sampler would draw.
+    *
+    * Determinism: the per-doc weighted summand is the INTEGER
+    * `n_chars·1e6 div |cluster|` (exact integer division on both
+    * engines), so the per-source sum is an integer — no float
+    * summation-order surface; the final effective-chars value divides
+    * by 1e6 once.
+    *
+    * Scale shape: cluster sizes are a |clusters|-keyed aggregate of the
+    * memoized q31 component labels; the weight join is doc_id-keyed;
+    * the report is a sources-sized aggregate. One corpus scan. */
+  def dupWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val clus = Dedup.dupClusters(spark, sfDir)
+    val sizes = clus.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+    val weighted = docs
+      .join(clus, "doc_id")
+      .join(sizes, "cluster_id")
+      .select(col("source"), col("n_chars"), col("csize"),
+        expr("n_chars * 1000000 div csize").as("w_chars_ppm"))
+    weighted.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_clustered_docs"),
+        sum(col("n_chars")).as("raw_chars"),
+        sum(col("w_chars_ppm")).as("eff_chars_ppm"))
+      .select(col("source"), col("n_docs"), col("n_clustered_docs"),
+        col("raw_chars"), col("eff_chars_ppm"),
+        (floor(col("eff_chars_ppm").cast("double")
+          / col("raw_chars").cast("double") + lit(0.5)) / lit(1e6)).as("keep_ratio"))
+      .orderBy("source")
+  }
 }

@@ -1842,4 +1842,44 @@ object Similarity {
           .sq8Adist(col("qv"), col("nv"), col("s"), SqLevels), 6).as("adist"))
       .transform(rankApproxDist("neighbor_id"))
   }
+
+  /** q183_mutual_knn — RECIPROCAL nearest-neighbor pairs: (a, b) with
+    * a < b where each vector ranks in the OTHER's top-[[BucketK]]
+    * among its home-cell candidates. One-directional kNN edges are
+    * noisy (a hub vector appears in thousands of lists it doesn't
+    * reciprocate); the mutual filter is the standard high-precision
+    * cut for semantic-duplicate confirmation and density estimation
+    * (the reciprocal-NN rule behind RNN-descent and clustering-by-RNN
+    * literature). Complements q73: SemDeDup thresholds raw cosine,
+    * this keeps only RELATIVE mutual agreement — a pair can be mutual
+    * at modest cosine in a sparse region, or non-mutual at high cosine
+    * next to a hub.
+    *
+    * Scale shape: candidates are home-cell pairs from the memoized
+    * [[hierCells]] artifact via the skew-bounded
+    * [[CandidatePairs.boundedSelfJoin]] (cap+salt, output-preserving);
+    * both directions of each undirected pair come from ONE explode
+    * ([[bothDirections]] — no doubled subplan); per-vector ranking is
+    * the map-side [[org.apache.spark.sql.graft.TopKByScore]] fold, so
+    * the ranking exchange carries ≤ n·k rows; the mutual check is one
+    * (vec_a, vec_b)-keyed self-equi-join of the two ≤ n·k halves.
+    * No windows, no corpus product — identical scaling to q73. */
+  def mutualKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val cells = hierCells(spark, sfDir)
+      .select(col("vec_id"), col("tc")(0)("id").cast("int").as("cell"))
+    val und = CandidatePairs
+      .boundedSelfJoin(cells, Seq("cell"), "vec_id", BucketCap)
+    val ranked = topK(bothDirections(und), v, BucketK)
+    val fwd = ranked.filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"),
+        col("rank").as("rank_ab"), col("cosine"))
+    val rev = ranked.filter(col("query_id") > col("neighbor_id"))
+      .select(col("neighbor_id").as("vec_a"), col("query_id").as("vec_b"),
+        col("rank").as("rank_ba"))
+    fwd.join(rev, Seq("vec_a", "vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("cosine"),
+        col("rank_ab"), col("rank_ba"))
+      .orderBy("vec_a", "vec_b")
+  }
 }
