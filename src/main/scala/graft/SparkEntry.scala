@@ -197,7 +197,10 @@ object SparkEntry {
     "q182_sliding_window" -> (graft.streaming.EventStream.hoppingWindowQuery _),
     "q183_mutual_knn"     -> (Similarity.mutualKnn _),
     "q184_cross_source_dup" -> (Pipeline.crossSourceDup _),
-    "q185_dup_weights"    -> (Pipeline.dupWeights _)
+    "q185_dup_weights"    -> (Pipeline.dupWeights _),
+    "q186_random_projection" -> (Similarity.randomProjection _),
+    "q187_bfs_hops"       -> (Graph.bfsHops _),
+    "q188_date_spine"     -> (Relational.dateSpine _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -3437,7 +3440,78 @@ object SparkEntry {
         |  FROM dw GROUP BY source)
         |SELECT source, n_docs, n_clustered_docs, raw_chars, eff_chars_ppm,
         |       floor(eff_chars_ppm::DOUBLE / raw_chars::DOUBLE + 0.5) / 1000000.0 AS keep_ratio
-        |FROM dagg ORDER BY source""".stripMargin)
+        |FROM dagg ORDER BY source""".stripMargin),
+    "q186_random_projection" ->
+      materializeCtes(s"""WITH rp(i, j, s) AS (VALUES $rpSignsValues),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id, t.i, floor(v[t.i + 1] * 1000000.0 + 0.5)::BIGINT AS xq
+        |      FROM e, unnest(range(0, 64)) t(i)),
+        |yq AS (SELECT q.vec_id, rp.j, sum(q.xq * rp.s)::BIGINT AS yq
+        |       FROM q JOIN rp USING (i) GROUP BY 1, 2),
+        |ocd AS (
+        |  SELECT pid, sum(xa * xb)::BIGINT AS dot, sum(xa * xa)::BIGINT AS na,
+        |         sum(xb * xb)::BIGINT AS nb
+        |  FROM (SELECT vec_id // 2 AS pid, i AS dim,
+        |               sum(CASE WHEN vec_id % 2 = 0 THEN xq END) AS xa,
+        |               sum(CASE WHEN vec_id % 2 = 1 THEN xq END) AS xb
+        |        FROM q GROUP BY 1, 2)
+        |  WHERE xa IS NOT NULL AND xb IS NOT NULL GROUP BY 1),
+        |pcd AS (
+        |  SELECT pid, sum(xa * xb)::BIGINT AS dot, sum(xa * xa)::BIGINT AS na,
+        |         sum(xb * xb)::BIGINT AS nb
+        |  FROM (SELECT vec_id // 2 AS pid, j AS dim,
+        |               sum(CASE WHEN vec_id % 2 = 0 THEN yq END) AS xa,
+        |               sum(CASE WHEN vec_id % 2 = 1 THEN yq END) AS xb
+        |        FROM yq GROUP BY 1, 2)
+        |  WHERE xa IS NOT NULL AND xb IS NOT NULL GROUP BY 1),
+        |oc AS (SELECT pid, CASE WHEN na > 0 AND nb > 0
+        |         THEN floor(dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE))
+        |                    * 1000000.0 + 0.5)::BIGINT ELSE 0 END AS o_ppm FROM ocd),
+        |pc AS (SELECT pid, CASE WHEN na > 0 AND nb > 0
+        |         THEN floor(dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE))
+        |                    * 1000000.0 + 0.5)::BIGINT ELSE 0 END AS p_ppm FROM pcd),
+        |jj AS (SELECT least(floor((o_ppm + 1000000)::DOUBLE / 200000.0)::INT, 9) AS band,
+        |              abs(p_ppm - o_ppm) AS err
+        |       FROM oc JOIN pc USING (pid))
+        |SELECT band, count(*)::BIGINT AS n_pairs,
+        |       (sum(err) // count(*))::BIGINT AS mean_abs_err_ppm,
+        |       max(err)::BIGINT AS max_abs_err_ppm
+        |FROM jj GROUP BY band ORDER BY band""".stripMargin),
+    "q187_bfs_hops" -> {
+      import graft.operators.Graph.BfsMaxHops
+      jaccardCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") + s""",
+        |vp AS (SELECT i AS doc_a, j AS doc_b FROM jac WHERE jaccard >= 0.8),
+        |ed AS (SELECT doc_a AS u, doc_b AS v FROM vp
+        |       UNION ALL SELECT doc_b, doc_a FROM vp),
+        |bn AS (SELECT DISTINCT u AS doc_id FROM ed),
+        |bs AS (SELECT DISTINCT doc_a AS doc_id FROM vp
+        |       WHERE doc_a NOT IN (SELECT doc_b FROM vp)),
+        |walk AS (
+        |  SELECT doc_id, 0 AS hops FROM bs
+        |  UNION
+        |  SELECT e.v AS doc_id, w.hops + 1 AS hops
+        |  FROM walk w JOIN ed e ON e.u = w.doc_id
+        |  WHERE w.hops < $BfsMaxHops),
+        |bd AS (SELECT doc_id, min(hops) AS hops FROM walk GROUP BY 1)
+        |SELECT n.doc_id, coalesce(bd.hops, -1)::INT AS hops
+        |FROM bn n LEFT JOIN bd USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "q188_date_spine" ->
+      """WITH od AS (SELECT o_orderdate::DATE AS day,
+        |                   floor(o_totalprice * 100 + 0.5)::BIGINT AS cents FROM orders),
+        |daily AS (SELECT day, count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS cents
+        |          FROM od GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |f AS (SELECT s.day, coalesce(d.n_orders, 0)::BIGINT AS n_orders,
+        |             coalesce(d.cents, 0)::BIGINT AS cents
+        |      FROM spine s LEFT JOIN daily d USING (day)),
+        |wv AS (SELECT day, n_orders, cents,
+        |              sum(cents) OVER w AS sw, count(*) OVER w AS cw
+        |       FROM f WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, n_orders, cents::DOUBLE / 100.0 AS revenue,
+        |       (sw // cw)::DOUBLE / 100.0 AS ma7
+        |FROM wv ORDER BY day""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,
@@ -3554,6 +3628,15 @@ object SparkEntry {
        |  SELECT rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, n
        |  FROM wc WHERE length(w) >= 2),
        |$rounds"""
+  }
+
+  /** q186's ±1 sign matrix as a VALUES list — generated from the SAME
+    * pure-code [[graft.operators.Similarity.RpSigns]] the operator
+    * inlines, so the two sides share signs structurally. */
+  private def rpSignsValues: String = {
+    import graft.operators.Similarity
+    (for { i <- 0 until Similarity.Dims; j <- 0 until Similarity.RpOutDims }
+      yield s"($i,$j,${Similarity.RpSigns(i)(j)})").mkString(", ")
   }
 
   private def materializeCtes(sql: String): String =

@@ -299,4 +299,55 @@ object Graph {
         col("n_ab"), (col("cos_ppm").cast("double") / lit(1e6)).as("cosine"))
       .orderBy("item", "neighbor_rank")
   }
+
+  /** q187 BFS hop cap — provenance depth beyond this reports -1. */
+  val BfsMaxHops = 4
+
+  /** q187_bfs_hops — dedup PROVENANCE depth: for every document in the
+    * verified near-dup graph, the minimum number of verify-hops to the
+    * nearest LOCAL-MIN survivor (a paired doc with no smaller-id
+    * partner — exactly the docs q14's survivor rule keeps from the
+    * pair graph). Hop 1 = directly verified against a kept doc; hop ≥2
+    * = dropped only through a transitive chain — the "how indirect was
+    * this removal decision" audit a curation run consults before
+    * trusting aggressive transitive dedup (long chains are where
+    * semantic drift accumulates: a~b~...~z can connect unrelated
+    * texts). Depth capped at [[BfsMaxHops]]; unreachable-within-cap
+    * reports -1.
+    *
+    * Spark-native shape: multi-source BFS as [[BfsMaxHops]] rounds of
+    * frontier⋈edges equi-join + anti-join against the visited set —
+    * O(edges) shuffle per round, the Pregel cost model like q76/q31;
+    * the edge list localCheckpoints once (iterative-input lesson) and
+    * each frontier/visited state checkpoints per round so no round
+    * re-executes the prior rounds' plan. Both edge directions from one
+    * explode. Oracle = bounded-depth recursive CTE with min-hop fold. */
+  def bfsHops(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.verifiedPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .localCheckpoint()
+    val nodes = edges.select(col("u").as("doc_id")).distinct()
+    val seeds = pairs.select(col("doc_a").as("doc_id")).distinct()
+      .join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    var dist = seeds.withColumn("hops", lit(0)).localCheckpoint()
+    var frontier = dist
+    for (r <- 1 to BfsMaxHops) {
+      val next = frontier
+        .join(edges, frontier("doc_id") === edges("u"))
+        .select(col("v").as("doc_id")).distinct()
+        .join(dist, Seq("doc_id"), "left_anti")
+        .withColumn("hops", lit(r))
+        .localCheckpoint()
+      dist = dist.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    nodes.join(dist, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hops"), lit(-1)).as("hops"))
+      .orderBy("doc_id")
+  }
 }

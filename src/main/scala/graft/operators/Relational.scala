@@ -1573,4 +1573,47 @@ object Relational {
       .union(audit("orders.o_custkey", Tables.orders(spark, sfDir), "o_custkey"))
       .orderBy("join_key")
   }
+
+  /** q188_date_spine — calendar-spine gap fill + trailing 7-day moving
+    * average: daily order revenue LEFT-joined onto the generated
+    * min..max date spine so zero-order days appear as explicit zeros
+    * (q125 interpolates BETWEEN observations; reporting/forecasting
+    * needs the zeros THEMSELVES — a missing day and a zero-revenue day
+    * are different facts), then the smoothed trail every ops dashboard
+    * draws.
+    *
+    * Determinism: revenue quantizes to integer cents at the scan
+    * (floor(p·100+0.5)) so daily sums and the 7-row window sum are
+    * exact integers; the moving average is integer `div` by the
+    * window row count — no float ever sums.
+    *
+    * Scale shape: one date-keyed partial-aggregable daily aggregate
+    * (the only corpus-wide exchange), a broadcast 1-row bounds
+    * aggregate exploded into the spine (`sequence` — date-DOMAIN
+    * sized, ~2.4k rows for TPC-H's range at any SF), and the trailing
+    * window runs over the SPINE only — unpartitioned but
+    * domain-bounded, never corpus rows (whitelisted in
+    * ScaleShapeSpec like q53/q61/q173). */
+  def dateSpine(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val filled = spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    filled
+      .withColumn("sw", sum(col("cents")).over(w))
+      .withColumn("cw", count(lit(1)).over(w))
+      .select(col("day"), col("n_orders"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        (expr("sw div cw").cast("double") / lit(100.0)).as("ma7"))
+      .orderBy("day")
+  }
 }

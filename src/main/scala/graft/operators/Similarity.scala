@@ -1882,4 +1882,86 @@ object Similarity {
         col("rank_ab"), col("rank_ba"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** q186 random-projection output dimensionality (64 → 16). */
+  val RpOutDims = 16
+  /** The q186 ±1 Johnson–Lindenstrauss projection matrix, derived from
+    * MD5("rp_<i>_<j>") parity in PURE CODE (no data dependency) — the
+    * same values inline into the operator as literals and into the
+    * oracle as a VALUES list, so sign parity is structural (the LSH
+    * hyperplane precedent). Indexed [component i][output dim j]. */
+  lazy val RpSigns: IndexedSeq[IndexedSeq[Int]] =
+    (0 until Dims).map { i =>
+      (0 until RpOutDims).map { j =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp_${i}_${j}".getBytes("UTF-8"))
+        if ((md(0) & 1) == 0) 1 else -1
+      }
+    }
+
+  /** q186_random_projection — Johnson–Lindenstrauss ±1 projection
+    * (Achlioptas 2003) 64 → [[RpOutDims]] dims, graded WITH its own
+    * distortion audit: project every vector through the deterministic
+    * sign matrix, then compare original vs projected cosine on the
+    * deterministic pair set (2k, 2k+1) and report per-similarity-band
+    * error stats — the measurement that justifies running the cheap
+    * 16-dim index path (4× less memory/bandwidth per cosine) in place
+    * of full-width vectors.
+    *
+    * Determinism: components quantize to integer micros at the scan, so
+    * each projected coordinate is an EXACT integer sum of ±micros and
+    * both cosines divide exact integer dot products/norms — float
+    * summation order never exists on either engine; cosines floor to
+    * ppm before the banded aggregate (integer mean via div).
+    *
+    * Scale shape: the projection is one broadcast join of the 1024-row
+    * sign matrix onto component rows + a map-side-combined
+    * (vec, j) sum (the n·64·16 multiply is the operator's honest
+    * cost — at 100 TB it runs once and persists, like every index
+    * build); pairing is pid-keyed aggregates; the report is a ≤11-row
+    * band aggregate. No windows, no products. */
+  def randomProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val comps = components(spark, sfDir)
+      .select(col("vec_id"), col("d").as("i"),
+        floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("xq"))
+    import spark.implicits._
+    val matrix = broadcast(
+      (for { i <- 0 until Dims; j <- 0 until RpOutDims }
+        yield (i, j, RpSigns(i)(j)))
+        .toDF("i", "j", "s"))
+    // projected integer coordinates: y_{vec,j} = Σ_i xq_i · s_ij
+    val yq = comps.join(matrix, "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("xq") * col("s")).as("yq"))
+    // deterministic pairs (2k, 2k+1): pid = vec_id div 2, side = parity
+    def paired(df: DataFrame, dimCol: String, valCol: String): DataFrame = df
+      .select(expr("vec_id div 2").as("pid"), pmod(col("vec_id"), lit(2)).as("side"),
+        col(dimCol), col(valCol))
+      .groupBy(col("pid"), col(dimCol))
+      .agg(sum(when(col("side") === 0, col(valCol))).as("xa"),
+        sum(when(col("side") === 1, col(valCol))).as("xb"))
+      .filter(col("xa").isNotNull && col("xb").isNotNull)
+      .groupBy(col("pid"))
+      .agg(sum(col("xa") * col("xb")).as("dot"),
+        sum(col("xa") * col("xa")).as("na"),
+        sum(col("xb") * col("xb")).as("nb"))
+      .select(col("pid"),
+        when(col("na") > 0 && col("nb") > 0,
+          floor(col("dot").cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+            * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as(s"cos_ppm"))
+    val orig = paired(comps, "i", "xq").withColumnRenamed("cos_ppm", "o_ppm")
+    val proj = paired(yq, "j", "yq").withColumnRenamed("cos_ppm", "p_ppm")
+    orig.join(proj, "pid")
+      .select(
+        least(floor((col("o_ppm") + lit(1000000L)) / lit(200000.0)).cast("int"), lit(9))
+          .as("band"),
+        abs(col("p_ppm") - col("o_ppm")).as("err"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(err) div count(1)").as("mean_abs_err_ppm"),
+        max(col("err")).as("max_abs_err_ppm"))
+      .orderBy("band")
+  }
 }

@@ -21,9 +21,12 @@ class ScaleShapeSpec extends SparkSuite {
   // length-VALUE domain; q176's rank window runs over the part-name
   // vocabulary aggregate — all domain-bounded, never corpus rows
   // (PLANS.md §round-11).
+  // q188's trailing window runs over the generated date SPINE —
+  // date-domain-bounded (~2.4k rows at any SF), never corpus rows.
   private val allowUnpartitionedWindow =
     Set("q53_shard_pack", "q61_length_deciles", "q70_vocab_oov",
-      "q172_shuffle_manifest", "q173_quantile_merge", "q176_golden_record")
+      "q172_shuffle_manifest", "q173_quantile_merge", "q176_golden_record",
+      "q188_date_spine")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
