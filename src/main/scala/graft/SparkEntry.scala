@@ -200,7 +200,11 @@ object SparkEntry {
     "q185_dup_weights"    -> (Pipeline.dupWeights _),
     "q186_random_projection" -> (Similarity.randomProjection _),
     "q187_bfs_hops"       -> (Graph.bfsHops _),
-    "q188_date_spine"     -> (Relational.dateSpine _)
+    "q188_date_spine"     -> (Relational.dateSpine _),
+    "q189_file_advisor"   -> (Layout.fileAdvisor _),
+    "q190_simhash_search" -> (Dedup.simhashSearch _),
+    "q191_audience_overlap" -> (Relational.audienceOverlap _),
+    "q192_epoch_mix"      -> (Sampling.epochMix _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -3511,7 +3515,69 @@ object SparkEntry {
         |       FROM f WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
         |SELECT day, n_orders, cents::DOUBLE / 100.0 AS revenue,
         |       (sw // cw)::DOUBLE / 100.0 AS ma7
-        |FROM wv ORDER BY day""".stripMargin
+        |FROM wv ORDER BY day""".stripMargin,
+    "q189_file_advisor" -> {
+      import graft.operators.Layout.FileTargetBytes
+      s"""WITH fa AS (SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |                   sum(n_chars)::BIGINT AS bytes
+        |            FROM documents GROUP BY 1, 2)
+        |SELECT lang, source, n_docs, bytes,
+        |       (bytes + ${FileTargetBytes - 1}) // $FileTargetBytes AS n_files,
+        |       bytes * 1000000
+        |         // (((bytes + ${FileTargetBytes - 1}) // $FileTargetBytes) * $FileTargetBytes)
+        |         AS fill_ppm,
+        |       bytes < ${FileTargetBytes / 2} AS merge_candidate
+        |FROM fa ORDER BY lang, source""".stripMargin
+    },
+    "q190_simhash_search" -> {
+      import graft.operators.Dedup.SearchQueryMod
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\r]+')) AS tok FROM documents
+        |),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+        |  FROM h, unnest(range(0, 48)) t(b)
+        |  GROUP BY doc_id, b
+        |),
+        |sim AS (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT q.doc_id AS query_id, c.doc_id AS match_id,
+        |       bit_count(xor(q.simhash, c.simhash))::INT AS hamming
+        |FROM sim q JOIN sim c ON q.doc_id % $SearchQueryMod = 0 AND c.doc_id <> q.doc_id
+        |WHERE bit_count(xor(q.simhash, c.simhash)) <= 3
+        |ORDER BY query_id, match_id""".stripMargin
+    },
+    "q191_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |pt AS (SELECT event_type, count(*)::BIGINT AS n FROM ut GROUP BY 1),
+        |bo AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |              count(*)::BIGINT AS n_both
+        |       FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |                          AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT bo.type_a, bo.type_b, pa.n AS n_a, pb.n AS n_b, bo.n_both,
+        |       bo.n_both * 1000000 // (pa.n + pb.n - bo.n_both) AS jaccard_ppm
+        |FROM bo JOIN pt pa ON pa.event_type = bo.type_a
+        |        JOIN pt pb ON pb.event_type = bo.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q192_epoch_mix" -> {
+      import graft.operators.Sampling.EpochBudgetDen
+      s"""WITH em AS (
+        |  SELECT lang, sum(len(regexp_extract_all(text, '[^ \t\n\r]+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |es AS (SELECT lang, n_tokens,
+        |              floor(sqrt(n_tokens::DOUBLE) * 1000000.0 + 0.5)::BIGINT AS s_l
+        |       FROM em),
+        |et AS (SELECT sum(s_l)::BIGINT AS s_tot, sum(n_tokens)::BIGINT AS n_tot FROM es)
+        |SELECT lang, n_tokens,
+        |       s_l * 1000000 // s_tot AS share_ppm,
+        |       (n_tot // $EpochBudgetDen) * s_l // s_tot AS alloc_tokens,
+        |       ((n_tot // $EpochBudgetDen) * s_l // s_tot) * 1000000 // n_tokens AS epochs_ppm
+        |FROM es CROSS JOIN et ORDER BY lang""".stripMargin
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

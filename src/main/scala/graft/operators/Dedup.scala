@@ -897,4 +897,46 @@ object Dedup {
           .as("affected_share"))
       .orderBy("threshold")
   }
+
+  /** q190 query slice: every 50th doc_id (the q51 convention). */
+  val SearchQueryMod = 50
+
+  /** q190_simhash_search — near-duplicate LOOKUP (query → corpus), the
+    * search form of q13's pair mining: for each query document
+    * (doc_id ≡ 0 mod [[SearchQueryMod]]), every corpus document within
+    * hamming ≤ [[HammingMax]] of its simhash. This is the ONLINE
+    * membership check an ingestion gate runs — "is this incoming page
+    * a near-dup of anything we already hold?" — where q13 is the
+    * offline batch sweep; the multi-table pigeonhole trick (Manku et
+    * al., WWW 2007: hamming ≤3 over 4 12-bit bands ⇒ ≥1 identical
+    * band) makes recall EXACT, so the all-pairs oracle hash-matches
+    * the banded plan.
+    *
+    * Scale shape: the corpus band table is the persisted index (4 rows
+    * per doc); a query batch probes it with a band-keyed equi-join —
+    * per query, work ∝ its band-bucket occupancy, never corpus size;
+    * the hamming verify is a scan-local xor/popcount on the joined
+    * signatures. Same skew story as q13 (band values spread by
+    * construction). */
+  def simhashSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val sims = simhashes(spark, sfDir)
+    val bandStructs: Seq[Column] = (0 until SimhashBands).map { j =>
+      struct(lit(j).as("band_id"),
+        shiftright(col("simhash"), 12 * j).bitwiseAND(lit(0xFFFL)).as("bv"))
+    }
+    val buckets = sims
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"),
+        col("bs.band_id").as("band_id"), col("bs.bv").as("bv"))
+    val queries = buckets.filter(pmod(col("doc_id"), lit(SearchQueryMod)) === 0)
+    queries.alias("q")
+      .join(buckets.alias("c"),
+        col("q.band_id") === col("c.band_id") && col("q.bv") === col("c.bv")
+          && col("q.doc_id") =!= col("c.doc_id"))
+      .select(col("q.doc_id").as("query_id"), col("c.doc_id").as("match_id"),
+        bit_count(col("q.simhash").bitwiseXOR(col("c.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+      .orderBy("query_id", "match_id")
+  }
 }

@@ -138,4 +138,35 @@ object Layout {
       col("first_doc"), col("last_doc"), col("checksum"))
       .orderBy("shard_id")
   }
+
+  /** q189 target bytes per output file (64 KiB at test scale; the
+    * production analogue is the 128 MiB-1 GiB parquet sweet spot). */
+  val FileTargetBytes = 65536L
+
+  /** q189_file_advisor — the small-file compaction/layout planner: for
+    * each (lang, source) partition of the corpus, the char mass, the
+    * file count a [[FileTargetBytes]]-sized writer should emit
+    * (ceil(bytes/target)), the fill ratio of that layout, and the
+    * merge-candidate flag for partitions under half a file — the
+    * planning report behind `OPTIMIZE`/compaction jobs and
+    * `repartition(n)` before partitioned writes. The small-file
+    * problem is a partition-SPEC problem: a spec that shreds the
+    * corpus into thousands of half-empty files costs a namenode
+    * listing + a task per file every downstream scan; this query is
+    * the number that catches it before the write.
+    *
+    * Scale shape: ONE partial-aggregable (lang, source) aggregate over
+    * the scan; everything downstream is integer projections on the
+    * partitions-sized frame (ceil and fill via exact integer div —
+    * no floats anywhere). */
+  def fileAdvisor(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      .select(col("lang"), col("source"), col("n_docs"), col("bytes"),
+        expr(s"(bytes + $FileTargetBytes - 1) div $FileTargetBytes").as("n_files"),
+        expr(s"bytes * 1000000 div (((bytes + $FileTargetBytes - 1) div $FileTargetBytes) * $FileTargetBytes)")
+          .as("fill_ppm"),
+        (col("bytes") < lit(FileTargetBytes / 2)).as("merge_candidate"))
+      .orderBy("lang", "source")
 }

@@ -1616,4 +1616,40 @@ object Relational {
         (expr("sw div cw").cast("double") / lit(100.0)).as("ma7"))
       .orderBy("day")
   }
+
+  /** q191_audience_overlap — the bitmap-index intersection readout: for
+    * every unordered pair of event types, the exact distinct-user
+    * audiences, their intersection, and Jaccard overlap — the
+    * "do purchasers also click" co-usage matrix that roaring-bitmap
+    * engines (Druid/Pinot/ClickHouse bitmap indexes) serve, expressed
+    * on shuffle primitives. The per-user type set is bounded by the
+    * TYPE DOMAIN (≤ a handful), so the per-user pair expansion is
+    * O(types²) per user — never a corpus-sized product.
+    *
+    * Scale shape: one distinct (user, type) projection (the dedup
+    * exchange — at scale, the precomputed bitmap); per-type counts are
+    * a types-sized aggregate of it; the pair counts come from the
+    * user-keyed self-equi-join (bounded fan-out per the above) into a
+    * types²-sized aggregate; the two tiny frames broadcast onto the
+    * pair rows. Jaccard is integer ppm (exact div — no floats). */
+  def audienceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ut = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint()
+    val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val both = ut.alias("a")
+      .join(ut.alias("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(perType.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+        "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+        "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        expr("n_both * 1000000 div (n_a + n_b - n_both)").as("jaccard_ppm"))
+      .orderBy("type_a", "type_b")
+  }
 }

@@ -294,4 +294,43 @@ object Sampling {
         greatest(col("w").cast("double"), col("tau")).as("w_est"))
       .orderBy("smp_rank")
   }
+
+  /** q192 training-budget fraction: budget = total tokens div 2. */
+  val EpochBudgetDen = 2L
+
+  /** q192_epoch_mix — the EPOCH/REPEAT plan a training run derives from
+    * a temperature-weighted language mix: allocate a token budget
+    * (half the corpus, [[EpochBudgetDen]]) across languages
+    * proportionally to n_lang^0.5 (the α=0.5 mBERT/XLM-R temperature
+    * q71 samples BY), and report per language the implied epoch count
+    * alloc/n_lang — the number that tells you a tail language will be
+    * REPEATED (epochs > 1, memorization risk) while the head is
+    * subsampled (epochs < 1). q71 materializes the sampled rows; this
+    * emits the PLAN (the mixture card the data loader consumes).
+    *
+    * Determinism: per-language weights are floor(√n·1e6) integers
+    * (sqrt is IEEE-correctly-rounded on identical BIGINT inputs), so
+    * the weight total, ppm shares, allocations and epoch ratios are
+    * ALL exact integer arithmetic — no float sum ever forms.
+    *
+    * Scale shape: one partial-aggregable per-language token-count
+    * aggregate over the scan; everything else is integer projections
+    * over the langs-sized frame with the 1-row total broadcast. */
+  def epochMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val perLang = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        size(graft.functions.TextFunctions.wsTokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("lang")).agg(sum(col("nt")).as("n_tokens"))
+      .select(col("lang"), col("n_tokens"),
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("s_l"))
+    val tot = perLang.agg(sum(col("s_l")).as("s_tot"), sum(col("n_tokens")).as("n_tot"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"),
+        expr("s_l * 1000000 div s_tot").as("share_ppm"),
+        expr(s"(n_tot div $EpochBudgetDen) * s_l div s_tot").as("alloc_tokens"))
+      .select(col("lang"), col("n_tokens"), col("share_ppm"), col("alloc_tokens"),
+        expr("alloc_tokens * 1000000 div n_tokens").as("epochs_ppm"))
+      .orderBy("lang")
+  }
 }
