@@ -204,7 +204,10 @@ object SparkEntry {
     "q189_file_advisor"   -> (Layout.fileAdvisor _),
     "q190_simhash_search" -> (Dedup.simhashSearch _),
     "q191_audience_overlap" -> (Relational.audienceOverlap _),
-    "q192_epoch_mix"      -> (Sampling.epochMix _)
+    "q192_epoch_mix"      -> (Sampling.epochMix _),
+    "q193_stream_update_exec" -> (graft.streaming.EventStream.userStatsUpdateStreamed _),
+    "q194_ks_drift"       -> (DataQuality.ksDrift _),
+    "q195_asof_forward"   -> (Relational.asofForward _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -3577,7 +3580,43 @@ object SparkEntry {
         |       (n_tot // $EpochBudgetDen) * s_l // s_tot AS alloc_tokens,
         |       ((n_tot // $EpochBudgetDen) * s_l // s_tot) * 1000000 // n_tokens AS epochs_ppm
         |FROM es CROSS JOIN et ORDER BY lang""".stripMargin
-    }
+    },
+    "q193_stream_update_exec" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |       sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT::DOUBLE / 100.0 AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q194_ks_drift" -> {
+      import graft.operators.DataQuality.{KsSourceA, KsSourceB}
+      s"""WITH kd AS (SELECT source, n_chars FROM documents
+        |            WHERE source IN ('$KsSourceA', '$KsSourceB')),
+        |kc AS (SELECT n_chars AS v,
+        |              sum(CASE WHEN source = '$KsSourceA' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |              sum(CASE WHEN source = '$KsSourceB' THEN 1 ELSE 0 END)::BIGINT AS cb
+        |       FROM kd GROUP BY 1),
+        |kcum AS (SELECT v, (sum(ca) OVER w)::BIGINT AS cuma, (sum(cb) OVER w)::BIGINT AS cumb
+        |         FROM kc
+        |         WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |kt AS (SELECT sum(CASE WHEN source = '$KsSourceA' THEN 1 ELSE 0 END)::BIGINT AS na,
+        |              sum(CASE WHEN source = '$KsSourceB' THEN 1 ELSE 0 END)::BIGINT AS nb
+        |       FROM kd),
+        |ks AS (SELECT v, abs(cuma * nb - cumb * na) AS dnum, na, nb
+        |       FROM kcum CROSS JOIN kt),
+        |kbest AS (SELECT na, nb, dnum, v FROM ks ORDER BY dnum DESC, v ASC LIMIT 1)
+        |SELECT '$KsSourceA' AS source_a, '$KsSourceB' AS source_b,
+        |       na AS n_a, nb AS n_b, dnum AS ks_num,
+        |       dnum * 1000000 // (na * nb) AS ks_ppm, v AS ks_at
+        |FROM kbest""".stripMargin
+    },
+    "q195_asof_forward" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       coalesce(strftime(p.ts, '%Y-%m-%d %H:%M:%S'), '-') AS purchase_ts,
+        |       coalesce(p.value, -1.0) AS purchase_value
+        |FROM (SELECT *, -epoch_us(ts) AS negts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT *, -epoch_us(ts) AS negts
+        |                FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.negts >= p.negts
+        |ORDER BY click_id""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

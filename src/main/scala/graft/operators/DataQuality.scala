@@ -161,4 +161,56 @@ object DataQuality {
         (col("max_dev2").cast("double") / lit(2.0)).as("max_abs_dev"))
       .orderBy("lang")
   }
+
+  /** q194 KS comparison sources. */
+  val KsSourceA = "src0"
+  val KsSourceB = "src1"
+
+  /** q194_ks_drift — two-sample Kolmogorov–Smirnov distance between two
+    * sources' document-length distributions: D = max_v |F_A(v) − F_B(v)|
+    * plus the length where the gap peaks — the DISTRIBUTION-SHAPE drift
+    * test completing the drift family (q152's KL sees bin-mass shifts
+    * but is blind to WHERE mass moved along the axis; KS is the
+    * classic two-sample location/shape test and needs no binning).
+    *
+    * Exactness: both empirical CDFs are rationals c/N, so the gap
+    * compares via CROSS-MULTIPLICATION — dnum = |cum_A·N_B − cum_B·N_A|
+    * is an exact integer and the max over values never touches a
+    * float; only the final reported D divides (ppm via integer div).
+    * (BIGINT bounds: cum·N ≤ N_A·N_B — fine to ~3e9 rows per source;
+    * beyond that the same arithmetic runs in decimal.)
+    *
+    * Scale shape: one conditional-count aggregate over the two-source
+    * slice keyed by length VALUE, one cumulative window over that
+    * value DOMAIN (never corpus rows — the q61/q136 convention,
+    * whitelisted), a broadcast 1-row total, and a 1-row max fold with
+    * the deterministic argmax tie-break (max gap, then smallest
+    * length). */
+  def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+      .filter(col("source").isin(KsSourceA, KsSourceB))
+      .select(col("source"), col("n_chars"))
+    val counts = d.groupBy(col("n_chars").as("v"))
+      .agg(sum(when(col("source") === KsSourceA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === KsSourceB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.select(col("v"),
+      sum(col("ca")).over(w).as("cuma"), sum(col("cb")).over(w).as("cumb"))
+    val tot = d.agg(
+      sum(when(col("source") === KsSourceA, 1L).otherwise(0L)).as("na"),
+      sum(when(col("source") === KsSourceB, 1L).otherwise(0L)).as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("dnum"),
+        col("v"))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(struct(col("dnum"), (-col("v")).as("nv"))).as("top"))
+      .select(lit(KsSourceA).as("source_a"), lit(KsSourceB).as("source_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        col("top.dnum").as("ks_num"),
+        expr("top.dnum * 1000000 div (na * nb)").as("ks_ppm"),
+        (-col("top.nv")).as("ks_at"))
+  }
 }

@@ -1652,4 +1652,38 @@ object Relational {
         expr("n_both * 1000000 div (n_a + n_b - n_both)").as("jaccard_ppm"))
       .orderBy("type_a", "type_b")
   }
+
+  /** q195_asof_forward — FORWARD as-of join ("next event at or after"):
+    * each click attributed to the user's NEXT purchase — conversion
+    * attribution, where q30's backward as-of answers provenance
+    * ("which view led here"). No new operator: the backward
+    * [[org.apache.spark.sql.graft.AsOf]] plan runs on NEGATED
+    * microsecond timestamps (max −t_p ≤ −t_c ⟺ min t_p ≥ t_c), a
+    * direction-reversal composition the custom O(n+m) merge exec
+    * supports because its as-of column is any ordered Long — the same
+    * trick a deployment uses rather than shipping a second operator.
+    * DuckDB's native ASOF is likewise backward-only, so the oracle
+    * applies the identical negation.
+    *
+    * Scale shape: identical to q30 — ClusteredDistribution on user +
+    * per-partition (user, −ts) sort planned by EnsureRequirements,
+    * one O(n+m) two-pointer merge pass, O(1) state per partition. */
+  def asofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"), (-unix_micros(col("ts"))).as("c_negts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        (-unix_micros(col("ts"))).as("p_negts"), col("value").as("purchase_value"))
+    org.apache.spark.sql.graft.AsOf
+      .join(clicks, purchases, "c_user", "c_negts", "p_user", "p_negts")
+      .select(
+        col("click_id"), col("c_user").as("user_id"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        coalesce(date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss"), lit("-"))
+          .as("purchase_ts"),
+        coalesce(col("purchase_value"), lit(-1.0)).as("purchase_value"))
+      .orderBy("click_id")
+  }
 }

@@ -653,18 +653,19 @@ object EventStream {
     * windows only), and the same plan runs against a Kafka source —
     * the file batches stand in for arrival order, which no test
     * corpus can otherwise control. */
-  def lateDataStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Materialize a `b`-tagged frame as one parquet FILE per batch tag
+    * (0..nBatches-1) with distinct ascending mod times, so a
+    * maxFilesPerTrigger=1 file stream replays the tags as deterministic
+    * arrival order — the shared arrival-control harness of the q178/
+    * q193 multi-batch streaming paths. Returns the stream directory. */
+  private def writeArrivalBatches(
+      tagged: DataFrame, cols: Seq[String], prefix: String,
+      nBatches: Int): java.io.File = {
     import java.nio.file.Files
-    val ev = Tables.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("event_type"))
-    val base = when(dayofmonth(col("ts")) <= 10, 0)
-      .when(dayofmonth(col("ts")) <= 20, 1).otherwise(2)
-    val tagged = ev.withColumn("b",
-      when(base < 2 && col("event_id") % LateEveryN === 0, 2).otherwise(base))
-    val dir = Files.createTempDirectory("graft_late_").toFile
-    (0 to 2).foreach { k =>
+    val dir = Files.createTempDirectory(prefix).toFile
+    (0 until nBatches).foreach { k =>
       val tmp = new java.io.File(dir, s"_tmp$k")
-      tagged.filter(col("b") === k).select("event_id", "ts", "event_type")
+      tagged.filter(col("b") === k).select(cols.map(col): _*)
         .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
       val part = tmp.listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
@@ -674,6 +675,18 @@ object EventStream {
       dst.setLastModified(1700000000000L + k * 60000L)
       tmp.listFiles().foreach(_.delete()); tmp.delete()
     }
+    dir
+  }
+
+  def lateDataStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val base = when(dayofmonth(col("ts")) <= 10, 0)
+      .when(dayofmonth(col("ts")) <= 20, 1).otherwise(2)
+    val tagged = ev.withColumn("b",
+      when(base < 2 && col("event_id") % LateEveryN === 0, 2).otherwise(base))
+    val dir = writeArrivalBatches(tagged,
+      Seq("event_id", "ts", "event_type"), "graft_late_", 3)
     val stream = spark.readStream
       .schema(tagged.select("event_id", "ts", "event_type").schema)
       .option("maxFilesPerTrigger", "1")
@@ -692,6 +705,58 @@ object EventStream {
     }
     val out = spark.table(name)
       .orderBy("win_start", "event_type").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  /** q193_stream_update_exec — UPDATE output mode graded through a real
+    * streaming run (9th graded streaming path, and the first in Update
+    * mode — the only legal mode for an UNBOUNDED aggregation: Append
+    * can never emit rows the state might still change, Complete
+    * re-emits the world each trigger): per-user lifetime stats over
+    * three deterministic arrival batches (the q178 day-band file
+    * harness, no late tagging). Each trigger emits only the users that
+    * batch CHANGED — the memory sink therefore accumulates each user's
+    * update HISTORY, and because both aggregates are MONOTONE (event
+    * count; sum of positive integer cents), the final state is the
+    * component-wise max over that history — exactly the fold a
+    * downstream upsert sink (the production pairing for Update mode)
+    * applies by key. Oracle = the same stats as one batch aggregate,
+    * so the hash-match proves replaying the update stream reconstructs
+    * the batch answer.
+    *
+    * Scale shape: the streaming agg keeps one (user) state row per
+    * key (watermark-free is honest here: lifetime stats never close);
+    * the grading fold is a user-keyed max aggregate over the drained
+    * sink. */
+  def userStatsUpdateStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("cents"))
+    val tagged = ev.withColumn("b",
+      when(dayofmonth(col("ts")) <= 10, 0)
+        .when(dayofmonth(col("ts")) <= 20, 1).otherwise(2))
+    val dir = writeArrivalBatches(tagged,
+      Seq("event_id", "ts", "user_id", "cents"), "graft_upd_", 3)
+    val stream = spark.readStream
+      .schema(tagged.select("event_id", "ts", "user_id", "cents").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val name = s"graft_stream_upd_${streamRunId.incrementAndGet()}"
+    withStatePartitions(spark, 4) {
+      val q = stream.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val out = spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("sum_cents")).as("sum_cents"))
+      .select(col("user_id"), col("n_events"),
+        (col("sum_cents").cast("double") / lit(100.0)).as("sum_value"))
+      .orderBy("user_id").localCheckpoint()
     spark.catalog.dropTempView(name)
     out
   }

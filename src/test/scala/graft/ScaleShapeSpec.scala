@@ -23,10 +23,12 @@ class ScaleShapeSpec extends SparkSuite {
   // (PLANS.md §round-11).
   // q188's trailing window runs over the generated date SPINE —
   // date-domain-bounded (~2.4k rows at any SF), never corpus rows.
+  // q194's cumulative window runs over the distinct length-VALUE
+  // domain of a two-source slice (the q61/q136 convention).
   private val allowUnpartitionedWindow =
     Set("q53_shard_pack", "q61_length_deciles", "q70_vocab_oov",
       "q172_shuffle_manifest", "q173_quantile_merge", "q176_golden_record",
-      "q188_date_spine")
+      "q188_date_spine", "q194_ks_drift")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
