@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for q183-q195 (round-12 additions): mutual kNN,
+  * provenance/overlap reports, JL projection, date spine, file advisor,
+  * simhash lookup, audience overlap, epoch mix, Update-mode streaming,
+  * KS drift, forward as-of. */
+class Round12OpsSpec extends SparkSuite {
+
+  test("q183 mutual pairs are exactly the reciprocal top-k edges") {
+    val rows = graft.operators.Similarity.mutualKnn(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus has near-identical vectors — mutual pairs must exist")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Int]("rank_ab") >= 1 && r.getAs[Int]("rank_ab") <= 3)
+      assert(r.getAs[Int]("rank_ba") >= 1 && r.getAs[Int]("rank_ba") <= 3)
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.000001 && c <= 1.000001)
+    }
+    // mutuality is strictly stronger than one-directional membership:
+    // every mutual pair shares a home cell
+    val cells = graft.operators.Similarity.hierCells(spark, sf)
+      .select(col("vec_id"), col("tc")(0)("id").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("c")).toMap
+    rows.foreach { r =>
+      assert(cells(r.getAs[Long]("vec_a")) == cells(r.getAs[Long]("vec_b")),
+        "mutual pair must share its home cell")
+    }
+  }
+
+  test("q184 matrix partitions the verified pair set") {
+    val m = graft.operators.Pipeline.crossSourceDup(spark, sf).collect()
+    val nPairs = graft.operators.Dedup.verifiedPairs(spark, sf).count()
+    assert(m.map(_.getAs[Long]("n_pairs")).sum == nPairs,
+      "source-pair cells must partition the pair set")
+    m.foreach { r =>
+      assert(r.getAs[String]("src_x") <= r.getAs[String]("src_y"))
+      assert(r.getAs[Long]("n_docs") <= 2 * r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("n_docs") >= 2, "a pair involves at least 2 docs")
+    }
+  }
+
+  test("q185 effective mass never exceeds raw mass and matches cluster structure") {
+    val rows = graft.operators.Pipeline.dupWeights(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val raw = r.getAs[Long]("raw_chars")
+      val eff = r.getAs[Long]("eff_chars_ppm")
+      assert(eff <= raw * 1000000L)
+      val ratio = r.getAs[Double]("keep_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+      if (r.getAs[Long]("n_clustered_docs") == 0L)
+        assert(eff == raw * 1000000L, "no clustered docs ⇒ weights all 1")
+      else assert(eff < raw * 1000000L, "clustered docs ⇒ some weight < 1")
+    }
+  }
+
+  test("q186 bands cover every deterministic pair and errors are sane") {
+    val rows = graft.operators.Similarity.randomProjection(spark, sf).collect()
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nVecs / 2,
+      "every (2k, 2k+1) pair lands in exactly one band")
+    rows.foreach { r =>
+      val band = r.getAs[Int]("band")
+      assert(band >= 0 && band <= 9)
+      assert(r.getAs[Long]("mean_abs_err_ppm") <= r.getAs[Long]("max_abs_err_ppm"))
+      // a 16-dim JL sketch is coarse but not useless: banded mean error
+      // stays well inside the trivial bound of 2.0
+      assert(r.getAs[Long]("mean_abs_err_ppm") < 2000000L)
+    }
+    // the sign matrix is balanced enough to be a real projection
+    val signs = graft.operators.Similarity.RpSigns.flatten
+    val pos = signs.count(_ == 1)
+    assert(pos > signs.size / 3 && pos < 2 * signs.size / 3)
+  }
+
+  test("q187 hop labels satisfy BFS invariants") {
+    val rows = graft.operators.Graph.bfsHops(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("hops")).toMap
+    val pairs = graft.operators.Dedup.verifiedPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && pairs.nonEmpty)
+    val asB = pairs.map(_._2).toSet
+    val seeds = pairs.map(_._1).toSet -- asB
+    // hop 0 ⇔ local-min survivor
+    rows.foreach { case (d, h) =>
+      assert(h >= -1 && h <= graft.operators.Graph.BfsMaxHops)
+      assert((h == 0) == seeds.contains(d))
+    }
+    // triangle law: neighbors' hop labels differ by at most 1 (both reachable)
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1))).groupBy(_._1)
+    adj.foreach { case (u, es) =>
+      val hu = rows(u)
+      es.map(_._2).foreach { v =>
+        val hv = rows(v)
+        if (hu >= 0 && hv >= 0) assert(math.abs(hu - hv) <= 1,
+          s"adjacent $u($hu) / $v($hv) violate BFS level property")
+      }
+    }
+  }
+
+  test("q188 spine is dense and the trailing mean matches a direct fold") {
+    val rows = graft.operators.Relational.dateSpine(spark, sf).collect()
+    val days = rows.map(_.getAs[java.sql.Date]("day").toLocalDate)
+    assert(days.zip(days.tail).forall { case (a, b) => b == a.plusDays(1) },
+      "spine must be gap-free")
+    val nOrders = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == nOrders)
+    val cents = rows.map(r => math.round(r.getAs[Double]("revenue") * 100))
+    rows.indices.foreach { i =>
+      val w = cents.slice(math.max(0, i - 6), i + 1)
+      assert(math.round(rows(i).getAs[Double]("ma7") * 100) == w.sum / w.length,
+        s"ma7 mismatch at ${days(i)}")
+    }
+  }
+
+  test("q189 advisor arithmetic is exact ceil/fill") {
+    val rows = graft.operators.Layout.fileAdvisor(spark, sf).collect()
+    val t = graft.operators.Layout.FileTargetBytes
+    rows.foreach { r =>
+      val bytes = r.getAs[Long]("bytes"); val nf = r.getAs[Long]("n_files")
+      assert(nf == (bytes + t - 1) / t && nf >= 1)
+      assert(r.getAs[Long]("fill_ppm") == bytes * 1000000L / (nf * t))
+      assert(r.getAs[Boolean]("merge_candidate") == (bytes < t / 2))
+    }
+  }
+
+  test("q190 lookup equals the q13 pair sweep restricted to the query slice") {
+    val hits = graft.operators.Dedup.simhashSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("match_id"))).toSet
+    val pairs = graft.operators.Dedup.simhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val expect = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .filter(_._1 % graft.operators.Dedup.SearchQueryMod == 0).toSet
+    assert(hits == expect, s"lookup/sweep diverge: ${(hits -- expect).take(3)} / ${(expect -- hits).take(3)}")
+  }
+
+  test("q191 intersections obey set algebra") {
+    val rows = graft.operators.Relational.audienceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, both) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_both"))
+      assert(both <= math.min(na, nb))
+      assert(r.getAs[Long]("jaccard_ppm") == both * 1000000L / (na + nb - both))
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+    }
+  }
+
+  test("q192 plan allocates the budget with temperature flattening") {
+    val rows = graft.operators.Sampling.epochMix(spark, sf).collect()
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length,
+      "ppm shares sum to 1e6 up to per-language floor loss")
+    // α=0.5 flattening: smallest language gets the highest epoch rate
+    val byTokens = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(byTokens.head.getAs[Long]("epochs_ppm") >= byTokens.last.getAs[Long]("epochs_ppm"))
+    val nTot = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum <= nTot / graft.operators.Sampling.EpochBudgetDen)
+  }
+
+  test("q193 the update stream is multi-version and folds to the batch answer") {
+    val out = graft.streaming.EventStream.userStatsUpdateStreamed(spark, sf)
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(100) + lit(0.5)).cast("long")).as("cents"))
+      .select(col("user_id"), col("n_events"),
+        (col("cents").cast("double") / lit(100.0)).as("sum_value"))
+    assert(out.count() == batch.count())
+    assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty,
+      "folded update stream must equal the batch aggregate")
+  }
+
+  test("q194 KS statistic matches a brute-force fold") {
+    val r = graft.operators.DataQuality.ksDrift(spark, sf).collect().head
+    import graft.operators.DataQuality.{KsSourceA, KsSourceB}
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("source").isin(KsSourceA, KsSourceB))
+      .select(col("source"), col("n_chars")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val a = docs.filter(_._1 == KsSourceA).map(_._2)
+    val b = docs.filter(_._1 == KsSourceB).map(_._2)
+    val vs = (a ++ b).distinct.sorted
+    val best = vs.map { v =>
+      (math.abs(a.count(_ <= v).toLong * b.length - b.count(_ <= v).toLong * a.length), v)
+    }.maxBy(t => (t._1, -t._2))
+    assert(r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length)
+    assert(r.getAs[Long]("ks_num") == best._1)
+    assert(r.getAs[Long]("ks_at") == best._2)
+  }
+
+  test("q195 forward as-of picks each click's earliest subsequent purchase") {
+    val rows = graft.operators.Relational.asofForward(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .collect()
+    val purchases = ev.filter(_.getAs[String]("event_type") == "purchase")
+      .groupBy(_.getAs[Long]("user_id"))
+    val clicks = ev.filter(_.getAs[String]("event_type") == "click")
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"))).toMap
+    assert(rows.length == clicks.size)
+    rows.foreach { r =>
+      val (user, cts) = clicks(r.getAs[Long]("click_id"))
+      val next = purchases.getOrElse(user, Array.empty)
+        .filter(p => !p.getAs[java.sql.Timestamp]("ts").before(cts))
+        .sortBy(_.getAs[java.sql.Timestamp]("ts").getTime)
+      if (next.isEmpty) assert(r.getAs[String]("purchase_ts") == "-")
+      else assert(r.getAs[Double]("purchase_value") ==
+        next.head.getAs[Double]("value"))
+    }
+  }
+}
