@@ -207,7 +207,10 @@ object SparkEntry {
     "q192_epoch_mix"      -> (Sampling.epochMix _),
     "q193_stream_update_exec" -> (graft.streaming.EventStream.userStatsUpdateStreamed _),
     "q194_ks_drift"       -> (DataQuality.ksDrift _),
-    "q195_asof_forward"   -> (Relational.asofForward _)
+    "q195_asof_forward"   -> (Relational.asofForward _),
+    "q196_wasserstein_drift" -> (DataQuality.wassersteinDrift _),
+    "q197_vocab_churn"    -> (TextAnalysis.vocabChurn _),
+    "q198_band_planner"   -> (Dedup.bandPlanner _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -3616,7 +3619,79 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT *, -epoch_us(ts) AS negts
         |                FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.negts >= p.negts
-        |ORDER BY click_id""".stripMargin
+        |ORDER BY click_id""".stripMargin,
+    "q196_wasserstein_drift" -> {
+      import graft.operators.DataQuality.{KsSourceA, KsSourceB}
+      s"""WITH kd AS (SELECT source, n_chars FROM documents
+        |            WHERE source IN ('$KsSourceA', '$KsSourceB')),
+        |kc AS (SELECT n_chars AS v,
+        |              sum(CASE WHEN source = '$KsSourceA' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |              sum(CASE WHEN source = '$KsSourceB' THEN 1 ELSE 0 END)::BIGINT AS cb
+        |       FROM kd GROUP BY 1),
+        |kcum AS (SELECT v, (sum(ca) OVER w)::BIGINT AS cuma, (sum(cb) OVER w)::BIGINT AS cumb,
+        |                lead(v, 1) OVER (ORDER BY v) AS vn
+        |         FROM kc
+        |         WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |kt AS (SELECT sum(CASE WHEN source = '$KsSourceA' THEN 1 ELSE 0 END)::BIGINT AS na,
+        |              sum(CASE WHEN source = '$KsSourceB' THEN 1 ELSE 0 END)::BIGINT AS nb
+        |       FROM kd),
+        |kw AS (SELECT na, nb,
+        |              sum(abs(cuma * nb - cumb * na) * (vn - v))::BIGINT AS w1_num
+        |       FROM kcum CROSS JOIN kt WHERE vn IS NOT NULL GROUP BY 1, 2)
+        |SELECT '$KsSourceA' AS source_a, '$KsSourceB' AS source_b,
+        |       na AS n_a, nb AS n_b, w1_num,
+        |       w1_num * 1000 // (na * nb) AS w1_milli
+        |FROM kw""".stripMargin
+    },
+    "q197_vocab_churn" -> {
+      import graft.operators.TextAnalysis.ChurnTopK
+      s"""WITH ch AS (SELECT (count(*) // 2) AS s FROM documents),
+        |ct AS (SELECT CASE WHEN doc_id < ch.s THEN 'a' ELSE 'b' END AS half,
+        |              unnest(regexp_extract_all(text, '[^ \t\n\r]+')) AS tok
+        |       FROM documents, ch),
+        |cc AS (SELECT half, tok, count(*)::BIGINT AS n FROM ct GROUP BY 1, 2),
+        |cr AS (SELECT half, tok, n,
+        |              row_number() OVER (PARTITION BY half ORDER BY n DESC, tok ASC) AS rnk
+        |       FROM cc),
+        |cha AS (SELECT tok, rnk, n FROM cr WHERE half = 'a' AND rnk <= $ChurnTopK),
+        |chb AS (SELECT tok, rnk, n FROM cr WHERE half = 'b' AND rnk <= $ChurnTopK)
+        |SELECT coalesce(cha.tok, chb.tok) AS tok,
+        |       coalesce(cha.rnk, -1)::INT AS rank_a, coalesce(cha.n, 0)::BIGINT AS n_a,
+        |       coalesce(chb.rnk, -1)::INT AS rank_b, coalesce(chb.n, 0)::BIGINT AS n_b,
+        |       CASE WHEN cha.tok IS NOT NULL AND chb.tok IS NOT NULL THEN 'stable'
+        |            WHEN cha.tok IS NOT NULL THEN 'dropped' ELSE 'entered' END AS status
+        |FROM cha FULL OUTER JOIN chb ON cha.tok = chb.tok
+        |ORDER BY tok""".stripMargin
+    },
+    "q198_band_planner" -> {
+      import graft.operators.Dedup.{JaccardThreshold, NumHashes, PlannerConfigs}
+      val configCtes = PlannerConfigs.map { case (b, r) =>
+        s"""bk$b AS (SELECT doc_id, i // $r AS band, string_agg(s, '_' ORDER BY i) AS bk
+           |         FROM sg GROUP BY doc_id, i // $r),
+           |cd$b AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM bk$b a JOIN bk$b b
+           |           ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+           |mt$b AS (SELECT $b AS bands, $r AS rows_per_band,
+           |                count(*)::BIGINT AS n_candidates,
+           |                sum(CASE WHEN j.jaccard >= $JaccardThreshold
+           |                         THEN 1 ELSE 0 END)::BIGINT AS n_true
+           |         FROM cd$b c LEFT JOIN jac j ON j.i = c.doc_a AND j.j = c.doc_b)""".stripMargin
+      }.mkString(",\n")
+      materializeCtes(jaccardCte + s""",
+        |hs2 AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 7))::BIGINT AS h FROM sh),
+        |sg AS (SELECT doc_id, t.i,
+        |              min(((2 * t.i + 1) * h + 101 * t.i + 7) % 2147483647) AS s
+        |       FROM hs2, unnest(range(0, $NumHashes)) t(i) GROUP BY 1, 2),
+        |$configCtes,
+        |qual AS (SELECT count(*)::BIGINT AS n_qualifying FROM jac
+        |         WHERE jaccard >= $JaccardThreshold)
+        |SELECT m.bands, m.rows_per_band, m.n_candidates, m.n_true, qual.n_qualifying,
+        |       m.n_true * 1000000 // m.n_candidates AS precision_ppm,
+        |       m.n_true * 1000000 // qual.n_qualifying AS recall_ppm
+        |FROM (SELECT * FROM mt64 UNION ALL SELECT * FROM mt32
+        |      UNION ALL SELECT * FROM mt16) m
+        |CROSS JOIN qual ORDER BY m.bands DESC""".stripMargin)
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

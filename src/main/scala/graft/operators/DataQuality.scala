@@ -213,4 +213,47 @@ object DataQuality {
         expr("top.dnum * 1000000 div (na * nb)").as("ks_ppm"),
         (-col("top.nv")).as("ks_at"))
   }
+
+  /** q196_wasserstein_drift — Wasserstein-1 (earth-mover) distance
+    * between the same two sources' length distributions: W₁ =
+    * ∫|F_A − F_B| dv — the INTEGRAL companion of q194's max. KS asks
+    * "is there a shift"; W₁ says "how many characters of work does the
+    * shift represent" (in length units), which is the right cost
+    * number for deciding whether drift warrants re-curation. Computed
+    * on the same cumulative frame: Σ over the value domain of
+    * |cum_A·N_B − cum_B·N_A| · (v_next − v), exact integers end to end
+    * (the q194 cross-multiplication, weighted by the gap to the next
+    * observed value via `lead`); only the final report divides.
+    *
+    * Scale shape: identical to q194 — value-domain aggregate +
+    * cumulative/lead windows over the DOMAIN (whitelisted), broadcast
+    * totals, 1-row fold. */
+  def wassersteinDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+      .filter(col("source").isin(KsSourceA, KsSourceB))
+      .select(col("source"), col("n_chars"))
+    val counts = d.groupBy(col("n_chars").as("v"))
+      .agg(sum(when(col("source") === KsSourceA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === KsSourceB, 1L).otherwise(0L)).as("cb"))
+    val wcum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wlead = Window.orderBy(col("v"))
+    val cum = counts.select(col("v"),
+      sum(col("ca")).over(wcum).as("cuma"), sum(col("cb")).over(wcum).as("cumb"),
+      lead(col("v"), 1).over(wlead).as("vn"))
+    val tot = d.agg(
+      sum(when(col("source") === KsSourceA, 1L).otherwise(0L)).as("na"),
+      sum(when(col("source") === KsSourceB, 1L).otherwise(0L)).as("nb"))
+    cum.filter(col("vn").isNotNull)
+      .crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        (abs(col("cuma") * col("nb") - col("cumb") * col("na"))
+          * (col("vn") - col("v"))).as("seg"))
+      .groupBy(col("na"), col("nb"))
+      .agg(sum(col("seg")).as("w1_num"))
+      .select(lit(KsSourceA).as("source_a"), lit(KsSourceB).as("source_b"),
+        col("na").as("n_a"), col("nb").as("n_b"), col("w1_num"),
+        expr("w1_num * 1000 div (na * nb)").as("w1_milli"))
+  }
 }

@@ -939,4 +939,62 @@ object Dedup {
       .filter(col("hamming") <= HammingMax)
       .orderBy("query_id", "match_id")
   }
+
+  /** q198 band configurations to sweep: (bands, rowsPerBand) with
+    * bands·rows = [[NumHashes]]. */
+  val PlannerConfigs: Seq[(Int, Int)] = Seq((64, 2), (32, 4), (16, 8))
+
+  /** q198_band_planner — the EMPIRICAL LSH S-curve sweep: candidate
+    * volume, surviving true pairs, precision and recall for three
+    * banding layouts of the SAME 128-hash signature (64×2, 32×4,
+    * 16×8) — the measurement that picks b×r before a 100 TB dedup
+    * rollout. The theory curve P(cand) = 1−(1−s^r)^b says more bands ⇒
+    * higher recall and more junk candidates; this query prices both
+    * sides on the actual corpus (recall vs the verified-pair truth,
+    * precision vs the exact-Jaccard verify the candidates then pay),
+    * where q165 sweeps the VERIFY threshold after candidates are fixed.
+    *
+    * Parity: candidates here bucket on the exact band-signature STRING
+    * (concat of the band's hash values), not the production xxhash64
+    * key — the planner counts true signature collisions, so a
+    * cross-band hash collision may not perturb the measurement (in
+    * q12's pipeline such a collision is harmless because the verify
+    * filters it; here the COUNT is the product).
+    *
+    * Scale shape: one signature build (the q12 aggregate, paid once —
+    * the sweep re-BANDS the signature table, it never re-hashes the
+    * corpus), three skew-bounded bucket self-joins, three
+    * candidate-verify joins against the shingle sets, and a 3-row
+    * union; n_qualifying reads the memoized pair artifact. */
+  def bandPlanner(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = minhashSignaturesArr(spark, sfDir).localCheckpoint()
+    val sets = shingled(spark, sfDir).localCheckpoint()
+    val qual = verifiedPairs(spark, sfDir).agg(count(lit(1)).as("n_qualifying"))
+    val perConfig = PlannerConfigs.map { case (b, r) =>
+      val bandKeys: Seq[Column] = (0 until b).map { band =>
+        concat_ws("_", lit(band) +: (0 until r)
+          .map(j => element_at(col("sig"), band * r + j + 1)): _*)
+      }
+      val buckets = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      CandidatePairs.boundedSelfJoin(buckets, Seq("bk"), "doc_id", BucketCap)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jaccard",
+          col("inter").cast("double")
+            / (size(col("sha")) + size(col("shb")) - col("inter")))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jaccard") >= JaccardThreshold, 1L).otherwise(0L)).as("n_true"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_true"))
+    }
+    perConfig.reduce(_.unionAll(_))
+      .crossJoin(broadcast(qual))
+      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_true"), col("n_qualifying"),
+        expr("n_true * 1000000 div n_candidates").as("precision_ppm"),
+        expr("n_true * 1000000 div n_qualifying").as("recall_ppm"))
+      .orderBy(col("bands").desc)
+  }
 }

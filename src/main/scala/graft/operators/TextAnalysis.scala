@@ -993,4 +993,48 @@ object TextAnalysis {
         min(when(col("cum") * 10 >= col("tot") * 9, col("cum_docs"))).as("n_docs_ge_n90"))
       .orderBy("lang")
   }
+
+  /** q197 churn list depth. */
+  val ChurnTopK = 20
+
+  /** q197_vocab_churn — head-vocabulary churn between corpus halves
+    * (doc_id order as crawl order, the q63 convention at 1/2): the
+    * top-[[ChurnTopK]] tokens of each half with both ranks, counts and
+    * an entered/dropped/stable status — the "did the crawl change
+    * under us" screen run between snapshots. q148 measures vocabulary
+    * GROWTH in volume; this catches COMPOSITION shifts at the head,
+    * which move tokenizer fit and topic mix long before totals drift.
+    *
+    * Scale shape: the half tag is a broadcast 1-row split constant
+    * applied at the scan; token counts are one partial-aggregable
+    * (half, token) aggregate; ranking windows run over the VOCABULARY
+    * aggregate partitioned by half (domain-bounded, q70's rule); the
+    * report is a full-outer join of two ≤ K-row heads. */
+  def vocabChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val split = docs.agg(expr("count(1) div 2").as("s"))
+    val counts = docs
+      .select(col("doc_id"), explode(T.wsTokens(col("text"))).as("tok"))
+      .crossJoin(broadcast(split))
+      .select(when(col("doc_id") < col("s"), "a").otherwise("b").as("half"), col("tok"))
+      .groupBy(col("half"), col("tok")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("half")).orderBy(col("n").desc, col("tok").asc)
+    val ranked = counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= ChurnTopK)
+      .localCheckpoint()
+    val a = ranked.filter(col("half") === "a")
+      .select(col("tok"), col("rnk").as("rank_a"), col("n").as("n_a"))
+    val b = ranked.filter(col("half") === "b")
+      .select(col("tok"), col("rnk").as("rank_b"), col("n").as("n_b"))
+    a.join(b, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("rank_a"), lit(-1)).as("rank_a"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("rank_b"), lit(-1)).as("rank_b"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("rank_a").isNotNull && col("rank_b").isNotNull, "stable")
+          .when(col("rank_a").isNotNull, "dropped").otherwise("entered").as("status"))
+      .orderBy("tok")
+  }
 }

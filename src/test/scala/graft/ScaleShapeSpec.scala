@@ -28,7 +28,7 @@ class ScaleShapeSpec extends SparkSuite {
   private val allowUnpartitionedWindow =
     Set("q53_shard_pack", "q61_length_deciles", "q70_vocab_oov",
       "q172_shuffle_manifest", "q173_quantile_merge", "q176_golden_record",
-      "q188_date_spine", "q194_ks_drift")
+      "q188_date_spine", "q194_ks_drift", "q196_wasserstein_drift")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
