@@ -210,7 +210,10 @@ object SparkEntry {
     "q195_asof_forward"   -> (Relational.asofForward _),
     "q196_wasserstein_drift" -> (DataQuality.wassersteinDrift _),
     "q197_vocab_churn"    -> (TextAnalysis.vocabChurn _),
-    "q198_band_planner"   -> (Dedup.bandPlanner _)
+    "q198_band_planner"   -> (Dedup.bandPlanner _),
+    "q199_alert_dedup"    -> (Relational.alertDedup _),
+    "q200_hubness"        -> (Similarity.hubness _),
+    "q201_dim_clip"       -> (Similarity.dimClip _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -3691,6 +3694,62 @@ object SparkEntry {
         |FROM (SELECT * FROM mt64 UNION ALL SELECT * FROM mt32
         |      UNION ALL SELECT * FROM mt16) m
         |CROSS JOIN qual ORDER BY m.bands DESC""".stripMargin)
+    },
+    "q199_alert_dedup" -> {
+      import graft.operators.Relational.AlertBucketUs
+      s"""WITH ad AS (SELECT event_type, user_id,
+        |                   epoch_us(ts) // $AlertBucketUs AS bucket, event_id, ts
+        |            FROM events),
+        |ar AS (SELECT event_type, user_id, bucket, event_id,
+        |              row_number() OVER (PARTITION BY event_type, user_id, bucket
+        |                                 ORDER BY ts, event_id) AS rn,
+        |              count(*) OVER (PARTITION BY event_type, user_id, bucket) AS nb
+        |       FROM ad)
+        |SELECT event_type, user_id, bucket, event_id AS kept_event_id,
+        |       (nb - 1)::BIGINT AS n_suppressed
+        |FROM ar WHERE rn = 1 ORDER BY event_type, user_id, bucket""".stripMargin
+    },
+    "q200_hubness" -> {
+      import graft.operators.Similarity.BucketK
+      materializeCtes(ivfHierCellsCte + s""",
+        |mkd AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         list_dot_product(ea.v, eb.v) /
+        |         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS c
+        |  FROM cells a JOIN cells b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id),
+        |mkr AS (
+        |  SELECT va, vb, c,
+        |         row_number() OVER (PARTITION BY va ORDER BY c DESC, vb ASC) AS rn
+        |  FROM mkd),
+        |hd AS (SELECT vb, count(*)::BIGINT AS in_degree FROM mkr
+        |       WHERE rn <= $BucketK GROUP BY vb),
+        |hh AS (SELECT in_degree, count(*)::BIGINT AS n_vecs FROM hd GROUP BY 1
+        |       UNION ALL
+        |       SELECT 0::BIGINT AS in_degree, count(*)::BIGINT AS n_vecs
+        |       FROM cells WHERE vec_id NOT IN (SELECT vb FROM hd))
+        |SELECT in_degree, n_vecs FROM hh WHERE n_vecs > 0
+        |ORDER BY in_degree""".stripMargin)
+    },
+    "q201_dim_clip" -> {
+      import graft.operators.Similarity.{ClipHi, ClipLo, Dims}
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id, t.d, floor(v[t.d + 1] * 1000000.0 + 0.5)::BIGINT AS xq
+        |      FROM e, unnest(range(0, $Dims)) t(d)),
+        |cb AS (SELECT d, count(*)::BIGINT AS n,
+        |              round(quantile_cont(xq, $ClipLo), 6) AS p01_micro,
+        |              round(quantile_cont(xq, 0.5), 6) AS p50_micro,
+        |              round(quantile_cont(xq, $ClipHi), 6) AS p99_micro
+        |       FROM q GROUP BY d),
+        |cc AS (SELECT d,
+        |              sum(CASE WHEN q.xq < cb.p01_micro THEN 1 ELSE 0 END)::BIGINT AS n_below,
+        |              sum(CASE WHEN q.xq > cb.p99_micro THEN 1 ELSE 0 END)::BIGINT AS n_above
+        |       FROM q JOIN cb USING (d) GROUP BY d)
+        |SELECT cb.d, cb.n, cb.p01_micro, cb.p50_micro, cb.p99_micro,
+        |       cc.n_below, cc.n_above,
+        |       (cc.n_below + cc.n_above)::BIGINT AS n_clipped
+        |FROM cb JOIN cc USING (d) ORDER BY d""".stripMargin
     }
   )
 

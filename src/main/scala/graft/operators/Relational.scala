@@ -1653,6 +1653,37 @@ object Relational {
       .orderBy("type_a", "type_b")
   }
 
+  /** q199 alert-collapse window width (5 minutes, in µs). */
+  val AlertBucketUs = 300000000L
+
+  /** q199_alert_dedup — calendar-bucket event collapse (alert dedup):
+    * keep the FIRST event per (type, user, aligned 5-minute bucket)
+    * and report how many duplicates it suppressed — the dedup an
+    * alerting/notification pipeline runs so a flapping check pages
+    * once per window, not once per flap. Distinct semantics from the
+    * gap family: q25 splits on inactivity gaps, q106/q11 dedup exact
+    * keys forever; the CALENDAR alignment here makes every decision
+    * scan-local to one keyed group — no ordering dependency between
+    * buckets, no state beyond the group.
+    *
+    * Scale shape: bucket id is a scan-local integer division of the
+    * µs timestamp; the keep decision is ONE partial-aggregable
+    * struct-min per (type, user, bucket) — no windows, no self-join;
+    * at 100 TB this is a single keyed exchange of the event stream,
+    * and the same groupBy runs under Structured Streaming with a
+    * watermark closing buckets. */
+  def alertDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        expr(s"unix_micros(ts) div $AlertBucketUs").as("bucket"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id")).as("e"))
+      .groupBy(col("event_type"), col("user_id"), col("bucket"))
+      .agg(min(col("e")).as("first"), count(lit(1)).as("nb"))
+      .select(col("event_type"), col("user_id"), col("bucket"),
+        col("first.event_id").as("kept_event_id"),
+        (col("nb") - 1).as("n_suppressed"))
+      .orderBy("event_type", "user_id", "bucket")
+
   /** q195_asof_forward — FORWARD as-of join ("next event at or after"):
     * each click attributed to the user's NEXT purchase — conversion
     * attribution, where q30's backward as-of answers provenance

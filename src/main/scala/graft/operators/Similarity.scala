@@ -1964,4 +1964,80 @@ object Similarity {
         max(col("err")).as("max_abs_err_ppm"))
       .orderBy("band")
   }
+
+  /** q200_hubness — k-occurrence (hubness) audit of the kNN graph
+    * (Radovanović et al., JMLR 2010): the histogram of how many times
+    * each vector appears in other vectors' in-cell top-[[BucketK]]
+    * lists. High-dimensional spaces grow HUBS (vectors in thousands of
+    * lists) and ANTIHUBS (in none, in_degree = 0) — skew here predicts
+    * which queries get bad neighbors, inflates q183's mutual-pair
+    * density around hubs, and is the standard "is cosine meaningful on
+    * this embedding" health check run before shipping an index.
+    *
+    * Scale shape: the ranked edge list is the q183 candidate machinery
+    * (bounded in-cell pairs + map-side top-k fold, ≤ n·k rows); the
+    * in-degree is one neighbor-keyed count; the histogram aggregates
+    * the ≤ n-row degree frame by degree VALUE (≤ bounded domain), with
+    * the antihub zero row from one anti-join count. */
+  def hubness(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val cells = hierCells(spark, sfDir)
+      .select(col("vec_id"), col("tc")(0)("id").cast("int").as("cell"))
+    val und = CandidatePairs
+      .boundedSelfJoin(cells, Seq("cell"), "vec_id", BucketCap)
+    val ranked = topK(bothDirections(und), v, BucketK)
+    val indeg = ranked.groupBy(col("neighbor_id")).agg(count(lit(1)).as("in_degree"))
+    val nZero = cells.select(col("vec_id").as("neighbor_id"))
+      .join(indeg, Seq("neighbor_id"), "left_anti")
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(lit(0L).as("in_degree"), col("n_vecs"))
+    indeg.groupBy(col("in_degree")).agg(count(lit(1)).as("n_vecs"))
+      .unionAll(nZero)
+      .filter(col("n_vecs") > 0)
+      .orderBy("in_degree")
+  }
+
+  /** q201 clip quantiles. */
+  val ClipLo = 0.01
+  val ClipHi = 0.99
+
+  /** q201_dim_clip — per-dimension clipping-bound report (the feature
+    * preprocessing pass before embedding quantization/normalization):
+    * for every dimension, exact p01/p50/p99 of the micro-quantized
+    * components plus how many values each clip fence would touch —
+    * the numbers that size SQ8's [lo, hi] range (q84 trains on
+    * min/max, which one corrupt vector can blow out; percentile
+    * fences are the robust alternative, and this report prices the
+    * difference).
+    *
+    * Parity: quantiles interpolate over identical integer micros on
+    * both engines (the q38 percentile ↔ quantile_cont precedent),
+    * and the clip counts compare those identical doubles against
+    * integers — no independent float paths.
+    *
+    * Scale shape: one 64-group percentile aggregate over the
+    * component rows (sorted within each dimension group — bounded by
+    * corpus/64 per group, the q174 per-stratum rank convention), one
+    * broadcast of the 64-row bounds, one conditional-count rescan. */
+  def dimClip(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = components(spark, sfDir)
+      .select(col("d"), floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("xq"))
+    val bounds = q.groupBy(col("d")).agg(
+      count(lit(1)).as("n"),
+      round(expr(s"percentile(xq, $ClipLo)"), 6).as("p01_micro"),
+      round(expr("percentile(xq, 0.5)"), 6).as("p50_micro"),
+      round(expr(s"percentile(xq, $ClipHi)"), 6).as("p99_micro"))
+    q.join(broadcast(bounds), "d")
+      .groupBy(col("d"))
+      .agg(max(col("n")).as("n"),
+        max(col("p01_micro")).as("p01_micro"),
+        max(col("p50_micro")).as("p50_micro"),
+        max(col("p99_micro")).as("p99_micro"),
+        sum(when(col("xq") < col("p01_micro"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("xq") > col("p99_micro"), 1L).otherwise(0L)).as("n_above"))
+      .select(col("d"), col("n"), col("p01_micro"), col("p50_micro"),
+        col("p99_micro"), col("n_below"), col("n_above"),
+        (col("n_below") + col("n_above")).as("n_clipped"))
+      .orderBy("d")
+  }
 }
