@@ -71,18 +71,25 @@ object Bench {
     // their qNN prefix, values rounded to ms — ~1.7 KB for 120 queries.
     // If the suite ever grows past the buffer at 3 decimals, degrade
     // precision rather than lose parseability.
-    def shortJson(scale: Int): String = {
-      val qsShort = results.map { case (k, v) =>
+    def shortJson(scale: Int, maxQ: Int): String = {
+      val kept = results.sortBy(-_._2).take(maxQ)
+      val qsShort = kept.map { case (k, v) =>
         val short = k.takeWhile(_ != '_')
         s"\"" + short + "\":" + BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
       }.mkString("{", ",", "}")
+      val omitted =
+        if (kept.size < results.size) s""","queries_omitted":${results.size - kept.size}"""
+        else ""
       val t = BigDecimal(total).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
-      s"""{"metric":"total","value":$t,"unit":"sec","queries":$qsShort,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$t,"unit":"sec","queries":$qsShort$omitted,"sf":"$sfDir","reps":$reps}"""
     }
-    // degrade 3dp → 0dp before giving up: at ~170 queries the 1dp line
-    // brushes the 1900-char budget, and 0dp (~9 chars/query) still fits
-    // well past 200 queries while staying parseable
-    val jsonShort = (3 to 0 by -1).map(shortJson).find(_.length <= 1900).getOrElse(shortJson(0))
+    // degrade 3dp → 0dp, then start dropping the FASTEST queries from
+    // the stdout map (slowest-first keeps the signal; the full-precision
+    // per-query record always lives in target/bench.json): at ~200
+    // queries even the 0dp line overflows the reader's 2000-char tail
+    val candidates = (3 to 0 by -1).map(shortJson(_, results.size)) ++
+      Seq(160, 120, 80, 40).map(shortJson(0, _))
+    val jsonShort = candidates.find(_.length <= 1900).getOrElse(shortJson(0, 40))
     spark.stop()
     // final stdout line (after spark.stop() so no shutdown logs trail it)
     println(jsonShort)

@@ -192,6 +192,102 @@ class Round12OpsSpec extends SparkSuite {
     assert(r.getAs[Long]("ks_at") == best._2)
   }
 
+  test("q196 W1 matches a brute-force CDF integral and is consistent with KS") {
+    val r = graft.operators.DataQuality.wassersteinDrift(spark, sf).collect().head
+    val ks = graft.operators.DataQuality.ksDrift(spark, sf).collect().head
+    import graft.operators.DataQuality.{KsSourceA, KsSourceB}
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("source").isin(KsSourceA, KsSourceB))
+      .select(col("source"), col("n_chars")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val a = docs.filter(_._1 == KsSourceA).map(_._2)
+    val b = docs.filter(_._1 == KsSourceB).map(_._2)
+    val vs = (a ++ b).distinct.sorted
+    val w1 = vs.zip(vs.tail).map { case (v, vn) =>
+      math.abs(a.count(_ <= v).toLong * b.length - b.count(_ <= v).toLong * a.length) * (vn - v)
+    }.sum
+    assert(r.getAs[Long]("w1_num") == w1)
+    // W1 ≤ KS·range (both integrals of the same gap function)
+    val range = vs.last - vs.head
+    assert(w1 <= ks.getAs[Long]("ks_num") * range)
+  }
+
+  test("q197 churn lists are exactly the two half top-K heads") {
+    import graft.operators.TextAnalysis.ChurnTopK
+    val rows = graft.operators.TextAnalysis.vocabChurn(spark, sf).collect()
+    val nA = rows.count(_.getAs[Int]("rank_a") > 0)
+    val nB = rows.count(_.getAs[Int]("rank_b") > 0)
+    assert(nA == ChurnTopK && nB == ChurnTopK)
+    rows.foreach { r =>
+      val (ra, rb) = (r.getAs[Int]("rank_a"), r.getAs[Int]("rank_b"))
+      val st = r.getAs[String]("status")
+      assert(st == (if (ra > 0 && rb > 0) "stable" else if (ra > 0) "dropped" else "entered"))
+      assert((ra > 0) == (r.getAs[Long]("n_a") > 0) || ra == -1)
+    }
+    // each half's ranks are a permutation of 1..K over its members
+    assert(rows.filter(_.getAs[Int]("rank_a") > 0).map(_.getAs[Int]("rank_a")).sorted
+      .sameElements(1 to ChurnTopK))
+  }
+
+  test("q198 the S-curve is monotone in bands and 32x4 reproduces the production pipeline") {
+    val rows = graft.operators.Dedup.bandPlanner(spark, sf).collect()
+      .map(r => (r.getAs[Int]("bands"),
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_true"),
+          r.getAs[Long]("n_qualifying")))).toMap
+    // more bands ⇒ more candidates (same signature, superset-leaning)
+    assert(rows(64)._1 >= rows(32)._1 && rows(32)._1 >= rows(16)._1)
+    // the 32x4 row IS q12's config: its true pairs must equal the artifact
+    assert(rows(32)._2 == rows(32)._3,
+      "32x4 candidates verified must reproduce verifiedPairs")
+  }
+
+  test("q199 kept events are bucket minima and suppression accounts for every event") {
+    val rows = graft.operators.Relational.alertDedup(spark, sf).collect()
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.length + rows.map(_.getAs[Long]("n_suppressed")).sum == nEvents)
+    import graft.operators.Relational.AlertBucketUs
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        expr(s"unix_micros(ts) div $AlertBucketUs").as("bucket"),
+        unix_micros(col("ts")).as("us")).collect()
+    val byGroup = ev.groupBy(r => (r.getAs[String]("event_type"),
+      r.getAs[Long]("user_id"), r.getAs[Long]("bucket")))
+    assert(rows.length == byGroup.size)
+    rows.take(200).foreach { r =>
+      val g = byGroup((r.getAs[String]("event_type"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("bucket")))
+      val first = g.minBy(x => (x.getAs[Long]("us"), x.getAs[Long]("event_id")))
+      assert(r.getAs[Long]("kept_event_id") == first.getAs[Long]("event_id"))
+      assert(r.getAs[Long]("n_suppressed") == g.length - 1)
+    }
+  }
+
+  test("q200 the degree histogram partitions the corpus and masses the edge list") {
+    val rows = graft.operators.Similarity.hubness(spark, sf).collect()
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nVecs,
+      "histogram must partition all vectors incl. antihubs")
+    val edgeMass = rows.map(r => r.getAs[Long]("in_degree") * r.getAs[Long]("n_vecs")).sum
+    // edges = Σ per-query list lengths ≤ n·k; equality iff every vector
+    // has ≥ k in-cell candidates — not guaranteed for tiny cells
+    assert(edgeMass > 0 && edgeMass <= nVecs * graft.operators.Similarity.BucketK)
+  }
+
+  test("q201 clip bounds bracket the median and clip counts respect the quantile law") {
+    val rows = graft.operators.Similarity.dimClip(spark, sf).collect()
+    assert(rows.length == graft.operators.Similarity.Dims)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Double]("p01_micro") <= r.getAs[Double]("p50_micro")
+        && r.getAs[Double]("p50_micro") <= r.getAs[Double]("p99_micro"))
+      // strictly-below-p01 count can't exceed 1% of n (interpolated fence)
+      assert(r.getAs[Long]("n_below") <= n / 100 + 1)
+      assert(r.getAs[Long]("n_above") <= n / 100 + 1)
+      assert(r.getAs[Long]("n_clipped")
+        == r.getAs[Long]("n_below") + r.getAs[Long]("n_above"))
+    }
+  }
+
   test("q195 forward as-of picks each click's earliest subsequent purchase") {
     val rows = graft.operators.Relational.asofForward(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)
