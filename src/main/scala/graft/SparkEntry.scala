@@ -3493,8 +3493,8 @@ object SparkEntry {
     "q187_bfs_hops" -> {
       import graft.operators.Graph.BfsMaxHops
       jaccardCte.replace("WITH sh AS", "WITH RECURSIVE sh AS") + s""",
-        |vp AS (SELECT i AS doc_a, j AS doc_b FROM jac WHERE jaccard >= 0.8),
-        |ed AS (SELECT doc_a AS u, doc_b AS v FROM vp
+        |vp AS MATERIALIZED (SELECT i AS doc_a, j AS doc_b FROM jac WHERE jaccard >= 0.8),
+        |ed AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM vp
         |       UNION ALL SELECT doc_b, doc_a FROM vp),
         |bn AS (SELECT DISTINCT u AS doc_id FROM ed),
         |bs AS (SELECT DISTINCT doc_a AS doc_id FROM vp
