@@ -213,7 +213,12 @@ object SparkEntry {
     "q198_band_planner"   -> (Dedup.bandPlanner _),
     "q199_alert_dedup"    -> (Relational.alertDedup _),
     "q200_hubness"        -> (Similarity.hubness _),
-    "q201_dim_clip"       -> (Similarity.dimClip _)
+    "q201_dim_clip"       -> (Similarity.dimClip _),
+    "q202_decay_score"    -> (Relational.decayScore _),
+    "q203_cube"           -> (Relational.cubeAgg _),
+    "q204_wow_change"     -> (Relational.wowChange _),
+    "q205_stream_complete_exec" -> (graft.streaming.EventStream.typeCountsCompleteStreamed _),
+    "q206_context_pack"   -> (Indexing.contextPack _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -3750,6 +3755,86 @@ object SparkEntry {
         |       cc.n_below, cc.n_above,
         |       (cc.n_below + cc.n_above)::BIGINT AS n_clipped
         |FROM cb JOIN cc USING (d) ORDER BY d""".stripMargin
+    },
+    "q202_decay_score" -> {
+      import graft.operators.Relational.DecayHalflifeDays
+      s"""WITH de AS (SELECT user_id, ts::DATE AS day,
+        |                   floor(value * 100 + 0.5)::BIGINT AS cents FROM events),
+        |dref AS (SELECT max(day) AS ref FROM de),
+        |dq AS (SELECT user_id, cents,
+        |              floor(cents * pow(2.0,
+        |                -(datediff('day', day, ref))::DOUBLE / $DecayHalflifeDays)
+        |                * 10000.0 + 0.5)::BIGINT AS q
+        |       FROM de, dref)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |       sum(cents)::BIGINT::DOUBLE / 100.0 AS raw_value,
+        |       sum(q)::BIGINT::DOUBLE / 1000000.0 AS decayed_value
+        |FROM dq GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "q203_cube" ->
+      """SELECT coalesce(lang, 'ALL') AS lang,
+        |       coalesce(source, 'ALL') AS source,
+        |       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+        |FROM documents
+        |GROUP BY CUBE (lang, source)
+        |ORDER BY lang, source""".stripMargin,
+    "q204_wow_change" -> {
+      import graft.operators.Relational.{RetentionEpochMs, WeekMs}
+      s"""WITH ww AS (
+        |  SELECT floor((epoch_ms(o_orderdate) - $RetentionEpochMs)::DOUBLE
+        |               / $WeekMs.0)::BIGINT AS wk,
+        |         floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+        |  FROM orders),
+        |wa AS (SELECT wk, count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS cents
+        |       FROM ww GROUP BY 1),
+        |wl AS (SELECT wk, n_orders, cents, lag(cents, 1) OVER (ORDER BY wk) AS prev
+        |       FROM wa)
+        |SELECT wk, n_orders, cents::DOUBLE / 100.0 AS revenue,
+        |       coalesce(prev, 0)::DOUBLE / 100.0 AS prev_revenue,
+        |       CASE WHEN prev IS NOT NULL AND prev > 0
+        |            THEN (cents - prev) * 1000000 // prev ELSE 0 END AS change_ppm
+        |FROM wl ORDER BY wk""".stripMargin
+    },
+    "q205_stream_complete_exec" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q206_context_pack" -> {
+      import graft.operators.Indexing.{Bm25B, Bm25K1, Bm25Query, Bm25TopK, PackBudgetTokens}
+      s"""WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents
+        |),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms
+        |  WHERE term IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})
+        |  GROUP BY 1, 2
+        |),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |         ln(((st.n_docs - df.df + 0.5) / (df.df + 0.5)) + 1.0) *
+        |           (tf.tf * ${Bm25K1 + 1.0}) /
+        |           (tf.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl / st.avgdl)) AS s
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), st
+        |),
+        |hits AS (
+        |  SELECT doc_id, round(sum(s), 6) AS bm25
+        |  FROM sc GROUP BY doc_id
+        |  ORDER BY round(sum(s), 6) DESC, doc_id LIMIT $Bm25TopK
+        |),
+        |nt AS (SELECT doc_id, len(regexp_extract_all(text, '[^ \t\n\r]+'))::BIGINT AS n_tokens
+        |       FROM documents),
+        |packed AS (
+        |  SELECT h.doc_id, h.bm25, nt.n_tokens,
+        |         row_number() OVER (ORDER BY h.bm25 DESC, h.doc_id ASC) AS rnk,
+        |         (sum(nt.n_tokens) OVER (ORDER BY h.bm25 DESC, h.doc_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+        |  FROM hits h JOIN nt USING (doc_id))
+        |SELECT rnk::INT AS "rank", doc_id, bm25, n_tokens, cum_tokens
+        |FROM packed WHERE cum_tokens <= $PackBudgetTokens
+        |ORDER BY rnk""".stripMargin
     }
   )
 

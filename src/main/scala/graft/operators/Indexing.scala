@@ -313,4 +313,40 @@ object Indexing {
       .filter(col("cosine") >= SparseSimThreshold)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** q206 context-window token budget. */
+  val PackBudgetTokens = 150L
+
+  /** q206_context_pack — RAG context assembly: the retrieval head
+    * (q75's BM25 top-[[Bm25TopK]]) greedily PACKED into a
+    * [[PackBudgetTokens]]-token context window in rank order — the
+    * step between "ranked hits" and "what actually fits in the
+    * prompt" that every retrieval-augmented serving stack runs. The
+    * prefix rule (stop at the first overflow) keeps the packed set a
+    * deterministic function of the ranking: rank order is total
+    * (6dp score desc, doc_id asc), token counts are whitespace-exact,
+    * and the cumulative sum runs over the ≤[[Bm25TopK]]-row head —
+    * never the corpus.
+    *
+    * Scale shape: everything up to the head is q75's plan
+    * (scan-filtered tf, broadcast stats, per-doc partial sums,
+    * TakeOrderedAndProject); the pack adds one broadcast-sized join
+    * for token counts and a cumulative window over the fixed-size
+    * head (whitelisted — [[Bm25TopK]] rows by construction). */
+  def contextPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = bm25(spark, sfDir)
+    val ntok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(T.wsTokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    hits.join(ntok, "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= PackBudgetTokens)
+      .select(col("rnk").cast("int").as("rank"), col("doc_id"), col("bm25"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy("rank")
+  }
 }

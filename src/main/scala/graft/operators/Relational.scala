@@ -1684,6 +1684,97 @@ object Relational {
         (col("nb") - 1).as("n_suppressed"))
       .orderBy("event_type", "user_id", "bucket")
 
+  /** q202 recency half-life (days). */
+  val DecayHalflifeDays = 30.0
+
+  /** q202_decay_score — exponentially time-decayed value aggregation
+    * (half-life [[DecayHalflifeDays]] days): per user, Σ value·2^(−age/h)
+    * next to the raw total — the recency-weighted feature every
+    * churn/LTV model and freshness-ranked feed consumes, where a plain
+    * sum (q10) weights a year-old purchase like yesterday's.
+    *
+    * Determinism: cents quantize at the scan; each decayed summand
+    * floor-quantizes to 1e-4 cents BEFORE the sum (the lesson-49
+    * per-summand rule: pow agrees to ~1 ulp across engines, so the
+    * floored integer is stable and the SUM is exact integer
+    * arithmetic — no float accumulation order exists).
+    *
+    * Scale shape: the reference date is a broadcast 1-row max; age and
+    * the decay weight are scan-local projections; one user-keyed
+    * partial-aggregable sum. */
+  def decayScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("cents"))
+    val ref = ev.agg(max(col("day")).as("ref"))
+    ev.crossJoin(broadcast(ref))
+      .select(col("user_id"), col("cents"),
+        floor(col("cents") * pow(lit(2.0),
+          -datediff(col("ref"), col("day")).cast("double") / lit(DecayHalflifeDays))
+          * lit(1e4) + lit(0.5)).cast("long").as("dq"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("raw_cents"), sum(col("dq")).as("dq"))
+      .select(col("user_id"), col("n_events"),
+        (col("raw_cents").cast("double") / lit(100.0)).as("raw_value"),
+        (col("dq").cast("double") / lit(1e6)).as("decayed_value"))
+      .orderBy("user_id")
+  }
+
+  /** q203_cube — full CUBE grouping sets over (lang, source): all four
+    * marginal combinations in ONE aggregation pass (q36 covers the
+    * hierarchical ROLLUP; CUBE adds the cross-marginals a mix
+    * dashboard reads — per-language totals ACROSS sources and
+    * per-source totals ACROSS languages). Spark plans one Expand +
+    * one partial-aggregable aggregate — the grouping-set fan-out is
+    * map-side, never a second scan per grouping.
+    *
+    * Scale shape: one scan, one Expand (×4 rows map-side), one keyed
+    * aggregate over the (langs+1)×(sources+1) domain. */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("total_chars"))
+      .orderBy("lang", "source")
+
+  /** q204_wow_change — week-over-week revenue deltas: weekly order
+    * revenue (integer cents, the [[RetentionEpochMs]]/[[WeekMs]] week
+    * convention) with the previous week's value and the relative
+    * change in exact ppm — the trend report layered on q188's daily
+    * spine (weeks are dense over the order range, so no spine join is
+    * needed; the FIRST week reports change 0 by convention).
+    *
+    * Scale shape: one week-keyed partial-aggregable aggregate (the
+    * only corpus exchange); the lag runs over the WEEK domain
+    * (~350 rows at any SF — whitelisted); delta in integer ppm via
+    * div. */
+  def wowChange(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // o_orderdate is TIMESTAMP_NTZ (midnight-aligned): derive the week
+    // timezone-free via whole days since the epoch anchor — identical
+    // to the oracle's epoch_ms floor because both anchors are midnight
+    val weekly = Tables.orders(spark, sfDir)
+      .select(
+        floor(datediff(to_date(col("o_orderdate")), lit(java.sql.Date.valueOf("2024-01-01")))
+          .cast("double") / lit(7.0)).cast("long").as("wk"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+    val w = Window.orderBy(col("wk"))
+    weekly
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .select(col("wk"), col("n_orders"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        (coalesce(col("prev"), lit(0L)).cast("double") / lit(100.0)).as("prev_revenue"),
+        when(col("prev").isNotNull && col("prev") > 0,
+          expr("(cents - prev) * 1000000 div prev")).otherwise(lit(0L)).as("change_ppm"))
+      .orderBy("wk")
+  }
+
   /** q195_asof_forward — FORWARD as-of join ("next event at or after"):
     * each click attributed to the user's NEXT purchase — conversion
     * attribution, where q30's backward as-of answers provenance

@@ -25,10 +25,13 @@ class ScaleShapeSpec extends SparkSuite {
   // date-domain-bounded (~2.4k rows at any SF), never corpus rows.
   // q194's cumulative window runs over the distinct length-VALUE
   // domain of a two-source slice (the q61/q136 convention).
+  // q204's lag runs over the WEEK domain (~350 rows at any SF); q206's
+  // rank/cumsum windows run over the fixed Bm25TopK retrieval head.
   private val allowUnpartitionedWindow =
     Set("q53_shard_pack", "q61_length_deciles", "q70_vocab_oov",
       "q172_shuffle_manifest", "q173_quantile_merge", "q176_golden_record",
-      "q188_date_spine", "q194_ks_drift", "q196_wasserstein_drift")
+      "q188_date_spine", "q194_ks_drift", "q196_wasserstein_drift",
+      "q204_wow_change", "q206_context_pack")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
