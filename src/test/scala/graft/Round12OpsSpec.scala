@@ -288,6 +288,73 @@ class Round12OpsSpec extends SparkSuite {
     }
   }
 
+  test("q202 decayed value is bounded by raw and dominated by recency") {
+    val rows = graft.operators.Relational.decayScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val raw = r.getAs[Double]("raw_value")
+      val dec = r.getAs[Double]("decayed_value")
+      assert(dec > 0 && dec <= raw + 1e-9, s"decay must contract: $dec vs $raw")
+    }
+  }
+
+  test("q203 cube marginals are consistent with the base cells") {
+    val rows = graft.operators.Relational.cubeAgg(spark, sf).collect()
+    val base = rows.filter(r => r.getAs[String]("lang") != "ALL"
+      && r.getAs[String]("source") != "ALL")
+    val grand = rows.filter(r => r.getAs[String]("lang") == "ALL"
+      && r.getAs[String]("source") == "ALL")
+    assert(grand.length == 1)
+    assert(base.map(_.getAs[Long]("n_docs")).sum == grand.head.getAs[Long]("n_docs"))
+    // per-lang marginals equal the sum of their base cells
+    val langMarg = rows.filter(r => r.getAs[String]("lang") != "ALL"
+      && r.getAs[String]("source") == "ALL")
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_docs")).toMap
+    base.groupBy(_.getAs[String]("lang")).foreach { case (l, cells) =>
+      assert(langMarg(l) == cells.map(_.getAs[Long]("n_docs")).sum)
+    }
+  }
+
+  test("q204 deltas reproduce the week series") {
+    val rows = graft.operators.Relational.wowChange(spark, sf).collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Double]("prev_revenue") == a.getAs[Double]("revenue"))
+        val (cur, prev) = (math.round(b.getAs[Double]("revenue") * 100),
+          math.round(b.getAs[Double]("prev_revenue") * 100))
+        if (prev > 0)
+          assert(b.getAs[Long]("change_ppm") ==
+            BigInt(cur - prev) * 1000000 / prev)
+      case _ =>
+    }
+    assert(rows.head.getAs[Long]("change_ppm") == 0L)
+  }
+
+  test("q205 Complete mode drains to exactly the batch per-type counts") {
+    val out = graft.streaming.EventStream.typeCountsCompleteStreamed(spark, sf)
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    assert(out.count() == batch.count())
+    assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
+  }
+
+  test("q206 the pack is the maximal budget-respecting rank prefix") {
+    import graft.operators.Indexing.PackBudgetTokens
+    val rows = graft.operators.Indexing.contextPack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("cum_tokens") == cum)
+    }
+    assert(cum <= PackBudgetTokens)
+    // maximality: the pack stops only because the budget binds (or the
+    // head is exhausted)
+    val head = graft.operators.Indexing.bm25(spark, sf).count()
+    assert(rows.length.toLong < head || cum <= PackBudgetTokens)
+  }
+
   test("q195 forward as-of picks each click's earliest subsequent purchase") {
     val rows = graft.operators.Relational.asofForward(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)
