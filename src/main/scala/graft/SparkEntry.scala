@@ -218,7 +218,10 @@ object SparkEntry {
     "q203_cube"           -> (Relational.cubeAgg _),
     "q204_wow_change"     -> (Relational.wowChange _),
     "q205_stream_complete_exec" -> (graft.streaming.EventStream.typeCountsCompleteStreamed _),
-    "q206_context_pack"   -> (Indexing.contextPack _)
+    "q206_context_pack"   -> (Indexing.contextPack _),
+    "q207_autocomplete"   -> (Indexing.autocomplete _),
+    "q208_conversion_rate" -> (Relational.conversionRate _),
+    "q209_dup_quality_lift" -> (Pipeline.dupQualityLift _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -3835,7 +3838,59 @@ object SparkEntry {
         |SELECT rnk::INT AS "rank", doc_id, bm25, n_tokens, cum_tokens
         |FROM packed WHERE cum_tokens <= $PackBudgetTokens
         |ORDER BY rnk""".stripMargin
-    }
+    },
+    "q207_autocomplete" -> {
+      import graft.operators.Indexing.{AutoPrefixLen, AutoTopK}
+      s"""WITH av AS (
+        |  SELECT token, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |    FROM documents)
+        |  GROUP BY token),
+        |ap AS (SELECT substr(token, 1, $AutoPrefixLen) AS prefix, token, cnt
+        |       FROM av WHERE length(token) >= $AutoPrefixLen),
+        |ar2 AS (SELECT prefix, token, cnt,
+        |               row_number() OVER (PARTITION BY prefix
+        |                                  ORDER BY cnt DESC, token ASC) AS rnk
+        |        FROM ap)
+        |SELECT prefix, rnk::INT AS "rank", token, cnt
+        |FROM ar2 WHERE rnk <= $AutoTopK ORDER BY prefix, rnk""".stripMargin
+    },
+    "q208_conversion_rate" -> {
+      import graft.operators.Relational.{ConvHorizonUs, RetentionEpochMs, WeekMs}
+      s"""WITH cj AS (
+        |  SELECT c.ts AS c_ts, p.ts AS p_ts
+        |  FROM (SELECT *, -epoch_us(ts) AS negts FROM events WHERE event_type = 'click') c
+        |  ASOF LEFT JOIN (SELECT *, -epoch_us(ts) AS negts
+        |                  FROM events WHERE event_type = 'purchase') p
+        |    ON c.user_id = p.user_id AND c.negts >= p.negts),
+        |cw AS (
+        |  SELECT floor((epoch_ms(c_ts) - $RetentionEpochMs)::DOUBLE
+        |               / $WeekMs.0)::BIGINT AS wk,
+        |         CASE WHEN p_ts IS NOT NULL
+        |                   AND epoch_us(p_ts) - epoch_us(c_ts) <= $ConvHorizonUs
+        |              THEN 1 ELSE 0 END AS conv
+        |  FROM cj),
+        |ca AS (SELECT wk, count(*)::BIGINT AS n_clicks, sum(conv)::BIGINT AS n_converted
+        |       FROM cw GROUP BY 1)
+        |SELECT wk, n_clicks, n_converted,
+        |       n_converted * 1000000 // n_clicks AS conv_ppm
+        |FROM ca ORDER BY wk""".stripMargin
+    },
+    "q209_dup_quality_lift" ->
+      ("WITH RECURSIVE " +
+        qualityCte.stripPrefix("WITH ") + ",\n" +
+        dupClustersCte.stripPrefix("WITH RECURSIVE ") + """,
+        |lp AS (SELECT least(floor(q.quality_score * 10), 9)::INT AS band,
+        |              CASE WHEN c.cluster_id <> q.doc_id THEN 1 ELSE 0 END AS is_dup
+        |       FROM qual q JOIN clus c USING (doc_id)),
+        |lb AS (SELECT band, count(*)::BIGINT AS n_docs, sum(is_dup)::BIGINT AS n_dup
+        |       FROM lp GROUP BY 1),
+        |lg AS (SELECT sum(is_dup)::BIGINT AS g_dup, count(*)::BIGINT AS g_docs FROM lp)
+        |SELECT band, n_docs, n_dup,
+        |       n_dup * 1000000 // n_docs AS dup_rate_ppm,
+        |       (n_dup * 1000000 // n_docs) * 1000000
+        |         // (lg.g_dup * 1000000 // lg.g_docs) AS lift_ppm
+        |FROM lb, lg ORDER BY band""".stripMargin)
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

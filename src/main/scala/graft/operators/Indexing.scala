@@ -333,6 +333,38 @@ object Indexing {
     * TakeOrderedAndProject); the pack adds one broadcast-sized join
     * for token counts and a cumulative window over the fixed-size
     * head (whitelisted — [[Bm25TopK]] rows by construction). */
+  /** q207 autocomplete: prefix length and completions per prefix. */
+  val AutoPrefixLen = 3
+  val AutoTopK = 3
+
+  /** q207_autocomplete — typeahead completion index: for every
+    * [[AutoPrefixLen]]-char prefix, the top-[[AutoTopK]] corpus tokens
+    * by frequency (count desc, token asc) — the serving table behind
+    * search-box suggestions, built like a Lucene `suggest` FST but as
+    * a plain keyed ranking over the vocabulary. Complements q72
+    * (postings by term) and q96 (phrase lookup) with the
+    * prefix-addressed third index axis.
+    *
+    * Scale shape: token counts are one partial-aggregable vocabulary
+    * aggregate; the prefix is a scan-local substring of the VOCAB
+    * frame (never corpus rows); ranking windows partition by prefix
+    * over the vocab domain (the q70 rule); output ≤ 3 rows/prefix. */
+  def autocomplete(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(T.alphaTokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("token")) >= AutoPrefixLen)
+      .withColumn("prefix", substring(col("token"), 1, AutoPrefixLen))
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(col("cnt").desc, col("token").asc)
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= AutoTopK)
+      .select(col("prefix"), col("rnk").cast("int").as("rank"),
+        col("token"), col("cnt"))
+      .orderBy("prefix", "rank")
+  }
+
   def contextPack(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hits = bm25(spark, sfDir)

@@ -406,4 +406,38 @@ object Pipeline {
           / col("raw_chars").cast("double") + lit(0.5)) / lit(1e6)).as("keep_ratio"))
       .orderBy("source")
   }
+
+  /** q209_dup_quality_lift — does dedup remove GOOD data? Per quality
+    * decile band, the share of docs that are non-representative
+    * members of a dup cluster, with the lift against the corpus-wide
+    * dup rate — the calibration a curation run checks before wholesale
+    * dedup: lift ≫ 1 in low bands means duplication concentrates in
+    * junk (dedup is also a quality filter); flat lift means dedup and
+    * quality filtering are independent axes and BOTH passes are
+    * needed. Composes two of the engine's own signals (q19 score,
+    * q31 clusters), the q131 pattern at the quality×dup margin.
+    *
+    * Scale shape: the band is a scan-local floor of the 5dp score;
+    * the cluster side reads the memoized pair artifact; one
+    * doc_id-keyed join, a ≤10-row band aggregate, a broadcast 1-row
+    * global rate, all rates/lifts in exact integer ppm. */
+  def dupQualityLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val qual = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    val clus = Dedup.dupClusters(spark, sfDir)
+    val per = qual.join(clus, "doc_id")
+      .select(
+        least(floor(col("quality_score") * 10).cast("int"), lit(9)).as("band"),
+        (col("cluster_id") =!= col("doc_id")).cast("long").as("is_dup"))
+      .localCheckpoint()
+    val bands = per.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup"))
+    val glob = per.agg(sum(col("is_dup")).as("g_dup"), count(lit(1)).as("g_docs"))
+    bands.crossJoin(broadcast(glob))
+      .select(col("band"), col("n_docs"), col("n_dup"),
+        expr("n_dup * 1000000 div n_docs").as("dup_rate_ppm"),
+        expr("(n_dup * 1000000 div n_docs) * 1000000 div (g_dup * 1000000 div g_docs)")
+          .as("lift_ppm"))
+      .orderBy("band")
+  }
 }

@@ -1775,6 +1775,44 @@ object Relational {
       .orderBy("wk")
   }
 
+  /** q208 conversion horizon (24 h, µs). */
+  val ConvHorizonUs = 86400000000L
+
+  /** q208_conversion_rate — bounded-horizon conversion: per click week,
+    * the share of clicks whose NEXT purchase (q195's forward as-of)
+    * lands within 24 h — the windowed conversion KPI. q64's funnel is
+    * lifetime-unbounded; real attribution expires: a purchase a month
+    * later is not this click's conversion. Because the forward as-of
+    * picks the EARLIEST subsequent purchase, "converted within H" ⇔
+    * "earliest next purchase within H" — one as-of pass decides every
+    * horizon.
+    *
+    * Scale shape: one forward as-of merge (q195's plan) + a scan-local
+    * horizon predicate + one week-keyed partial-aggregable aggregate;
+    * rate in exact integer ppm. */
+  def conversionRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"), (-unix_micros(col("ts"))).as("c_negts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        (-unix_micros(col("ts"))).as("p_negts"))
+    org.apache.spark.sql.graft.AsOf
+      .join(clicks, purchases, "c_user", "c_negts", "p_user", "p_negts")
+      .select(
+        floor((unix_millis(col("c_ts")) - lit(RetentionEpochMs)).cast("double")
+          / lit(WeekMs.toDouble)).cast("long").as("wk"),
+        (col("p_ts").isNotNull &&
+          unix_micros(col("p_ts")) - unix_micros(col("c_ts")) <= ConvHorizonUs)
+          .cast("long").as("conv"))
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_clicks"), sum(col("conv")).as("n_converted"))
+      .select(col("wk"), col("n_clicks"), col("n_converted"),
+        expr("n_converted * 1000000 div n_clicks").as("conv_ppm"))
+      .orderBy("wk")
+  }
+
   /** q195_asof_forward — FORWARD as-of join ("next event at or after"):
     * each click attributed to the user's NEXT purchase — conversion
     * attribution, where q30's backward as-of answers provenance
