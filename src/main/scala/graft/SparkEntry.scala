@@ -221,7 +221,10 @@ object SparkEntry {
     "q206_context_pack"   -> (Indexing.contextPack _),
     "q207_autocomplete"   -> (Indexing.autocomplete _),
     "q208_conversion_rate" -> (Relational.conversionRate _),
-    "q209_dup_quality_lift" -> (Pipeline.dupQualityLift _)
+    "q209_dup_quality_lift" -> (Pipeline.dupQualityLift _),
+    "q210_hill_tail"      -> (TextAnalysis.hillTail _),
+    "q211_bbit_minhash"   -> (Dedup.bbitMinhash _),
+    "q212_embed_norms"    -> (Similarity.embedNorms _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -3890,7 +3893,61 @@ object SparkEntry {
         |       n_dup * 1000000 // n_docs AS dup_rate_ppm,
         |       (n_dup * 1000000 // n_docs) * 1000000
         |         // (lg.g_dup * 1000000 // lg.g_docs) AS lift_ppm
-        |FROM lb, lg ORDER BY band""".stripMargin)
+        |FROM lb, lg ORDER BY band""".stripMargin),
+    "q210_hill_tail" -> {
+      import graft.operators.TextAnalysis.HillK
+      s"""WITH ht AS (SELECT n_chars AS x,
+        |                   row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |            FROM documents),
+        |href AS (SELECT x AS x_ref FROM ht WHERE rn = ${HillK + 1}),
+        |hsum AS (SELECT count(*)::BIGINT AS k, href.x_ref,
+        |                sum(floor(ln(ht.x::DOUBLE / href.x_ref::DOUBLE)
+        |                          * 1000000000.0 + 0.5)::BIGINT)::BIGINT AS sum_ln_nano
+        |         FROM ht, href WHERE ht.rn <= $HillK GROUP BY href.x_ref)
+        |SELECT k, x_ref, sum_ln_nano,
+        |       CASE WHEN sum_ln_nano > 0 THEN k * 1000000000000 // sum_ln_nano
+        |            ELSE 0 END AS alpha_milli
+        |FROM hsum""".stripMargin
+    },
+    "q211_bbit_minhash" -> {
+      import graft.operators.Dedup.{JaccardThreshold, NumHashes}
+      materializeCtes(jaccardCte + s""",
+        |p2 AS (SELECT i AS doc_a, j AS doc_b, jaccard FROM jac
+        |       WHERE jaccard >= $JaccardThreshold),
+        |pd2 AS (SELECT DISTINCT doc_id
+        |        FROM (SELECT doc_a AS doc_id FROM p2 UNION ALL SELECT doc_b FROM p2)),
+        |hs3 AS (SELECT s.doc_id, ('0x' || substr(md5(s.g), 1, 7))::BIGINT AS h
+        |        FROM sh s JOIN pd2 USING (doc_id)),
+        |sg3 AS (SELECT doc_id, t.i,
+        |               min(((2 * t.i + 1) * h + 101 * t.i + 7) % 2147483647) AS s
+        |        FROM hs3, unnest(range(0, $NumHashes)) t(i) GROUP BY 1, 2),
+        |bb AS (SELECT p2.doc_a, p2.doc_b, round(p2.jaccard, 6) AS jaccard,
+        |              sum(CASE WHEN a.s % 2 = b.s % 2 THEN 1 ELSE 0 END)::BIGINT AS m_bits
+        |       FROM p2 JOIN sg3 a ON a.doc_id = p2.doc_a
+        |       JOIN sg3 b ON b.doc_id = p2.doc_b AND b.i = a.i
+        |       GROUP BY 1, 2, 3)
+        |SELECT doc_a, doc_b, jaccard, m_bits,
+        |       greatest(2 * m_bits * 1000000 // $NumHashes - 1000000, 0)::DOUBLE
+        |         / 1000000.0 AS est_b1,
+        |       round(abs(jaccard
+        |         - greatest(2 * m_bits * 1000000 // $NumHashes - 1000000, 0)::DOUBLE
+        |           / 1000000.0), 6) AS abs_err
+        |FROM bb ORDER BY doc_a, doc_b""".stripMargin)
+    },
+    "q212_embed_norms" -> {
+      import graft.operators.Similarity.Dims
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id, floor(v[t.d + 1] * 1000000.0 + 0.5)::BIGINT AS xq
+        |      FROM e, unnest(range(0, $Dims)) t(d)),
+        |en AS (SELECT vec_id, sum(xq * xq)::BIGINT AS n2 FROM q GROUP BY 1),
+        |em AS (SELECT floor(sqrt(n2::DOUBLE) + 0.5)::BIGINT AS nm FROM en)
+        |SELECT count(*)::BIGINT AS n_vecs,
+        |       sum(CASE WHEN nm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+        |       min(nm)::DOUBLE / 1000000.0 AS min_norm,
+        |       max(nm)::DOUBLE / 1000000.0 AS max_norm,
+        |       (sum(nm)::BIGINT // count(*))::DOUBLE / 1000000.0 AS mean_norm
+        |FROM em""".stripMargin
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -680,6 +680,42 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q211_bbit_minhash — 1-bit minhash audit (Li & König, CACM 2011):
+    * estimate Jaccard from only the PARITY of each of the 128 minhash
+    * values — 16 bytes/doc instead of 1 KB — and price the accuracy
+    * against the exact Jaccard on the verified pairs, next to q108's
+    * full-width estimate. The b-bit estimator
+    * Ĵ = 2·(m/128) − 1 (for b=1, dissimilar-pair collision rate 1/2)
+    * is the memory path a 100 TB sketch store actually ships; this
+    * audit is the evidence for choosing it.
+    *
+    * Scale shape: q108's bounded audit frame (signatures only for
+    * paired docs); parity comparison is per-pair array work on the
+    * ≤2·|pairs| signature rows; estimates in exact integer ppm. */
+  def bbitMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = verifiedPairs(spark, sfDir)
+    val pd = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sigs = minhashSignaturesOf(shingled(spark, sfDir).join(pd, "doc_id"))
+    val mBits = size(filter(
+      zip_with(col("sa"), col("sb"), (a, b) => pmod(a, lit(2)) === pmod(b, lit(2))),
+      x => x)).cast("long")
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .withColumn("m_bits", mBits)
+      .withColumn("est_ppm",
+        greatest(expr(s"2 * m_bits * 1000000 div $NumHashes") - lit(1000000L), lit(0L)))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"),
+        col("m_bits"),
+        (col("est_ppm").cast("double") / lit(1e6)).as("est_b1"),
+        round(abs(col("jaccard") - col("est_ppm").cast("double") / lit(1e6)), 6)
+          .as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q135 edit-distance bound for a fuzzy name match. */
   val FuzzyMaxDistance = 2
 

@@ -1997,6 +1997,37 @@ object Similarity {
       .orderBy("in_degree")
   }
 
+  /** q212_embed_norms — embedding-norm data-quality audit: vector
+    * count, zero-norm count (dead/corrupt vectors cosine can't score —
+    * the rows an ingestion gate must quarantine before they NaN a
+    * similarity join), and min/mean/max norm — the drift indicator
+    * when an upstream model change rescales embeddings (cosine is
+    * norm-invariant but dot-product indexes and quantizers are not:
+    * q84's [lo, hi] and q68's codebooks silently degrade under a
+    * norm shift).
+    *
+    * Determinism: norms² are exact integer micro² sums; each norm
+    * floor-quantizes (sqrt of identical integers, the lesson-29/49
+    * rule) so min/max/mean are integer folds.
+    *
+    * Scale shape: one vec-keyed partial-aggregable component sum +
+    * one 1-row fold. */
+  def embedNorms(spark: SparkSession, sfDir: String): DataFrame = {
+    val n2 = components(spark, sfDir)
+      .select(col("vec_id"),
+        floor(col("x") * lit(1e6) + lit(0.5)).cast("long").as("xq"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("xq") * col("xq")).as("n2"))
+    n2.select(floor(sqrt(col("n2").cast("double")) + lit(0.5)).cast("long").as("nm"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("nm") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(col("nm")).as("mn"), max(col("nm")).as("mx"), sum(col("nm")).as("sm"))
+      .select(col("n_vecs"), col("n_zero"),
+        (col("mn").cast("double") / lit(1e6)).as("min_norm"),
+        (col("mx").cast("double") / lit(1e6)).as("max_norm"),
+        (expr("sm div n_vecs").cast("double") / lit(1e6)).as("mean_norm"))
+  }
+
   /** q201 clip quantiles. */
   val ClipLo = 0.01
   val ClipHi = 0.99

@@ -994,6 +994,47 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** q210 Hill-estimator order-statistic depth. */
+  val HillK = 100
+
+  /** q210_hill_tail — Hill tail-index estimate over document lengths:
+    * α = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) on the top-[[HillK]] order
+    * statistics — the standard power-law tail exponent (Hill 1975).
+    * α ≈ 1-2 means a heavy Pareto tail (a few monster documents carry
+    * the byte mass — shard packing and executor memory must plan for
+    * them); α ≫ 3 means the tail is benign. q162's kurtosis smells a
+    * heavy tail, q175 locates the mass; this FITS the tail law the
+    * capacity planner extrapolates beyond the observed max.
+    *
+    * Determinism: the top-(k+1) lengths come from the map-side top-k
+    * fold (ties at the boundary are on VALUES, so the selected length
+    * multiset is unique); each ln ratio of identical integers
+    * floor-quantizes to 1e-9 before the integer sum (lesson-49), and
+    * α reports as an exact integer-div milli value.
+    *
+    * Scale shape: one top-(k+1) aggregate over the scan (k+1 slots,
+    * map-side combined), a broadcast 1-row reference, a k-row fold. */
+  def hillTail(spark: SparkSession, sfDir: String): DataFrame = {
+    val top = Tables.documents(spark, sfDir)
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(col("n_chars").cast("double"), col("doc_id"), HillK + 1).as("t"))
+      .select(posexplode(col("t")).as(Seq("pos", "s")))
+      .select(col("pos"), col("s.score").cast("long").as("x"))
+      .localCheckpoint()
+    val ref = top.filter(col("pos") === HillK).select(col("x").as("xref"))
+    top.filter(col("pos") < HillK)
+      .crossJoin(broadcast(ref))
+      .select(col("xref"),
+        floor(log(col("x").cast("double") / col("xref").cast("double"))
+          * lit(1e9) + lit(0.5)).cast("long").as("lnano"))
+      .groupBy(col("xref"))
+      .agg(count(lit(1)).as("k"), sum(col("lnano")).as("sum_ln_nano"))
+      .select(col("k"), col("xref").as("x_ref"), col("sum_ln_nano"),
+        when(col("sum_ln_nano") > 0,
+          expr("k * 1000000000000 div sum_ln_nano")).otherwise(lit(0L))
+          .as("alpha_milli"))
+  }
+
   /** q197 churn list depth. */
   val ChurnTopK = 20
 
