@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.graft.{CompressionRatio, CosineSimilarity, CountInSet, MinHashSignatureAgg, RollingHash, TopKByScore, WinnowMin}
+import org.apache.spark.sql.graft.{CompressionRatio, CosineSimilarity, CountInSet, MinHashSignatureAgg, NfcNormalize, NormalizeIdempotence, RollingHash, StripAccents, TopKByScore, WinnowMin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -59,5 +59,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val k = exprs(2).eval(null).asInstanceOf[Number].intValue()
         TopKByScore(exprs(0), exprs(1), k)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (exprs: Seq[Expression]) => StripAccents(exprs.head)))
+    // the Rule[LogicalPlan] tier: normalize-idempotence folding
+    e.injectOptimizerRule(_ => NormalizeIdempotence)
   }
 }

@@ -355,6 +355,35 @@ class Round12OpsSpec extends SparkSuite {
     assert(rows.length.toLong < head || cum <= PackBudgetTokens)
   }
 
+  test("NormalizeIdempotence rule folds nested normalization to one pass") {
+    import org.apache.spark.sql.graft.{GraftRules, NfcNormalize, StripAccents, native => gf}
+    GraftRules.ensure(spark)
+    val df = graft.sources.Tables.documents(spark, sf).select(
+      gf.nfc(gf.nfc(col("text"))).as("a"),
+      gf.stripAccents(gf.nfc(gf.stripAccents(col("text")))).as("b"))
+    val plan = df.queryExecution.optimizedPlan
+    val norm = plan.expressions.flatMap(_.collect {
+      case e: NfcNormalize => e
+      case e: StripAccents => e
+    })
+    assert(norm.count(_.isInstanceOf[NfcNormalize]) == 1,
+      s"nfc(nfc(x)) must fold to one pass, plan had: $norm")
+    assert(norm.count(_.isInstanceOf[StripAccents]) == 1,
+      "strip_accents(nfc(strip_accents(x))) must fold to one strip pass")
+    // semantics preserved: folded plan equals the single-application frame
+    val single = graft.sources.Tables.documents(spark, sf).select(
+      gf.nfc(col("text")).as("a"), gf.stripAccents(col("text")).as("b"))
+    assert(df.exceptAll(single).isEmpty && single.exceptAll(df).isEmpty)
+  }
+
+  test("GraftExtensions registers nfc/strip_accents and the optimizer rule without error") {
+    // construction-level smoke: registration raises no errors (full SQL
+    // use requires a session built with the extensions — config
+    // `spark.sql.extensions=graft.GraftExtensions`); the rule's
+    // behavior itself is covered by the folding test above
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("q195 forward as-of picks each click's earliest subsequent purchase") {
     val rows = graft.operators.Relational.asofForward(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)
