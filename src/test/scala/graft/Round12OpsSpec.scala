@@ -355,6 +355,95 @@ class Round12OpsSpec extends SparkSuite {
     assert(rows.length.toLong < head || cum <= PackBudgetTokens)
   }
 
+  test("q207 completions are the true per-prefix top-k") {
+    import graft.operators.Indexing.{AutoPrefixLen, AutoTopK}
+    val rows = graft.operators.Indexing.autocomplete(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byPrefix = rows.groupBy(_.getAs[String]("prefix"))
+    byPrefix.values.foreach { g =>
+      assert(g.length <= AutoTopK)
+      assert(g.map(_.getAs[Int]("rank")).sorted.sameElements(1 to g.length))
+      // ranks ordered by (cnt desc, token asc)
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (ca, cb) = (a.getAs[Long]("cnt"), b.getAs[Long]("cnt"))
+          assert(ca > cb || (ca == cb
+            && a.getAs[String]("token") < b.getAs[String]("token")))
+        case _ =>
+      }
+      g.foreach(r => assert(
+        r.getAs[String]("token").startsWith(r.getAs[String]("prefix"))
+          && r.getAs[String]("prefix").length == AutoPrefixLen))
+    }
+  }
+
+  test("q208 conversion is monotone in the horizon and counts every click") {
+    val rows = graft.operators.Relational.conversionRate(spark, sf).collect()
+    val nClicks = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(rows.map(_.getAs[Long]("n_clicks")).sum == nClicks)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_clicks"))
+      assert(r.getAs[Long]("conv_ppm") <= 1000000L)
+    }
+    // both sides of the fence exercised somewhere in the corpus
+    assert(rows.exists(_.getAs[Long]("n_converted") > 0))
+    assert(rows.map(r => r.getAs[Long]("n_clicks") - r.getAs[Long]("n_converted")).sum > 0)
+  }
+
+  test("q209 lift table masses match the global rate") {
+    val rows = graft.operators.Pipeline.dupQualityLift(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val gDup = rows.map(_.getAs[Long]("n_dup")).sum
+    assert(gDup > 0, "corpus has dup clusters — lift must be measurable")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("dup_rate_ppm") ==
+        r.getAs[Long]("n_dup") * 1000000L / r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q210 Hill fit matches a driver-side fold over the same order stats") {
+    import graft.operators.TextAnalysis.HillK
+    val r = graft.operators.TextAnalysis.hillTail(spark, sf).collect().head
+    val lens = graft.sources.Tables.documents(spark, sf)
+      .select(col("n_chars")).collect().map(_.getLong(0)).sorted(Ordering[Long].reverse)
+    val xref = lens(HillK)
+    val sumNano = lens.take(HillK)
+      .map(x => math.floor(math.log(x.toDouble / xref) * 1e9 + 0.5).toLong).sum
+    assert(r.getAs[Long]("k") == HillK)
+    assert(r.getAs[Long]("x_ref") == xref)
+    assert(r.getAs[Long]("sum_ln_nano") == sumNano)
+    assert(r.getAs[Long]("alpha_milli") == (if (sumNano > 0) HillK * 1000000000000L / sumNano else 0L))
+  }
+
+  test("q211 1-bit estimate is coarser than, but consistent with, the 128-hash audit") {
+    val b1 = graft.operators.Dedup.bbitMinhash(spark, sf).collect()
+    assert(b1.nonEmpty)
+    b1.foreach { r =>
+      val m = r.getAs[Long]("m_bits")
+      assert(m >= 0 && m <= graft.operators.Dedup.NumHashes)
+      val est = r.getAs[Double]("est_b1")
+      assert(est >= 0.0 && est <= 1.0)
+      // verified pairs have true J >= 0.8; the parity estimator is
+      // unbiased with sd ~ 2*sqrt(p(1-p)/128) ~ 0.09 — allow 5 sd
+      assert(math.abs(est - r.getAs[Double]("jaccard")) < 0.45,
+        s"1-bit estimate wildly off: $r")
+    }
+  }
+
+  test("q212 norm stats fold correctly and the corpus has no dead vectors") {
+    val r = graft.operators.Similarity.embedNorms(spark, sf).collect().head
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(r.getAs[Long]("n_vecs") == nVecs)
+    assert(r.getAs[Long]("n_zero") == 0L)
+    assert(r.getAs[Double]("min_norm") > 0.0)
+    assert(r.getAs[Double]("min_norm") <= r.getAs[Double]("mean_norm")
+      && r.getAs[Double]("mean_norm") <= r.getAs[Double]("max_norm"))
+  }
+
   test("NormalizeIdempotence rule folds nested normalization to one pass") {
     import org.apache.spark.sql.graft.{GraftRules, NfcNormalize, StripAccents, native => gf}
     GraftRules.ensure(spark)
