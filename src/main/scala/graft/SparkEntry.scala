@@ -224,7 +224,10 @@ object SparkEntry {
     "q209_dup_quality_lift" -> (Pipeline.dupQualityLift _),
     "q210_hill_tail"      -> (TextAnalysis.hillTail _),
     "q211_bbit_minhash"   -> (Dedup.bbitMinhash _),
-    "q212_embed_norms"    -> (Similarity.embedNorms _)
+    "q212_embed_norms"    -> (Similarity.embedNorms _),
+    "q213_psi_drift"      -> (DataQuality.psiDrift _),
+    "q214_ab_test"        -> (Relational.abTest _),
+    "q215_kwic_snippets"  -> (Indexing.kwicSnippets _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -3947,6 +3950,60 @@ object SparkEntry {
         |       max(nm)::DOUBLE / 1000000.0 AS max_norm,
         |       (sum(nm)::BIGINT // count(*))::DOUBLE / 1000000.0 AS mean_norm
         |FROM em""".stripMargin
+    },
+    "q213_psi_drift" -> {
+      import graft.operators.DataQuality.PsiBins
+      qualityCte + s""",
+        |ps AS (SELECT (count(*) // 2) AS s FROM documents),
+        |pb AS (SELECT least(floor(q.quality_score * ${PsiBins - 1}), ${PsiBins - 1})::INT AS bin,
+        |              CASE WHEN q.doc_id < ps.s THEN 1 ELSE 0 END AS in_a
+        |       FROM qual q, ps),
+        |pc AS (SELECT bin, sum(in_a)::BIGINT AS ca, sum(1 - in_a)::BIGINT AS cb
+        |       FROM pb GROUP BY 1),
+        |pt AS (SELECT sum(in_a)::BIGINT AS na, sum(1 - in_a)::BIGINT AS nb FROM pb),
+        |pd3 AS (SELECT t.b AS bin, coalesce(pc.ca, 0)::BIGINT AS ca,
+        |               coalesce(pc.cb, 0)::BIGINT AS cb
+        |        FROM unnest(range(0, $PsiBins)) t(b) LEFT JOIN pc ON pc.bin = t.b)
+        |SELECT pd3.bin, pd3.ca AS n_a, pd3.cb AS n_b,
+        |       floor(((pd3.ca + 1)::DOUBLE / (pt.na + $PsiBins)::DOUBLE
+        |              - (pd3.cb + 1)::DOUBLE / (pt.nb + $PsiBins)::DOUBLE)
+        |             * ln((pd3.ca + 1)::DOUBLE * (pt.nb + $PsiBins)::DOUBLE
+        |                  / ((pd3.cb + 1)::DOUBLE * (pt.na + $PsiBins)::DOUBLE))
+        |             * 1000000000.0 + 0.5)::BIGINT AS psi_nano
+        |FROM pd3, pt ORDER BY bin""".stripMargin
+    },
+    "q214_ab_test" -> {
+      import graft.operators.Relational.AbConvMin
+      s"""WITH au AS (SELECT user_id,
+        |                  CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |                            >= $AbConvMin THEN 1 ELSE 0 END::BIGINT AS converted
+        |           FROM events GROUP BY 1),
+        |aa AS (SELECT user_id % 2 AS arm, count(*)::BIGINT AS n,
+        |              sum(converted)::BIGINT AS x
+        |       FROM au GROUP BY 1),
+        |a0 AS (SELECT n AS n_a, x AS x_a FROM aa WHERE arm = 0),
+        |a1 AS (SELECT n AS n_b, x AS x_b FROM aa WHERE arm = 1)
+        |SELECT n_a, x_a, n_b, x_b,
+        |       x_a * 1000000 // n_a AS rate_a_ppm,
+        |       x_b * 1000000 // n_b AS rate_b_ppm,
+        |       round((x_a::DOUBLE / n_a::DOUBLE - x_b::DOUBLE / n_b::DOUBLE)
+        |             / sqrt(((x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+        |                    * (1.0 - (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+        |                    * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)), 6) AS z
+        |FROM a0, a1""".stripMargin
+    },
+    "q215_kwic_snippets" -> {
+      import graft.operators.Indexing.{KwicRadius, KwicTerm}
+      s"""WITH kt AS (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w
+        |            FROM documents),
+        |kh AS (SELECT doc_id, w, t.p AS token_pos
+        |       FROM kt, unnest(range(1, len(w) + 1)) t(p)
+        |       WHERE w[p] = '$KwicTerm')
+        |SELECT doc_id, token_pos,
+        |       array_to_string(
+        |         w[greatest(1, token_pos - $KwicRadius):least(len(w), token_pos + $KwicRadius)],
+        |         ' ') AS snippet
+        |FROM kh ORDER BY doc_id, token_pos""".stripMargin
     }
   )
 

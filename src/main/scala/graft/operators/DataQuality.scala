@@ -256,4 +256,51 @@ object DataQuality {
         col("na").as("n_a"), col("nb").as("n_b"), col("w1_num"),
         expr("w1_num * 1000 div (na * nb)").as("w1_milli"))
   }
+
+  /** q213 PSI bin count (score ∈ [0,1] at 0.05 width ⇒ bins 0..20). */
+  val PsiBins = 21
+
+  /** q213_psi_drift — Population Stability Index of the q19 quality
+    * SCORE between corpus halves (doc_id order as crawl order): per
+    * bin, the Laplace-smoothed shares of each half and the PSI summand
+    * (p−q)·ln(p/q) — the standard model-monitoring drift statistic
+    * (PSI > 0.2 = retrain/recalibrate). q152's KL watches a CONTENT
+    * distribution across sources; PSI watches a MODEL SCORE across
+    * time, which is what actually gates a deployed quality filter.
+    *
+    * Determinism: the full fixed bin domain 0..20 is generated (empty
+    * bins smooth to equal shares ⇒ summand 0), shares are exact
+    * rationals over (n+[[PsiBins]]), each summand ln evaluates on
+    * identical integers and floor-quantizes to 1e-9 before any sum
+    * (the q152/lesson-49 rule).
+    *
+    * Scale shape: one scan for scores + broadcast split constant, one
+    * (bin, half) count aggregate over the ≤2·21 domain, the rest is
+    * bins-sized integer arithmetic. */
+  def psiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    val split = docs.agg(expr("count(1) div 2").as("s"))
+    val binned = docs.crossJoin(broadcast(split))
+      .select(
+        least(floor(col("quality_score") * (PsiBins - 1)).cast("int"), lit(PsiBins - 1))
+          .as("bin"),
+        when(col("doc_id") < col("s"), 1L).otherwise(0L).as("in_a"))
+    val counts = binned.groupBy(col("bin"))
+      .agg(sum(col("in_a")).as("ca"), sum(lit(1L) - col("in_a")).as("cb"))
+    val tot = binned.agg(sum(col("in_a")).as("na"),
+      sum(lit(1L) - col("in_a")).as("nb"))
+    val domain = spark.range(0, PsiBins).select(col("id").cast("int").as("bin"))
+    domain.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("ca").as("n_a"), col("cb").as("n_b"),
+        floor(((col("ca") + 1).cast("double") / (col("na") + PsiBins).cast("double")
+          - (col("cb") + 1).cast("double") / (col("nb") + PsiBins).cast("double"))
+          * log((col("ca") + 1).cast("double") * (col("nb") + PsiBins).cast("double")
+            / ((col("cb") + 1).cast("double") * (col("na") + PsiBins).cast("double")))
+          * lit(1e9) + lit(0.5)).cast("long").as("psi_nano"))
+      .orderBy("bin")
+  }
 }

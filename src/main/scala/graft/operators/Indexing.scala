@@ -314,6 +314,37 @@ object Indexing {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q215 KWIC window: ±2 tokens around the hit. */
+  val KwicRadius = 2
+  /** q215 query term (from the corpus vocabulary). */
+  val KwicTerm = "vector"
+
+  /** q215_kwic_snippets — keyword-in-context extraction: every
+    * occurrence of the query term with its ±[[KwicRadius]]-token
+    * window joined back into a snippet string — the search-result
+    * highlighting step a retrieval stack runs after ranking (q75
+    * decides WHICH docs; this renders WHY they matched). Positions
+    * are the same token coordinates q72's positional postings store,
+    * so at scale the occurrence list comes from the index, not a
+    * rescan — here the scan-side form prices the index-free case.
+    *
+    * Scale shape: tokens bind once per doc (the multi-reference
+    * lesson), the hit filter applies scan-side post-explode, and the
+    * snippet is a per-hit array slice — zero shuffles before the
+    * ordered output. */
+  def kwicSnippets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), T.wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .filter(col("tok") === KwicTerm)
+      .select(col("doc_id"), (col("pos") + 1).as("token_pos"),
+        greatest(lit(1), col("pos") + 1 - KwicRadius).as("s"),
+        least(size(col("w")), col("pos") + 1 + KwicRadius).as("e"), col("w"))
+      .select(col("doc_id"), col("token_pos"),
+        array_join(slice(col("w"), col("s"), col("e") - col("s") + 1), " ")
+          .as("snippet"))
+      .orderBy("doc_id", "token_pos")
+
   /** q206 context-window token budget. */
   val PackBudgetTokens = 150L
 

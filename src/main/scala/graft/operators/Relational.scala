@@ -1813,6 +1813,56 @@ object Relational {
       .orderBy("wk")
   }
 
+  /** q214 conversion threshold: ≥ this many purchases (≈ the per-user
+    * median at every SF, so both arms and both outcomes stay populated). */
+  val AbConvMin = 14L
+
+  /** q214_ab_test — two-proportion experiment readout: users split into
+    * arms by id parity (the deterministic stand-in for assignment
+    * hashing), per-user purchase conversion, and the pooled two-
+    * proportion z statistic — the decision number an experimentation
+    * platform computes over billions of events (sequential/bayesian
+    * layers sit on top of exactly these counts). The engine-level
+    * content is the two-phase shape: event rows collapse to ONE row
+    * per user before any rate math, so arms compare users, not event
+    * volume.
+    *
+    * Determinism: all four counts are exact integers; rates are exact
+    * ppm; z evaluates one identical IEEE expression tree over those
+    * integers on both engines and rounds to 6dp.
+    *
+    * Scale shape: one user-keyed partial-aggregable collapse (max of
+    * a 0/1 flag), one 2-row arm aggregate, a 1-row fold. */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    // "converted" = at least AbConvMin purchases: every synthetic user
+    // purchases at least once, so has-any-purchase would be the
+    // degenerate 100% metric (lesson 47 — a threshold near the median
+    // keeps both z-test tails populated at every SF)
+    val perUser = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy(col("user_id"))
+      .agg((sum(col("p")) >= AbConvMin).cast("long").as("converted"))
+      .select(pmod(col("user_id"), lit(2)).cast("int").as("arm"), col("converted"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+    val a = arms.filter(col("arm") === 0).select(col("n").as("n_a"), col("x").as("x_a"))
+    val b = arms.filter(col("arm") === 1).select(col("n").as("n_b"), col("x").as("x_b"))
+    a.crossJoin(b)
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        expr("x_a * 1000000 div n_a").as("rate_a_ppm"),
+        expr("x_b * 1000000 div n_b").as("rate_b_ppm"),
+        round(
+          (col("x_a").cast("double") / col("n_a").cast("double")
+            - col("x_b").cast("double") / col("n_b").cast("double"))
+            / sqrt(((col("x_a") + col("x_b")).cast("double")
+              / (col("n_a") + col("n_b")).cast("double"))
+              * (lit(1.0) - (col("x_a") + col("x_b")).cast("double")
+                / (col("n_a") + col("n_b")).cast("double"))
+              * (lit(1.0) / col("n_a").cast("double")
+                + lit(1.0) / col("n_b").cast("double"))), 6).as("z"))
+  }
+
   /** q195_asof_forward — FORWARD as-of join ("next event at or after"):
     * each click attributed to the user's NEXT purchase — conversion
     * attribution, where q30's backward as-of answers provenance
