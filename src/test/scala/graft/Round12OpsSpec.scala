@@ -444,6 +444,56 @@ class Round12OpsSpec extends SparkSuite {
       && r.getAs[Double]("mean_norm") <= r.getAs[Double]("max_norm"))
   }
 
+  test("q213 PSI bins cover the corpus and identical halves would zero out") {
+    import graft.operators.DataQuality.PsiBins
+    val rows = graft.operators.DataQuality.psiDrift(spark, sf).collect()
+    assert(rows.length == PsiBins)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum == nDocs)
+    // summand sign law: bin with p > q contributes positive PSI
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      if (a == b) assert(math.abs(r.getAs[Long]("psi_nano")) <=
+        1L, "equal smoothed shares must contribute ~0")
+      else assert(r.getAs[Long]("psi_nano") >= 0L,
+        "PSI summands are non-negative: (p-q) and ln(p/q) share sign")
+    }
+  }
+
+  test("q214 counts partition the users and z matches a direct computation") {
+    val r = graft.operators.Relational.abTest(spark, sf).collect().head
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    val (na, xa, nb, xb) = (r.getAs[Long]("n_a"), r.getAs[Long]("x_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("x_b"))
+    assert(na + nb == nUsers)
+    assert(xa > 0 && xb > 0 && xa < na && xb < nb,
+      "threshold must keep both outcomes populated in both arms")
+    val p = (xa + xb).toDouble / (na + nb)
+    val z = (xa.toDouble / na - xb.toDouble / nb) /
+      math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-6)
+  }
+
+  test("q215 snippets contain the term and match the token windows") {
+    import graft.operators.Indexing.{KwicRadius, KwicTerm}
+    val rows = graft.operators.Indexing.kwicSnippets(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("[ \t\n\r]+").filter(_.nonEmpty)).toMap
+    rows.foreach { r =>
+      val w = docs(r.getAs[Long]("doc_id"))
+      val p = r.getAs[Int]("token_pos")
+      assert(w(p - 1) == KwicTerm)
+      val lo = math.max(1, p - KwicRadius); val hi = math.min(w.length, p + KwicRadius)
+      assert(r.getAs[String]("snippet") == w.slice(lo - 1, hi).mkString(" "))
+    }
+    // completeness: every occurrence is reported
+    val expected = docs.values.map(_.count(_ == KwicTerm)).sum
+    assert(rows.length == expected)
+  }
+
   test("NormalizeIdempotence rule folds nested normalization to one pass") {
     import org.apache.spark.sql.graft.{GraftRules, NfcNormalize, StripAccents, native => gf}
     GraftRules.ensure(spark)
