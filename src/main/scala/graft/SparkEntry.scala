@@ -227,7 +227,10 @@ object SparkEntry {
     "q212_embed_norms"    -> (Similarity.embedNorms _),
     "q213_psi_drift"      -> (DataQuality.psiDrift _),
     "q214_ab_test"        -> (Relational.abTest _),
-    "q215_kwic_snippets"  -> (Indexing.kwicSnippets _)
+    "q215_kwic_snippets"  -> (Indexing.kwicSnippets _),
+    "q216_time_heatmap"   -> (Relational.timeHeatmap _),
+    "q217_attribution_window" -> (Relational.attributionWindow _),
+    "q218_source_gini"    -> (Relational.sourceGini _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -4004,7 +4007,52 @@ object SparkEntry {
         |         w[greatest(1, token_pos - $KwicRadius):least(len(w), token_pos + $KwicRadius)],
         |         ' ') AS snippet
         |FROM kh ORDER BY doc_id, token_pos""".stripMargin
-    }
+    },
+    "q216_time_heatmap" ->
+      """WITH th AS (SELECT ((epoch_us(ts) // 3600000000) % 24)::INT AS hour,
+        |                  ((epoch_us(ts) // 86400000000) % 7)::INT AS dow
+        |           FROM events),
+        |tc AS (SELECT dow, hour, count(*)::BIGINT AS n_events FROM th GROUP BY 1, 2),
+        |tt AS (SELECT sum(n_events)::BIGINT AS n_total FROM tc)
+        |SELECT dow, hour, n_events, n_events * 1000000 // n_total AS share_ppm
+        |FROM tc, tt ORDER BY dow, hour""".stripMargin,
+    "q217_attribution_window" -> {
+      import graft.operators.Relational.{AttribWindowUs, RetentionEpochMs, WeekMs}
+      s"""WITH ap AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us,
+        |                   epoch_ms(ts) AS p_ms,
+        |                   floor(value * 100 + 0.5)::BIGINT AS cents
+        |            FROM events WHERE event_type = 'purchase'),
+        |av AS (SELECT user_id, epoch_us(ts) AS v_us FROM events
+        |       WHERE event_type = 'view'),
+        |at2 AS (SELECT p.p_id, p.p_ms, p.cents, count(v.v_us)::BIGINT AS n_touches
+        |        FROM ap p LEFT JOIN av v
+        |          ON v.user_id = p.user_id AND v.v_us <= p.p_us
+        |             AND v.v_us > p.p_us - $AttribWindowUs
+        |        GROUP BY 1, 2, 3),
+        |aw AS (SELECT floor((p_ms - $RetentionEpochMs)::DOUBLE / $WeekMs.0)::BIGINT AS wk,
+        |              cents, n_touches FROM at2),
+        |ag AS (SELECT wk, count(*)::BIGINT AS n_purchases,
+        |              sum(CASE WHEN n_touches > 0 THEN 1 ELSE 0 END)::BIGINT AS n_attributed,
+        |              sum(cents)::BIGINT AS cents,
+        |              sum(CASE WHEN n_touches > 0 THEN cents ELSE 0 END)::BIGINT AS attr_cents,
+        |              sum(n_touches)::BIGINT AS touches
+        |       FROM aw GROUP BY 1)
+        |SELECT wk, n_purchases, n_attributed,
+        |       cents::DOUBLE / 100.0 AS revenue,
+        |       attr_cents::DOUBLE / 100.0 AS attributed_revenue,
+        |       attr_cents * 1000000 // cents AS attributed_ppm,
+        |       touches * 1000000 // n_purchases AS mean_touches_ppm
+        |FROM ag ORDER BY wk""".stripMargin
+    },
+    "q218_source_gini" ->
+      """WITH gm AS (SELECT source, sum(n_chars)::BIGINT AS x FROM documents GROUP BY 1),
+        |gr AS (SELECT x, row_number() OVER (ORDER BY x ASC, source ASC) AS i FROM gm),
+        |ga AS (SELECT count(*)::BIGINT AS n_sources, sum(x)::BIGINT AS total_chars,
+        |              sum(i * x)::BIGINT AS ix FROM gr)
+        |SELECT n_sources, total_chars,
+        |       2 * ix * 1000000 // (n_sources * total_chars)
+        |         - (n_sources + 1) * 1000000 // n_sources AS gini_ppm
+        |FROM ga""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -1813,6 +1813,109 @@ object Relational {
       .orderBy("wk")
   }
 
+  /** q216_time_heatmap — the hour-of-day × day-of-week traffic matrix
+    * with exact ppm shares: the capacity/alerting baseline every event
+    * pipeline draws (when is peak, how deep is the weekend trough) and
+    * the seasonal PRIOR that q120/q174's anomaly rules normalize
+    * against. 168 cells regardless of volume.
+    *
+    * Scale shape: hour/dow are scan-local projections off the µs
+    * timestamp (timezone-free via epoch-day arithmetic: dow 0 =
+    * Thursday, the Unix epoch's weekday — documented convention so
+    * both engines derive it by integer div/mod, no locale surface);
+    * ONE partial-aggregable 168-cell aggregate + a broadcast total. */
+  def timeHeatmap(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(
+        expr("(unix_micros(ts) div 3600000000) % 24").cast("int").as("hour"),
+        expr("(unix_micros(ts) div 86400000000) % 7").cast("int").as("dow"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = cells.agg(sum(col("n_events")).as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n_events"),
+        expr("n_events * 1000000 div n_total").as("share_ppm"))
+      .orderBy("dow", "hour")
+  }
+
+  /** q217 multi-touch lookback window (7 days, µs). */
+  val AttribWindowUs = 604800000000L
+
+  /** q217_attribution_window — windowed multi-touch attribution: per
+    * purchase week, how much revenue has at least one VIEW by the same
+    * user in the 7 days before the purchase (attributable) vs none
+    * (organic/dark), plus the mean touch count — the marketing-mix
+    * input. q30/q195 attribute to ONE touch (last/next); this measures
+    * the whole lookback window, which is what budget allocation
+    * actually consumes.
+    *
+    * Scale shape: the purchases⋈views range join is user-keyed with
+    * the time predicate INSIDE the user's partition (the q67
+    * interval-join rule — never a time-bucketed cross product); per
+    * purchase the touch count is one keyed aggregate; the weekly
+    * rollup is a second small aggregate. All revenue in integer
+    * cents, shares exact ppm. */
+  def attributionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("p_us"),
+        unix_millis(col("ts")).as("p_ms"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("cents"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_us"))
+    val touches = purchases.join(views,
+        purchases("p_user") === views("v_user")
+          && views("v_us") <= purchases("p_us")
+          && views("v_us") > purchases("p_us") - AttribWindowUs,
+        "left")
+      .groupBy(col("p_id"), col("p_ms"), col("cents"))
+      .agg(count(col("v_us")).as("n_touches"))
+    touches
+      .select(
+        floor((col("p_ms") - lit(RetentionEpochMs)).cast("double")
+          / lit(WeekMs.toDouble)).cast("long").as("wk"),
+        col("cents"), col("n_touches"))
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("n_touches") > 0, 1L).otherwise(0L)).as("n_attributed"),
+        sum(col("cents")).as("cents"),
+        sum(when(col("n_touches") > 0, col("cents")).otherwise(0L)).as("attr_cents"),
+        sum(col("n_touches")).as("touches"))
+      .select(col("wk"), col("n_purchases"), col("n_attributed"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        (col("attr_cents").cast("double") / lit(100.0)).as("attributed_revenue"),
+        expr("attr_cents * 1000000 div cents").as("attributed_ppm"),
+        expr("touches * 1000000 div n_purchases").as("mean_touches_ppm"))
+      .orderBy("wk")
+  }
+
+  /** q218_source_gini — Gini concentration of character mass across
+    * sources: 0 = perfectly balanced corpus, →1 = one crawl dominates —
+    * the single-number inequality readout behind q69's domain caps and
+    * q60/q71's rebalancing (those FIX concentration; this MEASURES it,
+    * and is the number a data card reports). Uses the exact discrete
+    * Gini G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-ordered
+    * source masses.
+    *
+    * Determinism/scale: source masses are one partial-aggregable
+    * aggregate; the rank is a window over the SOURCES domain
+    * (~dozens of rows — whitelisted); every term is exact integer
+    * arithmetic to the final two ppm divisions. */
+  def sourceGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val masses = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("x"))
+    val ranked = masses
+      .withColumn("i", row_number().over(Window.orderBy(col("x").asc, col("source").asc)))
+    ranked
+      .agg(count(lit(1)).as("n_sources"), sum(col("x")).as("total_chars"),
+        sum(col("i") * col("x")).as("ix"))
+      .select(col("n_sources"), col("total_chars"),
+        (expr("2 * ix * 1000000 div (n_sources * total_chars)")
+          - expr("(n_sources + 1) * 1000000 div n_sources")).as("gini_ppm"))
+  }
+
   /** q214 conversion threshold: ≥ this many purchases (≈ the per-user
     * median at every SF, so both arms and both outcomes stay populated). */
   val AbConvMin = 14L
