@@ -494,6 +494,47 @@ class Round12OpsSpec extends SparkSuite {
     assert(rows.length == expected)
   }
 
+  test("q216 heatmap covers every event exactly once with full-ppm mass") {
+    val rows = graft.operators.Relational.timeHeatmap(spark, sf).collect()
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == nEvents)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("hour") >= 0 && r.getAs[Int]("hour") < 24)
+      assert(r.getAs[Int]("dow") >= 0 && r.getAs[Int]("dow") < 7)
+    }
+    val mass = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(mass <= 1000000L && mass > 1000000L - rows.length)
+  }
+
+  test("q217 attribution accounts all purchases and respects the window") {
+    val rows = graft.operators.Relational.attributionWindow(spark, sf).collect()
+    val nPurch = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == nPurch)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_attributed") <= r.getAs[Long]("n_purchases"))
+      assert(r.getAs[Double]("attributed_revenue") <= r.getAs[Double]("revenue") + 1e-9)
+      assert(r.getAs[Long]("attributed_ppm") <= 1000000L)
+    }
+    // the synthetic streams are dense: some weeks attribute, and the
+    // 7-day window leaves SOME purchase unattributed at sf0.001
+    assert(rows.exists(_.getAs[Long]("n_attributed") > 0))
+  }
+
+  test("q218 Gini matches a driver-side fold and sits in [0, 1)") {
+    val r = graft.operators.Relational.sourceGini(spark, sf).collect().head
+    val xs = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("x"))
+      .collect().map(x => (x.getAs[String]("source"), x.getAs[Long]("x")))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    val n = xs.length.toLong; val tot = xs.sum
+    val ix = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val gini = 2 * ix * 1000000L / (n * tot) - (n + 1) * 1000000L / n
+    assert(r.getAs[Long]("n_sources") == n)
+    assert(r.getAs[Long]("gini_ppm") == gini)
+    assert(gini >= 0 && gini < 1000000L)
+  }
+
   test("NormalizeIdempotence rule folds nested normalization to one pass") {
     import org.apache.spark.sql.graft.{GraftRules, NfcNormalize, StripAccents, native => gf}
     GraftRules.ensure(spark)
