@@ -230,7 +230,9 @@ object SparkEntry {
     "q215_kwic_snippets"  -> (Indexing.kwicSnippets _),
     "q216_time_heatmap"   -> (Relational.timeHeatmap _),
     "q217_attribution_window" -> (Relational.attributionWindow _),
-    "q218_source_gini"    -> (Relational.sourceGini _)
+    "q218_source_gini"    -> (Relational.sourceGini _),
+    "q219_pad_waste"      -> (Packing.padWaste _),
+    "q220_rfm"            -> (Relational.rfm _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -4052,7 +4054,43 @@ object SparkEntry {
         |SELECT n_sources, total_chars,
         |       2 * ix * 1000000 // (n_sources * total_chars)
         |         - (n_sources + 1) * 1000000 // n_sources AS gini_ppm
-        |FROM ga""".stripMargin
+        |FROM ga""".stripMargin,
+    "q219_pad_waste" -> {
+      import graft.operators.Packing.{PadMaxPow, PadMinPow}
+      val ladder = (PadMinPow until PadMaxPow)
+        .map(p => s"WHEN n <= ${1L << p} THEN ${1L << p}")
+        .mkString(" ")
+      s"""WITH pw AS (SELECT len(regexp_extract_all(text, '[^ \t\n\r]+'))::BIGINT AS n
+        |            FROM documents),
+        |pb2 AS (SELECT n,
+        |               (CASE $ladder ELSE ${1L << PadMaxPow} END)::BIGINT AS bucket,
+        |               least(n, ${1L << PadMaxPow})::BIGINT AS kept
+        |        FROM pw)
+        |SELECT bucket, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS raw_tokens,
+        |       (count(*) * bucket)::BIGINT AS padded_tokens,
+        |       (count(*)::BIGINT * bucket - sum(kept)::BIGINT) * 1000000
+        |         // (count(*)::BIGINT * bucket) AS waste_ppm
+        |FROM pb2 GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+    "q220_rfm" -> {
+      import graft.operators.Relational.{RfmFreqHigh, RfmLapsedDays, RfmRecentDays}
+      s"""WITH re AS (SELECT user_id, epoch_us(ts) AS us,
+        |                  floor(value * 100 + 0.5)::BIGINT AS cents FROM events),
+        |rr AS (SELECT max(us) AS ref_us FROM re),
+        |ru AS (SELECT user_id, max(re.us) AS last_us, max(rr.ref_us) AS ref_us,
+        |              sum(CASE WHEN re.us > rr.ref_us - ${RfmLapsedDays * 86400000000L}
+        |                       THEN 1 ELSE 0 END)::BIGINT AS f30,
+        |              sum(cents)::BIGINT AS cents
+        |       FROM re, rr GROUP BY user_id)
+        |SELECT user_id, (ref_us - last_us) // 86400000000 AS recency_days,
+        |       f30 AS freq_30d, cents::DOUBLE / 100.0 AS monetary,
+        |       (CASE WHEN (ref_us - last_us) // 86400000000 <= $RfmRecentDays THEN 'A'
+        |             WHEN (ref_us - last_us) // 86400000000 <= $RfmLapsedDays THEN 'W'
+        |             ELSE 'L' END)
+        |       || (CASE WHEN f30 >= $RfmFreqHigh THEN 'H' ELSE 'L' END)
+        |       || (CASE WHEN cents >= 50000 THEN 'H' ELSE 'L' END) AS segment
+        |FROM ru ORDER BY user_id""".stripMargin
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -1,4 +1,5 @@
 package graft.operators
+// (q219_pad_waste lives here with the shard-packing family)
 
 import graft.functions.{TextFunctions => T}
 import graft.sources.Tables
@@ -98,5 +99,45 @@ object Packing {
       .select(col("doc_id"), col("n"), col("text"), col("shard_id"))
       .repartition(col("shard_id"))
     graft.sources.Sinks.parquet(packed, path, partitionBy = Seq("shard_id"))
+  }
+
+  /** q219 bucket bounds: power-of-two sequence lengths 2^3..2^9. */
+  val PadMinPow = 3
+  val PadMaxPow = 9
+
+  /** q219_pad_waste — sequence-length bucketing efficiency: assign each
+    * document to the smallest power-of-two length bucket that holds
+    * its token count (8..512, oversize clamps to the top) and report
+    * per bucket the document count, real token mass, padded mass
+    * (n·bucket) and padding waste — the batch-shape planning number
+    * for fixed-length training: uniform 512-padding wastes the short
+    * tail, per-batch bucketing recovers it, and THIS table is the
+    * measured tradeoff (Σ waste = the FLOPs you pay for not packing;
+    * q53 packs greedily instead — the two strategies bracket the
+    * design space).
+    *
+    * Scale shape: the bucket is a scan-local integer log2 (comparison
+    * ladder via greatest/ceil on longs — no floats); one
+    * partial-aggregable ≤8-row aggregate; waste in exact ppm. */
+  def padWaste(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxB = 1L << PadMaxPow
+    val n = size(T.wsTokens(col("text"))).cast("long")
+    // smallest 2^k >= n within [2^PadMinPow, 2^PadMaxPow]
+    val bucket = (PadMinPow to PadMaxPow).reverse.foldLeft(lit(maxB)) {
+      case (acc, p) => when(n <= (1L << p), lit(1L << p)).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .select(n.as("n_tokens"), bucket.as("bucket"))
+      .select(col("bucket"),
+        least(col("n_tokens"), lit(maxB)).as("kept_tokens"), col("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(col("kept_tokens")).as("kept_tokens"))
+      .select(col("bucket"), col("n_docs"), col("raw_tokens"),
+        (col("n_docs") * col("bucket")).as("padded_tokens"),
+        expr("(n_docs * bucket - kept_tokens) * 1000000 div (n_docs * bucket)")
+          .as("waste_ppm"))
+      .orderBy("bucket")
   }
 }

@@ -1916,6 +1916,51 @@ object Relational {
           - expr("(n_sources + 1) * 1000000 div n_sources")).as("gini_ppm"))
   }
 
+  /** q220 RFM bands: recency fences (days) and frequency fences. */
+  val RfmRecentDays = 7L
+  val RfmLapsedDays = 30L
+  val RfmFreqHigh = 20L
+
+  /** q220_rfm — per-user Recency/Frequency/Monetary feature assembly
+    * (the classic churn/LTV feature table): days since last event,
+    * events in the trailing 30 days, lifetime cents, plus a
+    * fixed-fence 3-letter segment code (R: active ≤7d / warm ≤30d /
+    * lapsed; F: high ≥20 trailing events / low; M: above / below the
+    * 500-dollar lifetime line) — fixed fences keep the features
+    * scan-local (quantile fences would re-rank the user base per run;
+    * a production feature store wants STABLE definitions).
+    *
+    * Scale shape: ONE user-keyed partial-aggregable pass computes all
+    * three axes (max ts, conditional trailing count, cents sum)
+    * against the broadcast reference time; the segment code is a
+    * projection on the users-sized frame. */
+  def rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("cents"))
+    val ref = ev.agg(max(col("us")).as("ref_us"))
+    val dayUs = 86400000000L
+    val perUser = ev.crossJoin(broadcast(ref))
+      .groupBy(col("user_id"))
+      .agg(max(col("us")).as("last_us"),
+        max(col("ref_us")).as("ref_us"),
+        sum(when(col("us") > col("ref_us") - lit(RfmLapsedDays * dayUs), 1L)
+          .otherwise(0L)).as("f30"),
+        sum(col("cents")).as("cents"))
+      .select(col("user_id"),
+        expr(s"(ref_us - last_us) div $dayUs").as("recency_days"),
+        col("f30"), col("cents"))
+    perUser
+      .select(col("user_id"), col("recency_days"), col("f30").as("freq_30d"),
+        (col("cents").cast("double") / lit(100.0)).as("monetary"),
+        concat(
+          when(col("recency_days") <= RfmRecentDays, "A")
+            .when(col("recency_days") <= RfmLapsedDays, "W").otherwise("L"),
+          when(col("f30") >= RfmFreqHigh, "H").otherwise("L"),
+          when(col("cents") >= 50000L, "H").otherwise("L")).as("segment"))
+      .orderBy("user_id")
+  }
+
   /** q214 conversion threshold: ≥ this many purchases (≈ the per-user
     * median at every SF, so both arms and both outcomes stay populated). */
   val AbConvMin = 14L
