@@ -535,6 +535,44 @@ class Round12OpsSpec extends SparkSuite {
     assert(gini >= 0 && gini < 1000000L)
   }
 
+  test("q219 buckets are the tight power-of-two fit and waste accounts the mass") {
+    val rows = graft.operators.Packing.padWaste(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert((b & (b - 1)) == 0 && b >= 8 && b <= 512, s"bucket $b not a 2^k in range")
+      assert(r.getAs[Long]("padded_tokens") == r.getAs[Long]("n_docs") * b)
+      assert(r.getAs[Long]("waste_ppm") >= 0 && r.getAs[Long]("waste_ppm") < 1000000L)
+    }
+    // a doc of n tokens in bucket b (below the cap) means b/2 < n <= b:
+    // mean utilization per non-top bucket is > 50% - can't assert per
+    // doc post-aggregation, but the top bucket exists on this corpus
+    assert(rows.map(_.getAs[Long]("bucket")).max >= 64)
+  }
+
+  test("q220 RFM features match a driver-side fold") {
+    val rows = graft.operators.Relational.rfm(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("cents"))
+      .collect()
+    val refUs = ev.map(_.getAs[Long]("us")).max
+    val byUser = ev.groupBy(_.getAs[Long]("user_id"))
+    assert(rows.length == byUser.size)
+    val dayUs = 86400000000L
+    rows.take(100).foreach { r =>
+      val g = byUser(r.getAs[Long]("user_id"))
+      val lastUs = g.map(_.getAs[Long]("us")).max
+      assert(r.getAs[Long]("recency_days") == (refUs - lastUs) / dayUs)
+      assert(r.getAs[Long]("freq_30d") ==
+        g.count(_.getAs[Long]("us") > refUs - 30L * dayUs))
+      assert(math.round(r.getAs[Double]("monetary") * 100) ==
+        g.map(_.getAs[Long]("cents")).sum)
+      assert(r.getAs[String]("segment").matches("[AWL][HL][HL]"))
+    }
+  }
+
   test("NormalizeIdempotence rule folds nested normalization to one pass") {
     import org.apache.spark.sql.graft.{GraftRules, NfcNormalize, StripAccents, native => gf}
     GraftRules.ensure(spark)
