@@ -232,7 +232,10 @@ object SparkEntry {
     "q217_attribution_window" -> (Relational.attributionWindow _),
     "q218_source_gini"    -> (Relational.sourceGini _),
     "q219_pad_waste"      -> (Packing.padWaste _),
-    "q220_rfm"            -> (Relational.rfm _)
+    "q220_rfm"            -> (Relational.rfm _),
+    "q221_merge_delete"   -> (Relational.mergeDelete _),
+    "q222_lag_features"   -> (Relational.lagFeatures _),
+    "q223_cold_start"     -> (Graph.coldStartRecs _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -3333,36 +3336,8 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
     },
     "q179_item_neighbors" -> {
-      import graft.operators.Graph.{ItemNeighborsK, MaxBasketItems, MinCoocSupport}
-      s"""WITH nitems AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |ncapped AS (
-        |  SELECT l_orderkey, l_partkey FROM (
-        |    SELECT l_orderkey, l_partkey,
-        |           row_number() OVER (PARTITION BY l_orderkey ORDER BY
-        |             ('0x' || substr(md5('bk_' || l_orderkey || '_' || l_partkey), 1, 7))::BIGINT,
-        |             l_partkey) AS rn
-        |    FROM nitems) WHERE rn <= $MaxBasketItems),
-        |npairs AS (
-        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*)::BIGINT AS n_ab
-        |  FROM ncapped a JOIN ncapped b USING (l_orderkey)
-        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2
-        |  HAVING count(*) >= $MinCoocSupport),
-        |nsupp AS (SELECT l_partkey, count(*)::BIGINT AS n FROM ncapped GROUP BY 1),
-        |nsym AS (
-        |  SELECT part_a AS item, part_b AS neighbor, n_ab FROM npairs
-        |  UNION ALL SELECT part_b AS item, part_a AS neighbor, n_ab FROM npairs),
-        |nsc AS (
-        |  SELECT s.item, s.neighbor, s.n_ab,
-        |         floor(s.n_ab::DOUBLE / sqrt((si.n * sn.n)::DOUBLE)
-        |               * 1000000.0 + 0.5)::BIGINT AS cos_ppm
-        |  FROM nsym s
-        |  JOIN nsupp si ON si.l_partkey = s.item
-        |  JOIN nsupp sn ON sn.l_partkey = s.neighbor),
-        |nrk AS (
-        |  SELECT item, neighbor, n_ab, cos_ppm,
-        |         row_number() OVER (PARTITION BY item
-        |           ORDER BY cos_ppm DESC, neighbor ASC) AS rnk
-        |  FROM nsc)
+      import graft.operators.Graph.ItemNeighborsK
+      itemNeighborsCte + s"""
         |SELECT item, rnk::BIGINT AS neighbor_rank, neighbor, n_ab,
         |       cos_ppm::DOUBLE / 1000000.0 AS cosine
         |FROM nrk WHERE rnk <= $ItemNeighborsK
@@ -4090,6 +4065,76 @@ object SparkEntry {
         |       || (CASE WHEN f30 >= $RfmFreqHigh THEN 'H' ELSE 'L' END)
         |       || (CASE WHEN cents >= 50000 THEN 'H' ELSE 'L' END) AS segment
         |FROM ru ORDER BY user_id""".stripMargin
+    },
+    "q221_merge_delete" -> {
+      import graft.operators.Relational.MergeDeleteMod
+      s"""WITH ms AS (SELECT (count(*) * 4) // 5 AS s,
+        |                  (count(*) * 4) // 5 + ((count(*) * 4) // 5) // 10 AS m
+        |           FROM documents),
+        |mb AS (SELECT doc_id AS key FROM documents, ms WHERE doc_id < ms.s),
+        |ml AS (SELECT key, max(struct_pack(src := src, del := del)) AS last FROM (
+        |         SELECT doc_id % ms.m AS key, doc_id AS src,
+        |                doc_id % $MergeDeleteMod = 0 AS del
+        |         FROM documents, ms WHERE doc_id >= ms.s)
+        |       GROUP BY key),
+        |mo AS (SELECT coalesce(mb.key, ml.key) AS key,
+        |              mb.key IS NOT NULL AS in_base,
+        |              ml.key IS NOT NULL AS in_log,
+        |              ml.last.del AS is_del
+        |       FROM mb FULL OUTER JOIN ml ON mb.key = ml.key)
+        |SELECT CASE WHEN in_base AND NOT in_log THEN 'untouched'
+        |            WHEN in_base AND NOT is_del THEN 'updated'
+        |            WHEN in_base AND is_del THEN 'deleted'
+        |            WHEN NOT in_base AND NOT is_del THEN 'inserted'
+        |            ELSE 'ghost_delete' END AS status,
+        |       count(*)::BIGINT AS n_keys, sum(key)::BIGINT AS key_checksum
+        |FROM mo GROUP BY 1 ORDER BY status""".stripMargin
+    },
+    "q222_lag_features" -> {
+      import graft.operators.Relational.{RetentionEpochMs, WeekMs}
+      s"""WITH le AS (SELECT user_id,
+        |                  floor((epoch_ms(ts) - $RetentionEpochMs)::DOUBLE
+        |                        / $WeekMs.0)::BIGINT AS wk
+        |           FROM events),
+        |lw AS (SELECT user_id, wk, count(*)::BIGINT AS n FROM le GROUP BY 1, 2),
+        |lb AS (SELECT min(wk) AS w0, max(wk) AS w1 FROM le),
+        |lsp AS (SELECT u.user_id, t.wk
+        |        FROM (SELECT DISTINCT user_id FROM le) u,
+        |             lb, unnest(range(lb.w0, lb.w1 + 1)) t(wk)),
+        |lf AS (SELECT s.user_id, s.wk, coalesce(lw.n, 0)::BIGINT AS n_events
+        |       FROM lsp s LEFT JOIN lw ON lw.user_id = s.user_id AND lw.wk = s.wk),
+        |lx AS (SELECT user_id, wk, n_events,
+        |              coalesce(lag(n_events, 1) OVER w, 0)::BIGINT AS lag1,
+        |              coalesce(lag(n_events, 2) OVER w, 0)::BIGINT AS lag2,
+        |              (sum(n_events) OVER w4)::BIGINT AS sw,
+        |              (count(*) OVER w4)::BIGINT AS cw
+        |       FROM lf
+        |       WINDOW w AS (PARTITION BY user_id ORDER BY wk),
+        |              w4 AS (PARTITION BY user_id ORDER BY wk
+        |                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, wk, n_events, lag1, lag2, sw // cw AS ma4_floor
+        |FROM lx ORDER BY user_id, wk""".stripMargin
+    },
+    "q223_cold_start" -> {
+      import graft.operators.Graph.ItemNeighborsK
+      itemNeighborsCte + s""",
+        |ncf AS (SELECT item, rnk AS rec_rank, neighbor AS rec_item,
+        |               'cf' AS rec_source
+        |        FROM nrk WHERE rnk <= $ItemNeighborsK),
+        |npop AS (SELECT l_partkey AS rec_item, n FROM nsupp
+        |         ORDER BY n DESC, l_partkey ASC LIMIT ${ItemNeighborsK + 1}),
+        |ncold AS (SELECT p_partkey AS item FROM part
+        |          WHERE p_partkey NOT IN (SELECT DISTINCT item FROM ncf)),
+        |ncr AS (SELECT c.item, p.rec_item,
+        |               row_number() OVER (PARTITION BY c.item
+        |                 ORDER BY p.n DESC, p.rec_item ASC) AS rnk
+        |        FROM ncold c JOIN npop p ON p.rec_item <> c.item)
+        |SELECT item, rec_rank::BIGINT AS rec_rank, rec_item, rec_source FROM (
+        |  SELECT item, rec_rank, rec_item, rec_source FROM ncf
+        |  UNION ALL
+        |  SELECT item, rnk AS rec_rank, rec_item, 'pop' AS rec_source
+        |  FROM ncr WHERE rnk <= $ItemNeighborsK)
+        |ORDER BY item, rec_rank""".stripMargin
     }
   )
 
@@ -4207,6 +4252,42 @@ object SparkEntry {
        |  SELECT rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, n
        |  FROM wc WHERE length(w) >= 2),
        |$rounds"""
+  }
+
+  /** Shared q179/q223 item-to-item CF chain: capped baskets, pair
+    * supports, symmetric cosine scores, per-item ranking — ending in
+    * `nrk(item, neighbor, n_ab, cos_ppm, rnk)` (+ `nsupp` supports). */
+  private def itemNeighborsCte: String = {
+    import graft.operators.Graph.{MaxBasketItems, MinCoocSupport}
+    s"""WITH nitems AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ncapped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           row_number() OVER (PARTITION BY l_orderkey ORDER BY
+        |             ('0x' || substr(md5('bk_' || l_orderkey || '_' || l_partkey), 1, 7))::BIGINT,
+        |             l_partkey) AS rn
+        |    FROM nitems) WHERE rn <= $MaxBasketItems),
+        |npairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*)::BIGINT AS n_ab
+        |  FROM ncapped a JOIN ncapped b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2
+        |  HAVING count(*) >= $MinCoocSupport),
+        |nsupp AS (SELECT l_partkey, count(*)::BIGINT AS n FROM ncapped GROUP BY 1),
+        |nsym AS (
+        |  SELECT part_a AS item, part_b AS neighbor, n_ab FROM npairs
+        |  UNION ALL SELECT part_b AS item, part_a AS neighbor, n_ab FROM npairs),
+        |nsc AS (
+        |  SELECT s.item, s.neighbor, s.n_ab,
+        |         floor(s.n_ab::DOUBLE / sqrt((si.n * sn.n)::DOUBLE)
+        |               * 1000000.0 + 0.5)::BIGINT AS cos_ppm
+        |  FROM nsym s
+        |  JOIN nsupp si ON si.l_partkey = s.item
+        |  JOIN nsupp sn ON sn.l_partkey = s.neighbor),
+        |nrk AS (
+        |  SELECT item, neighbor, n_ab, cos_ppm,
+        |         row_number() OVER (PARTITION BY item
+        |           ORDER BY cos_ppm DESC, neighbor ASC) AS rnk
+        |  FROM nsc)""".stripMargin
   }
 
   /** q186's ±1 sign matrix as a VALUES list — generated from the SAME

@@ -350,4 +350,42 @@ object Graph {
       .select(col("doc_id"), coalesce(col("hops"), lit(-1)).as("hops"))
       .orderBy("doc_id")
   }
+
+  /** q223_cold_start — the full recommender SERVING table: every
+    * catalog item gets [[ItemNeighborsK]] recommendations — CF
+    * neighbors (q179) where co-occurrence support exists, and the
+    * global-popularity fallback for COLD items (new/rare products with
+    * no qualifying pair) — the item-coverage guarantee q179 alone
+    * cannot make, and the reason production recsys tables always ship
+    * a fallback tier (a cold item without recommendations is a dead
+    * product page).
+    *
+    * Scale shape: the CF tier is q179's plan (reading the memoized
+    * basket artifact); the popularity head is a 4-row
+    * TakeOrderedAndProject broadcast onto the cold slice (catalog
+    * anti-join CF items); the per-cold-item re-rank window is bounded
+    * by the 4-row head. Output size = catalog×k — the serving table's
+    * inherent size. */
+  def coldStartRecs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cf = itemNeighbors(spark, sfDir)
+      .select(col("item"), col("neighbor_rank").as("rec_rank"),
+        col("neighbor").as("rec_item"), lit("cf").as("rec_source"))
+    val catalog = Tables.part(spark, sfDir).select(col("p_partkey").as("item"))
+    val supp = basketArtifact(spark, sfDir)
+      .select(explode(col("items")).as("rec_item"))
+      .groupBy("rec_item").agg(count(lit(1)).as("pn"))
+    val pop = supp.orderBy(col("pn").desc, col("rec_item").asc)
+      .limit(ItemNeighborsK + 1)
+    val cold = catalog.join(cf.select(col("item")).distinct(), Seq("item"), "left_anti")
+    val coldRecs = cold.crossJoin(broadcast(pop))
+      .filter(col("rec_item") =!= col("item"))
+      .withColumn("rec_rank", row_number().over(
+        Window.partitionBy(col("item")).orderBy(col("pn").desc, col("rec_item").asc))
+        .cast("long"))
+      .filter(col("rec_rank") <= ItemNeighborsK)
+      .select(col("item"), col("rec_rank"), col("rec_item"),
+        lit("pop").as("rec_source"))
+    cf.unionAll(coldRecs).orderBy("item", "rec_rank")
+  }
 }

@@ -1916,6 +1916,86 @@ object Relational {
           - expr("(n_sources + 1) * 1000000 div n_sources")).as("gini_ppm"))
   }
 
+  /** q221 tombstone rule: changelog rows with src doc_id ≡ 0 mod 7. */
+  val MergeDeleteMod = 7L
+
+  /** q221_merge_delete — CDC merge WITH tombstones: the changelog (the
+    * last fifth of docs by id, the q63 split) targets keys
+    * `src_id mod (S + S div 10)` — hitting existing keys AND a band
+    * above the base — with op = DELETE when src_id ≡ 0 mod
+    * [[MergeDeleteMod]], else UPSERT; ops apply in src_id (log) order,
+    * LAST op wins. The outcome census (untouched / updated / deleted /
+    * inserted / ghost-delete, each with a Σkey checksum) is the
+    * reconciliation a Delta/Iceberg-style MERGE emits — q105 audits
+    * the upsert half; tombstones are the half that makes compaction
+    * and GDPR deletes work.
+    *
+    * Scale shape: last-op-per-key is ONE partial-aggregable struct-max
+    * over the changelog (the argmax-by-sequence idiom — no window);
+    * classification is a full-outer equi-join of key frames; the
+    * census is a 5-row aggregate. */
+  def mergeDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val s = ids.agg(expr("(count(1) * 4) div 5").as("s"),
+      expr("(count(1) * 4) div 5 + (count(1) * 4) div 5 div 10").as("m"))
+    val base = ids.crossJoin(broadcast(s)).filter(col("doc_id") < col("s"))
+      .select(col("doc_id").as("key"))
+    val lastOp = ids.crossJoin(broadcast(s)).filter(col("doc_id") >= col("s"))
+      .select(pmod(col("doc_id"), col("m")).as("key"),
+        struct(col("doc_id").as("src"),
+          (pmod(col("doc_id"), lit(MergeDeleteMod)) === 0).as("del")).as("op"))
+      .groupBy(col("key"))
+      .agg(max(col("op")).as("last"))
+      .select(col("key"), col("last.del").as("is_del"))
+    base.withColumn("in_base", lit(true))
+      .join(lastOp.withColumn("in_log", lit(true)), Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("in_base").isNotNull && col("in_log").isNull, "untouched")
+          .when(col("in_base").isNotNull && !col("is_del"), "updated")
+          .when(col("in_base").isNotNull && col("is_del"), "deleted")
+          .when(col("in_base").isNull && !col("is_del"), "inserted")
+          .otherwise("ghost_delete").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("key")).as("key_checksum"))
+      .orderBy("status")
+  }
+
+  /** q222_lag_features — the lagged time-series feature frame: the
+    * DENSE (user × week) activity grid with lag-1, lag-2 and a
+    * trailing-4-week mean — the standard autoregressive feature block
+    * a churn/forecast model trains on. Density matters: a sparse
+    * frame silently makes "lag 1" mean "previous ACTIVE week" and
+    * leaks activity information; the spine forces honest zeros.
+    *
+    * Scale shape: weekly counts are one keyed aggregate; the spine is
+    * users × the broadcast week range (explode — the feature table's
+    * inherent size, this IS the output); lag/rolling windows partition
+    * by user over ≤ weeks rows each; the trailing mean is integer
+    * `div` (exact). */
+  def lagFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        floor((unix_millis(col("ts")) - lit(RetentionEpochMs)).cast("double")
+          / lit(WeekMs.toDouble)).cast("long").as("wk"))
+    val weekly = ev.groupBy(col("user_id"), col("wk")).agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
+    val spine = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(sequence(col("w0"), col("w1"))).as("wk"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val w4 = w.rowsBetween(-3, 0)
+    spine.join(weekly, Seq("user_id", "wk"), "left")
+      .select(col("user_id"), col("wk"), coalesce(col("n"), lit(0L)).as("n_events"))
+      .withColumn("lag1", coalesce(lag(col("n_events"), 1).over(w), lit(0L)))
+      .withColumn("lag2", coalesce(lag(col("n_events"), 2).over(w), lit(0L)))
+      .withColumn("sw", sum(col("n_events")).over(w4))
+      .withColumn("cw", count(lit(1)).over(w4))
+      .select(col("user_id"), col("wk"), col("n_events"), col("lag1"), col("lag2"),
+        expr("sw div cw").as("ma4_floor"))
+      .orderBy("user_id", "wk")
+  }
+
   /** q220 RFM bands: recency fences (days) and frequency fences. */
   val RfmRecentDays = 7L
   val RfmLapsedDays = 30L
