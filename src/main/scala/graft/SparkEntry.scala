@@ -235,7 +235,9 @@ object SparkEntry {
     "q220_rfm"            -> (Relational.rfm _),
     "q221_merge_delete"   -> (Relational.mergeDelete _),
     "q222_lag_features"   -> (Relational.lagFeatures _),
-    "q223_cold_start"     -> (Graph.coldStartRecs _)
+    "q223_cold_start"     -> (Graph.coldStartRecs _),
+    "q224_modularity"     -> (Graph.modularity _),
+    "q225_assortativity"  -> (Graph.assortativity _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -4135,7 +4137,49 @@ object SparkEntry {
         |  SELECT item, rnk AS rec_rank, rec_item, 'pop' AS rec_source
         |  FROM ncr WHERE rnk <= $ItemNeighborsK)
         |ORDER BY item, rec_rank""".stripMargin
-    }
+    },
+    "q224_modularity" ->
+      (dupClustersCte + """,
+        |mvp AS (SELECT i AS doc_a, j AS doc_b FROM jac WHERE jaccard >= 0.8),
+        |mm AS (SELECT count(*)::BIGINT AS m FROM mvp),
+        |mec AS (SELECT ca.cluster_id AS c, count(*)::BIGINT AS e_c
+        |        FROM mvp p JOIN clus ca ON ca.doc_id = p.doc_a
+        |        JOIN clus cb ON cb.doc_id = p.doc_b
+        |                    AND cb.cluster_id = ca.cluster_id
+        |        GROUP BY 1),
+        |mdc AS (SELECT c2.cluster_id AS c, sum(d.deg)::BIGINT AS d_c FROM (
+        |          SELECT doc_id, count(*)::BIGINT AS deg FROM (
+        |            SELECT doc_a AS doc_id FROM mvp
+        |            UNION ALL SELECT doc_b FROM mvp)
+        |          GROUP BY 1) d JOIN clus c2 ON c2.doc_id = d.doc_id
+        |        GROUP BY 1),
+        |mq AS (SELECT count(*)::BIGINT AS n_components,
+        |              sum(4 * mm.m * coalesce(mec.e_c, 0)
+        |                  - mdc.d_c * mdc.d_c)::BIGINT AS q_num,
+        |              max(mm.m) AS m
+        |       FROM mdc LEFT JOIN mec ON mec.c = mdc.c, mm)
+        |SELECT m AS m_edges, n_components,
+        |       q_num * 1000000 // (4 * m * m) AS q_ppm
+        |FROM mq""".stripMargin),
+    "q225_assortativity" ->
+      materializeCtes(jaccardCte + """,
+        |avp AS (SELECT i AS doc_a, j AS doc_b FROM jac WHERE jaccard >= 0.8),
+        |adeg AS (SELECT doc_id, count(*)::BIGINT AS deg FROM (
+        |           SELECT doc_a AS doc_id FROM avp
+        |           UNION ALL SELECT doc_b FROM avp) GROUP BY 1),
+        |asym AS (SELECT doc_a AS u, doc_b AS v FROM avp
+        |         UNION ALL SELECT doc_b, doc_a FROM avp),
+        |amo AS (SELECT count(*)::BIGINT AS m2, sum(du.deg)::BIGINT AS sx,
+        |               sum(du.deg * dv.deg)::BIGINT AS sxy,
+        |               sum(du.deg * du.deg)::BIGINT AS sxx
+        |        FROM asym e JOIN adeg du ON du.doc_id = e.u
+        |        JOIN adeg dv ON dv.doc_id = e.v)
+        |SELECT m2, sx, sxy,
+        |       CASE WHEN m2 * sxx - sx * sx > 0
+        |            THEN round((m2 * sxy - sx * sx)::DOUBLE
+        |                       / (m2 * sxx - sx * sx)::DOUBLE, 6)
+        |            ELSE 0.0 END AS assortativity
+        |FROM amo""".stripMargin)
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

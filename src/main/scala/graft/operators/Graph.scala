@@ -388,4 +388,80 @@ object Graph {
         lit("pop").as("rec_source"))
     cf.unionAll(coldRecs).orderBy("item", "rec_rank")
   }
+
+  /** q224_modularity — Newman modularity of the dup-cluster partition
+    * over the verified-pair graph: Q = Σ_c (e_c/m − (d_c/2m)²). For
+    * q31's connected components every edge is intra-cluster, so Q
+    * reduces to 1 − Σ(d_c/2m)² — the DEGREE-BALANCE readout of the
+    * clustering: Q near 1 means many small balanced dup families
+    * (normal crawl), Q near 0 means one giant template component owns
+    * the edge mass (the "one boilerplate ate my corpus" signature
+    * that q80's size histogram shows in detail and this compresses to
+    * one number). Exact: Q_num = Σ_c (4m·e_c − d_c²) over integers,
+    * reported as Q_num·1e6 div 4m².
+    *
+    * Scale shape: reads the memoized pair artifact + cluster labels;
+    * degrees and intra-edge counts are keyed aggregates over |pairs|
+    * rows; the fold is clusters-sized. */
+  def modularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.verifiedPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val clus = Dedup.dupClusters(spark, sfDir)
+    val edgesC = pairs
+      .join(clus.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")), "doc_a")
+      .join(clus.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")), "doc_b")
+    val m = edgesC.count() // artifact-sized; the modularity law needs the scalar
+    val ec = edgesC.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_c"))
+    val dc = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+      .join(clus, "doc_id")
+      .groupBy(col("cluster_id").as("c")).agg(sum(col("deg")).as("d_c"))
+    dc.join(ec, Seq("c"), "left")
+      .select(coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(lit(4L * m) * col("e_c") - col("d_c") * col("d_c")).as("q_num"))
+      .select(lit(m).as("m_edges"), col("n_components"),
+        expr(s"q_num * 1000000 div ${4L * m * m}").as("q_ppm"))
+  }
+
+  /** q225_assortativity — degree assortativity of the dup graph
+    * (Newman 2002): the Pearson correlation of endpoint degrees over
+    * directed edge instances. Positive = hubs attach to hubs
+    * (boilerplate families chain into cores — transitive dedup will
+    * snowball); negative = hub-and-spoke templates (one canonical
+    * page, many orbiting near-copies — q47's rep selection is safe).
+    * The third one-number graph health stat beside q224 and q133's
+    * histogram.
+    *
+    * Determinism: all moments (M, Σx, Σxy, Σx²) are exact integer
+    * sums over the symmetric edge list; r is ONE division of
+    * identical integers, rounded 6dp (degenerate regular graphs
+    * report 0 by convention).
+    *
+    * Scale shape: degrees = one keyed count over the pair artifact;
+    * the edge-moment fold joins degrees onto both endpoints of the
+    * symmetric list (the explode trick — no doubled subplan) and
+    * reduces in one pass. */
+  def assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.verifiedPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val deg = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val sym = pairs.select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+    sym
+      .join(deg.select(col("doc_id").as("u"), col("deg").as("x")), "u")
+      .join(deg.select(col("doc_id").as("v"), col("deg").as("y")), "v")
+      .agg(count(lit(1)).as("m2"), sum(col("x")).as("sx"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("m2"), col("sx"), col("sxy"),
+        when(col("m2") * col("sxx") - col("sx") * col("sx") > 0,
+          round((col("m2") * col("sxy") - col("sx") * col("sx")).cast("double")
+            / (col("m2") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("assortativity"))
+  }
 }
