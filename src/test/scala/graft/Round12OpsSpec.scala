@@ -637,6 +637,45 @@ class Round12OpsSpec extends SparkSuite {
     assert(popItems.size.toLong == catalog - cfItems.size)
   }
 
+  test("q224 modularity reduces to the degree-balance law on the CC partition") {
+    val r = graft.operators.Graph.modularity(spark, sf).collect().head
+    val pairs = graft.operators.Dedup.verifiedPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val m = pairs.length.toLong
+    assert(r.getAs[Long]("m_edges") == m)
+    // CC partition: Q_num = sum_c (4*m*e_c - d_c^2), all edges internal
+    val clus = graft.operators.Dedup.dupClusters(spark, sf).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("cluster_id")).toMap
+    val dC = (pairs.map(_._1) ++ pairs.map(_._2)).groupBy(clus)
+      .map { case (c, ds) => c -> ds.length.toLong }
+    val eC = pairs.groupBy(p => clus(p._1)).map { case (c, es) => c -> es.length.toLong }
+    val qNum = dC.map { case (c, d) => 4 * m * eC.getOrElse(c, 0L) - d * d }.sum
+    assert(r.getAs[Long]("q_ppm") == qNum * 1000000L / (4 * m * m))
+    assert(r.getAs[Long]("q_ppm") >= 0 && r.getAs[Long]("q_ppm") <= 1000000L)
+  }
+
+  test("q225 assortativity is a true Pearson over the symmetric edge list") {
+    val r = graft.operators.Graph.assortativity(spark, sf).collect().head
+    val pairs = graft.operators.Dedup.verifiedPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2)).groupBy(identity)
+      .map { case (d, xs) => d -> xs.length.toLong }
+    val sym = pairs ++ pairs.map(p => (p._2, p._1))
+    val m2 = sym.length.toLong
+    val sx = sym.map(e => deg(e._1)).sum
+    val sxy = sym.map(e => deg(e._1) * deg(e._2)).sum
+    val sxx = sym.map(e => deg(e._1) * deg(e._1)).sum
+    assert(r.getAs[Long]("m2") == m2 && r.getAs[Long]("sx") == sx)
+    val denom = m2 * sxx - sx * sx
+    val expect = if (denom > 0)
+      math.round((m2 * sxy - sx * sx).toDouble / denom * 1e6) / 1e6 else 0.0
+    assert(math.abs(r.getAs[Double]("assortativity") - expect) < 1e-9)
+    assert(r.getAs[Double]("assortativity") >= -1.000001
+      && r.getAs[Double]("assortativity") <= 1.000001)
+  }
+
   test("NormalizeIdempotence rule folds nested normalization to one pass") {
     import org.apache.spark.sql.graft.{GraftRules, NfcNormalize, StripAccents, native => gf}
     GraftRules.ensure(spark)
