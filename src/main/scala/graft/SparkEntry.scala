@@ -237,7 +237,9 @@ object SparkEntry {
     "q222_lag_features"   -> (Relational.lagFeatures _),
     "q223_cold_start"     -> (Graph.coldStartRecs _),
     "q224_modularity"     -> (Graph.modularity _),
-    "q225_assortativity"  -> (Graph.assortativity _)
+    "q225_assortativity"  -> (Graph.assortativity _),
+    "q226_pair_evidence"  -> (Dedup.pairEvidence _),
+    "q227_search_explain" -> (Similarity.searchExplain _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -4179,7 +4181,49 @@ object SparkEntry {
         |            THEN round((m2 * sxy - sx * sx)::DOUBLE
         |                       / (m2 * sxx - sx * sx)::DOUBLE, 6)
         |            ELSE 0.0 END AS assortativity
-        |FROM amo""".stripMargin)
+        |FROM amo""".stripMargin),
+    "q226_pair_evidence" -> {
+      import graft.operators.Dedup.{JaccardThreshold, NumHashes, RowsPerBand}
+      materializeCtes(jaccardCte + s""",
+        |evp AS (SELECT i AS doc_a, j AS doc_b, jaccard FROM jac
+        |        WHERE jaccard >= $JaccardThreshold),
+        |epd AS (SELECT DISTINCT doc_id
+        |        FROM (SELECT doc_a AS doc_id FROM evp UNION ALL SELECT doc_b FROM evp)),
+        |ehs AS (SELECT s.doc_id, ('0x' || substr(md5(s.g), 1, 7))::BIGINT AS h
+        |        FROM sh s JOIN epd USING (doc_id)),
+        |esg AS (SELECT doc_id, t.i,
+        |               min(((2 * t.i + 1) * h + 101 * t.i + 7) % 2147483647) AS s
+        |        FROM ehs, unnest(range(0, $NumHashes)) t(i) GROUP BY 1, 2),
+        |ebk AS (SELECT doc_id, i // $RowsPerBand AS band,
+        |               string_agg(s, '_' ORDER BY i) AS bk
+        |        FROM esg GROUP BY doc_id, i // $RowsPerBand),
+        |ebh AS (SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS bands_hit
+        |        FROM evp p JOIN ebk a ON a.doc_id = p.doc_a
+        |        JOIN ebk b ON b.doc_id = p.doc_b AND b.band = a.band AND b.bk = a.bk
+        |        GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, round(p.jaccard, 6) AS jaccard,
+        |       sa.n::INT AS size_a, sb.n::INT AS size_b, it.c::INT AS n_shared,
+        |       coalesce(ebh.bands_hit, 0)::BIGINT AS bands_hit
+        |FROM evp p JOIN sizes sa ON sa.doc_id = p.doc_a
+        |JOIN sizes sb ON sb.doc_id = p.doc_b
+        |JOIN inter it ON it.i = p.doc_a AND it.j = p.doc_b
+        |LEFT JOIN ebh ON ebh.doc_a = p.doc_a AND ebh.doc_b = p.doc_b
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin)
+    },
+    "q227_search_explain" -> {
+      import graft.operators.Similarity.IvfNProbe
+      materializeCtes(ivfHierCellsCte + s""",
+        |socc AS (SELECT cent_id, count(*)::BIGINT AS n_cell FROM cells GROUP BY 1),
+        |spr AS (SELECT vec_id AS query_id, rn::INT AS probe_rank, cent_id
+        |        FROM asg WHERE rn <= $IvfNProbe AND vec_id < 10),
+        |spq AS (SELECT query_id, (sum(o.n_cell) - 1)::BIGINT AS n_candidates
+        |        FROM spr JOIN socc o USING (cent_id) GROUP BY 1),
+        |sct AS (SELECT count(*)::BIGINT AS n_corpus FROM cells)
+        |SELECT spr.query_id, spr.probe_rank, spr.cent_id, o.n_cell, q2.n_candidates,
+        |       q2.n_candidates * 1000000 // sct.n_corpus AS scan_ppm
+        |FROM spr JOIN socc o USING (cent_id) JOIN spq q2 USING (query_id), sct
+        |ORDER BY query_id, probe_rank""".stripMargin)
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -716,6 +716,46 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q226_pair_evidence — the dedup decision's AUDIT RECORD: for every
+    * verified pair, the shingle-set sizes, shared-shingle count, exact
+    * Jaccard, and how many of the 32 LSH bands caught the pair
+    * (identical band signatures) — the evidence row a takedown/appeal
+    * process shows for "why was this page removed as a duplicate",
+    * and the per-pair telemetry that explains recall (a ≥0.8 pair
+    * caught by 1 band of 32 was NEARLY missed — banding luck the
+    * S-curve q198 prices in aggregate).
+    *
+    * Scale shape: q108's bounded audit frame (signatures + shingle
+    * sets only for PAIRED docs); band agreement is 32 codegen'd
+    * per-band conjunctions over the two signature arrays — per-pair
+    * scan-local work, |pairs|-sized output. */
+  def pairEvidence(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = verifiedPairs(spark, sfDir)
+    val pd = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val audited = shingled(spark, sfDir).join(pd, "doc_id").localCheckpoint()
+    val sigs = minhashSignaturesOf(audited)
+    val bandsHit: Column = (0 until Bands).map { b =>
+      val eq = (0 until RowsPerBand).map { r =>
+        element_at(col("sa"), b * RowsPerBand + r + 1) ===
+          element_at(col("sb"), b * RowsPerBand + r + 1)
+      }.reduce(_ && _)
+      when(eq, 1).otherwise(0)
+    }.reduce(_ + _).cast("long")
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .join(audited.select(col("doc_id").as("doc_a"), col("sh").as("ha")), "doc_a")
+      .join(audited.select(col("doc_id").as("doc_b"), col("sh").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"),
+        size(col("ha")).as("size_a"), size(col("hb")).as("size_b"),
+        size(array_intersect(col("ha"), col("hb"))).as("n_shared"),
+        bandsHit.as("bands_hit"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q135 edit-distance bound for a fuzzy name match. */
   val FuzzyMaxDistance = 2
 

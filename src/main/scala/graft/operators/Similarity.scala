@@ -2028,6 +2028,39 @@ object Similarity {
         (expr("sm div n_vecs").cast("double") / lit(1e6)).as("mean_norm"))
   }
 
+  /** q227_search_explain — EXPLAIN for vector search: per audited
+    * query (vec_id < 10) and probed cell, the cell id, its occupancy,
+    * the query's total candidate count and the share of the corpus
+    * its probe actually scans — the query-time telemetry an ANN
+    * service logs per request (and the number that justifies the
+    * index: scan_ppm ≪ 1e6 IS the speedup). Composes purely from the
+    * memoized cell artifact — the explain costs no cosines.
+    *
+    * Scale shape: probes = 10×nprobe rows exploded from the artifact;
+    * occupancy is one cells-keyed count; candidate totals are a
+    * 10-row aggregate joined back; the corpus size is a broadcast
+    * 1-row count. */
+  def searchExplain(spark: SparkSession, sfDir: String): DataFrame = {
+    val top2 = hierCells(spark, sfDir)
+    val occ = top2.select(col("tc")(0)("id").as("cent_id"))
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("n_cell"))
+    val probes = top2.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), posexplode(col("tc")).as(Seq("p", "s")))
+      .select(col("query_id"), (col("p") + 1).cast("int").as("probe_rank"),
+        col("s.id").as("cent_id"))
+      .join(occ, "cent_id")
+    // candidates = probed occupancy minus the query itself when its own
+    // home cell is probed (probe_rank 1 is the home cell by construction)
+    val perQuery = probes.groupBy(col("query_id"))
+      .agg((sum(col("n_cell")) - 1).as("n_candidates"))
+    val tot = top2.agg(count(lit(1)).as("n_corpus"))
+    probes.join(perQuery, "query_id").crossJoin(broadcast(tot))
+      .select(col("query_id"), col("probe_rank"), col("cent_id"),
+        col("n_cell"), col("n_candidates"),
+        expr("n_candidates * 1000000 div n_corpus").as("scan_ppm"))
+      .orderBy("query_id", "probe_rank")
+  }
+
   /** q201 clip quantiles. */
   val ClipLo = 0.01
   val ClipHi = 0.99
