@@ -676,6 +676,38 @@ class Round12OpsSpec extends SparkSuite {
       && r.getAs[Double]("assortativity") <= 1.000001)
   }
 
+  test("q226 evidence rows reconcile with the jaccard arithmetic and banding recall") {
+    val rows = graft.operators.Dedup.pairEvidence(spark, sf).collect()
+    val nPairs = graft.operators.Dedup.verifiedPairs(spark, sf).count()
+    assert(rows.length.toLong == nPairs)
+    rows.foreach { r =>
+      val (sa, sb, sh) = (r.getAs[Int]("size_a"), r.getAs[Int]("size_b"),
+        r.getAs[Int]("n_shared"))
+      assert(sh <= math.min(sa, sb))
+      val j = sh.toDouble / (sa + sb - sh)
+      assert(math.abs(math.floor(j * 1e6 + 0.5) / 1e6 - r.getAs[Double]("jaccard")) < 2e-6)
+      // a verified pair was by construction surfaced by >= 1 band
+      val bh = r.getAs[Long]("bands_hit")
+      assert(bh >= 1 && bh <= graft.operators.Dedup.Bands)
+    }
+  }
+
+  test("q227 explain masses equal the probed occupancies and prove the index's value") {
+    import graft.operators.Similarity.IvfNProbe
+    val rows = graft.operators.Similarity.searchExplain(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { g =>
+      assert(g.length == IvfNProbe)
+      val cand = g.head.getAs[Long]("n_candidates")
+      assert(g.forall(_.getAs[Long]("n_candidates") == cand))
+      assert(cand == g.map(_.getAs[Long]("n_cell")).sum - 1,
+        "candidates = probed occupancy minus the query itself")
+      assert(g.head.getAs[Long]("scan_ppm") < 1000000L,
+        "probing must scan less than the corpus")
+    }
+  }
+
   test("NormalizeIdempotence rule folds nested normalization to one pass") {
     import org.apache.spark.sql.graft.{GraftRules, NfcNormalize, StripAccents, native => gf}
     GraftRules.ensure(spark)
