@@ -708,6 +708,30 @@ class Round12OpsSpec extends SparkSuite {
     }
   }
 
+  test("round-12 join-heavy plans avoid nested-loop physical joins") {
+    // q217's user-keyed range join must plan as an EQUI join (hash/
+    // sort-merge) with the time predicate as a post-join filter — a
+    // BroadcastNestedLoopJoin here would be the unkeyed interval-join
+    // trap the operator exists to avoid. Same contract for q221's
+    // full-outer key join and q222's spine join.
+    Seq(
+      graft.operators.Relational.attributionWindow(spark, sf),
+      graft.operators.Relational.mergeDelete(spark, sf),
+      graft.operators.Relational.lagFeatures(spark, sf)
+    ).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") || !p.contains("CartesianProduct"),
+        "keyed operators must not plan nested-loop joins on the data path")
+    }
+    // stricter: q217 specifically has NO nested-loop join at all (its
+    // only joins are user-keyed; the 1-row bounds broadcasts are fine
+    // in q221/q222 as BNLJ-on-literals)
+    val p217 = graft.operators.Relational.attributionWindow(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p217.contains("BroadcastNestedLoopJoin"),
+      "q217's range join must stay user-keyed")
+  }
+
   test("NormalizeIdempotence rule folds nested normalization to one pass") {
     import org.apache.spark.sql.graft.{GraftRules, NfcNormalize, StripAccents, native => gf}
     GraftRules.ensure(spark)
