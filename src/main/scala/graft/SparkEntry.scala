@@ -239,7 +239,8 @@ object SparkEntry {
     "q224_modularity"     -> (Graph.modularity _),
     "q225_assortativity"  -> (Graph.assortativity _),
     "q226_pair_evidence"  -> (Dedup.pairEvidence _),
-    "q227_search_explain" -> (Similarity.searchExplain _)
+    "q227_search_explain" -> (Similarity.searchExplain _),
+    "q228_next_token"     -> (TextAnalysis.nextToken _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -4223,6 +4224,23 @@ object SparkEntry {
         |       q2.n_candidates * 1000000 // sct.n_corpus AS scan_ppm
         |FROM spr JOIN socc o USING (cent_id) JOIN spq q2 USING (query_id), sct
         |ORDER BY query_id, probe_rank""".stripMargin)
+    },
+    "q228_next_token" -> {
+      import graft.operators.TextAnalysis.NextTopW
+      s"""WITH nw AS (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w
+        |            FROM documents),
+        |nb AS (SELECT w[i] AS w1, w[i + 1] AS w2, count(*)::BIGINT AS c
+        |       FROM nw, unnest(range(1, len(w))) t(i) GROUP BY 1, 2),
+        |nl AS (SELECT w1, sum(c)::BIGINT AS n_left FROM nb GROUP BY 1),
+        |ntop AS (SELECT w1, n_left FROM nl
+        |         ORDER BY n_left DESC, w1 ASC LIMIT $NextTopW),
+        |narg AS (SELECT b.w1, t.n_left, b.w2, b.c,
+        |                row_number() OVER (PARTITION BY b.w1
+        |                  ORDER BY b.c DESC, b.w2 ASC) AS rn
+        |         FROM nb b JOIN ntop t USING (w1))
+        |SELECT w1, n_left, w2 AS next_tok, c AS n_next,
+        |       c * 1000000 // n_left AS p_ppm
+        |FROM narg WHERE rn = 1 ORDER BY w1""".stripMargin
     }
   )
 

@@ -1035,6 +1035,42 @@ object TextAnalysis {
           .as("alpha_milli"))
   }
 
+  /** q228 head size for the next-token table. */
+  val NextTopW = 20
+
+  /** q228_next_token — the predictive-text serving table: for the
+    * [[NextTopW]] highest-continuation-mass tokens, the argmax NEXT
+    * token with its conditional probability — a first-order language
+    * model materialized as a lookup table (the keyboard-suggestion /
+    * query-completion shape; q35 counts bigrams, q50 scores their
+    * association, THIS serves the conditional argmax a completion
+    * surface actually reads). P(next|w) is exact integer ppm over the
+    * continuation mass.
+    *
+    * Scale shape: bigram pairs via the positional self-join (q96's
+    * codegen pattern — no interpreted higher-order zips); bigram and
+    * left-mass counts are partial-aggregable vocabulary-domain
+    * aggregates; the head is TakeOrderedAndProject (no window) and
+    * broadcasts onto the bigram frame; the per-head argmax is a
+    * struct-min (count desc, token asc — total order, no window). */
+  def nextToken(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(T.wsTokens(col("text"))).as(Seq("pos", "tok")))
+    val big = toks.select(col("doc_id"), col("pos"), col("tok").as("w1"))
+      .join(toks.select(col("doc_id"), (col("pos") - 1).as("pos"), col("tok").as("w2")),
+        Seq("doc_id", "pos"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val top = big.groupBy(col("w1")).agg(sum(col("c")).as("n_left"))
+      .orderBy(col("n_left").desc, col("w1").asc).limit(NextTopW)
+    big.join(broadcast(top), "w1")
+      .groupBy(col("w1"), col("n_left"))
+      .agg(min(struct((-col("c")).as("nc"), col("w2"))).as("best"))
+      .select(col("w1"), col("n_left"), col("best.w2").as("next_tok"),
+        (-col("best.nc")).as("n_next"),
+        expr("(-best.nc) * 1000000 div n_left").as("p_ppm"))
+      .orderBy("w1")
+  }
+
   /** q197 churn list depth. */
   val ChurnTopK = 20
 
