@@ -708,6 +708,29 @@ class Round12OpsSpec extends SparkSuite {
     }
   }
 
+  test("q228 conditional argmax matches a driver-side bigram fold") {
+    import graft.operators.TextAnalysis.NextTopW
+    val rows = graft.operators.TextAnalysis.nextToken(spark, sf).collect()
+    assert(rows.length == NextTopW)
+    val big = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(t => t.split("[ \t\n\r]+").filter(_.nonEmpty).sliding(2)
+        .collect { case Array(a, b) => (a, b) })
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val left = big.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val expectHead = left.toSeq.sortBy(t => (-t._2, t._1)).take(NextTopW).toMap
+    rows.foreach { r =>
+      val w1 = r.getAs[String]("w1")
+      assert(expectHead.contains(w1))
+      assert(r.getAs[Long]("n_left") == expectHead(w1))
+      val best = big.filter(_._1._1 == w1).toSeq
+        .sortBy { case ((_, w2), c) => (-c, w2) }.head
+      assert(r.getAs[String]("next_tok") == best._1._2)
+      assert(r.getAs[Long]("n_next") == best._2)
+      assert(r.getAs[Long]("p_ppm") == best._2 * 1000000L / expectHead(w1))
+    }
+  }
+
   test("round-12 join-heavy plans avoid nested-loop physical joins") {
     // q217's user-keyed range join must plan as an EQUI join (hash/
     // sort-merge) with the time predicate as a post-join filter — a
