@@ -240,7 +240,9 @@ object SparkEntry {
     "q225_assortativity"  -> (Graph.assortativity _),
     "q226_pair_evidence"  -> (Dedup.pairEvidence _),
     "q227_search_explain" -> (Similarity.searchExplain _),
-    "q228_next_token"     -> (TextAnalysis.nextToken _)
+    "q228_next_token"     -> (TextAnalysis.nextToken _),
+    "q229_window_distinct" -> (graft.streaming.EventStream.hoppingDistinctUsers _),
+    "q230_delay_histogram" -> (Relational.delayHistogram _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -4241,6 +4243,37 @@ object SparkEntry {
         |SELECT w1, n_left, w2 AS next_tok, c AS n_next,
         |       c * 1000000 // n_left AS p_ppm
         |FROM narg WHERE rn = 1 ORDER BY w1""".stripMargin
+    },
+    "q229_window_distinct" ->
+      """WITH wd AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - t.k * INTERVAL '15 minutes' AS ws,
+        |         user_id
+        |  FROM events, unnest(range(0, 4)) t(k)),
+        |wdd AS (SELECT ws, user_id, count(*)::BIGINT AS n_ev
+        |        FROM wd GROUP BY 1, 2),
+        |wda AS (SELECT ws, count(*)::BIGINT AS n_users, sum(n_ev)::BIGINT AS n_events
+        |        FROM wdd GROUP BY 1)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       n_users, n_events,
+        |       n_events * 1000000 // n_users AS events_per_user_ppm
+        |FROM wda ORDER BY win_start""".stripMargin,
+    "q230_delay_histogram" -> {
+      import graft.operators.Relational.DelayCapHours
+      s"""WITH dj AS (
+        |  SELECT c.ts AS c_ts, p.ts AS p_ts
+        |  FROM (SELECT *, -epoch_us(ts) AS negts FROM events WHERE event_type = 'click') c
+        |  ASOF LEFT JOIN (SELECT *, -epoch_us(ts) AS negts
+        |                  FROM events WHERE event_type = 'purchase') p
+        |    ON c.user_id = p.user_id AND c.negts >= p.negts),
+        |db AS (SELECT least((epoch_us(p_ts) - epoch_us(c_ts)) // 3600000000,
+        |                    $DelayCapHours) AS delay_hours,
+        |              count(*)::BIGINT AS n_conversions
+        |       FROM dj WHERE p_ts IS NOT NULL GROUP BY 1),
+        |dt AS (SELECT sum(n_conversions)::BIGINT AS n_total FROM db)
+        |SELECT delay_hours, n_conversions,
+        |       n_conversions * 1000000 // dt.n_total AS share_ppm
+        |FROM db, dt ORDER BY delay_hours""".stripMargin
     }
   )
 

@@ -2041,6 +2041,42 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q230 delay histogram cap (hours; the ≥1-week tail collapses). */
+  val DelayCapHours = 168L
+
+  /** q230_delay_histogram — time-to-convert distribution: for every
+    * converted click (q195's forward as-of), the click→purchase delay
+    * bucketed into whole hours (capped at [[DelayCapHours]]) with
+    * exact ppm shares — the latency curve that PICKS q208's horizon
+    * (a 24 h cutoff is defensible exactly when this histogram says
+    * the mass lands inside it) and the attribution-window evidence
+    * marketing teams argue over.
+    *
+    * Scale shape: one as-of merge (q195's plan), a scan-local integer
+    * division into hour buckets, one ≤169-row aggregate + broadcast
+    * total. */
+  def delayHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"), (-unix_micros(col("ts"))).as("c_negts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        (-unix_micros(col("ts"))).as("p_negts"))
+    val buckets = org.apache.spark.sql.graft.AsOf
+      .join(clicks, purchases, "c_user", "c_negts", "p_user", "p_negts")
+      .filter(col("p_ts").isNotNull)
+      .select(least(
+        expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 3600000000"),
+        lit(DelayCapHours)).as("delay_hours"))
+      .groupBy(col("delay_hours")).agg(count(lit(1)).as("n_conversions"))
+    val tot = buckets.agg(sum(col("n_conversions")).as("n_total"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("delay_hours"), col("n_conversions"),
+        expr("n_conversions * 1000000 div n_total").as("share_ppm"))
+      .orderBy("delay_hours")
+  }
+
   /** q214 conversion threshold: ≥ this many purchases (≈ the per-user
     * median at every SF, so both arms and both outcomes stay populated). */
   val AbConvMin = 14L

@@ -78,6 +78,32 @@ object EventStream {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("win_start", "event_type")
 
+  /** q229_window_distinct — exact DISTINCT USERS per hopping window
+    * (1 h every 15 min): the reach/concurrency metric event counts
+    * (q182) cannot give — 1000 events might be one user or a
+    * thousand. Exact windowed distinct is the state-expensive
+    * aggregate approximate sketches (q115) exist to avoid; this
+    * operator prices the exact form with the scalable TWO-PHASE
+    * shape: dedup on (window, user) first — partial-aggregable, the
+    * heavy exchange carries each (window, user) once — then a cheap
+    * per-window count of the deduped frame (never count(distinct)
+    * in one agg, which buffers per-group sets). Same plan streams
+    * with a watermark (state = open windows × active users).
+    *
+    * The ×4 hopping fan-out lands before the dedup phase's map-side
+    * combine — the operator's honest cost, as in q182. */
+  def hoppingDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"))
+      .select(
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("n_users"), col("n_events"),
+        expr("n_events * 1000000 div n_users").as("events_per_user_ppm"))
+      .orderBy("win_start")
+
   private val streamRunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered:
