@@ -731,6 +731,42 @@ class Round12OpsSpec extends SparkSuite {
     }
   }
 
+  test("q229 distinct masses reconcile with q182's event counts") {
+    val du = graft.streaming.EventStream.hoppingDistinctUsers(spark, sf).collect()
+      .map(r => r.getAs[String]("win_start") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_events"))).toMap
+    val ev = graft.streaming.EventStream.hoppingWindowQuery(spark, sf).collect()
+      .groupBy(_.getAs[String]("win_start"))
+      .map { case (w, g) => w -> g.map(_.getAs[Long]("n_events")).sum }
+    assert(du.keySet == ev.keySet)
+    du.foreach { case (w, (users, events)) =>
+      assert(events == ev(w), s"window $w: event mass must match q182")
+      assert(users >= 1 && users <= events)
+    }
+  }
+
+  test("q230 histogram masses every conversion and matches q208's horizon split") {
+    val rows = graft.operators.Relational.delayHistogram(spark, sf).collect()
+    val conv = graft.operators.Relational.asofForward(spark, sf)
+      .filter(col("purchase_ts") =!= "-").count()
+    assert(rows.map(_.getAs[Long]("n_conversions")).sum == conv)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("delay_hours")
+      assert(h >= 0 && h <= graft.operators.Relational.DelayCapHours)
+    }
+    // consistency with q208: its inclusive <=24h fence sits between
+    // buckets 0..23 and 0..24 (a delay of exactly 24h lands in bucket
+    // 24 but still converts under q208's <=)
+    val lt24 = rows.filter(_.getAs[Long]("delay_hours") < 24)
+      .map(_.getAs[Long]("n_conversions")).sum
+    val le24 = rows.filter(_.getAs[Long]("delay_hours") <= 24)
+      .map(_.getAs[Long]("n_conversions")).sum
+    val q208 = graft.operators.Relational.conversionRate(spark, sf).collect()
+      .map(_.getAs[Long]("n_converted")).sum
+    assert(q208 >= lt24 && q208 <= le24,
+      "delay histogram and conversion-rate must agree on the 24h mass")
+  }
+
   test("round-12 join-heavy plans avoid nested-loop physical joins") {
     // q217's user-keyed range join must plan as an EQUI join (hash/
     // sort-merge) with the time predicate as a post-join filter — a
