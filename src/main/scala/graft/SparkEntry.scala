@@ -242,7 +242,18 @@ object SparkEntry {
     "q227_search_explain" -> (Similarity.searchExplain _),
     "q228_next_token"     -> (TextAnalysis.nextToken _),
     "q229_window_distinct" -> (graft.streaming.EventStream.hoppingDistinctUsers _),
-    "q230_delay_histogram" -> (Relational.delayHistogram _)
+    "q230_delay_histogram" -> (Relational.delayHistogram _),
+    "q231_kcore"          -> (Graph.kcore _),
+    "q232_audio_codec"    -> (Multimodal.audioCodec _),
+    "q233_mrl_truncate"   -> (Similarity.mrlTruncate _),
+    "q234_backoff_lm"     -> (TextAnalysis.backoffLm _),
+    "q235_attribution_models" -> (Relational.attributionModels _),
+    "q236_segment_migration" -> (Relational.segmentMigration _),
+    "q237_stream_outer_join_exec" ->
+      (graft.streaming.EventStream.clickAttributionOuterStreamed _),
+    "q238_detector_venn"  -> (Dedup.detectorVenn _),
+    "q239_csv_roundtrip_agg" -> (Interchange.csvRoundtripAgg _),
+    "q240_stickiness"     -> (Relational.stickiness _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -4274,6 +4285,250 @@ object SparkEntry {
         |SELECT delay_hours, n_conversions,
         |       n_conversions * 1000000 // dt.n_total AS share_ppm
         |FROM db, dt ORDER BY delay_hours""".stripMargin
+    },
+    "q231_kcore" -> {
+      import graft.operators.Graph.KcorePeelRounds
+      // unrolled peel: alive_r = nodes of alive_{r-1} whose degree in the
+      // alive-induced subgraph is >= k (a node with no surviving edge has
+      // no degree row — the inner join drops it, matching the engine's
+      // coalesce(d, 0) < k filter)
+      def peel(k: Int, start: String, pfx: String): String =
+        (1 to KcorePeelRounds).map { r =>
+          val prev = if (r == 1) start else s"$pfx${r - 1}"
+          s"""${pfx}d$r AS MATERIALIZED (
+             |  SELECT e.u AS doc_id, count(*) AS d FROM ed e
+             |  JOIN $prev a ON e.u = a.doc_id
+             |  JOIN $prev b ON e.v = b.doc_id GROUP BY 1),
+             |$pfx$r AS MATERIALIZED (
+             |  SELECT a.doc_id FROM $prev a
+             |  JOIN ${pfx}d$r d ON a.doc_id = d.doc_id WHERE d.d >= $k)""".stripMargin
+        }.mkString(",\n")
+      jaccardCte + s""",
+        |vp AS MATERIALIZED (SELECT i AS doc_a, j AS doc_b FROM jac WHERE jaccard >= 0.8),
+        |ed AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM vp
+        |       UNION ALL SELECT doc_b, doc_a FROM vp),
+        |deg0 AS MATERIALIZED (SELECT u AS doc_id, count(*)::BIGINT AS degree
+        |       FROM ed GROUP BY 1),
+        |a0 AS (SELECT doc_id FROM deg0),
+        |${peel(2, "a0", "c2_")},
+        |${peel(3, s"c2_$KcorePeelRounds", "c3_")}
+        |SELECT g.doc_id, g.degree,
+        |       (c2.doc_id IS NOT NULL) AS in_2core,
+        |       (c3.doc_id IS NOT NULL) AS in_3core
+        |FROM deg0 g
+        |LEFT JOIN c2_$KcorePeelRounds c2 ON g.doc_id = c2.doc_id
+        |LEFT JOIN c3_$KcorePeelRounds c3 ON g.doc_id = c3.doc_id
+        |ORDER BY g.doc_id""".stripMargin
+    },
+    "q232_audio_codec" -> {
+      import graft.operators.Multimodal.WavSamples
+      s"""WITH ah AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |            FROM documents),
+        |asmp AS (SELECT doc_id, i,
+        |                ((h % 1048576) * 17 + i * 89 + (i * i) % 241) % 256 AS v
+        |         FROM ah, unnest(range(0, $WavSamples)) t(i)),
+        |aw AS (SELECT doc_id, v,
+        |              lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |       FROM asmp)
+        |SELECT doc_id, $WavSamples::BIGINT AS n_samples,
+        |       max(abs(v - 128))::BIGINT AS peak_dev,
+        |       sum((v - 128) * (v - 128))::BIGINT AS energy,
+        |       sum(CASE WHEN pv IS NOT NULL AND ((pv < 128) <> (v < 128))
+        |                THEN 1 ELSE 0 END)::BIGINT AS zero_cross
+        |FROM aw GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q233_mrl_truncate" -> {
+      val pds = graft.operators.Similarity.MrlPrefixes.mkString(", ")
+      val full = graft.operators.Similarity.Dims
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |mq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |pds AS (SELECT unnest([$pds]) AS pd),
+        |tp AS MATERIALIZED (
+        |  SELECT p.pd, q.query_id, e.vec_id AS nb,
+        |         list_dot_product(q.qv[1:p.pd], e.v[1:p.pd]) /
+        |           (sqrt(list_dot_product(q.qv[1:p.pd], q.qv[1:p.pd])) *
+        |            sqrt(list_dot_product(e.v[1:p.pd], e.v[1:p.pd]))) AS c
+        |  FROM pds p CROSS JOIN mq q JOIN e ON e.vec_id <> q.query_id),
+        |r1 AS (SELECT pd, query_id, nb,
+        |              row_number() OVER (PARTITION BY pd, query_id
+        |                ORDER BY c DESC, nb ASC) AS rnk
+        |       FROM tp),
+        |t1 AS MATERIALIZED (SELECT pd, query_id, nb FROM r1 WHERE rnk = 1),
+        |f1 AS (SELECT query_id, nb AS fnb FROM t1 WHERE pd = $full),
+        |cos64 AS MATERIALIZED (
+        |  SELECT query_id, nb, round(c, 6) AS c64 FROM tp WHERE pd = $full)
+        |SELECT t.pd AS prefix_dim, t.query_id, t.nb AS trunc_top1,
+        |       f.fnb AS full_top1, (t.nb = f.fnb) AS top1_match,
+        |       CAST(floor((cf.c64 - ct.c64) * 1000000 + 0.5) AS BIGINT) AS regret_ppm
+        |FROM t1 t
+        |JOIN f1 f ON f.query_id = t.query_id
+        |JOIN cos64 cf ON cf.query_id = t.query_id AND cf.nb = f.fnb
+        |JOIN cos64 ct ON ct.query_id = t.query_id AND ct.nb = t.nb
+        |ORDER BY prefix_dim, t.query_id""".stripMargin
+    },
+    "q234_backoff_lm" -> {
+      import graft.operators.TextAnalysis.BackoffAlpha
+      s"""WITH btk AS (
+        |  SELECT doc_id, i - 1 AS pos, w[i] AS tok
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        |        FROM documents),
+        |       unnest(range(1, len(w) + 1)) t(i)),
+        |bsp AS (SELECT count(*) // 2 AS s FROM documents),
+        |btr AS MATERIALIZED (SELECT * FROM btk WHERE doc_id < (SELECT s FROM bsp)),
+        |buc AS MATERIALIZED (SELECT tok, count(*) AS c FROM btr GROUP BY 1),
+        |bnn AS (SELECT sum(c)::BIGINT AS n FROM buc),
+        |bbc AS MATERIALIZED (
+        |  SELECT a.tok AS w1, b.tok AS w2, count(*) AS bcc
+        |  FROM btr a JOIN btr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |bhb AS MATERIALIZED (
+        |  SELECT a.doc_id, a.tok AS w1, b.tok AS w2, count(*) AS k
+        |  FROM btk a JOIN btk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.doc_id >= (SELECT s FROM bsp)
+        |  GROUP BY 1, 2, 3),
+        |bsc AS (
+        |  SELECT h.doc_id, h.k,
+        |         CASE WHEN bbc.bcc IS NOT NULL THEN bbc.bcc::DOUBLE / u1.c
+        |              ELSE $BackoffAlpha * (coalesce(u2.c, 0) + 1)::DOUBLE
+        |                   / ((SELECT n FROM bnn) + 1) END AS s,
+        |         CASE WHEN bbc.bcc IS NULL THEN h.k ELSE 0 END AS nb
+        |  FROM bhb h
+        |  LEFT JOIN bbc ON bbc.w1 = h.w1 AND bbc.w2 = h.w2
+        |  LEFT JOIN buc u1 ON u1.tok = h.w1
+        |  LEFT JOIN buc u2 ON u2.tok = h.w2),
+        |bp AS (SELECT doc_id, sum(k)::BIGINT AS n_scored,
+        |              sum(nb)::BIGINT AS n_backoff,
+        |              sum(k * -ln(s)) / sum(k) AS x
+        |       FROM bsc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(bp.n_scored, 0)::BIGINT AS n_scored,
+        |       coalesce(bp.n_backoff, 0)::BIGINT AS n_backoff,
+        |       round(coalesce(bp.x, 0.0), 6) AS xent
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= (SELECT s FROM bsp)) d
+        |LEFT JOIN bp USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    },
+    "q235_attribution_models" -> {
+      import graft.operators.Relational.AttribLookbackUs
+      s"""WITH ape AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS pus,
+        |                    floor(value * 100 + 0.5)::BIGINT AS cents
+        |             FROM events WHERE event_type = 'purchase'),
+        |att AS (SELECT user_id, event_id AS t_id, epoch_us(ts) AS tus,
+        |               event_type AS channel
+        |        FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |aj AS MATERIALIZED (
+        |  SELECT p.p_id, p.cents, t.t_id, t.tus, t.channel
+        |  FROM ape p LEFT JOIN att t ON t.user_id = p.user_id
+        |    AND t.tus < p.pus AND t.tus >= p.pus - $AttribLookbackUs),
+        |aag AS MATERIALIZED (
+        |  SELECT p_id, max(cents) AS cents, count(t_id) AS n,
+        |         min({'tus': tus, 'tid': t_id, 'ch': channel}) AS f,
+        |         max({'tus': tus, 'tid': t_id, 'ch': channel}) AS l
+        |  FROM aj GROUP BY 1),
+        |cred AS (
+        |  SELECT 'first' AS model, coalesce(f.ch, '(none)') AS channel,
+        |         cents * 10000 AS credit FROM aag
+        |  UNION ALL
+        |  SELECT 'last', coalesce(l.ch, '(none)'), cents * 10000 FROM aag
+        |  UNION ALL
+        |  SELECT 'linear', coalesce(j.channel, '(none)'),
+        |         CASE WHEN g.n > 0 THEN j.cents * 10000 // g.n
+        |              ELSE j.cents * 10000 END
+        |  FROM aj j JOIN aag g USING (p_id))
+        |SELECT model, channel, count(*)::BIGINT AS n_credits,
+        |       sum(credit)::BIGINT AS credit_microcents
+        |FROM cred GROUP BY 1, 2 ORDER BY model, channel""".stripMargin
+    },
+    "q236_segment_migration" ->
+      """WITH mmid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |              FROM events),
+        |mpu AS (SELECT user_id,
+        |               sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM mmid)
+        |                        THEN 1 ELSE 0 END) AS na,
+        |               sum(CASE WHEN epoch_us(ts) >= (SELECT mid FROM mmid)
+        |                        THEN 1 ELSE 0 END) AS nb
+        |        FROM events GROUP BY 1),
+        |msg AS (SELECT CASE WHEN na = 0 THEN 0
+        |                    ELSE length(bin(na::BIGINT)) END::INT AS seg_a,
+        |               CASE WHEN nb = 0 THEN 0
+        |                    ELSE length(bin(nb::BIGINT)) END::INT AS seg_b
+        |        FROM mpu),
+        |mc AS (SELECT seg_a, seg_b, count(*)::BIGINT AS n_users FROM msg GROUP BY 1, 2),
+        |mt AS (SELECT sum(n_users)::BIGINT AS n_total FROM mc)
+        |SELECT seg_a, seg_b, n_users, n_users * 1000000 // mt.n_total AS share_ppm
+        |FROM mc, mt ORDER BY seg_a, seg_b""".stripMargin,
+    "q237_stream_outer_join_exec" ->
+      """WITH oc AS (SELECT event_id AS click_id, user_id, ts AS cts, epoch_us(ts) AS cus
+        |            FROM events WHERE event_type = 'click'),
+        |ov AS (SELECT event_id AS view_id, user_id, ts AS vts, epoch_us(ts) AS vus
+        |       FROM events WHERE event_type = 'view'),
+        |wmf AS (SELECT least((SELECT max(cus) FROM oc), (SELECT max(vus) FROM ov))
+        |               - 600000000 AS wm),
+        |oj AS (SELECT c.click_id, c.user_id, c.cts, c.cus, v.view_id, v.vts
+        |       FROM oc c LEFT JOIN ov v ON v.user_id = c.user_id
+        |         AND v.vus <= c.cus AND v.vus >= c.cus - 1800000000)
+        |SELECT click_id, user_id, strftime(cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       coalesce(view_id, -1) AS view_id,
+        |       coalesce(strftime(vts, '%Y-%m-%d %H:%M:%S'), '-') AS view_ts
+        |FROM oj, wmf
+        |WHERE view_id IS NOT NULL OR cus < wm
+        |ORDER BY click_id, view_id""".stripMargin,
+    "q238_detector_venn" -> {
+      import graft.operators.Dedup.{ContainmentThreshold, JaccardThreshold}
+      jaccardCte + s""",
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\r]+')) AS tok
+        |  FROM documents),
+        |sh48 AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |sbits AS (
+        |  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+        |  FROM sh48, unnest(range(0, 48)) t(b)
+        |  GROUP BY doc_id, b),
+        |sim AS MATERIALIZED (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+        |           AS simhash
+        |  FROM sbits GROUP BY doc_id),
+        |vm AS MATERIALIZED (SELECT i AS a, j AS b FROM jac
+        |      WHERE jaccard >= $JaccardThreshold),
+        |vs AS MATERIALIZED (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |vc AS MATERIALIZED (
+        |  SELECT i AS a, j AS b FROM inter
+        |  JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+        |  WHERE floor(c::DOUBLE / least(si.n, sj.n)::DOUBLE * 1000000.0 + 0.5)
+        |          / 1000000.0 >= $ContainmentThreshold),
+        |vall AS (SELECT a, b FROM vm UNION SELECT a, b FROM vs UNION SELECT a, b FROM vc),
+        |vfl AS (
+        |  SELECT (m.a IS NOT NULL) AS in_minhash, (s.a IS NOT NULL) AS in_simhash,
+        |         (c.a IS NOT NULL) AS in_containment
+        |  FROM vall al
+        |  LEFT JOIN vm m ON m.a = al.a AND m.b = al.b
+        |  LEFT JOIN vs s ON s.a = al.a AND s.b = al.b
+        |  LEFT JOIN vc c ON c.a = al.a AND c.b = al.b)
+        |SELECT in_minhash, in_simhash, in_containment, count(*)::BIGINT AS n_pairs
+        |FROM vfl GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
+    "q239_csv_roundtrip_agg" ->
+      """SELECT source, lang, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_chars,
+        |       sum(length(text))::BIGINT AS sum_text_len,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
+    "q240_stickiness" -> {
+      import graft.operators.Relational.{RetentionEpochMs, WeekMs}
+      s"""WITH sb AS (SELECT DISTINCT
+        |              floor((epoch_ms(ts) - $RetentionEpochMs) / $WeekMs.0)::BIGINT AS wk,
+        |              floor((epoch_ms(ts) - $RetentionEpochMs) / 86400000.0)::BIGINT AS day,
+        |              user_id
+        |            FROM events),
+        |sd AS (SELECT wk, day, count(*)::BIGINT AS dau FROM sb GROUP BY 1, 2),
+        |sw AS (SELECT wk, count(*)::BIGINT AS n_days, sum(dau)::BIGINT AS sum_dau
+        |       FROM sd GROUP BY 1),
+        |su AS (SELECT wk, count(*)::BIGINT AS wau
+        |       FROM (SELECT DISTINCT wk, user_id FROM sb) GROUP BY 1)
+        |SELECT w.wk, w.n_days, w.sum_dau, u.wau,
+        |       w.sum_dau * 1000000 // (w.n_days * u.wau) AS stickiness_ppm
+        |FROM sw w JOIN su u USING (wk) ORDER BY wk""".stripMargin
     }
   )
 

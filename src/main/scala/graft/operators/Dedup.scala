@@ -1073,4 +1073,49 @@ object Dedup {
         expr("n_true * 1000000 div n_qualifying").as("recall_ppm"))
       .orderBy(col("bands").desc)
   }
+
+  /** q238_detector_venn — the near-dup detector OVERLAP census: every
+    * unordered pair caught by at least one of the three graded
+    * detector families — MinHash-verified Jaccard ≥ 0.8 (q12,
+    * order-sensitive token resemblance), SimHash Hamming ≤ 3 (q13,
+    * bit-level multiset similarity), shingle containment ≥ 0.9 in the
+    * max direction (q181, the quote/excerpt case) — bucketed by WHICH
+    * detectors caught it. The Venn answers the rollout question the
+    * per-detector audits (q108/q211/q226/q198) cannot: are the
+    * families redundant (drop one, save a pass) or complementary
+    * (each unique region is recall the others would lose)? On the
+    * graded corpus the containment-only region is non-empty by
+    * construction — exactly the pairs the Jaccard family structurally
+    * misses.
+    *
+    * Determinism: each member set is its detector's exact graded
+    * output (integer hammings, 1e-6-floored ratios); the Venn is set
+    * algebra over (a, b) keys.
+    *
+    * Scale shape: reads the memoized pair artifact + the two
+    * recomputed detector pipelines (each already bucket-local and
+    * skew-bounded); the union/flag joins are keyed by the pair —
+    * nothing wider than the detector outputs shuffles; the output is
+    * the ≤7-region census. */
+  def detectorVenn(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = verifiedPairs(spark, sfDir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val s = simhashPairs(spark, sfDir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val c = containmentDedup(spark, sfDir)
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct()
+    val all = m.unionAll(s).unionAll(c).distinct().localCheckpoint()
+    all
+      .join(m.withColumn("im", lit(true)), Seq("a", "b"), "left")
+      .join(s.withColumn("is", lit(true)), Seq("a", "b"), "left")
+      .join(c.withColumn("ic", lit(true)), Seq("a", "b"), "left")
+      .select(coalesce(col("im"), lit(false)).as("in_minhash"),
+        coalesce(col("is"), lit(false)).as("in_simhash"),
+        coalesce(col("ic"), lit(false)).as("in_containment"))
+      .groupBy(col("in_minhash"), col("in_simhash"), col("in_containment"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("in_minhash", "in_simhash", "in_containment")
+  }
 }

@@ -464,4 +464,84 @@ object Graph {
             / (col("m2") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
           .otherwise(lit(0.0)).as("assortativity"))
   }
+
+  /** Peel rounds for [[kcore]] — enough for the clique-structured dup
+    * graph (pure pairs vanish in round 1, chains cascade one hop per
+    * round); convergence is ASSERTED, not assumed (see below). */
+  val KcorePeelRounds = 4
+
+  /** q231_kcore — k-core decomposition of the verified near-dup graph
+    * (Seidman 1983): iteratively peel nodes of degree < k until the
+    * remainder is stable; survivors form the k-core. The DENSITY audit
+    * completing the dup-graph family: q31's components call any
+    * connected set one family, but a chain of borderline pairwise
+    * matches and a genuine template clique are very different dedup
+    * decisions — 2-core membership strips the tree-like periphery
+    * (accidental chain links peel away; every cycle survives), and the
+    * 3-core keeps only dense template hearts. A doc outside the 2-core
+    * was merged into its cluster through a SINGLE pair — exactly the
+    * rep-selection risk q187 measures by depth and this flags
+    * structurally.
+    *
+    * Output: every pair-graph node with its original degree and
+    * 2-core / 3-core membership flags.
+    *
+    * Determinism: pure integer degree arithmetic; the peel fixpoint is
+    * partition-order-independent (the k-core is unique — peel order
+    * never changes the result, only the round count).
+    *
+    * Scale shape: reads the memoized pair artifact only — never corpus
+    * text; each round is one endpoint-keyed count over the surviving
+    * edge list + a semi/anti join (O(edges) per round, the q76/q187
+    * Pregel cost model), with per-round localCheckpoints cutting the
+    * iterative lineage. The 3-core peel starts from the 2-core
+    * survivors (3-core ⊆ 2-core — half the rounds touch a smaller
+    * graph). Convergence after [[KcorePeelRounds]] is asserted with
+    * one extra round that must remove nothing — the operator throws
+    * rather than emitting a non-fixpoint (q31's convention). */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.verifiedPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = pairs.select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .localCheckpoint()
+    val deg0 = sym.groupBy(col("u").as("doc_id"))
+      .agg(count(lit(1)).as("degree")).localCheckpoint()
+
+    // peel alive down to the k-core; assert the last round was a no-op
+    def peel(start: DataFrame, k: Int): DataFrame = {
+      var alive = start
+      for (_ <- 1 to KcorePeelRounds) {
+        val deg = sym
+          .join(alive.select(col("doc_id").as("u")), "u")
+          .join(alive.select(col("doc_id").as("v")), "v")
+          .groupBy(col("u").as("doc_id")).agg(count(lit(1)).as("d"))
+        alive = alive.join(deg, Seq("doc_id"), "left")
+          .filter(coalesce(col("d"), lit(0L)) >= k)
+          .select(col("doc_id")).localCheckpoint()
+      }
+      val extra = sym
+        .join(alive.select(col("doc_id").as("u")), "u")
+        .join(alive.select(col("doc_id").as("v")), "v")
+        .groupBy(col("u").as("doc_id")).agg(count(lit(1)).as("d"))
+      val unstable = alive.join(extra, Seq("doc_id"), "left")
+        .filter(coalesce(col("d"), lit(0L)) < k).count()
+      require(unstable == 0L,
+        s"$k-core peel did not converge in $KcorePeelRounds rounds " +
+          s"($unstable nodes still under-degree) — raise KcorePeelRounds")
+      alive
+    }
+
+    val core2 = peel(deg0.select(col("doc_id")), 2)
+    val core3 = peel(core2, 3) // 3-core ⊆ 2-core: peel the smaller graph
+    deg0
+      .join(core2.withColumn("in_2core", lit(true)), Seq("doc_id"), "left")
+      .join(core3.withColumn("in_3core", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("in_2core"), lit(false)).as("in_2core"),
+        coalesce(col("in_3core"), lit(false)).as("in_3core"))
+      .orderBy("doc_id")
+  }
 }

@@ -37,4 +37,33 @@ object Interchange {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy("source")
   }
+
+  /** q239_csv_roundtrip_agg — the CSV leg of the interchange matrix
+    * (q164 grades JSON lines; SinksSpec unit-tests the writers): write
+    * the documents table as headered CSV, read it back through the
+    * SCHEMA-DRIVEN reader (inference on a re-import is a silent type
+    * drift — ids re-inferred as strings break every downstream join),
+    * aggregate per (source, lang). The oracle aggregates the original
+    * parquet, so the hash-match proves the text round-trip lossless
+    * for everything reaching the aggregate. CSV quoting on hostile
+    * content (embedded commas/quotes) is proven separately in
+    * Round13OpsSpec on a torture frame — the graded corpus is
+    * comma-free, so the graded run is the happy path and the spec
+    * carries the escaping contract (the q56 split).
+    *
+    * Scale shape: identical to q164 — one partitioned write, one
+    * parallel read-back, a partial-aggregable aggregate onto the
+    * sources×langs domain. The doubled I/O is the operator. */
+  def csvRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = s"target/graft-roundtrip/${math.abs(sfDir.hashCode)}/documents_csv"
+    Sinks.csv(docs, dir)
+    val back = Tables.csv(spark, dir, Some(docs.schema))
+    back.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("source", "lang")
+  }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.MapReduce
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The relational query surface — the reference's map/shuffle/reduce
@@ -2159,5 +2159,146 @@ object Relational {
           .as("purchase_ts"),
         coalesce(col("purchase_value"), lit(-1.0)).as("purchase_value"))
       .orderBy("click_id")
+  }
+
+  /** q235 lookback window: 7 days in µs. */
+  val AttribLookbackUs: Long = 7L * 86400L * 1000000L
+
+  /** q235_attribution_models — first-touch vs last-touch vs linear
+    * multi-touch attribution, side by side: every purchase credits its
+    * value to the user's touch events (view/click/signup) inside the
+    * 7-day lookback under all three standard models — first gets 100%,
+    * last gets 100%, linear splits evenly — with purchases that had NO
+    * touch credited to the `(none)` organic bucket in every model. The
+    * marketing-mix DECISION table: q30/q195 pick one touch by rule,
+    * q217 measures the window, this prices how much the model CHOICE
+    * moves each channel's credit (the argument attribution meetings
+    * are actually about). Per (model, channel): credit in exact
+    * micro-cents and the number of credit rows.
+    *
+    * Determinism: cents = floor(value·100 + 0.5) at the scan; first/
+    * last are struct-min/max over (ts_µs, event_id, channel) — event
+    * ids break timestamp ties totally; the linear split is integer
+    * `cents·10⁴ div n` per touch (floor division both engines).
+    *
+    * Scale shape: the touch join is user-keyed with the time predicate
+    * INSIDE the user partition (q67/q217 rule — never an unkeyed
+    * interval join); the matched frame is localCheckpoint'ed once and
+    * feeds one per-purchase partial-aggregable argmin/argmax/count
+    * pass plus the per-touch linear projection; the final aggregate
+    * lands on the 3×|channels| domain. */
+  def attributionModels(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("pus"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val t = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type").as("channel"))
+    val j = p.join(t,
+        col("p_user") === col("t_user") && col("tus") < col("pus") &&
+          col("tus") >= col("pus") - lit(AttribLookbackUs), "left")
+      .select(col("p_id"), col("cents"), col("t_id"), col("tus"), col("channel"))
+      .localCheckpoint()
+    val agg = j.groupBy(col("p_id")).agg(
+        max(col("cents")).as("cents"),
+        count(col("t_id")).as("n"),
+        min(struct(col("tus"), col("t_id"), col("channel"))).as("f"),
+        max(struct(col("tus"), col("t_id"), col("channel"))).as("l"))
+      .localCheckpoint()
+    val firstCred = agg.select(lit("first").as("model"),
+      coalesce(col("f.channel"), lit("(none)")).as("channel"),
+      (col("cents") * lit(10000L)).as("credit"))
+    val lastCred = agg.select(lit("last").as("model"),
+      coalesce(col("l.channel"), lit("(none)")).as("channel"),
+      (col("cents") * lit(10000L)).as("credit"))
+    val linCred = j.join(agg.select(col("p_id"), col("n")), "p_id")
+      .select(lit("linear").as("model"),
+        coalesce(col("channel"), lit("(none)")).as("channel"),
+        when(col("n") > 0, expr("cents * 10000 div n"))
+          .otherwise(col("cents") * lit(10000L)).as("credit"))
+    firstCred.unionAll(lastCred).unionAll(linCred)
+      .groupBy(col("model"), col("channel"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("credit")).as("credit_microcents"))
+      .orderBy("model", "channel")
+  }
+
+  /** q236_segment_migration — user activity-magnitude transition
+    * matrix between the two halves of the event timeline: each user's
+    * tier in period A (first half of the observed [min ts, max ts]
+    * span) vs period B, cross-tabulated with exact ppm shares — the
+    * engagement-migration readout (how many users dropped a magnitude?)
+    * that q117's cohort retention can't give (retention tracks
+    * presence, not intensity). Tiers are the BIT LENGTH of the
+    * period's event count (0 = inactive, k = count in [2^(k−1), 2^k))
+    * — logarithmic buckets that stay discriminative at any corpus
+    * scale with a STABLE definition (q220's rule: quantile fences
+    * would re-segment the base per run), computed as string length of
+    * the binary rendering (`bin` ↔ `printf('%b')`) so no float log
+    * enters the tier decision. The time split is the span midpoint —
+    * integer µs arithmetic, no calendar surface.
+    *
+    * Scale shape: ONE user-keyed partial-aggregable pass of two
+    * conditional counts (the q155 two-period trick), scan-local tier
+    * mapping, a ≤tiers²-row matrix aggregate with the user total
+    * broadcast back. */
+  def segmentMigration(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val mid = ev.agg(expr(
+      "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("mid"))
+    def tier(c: Column): Column =
+      when(c === 0L, 0).otherwise(length(bin(c))).cast("int")
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(unix_micros(col("ts")) < col("mid"), 1L).otherwise(0L)).as("na"),
+        sum(when(unix_micros(col("ts")) >= col("mid"), 1L).otherwise(0L)).as("nb"))
+      .select(tier(col("na")).as("seg_a"), tier(col("nb")).as("seg_b"))
+    val cells = perUser.groupBy(col("seg_a"), col("seg_b"))
+      .agg(count(lit(1)).as("n_users"))
+    val tot = cells.agg(sum(col("n_users")).as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("seg_a"), col("seg_b"), col("n_users"),
+        expr("n_users * 1000000 div n_total").as("share_ppm"))
+      .orderBy("seg_a", "seg_b")
+  }
+
+  /** q240_stickiness — weekly DAU/WAU stickiness ratio: per calendar
+    * week (q117's epoch-anchored integer week ids), the mean daily
+    * active users over the week's ACTIVE days divided by the weekly
+    * active users — the classic engagement-intensity product metric
+    * ("of the users we see in a week, what share do we see on a given
+    * day"), the ratio form of the q216 heatmap and the per-week
+    * companion of q236's migration matrix. Observed-day denominator
+    * (not a fixed 7) keeps partial boundary weeks honest.
+    *
+    * Determinism: day/week ids are integer ms arithmetic; the heavy
+    * exchange is ONE distinct on (week, day, user) — every pair
+    * crosses once (q229's two-phase rule, never count(distinct)
+    * buffers); WAU is a second distinct over that already-deduped
+    * frame; stickiness is exact integer ppm.
+    *
+    * Scale shape: distinct → two partial-aggregable roll-ups; output
+    * is |weeks| rows. */
+  def stickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayMs = 86400000L
+    val base = Tables.events(spark, sfDir)
+      .select(
+        expr(s"floor((unix_millis(ts) - $RetentionEpochMs) / $WeekMs.0)")
+          .cast("long").as("wk"),
+        expr(s"floor((unix_millis(ts) - $RetentionEpochMs) / $dayMs.0)")
+          .cast("long").as("day"),
+        col("user_id"))
+      .distinct().localCheckpoint()
+    val daily = base.groupBy(col("wk"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val wau = base.select(col("wk"), col("user_id")).distinct()
+      .groupBy(col("wk")).agg(count(lit(1)).as("wau"))
+    daily.join(wau, "wk")
+      .select(col("wk"), col("n_days"), col("sum_dau"), col("wau"),
+        expr("sum_dau * 1000000 div (n_days * wau)").as("stickiness_ppm"))
+      .orderBy("wk")
   }
 }

@@ -2104,4 +2104,68 @@ object Similarity {
         (col("n_below") + col("n_above")).as("n_clipped"))
       .orderBy("d")
   }
+
+  /** Prefix dimensions for [[mrlTruncate]] — the Matryoshka serving
+    * ladder (full width last, so the 64 row doubles as ground truth). */
+  val MrlPrefixes: Seq[Int] = Seq(16, 32, 64)
+
+  /** q233_mrl_truncate — Matryoshka prefix-truncation audit (Kusupati
+    * et al. 2022): per query and prefix width p ∈ {16, 32, 64}, the
+    * top-1 neighbor under cosine over only the FIRST p dimensions,
+    * whether it agrees with the full-width top-1, and the full-width
+    * cosine REGRET of the truncated choice — the measurement that
+    * decides whether the 4×-cheaper prefix vectors (storage, shuffle
+    * width, every q68/q84-style code budget) can serve retrieval. MRL
+    * embeddings concentrate information in the leading dims, so real
+    * models show near-zero regret at p=32; a flat random corpus (ours)
+    * shows measurable regret — either way the number is the contract.
+    *
+    * Determinism: truncated rankings compare raw IEEE doubles whose
+    * accumulation order (ascending d) is identical in the native
+    * cosine expression and the oracle's list_dot_product (the q16
+    * precedent, applied to slices); regret is a difference of two
+    * 6dp-rounded cosines — exact on the 1e-6 grid — reported in ppm.
+    *
+    * Scale shape: the query side broadcasts (queries × prefixes rows);
+    * per-(prefix, query) rankings use the map-side top-k aggregate, so
+    * every post-scan exchange carries O(queries·|prefixes|) rows at
+    * any corpus size. The ×|prefixes| fan-out rides the corpus scan
+    * (one pass, three slice-cosines per pair — the audit's honest
+    * cost; a production rollout audits a query SAMPLE, as here). */
+  def mrlTruncate(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val q = broadcast(v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val prefixCol = explode(array(MrlPrefixes.map(lit): _*)).as("pd")
+    val scored = q
+      .crossJoin(v.select(col("vec_id").as("nb"), col("v").as("nv")))
+      .filter(col("query_id") =!= col("nb"))
+      .withColumn("pd", prefixCol)
+      .select(col("pd"), col("query_id"), col("nb"),
+        org.apache.spark.sql.graft.native.cosineSim(
+          slice(col("qv"), lit(1), col("pd")),
+          slice(col("nv"), lit(1), col("pd"))).as("c"))
+    val top1 = scored
+      .groupBy(col("pd"), col("query_id"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(col("c"), col("nb"), 1).as("top"))
+      .select(col("pd"), col("query_id"), col("top")(0)("id").as("nb"))
+    val full1 = top1.filter(col("pd") === Dims)
+      .select(col("query_id"), col("nb").as("fnb"))
+    // full-width cosines of both choices, on the 6dp grid
+    val cos64 = scored.filter(col("pd") === Dims)
+      .select(col("query_id"), col("nb"), round(col("c"), 6).as("c64"))
+    top1
+      .join(broadcast(full1), "query_id")
+      .join(cos64.select(col("query_id"), col("nb").as("fnb"), col("c64").as("cf")),
+        Seq("query_id", "fnb"))
+      .join(cos64.select(col("query_id"), col("nb"), col("c64").as("ct")),
+        Seq("query_id", "nb"))
+      .select(col("pd").as("prefix_dim"), col("query_id"),
+        col("nb").as("trunc_top1"), col("fnb").as("full_top1"),
+        (col("nb") === col("fnb")).as("top1_match"),
+        floor((col("cf") - col("ct")) * lit(1e6) + lit(0.5)).cast("long")
+          .as("regret_ppm"))
+      .orderBy("prefix_dim", "query_id")
+  }
 }

@@ -1114,4 +1114,81 @@ object TextAnalysis {
           .when(col("rank_a").isNotNull, "dropped").otherwise("entered").as("status"))
       .orderBy("tok")
   }
+
+  /** Stupid-backoff discount (Brants et al. 2007 use 0.4). */
+  val BackoffAlpha = 0.4
+
+  /** q234_backoff_lm — bigram language-model scoring with stupid
+    * backoff (Brants et al. 2007, the web-scale LM recipe): train
+    * bigram/unigram tables on the FIRST corpus half (doc_id order as
+    * crawl order — the q63/q197 split convention), score the HELD-OUT
+    * half per token position:
+    *
+    *   S(w₂|w₁) = count(w₁w₂)/count(w₁)        if the bigram was seen
+    *            = α · (count(w₂)+1)/(N+1)       otherwise (add-one-
+    *                                            floored unigram backoff
+    *                                            — never zero, so every
+    *                                            position scores)
+    *
+    * Per held-out doc: scored positions, backoff positions and the
+    * cross-entropy mean −ln S. This is the context-aware upgrade of
+    * q79's unigram score (a doc of common words in impossible ORDER
+    * scores badly here, identically there) and the evaluation half of
+    * q228's serving table — and, unlike q79's train-on-self, a real
+    * held-out measurement (which is exactly why backoff fires: unseen
+    * bigrams exist by construction).
+    *
+    * Determinism: counts are exact integers, each S is one identical
+    * division tree both engines, the per-doc mean is the weighted
+    * Σ k·(−ln S)/Σ k over the per-(doc, bigram) multiplicity frame in
+    * both engines, rounded 6dp (q79's ln/avg convention).
+    *
+    * Scale shape: training is two partial-aggregable token/bigram
+    * aggregates; scoring pre-aggregates held-out positions to
+    * (doc, w1, w2, k) rows (positions with equal context share one
+    * lookup), then joins the count tables keyed by (w1, w2) / w1 / w2
+    * — co-partitioned keyed joins, no windows; per-doc roll-up is
+    * partial-aggregable. */
+  def backoffLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val split = docs.agg(expr("count(1) div 2").as("s"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(T.alphaTokens(col("text"))).as(Seq("pos", "tok")))
+      .crossJoin(broadcast(split))
+    val train = toks.filter(col("doc_id") < col("s"))
+      .select(col("doc_id"), col("pos"), col("tok"))
+    val uc = train.groupBy(col("tok")).agg(count(lit(1)).as("c")).localCheckpoint()
+    val nn = uc.agg(sum(col("c")).as("n"))
+    val bc = train.select(col("doc_id"), col("pos"), col("tok").as("w1"))
+      .join(train.select(col("doc_id"), (col("pos") - 1).as("pos"), col("tok").as("w2")),
+        Seq("doc_id", "pos"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcc"))
+    val held = toks.filter(col("doc_id") >= col("s"))
+      .select(col("doc_id"), col("pos"), col("tok"))
+    val hb = held.select(col("doc_id"), col("pos"), col("tok").as("w1"))
+      .join(held.select(col("doc_id"), (col("pos") - 1).as("pos"), col("tok").as("w2")),
+        Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
+    val scored = hb
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(uc.select(col("tok").as("w1"), col("c").as("u1")), Seq("w1"), "left")
+      .join(uc.select(col("tok").as("w2"), col("c").as("u2")), Seq("w2"), "left")
+      .crossJoin(broadcast(nn))
+      .select(col("doc_id"), col("k"),
+        when(col("bcc").isNotNull, col("bcc").cast("double") / col("u1"))
+          .otherwise(lit(BackoffAlpha) * (coalesce(col("u2"), lit(0L)) + lit(1L))
+            .cast("double") / (col("n") + lit(1L))).as("sprob"),
+        when(col("bcc").isNull, col("k")).otherwise(lit(0L)).as("nb"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_scored"), sum(col("nb")).as("n_backoff"),
+        (sum(col("k") * -log(col("sprob"))) / sum(col("k"))).as("x"))
+    docs.crossJoin(broadcast(split)).filter(col("doc_id") >= col("s"))
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        round(coalesce(col("x"), lit(0.0)), 6).as("xent"))
+      .orderBy("doc_id")
+  }
 }

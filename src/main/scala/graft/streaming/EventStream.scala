@@ -415,7 +415,7 @@ object EventStream {
     * Works identically on batch frames (the parity test runs the same
     * plan both ways). */
   def streamingClickAttribution(clicks: DataFrame, views: DataFrame,
-      windowMinutes: Int = 30): DataFrame = {
+      windowMinutes: Int = 30, joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -427,7 +427,8 @@ object EventStream {
     c.join(v,
         col("user_id") === col("view_user") &&
           col("view_ts") <= col("click_ts") &&
-          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+        joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("view_id"), col("view_ts"))
   }
@@ -824,6 +825,65 @@ object EventStream {
     }
     val out = spark.table(name)
       .orderBy("event_type").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  /** q237_stream_outer_join_exec — LEFT-OUTER stream-stream join graded
+    * through a real streaming run (11th graded streaming path, and the
+    * one where the WATERMARK ITSELF produces rows): q113 grades the
+    * inner interval join, where watermarks only evict state — here
+    * unmatched clicks must be null-EMITTED, and the engine may do that
+    * only once the watermark proves no matching view can still arrive
+    * (view_ts ≤ click_ts ⇒ a click is decidable once the watermark
+    * passes its own timestamp). Events arrive as the three-day-band
+    * file harness (q178's arrival control); after the last data batch
+    * the engine's no-data catch-up batches advance the watermark to
+    * (min of the two sides' max event time) − 10 min, evicting and
+    * null-extending every undecidable-no-longer click. Clicks INSIDE
+    * the final watermark tail stay buffered and are legitimately
+    * absent — the oracle replays exactly that fence: matched pairs
+    * unconditionally (inner results emit on arrival), unmatched clicks
+    * iff click_ts < final watermark. The fence's strictness and the
+    * catch-up behavior are pinned empirically at all three SFs (the
+    * q178 measured-commit-timing method).
+    *
+    * At scale: state is O(events within watermark+window) per side,
+    * user_id partitions it, and the same plan against Kafka emits the
+    * organic-click rows a few minutes after real time — the streaming
+    * form of q30's "which clicks converted" with the non-converting
+    * majority included. */
+  def clickAttributionOuterStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val tagged = ev.withColumn("b",
+      when(dayofmonth(col("ts")) <= 10, 0)
+        .when(dayofmonth(col("ts")) <= 20, 1).otherwise(2))
+    val dir = writeArrivalBatches(tagged,
+      Seq("event_id", "ts", "user_id", "event_type"), "graft_oj_", 3)
+    def src(): DataFrame = spark.readStream
+      .schema(tagged.select("event_id", "ts", "user_id", "event_type").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val name = s"graft_stream_oj_${streamRunId.incrementAndGet()}"
+    withStatePartitions(spark, 4) {
+      val q = streamingClickAttribution(
+          src().filter(col("event_type") === "click"),
+          src().filter(col("event_type") === "view"),
+          joinType = "left_outer")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val out = spark.table(name)
+      .select(col("click_id"), col("user_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss"), lit("-"))
+          .as("view_ts"))
+      .orderBy("click_id", "view_id").localCheckpoint()
     spark.catalog.dropTempView(name)
     out
   }

@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-13 additions (q231+): k-core peel,
+  * audio codec round-trip. */
+class Round13OpsSpec extends SparkSuite {
+
+  test("q231 k-core matches a driver-side brute-force peel") {
+    val rows = graft.operators.Graph.kcore(spark, sf).collect()
+    assert(rows.nonEmpty, "the sf0.001 dup graph has nodes")
+
+    // independent reference: peel the collected pair graph to fixpoint
+    val pairs = graft.operators.Dedup.verifiedPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def core(k: Int): Set[Long] = {
+      var alive = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      var changed = true
+      while (changed) {
+        val deg = pairs.filter(p => alive(p._1) && alive(p._2))
+          .flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.length }
+        val next = alive.filter(n => deg.getOrElse(n, 0) >= k)
+        changed = next.size != alive.size
+        alive = next
+      }
+      alive
+    }
+    val (c2, c3) = (core(2), core(3))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("in_2core") == c2(id), s"2-core mismatch at $id")
+      assert(r.getAs[Boolean]("in_3core") == c3(id), s"3-core mismatch at $id")
+    }
+    // structural invariants: 3-core ⊆ 2-core; degree-1 nodes never in a core
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("in_3core")) assert(r.getAs[Boolean]("in_2core"))
+      if (r.getAs[Long]("degree") < 2) assert(!r.getAs[Boolean]("in_2core"))
+      assert(r.getAs[Long]("degree") >= 1, "pair-graph nodes have an edge")
+    }
+  }
+
+  test("q232 decoded audio features match an independent md5 recompute") {
+    val rows = graft.operators.Multimodal.audioCodec(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size, "one feature row per document")
+
+    // independent h: JDK MessageDigest, not Spark's md5 expression
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val n = graft.operators.Multimodal.WavSamples
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val h = md5h(docs(id))
+      val s = Array.tabulate(n)(i =>
+        (((h % 1048576L) * 17L + i * 89L + (i.toLong * i) % 241L) % 256L).toInt)
+      val peak = s.map(v => math.abs(v - 128)).max.toLong
+      val energy = s.map(v => (v - 128).toLong * (v - 128)).sum
+      val zc = (1 until n).count(i => (s(i - 1) < 128) != (s(i) < 128)).toLong
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      assert(r.getAs[Long]("peak_dev") == peak, s"peak mismatch at $id")
+      assert(r.getAs[Long]("energy") == energy, s"energy mismatch at $id")
+      assert(r.getAs[Long]("zero_cross") == zc, s"zero-cross mismatch at $id")
+    }
+  }
+
+  test("q233 full-width row is its own ground truth and regret is non-negative") {
+    val rows = graft.operators.Similarity.mrlTruncate(spark, sf).collect()
+    val nq = rows.map(_.getAs[Long]("query_id")).distinct.length
+    assert(rows.length == graft.operators.Similarity.MrlPrefixes.length * nq,
+      "one row per (prefix, query)")
+    rows.foreach { r =>
+      val pd = r.getAs[Int]("prefix_dim")
+      val regret = r.getAs[Long]("regret_ppm")
+      assert(regret >= 0L, "the full-width top-1 maximizes full-width cosine")
+      if (pd == graft.operators.Similarity.Dims) {
+        assert(r.getAs[Boolean]("top1_match"), "p=64 IS the ground truth")
+        assert(regret == 0L)
+      }
+      if (r.getAs[Boolean]("top1_match")) assert(regret == 0L)
+    }
+  }
+
+  test("q234 held-out scoring covers every bigram position and backoff fires") {
+    val rows = graft.operators.TextAnalysis.backoffLm(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(graft.functions.TextFunctions
+        .alphaTokens(col("text"))).as("nt")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val split = docs.size / 2
+    assert(rows.length == docs.count(_._1 >= split), "one row per held-out doc")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id >= split, "only held-out docs are scored")
+      val expected = math.max(0, docs(id) - 1).toLong
+      assert(r.getAs[Long]("n_scored") == expected,
+        s"every adjacent position scores exactly once at $id")
+      assert(r.getAs[Long]("n_backoff") <= r.getAs[Long]("n_scored"))
+      if (r.getAs[Long]("n_scored") > 0)
+        assert(r.getAs[Double]("xent") > 0.0, "S < 1 ⇒ −ln S > 0")
+    }
+    assert(rows.map(_.getAs[Long]("n_backoff")).sum > 0,
+      "a held-out half must contain unseen bigrams")
+  }
+
+  test("q235 first/last conserve revenue exactly, linear loses only floor dust") {
+    val rows = graft.operators.Relational.attributionModels(spark, sf).collect()
+    val totalMicro = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long") * 10000L))
+      .collect()(0).getLong(0)
+    def credit(m: String) = rows.filter(_.getAs[String]("model") == m)
+      .map(_.getAs[Long]("credit_microcents")).sum
+    assert(credit("first") == totalMicro, "first-touch conserves revenue")
+    assert(credit("last") == totalMicro, "last-touch conserves revenue")
+    val lin = credit("linear")
+    val nLin = rows.filter(_.getAs[String]("model") == "linear")
+      .map(_.getAs[Long]("n_credits")).sum
+    assert(lin <= totalMicro && lin > totalMicro - nLin,
+      "linear floors each split — loses under 1 microcent per credit row")
+    val nP = rows.filter(_.getAs[String]("model") == "first")
+      .map(_.getAs[Long]("n_credits")).sum
+    assert(nP == rows.filter(_.getAs[String]("model") == "last")
+      .map(_.getAs[Long]("n_credits")).sum, "one credit per purchase in both")
+  }
+
+  test("q236 matrix partitions the user base with ppm shares") {
+    val rows = graft.operators.Relational.segmentMigration(spark, sf).collect()
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers,
+      "matrix cells partition the user base")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("seg_a") >= 0 && r.getAs[Int]("seg_a") <= 40,
+        "tier is a bit length")
+      assert(r.getAs[Int]("seg_b") >= 0 && r.getAs[Int]("seg_b") <= 40)
+      assert(r.getAs[Long]("share_ppm") >= 0L)
+    }
+    assert(rows.map(_.getAs[Long]("share_ppm")).sum <= 1000000L)
+    assert(rows.length >= 2, "magnitude tiers discriminate the user base")
+  }
+
+  test("q237 outer join emits matched pairs plus watermark-decided organics") {
+    val rows = graft.streaming.EventStream
+      .clickAttributionOuterStreamed(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"),
+        unix_micros(col("ts")).as("cus"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), unix_micros(col("ts")).as("vus"))
+    val matchedBatch = clicks.join(views,
+      col("cu") === col("vu") && col("vus") <= col("cus") &&
+        col("vus") >= col("cus") - lit(30L * 60 * 1000000)).count()
+    val matched = rows.filter(_.getAs[Long]("view_id") != -1L)
+    assert(matched.length == matchedBatch.toInt,
+      "inner matches emit exactly once each")
+    val bounds = clicks.agg(max(col("cus"))).collect()(0).getLong(0)
+      .min(views.agg(max(col("vus"))).collect()(0).getLong(0)) - 600000000L
+    val cts = clicks.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.filter(_.getAs[Long]("view_id") == -1L).foreach { r =>
+      assert(r.getAs[String]("view_ts") == "-")
+      assert(cts(r.getAs[Long]("click_id")) < bounds,
+        "an organic click emits only once the watermark decided it")
+    }
+    assert(rows.exists(_.getAs[Long]("view_id") == -1L),
+      "the watermark must have decided some organic clicks")
+  }
+
+  test("q238 venn regions partition the detector union") {
+    val rows = graft.operators.Dedup.detectorVenn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("in_minhash") || r.getAs[Boolean]("in_simhash") ||
+        r.getAs[Boolean]("in_containment"), "a caught pair has a catcher")
+      assert(r.getAs[Long]("n_pairs") > 0L)
+    }
+    val mh = graft.operators.Dedup.verifiedPairs(spark, sf).count()
+    val mhRegions = rows.filter(_.getAs[Boolean]("in_minhash"))
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(mhRegions == mh, "minhash regions partition the minhash pair set")
+  }
+
+  test("q239 CSV round-trip equals the direct aggregate, quoting survives torture") {
+    val rt = graft.operators.Interchange.csvRoundtripAgg(spark, sf)
+    val direct = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    assert(rt.exceptAll(direct).isEmpty && direct.exceptAll(rt).isEmpty,
+      "round-trip aggregate equals the parquet aggregate")
+    // escaping contract: commas and quotes survive the writer/reader pair
+    import spark.implicits._
+    val torture = Seq((1L, """a,b "quoted" c"""), (2L, "plain")).toDF("id", "s")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvt_").toString
+    graft.sources.Sinks.csv(torture, dir)
+    val back = graft.sources.Tables.csv(spark, dir, Some(torture.schema))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back(1L) == """a,b "quoted" c""" && back(2L) == "plain",
+      "hostile content round-trips byte-exact")
+  }
+
+  test("q240 stickiness is a well-formed ratio") {
+    val rows = graft.operators.Relational.stickiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") >= 1L && r.getAs[Long]("n_days") <= 7L)
+      assert(r.getAs[Long]("sum_dau") >= r.getAs[Long]("wau"),
+        "each weekly user is active on at least one day")
+      assert(r.getAs[Long]("stickiness_ppm") <= 1000000L,
+        "daily actives never exceed weekly actives")
+      assert(r.getAs[Long]("stickiness_ppm") > 0L)
+    }
+  }
+
+  test("q232 WAV container round-trips frames byte-exact") {
+    val samples = Array.tabulate(64)(i => (i * 37 + 5) % 256)
+    val bytes = graft.operators.Multimodal.wavBytes(samples)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(ais.getFormat.getSampleSizeInBits == 8)
+    val back = ais.readAllBytes().map(_ & 0xff)
+    assert(back.toSeq == samples.toSeq, "decoded frames equal the encoded PCM")
+  }
+}
