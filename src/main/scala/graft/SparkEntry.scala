@@ -253,7 +253,10 @@ object SparkEntry {
       (graft.streaming.EventStream.clickAttributionOuterStreamed _),
     "q238_detector_venn"  -> (Dedup.detectorVenn _),
     "q239_csv_roundtrip_agg" -> (Interchange.csvRoundtripAgg _),
-    "q240_stickiness"     -> (Relational.stickiness _)
+    "q240_stickiness"     -> (Relational.stickiness _),
+    "q241_cf_eval"        -> (Graph.cfEval _),
+    "q242_corr_matrix"    -> (Relational.corrMatrix _),
+    "q243_orc_roundtrip_agg" -> (Interchange.orcRoundtripAgg _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -4529,7 +4532,77 @@ object SparkEntry {
         |SELECT w.wk, w.n_days, w.sum_dau, u.wau,
         |       w.sum_dau * 1000000 // (w.n_days * u.wau) AS stickiness_ppm
         |FROM sw w JOIN su u USING (wk) ORDER BY wk""".stripMargin
-    }
+    },
+    "q241_cf_eval" -> {
+      import graft.operators.Graph.{ItemNeighborsK, MaxBasketItems, MinCoocSupport}
+      s"""WITH eitems AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ecap AS MATERIALIZED (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           row_number() OVER (PARTITION BY l_orderkey ORDER BY
+        |             ('0x' || substr(md5('bk_' || l_orderkey || '_' || l_partkey), 1, 7))::BIGINT,
+        |             l_partkey) AS rn
+        |    FROM eitems) WHERE rn <= $MaxBasketItems),
+        |etr AS MATERIALIZED (SELECT * FROM ecap WHERE l_orderkey % 2 = 0),
+        |ete AS MATERIALIZED (SELECT * FROM ecap WHERE l_orderkey % 2 = 1),
+        |epairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::BIGINT AS n_ab
+        |  FROM etr a JOIN etr b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2
+        |  HAVING count(*) >= $MinCoocSupport),
+        |esupp AS (SELECT l_partkey, count(*)::BIGINT AS n FROM etr GROUP BY 1),
+        |esym AS (SELECT pa AS item, pb AS neighbor, n_ab FROM epairs
+        |         UNION ALL SELECT pb, pa, n_ab FROM epairs),
+        |esc AS (
+        |  SELECT s.item, s.neighbor,
+        |         floor(s.n_ab::DOUBLE / sqrt((si.n * sn.n)::DOUBLE)
+        |               * 1000000.0 + 0.5)::BIGINT AS cos_ppm
+        |  FROM esym s
+        |  JOIN esupp si ON si.l_partkey = s.item
+        |  JOIN esupp sn ON sn.l_partkey = s.neighbor),
+        |erec AS MATERIALIZED (
+        |  SELECT item, neighbor FROM (
+        |    SELECT item, neighbor,
+        |           row_number() OVER (PARTITION BY item
+        |             ORDER BY cos_ppm DESC, neighbor ASC) AS rnk
+        |    FROM esc) WHERE rnk <= $ItemNeighborsK),
+        |ebsz AS (SELECT l_orderkey, count(*)::BIGINT AS bsz FROM ete GROUP BY 1),
+        |eeval AS (
+        |  SELECT t.l_orderkey, t.l_partkey AS item
+        |  FROM ete t JOIN ebsz z USING (l_orderkey)
+        |  WHERE z.bsz >= 2
+        |    AND t.l_partkey IN (SELECT DISTINCT item FROM erec)),
+        |ehit AS (
+        |  SELECT e.l_orderkey, e.item,
+        |         max(CASE WHEN p.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS hit
+        |  FROM eeval e JOIN erec r ON r.item = e.item
+        |  LEFT JOIN ete p ON p.l_orderkey = e.l_orderkey AND p.l_partkey = r.neighbor
+        |  GROUP BY 1, 2)
+        |SELECT (SELECT count(*) FROM ebsz)::BIGINT AS n_test_baskets,
+        |       count(*)::BIGINT AS n_evaluable,
+        |       sum(hit)::BIGINT AS n_hits,
+        |       CASE WHEN count(*) > 0 THEN sum(hit) * 1000000 // count(*)
+        |            ELSE 0 END::BIGINT AS hitrate_ppm
+        |FROM ehit""".stripMargin
+    },
+    "q242_corr_matrix" -> {
+      val pairs = for {
+        i <- graft.operators.Relational.CorrCols.indices
+        j <- (i + 1) until graft.operators.Relational.CorrCols.size
+      } yield (graft.operators.Relational.CorrCols(i),
+        graft.operators.Relational.CorrCols(j))
+      val sel = pairs.map { case (a, b) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 6) AS pearson, count(*)::BIGINT AS n FROM lineitem"
+      }.mkString("\n UNION ALL\n ")
+      s"$sel\n ORDER BY col_a, col_b"
+    },
+    "q243_orc_roundtrip_agg" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |       count(DISTINCT source)::BIGINT AS n_sources,
+        |       sum(n_chars)::BIGINT AS sum_chars,
+        |       sum(length(text))::BIGINT AS sum_text_len,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -1100,13 +1100,16 @@ object Dedup {
   def detectorVenn(spark: SparkSession, sfDir: String): DataFrame = {
     val m = verifiedPairs(spark, sfDir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // each detector output feeds TWO plan references (the union and its
+    // flag join) — cut the pipelines off once (the q31 multi-reference
+    // rule; m is already the memoized artifact)
     val s = simhashPairs(spark, sfDir)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .select(col("doc_a").as("a"), col("doc_b").as("b")).localCheckpoint()
     val c = containmentDedup(spark, sfDir)
       .select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .distinct()
-    val all = m.unionAll(s).unionAll(c).distinct().localCheckpoint()
+      .distinct().localCheckpoint()
+    val all = m.unionAll(s).unionAll(c).distinct()
     all
       .join(m.withColumn("im", lit(true)), Seq("a", "b"), "left")
       .join(s.withColumn("is", lit(true)), Seq("a", "b"), "left")

@@ -465,6 +465,70 @@ object Graph {
           .otherwise(lit(0.0)).as("assortativity"))
   }
 
+  /** q241_cf_eval — held-out evaluation of the recommender the engine
+    * itself serves (q179/q223): orders split by key parity (the q214
+    * assignment convention) into train/test; neighbor lists are built
+    * from TRAIN baskets only (q179's exact pipeline at the same k and
+    * support floor), then every test-basket item that has a
+    * recommendation list scores a HIT if any of its ≤k recommended
+    * items appears elsewhere in the same test basket — leave-one-
+    * basket-out hit-rate@k, the offline acceptance number a recsys
+    * table ships with (a CF table that cannot predict held-out
+    * co-purchases is a random-neighbor table). Output: test baskets,
+    * evaluable (item, basket) cases, hits, hit-rate in exact ppm.
+    *
+    * Determinism: the basket cap, supports, ppm cosines and rank
+    * windows are the q179 integer machinery; the hit flag is set
+    * membership; the rate is integer ppm.
+    *
+    * Scale shape: reads the memoized basket artifact (parity filters
+    * are scan-local on it); train-side pair/support aggregates are
+    * q179's bounded shapes; the eval join carries (test items × ≤k
+    * recs) rows keyed by (basket, item); the report is one row. */
+  def cfEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val baskets = basketArtifact(spark, sfDir)
+    val train = baskets.filter(col("l_orderkey") % 2 === 0)
+    val test = baskets.filter(col("l_orderkey") % 2 === 1)
+    val pairs = basketPairs(train).filter(col("n_ab") >= MinCoocSupport)
+    val supp = train.select(explode(col("items")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val sym = pairs.select(col("part_a").as("item"), col("part_b").as("neighbor"), col("n_ab"))
+      .unionAll(pairs.select(col("part_b").as("item"), col("part_a").as("neighbor"), col("n_ab")))
+    val scored = sym
+      .join(broadcast(supp.select(col("l_partkey").as("item"), col("n").as("n_i"))), "item")
+      .join(broadcast(supp.select(col("l_partkey").as("neighbor"), col("n").as("n_j"))), "neighbor")
+      .select(col("item"), col("neighbor"),
+        floor(col("n_ab").cast("double")
+          / sqrt((col("n_i") * col("n_j")).cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("cos_ppm"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cos_ppm").desc, col("neighbor").asc)
+    val recs = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= ItemNeighborsK)
+      .select(col("item"), col("neighbor")).localCheckpoint()
+    val testItems = test.select(col("l_orderkey"), explode(col("items")).as("item"))
+      .localCheckpoint()
+    val bsz = testItems.groupBy(col("l_orderkey")).agg(count(lit(1)).as("bsz"))
+    val evaluable = testItems
+      .join(bsz, "l_orderkey").filter(col("bsz") >= 2)
+      .join(recs.select(col("item")).distinct(), Seq("item"))
+      .select(col("l_orderkey"), col("item"))
+    val hits = evaluable
+      .join(recs, Seq("item"))
+      .join(testItems.select(col("l_orderkey"), col("item").as("neighbor"))
+          .withColumn("present", lit(1)),
+        Seq("l_orderkey", "neighbor"), "left")
+      .groupBy(col("l_orderkey"), col("item"))
+      .agg(max(coalesce(col("present"), lit(0))).as("hit"))
+    val nb = test.agg(count(lit(1)).as("n_test_baskets"))
+    hits.agg(count(lit(1)).as("n_evaluable"), sum(col("hit")).cast("long").as("n_hits"))
+      .crossJoin(broadcast(nb))
+      .select(col("n_test_baskets"), col("n_evaluable"), col("n_hits"),
+        when(col("n_evaluable") > 0, expr("n_hits * 1000000 div n_evaluable"))
+          .otherwise(lit(0L)).as("hitrate_ppm"))
+  }
+
   /** Peel rounds for [[kcore]] — enough for the clique-structured dup
     * graph (pure pairs vanish in round 1, chains cascade one hop per
     * round); convergence is ASSERTED, not assumed (see below). */

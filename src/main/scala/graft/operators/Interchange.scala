@@ -66,4 +66,30 @@ object Interchange {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy("source", "lang")
   }
+
+  /** q243_orc_roundtrip_agg — the ORC leg completing the interchange
+    * matrix (parquet is the native store; q164 JSON, q239 CSV, this
+    * ORC — the other COLUMNAR format, for stacks standardized on it):
+    * write the documents table as ORC, read it back through the
+    * self-describing reader (columnar formats carry their schema —
+    * no inference drift, the property that makes them interchange-
+    * safe where text formats need the q239 schema pin), aggregate per
+    * lang against the original-parquet oracle.
+    *
+    * Scale shape: one partitioned columnar write + parallel read-back
+    * (predicate/column pushdown properties identical to parquet), a
+    * partial-aggregable aggregate onto the langs domain. */
+  def orcRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = s"target/graft-roundtrip/${math.abs(sfDir.hashCode)}/documents_orc"
+    Sinks.orc(docs, dir)
+    val back = Tables.orc(spark, dir)
+    back.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("lang")
+  }
 }

@@ -2301,4 +2301,39 @@ object Relational {
         expr("sum_dau * 1000000 div (n_days * wau)").as("stickiness_ppm"))
       .orderBy("wk")
   }
+
+  /** q242 numeric profile columns (every lineitem measure). */
+  val CorrCols: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** q242_corr_matrix — pairwise Pearson correlation matrix over the
+    * fact table's numeric measures in ONE scan: all C(4,2)=6
+    * coefficients as partial-aggregable co-moment aggregates (q39
+    * grades one pair; a feature-engineering or CBO profiling pass
+    * wants the matrix — collinear features and functional
+    * dependencies, e.g. price↔quantity, show up here before a model
+    * or a join-estimate trusts the columns as independent).
+    *
+    * Determinism: `corr` is the identical single-pass co-moment
+    * formula in both engines over the same doubles, rounded 6dp (the
+    * q39 precedent); n is exact.
+    *
+    * Scale shape: one partial-aggregable 1-row aggregate (6 co-moment
+    * states), unpivoted to pair rows by a scan-free stack. */
+  def corrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val pairs = for {
+      i <- CorrCols.indices; j <- (i + 1) until CorrCols.size
+    } yield (CorrCols(i), CorrCols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"${a}__$b")
+    } :+ count(lit(1)).as("n")
+    val row = li.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs
+      .map { case (a, b) => s"'$a', '$b', ${a}__$b" }.mkString(", ")
+    row.select(
+        expr(s"stack(${pairs.size}, $stacked) AS (col_a, col_b, pearson)"),
+        col("n"))
+      .orderBy("col_a", "col_b")
+  }
 }

@@ -220,6 +220,42 @@ class Round13OpsSpec extends SparkSuite {
     }
   }
 
+  test("q241 hit-rate is a well-formed held-out measurement") {
+    val r = graft.operators.Graph.cfEval(spark, sf).collect()(0)
+    val nTest = graft.operators.Graph.basketArtifact(spark, sf)
+      .filter(col("l_orderkey") % 2 === 1).count()
+    assert(r.getAs[Long]("n_test_baskets") == nTest)
+    assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_evaluable"))
+    assert(r.getAs[Long]("hitrate_ppm") <= 1000000L)
+    if (r.getAs[Long]("n_evaluable") > 0)
+      assert(r.getAs[Long]("hitrate_ppm") ==
+        r.getAs[Long]("n_hits") * 1000000L / r.getAs[Long]("n_evaluable"))
+  }
+
+  test("q242 correlation matrix is bounded and matches stat.corr") {
+    val rows = graft.operators.Relational.corrMatrix(spark, sf).collect()
+    assert(rows.length == 6, "C(4,2) pairs")
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("pearson")
+      assert(p >= -1.000001 && p <= 1.000001)
+      val ref = li.stat.corr(r.getAs[String]("col_a"), r.getAs[String]("col_b"))
+      assert(math.abs(p - ref) < 1e-5, s"${r.getAs[String]("col_a")}-${r.getAs[String]("col_b")}")
+      assert(r.getAs[Long]("n") == li.count())
+    }
+  }
+
+  test("q243 ORC round-trip equals the direct aggregate") {
+    val rt = graft.operators.Interchange.orcRoundtripAgg(spark, sf)
+    val direct = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    assert(rt.exceptAll(direct).isEmpty && direct.exceptAll(rt).isEmpty)
+  }
+
   test("q232 WAV container round-trips frames byte-exact") {
     val samples = Array.tabulate(64)(i => (i * 37 + 5) % 256)
     val bytes = graft.operators.Multimodal.wavBytes(samples)
