@@ -512,8 +512,9 @@ object Graph {
     val bsz = testItems.groupBy(col("l_orderkey")).agg(count(lit(1)).as("bsz"))
     val evaluable = testItems
       .join(bsz, "l_orderkey").filter(col("bsz") >= 2)
-      .join(recs.select(col("item")).distinct(), Seq("item"))
       .select(col("l_orderkey"), col("item"))
+    // the inner rec join below IS the has-recommendations filter — no
+    // separate semi-join needed; the groupBy collapses the ≤k rec rows
     val hits = evaluable
       .join(recs, Seq("item"))
       .join(testItems.select(col("l_orderkey"), col("item").as("neighbor"))
