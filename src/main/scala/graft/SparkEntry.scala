@@ -256,7 +256,11 @@ object SparkEntry {
     "q240_stickiness"     -> (Relational.stickiness _),
     "q241_cf_eval"        -> (Graph.cfEval _),
     "q242_corr_matrix"    -> (Relational.corrMatrix _),
-    "q243_orc_roundtrip_agg" -> (Interchange.orcRoundtripAgg _)
+    "q243_orc_roundtrip_agg" -> (Interchange.orcRoundtripAgg _),
+    "q244_bm25_eval"      -> (Indexing.bm25Eval _),
+    "q245_seasonal_baseline" -> (Relational.seasonalBaseline _),
+    "q246_dp_counts"      -> (Relational.dpCounts _),
+    "q247_session_entropy" -> (Relational.sessionEntropy _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -4602,7 +4606,100 @@ object SparkEntry {
         |       sum(n_chars)::BIGINT AS sum_chars,
         |       sum(length(text))::BIGINT AS sum_text_len,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q244_bm25_eval" -> {
+      import graft.operators.Indexing.{Bm25B, Bm25K1, KnownItemEvery, KnownItemTerms, KnownItemTopK}
+      s"""WITH kdt AS MATERIALIZED (
+        |  SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |kdl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM kdt GROUP BY 1),
+        |kst AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM kdl),
+        |kdf AS (SELECT term, count(*)::BIGINT AS df FROM kdt GROUP BY 1),
+        |kq AS MATERIALIZED (
+        |  SELECT doc_id AS query_id, term, df FROM (
+        |    SELECT t.doc_id, t.term, f.df,
+        |           row_number() OVER (PARTITION BY t.doc_id
+        |             ORDER BY f.df ASC, t.term ASC) AS rn
+        |    FROM kdt t JOIN kdf f USING (term)
+        |    WHERE t.doc_id % $KnownItemEvery = 0) WHERE rn <= $KnownItemTerms),
+        |ksc AS (
+        |  SELECT q.query_id, t.doc_id,
+        |         round(sum(ln((kst.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+        |               * (t.tf * ${Bm25K1 + 1.0})
+        |               / (t.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * l.dl / kst.avgdl))), 6)
+        |           AS bm25
+        |  FROM kq q JOIN kdt t USING (term) JOIN kdl l ON l.doc_id = t.doc_id, kst
+        |  GROUP BY 1, 2),
+        |krk AS MATERIALIZED (
+        |  SELECT query_id, doc_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY bm25 DESC, doc_id ASC) AS rnk
+        |  FROM ksc),
+        |kt AS (SELECT query_id, doc_id AS top1_doc FROM krk WHERE rnk = 1),
+        |ks AS (SELECT query_id, rnk AS self_rank FROM krk
+        |       WHERE query_id = doc_id AND rnk <= $KnownItemTopK)
+        |SELECT q.query_id, t.top1_doc, coalesce(s.self_rank, -1)::INT AS self_rank,
+        |       (CASE WHEN s.self_rank IS NOT NULL THEN 1000000 // s.self_rank
+        |             ELSE 0 END)::BIGINT AS rr_ppm
+        |FROM (SELECT DISTINCT query_id FROM kq) q
+        |JOIN kt t USING (query_id) LEFT JOIN ks s USING (query_id)
+        |ORDER BY q.query_id""".stripMargin
+    },
+    "q245_seasonal_baseline" -> {
+      import graft.operators.Relational.{RetentionEpochMs, WeekMs}
+      s"""WITH sbb AS (
+        |  SELECT event_type,
+        |         ((epoch_ms(ts) - $RetentionEpochMs) // $WeekMs)::INT AS wk,
+        |         (((epoch_ms(ts) - $RetentionEpochMs) // 3600000) % 24)::INT AS hh,
+        |         count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |sbt AS (SELECT DISTINCT event_type FROM sbb),
+        |sbw AS (SELECT DISTINCT wk FROM sbb),
+        |sbnw AS (SELECT count(*)::BIGINT AS n_weeks FROM sbw),
+        |sbsp AS (SELECT event_type, wk, h::INT AS hh
+        |         FROM sbt, sbw, unnest(range(0, 24)) t(h)),
+        |sbd AS (SELECT s.event_type, s.wk, s.hh, coalesce(b.n, 0)::BIGINT AS n
+        |        FROM sbsp s LEFT JOIN sbb b USING (event_type, wk, hh)),
+        |sbtot AS (SELECT event_type, hh, sum(n)::BIGINT AS tot FROM sbd GROUP BY 1, 2)
+        |SELECT d.event_type, d.wk, d.hh, d.n, t.tot, nw.n_weeks,
+        |       CASE WHEN t.tot > 0 THEN d.n * nw.n_weeks * 1000000 // t.tot
+        |            ELSE 0 END AS ratio_ppm,
+        |       (d.n * nw.n_weeks * 2 > t.tot * 3) AS flag_hi,
+        |       (d.n * nw.n_weeks * 3 < t.tot * 2) AS flag_lo
+        |FROM sbd d JOIN sbtot t USING (event_type, hh), sbnw nw
+        |ORDER BY event_type, wk, hh""".stripMargin
+    },
+    "q246_dp_counts" -> {
+      import graft.operators.Relational.DpEpsilon
+      s"""WITH dpc AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+        |dpn AS (
+        |  SELECT lang, n_docs,
+        |         floor(${-1.0 / DpEpsilon} * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+        |               * 1000000.0)::BIGINT AS noise_micro
+        |  FROM (SELECT lang, n_docs,
+        |               (('0x' || substr(md5('dp_' || lang), 1, 7))::BIGINT + 0.5)
+        |                 / 268435456.0 AS u
+        |        FROM dpc))
+        |SELECT lang, n_docs, noise_micro,
+        |       n_docs + floor((noise_micro + 500000) / 1000000.0)::BIGINT AS noisy_count,
+        |       $DpEpsilon AS epsilon
+        |FROM dpn ORDER BY lang""".stripMargin
+    },
+    "q247_session_entropy" ->
+      """WITH seut AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+        |              FROM events GROUP BY 1, 2),
+        |setot AS (SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_types
+        |          FROM seut GROUP BY 1),
+        |seterm AS (
+        |  SELECT u.user_id, t.n, t.n_types,
+        |         floor((u.c::DOUBLE / t.n) * ln(t.n::DOUBLE / u.c) * 1000000000.0)::BIGINT
+        |           AS term_nano
+        |  FROM seut u JOIN setot t USING (user_id))
+        |SELECT user_id, max(n)::BIGINT AS n_events, max(n_types)::BIGINT AS n_types,
+        |       sum(term_nano)::BIGINT AS entropy_nano
+        |FROM seterm GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -412,4 +412,85 @@ object Indexing {
         col("n_tokens"), col("cum_tokens"))
       .orderBy("rank")
   }
+
+  /** q244 known-item eval parameters: every Nth doc queries with its
+    * [[KnownItemTerms]] globally-rarest tokens; rank cut for MRR. */
+  val KnownItemEvery = 50
+  val KnownItemTerms = 2
+  val KnownItemTopK = 10
+
+  /** q244_bm25_eval — KNOWN-ITEM retrieval evaluation of the BM25
+    * ranking (q75 serves it; this measures it): every
+    * [[KnownItemEvery]]th document issues its own
+    * [[KnownItemTerms]]-rarest tokens (global df ascending, token
+    * ascending — the most discriminative query its text can produce)
+    * as a query, the corpus is BM25-ranked against it, and the graded
+    * row reports where the document FOUND ITSELF — self-rank within
+    * the top [[KnownItemTopK]] (−1 on a miss), reciprocal rank in
+    * exact ppm, and the top-1 hit. Known-item self-retrieval is the
+    * zero-annotation relevance evaluation (the doc is its own
+    * relevant result by construction) — the retrieval twin of q109's
+    * ANN recall and q241's CF hit-rate, completing the evaluation
+    * tier across all three ranking families.
+    *
+    * Determinism: query-term selection and rankings use integer df/tf
+    * with total tie orders; bm25 follows q75's exact conventions
+    * (identical `ln` tree, 6dp-rounded score ranked with doc-id
+    * ties); rr is integer ppm.
+    *
+    * Scale shape: the (doc, term, tf) frame checkpoints once and
+    * feeds df/dl/query-selection/scoring; query terms are rare BY
+    * SELECTION, so each query's candidate set is the union of two
+    * short posting lists — the per-query ranking window is bounded by
+    * those lists (the df-ascending choice doubles as the skew guard,
+    * q181's argument); everything else is keyed joins and
+    * partial-aggregable sums. */
+  def bm25Eval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val doctf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(T.alphaTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = doctf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val dft = doctf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wq = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val qterms = doctf.filter(col("doc_id") % KnownItemEvery === 0)
+      .join(dft, "term")
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= KnownItemTerms)
+      .select(col("doc_id").as("query_id"), col("term"), col("df"))
+      .localCheckpoint()
+    val scored = qterms
+      .join(doctf, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) + 1.0))
+      .withColumn("s",
+        col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("bm25"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    val ranked = scored.withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= KnownItemTopK)
+      .localCheckpoint()
+    val top1 = ranked.filter(col("rnk") === 1)
+      .select(col("query_id"), col("doc_id").as("top1_doc"))
+    val self = ranked.filter(col("query_id") === col("doc_id"))
+      .select(col("query_id"), col("rnk").as("self_rank"))
+    qterms.select(col("query_id")).distinct()
+      .join(top1, "query_id")
+      .join(self, Seq("query_id"), "left")
+      .select(col("query_id"), col("top1_doc"),
+        coalesce(col("self_rank"), lit(-1)).cast("int").as("self_rank"),
+        when(col("self_rank").isNotNull,
+          expr("1000000 div self_rank")).otherwise(lit(0L)).as("rr_ppm"))
+      .orderBy("query_id")
+  }
 }

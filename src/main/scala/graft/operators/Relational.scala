@@ -2336,4 +2336,128 @@ object Relational {
         col("n"))
       .orderBy("col_a", "col_b")
   }
+
+  /** q245_seasonal_baseline — seasonally-adjusted traffic deviations:
+    * each (event_type, week, hour-of-day) cell against that (type,
+    * hour)'s cross-week mean — the anomaly detector that does NOT
+    * alarm on rush hour (q120's trailing z-score fires on every
+    * seasonal peak; q216 shows the static profile; this measures each
+    * week's deviation FROM that profile). The grid is DENSIFIED onto
+    * the full types × observed-weeks × 24 spine (q188's lesson: a
+    * silently absent cell is the anomaly most worth seeing — it
+    * surfaces here as ratio 0 with the low flag up).
+    *
+    * Determinism: cells/ids are integer ms arithmetic on the q117
+    * anchor; ratio is exact integer ppm (n·n_weeks·10⁶ div total);
+    * the ±50% fences are integer cross-multiplications — no division
+    * in any flag decision.
+    *
+    * Scale shape: ONE partial-aggregable (type, wk, hh) count; the
+    * spine is a product of three tiny domain aggregates; baseline =
+    * second aggregate over the 600-cell frame; everything post-scan is
+    * domain-sized. */
+  def seasonalBaseline(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourMs = 3600000L
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr(s"(unix_millis(ts) - $RetentionEpochMs) div $WeekMs")
+          .cast("int").as("wk"),
+        expr(s"((unix_millis(ts) - $RetentionEpochMs) div $hourMs) % 24")
+          .cast("int").as("hh"))
+      .groupBy(col("event_type"), col("wk"), col("hh"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val types = base.select(col("event_type")).distinct()
+    val wks = base.select(col("wk")).distinct()
+    val nw = wks.agg(count(lit(1)).as("n_weeks"))
+    val spine = types.crossJoin(wks)
+      .crossJoin(spark.range(0, 24).select(col("id").cast("int").as("hh")))
+    val dense = spine.join(base, Seq("event_type", "wk", "hh"), "left")
+      .select(col("event_type"), col("wk"), col("hh"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val tot = dense.groupBy(col("event_type"), col("hh"))
+      .agg(sum(col("n")).as("tot"))
+    dense.join(tot, Seq("event_type", "hh"))
+      .crossJoin(broadcast(nw))
+      .select(col("event_type"), col("wk"), col("hh"), col("n"), col("tot"),
+        col("n_weeks"),
+        when(col("tot") > 0, expr("n * n_weeks * 1000000 div tot"))
+          .otherwise(lit(0L)).as("ratio_ppm"),
+        (col("n") * col("n_weeks") * 2 > col("tot") * 3).as("flag_hi"),
+        (col("n") * col("n_weeks") * 3 < col("tot") * 2).as("flag_lo"))
+      .orderBy("event_type", "wk", "hh")
+  }
+
+  /** q246 DP mechanism scale: ε = 1, sensitivity 1 ⇒ Laplace b = 1. */
+  val DpEpsilon = 1.0
+
+  /** q246_dp_counts — differentially-private count release, mechanism
+    * calibration table: per language, the true document count beside
+    * its Laplace(1/ε)-noised release — the table a privacy review
+    * reads to sign off scale and utility before production publishes
+    * ONLY the noisy column (sensitivity 1: one document changes a
+    * count by 1). The noise draw is DERANDOMIZED for the graded
+    * contract: u = (md5-28("dp_"‖lang) + 0.5)/2²⁸ feeds the exact
+    * inverse-CDF transform −b·sign(u−½)·ln(1−2|u−½|) — the identical
+    * mechanism a production run seeds per release id, made replayable
+    * the way every sampler in this engine is (q48's md5 rule applied
+    * to noise).
+    *
+    * Determinism: u is an exact dyadic rational; the ln argument is
+    * exact; the noise floor-quantizes to integer micros (q152's ln
+    * convention) before the integer add.
+    *
+    * Scale shape: one partial-aggregable count onto the langs domain;
+    * noise is scan-local arithmetic on the aggregate rows. */
+  def dpCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = 1.0 / DpEpsilon
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    counts
+      .withColumn("u",
+        (graft.functions.HashFunctions.md5Int28(concat(lit("dp_"), col("lang")))
+          .cast("double") + lit(0.5)) / lit(268435456.0))
+      .withColumn("noise_micro",
+        floor(lit(-b) * signum(col("u") - lit(0.5)) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5))) * lit(1e6))
+          .cast("long"))
+      .select(col("lang"), col("n_docs"), col("noise_micro"),
+        // explicit double floor: noise is signed, and integer `div`
+        // truncates toward zero where the oracle's floor rounds down
+        (col("n_docs") + floor((col("noise_micro") + lit(500000L)) / lit(1e6))
+          .cast("long")).as("noisy_count"),
+        lit(DpEpsilon).as("epsilon"))
+      .orderBy("lang")
+  }
+
+  /** q247_session_entropy — per-user behavioral entropy: Shannon
+    * entropy of each user's event-type distribution — the one-number
+    * behavioral-diversity screen (entropy 0 = single-action automation
+    * — the classic bot signature; high entropy = organic mixed usage)
+    * that complements q236's volume tiers with a SHAPE axis.
+    *
+    * Determinism: per-(user, type) shares are exact rationals; each
+    * summand (c/n)·ln(n/c) floor-quantizes to integer nanos (q152's
+    * ln rule) before the per-user integer sum, so the graded entropy
+    * is an exact integer in nano-nats.
+    *
+    * Scale shape: one partial-aggregable (user, type) count; user
+    * totals roll up from that frame (same shuffle key — exchange
+    * reuse); the summand is scan-local; output is one row per user. */
+  def sessionEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val ut = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val totals = ut.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"))
+    ut.join(totals, "user_id")
+      .select(col("user_id"), col("n"), col("n_types"),
+        floor((col("c").cast("double") / col("n")) *
+          log(col("n").cast("double") / col("c")) * lit(1e9))
+          .cast("long").as("term_nano"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"), max(col("n_types")).as("n_types"),
+        sum(col("term_nano")).as("entropy_nano"))
+      .orderBy("user_id")
+  }
 }

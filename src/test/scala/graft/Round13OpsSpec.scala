@@ -256,6 +256,65 @@ class Round13OpsSpec extends SparkSuite {
     assert(rt.exceptAll(direct).isEmpty && direct.exceptAll(rt).isEmpty)
   }
 
+  test("q244 known-item eval is well-formed and finds items") {
+    val rows = graft.operators.Indexing.bm25Eval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sr = r.getAs[Int]("self_rank")
+      assert(sr == -1 || (sr >= 1 && sr <= graft.operators.Indexing.KnownItemTopK))
+      if (sr == 1) assert(r.getAs[Long]("top1_doc") == r.getAs[Long]("query_id"))
+      if (sr >= 1) assert(r.getAs[Long]("rr_ppm") == 1000000L / sr)
+      else assert(r.getAs[Long]("rr_ppm") == 0L)
+    }
+    assert(rows.exists(_.getAs[Int]("self_rank") >= 1),
+      "a doc's own rarest terms should retrieve it")
+  }
+
+  test("q245 dense seasonal grid with consistent flags") {
+    val rows = graft.operators.Relational.seasonalBaseline(spark, sf).collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct.length
+    val weeks = rows.map(_.getAs[Int]("wk")).distinct.length
+    assert(rows.length == types * weeks * 24, "grid is densified")
+    rows.foreach { r =>
+      val (n, tot, nw) = (r.getAs[Long]("n"), r.getAs[Long]("tot"),
+        r.getAs[Long]("n_weeks"))
+      assert(r.getAs[Boolean]("flag_hi") == (n * nw * 2 > tot * 3))
+      assert(r.getAs[Boolean]("flag_lo") == (n * nw * 3 < tot * 2))
+      if (tot > 0) assert(r.getAs[Long]("ratio_ppm") == n * nw * 1000000L / tot)
+    }
+    // per (type, hh): weekly cells sum to the baseline total
+    rows.groupBy(r => (r.getAs[String]("event_type"), r.getAs[Int]("hh")))
+      .foreach { case (_, cell) =>
+        assert(cell.map(_.getAs[Long]("n")).sum == cell.head.getAs[Long]("tot"))
+      }
+  }
+
+  test("q246 deterministic Laplace release is replayable and bounded") {
+    val rows = graft.operators.Relational.dpCounts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nm = r.getAs[Long]("noise_micro")
+      assert(math.abs(nm) < 20000000L, "Laplace(1) tail at 28-bit u resolution")
+      val expected = r.getAs[Long]("n_docs") +
+        math.floor((nm + 500000L) / 1e6).toLong
+      assert(r.getAs[Long]("noisy_count") == expected)
+      assert(r.getAs[Double]("epsilon") == 1.0)
+    }
+  }
+
+  test("q247 entropy is bounded by ln(n_types) and zero for single-type users") {
+    val rows = graft.operators.Relational.sessionEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("entropy_nano")
+      val k = r.getAs[Long]("n_types")
+      assert(h >= 0L)
+      if (k == 1L) assert(h == 0L, "single-action users have zero entropy")
+      else assert(h <= (math.log(k.toDouble) * 1e9).toLong + 1,
+        "entropy is at most ln(k)")
+    }
+  }
+
   test("q232 WAV container round-trips frames byte-exact") {
     val samples = Array.tabulate(64)(i => (i * 37 + 5) % 256)
     val bytes = graft.operators.Multimodal.wavBytes(samples)
