@@ -260,7 +260,10 @@ object SparkEntry {
     "q244_bm25_eval"      -> (Indexing.bm25Eval _),
     "q245_seasonal_baseline" -> (Relational.seasonalBaseline _),
     "q246_dp_counts"      -> (Relational.dpCounts _),
-    "q247_session_entropy" -> (Relational.sessionEntropy _)
+    "q247_session_entropy" -> (Relational.sessionEntropy _),
+    "q248_link_prediction" -> (Graph.linkPrediction _),
+    "q249_fk_discovery"   -> (DataQuality.fkDiscovery _),
+    "q250_neg_sampling"   -> (TextAnalysis.negSampling _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -4699,7 +4702,86 @@ object SparkEntry {
         |  FROM seut u JOIN setot t USING (user_id))
         |SELECT user_id, max(n)::BIGINT AS n_events, max(n_types)::BIGINT AS n_types,
         |       sum(term_nano)::BIGINT AS entropy_nano
-        |FROM seterm GROUP BY 1 ORDER BY user_id""".stripMargin
+        |FROM seterm GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q248_link_prediction" -> {
+      import graft.operators.Graph.LinkPredTopK
+      {
+        import graft.operators.Graph.{MaxBasketItems, MinCoocSupport}
+        s"""WITH lpi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |lpc AS MATERIALIZED (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           row_number() OVER (PARTITION BY l_orderkey ORDER BY
+        |             ('0x' || substr(md5('bk_' || l_orderkey || '_' || l_partkey), 1, 7))::BIGINT,
+        |             l_partkey) AS rn
+        |    FROM lpi) WHERE rn <= $MaxBasketItems),
+        |lpf AS MATERIALIZED (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        |  FROM lpc a JOIN lpc b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2
+        |  HAVING count(*) >= $MinCoocSupport),
+        |lobs AS MATERIALIZED (
+        |  SELECT part_a, part_b FROM lpf
+        |  WHERE ('0x' || substr(md5('lp_' || part_a || '_' || part_b), 1, 7))::BIGINT
+        |          % 2 = 0),
+        |ed AS MATERIALIZED (SELECT part_a AS u, part_b AS v FROM lobs
+        |       UNION ALL SELECT part_b, part_a FROM lobs),
+        |ldeg AS (SELECT u AS item, count(*)::BIGINT AS deg FROM ed GROUP BY 1),
+        |lw AS (SELECT a.u AS a, b.v AS b, count(*)::BIGINT AS common
+        |       FROM ed a JOIN ed b ON a.v = b.u WHERE a.u < b.v GROUP BY 1, 2),
+        |lne AS (SELECT w.a, w.b, w.common FROM lw w
+        |        LEFT JOIN lobs p ON p.part_a = w.a AND p.part_b = w.b
+        |        WHERE p.part_a IS NULL)
+        |SELECT n.a AS item_a, n.b AS item_b, n.common, da.deg AS da, db.deg AS db,
+        |       n.common * 1000000 // (da.deg + db.deg - n.common) AS jaccard_ppm,
+        |       (f.part_a IS NOT NULL) AS is_hidden_edge
+        |FROM lne n
+        |JOIN ldeg da ON da.item = n.a
+        |JOIN ldeg db ON db.item = n.b
+        |LEFT JOIN lpf f ON f.part_a = n.a AND f.part_b = n.b
+        |ORDER BY jaccard_ppm DESC, item_a ASC, item_b ASC
+        |LIMIT $LinkPredTopK""".stripMargin
+      }
+    },
+    "q249_fk_discovery" -> {
+      val branches = graft.operators.DataQuality.FkCandidates
+        .map { case (ct, cc, pt, pc) =>
+          s"""SELECT '$ct.$cc' AS child_col, '$pt.$pc' AS parent_col,
+             |  (SELECT count(DISTINCT $cc) FROM $ct WHERE $cc IS NOT NULL)::BIGINT
+             |    AS n_child_distinct,
+             |  (SELECT count(*) FROM (SELECT DISTINCT $cc AS v FROM $ct
+             |                         WHERE $cc IS NOT NULL) c
+             |   WHERE c.v IN (SELECT $pc FROM $pt))::BIGINT AS n_matched""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""SELECT child_col, parent_col, n_child_distinct, n_matched,
+         |       n_matched * 1000000 // n_child_distinct AS containment_ppm,
+         |       n_matched = n_child_distinct AS discovered
+         |FROM (
+         |$branches
+         |) ORDER BY child_col, parent_col""".stripMargin
+    },
+    "q250_neg_sampling" -> {
+      import graft.operators.TextAnalysis.{NegSampleAlpha, NegSampleV}
+      s"""WITH nsc AS (SELECT tok, count(*)::BIGINT AS cnt
+        |             FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |                   FROM documents) GROUP BY 1),
+        |nsh AS (SELECT tok, cnt,
+        |               floor(pow(cnt::DOUBLE, $NegSampleAlpha) * 1000000.0)::BIGINT
+        |                 AS w_micro
+        |        FROM nsc ORDER BY cnt DESC, tok ASC LIMIT $NegSampleV),
+        |nst AS (SELECT sum(w_micro)::BIGINT AS wt FROM nsh),
+        |nsr AS (SELECT tok, cnt, w_micro,
+        |               row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rnk,
+        |               w_micro * 1000000 // nst.wt AS share_ppm
+        |        FROM nsh, nst),
+        |nscum AS (SELECT rnk::INT AS "rank", tok, cnt, w_micro, share_ppm,
+        |                 sum(share_ppm) OVER (ORDER BY rnk
+        |                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_hi
+        |          FROM nsr)
+        |SELECT "rank", tok, cnt, w_micro, share_ppm,
+        |       (cum_hi - share_ppm)::BIGINT AS cum_lo, cum_hi
+        |FROM nscum ORDER BY "rank"""".stripMargin
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -303,4 +303,58 @@ object DataQuality {
           * lit(1e9) + lit(0.5)).cast("long").as("psi_nano"))
       .orderBy("bin")
   }
+
+  /** q249 candidate (child table.col → parent table.col) probes —
+    * every star-schema key path plus one deliberate NON-key probe
+    * (events.user_id → customer key): discovery must measure, not
+    * assume, so the list contains pairs expected to fail. */
+  val FkCandidates: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"))
+
+  /** q249_fk_discovery — inclusion-dependency DISCOVERY across the
+    * star schema: for each candidate (child.col → parent.col) pair,
+    * the child's distinct-value count, how many of those values exist
+    * in the parent column, containment in exact ppm, and the
+    * discovered flag (full containment) — the data-catalog pass that
+    * INFERS joinability where q151's constraint suite VALIDATES
+    * declared keys (on an undocumented lake, this table IS the
+    * schema). The candidate list deliberately includes a non-key
+    * probe, so the operator demonstrably measures rather than
+    * rubber-stamps.
+    *
+    * Determinism: distinct counts and semi-join matches are exact
+    * integers; containment is one integer ppm division.
+    *
+    * Scale shape: per candidate, one child-side two-phase distinct
+    * (the heavy exchange, each value once) + a semi join against the
+    * parent's distinct keys (broadcast when dim-sized) + a 1-row
+    * count fold; candidates are independent branches of one union —
+    * at scale each is a separate bounded job over its column pair,
+    * never a cross-table product. */
+  def fkDiscovery(spark: SparkSession, sfDir: String): DataFrame = {
+    def load(t: String) = t match {
+      case "events" => Tables.events(spark, sfDir)
+      case other    => Tables.table(spark, sfDir, other)
+    }
+    FkCandidates.map { case (ct, cc, pt, pc) =>
+      val child = load(ct).select(col(cc).as("v")).filter(col("v").isNotNull)
+        .distinct().localCheckpoint()
+      val parent = load(pt).select(col(pc).as("v")).distinct()
+      val nChild = child.agg(count(lit(1)).as("n_child_distinct"))
+      val nMatch = child.join(parent, Seq("v"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      nChild.crossJoin(nMatch)
+        .select(lit(s"$ct.$cc").as("child_col"), lit(s"$pt.$pc").as("parent_col"),
+          col("n_child_distinct"), col("n_matched"),
+          expr("n_matched * 1000000 div n_child_distinct").as("containment_ppm"),
+          (col("n_matched") === col("n_child_distinct")).as("discovered"))
+    }.reduce(_ unionAll _).orderBy("child_col", "parent_col")
+  }
 }

@@ -530,6 +530,70 @@ object Graph {
           .otherwise(lit(0L)).as("hitrate_ppm"))
   }
 
+  /** q248 output depth. */
+  val LinkPredTopK = 20
+
+  /** q248_link_prediction — neighbor-Jaccard link prediction with a
+    * held-out evaluation (Liben-Nowell & Kleinberg 2003) on the item
+    * co-occurrence graph: HALF the support-qualified co-purchase
+    * edges (q126's capped basket pairs) are deterministically hidden
+    * (md5 parity on the pair — q48's replayable-split rule applied to
+    * edges), the score |N(u)∩N(w)| / |N(u)∪N(w)| is computed over the
+    * OBSERVED graph for every observed-2-hop non-edge, and each top
+    * prediction carries whether it recovers a HIDDEN true edge — the
+    * structural can-the-graph-predict-its-own-missing-links
+    * measurement behind recommender candidate generation (q179 ranks
+    * known neighbors; this proposes NEW ones and the flag is its
+    * measured precision). With q241 (ranked CF hit-rate) and q244
+    * (retrieval MRR) this completes the eval tier; the dup graph is
+    * deliberately NOT the substrate — its clique components are too
+    * small for 2-hop structure (q231's finding).
+    *
+    * Determinism: the edge split, common-neighbor counts and degrees
+    * are exact integers; the score is one floored ppm division;
+    * output is the top-[[LinkPredTopK]] under (score, u, w) order.
+    *
+    * Scale shape: reads the memoized basket artifact; wedges = one
+    * edges⋈edges join keyed by the middle vertex (Σdeg² — the q104
+    * triangle-census shape, degrees bounded by the basket cap);
+    * existing-edge removal one anti-join, the held-out flag one
+    * pair-keyed left join; ranking is TakeOrdered over the wedge
+    * aggregate. */
+  def linkPrediction(spark: SparkSession, sfDir: String): DataFrame = {
+    val full = basketPairs(basketArtifact(spark, sfDir))
+      .filter(col("n_ab") >= MinCoocSupport)
+      .select(col("part_a"), col("part_b"))
+      .localCheckpoint()
+    val observed = full.filter(
+      graft.functions.HashFunctions.md5Int28(concat(lit("lp_"),
+        col("part_a").cast("string"), lit("_"), col("part_b").cast("string")))
+        % 2 === 0)
+    val sym = observed.select(explode(array(
+        struct(col("part_a").as("u"), col("part_b").as("v")),
+        struct(col("part_b").as("u"), col("part_a").as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("u").as("item")).agg(count(lit(1)).as("deg"))
+    val wedges = sym.select(col("u").as("a"), col("v").as("m"))
+      .join(sym.select(col("v").as("m"), col("u").as("b")), "m")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    val nonEdges = wedges.join(observed
+        .select(col("part_a").as("a"), col("part_b").as("b")),
+      Seq("a", "b"), "left_anti")
+    nonEdges
+      .join(deg.select(col("item").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("item").as("b"), col("deg").as("db")), "b")
+      .join(full.select(col("part_a").as("a"), col("part_b").as("b"),
+        lit(true).as("hidden")), Seq("a", "b"), "left")
+      .select(col("a").as("item_a"), col("b").as("item_b"), col("common"),
+        col("da"), col("db"),
+        expr("common * 1000000 div (da + db - common)").as("jaccard_ppm"),
+        coalesce(col("hidden"), lit(false)).as("is_hidden_edge"))
+      .orderBy(col("jaccard_ppm").desc, col("item_a").asc, col("item_b").asc)
+      .limit(LinkPredTopK)
+  }
+
   /** Peel rounds for [[kcore]] — enough for the clique-structured dup
     * graph (pure pairs vanish in round 1, chains cascade one hop per
     * round); convergence is ASSERTED, not assumed (see below). */

@@ -1191,4 +1191,49 @@ object TextAnalysis {
         round(coalesce(col("x"), lit(0.0)), 6).as("xent"))
       .orderBy("doc_id")
   }
+
+  /** q250 table depth and the word2vec smoothing exponent. */
+  val NegSampleV = 50
+  val NegSampleAlpha = 0.75
+
+  /** q250_neg_sampling — unigram^0.75 negative-sampling table (Mikolov
+    * et al. 2013): the top-[[NegSampleV]] vocabulary with
+    * count^[[NegSampleAlpha]] weights normalized to exact ppm shares
+    * plus the cumulative range [cum_lo, cum_hi) each token owns — the
+    * flattened-unigram draw table a skip-gram/contrastive trainer
+    * consumes directly (draw = binary-search a ppm in the cumulative
+    * column; the ^0.75 lifts rare-word probability ~3× at the tail,
+    * which is WHY trainers use it over raw counts).
+    *
+    * Determinism: pow floor-quantizes to integer micros before any
+    * sum (lesson-49: pow agrees cross-engine to ~1 ulp and the
+    * floored integer is stable); shares and cumulative bounds are
+    * integer ppm arithmetic over those quantized weights.
+    *
+    * Scale shape: one partial-aggregable token count; ranking and the
+    * cumulative window run over the top-V head (domain-bounded, q70's
+    * rule); output is V rows. */
+  def negSampling(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(T.alphaTokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val head = counts
+      .orderBy(col("cnt").desc, col("tok").asc).limit(NegSampleV)
+      .select(col("tok"), col("cnt"),
+        floor(pow(col("cnt").cast("double"), lit(NegSampleAlpha)) * lit(1e6))
+          .cast("long").as("w_micro"))
+      .localCheckpoint()
+    val tot = head.agg(sum(col("w_micro")).as("wt"))
+    val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+    head.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("share_ppm", expr("w_micro * 1000000 div wt"))
+      .withColumn("cum_hi",
+        sum(col("share_ppm")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("rank"), col("tok"), col("cnt"), col("w_micro"),
+        col("share_ppm"), (col("cum_hi") - col("share_ppm")).as("cum_lo"),
+        col("cum_hi"))
+      .orderBy("rank")
+  }
 }

@@ -315,6 +315,72 @@ class Round13OpsSpec extends SparkSuite {
     }
   }
 
+  test("q248 predictions score observed non-edges and recover hidden ones") {
+    val rows = graft.operators.Graph.linkPrediction(spark, sf).collect()
+    assert(rows.nonEmpty,
+      "hiding half the co-occurrence edges must create predictable non-edges")
+    val baskets = graft.operators.Graph.basketArtifact(spark, sf)
+      .select(col("items")).collect().map(_.getSeq[Long](0))
+    val full = baskets.flatMap(items =>
+        for { x <- items; y <- items if x < y } yield (x, y))
+      .groupBy(identity).filter(_._2.length >= 2).keySet
+    def obsHash(a: Long, b: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lp_${a}_$b".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(x => f"$x%02x").mkString.take(7), 16)
+    }
+    val observed = full.filter(p => obsHash(p._1, p._2) % 2 == 0)
+    val nbrs = observed.toSeq.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("item_a"), r.getAs[Long]("item_b"))
+      assert(!observed((a, b)), "predictions are non-edges of the OBSERVED graph")
+      assert(r.getAs[Boolean]("is_hidden_edge") == full((a, b)))
+      val inter = (nbrs(a) & nbrs(b)).size.toLong
+      val union = (nbrs(a) | nbrs(b)).size.toLong
+      assert(r.getAs[Long]("common") == inter, s"common mismatch at ($a,$b)")
+      assert(r.getAs[Long]("jaccard_ppm") == inter * 1000000L / union)
+    }
+    assert(rows.exists(_.getAs[Boolean]("is_hidden_edge")),
+      "clique structure must let the score recover hidden edges")
+  }
+
+  test("q249 discovers the real star-schema keys and measures the probe") {
+    val rows = graft.operators.DataQuality.fkDiscovery(spark, sf).collect()
+    assert(rows.length == graft.operators.DataQuality.FkCandidates.length)
+    val real = Set("lineitem.l_orderkey", "lineitem.l_partkey",
+      "lineitem.l_suppkey", "orders.o_custkey", "customer.c_nationkey",
+      "supplier.s_nationkey", "nation.n_regionkey")
+    rows.foreach { r =>
+      val cc = r.getAs[String]("child_col")
+      assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_child_distinct"))
+      assert(r.getAs[Boolean]("discovered") ==
+        (r.getAs[Long]("n_matched") == r.getAs[Long]("n_child_distinct")))
+      if (real(cc))
+        assert(r.getAs[Boolean]("discovered"), s"$cc is a real FK path")
+    }
+  }
+
+  test("q250 sampling table owns a contiguous ppm range per token") {
+    val rows = graft.operators.TextAnalysis.negSampling(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    val vocab = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.alphaTokens(col("text"))).as("t"))
+      .select(col("t")).distinct().count()
+    assert(rows.length ==
+      math.min(graft.operators.TextAnalysis.NegSampleV.toLong, vocab).toInt)
+    assert(rows.head.getAs[Long]("cum_lo") == 0L)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("cum_hi") == b.getAs[Long]("cum_lo"),
+          "ranges are contiguous")
+        assert(a.getAs[Long]("cnt") >= b.getAs[Long]("cnt"), "count-ordered")
+      case _ =>
+    }
+    assert(rows.last.getAs[Long]("cum_hi") <= 1000000L)
+    rows.foreach(r => assert(r.getAs[Long]("share_ppm") > 0L))
+  }
+
   test("q232 WAV container round-trips frames byte-exact") {
     val samples = Array.tabulate(64)(i => (i * 37 + 5) % 256)
     val bytes = graft.operators.Multimodal.wavBytes(samples)

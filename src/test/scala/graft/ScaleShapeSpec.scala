@@ -33,7 +33,10 @@ class ScaleShapeSpec extends SparkSuite {
       "q188_date_spine", "q194_ks_drift", "q196_wasserstein_drift",
       "q204_wow_change", "q206_context_pack",
       // q218's rank window runs over the ~dozens-row SOURCES domain
-      "q218_source_gini")
+      "q218_source_gini",
+      // q250's rank/cumulative windows run over the fixed top-V
+      // sampling-table head (50 rows at any SF)
+      "q250_neg_sampling")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
