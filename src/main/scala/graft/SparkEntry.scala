@@ -263,7 +263,9 @@ object SparkEntry {
     "q247_session_entropy" -> (Relational.sessionEntropy _),
     "q248_link_prediction" -> (Graph.linkPrediction _),
     "q249_fk_discovery"   -> (DataQuality.fkDiscovery _),
-    "q250_neg_sampling"   -> (TextAnalysis.negSampling _)
+    "q250_neg_sampling"   -> (TextAnalysis.negSampling _),
+    "q251_postings_compression" -> (Indexing.postingsCompression _),
+    "q252_association_rules" -> (Graph.associationRules _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -4781,6 +4783,49 @@ object SparkEntry {
         |SELECT "rank", tok, cnt, w_micro, share_ppm,
         |       (cum_hi - share_ppm)::BIGINT AS cum_lo, cum_hi
         |FROM nscum ORDER BY "rank"""".stripMargin
+    },
+    "q251_postings_compression" ->
+      """WITH pcp AS (SELECT DISTINCT doc_id, tok AS term
+        |             FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |                   FROM documents)),
+        |pcd AS (SELECT term,
+        |               doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+        |                 ORDER BY doc_id ASC), 0) AS delta
+        |        FROM pcp),
+        |pcv AS (SELECT term,
+        |               (length(bin(delta::BIGINT)) + 6) // 7 AS vbytes
+        |        FROM pcd),
+        |pca AS (SELECT term, count(*)::BIGINT AS df, sum(vbytes)::BIGINT AS varint_bytes
+        |        FROM pcv GROUP BY 1)
+        |SELECT term, df, df * 8 AS raw_bytes, varint_bytes,
+        |       (df * 8 - varint_bytes) * 1000000 // (df * 8) AS savings_ppm
+        |FROM pca ORDER BY term""".stripMargin,
+    "q252_association_rules" -> {
+      import graft.operators.Graph.{MaxBasketItems, MinCoocSupport, RulesTopK}
+      s"""WITH ari AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |arc AS MATERIALIZED (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           row_number() OVER (PARTITION BY l_orderkey ORDER BY
+        |             ('0x' || substr(md5('bk_' || l_orderkey || '_' || l_partkey), 1, 7))::BIGINT,
+        |             l_partkey) AS rn
+        |    FROM ari) WHERE rn <= $MaxBasketItems),
+        |arn AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_baskets FROM arc),
+        |arp AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::BIGINT AS n_ab
+        |        FROM arc a JOIN arc b USING (l_orderkey)
+        |        WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2
+        |        HAVING count(*) >= $MinCoocSupport),
+        |ars AS (SELECT l_partkey AS item, count(*)::BIGINT AS n FROM arc GROUP BY 1),
+        |arr AS (SELECT pa AS antecedent, pb AS consequent, n_ab FROM arp
+        |        UNION ALL SELECT pb, pa, n_ab FROM arp)
+        |SELECT r.antecedent, r.consequent, r.n_ab, sa.n AS n_a, sb.n AS n_b,
+        |       r.n_ab * 1000000 // sa.n AS confidence_ppm,
+        |       r.n_ab * arn.n_baskets * 1000000 // (sa.n * sb.n) AS lift_ppm
+        |FROM arr r
+        |JOIN ars sa ON sa.item = r.antecedent
+        |JOIN ars sb ON sb.item = r.consequent, arn
+        |ORDER BY lift_ppm DESC, confidence_ppm DESC, antecedent ASC, consequent ASC
+        |LIMIT $RulesTopK""".stripMargin
     }
   )
 

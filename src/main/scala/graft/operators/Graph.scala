@@ -594,6 +594,52 @@ object Graph {
       .limit(LinkPredTopK)
   }
 
+  /** q252 rule depth. */
+  val RulesTopK = 30
+
+  /** q252_association_rules — directional association rules over the
+    * capped baskets (Agrawal & Srikant 1994's output shape): for every
+    * support-qualified pair, BOTH directions a→b with exact-ppm
+    * confidence n_ab/n_a and lift n_ab·N/(n_a·n_b) — q126 reports the
+    * strongest symmetric pairs, q179/q223 serve per-item rankings;
+    * rules add the DIRECTION and the conditional-probability number a
+    * merchandising/bundling decision actually consumes ("buyers of a
+    * take b 40% of the time, 3× base rate"). Top-[[RulesTopK]] by
+    * (lift, confidence, antecedent, consequent) total order.
+    *
+    * Determinism: supports are exact integers; confidence and lift
+    * are floored integer ppm (lift's numerator n_ab·N·10⁶ stays well
+    * under 2⁶³ at any basket-capped scale).
+    *
+    * Scale shape: reads the memoized basket artifact; pair supports =
+    * q126's bounded explode; item supports one aggregate; the rule
+    * frame is 2·|pairs| rows with supports joined by item key;
+    * ranking is TakeOrdered. */
+  def associationRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val baskets = basketArtifact(spark, sfDir)
+    val n = baskets.agg(count(lit(1)).as("n_baskets"))
+    val pairs = basketPairs(baskets).filter(col("n_ab") >= MinCoocSupport)
+    val supp = baskets.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n"))
+    val sym = pairs.select(col("part_a").as("antecedent"),
+        col("part_b").as("consequent"), col("n_ab"))
+      .unionAll(pairs.select(col("part_b").as("antecedent"),
+        col("part_a").as("consequent"), col("n_ab")))
+    sym
+      .join(broadcast(supp.select(col("item").as("antecedent"), col("n").as("n_a"))),
+        "antecedent")
+      .join(broadcast(supp.select(col("item").as("consequent"), col("n").as("n_b"))),
+        "consequent")
+      .crossJoin(broadcast(n))
+      .select(col("antecedent"), col("consequent"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        expr("n_ab * 1000000 div n_a").as("confidence_ppm"),
+        expr("n_ab * n_baskets * 1000000 div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("confidence_ppm").desc,
+        col("antecedent").asc, col("consequent").asc)
+      .limit(RulesTopK)
+  }
+
   /** Peel rounds for [[kcore]] — enough for the clique-structured dup
     * graph (pure pairs vanish in round 1, chains cascade one hop per
     * round); convergence is ASSERTED, not assumed (see below). */

@@ -493,4 +493,40 @@ object Indexing {
           expr("1000000 div self_rank")).otherwise(lit(0L)).as("rr_ppm"))
       .orderBy("query_id")
   }
+
+  /** q251_postings_compression — delta-varint compression audit of the
+    * inverted index's posting lists (the Lucene/PforDelta storage
+    * move): per term, the raw 8 B/doc_id cost vs the delta-encoded
+    * LEB128 varint cost over the doc_id-sorted postings — sorted ids
+    * make deltas small and varints make small integers cheap, which
+    * is WHY posting lists store deltas; the audit prices that
+    * decision on the actual corpus (q72 builds the index; q103/q189/
+    * q219 price layouts — this prices the postings encoding). Varint
+    * width is exact integer arithmetic on the delta's bit length via
+    * the binary-string rendering (q236's `bin()` trick — no float
+    * log), so the byte counts hash-match.
+    *
+    * Scale shape: one (term, doc_id) distinct (the posting build);
+    * the delta lag partitions by term (per-task rows bounded by df —
+    * at scale the q72 segment key bounds stopword lists); byte sums
+    * partial-aggregable onto the vocabulary domain. */
+  def postingsCompression(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(T.alphaTokens(col("text"))).as("term"))
+      .distinct()
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id").asc)
+    postings
+      .withColumn("delta",
+        col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(0L)))
+      .select(col("term"),
+        expr("(length(bin(delta)) + 6) div 7").cast("long").as("vbytes"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("vbytes")).as("varint_bytes"))
+      .select(col("term"), col("df"), (col("df") * 8L).as("raw_bytes"),
+        col("varint_bytes"),
+        expr("(df * 8 - varint_bytes) * 1000000 div (df * 8)")
+          .as("savings_ppm"))
+      .orderBy("term")
+  }
 }

@@ -381,6 +381,45 @@ class Round13OpsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getAs[Long]("share_ppm") > 0L))
   }
 
+  test("q251 varint audit matches a driver-side re-encode") {
+    val rows = graft.operators.Indexing.postingsCompression(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val postings = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(graft.functions.TextFunctions
+        .alphaTokens(col("text"))).as("t"))
+      .distinct().collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    def varint(x: Long): Long = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(x, 1L)) + 6) / 7).toLong
+    rows.foreach { r =>
+      val t = r.getAs[String]("term")
+      val ids = postings(t)
+      assert(r.getAs[Long]("df") == ids.length.toLong)
+      val vb = ids.zip(0L +: ids.init).map { case (cur, prev) => varint(cur - prev) }.sum
+      assert(r.getAs[Long]("varint_bytes") == vb, s"varint mismatch at $t")
+      assert(r.getAs[Long]("varint_bytes") <= r.getAs[Long]("raw_bytes"))
+      val sp = r.getAs[Long]("savings_ppm")
+      assert(sp >= 0L && sp < 1000000L)
+    }
+  }
+
+  test("q252 rules are consistent conditional probabilities") {
+    val rows = graft.operators.Graph.associationRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nab, na, nb) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(nab <= na && nab <= nb, "pair support bounded by item supports")
+      assert(r.getAs[Long]("confidence_ppm") == nab * 1000000L / na)
+      assert(r.getAs[Long]("confidence_ppm") <= 1000000L)
+      assert(r.getAs[Long]("lift_ppm") > 0L)
+    }
+    val lifts = rows.map(_.getAs[Long]("lift_ppm"))
+    assert(lifts.sliding(2).forall(s => s.length < 2 || s(0) >= s(1)),
+      "ranked by lift")
+  }
+
   test("q232 WAV container round-trips frames byte-exact") {
     val samples = Array.tabulate(64)(i => (i * 37 + 5) % 256)
     val bytes = graft.operators.Multimodal.wavBytes(samples)
