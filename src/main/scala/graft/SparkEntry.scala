@@ -265,7 +265,10 @@ object SparkEntry {
     "q249_fk_discovery"   -> (DataQuality.fkDiscovery _),
     "q250_neg_sampling"   -> (TextAnalysis.negSampling _),
     "q251_postings_compression" -> (Indexing.postingsCompression _),
-    "q252_association_rules" -> (Graph.associationRules _)
+    "q252_association_rules" -> (Graph.associationRules _),
+    "q253_salt_evenness"  -> (Skew.saltEvenness _),
+    "q254_quality_length_ols" -> (DataQuality.qualityLengthOls _),
+    "q255_session_durations" -> (graft.streaming.EventStream.sessionDurations _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -4826,6 +4829,44 @@ object SparkEntry {
         |JOIN ars sb ON sb.item = r.consequent, arn
         |ORDER BY lift_ppm DESC, confidence_ppm DESC, antecedent ASC, consequent ASC
         |LIMIT $RulesTopK""".stripMargin
+    },
+    "q253_salt_evenness" -> {
+      import graft.operators.Skew.EvennessSalts
+      s"""WITH seh AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1),
+        |sehot AS (SELECT user_id AS hot_user, n AS hot_total FROM seh
+        |          ORDER BY n DESC, user_id ASC LIMIT 1),
+        |seb AS (SELECT ('0x' || substr(md5('salt_' || e.event_id), 1, 7))::BIGINT
+        |                 % $EvennessSalts AS salt,
+        |               count(*)::BIGINT AS n_rows
+        |        FROM events e JOIN sehot h ON e.user_id = h.hot_user
+        |        GROUP BY 1)
+        |SELECT b.salt::INT AS salt, h.hot_user, b.n_rows,
+        |       b.n_rows * 1000000 // h.hot_total AS share_ppm
+        |FROM seb b, sehot h ORDER BY salt""".stripMargin
+    },
+    "q254_quality_length_ols" ->
+      (qualityCte + """,
+        |olsf AS (SELECT q.quality_score AS y, ln(d.n_chars::DOUBLE) AS x
+        |         FROM qual q JOIN documents d USING (doc_id)
+        |         WHERE d.n_chars > 0)
+        |SELECT count(*)::BIGINT AS n, round(regr_slope(y, x), 6) AS slope,
+        |       round(regr_intercept(y, x), 6) AS intercept,
+        |       round(corr(y, x), 6) AS pearson
+        |FROM olsf""".stripMargin),
+    "q255_session_durations" -> {
+      import graft.streaming.EventStream.SessionDurCapMin
+      sessionCte + s""",
+        |sd AS (SELECT user_id, session_no, count(*)::BIGINT AS n_events,
+        |              min(epoch_ms(ts)) AS a, max(epoch_ms(ts)) AS b
+        |       FROM s GROUP BY 1, 2),
+        |sdb AS (SELECT least((b - a) // 60000, $SessionDurCapMin) AS duration_min,
+        |               count(*)::BIGINT AS n_sessions, sum(n_events)::BIGINT AS n_events
+        |        FROM sd GROUP BY 1),
+        |sdt AS (SELECT sum(n_sessions)::BIGINT AS n_total FROM sdb)
+        |SELECT duration_min, n_sessions, n_events,
+        |       n_sessions * 1000000 // sdt.n_total AS share_ppm,
+        |       n_events * 1000000 // n_sessions AS events_per_session_ppm
+        |FROM sdb, sdt ORDER BY duration_min""".stripMargin
     }
   )
 

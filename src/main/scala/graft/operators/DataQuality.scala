@@ -357,4 +357,34 @@ object DataQuality {
           (col("n_matched") === col("n_child_distinct")).as("discovered"))
     }.reduce(_ unionAll _).orderBy("child_col", "parent_col")
   }
+
+  /** q254_quality_length_ols — score-confound regression: OLS of the
+    * q19 quality score on ln(doc length) plus their Pearson r — the
+    * "is our quality score secretly a length detector" calibration
+    * audit run before a filter threshold ships (a slope explaining
+    * most of the score's variance means length-capping would do the
+    * same job cheaper, and that the score adds little signal). The
+    * methodological companion of q209 (dedup×quality) and q213 (score
+    * drift): every score that gates data needs its confounds priced.
+    *
+    * Determinism: x = ln(n_chars) and y = the 5dp-grid score feed the
+    * co-moment aggregates `regr_slope`/`regr_intercept`/`corr` —
+    * identical single-pass formulas in both engines over the same
+    * doubles, rounded 6dp (the q39/q242 convention).
+    *
+    * Scale shape: one partial-aggregable co-moment pass over the
+    * scored frame; 1-row output. */
+  def qualityLengthOls(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars")), "doc_id")
+      .filter(col("n_chars") > 0)
+      .select(col("quality_score").as("y"),
+        log(col("n_chars").cast("double")).as("x"))
+    scored.agg(count(lit(1)).as("n"),
+      round(expr("regr_slope(y, x)"), 6).as("slope"),
+      round(expr("regr_intercept(y, x)"), 6).as("intercept"),
+      round(corr(col("y"), col("x")), 6).as("pearson"))
+  }
 }

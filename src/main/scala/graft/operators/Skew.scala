@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities: explicit salting for the cases AQE's
@@ -57,5 +58,45 @@ object Skew {
     val salted = fact.withColumn("__salt", pmod(hash(saltSource), lit(n)))
     val replicated = dim.withColumn("__salt", explode(sequence(lit(0), lit(n - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** q253 salt fan-out (matches the q24 operator family's scale). */
+  val EvennessSalts = 8
+
+  /** q253_salt_evenness — the salting tier's load-balance MEASUREMENT:
+    * take the single hottest key in the event stream (the row q167's
+    * advisor would flag), salt its rows the way q24's mitigation does
+    * (md5 on the row id, mod [[EvennessSalts]]), and report each salt
+    * bucket's row count and exact-ppm share — the evenness number that
+    * says whether the hot key's work actually spread over n reducers
+    * (a salted task at 1/n ± ε of the key's mass IS the mitigation
+    * working; a lopsided spread means the salt source correlates with
+    * the data). q24/saltedJoin implement the mechanism, q166 audits
+    * LSH buckets — this audits the salt itself.
+    *
+    * Determinism: the hot key is an exact argmax (count desc, key
+    * asc); salt = md5-28 of the unique event id mod n — replayable
+    * everywhere (q48's rule); shares are integer ppm.
+    *
+    * Scale shape: one key-frequency aggregate + a 1-row broadcast
+    * argmax; the hot key's rows filter scan-side; the bucket count is
+    * an n-row aggregate with the total broadcast back. */
+  def saltEvenness(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val hot = broadcast(ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .agg(max(struct(col("n"), -col("user_id"))).as("m"))
+      .select((-col("m.col2")).as("hot_user"), col("m.n").as("hot_total")))
+    val buckets = ev.crossJoin(hot)
+      .filter(col("user_id") === col("hot_user"))
+      .select(col("hot_user"), col("hot_total"),
+        (graft.functions.HashFunctions.md5Int28(
+          concat(lit("salt_"), col("event_id").cast("string")))
+          % lit(EvennessSalts.toLong)).cast("int").as("salt"))
+      .groupBy(col("hot_user"), col("hot_total"), col("salt"))
+      .agg(count(lit(1)).as("n_rows"))
+    buckets
+      .select(col("salt"), col("hot_user"), col("n_rows"),
+        expr("n_rows * 1000000 div hot_total").as("share_ppm"))
+      .orderBy("salt")
   }
 }

@@ -887,4 +887,40 @@ object EventStream {
     spark.catalog.dropTempView(name)
     out
   }
+
+  /** q255 histogram cap: sessions longer than this report in the cap
+    * bucket (the q230 tail convention). */
+  val SessionDurCapMin = 120L
+
+  /** q255_session_durations — session-duration histogram: q25's
+    * sessions bucketed by whole-minute duration (tail capped at
+    * [[SessionDurCapMin]]) with session counts, exact-ppm shares and
+    * the bucket's mean events-per-session — the engagement-depth
+    * distribution behind every "average session length" KPI, and the
+    * gap-parameter sanity check for the sessionizer itself (a spike at
+    * 0 means bursty single-hit traffic; mass at the cap means the
+    * 30-minute gap under-splits). Composes [[sessionBounds]] — q25
+    * emits the sessions, q101/q128 mine their paths, q67 attributes
+    * errors; this reads their shape.
+    *
+    * Determinism: durations are integer ms differences floored to
+    * minutes; shares and per-bucket means are exact integer ppm.
+    *
+    * Scale shape: the sessionize window is user-keyed (q25's one
+    * shuffle); buckets aggregate onto the ≤cap+1 domain with the
+    * total broadcast back. */
+  def sessionDurations(spark: SparkSession, sfDir: String): DataFrame = {
+    val buckets = sessionBounds(spark, sfDir)
+      .select(least(
+        expr("(unix_millis(s_end) - unix_millis(s_start)) div 60000"),
+        lit(SessionDurCapMin)).as("duration_min"), col("n_events"))
+      .groupBy(col("duration_min"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+    val tot = buckets.agg(sum(col("n_sessions")).as("n_total"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("duration_min"), col("n_sessions"), col("n_events"),
+        expr("n_sessions * 1000000 div n_total").as("share_ppm"),
+        expr("n_events * 1000000 div n_sessions").as("events_per_session_ppm"))
+      .orderBy("duration_min")
+  }
 }

@@ -420,6 +420,57 @@ class Round13OpsSpec extends SparkSuite {
       "ranked by lift")
   }
 
+  test("q253 salt buckets partition the hot key's rows") {
+    val rows = graft.operators.Skew.saltEvenness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val hot = rows.head.getAs[Long]("hot_user")
+    val hotTotal = ev.filter(col("user_id") === hot).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == hotTotal,
+      "salt buckets partition the hot key's rows")
+    assert(rows.map(_.getAs[Int]("salt")).distinct.length == rows.length)
+    rows.foreach(r => assert(r.getAs[Int]("salt") >= 0 &&
+      r.getAs[Int]("salt") < graft.operators.Skew.EvennessSalts))
+    // the spread is the point: no bucket should hold most of the key
+    assert(rows.map(_.getAs[Long]("share_ppm")).max < 600000L,
+      "salting spreads the hot key (no bucket holds > 60%)")
+  }
+
+  test("q254 regression reproduces the line from raw points") {
+    val r = graft.operators.DataQuality.qualityLengthOls(spark, sf).collect()(0)
+    val pts = graft.operators.TextAnalysis.quality(spark, sf)
+      .select(col("doc_id"), col("quality_score"))
+      .join(graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("n_chars")), "doc_id")
+      .filter(col("n_chars") > 0)
+      .collect().map(x => (x.getAs[Double]("quality_score"),
+        math.log(x.getAs[Long]("n_chars").toDouble)))
+    assert(r.getAs[Long]("n") == pts.length.toLong)
+    val n = pts.length.toDouble
+    val (sy, sx) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._2 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-4,
+      "OLS slope matches the closed form")
+    assert(math.abs(r.getAs[Double]("pearson")) <= 1.000001)
+  }
+
+  test("q255 duration histogram partitions the session set") {
+    val rows = graft.streaming.EventStream.sessionDurations(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nSessions = graft.streaming.EventStream
+      .sessionizeBatchQuery(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum == nSessions,
+      "buckets partition the session set")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("duration_min") >= 0L &&
+        r.getAs[Long]("duration_min") <= graft.streaming.EventStream.SessionDurCapMin)
+      assert(r.getAs[Long]("events_per_session_ppm") >= 1000000L,
+        "every session has at least one event")
+    }
+  }
+
   test("q232 WAV container round-trips frames byte-exact") {
     val samples = Array.tabulate(64)(i => (i * 37 + 5) % 256)
     val bytes = graft.operators.Multimodal.wavBytes(samples)
