@@ -268,7 +268,10 @@ object SparkEntry {
     "q252_association_rules" -> (Graph.associationRules _),
     "q253_salt_evenness"  -> (Skew.saltEvenness _),
     "q254_quality_length_ols" -> (DataQuality.qualityLengthOls _),
-    "q255_session_durations" -> (graft.streaming.EventStream.sessionDurations _)
+    "q255_session_durations" -> (graft.streaming.EventStream.sessionDurations _),
+    "q256_topic_coherence" -> (Pipeline.topicCoherence _),
+    "q257_chi2_independence" -> (DataQuality.chi2Independence _),
+    "q258_weekly_bands"   -> (Relational.weeklyBands _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -4867,6 +4870,82 @@ object SparkEntry {
         |       n_sessions * 1000000 // sdt.n_total AS share_ppm,
         |       n_events * 1000000 // n_sessions AS events_per_session_ppm
         |FROM sdb, sdt ORDER BY duration_min""".stripMargin
+    },
+    "q256_topic_coherence" -> {
+      import graft.operators.Pipeline.KeywordsPerCluster
+      materializeCtes(ivfHierCellsCte + s""",
+        |toks AS (
+        |  SELECT c.cent_id, u.token
+        |  FROM cells c JOIN documents d ON d.doc_id = c.vec_id,
+        |       unnest(regexp_extract_all(lower(d.text), '[a-z]+')) u(token)
+        |),
+        |tf AS (SELECT cent_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |nc AS (SELECT count(DISTINCT cent_id) AS ncells FROM cells),
+        |sc AS (
+        |  SELECT f.cent_id, f.token,
+        |         f.tf * ((SELECT ncells FROM nc) + 1.0) / (i.df + 1.0) AS score
+        |  FROM tf f JOIN idf i USING (token)
+        |),
+        |rankedk AS (
+        |  SELECT cent_id, token, score,
+        |         row_number() OVER (PARTITION BY cent_id ORDER BY score DESC, token ASC) AS rnk
+        |  FROM sc
+        |),
+        |ckw AS (SELECT cent_id, rnk, token FROM rankedk
+        |        WHERE rnk <= $KeywordsPerCluster),
+        |ckt AS (SELECT DISTINCT token FROM ckw),
+        |cdt AS (
+        |  SELECT DISTINCT d.doc_id, u.token
+        |  FROM documents d,
+        |       unnest(regexp_extract_all(lower(d.text), '[a-z]+')) u(token)
+        |  WHERE u.token IN (SELECT token FROM ckt)),
+        |cdw AS (SELECT token, count(*)::BIGINT AS d FROM cdt GROUP BY 1),
+        |cd12 AS (
+        |  SELECT a.token AS w1, b.token AS w2, count(*)::BIGINT AS d12
+        |  FROM cdt a JOIN cdt b ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY 1, 2),
+        |cpp AS (
+        |  SELECT a.cent_id, a.token AS wi, b.token AS wj
+        |  FROM ckw a JOIN ckw b ON a.cent_id = b.cent_id AND a.rnk < b.rnk),
+        |csum AS (
+        |  SELECT p.cent_id,
+        |         floor(ln((coalesce(x.d12, 0) + 1.0) / w.d)
+        |               * 1000000000.0)::BIGINT AS t
+        |  FROM cpp p
+        |  JOIN cdw w ON w.token = p.wj
+        |  LEFT JOIN cd12 x ON x.w1 = least(p.wi, p.wj)
+        |                  AND x.w2 = greatest(p.wi, p.wj))
+        |SELECT cent_id, count(*)::BIGINT AS n_pairs,
+        |       sum(t)::BIGINT AS coherence_nano
+        |FROM csum GROUP BY 1 ORDER BY cent_id""".stripMargin)
+    },
+    "q257_chi2_independence" ->
+      """WITH x2o AS (SELECT lang, source, count(*)::BIGINT AS o
+        |             FROM documents GROUP BY 1, 2),
+        |x2r AS (SELECT lang, sum(o)::BIGINT AS r FROM x2o GROUP BY 1),
+        |x2c AS (SELECT source, sum(o)::BIGINT AS c FROM x2o GROUP BY 1),
+        |x2n AS (SELECT sum(o)::BIGINT AS nn FROM x2o),
+        |x2d AS (SELECT r.lang, c.source, r.r, c.c,
+        |               coalesce(o.o, 0)::BIGINT AS o
+        |        FROM x2r r CROSS JOIN x2c c
+        |        LEFT JOIN x2o o ON o.lang = r.lang AND o.source = c.source),
+        |x2t AS (SELECT floor(((o * nn.nn - r * c) * (o * nn.nn - r * c))::DOUBLE
+        |                     / (nn.nn * r * c)::DOUBLE * 1000000000.0)::BIGINT AS t
+        |        FROM x2d, x2n nn)
+        |SELECT count(*)::BIGINT AS n_cells,
+        |       ((SELECT count(*) FROM x2r) - 1) * ((SELECT count(*) FROM x2c) - 1)
+        |         AS dof,
+        |       sum(t)::BIGINT AS chi2_nano
+        |FROM x2t""".stripMargin,
+    "q258_weekly_bands" -> {
+      import graft.operators.Relational.{RetentionEpochMs, WeekMs}
+      s"""SELECT event_type,
+        |       ((epoch_ms(ts) - $RetentionEpochMs) // $WeekMs)::INT AS wk,
+        |       count(*)::BIGINT AS n,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, wk""".stripMargin
     }
   )
 

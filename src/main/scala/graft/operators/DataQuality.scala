@@ -387,4 +387,46 @@ object DataQuality {
       round(expr("regr_intercept(y, x)"), 6).as("intercept"),
       round(corr(col("y"), col("x")), 6).as("pearson"))
   }
+
+  /** q257_chi2_independence — χ² test of lang × source independence:
+    * is the language mix the same across sources, or does each crawl
+    * bring its own? The categorical-independence complement of q152's
+    * per-source KL (KL measures one source against the corpus; χ² is
+    * the joint test with a null distribution and dof) — the routine
+    * contingency audit before treating lang and source as independent
+    * stratification axes (q48/q60/q131 all implicitly do).
+    *
+    * Determinism: the grid is DENSIFIED (zero cells contribute —
+    * omitting them understates χ²); each summand
+    * (o·N − r·c)² / (N·r·c) is one division of exact ≤2⁵³ integers
+    * (correctly rounded, identical both engines), floor-quantized to
+    * nano before the integer sum (q152's rule).
+    *
+    * Scale shape: one (lang, source) count; marginals roll up from
+    * the grid aggregate; the dense spine is a product of two tiny
+    * domain aggregates; 1-row output. */
+  def chi2Independence(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val rl = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val cs = obs.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val nn = obs.agg(sum(col("o")).as("nn"))
+    val dense = rl.crossJoin(cs)
+      .join(obs, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("r"), col("c"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val terms = dense.crossJoin(broadcast(nn))
+      .select(floor(
+        ((col("o") * col("nn") - col("r") * col("c")) *
+          (col("o") * col("nn") - col("r") * col("c"))).cast("double")
+          / (col("nn") * col("r") * col("c")).cast("double") * lit(1e9))
+        .cast("long").as("t"))
+    val dims = rl.agg(count(lit(1)).as("nl"))
+      .crossJoin(cs.agg(count(lit(1)).as("ns")))
+    terms.agg(count(lit(1)).as("n_cells"), sum(col("t")).as("chi2_nano"))
+      .crossJoin(broadcast(dims))
+      .select(col("n_cells"),
+        ((col("nl") - 1) * (col("ns") - 1)).as("dof"), col("chi2_nano"))
+  }
 }

@@ -440,4 +440,57 @@ object Pipeline {
           .as("lift_ppm"))
       .orderBy("band")
   }
+
+  /** q256_topic_coherence — UMass coherence of each cluster's keyword
+    * list (Mimno et al. 2011): per trained cell, Σ over rank-ordered
+    * keyword pairs of ln((D(wᵢ,wⱼ)+1)/D(wⱼ)) with document
+    * co-occurrence counts from the corpus — THE standard "are these
+    * clusters meaningful topics" number (q91 names the clusters, q161
+    * checks label purity, this scores whether the names COHERE: high
+    * = the keywords genuinely co-occur, strongly negative = the
+    * c-TF-IDF ranking picked co-incidental terms). Run after every
+    * retrain next to q127/q147's geometry audits.
+    *
+    * Determinism: document frequencies and co-frequencies are exact
+    * integers; each ln summand floor-quantizes to nano (q152's rule)
+    * before the per-cell integer sum.
+    *
+    * Scale shape: keyword postings = one (doc, token) distinct SEMI-
+    * JOINED to the ≤cells·K keyword vocabulary before anything
+    * shuffles; co-occurrence pairs bound by keyword-terms² per doc;
+    * the pair frame is cells·C(K,2) rows with counts joined by
+    * keyword key. 7th consumer of the `hierCells` artifact. */
+  def topicCoherence(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val kw = clusterKeywords(spark, sfDir)
+      .select(col("cent_id"), col("rank"), col("token"))
+      .localCheckpoint()
+    val kwTerms = kw.select(col("token")).distinct()
+    val dt = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(T.alphaTokens(col("text"))).as("token"))
+      .distinct()
+      .join(broadcast(kwTerms), Seq("token"))
+      .localCheckpoint()
+    val dw = dt.groupBy(col("token")).agg(count(lit(1)).as("d"))
+    val d12 = dt.select(col("doc_id"), col("token").as("w1"))
+      .join(dt.select(col("doc_id"), col("token").as("w2")), "doc_id")
+      .filter(col("w1") < col("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("d12"))
+    val pairs = kw.select(col("cent_id"), col("rank").as("ri"), col("token").as("wi"))
+      .join(kw.select(col("cent_id"), col("rank").as("rj"), col("token").as("wj")),
+        "cent_id")
+      .filter(col("ri") < col("rj"))
+    pairs
+      .join(broadcast(dw.select(col("token").as("wj"), col("d"))), "wj")
+      .join(d12.select(least(col("w1"), col("w2")).as("lo"),
+          greatest(col("w1"), col("w2")).as("hi"), col("d12")),
+        least(col("wi"), col("wj")) === col("lo") &&
+          greatest(col("wi"), col("wj")) === col("hi"), "left")
+      .select(col("cent_id"),
+        floor(log((coalesce(col("d12"), lit(0L)) + lit(1.0)) / col("d"))
+          * lit(1e9)).cast("long").as("t"))
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("t")).as("coherence_nano"))
+      .orderBy("cent_id")
+  }
 }

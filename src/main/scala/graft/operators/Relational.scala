@@ -2460,4 +2460,32 @@ object Relational {
         sum(col("term_nano")).as("entropy_nano"))
       .orderBy("user_id")
   }
+
+  /** q258_weekly_bands — weekly p50/p90 value bands per event type:
+    * the percentile-over-time SLO view (q38 grades one-shot exact
+    * percentiles, q136 fixed CDF probes, q120/q245 count anomalies —
+    * operations dashboards watch the QUANTILE TRAJECTORY: a p90 creep
+    * under a flat p50 is the classic tail-degradation signature that
+    * mean- and count-based monitors miss).
+    *
+    * Determinism: exact linear-interpolation percentiles per group
+    * (`percentile` ↔ `quantile_cont`, the q38 parity precedent),
+    * rounded 4dp; counts exact.
+    *
+    * Scale shape: one (type, week)-keyed percentile aggregate — each
+    * group sorts its own slice (bounded by the week's traffic per
+    * type; the approx_percentile swap at 100 TB is documented in
+    * q49's precedent); output is types×weeks rows. */
+  def weeklyBands(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr(s"(unix_millis(ts) - $RetentionEpochMs) div $WeekMs")
+          .cast("int").as("wk"),
+        col("value"))
+      .groupBy(col("event_type"), col("wk"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))
+      .orderBy("event_type", "wk")
+  }
 }

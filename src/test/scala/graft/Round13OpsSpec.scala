@@ -471,6 +471,49 @@ class Round13OpsSpec extends SparkSuite {
     }
   }
 
+  test("q256 every cell scores all its keyword pairs") {
+    val rows = graft.operators.Pipeline.topicCoherence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val k = graft.operators.Pipeline.KeywordsPerCluster
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == (k * (k - 1) / 2).toLong,
+        "C(K,2) pairs per cell")
+      // UMass terms are ln ratios of counts in [1/N, ~2] — loose sanity
+      assert(math.abs(r.getAs[Long]("coherence_nano")) < 100L * 1000000000L)
+    }
+  }
+
+  test("q257 chi-squared matches a driver-side recompute") {
+    val r = graft.operators.DataQuality.chi2Independence(spark, sf).collect()(0)
+    val obs = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getAs[Long]("o")).toMap
+    val langs = obs.keySet.map(_._1).toSeq.sorted
+    val srcs = obs.keySet.map(_._2).toSeq.sorted
+    val n = obs.values.sum
+    val rl = langs.map(l => l -> obs.filter(_._1._1 == l).values.sum).toMap
+    val cs = srcs.map(s => s -> obs.filter(_._1._2 == s).values.sum).toMap
+    var chi2 = 0.0
+    for (l <- langs; s <- srcs) {
+      val o = obs.getOrElse((l, s), 0L)
+      val e = rl(l).toDouble * cs(s) / n
+      chi2 += (o - e) * (o - e) / e
+    }
+    assert(r.getAs[Long]("n_cells") == (langs.size * srcs.size).toLong)
+    assert(r.getAs[Long]("dof") == ((langs.size - 1) * (srcs.size - 1)).toLong)
+    assert(math.abs(r.getAs[Long]("chi2_nano") / 1e9 - chi2) < 1e-3,
+      "chi2 matches the classic (o-e)^2/e form")
+  }
+
+  test("q258 weekly bands are ordered quantiles") {
+    val rows = graft.operators.Relational.weeklyBands(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90") + 1e-9)
+      assert(r.getAs[Long]("n") >= 1L)
+    }
+  }
+
   test("q232 WAV container round-trips frames byte-exact") {
     val samples = Array.tabulate(64)(i => (i * 37 + 5) % 256)
     val bytes = graft.operators.Multimodal.wavBytes(samples)
