@@ -271,7 +271,13 @@ object SparkEntry {
     "q255_session_durations" -> (graft.streaming.EventStream.sessionDurations _),
     "q256_topic_coherence" -> (Pipeline.topicCoherence _),
     "q257_chi2_independence" -> (DataQuality.chi2Independence _),
-    "q258_weekly_bands"   -> (Relational.weeklyBands _)
+    "q258_weekly_bands"   -> (Relational.weeklyBands _),
+    "q259_benford"        -> (DataQuality.benford _),
+    "q260_changepoint"    -> (Relational.changepoint _),
+    "q261_readability"    -> (TextAnalysis.readability _),
+    "q262_spearman"       -> (DataQuality.spearman _),
+    "q263_calibration"    -> (DataQuality.calibration _),
+    "q264_decile_lift"    -> (Relational.decileLift _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -4946,7 +4952,125 @@ object SparkEntry {
         |       round(quantile_cont(value, 0.5), 4) AS p50,
         |       round(quantile_cont(value, 0.9), 4) AS p90
         |FROM events GROUP BY 1, 2 ORDER BY event_type, wk""".stripMargin
-    }
+    },
+    "q259_benford" ->
+      """WITH bfd AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0) AS BIGINT)
+        |                          AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |bfc AS (SELECT digit, count(*)::BIGINT AS n FROM bfd
+        |        WHERE digit >= 1 GROUP BY 1),
+        |bft AS (SELECT sum(n)::BIGINT AS n_total FROM bfc)
+        |SELECT digit, n,
+        |       n * 1000000 // n_total AS share_ppm,
+        |       floor(ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0) * 1000000.0)::BIGINT
+        |         AS benford_ppm,
+        |       n * 1000000 // n_total
+        |         - floor(ln(1.0 + 1.0 / digit::DOUBLE) / ln(10.0) * 1000000.0)::BIGINT
+        |         AS dev_ppm
+        |FROM bfc CROSS JOIN bft ORDER BY digit""".stripMargin,
+    "q260_changepoint" -> {
+      import graft.operators.Relational.RetentionEpochMs
+      s"""WITH cpd AS (
+        |  SELECT (epoch_ms(ts) - $RetentionEpochMs) // 86400000 AS day,
+        |         count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |cpt AS (SELECT count(*)::BIGINT AS dd, sum(n)::BIGINT AS nn FROM cpd),
+        |cpc AS (SELECT day, n,
+        |               sum(dd * n - nn) OVER (ORDER BY day
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                 AS cusum_scaled
+        |        FROM cpd CROSS JOIN cpt),
+        |cpm AS (SELECT day AS cp_day FROM cpc
+        |        ORDER BY abs(cusum_scaled) DESC, day ASC LIMIT 1)
+        |SELECT day, n, cusum_scaled,
+        |       CASE WHEN day = cp_day THEN 1 ELSE 0 END::BIGINT AS is_changepoint
+        |FROM cpc CROSS JOIN cpm ORDER BY day""".stripMargin
+    },
+    "q261_readability" ->
+      """WITH rdd AS (
+        |  SELECT lang,
+        |         len(regexp_extract_all(text, '[^ \t\n\r]+'))::BIGINT AS w,
+        |         greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS s,
+        |         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS y
+        |  FROM documents),
+        |rds AS (
+        |  SELECT lang,
+        |         greatest(0, floor((206.835
+        |           - 1.015 * (w::DOUBLE / s::DOUBLE)
+        |           - 84.6 * (y::DOUBLE / w::DOUBLE)) * 1000000.0)::BIGINT)
+        |           AS flesch_micros
+        |  FROM rdd WHERE w > 0)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(flesch_micros)::BIGINT // count(*)::BIGINT AS mean_flesch_micros,
+        |       sum(CASE WHEN flesch_micros >= 60000000 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_easy
+        |FROM rds GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q262_spearman" ->
+      (qualityCte + """,
+        |spj AS (SELECT q.quality_score AS qs, d.n_chars AS nc
+        |        FROM qual q JOIN documents d USING (doc_id)
+        |        WHERE d.n_chars > 0),
+        |spxr AS (SELECT v, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + cnt + 1 AS r2
+        |         FROM (SELECT nc AS v, count(*)::BIGINT AS cnt FROM spj
+        |               GROUP BY 1)),
+        |spyr AS (SELECT v, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + cnt + 1 AS r2
+        |         FROM (SELECT qs AS v, count(*)::BIGINT AS cnt FROM spj
+        |               GROUP BY 1)),
+        |spr AS (SELECT x.r2 AS r2x, y.r2 AS r2y
+        |        FROM spj j JOIN spxr x ON j.nc = x.v JOIN spyr y ON j.qs = y.v)
+        |SELECT count(*)::BIGINT AS n,
+        |       round(corr(r2x::DOUBLE, r2y::DOUBLE), 6) AS spearman
+        |FROM spr""".stripMargin),
+    "q263_calibration" -> {
+      import graft.operators.DataQuality.CalibrationCapScore
+      langIdCte + s""",
+        |cal AS (SELECT least(score, $CalibrationCapScore)::BIGINT AS score_bin,
+        |               CASE WHEN plang = lang THEN 1 ELSE 0 END::BIGINT AS correct
+        |        FROM pred)
+        |SELECT score_bin, count(*)::BIGINT AS n_docs,
+        |       sum(correct)::BIGINT AS n_correct,
+        |       sum(correct)::BIGINT * 1000000 // count(*)::BIGINT AS accuracy_ppm
+        |FROM cal GROUP BY 1 ORDER BY score_bin""".stripMargin
+    },
+    "q264_decile_lift" ->
+      """WITH dlo AS (SELECT o_custkey,
+        |                    date_diff('day', TIMESTAMP '1995-01-01',
+        |                              o_orderdate)::BIGINT AS dday,
+        |                    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+        |             FROM orders),
+        |dlm AS (SELECT (min(dday) + max(dday)) // 2 AS mid FROM dlo),
+        |dlc AS (SELECT o_custkey,
+        |               sum(CASE WHEN dday < mid THEN cents ELSE 0 END)::BIGINT AS cents_a,
+        |               sum(CASE WHEN dday >= mid THEN cents ELSE 0 END)::BIGINT AS cents_b
+        |        FROM dlo CROSS JOIN dlm GROUP BY 1),
+        |dlt AS (SELECT quantile_cont(cents_a::DOUBLE,
+        |                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS thr
+        |        FROM dlc),
+        |dlb AS (SELECT (CASE WHEN cents_a::DOUBLE > thr[1] THEN 1 ELSE 0 END
+        |              + CASE WHEN cents_a::DOUBLE > thr[2] THEN 1 ELSE 0 END
+        |              + CASE WHEN cents_a::DOUBLE > thr[3] THEN 1 ELSE 0 END
+        |              + CASE WHEN cents_a::DOUBLE > thr[4] THEN 1 ELSE 0 END
+        |              + CASE WHEN cents_a::DOUBLE > thr[5] THEN 1 ELSE 0 END
+        |              + CASE WHEN cents_a::DOUBLE > thr[6] THEN 1 ELSE 0 END
+        |              + CASE WHEN cents_a::DOUBLE > thr[7] THEN 1 ELSE 0 END
+        |              + CASE WHEN cents_a::DOUBLE > thr[8] THEN 1 ELSE 0 END
+        |              + CASE WHEN cents_a::DOUBLE > thr[9] THEN 1 ELSE 0 END)::BIGINT
+        |                 AS decile,
+        |               cents_a, cents_b
+        |        FROM dlc CROSS JOIN dlt),
+        |dlg AS (SELECT decile, count(*)::BIGINT AS n_cust,
+        |               sum(cents_a)::BIGINT AS cents_a,
+        |               sum(cents_b)::BIGINT AS cents_b
+        |        FROM dlb GROUP BY 1),
+        |dltt AS (SELECT sum(cents_b)::BIGINT AS tot_b FROM dlg)
+        |SELECT decile, n_cust, cents_a, cents_b,
+        |       cents_b * 1000000 // tot_b AS share_b_ppm
+        |FROM dlg CROSS JOIN dltt ORDER BY decile""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -429,4 +429,116 @@ object DataQuality {
       .select(col("n_cells"),
         ((col("nl") - 1) * (col("ns") - 1)).as("dof"), col("chi2_nano"))
   }
+
+  /** q262_spearman — Spearman rank correlation between doc length and
+    * the q19 quality score: Pearson over AVERAGE ranks, the
+    * tie-correct monotone-association measure — the nonparametric
+    * companion of q254's OLS/Pearson (a score can track length
+    * monotonically but nonlinearly; Pearson under-reads that, ranks
+    * don't), and on a 5dp score grid the tie handling IS the
+    * operator.
+    *
+    * Determinism: average ranks come from the value-histogram
+    * decomposition (q61's rank identity): for value v,
+    * 2·avgrank(v) = 2·prefix(v) + cnt(v) + 1 — pure integers (the
+    * ×2 scaling cancels in the correlation); ρ = corr over those
+    * integers, rounded 6dp (q39/q242's convention).
+    *
+    * Scale shape: two per-value histograms + cumsum windows over the
+    * distinct-VALUE domains only (q61/q194's whitelisted shape, never
+    * corpus rows), rank tables joined back value-keyed; one co-moment
+    * pass; 1-row output. */
+  def spearman(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars")), "doc_id")
+      .filter(col("n_chars") > 0)
+      .localCheckpoint()
+    def rank2(df: DataFrame, c: String): DataFrame = {
+      val hist = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      hist.withColumn("r2",
+        lit(2) * (coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          + col("cnt") + lit(1L))
+        .select(col("v"), col("r2"))
+    }
+    val rx = rank2(scored, "n_chars")
+    val ry = rank2(scored, "quality_score")
+    val ranked = scored
+      .join(rx.withColumnRenamed("v", "n_chars")
+        .withColumnRenamed("r2", "r2x"), "n_chars")
+      .join(ry.withColumnRenamed("v", "quality_score")
+        .withColumnRenamed("r2", "r2y"), "quality_score")
+    ranked.agg(count(lit(1)).as("n"),
+      round(corr(col("r2x").cast("double"), col("r2y").cast("double")), 6)
+        .as("spearman"))
+  }
+
+  /** Confidence-bin cap for q263 (hit scores above the cap collapse). */
+  val CalibrationCapScore = 10L
+
+  /** q263_calibration — language-ID reliability curve: per stopword-hit
+    * confidence bin (score capped at [[CalibrationCapScore]]), how
+    * often the q18 prediction matches the labeled language — the
+    * calibration audit behind any "trust the classifier above
+    * score ≥ s" routing rule. q114 grades WHICH languages confuse
+    * (confusion matrix); this grades whether the SCORE is an honest
+    * confidence — the property a downstream threshold actually
+    * consumes.
+    *
+    * Determinism: score and correctness are exact integers from the
+    * deterministic q18 argmax; accuracy in exact ppm.
+    *
+    * Scale shape: the q18 scan-local scoring projection → one ≤11-row
+    * score-bin aggregate; no joins, no windows. */
+  def calibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = TextAnalysis.langId(spark, sfDir)
+    pred.select(
+      least(col("score").cast("long"), lit(CalibrationCapScore)).as("score_bin"),
+      when(col("predicted_lang") === col("labeled_lang"), 1L).otherwise(0L)
+        .as("correct"))
+      .groupBy(col("score_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("correct")).as("n_correct"))
+      .select(col("score_bin"), col("n_docs"), col("n_correct"),
+        expr("n_correct * 1000000 div n_docs").as("accuracy_ppm"))
+      .orderBy("score_bin")
+  }
+
+  /** q259_benford — Benford first-digit audit over order totals: the
+    * observed first-significant-digit distribution beside the Benford
+    * expectation log10(1 + 1/d) — the classic fabricated-data /
+    * unit-mixing screen for financial columns (a synthetic generator
+    * that draws uniformly, a currency field double-converted, or a
+    * capped price grid all bend this curve long before means move).
+    * Complements q151's rule checks (those validate declared
+    * constraints; this tests a DISTRIBUTIONAL law no one declared)
+    * and q257's χ² (categorical independence vs a digit-law fit).
+    *
+    * Determinism: digits come from exact integer cents
+    * (floor(price·100) — IEEE floor identical both engines), first
+    * digit via integer-to-string substring (exact, no float log);
+    * shares in exact integer ppm; the Benford expectation per digit is
+    * floor(ln(1+1/d)/ln(10)·1e6) — correctly-rounded doubles on a
+    * 9-value grid nowhere near quantization midpoints.
+    *
+    * Scale shape: scan-local digit extraction → 9-row aggregate +
+    * broadcast 1-row total; output ≤9 rows at any SF. */
+  def benford(spark: SparkSession, sfDir: String): DataFrame = {
+    val digits = Tables.orders(spark, sfDir)
+      .select(substring(floor(col("o_totalprice") * lit(100.0))
+        .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div n_total").as("share_ppm"),
+        floor(log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+          / log(lit(10.0)) * lit(1e6)).cast("long").as("benford_ppm"))
+      .withColumn("dev_ppm", col("share_ppm") - col("benford_ppm"))
+      .orderBy("digit")
+  }
 }

@@ -2488,4 +2488,189 @@ object Relational {
         round(expr("percentile(value, 0.9)"), 4).as("p90"))
       .orderBy("event_type", "wk")
   }
+
+  /** Lateness threshold for q265 (days from order date to ship date). */
+  val WaitingLateDays = 365
+
+  /** q265_waiting_suppliers — sole-late-supplier audit (TPC-H Q21's
+    * shape): suppliers whose line was the ONLY late one in a
+    * multi-supplier order — the vendor-accountability query whose
+    * textbook form is a double-correlated EXISTS / NOT EXISTS
+    * self-join. Spark-first rewrite: decorrelate BOTH subqueries into
+    * ONE per-order aggregate (distinct suppliers, distinct LATE
+    * suppliers) and filter the late pairs against it — the
+    * aggregate-then-join form every optimizer wants but SQL authors
+    * rarely write.
+    *
+    * Determinism: lateness is integer day arithmetic
+    * (ship − order > [[WaitingLateDays]]); top-20 under a total order
+    * (numwait desc, name, suppkey).
+    *
+    * Scale shape: one (order, supplier) aggregate (the max(late)
+    * pre-phase kills the count-distinct EXPAND), one order-keyed
+    * roll-up joined back pair-keyed, supplier dim broadcast, top-20
+    * via TakeOrderedAndProject. No self-join of lineitem against
+    * itself ever forms. */
+  def waitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "l_orderkey")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(datediff(col("l_shipdate"), col("o_orderdate"))
+          > lit(WaitingLateDays), 1L).otherwise(0L).as("late"))
+    val perPair = lines.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late")).localCheckpoint()
+    val perOrder = perPair.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ns"), sum(col("late")).as("nl"))
+    val sole = perPair.filter(col("late") === 1L)
+      .join(perOrder.filter(col("ns") >= 2L && col("nl") === 1L),
+        "l_orderkey")
+    sole.groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))), "l_suppkey")
+      .select(col("l_suppkey").as("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"), col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** q266_sequence_conformance — funnel-order conformance census: per
+    * user, does the first click follow a view and the first purchase
+    * follow a click? Users classify into conforming /
+    * click_before_view / purchase_before_click / both_violations —
+    * the process-mining conformance audit that MEASURES how much of
+    * the event log obeys the canonical view→click→purchase process
+    * q64 assumes (q64 extracts the conforming path; this counts the
+    * journeys that break it — instrumentation bugs, bot traffic and
+    * dark-launch entry points all show up here first).
+    *
+    * Determinism: per-user conditional first-timestamps in exact µs;
+    * violation flags are pure comparisons; shares exact ppm.
+    *
+    * Scale shape: ONE user-keyed conditional-min aggregate →
+    * scan-local flags → ≤4-row census + broadcast total. */
+  def sequenceConformance(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts"))))
+          .as("fv"),
+        min(when(col("event_type") === "click", unix_micros(col("ts"))))
+          .as("fc"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("fp"))
+    val flagged = perUser.select(
+      (col("fc").isNotNull && (col("fv").isNull || col("fc") < col("fv")))
+        .cast("int").as("click_viol"),
+      (col("fp").isNotNull && (col("fc").isNull || col("fp") < col("fc")))
+        .cast("int").as("purchase_viol"))
+    val census = flagged.groupBy(col("click_viol"), col("purchase_viol"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        when(col("click_viol") === 0 && col("purchase_viol") === 0,
+          "conforming")
+          .when(col("click_viol") === 1 && col("purchase_viol") === 0,
+            "click_before_view")
+          .when(col("click_viol") === 0 && col("purchase_viol") === 1,
+            "purchase_before_click")
+          .otherwise("both_violations").as("pattern"),
+        col("n_users"))
+    val tot = census.agg(sum(col("n_users")).as("n_total"))
+    census.crossJoin(broadcast(tot))
+      .select(col("pattern"), col("n_users"),
+        expr("n_users * 1000000 div n_total").as("share_ppm"))
+      .orderBy("pattern")
+  }
+
+  /** q264_decile_lift — spend-decile gains table: customers ranked by
+    * FIRST-period revenue, split at the exact interpolated decile
+    * boundaries of that spend, then each bucket's share of
+    * SECOND-period revenue — the out-of-time gains/lift chart behind
+    * "our top decile drives X% of next quarter" targeting claims
+    * (q220 labels RFM segments by fixed thresholds; this measures
+    * whether past-spend rank PREDICTS future spend, with the
+    * future held out).
+    *
+    * Determinism: per-customer revenue in exact integer cents; the 9
+    * boundaries are one exact interpolated-percentile aggregate
+    * (q38's cross-engine convention) broadcast back; bucket = count
+    * of boundaries strictly below the customer's cents — value-based,
+    * so boundary ties land deterministically in the lower bucket and
+    * heavy ties (zero-spenders) legitimately fold buckets together;
+    * shares in exact ppm.
+    *
+    * Scale shape: one customer-keyed conditional-sum aggregate, a
+    * broadcast 1-row boundary array, scan-local bucketing, a ≤10-row
+    * bucket aggregate + broadcast total; no ranking window ever sees
+    * customer rows. */
+  def decileLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("dday"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+    val span = orders.agg(expr("(min(dday) + max(dday)) div 2").as("mid"))
+    val perCust = orders.crossJoin(broadcast(span))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("dday") < col("mid"), col("cents")).otherwise(0L))
+        .as("cents_a"),
+        sum(when(col("dday") >= col("mid"), col("cents")).otherwise(0L))
+          .as("cents_b"))
+      .localCheckpoint()
+    val thr = perCust.agg(percentile(col("cents_a").cast("double"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("thr"))
+    val bucketed = perCust.crossJoin(broadcast(thr))
+      .withColumn("decile",
+        (1 to 9).map(i =>
+          when(col("cents_a").cast("double") > element_at(col("thr"), i), 1L)
+            .otherwise(0L)).reduce(_ + _))
+    val cells = bucketed.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents_a")).as("cents_a"),
+        sum(col("cents_b")).as("cents_b"))
+    val tot = cells.agg(sum(col("cents_b")).as("tot_b"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_cust"), col("cents_a"), col("cents_b"),
+        expr("cents_b * 1000000 div tot_b").as("share_b_ppm"))
+      .orderBy("decile")
+  }
+
+  /** q260_changepoint — CUSUM mean-shift detection over daily event
+    * volume: cumulative deviation from the global daily mean per day,
+    * with the maximum-|S| day flagged as the single most likely level
+    * shift (Page 1954's CUSUM statistic in its offline scan form) —
+    * the structural-break detector the per-week z-scores (q120) and
+    * the seasonal grid (q245) cannot give: those flag OUTLIER cells,
+    * this locates WHERE the underlying level changed (deploy day,
+    * logging change, bot onset).
+    *
+    * Determinism: with D days and N total events, n_d − N/D is made
+    * exact by scaling through D: S'_d = Σ_{d'≤d} (D·n_d' − N) is pure
+    * ≤2⁵³ integer arithmetic, identical both engines; the changepoint
+    * is argmax |S'| with the earliest-day tie-break.
+    *
+    * Scale shape: one (day) partial-aggregable count; the cumulative
+    * window runs over the DAY domain (≤ a few thousand rows at any
+    * SF — ScaleShapeSpec-whitelisted like q188's spine); totals ride
+    * a broadcast 1-row aggregate; output is |days| rows. */
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayMs = 86400000L
+    val daily = Tables.events(spark, sfDir)
+      .select(expr(s"(unix_millis(ts) - $RetentionEpochMs) div $dayMs").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val tot = daily.agg(count(lit(1)).as("dd"), sum(col("n")).as("nn"))
+    val cum = daily.crossJoin(broadcast(tot))
+      .withColumn("cusum_scaled",
+        sum(col("dd") * col("n") - col("nn"))
+          .over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cp = cum.agg(max(struct(abs(col("cusum_scaled")).as("a"),
+      (-col("day")).as("negd"))).as("m"))
+      .select((-col("m.negd")).as("cp_day"))
+    cum.crossJoin(broadcast(cp))
+      .select(col("day"), col("n"), col("cusum_scaled"),
+        when(col("day") === col("cp_day"), lit(1L)).otherwise(lit(0L))
+          .as("is_changepoint"))
+      .orderBy("day")
+  }
 }

@@ -36,7 +36,13 @@ class ScaleShapeSpec extends SparkSuite {
       "q218_source_gini",
       // q250's rank/cumulative windows run over the fixed top-V
       // sampling-table head (50 rows at any SF)
-      "q250_neg_sampling")
+      "q250_neg_sampling",
+      // q260's CUSUM window runs over the DAY domain aggregate
+      // (calendar-bounded like q188's spine, never corpus rows)
+      "q260_changepoint",
+      // q262's rank-histogram cumsum windows run over the distinct
+      // length-VALUE and score-VALUE domains (q61/q194's shape)
+      "q262_spearman")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
