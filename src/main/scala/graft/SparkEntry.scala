@@ -277,7 +277,10 @@ object SparkEntry {
     "q261_readability"    -> (TextAnalysis.readability _),
     "q262_spearman"       -> (DataQuality.spearman _),
     "q263_calibration"    -> (DataQuality.calibration _),
-    "q264_decile_lift"    -> (Relational.decileLift _)
+    "q264_decile_lift"    -> (Relational.decileLift _),
+    "q265_waiting_suppliers" -> (Relational.waitingSuppliers _),
+    "q266_sequence_conformance" -> (Relational.sequenceConformance _),
+    "q267_max_concurrency" -> (graft.streaming.EventStream.maxConcurrency _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -5070,7 +5073,68 @@ object SparkEntry {
         |dltt AS (SELECT sum(cents_b)::BIGINT AS tot_b FROM dlg)
         |SELECT decile, n_cust, cents_a, cents_b,
         |       cents_b * 1000000 // tot_b AS share_b_ppm
-        |FROM dlg CROSS JOIN dltt ORDER BY decile""".stripMargin
+        |FROM dlg CROSS JOIN dltt ORDER BY decile""".stripMargin,
+    "q265_waiting_suppliers" -> {
+      import graft.operators.Relational.WaitingLateDays
+      s"""WITH wsl AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |         max(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+        |                       > $WaitingLateDays THEN 1 ELSE 0 END)::BIGINT AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |wso AS (SELECT l_orderkey, count(*)::BIGINT AS ns,
+        |               sum(late)::BIGINT AS nl
+        |        FROM wsl GROUP BY 1),
+        |wsq AS (SELECT p.l_suppkey, count(*)::BIGINT AS numwait
+        |        FROM wsl p JOIN wso o USING (l_orderkey)
+        |        WHERE p.late = 1 AND o.ns >= 2 AND o.nl = 1
+        |        GROUP BY 1)
+        |SELECT q.l_suppkey AS s_suppkey, s.s_name, q.numwait
+        |FROM wsq q JOIN supplier s ON s.s_suppkey = q.l_suppkey
+        |ORDER BY q.numwait DESC, s.s_name, s_suppkey LIMIT 20""".stripMargin
+    },
+    "q266_sequence_conformance" ->
+      """WITH scu AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+        |         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS fc,
+        |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+        |  FROM events GROUP BY 1),
+        |scf AS (
+        |  SELECT CASE WHEN fc IS NOT NULL AND (fv IS NULL OR fc < fv)
+        |              THEN 1 ELSE 0 END AS click_viol,
+        |         CASE WHEN fp IS NOT NULL AND (fc IS NULL OR fp < fc)
+        |              THEN 1 ELSE 0 END AS purchase_viol
+        |  FROM scu),
+        |scc AS (
+        |  SELECT CASE WHEN click_viol = 0 AND purchase_viol = 0 THEN 'conforming'
+        |              WHEN click_viol = 1 AND purchase_viol = 0 THEN 'click_before_view'
+        |              WHEN click_viol = 0 AND purchase_viol = 1 THEN 'purchase_before_click'
+        |              ELSE 'both_violations' END AS pattern,
+        |         count(*)::BIGINT AS n_users
+        |  FROM scf GROUP BY 1),
+        |sct AS (SELECT sum(n_users)::BIGINT AS n_total FROM scc)
+        |SELECT pattern, n_users, n_users * 1000000 // n_total AS share_ppm
+        |FROM scc CROSS JOIN sct ORDER BY pattern""".stripMargin,
+    "q267_max_concurrency" ->
+      (sessionCte + """,
+        |mcb AS (SELECT user_id, session_no,
+        |               min(epoch_us(ts)) AS a, max(epoch_us(ts)) AS b
+        |        FROM s GROUP BY 1, 2),
+        |mcd AS (SELECT us, sum(d)::BIGINT AS d FROM (
+        |          SELECT a AS us, 1 AS d FROM mcb
+        |          UNION ALL SELECT b + 1 AS us, -1 AS d FROM mcb)
+        |        GROUP BY 1),
+        |mcr AS (SELECT us, sum(d) OVER (ORDER BY us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |          AS conc
+        |        FROM mcd),
+        |mcm AS (SELECT conc AS max_concurrency, us AS at_us FROM mcr
+        |        ORDER BY conc DESC, us ASC LIMIT 1)
+        |SELECT m.max_concurrency, m.at_us,
+        |       (SELECT count(*) FROM mcd)::BIGINT AS n_boundary_ts,
+        |       (SELECT count(*) FROM mcb)::BIGINT AS n_sessions
+        |FROM mcm m""".stripMargin)
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

