@@ -280,7 +280,10 @@ object SparkEntry {
     "q264_decile_lift"    -> (Relational.decileLift _),
     "q265_waiting_suppliers" -> (Relational.waitingSuppliers _),
     "q266_sequence_conformance" -> (Relational.sequenceConformance _),
-    "q267_max_concurrency" -> (graft.streaming.EventStream.maxConcurrency _)
+    "q267_max_concurrency" -> (graft.streaming.EventStream.maxConcurrency _),
+    "q268_bootstrap_ci"   -> (DataQuality.bootstrapCi _),
+    "q269_hits"           -> (Graph.hits _),
+    "q270_label_propagation" -> (Graph.labelPropagation _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -5134,7 +5137,95 @@ object SparkEntry {
         |SELECT m.max_concurrency, m.at_us,
         |       (SELECT count(*) FROM mcd)::BIGINT AS n_boundary_ts,
         |       (SELECT count(*) FROM mcb)::BIGINT AS n_sessions
-        |FROM mcm m""".stripMargin)
+        |FROM mcm m""".stripMargin),
+    "q268_bootstrap_ci" -> {
+      import graft.operators.DataQuality.{BootstrapReps, PoissonCdf28}
+      val wExpr = PoissonCdf28
+        .map(c => s"CASE WHEN u >= $c THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")::BIGINT")
+      s"""WITH bca AS (SELECT lang, count(*)::BIGINT AS n_docs,
+        |                    sum(n_chars)::BIGINT * 1000000 // count(*)::BIGINT
+        |                      AS mean_micros
+        |             FROM documents GROUP BY 1),
+        |bcu AS (SELECT lang, n_chars, t.b,
+        |               ('0x' || substr(md5('boot_' || t.b || '_' || doc_id),
+        |                               1, 7))::BIGINT AS u
+        |        FROM documents, unnest(range(0, $BootstrapReps)) t(b)),
+        |bcw AS (SELECT lang, b, $wExpr AS w, n_chars FROM bcu),
+        |bcr AS (SELECT lang,
+        |               sum(w * n_chars)::BIGINT * 1000000 // sum(w)::BIGINT
+        |                 AS rep_mean_micros
+        |        FROM bcw GROUP BY lang, b),
+        |bcc AS (SELECT lang,
+        |               round(quantile_cont(rep_mean_micros::DOUBLE, 0.025), 4)
+        |                 AS ci_lo_micros,
+        |               round(quantile_cont(rep_mean_micros::DOUBLE, 0.975), 4)
+        |                 AS ci_hi_micros
+        |        FROM bcr GROUP BY 1)
+        |SELECT a.lang, a.n_docs, a.mean_micros, c.ci_lo_micros, c.ci_hi_micros,
+        |       (c.ci_lo_micros <= a.mean_micros::DOUBLE
+        |        AND a.mean_micros::DOUBLE <= c.ci_hi_micros) AS covered
+        |FROM bca a JOIN bcc c USING (lang) ORDER BY a.lang""".stripMargin
+    },
+    "q269_hits" -> {
+      import graft.operators.Graph.{HitsIterations, HitsTopK}
+      val rounds = (1 to HitsIterations).map { r =>
+        s"""ha${r}r AS (SELECT p, sum(h)::BIGINT AS ar
+           |        FROM he JOIN hh${r - 1} USING (c) GROUP BY 1),
+           |ha$r AS (SELECT p, ar * 1000000 // (SELECT max(ar) FROM ha${r}r) AS a
+           |        FROM ha${r}r),
+           |hh${r}r AS (SELECT c, sum(a)::BIGINT AS hr
+           |        FROM he JOIN ha$r USING (p) GROUP BY 1),
+           |hh$r AS (SELECT c, hr * 1000000 // (SELECT max(hr) FROM hh${r}r) AS h
+           |        FROM hh${r}r)""".stripMargin
+      }.mkString(",\n")
+      materializeCtes(
+        s"""WITH he AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |hh0 AS (SELECT DISTINCT c, 1000000::BIGINT AS h FROM he),
+        |$rounds,
+        |haf AS (SELECT p, sum(h)::BIGINT AS ar, count(*)::BIGINT AS n_buyers
+        |        FROM he JOIN hh$HitsIterations USING (c) GROUP BY 1)
+        |SELECT f.p AS p_partkey, f.n_buyers,
+        |       f.ar * 1000000 // (SELECT max(ar) FROM haf) AS authority_ppm,
+        |       pt.p_name
+        |FROM haf f JOIN part pt ON pt.p_partkey = f.p
+        |ORDER BY authority_ppm DESC, p_partkey LIMIT $HitsTopK""".stripMargin)
+    },
+    "q270_label_propagation" -> {
+      import graft.operators.Graph.{LpaIterations, MaxBasketItems, MinCoocSupport}
+      val rounds = (1 to LpaIterations).map { r =>
+        s"""llr$r AS (SELECT e.dst, l.lbl, sum(e.w)::BIGINT AS wsum
+           |         FROM lpe e JOIN ll${r - 1} l ON l.node = e.src
+           |         GROUP BY 1, 2),
+           |ll$r AS (SELECT dst AS node, lbl FROM (
+           |          SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+           |            ORDER BY wsum DESC, lbl ASC) AS rn
+           |          FROM llr$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      materializeCtes(
+        s"""WITH lpc AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           row_number() OVER (PARTITION BY l_orderkey ORDER BY
+        |             ('0x' || substr(md5('bk_' || l_orderkey || '_' || l_partkey), 1, 7))::BIGINT,
+        |             l_partkey) AS rn
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+        |  WHERE rn <= $MaxBasketItems),
+        |lpp AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |               count(*)::BIGINT AS w
+        |        FROM lpc a JOIN lpc b USING (l_orderkey)
+        |        WHERE a.l_partkey < b.l_partkey
+        |        GROUP BY 1, 2 HAVING count(*) >= $MinCoocSupport),
+        |lpe AS (SELECT pa AS src, pb AS dst, w FROM lpp
+        |        UNION ALL SELECT pb, pa, w FROM lpp),
+        |ll0 AS (SELECT DISTINCT src AS node, src AS lbl FROM lpe),
+        |$rounds
+        |SELECT lbl AS community, count(*)::BIGINT AS n_nodes,
+        |       min(node)::BIGINT AS min_node
+        |FROM ll$LpaIterations GROUP BY 1
+        |ORDER BY n_nodes DESC, community LIMIT 30""".stripMargin)
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -430,6 +430,74 @@ object DataQuality {
         ((col("nl") - 1) * (col("ns") - 1)).as("dof"), col("chi2_nano"))
   }
 
+  /** Bootstrap replicate count for q268. */
+  val BootstrapReps = 32
+  /** Poisson(1) CDF thresholds on the md5-28 dyadic grid:
+    * c_k = floor(P(X ≤ k) · 2²⁸) for k = 0..4; a draw u ∈ [0, 2²⁸)
+    * maps to weight w = |{k : u ≥ c_k}| ∈ 0..5 (mass beyond 5,
+    * ~6·10⁻⁴, folds into w = 5 — documented truncation). Computed
+    * once here and INJECTED as integer literals into both engines, so
+    * parity is by construction, not by float luck. */
+  val PoissonCdf28: Seq[Long] = {
+    val pmf = (0 to 4).map(k => math.exp(-1.0) / (1 to k).product)
+    pmf.scanLeft(0.0)(_ + _).tail.map(c => math.floor(c * 268435456.0).toLong)
+  }
+
+  /** q268_bootstrap_ci — Poisson-bootstrap confidence interval for the
+    * per-language mean document length: [[BootstrapReps]] replicates
+    * where each doc enters replicate b with weight ~ Poisson(1)
+    * (Efron's bootstrap in the streaming-friendly Poissonized form —
+    * the ONLY resampling scheme that needs no global sample size and
+    * therefore distributes: each row draws its weights independently),
+    * then the 2.5%/97.5% percentiles of the replicate means — the
+    * error bar that turns every point estimate in this suite into a
+    * defensible claim ("lang X docs are longer" means nothing without
+    * it) and the q214 z-test's nonparametric sibling.
+    *
+    * Determinism: draws are derandomized md5-28 dyadics against the
+    * integer [[PoissonCdf28]] thresholds (q48's replayable-sampling
+    * rule applied to resampling weights, q246's noise precedent);
+    * replicate means in exact integer micros; the CI percentiles
+    * follow q38's interpolation convention, rounded 4dp.
+    *
+    * Scale shape: the 32× replicate fan-out rides the scan (explode
+    * of a constant range — THE cost, priced honestly); everything
+    * after is one (lang, b) partial-aggregable sum pair, a
+    * langs×32-row percentile aggregate and a broadcast join of the
+    * actual means; output |langs| rows. */
+  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val actual = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(n_chars) * 1000000 div count(*)").as("mean_micros"))
+    val u = graft.functions.HashFunctions.md5Int28(
+      concat(lit("boot_"), col("b").cast("string"), lit("_"),
+        col("doc_id").cast("string")))
+    val weighted = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(sequence(lit(0), lit(BootstrapReps - 1))).as("b"))
+      .withColumn("w",
+        PoissonCdf28.map(c => when(u >= lit(c), 1L).otherwise(0L))
+          .reduce(_ + _))
+    val reps = weighted.groupBy(col("lang"), col("b"))
+      .agg(sum(col("w") * col("n_chars")).as("swn"), sum(col("w")).as("sw"))
+      .select(col("lang"),
+        expr("swn * 1000000 div sw").as("rep_mean_micros"))
+    val ci = reps.groupBy(col("lang"))
+      .agg(round(percentile(col("rep_mean_micros").cast("double"), lit(0.025)), 4)
+        .as("ci_lo_micros"),
+        round(percentile(col("rep_mean_micros").cast("double"), lit(0.975)), 4)
+          .as("ci_hi_micros"))
+    actual.join(ci, "lang")
+      .select(col("lang"), col("n_docs"), col("mean_micros"),
+        col("ci_lo_micros"), col("ci_hi_micros"),
+        (col("ci_lo_micros") <= col("mean_micros").cast("double")
+          && col("mean_micros").cast("double") <= col("ci_hi_micros"))
+          .as("covered"))
+      .orderBy("lang")
+  }
+
   /** q262_spearman — Spearman rank correlation between doc length and
     * the q19 quality score: Pearson over AVERAGE ranks, the
     * tie-correct monotone-association measure — the nonparametric

@@ -719,4 +719,117 @@ object Graph {
         coalesce(col("in_3core"), lit(false)).as("in_3core"))
       .orderBy("doc_id")
   }
+
+  /** HITS power-iteration rounds (full hub→auth→hub sweeps). */
+  val HitsIterations = 2
+  val HitsTopK = 20
+
+  /** q269_hits — HITS hubs & authorities (Kleinberg 1999) on the
+    * bipartite customer→part purchase graph: authority(part) =
+    * Σ hub(buyers), hub(customer) = Σ authority(bought parts),
+    * iterated — the mutual-reinforcement ranking where a part matters
+    * because WELL-ROUNDED buyers buy it, not merely because many do
+    * (q76's PageRank propagates a single score along a homogeneous
+    * graph; HITS is the two-role recurrence, and on a bipartite graph
+    * the natural one). Top authorities = the catalog's anchor
+    * products.
+    *
+    * Determinism: scores live on an integer ppm grid — each half-step
+    * renormalizes by the MAX via integer floor-division (broadcast
+    * 1-row max), so every round is exact ≤2⁵³ integer arithmetic;
+    * ranking under (auth desc, partkey) total order.
+    *
+    * Scale shape: the edge table is one distinct aggregate keyed
+    * (cust, part); each half-step is one keyed join + one
+    * partial-aggregable sum + a broadcast max; top-20 via
+    * TakeOrderedAndProject. Rounds are unrolled with per-round
+    * checkpoints (q76's pattern), state O(1) on the driver. */
+  def hits(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")), "l_orderkey")
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint()
+    var hub = edges.select(col("c")).distinct()
+      .withColumn("h", lit(1000000L))
+    for (_ <- 1 to HitsIterations) {
+      val authRaw = edges.join(hub, "c")
+        .groupBy(col("p")).agg(sum(col("h")).as("ar"))
+      val authMax = authRaw.agg(max(col("ar")).as("am"))
+      val auth = authRaw.crossJoin(broadcast(authMax))
+        .select(col("p"), expr("ar * 1000000 div am").as("a"))
+        .localCheckpoint()
+      val hubRaw = edges.join(auth, "p")
+        .groupBy(col("c")).agg(sum(col("a")).as("hr"))
+      val hubMax = hubRaw.agg(max(col("hr")).as("hm"))
+      hub = hubRaw.crossJoin(broadcast(hubMax))
+        .select(col("c"), expr("hr * 1000000 div hm").as("h"))
+        .localCheckpoint()
+    }
+    // final authority pass over the converged hub scores
+    val authRaw = edges.join(hub, "c")
+      .groupBy(col("p")).agg(sum(col("h")).as("ar"), count(lit(1)).as("n_buyers"))
+    val authMax = authRaw.agg(max(col("ar")).as("am"))
+    authRaw.crossJoin(broadcast(authMax))
+      .select(col("p").as("p_partkey"), col("n_buyers"),
+        expr("ar * 1000000 div am").as("authority_ppm"))
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_name"))), "p_partkey")
+      .orderBy(col("authority_ppm").desc, col("p_partkey"))
+      .limit(HitsTopK)
+  }
+
+  /** Synchronous label-propagation rounds for q270. */
+  val LpaIterations = 3
+
+  /** q270_label_propagation — community detection by synchronous
+    * weighted label propagation (Raghavan 2007) over the capped
+    * co-occurrence graph: labels start as own part ids; each round
+    * every node adopts the label carrying the most co-occurrence
+    * WEIGHT among its neighbors (tie → smallest label) — the
+    * near-linear community detector that needs no modularity
+    * objective or cluster count up front (q31's connected components
+    * merge everything reachable; LPA segments DENSE regions apart,
+    * which is what "product families" means on a basket graph; q224
+    * then scores such partitions).
+    *
+    * Determinism: synchronous rounds (all nodes update from the SAME
+    * previous labeling — no update-order dependence), integer weights,
+    * argmax via struct-max (weight, −label); fixed
+    * [[LpaIterations]] rounds rather than data-dependent convergence.
+    *
+    * Scale shape: each round is one label⋈edge join keyed by the
+    * neighbor + one (node, label) partial-aggregable weight sum + one
+    * node-keyed struct-max — all on the pair domain (basket-cap
+    * bounded, q126's argument), checkpointed per round; census is one
+    * label-keyed count. */
+  def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = basketPairs(basketArtifact(spark, sfDir))
+      .filter(col("n_ab") >= MinCoocSupport)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("part_a").as("src"), col("part_b").as("dst"), col("n_ab")),
+        struct(col("part_b").as("src"), col("part_a").as("dst"), col("n_ab"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.n_ab").as("w"))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to LpaIterations) {
+      labels = edges
+        .join(labels.select(col("node").as("src"), col("lbl")), "src")
+        .groupBy(col("dst"), col("lbl")).agg(sum(col("w")).as("wsum"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("wsum"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.neg")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(30)
+  }
 }

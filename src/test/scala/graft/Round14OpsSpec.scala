@@ -189,6 +189,88 @@ class Round14OpsSpec extends SparkSuite {
     assert(row.getAs[Long]("n_boundary_ts") == deltas.length)
   }
 
+  test("q268 bootstrap CI brackets the point estimate and thresholds are sane") {
+    import graft.operators.DataQuality.PoissonCdf28
+    // the dyadic Poisson(1) thresholds are increasing and end near 2^28
+    assert(PoissonCdf28 == PoissonCdf28.sorted && PoissonCdf28.size == 5)
+    assert(PoissonCdf28.last > (268435456L * 99) / 100,
+      "P(X<=4) ~ 0.996 of the 2^28 grid")
+    assert(math.abs(PoissonCdf28.head - (268435456L * 368) / 1000)
+      < 268435456L / 100, "P(0) ~ e^-1")
+    val rows = graft.operators.DataQuality.bootstrapCi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ci_lo_micros") <= r.getAs[Double]("ci_hi_micros"))
+      // coverage of the point estimate is expected (not guaranteed);
+      // assert the flag is CONSISTENT with the bounds rather than true
+      val covered = r.getAs[Boolean]("covered")
+      val m = r.getAs[Long]("mean_micros").toDouble
+      assert(covered == (r.getAs[Double]("ci_lo_micros") <= m
+        && m <= r.getAs[Double]("ci_hi_micros")))
+    }
+  }
+
+  test("q269 hits authorities match a driver-side power iteration") {
+    val out = graft.operators.Graph.hits(spark, sf).collect()
+    assert(out.length <= graft.operators.Graph.HitsTopK && out.nonEmpty)
+    // independent integer recompute over collected edges
+    val edges = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var hub = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to graft.operators.Graph.HitsIterations) {
+      val ar = edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => hub(e._1)).sum }
+      val am = ar.values.max
+      auth = ar.map { case (p, v) => p -> v * 1000000L / am }
+      val hr = edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => auth(e._2)).sum }
+      val hm = hr.values.max
+      hub = hr.map { case (c, v) => c -> v * 1000000L / hm }
+    }
+    val arf = edges.groupBy(_._2).map { case (p, es) =>
+      p -> es.map(e => hub(e._1)).sum }
+    val amf = arf.values.max
+    val authF = arf.map { case (p, v) => p -> v * 1000000L / amf }
+    out.foreach { r =>
+      assert(authF(r.getAs[Long]("p_partkey"))
+        == r.getAs[Long]("authority_ppm"))
+    }
+    // top-1 really attains the global max
+    assert(out.head.getAs[Long]("authority_ppm") == 1000000L)
+  }
+
+  test("q270 LPA matches a driver-side synchronous propagation") {
+    val out = graft.operators.Graph.labelPropagation(spark, sf).collect()
+    assert(out.nonEmpty)
+    // recompute over the same capped pair substrate
+    val pairs = graft.operators.Graph.basketArtifact(spark, sf)
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items)), y -> " +
+          "struct(least(x, y) AS a, greatest(x, y) AS b))))")).as("p"))
+      .groupBy("p.a", "p.b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= graft.operators.Graph.MinCoocSupport)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = pairs.flatMap(p => Seq((p._1, p._2, p._3), (p._2, p._1, p._3)))
+    var lbl = edges.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to graft.operators.Graph.LpaIterations) {
+      lbl = edges.groupBy(_._2).map { case (dst, es) =>
+        val votes = es.groupBy(e => lbl(e._1))
+          .map { case (l, xs) => l -> xs.map(_._3).sum }
+        dst -> votes.toSeq.minBy { case (l, w) => (-w, l) }._1
+      }
+    }
+    val census = lbl.values.groupBy(identity)
+      .map { case (c, xs) => c -> xs.size.toLong }
+    out.foreach { r =>
+      assert(census(r.getAs[Long]("community")) == r.getAs[Long]("n_nodes"))
+    }
+  }
+
   test("q261 flesch formula spot-check on a hand-computed doc") {
     // "Hello world. It is sunny." → w=5, s=2, y: e-o-o-i-i-u-(y? 'sunny'
     // has u and y) — count vowel GROUPS in lowercase:
