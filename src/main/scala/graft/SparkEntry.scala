@@ -283,7 +283,10 @@ object SparkEntry {
     "q267_max_concurrency" -> (graft.streaming.EventStream.maxConcurrency _),
     "q268_bootstrap_ci"   -> (DataQuality.bootstrapCi _),
     "q269_hits"           -> (Graph.hits _),
-    "q270_label_propagation" -> (Graph.labelPropagation _)
+    "q270_label_propagation" -> (Graph.labelPropagation _),
+    "q271_substring_index" -> (Indexing.substringIndex _),
+    "q272_char_entropy"   -> (TextAnalysis.charEntropy _),
+    "q273_burrows_delta"  -> (TextAnalysis.burrowsDelta _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -5225,6 +5228,78 @@ object SparkEntry {
         |       min(node)::BIGINT AS min_node
         |FROM ll$LpaIterations GROUP BY 1
         |ORDER BY n_nodes DESC, community LIMIT 30""".stripMargin)
+    },
+    "q271_substring_index" -> {
+      import graft.operators.Indexing.{SubstrGramLen => G, SubstrNeedleLen,
+        SubstrNeedleStart, SubstrQueryMod}
+      s"""WITH ssq AS (SELECT doc_id AS query_id,
+        |                    substring(text, $SubstrNeedleStart, $SubstrNeedleLen)
+        |                      AS needle
+        |             FROM documents
+        |             WHERE doc_id % $SubstrQueryMod = 0 AND n_chars >= 30),
+        |ssg AS (SELECT query_id, substring(needle, 1, $G) AS gram,
+        |               0::BIGINT AS goff FROM ssq
+        |        UNION ALL
+        |        SELECT query_id, substring(needle, ${G + 1}, $G), $G::BIGINT
+        |        FROM ssq),
+        |ssp AS (SELECT d.doc_id, substring(d.text, t.pos, $G) AS gram,
+        |               t.pos::BIGINT AS pos
+        |        FROM documents d, unnest(range(1, d.n_chars - ${G - 2})) t(pos)),
+        |ssh AS (SELECT query_id, doc_id, start, ng FROM (
+        |          SELECT g.query_id, p.doc_id, p.pos - g.goff AS start,
+        |                 count(DISTINCT g.goff) AS ng
+        |          FROM ssp p JOIN ssg g USING (gram)
+        |          GROUP BY 1, 2, 3)
+        |        WHERE ng = 2 AND start >= 1)
+        |SELECT query_id, doc_id, count(*)::BIGINT AS n_occurrences,
+        |       (query_id = doc_id) AS is_self
+        |FROM ssh GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin
+    },
+    "q272_char_entropy" ->
+      """WITH ceu AS (SELECT lang, doc_id, n_chars,
+        |                    unnest(string_split(text, '')) AS ch
+        |             FROM documents),
+        |cec AS (SELECT lang, doc_id, n_chars, ch, count(*)::BIGINT AS c
+        |        FROM ceu GROUP BY 1, 2, 3, 4),
+        |ced AS (SELECT lang, doc_id,
+        |               sum(floor(c::DOUBLE / n_chars::DOUBLE
+        |                   * ln(n_chars::DOUBLE / c::DOUBLE)
+        |                   * 1000000000.0)::BIGINT)::BIGINT AS entropy_nano
+        |        FROM cec GROUP BY 1, 2)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(entropy_nano)::BIGINT // count(*)::BIGINT AS mean_entropy_nano,
+        |       min(entropy_nano)::BIGINT AS min_entropy_nano,
+        |       max(entropy_nano)::BIGINT AS max_entropy_nano
+        |FROM ced GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q273_burrows_delta" -> {
+      val words = graft.operators.TextAnalysis.DeltaMarkerWords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH bdt AS (SELECT source,
+        |                    unnest(regexp_extract_all(text, '[^ \\t\\n\\r]+'))
+        |                      AS tok
+        |             FROM documents),
+        |bdn AS (SELECT source, count(*)::BIGINT AS n_toks FROM bdt GROUP BY 1),
+        |bdm AS (SELECT unnest([$words]) AS tok),
+        |bdf AS (SELECT source, tok, count(*)::BIGINT AS c FROM bdt
+        |        WHERE tok IN ($words) GROUP BY 1, 2),
+        |bdg AS (SELECT n.source, m.tok,
+        |               coalesce(f.c, 0) * 1000000 // n.n_toks AS f_ppm
+        |        FROM bdn n CROSS JOIN bdm m
+        |        LEFT JOIN bdf f ON f.source = n.source AND f.tok = m.tok),
+        |bdmo AS (SELECT tok, count(*)::BIGINT AS s, sum(f_ppm)::BIGINT AS sf,
+        |                round(stddev_pop(f_ppm::DOUBLE), 6) AS sd
+        |         FROM bdg GROUP BY 1),
+        |bdz AS (SELECT g.source, g.tok,
+        |               floor((g.f_ppm * m.s - m.sf)::DOUBLE
+        |                     / (m.s::DOUBLE * m.sd)
+        |                     * 1000000000.0)::BIGINT AS z_nano
+        |        FROM bdg g JOIN bdmo m USING (tok) WHERE m.sd > 0),
+        |bdp AS (SELECT a.source AS source_a, b.source AS source_b,
+        |               abs(a.z_nano - b.z_nano) AS d
+        |        FROM bdz a JOIN bdz b ON a.tok = b.tok AND a.source < b.source)
+        |SELECT source_a, source_b, count(*)::BIGINT AS n_words,
+        |       sum(d)::BIGINT // count(*)::BIGINT AS delta_nano
+        |FROM bdp GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
     }
   )
 

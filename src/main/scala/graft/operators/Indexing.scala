@@ -529,4 +529,67 @@ object Indexing {
           .as("savings_ppm"))
       .orderBy("term")
   }
+
+  /** q271 knobs: query selection stride, needle geometry. */
+  val SubstrQueryMod = 97L
+  val SubstrNeedleStart = 11
+  val SubstrNeedleLen = 12
+  val SubstrGramLen = 6
+
+  /** q271_substring_index — character q-gram positional index search
+    * (the grep-accelerating index; Navarro & Baeza-Yates' q-gram
+    * filtration): every doc whose id ≡ 0 mod [[SubstrQueryMod]]
+    * queries with a [[SubstrNeedleLen]]-char slice of its own text;
+    * the needle splits into [[SubstrGramLen]]-char grams at offsets
+    * 0 and 6, candidate positions must carry BOTH grams at a
+    * CONSISTENT start (pos − offset equal) — and because the two
+    * grams tile the needle contiguously, consistency IS an exact
+    * substring match: no re-verification pass exists to get wrong.
+    * q96's phrase search is token-positional; this is the
+    * character-level sibling that finds matches crossing token
+    * boundaries (code search, DNA-style data, no-whitespace CJK).
+    *
+    * Scale shape: the position fan-out (one row per char offset) is
+    * scan-side and immediately filtered by a BROADCAST join on the
+    * tiny needle-gram set — the full fan-out never crosses an
+    * exchange; the only shuffle is matching gram rows keyed
+    * (query, doc, start), grouped with a distinct-offset count.
+    * Self-matches prove recall (every query finds its own doc at
+    * [[SubstrNeedleStart]]). */
+  def substringIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val needles = docs
+      .filter(col("doc_id") % lit(SubstrQueryMod) === 0L
+        && col("n_chars") >= lit(30L))
+      .select(col("doc_id").as("query_id"),
+        expr(s"substring(text, $SubstrNeedleStart, $SubstrNeedleLen)")
+          .as("needle"))
+    val qGrams = needles.select(col("query_id"),
+      explode(array(
+        struct(expr(s"substring(needle, 1, $SubstrGramLen)").as("gram"),
+          lit(0L).as("goff")),
+        struct(expr(s"substring(needle, ${SubstrGramLen + 1}, $SubstrGramLen)")
+          .as("gram"), lit(SubstrGramLen.toLong).as("goff")))).as("g"))
+      .select(col("query_id"), col("g.gram").as("gram"), col("g.goff").as("goff"))
+    val positions = docs
+      .select(col("doc_id"), col("text"),
+        explode_outer(sequence(lit(1),
+          (col("n_chars") - lit(SubstrGramLen - 1)).cast("int"))).as("pos"))
+      .filter(col("pos").isNotNull)
+      .select(col("doc_id"),
+        expr(s"substring(text, pos, $SubstrGramLen)").as("gram"),
+        col("pos").cast("long").as("pos"))
+    val hits = positions.join(broadcast(qGrams), "gram")
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("goff")).as("start"), col("goff"))
+      .groupBy(col("query_id"), col("doc_id"), col("start"))
+      .agg(countDistinct(col("goff")).as("ng"))
+      .filter(col("ng") === 2L && col("start") >= 1L)
+    hits.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .select(col("query_id"), col("doc_id"), col("n_occurrences"),
+        (col("query_id") === col("doc_id")).as("is_self"))
+      .orderBy("query_id", "doc_id")
+  }
 }

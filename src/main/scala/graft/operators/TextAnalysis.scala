@@ -1237,6 +1237,103 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** q272_char_entropy — character-level Shannon entropy per document,
+    * rolled up per language: Σ (c/n)·ln(n/c) over the doc's char
+    * histogram in exact integer nano-nats — the alphabet-agnostic
+    * randomness screen (near-zero = run-on repetition the
+    * `compression_ratio` expression also catches, but this one is
+    * oracle-gradable; near-ln|alphabet| = noise/base64 blobs) that
+    * complements q247's behavioral entropy and q19/q54's token-level
+    * features with a sub-token signal.
+    *
+    * Determinism: char counts exact (split on '' — identical char
+    * semantics both engines on this corpus); each summand
+    * floor-quantized to nano before the integer sum (q152's rule);
+    * n = n_chars (asserted equal to len(text) in the suite's data).
+    *
+    * Scale shape: one (lang, doc, char) partial-aggregable count →
+    * per-doc roll-up (same key prefix — AQE exchange reuse, q247's
+    * note) → lang-domain aggregate; |langs| output rows. */
+  def charEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("lang"), col("doc_id"), col("n_chars"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = counts
+      .select(col("lang"), col("doc_id"),
+        floor(col("c").cast("double") / col("n_chars").cast("double")
+          * log(col("n_chars").cast("double") / col("c").cast("double"))
+          * lit(1e9)).cast("long").as("t"))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(sum(col("t")).as("entropy_nano"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(entropy_nano) div count(*)").as("mean_entropy_nano"),
+        min(col("entropy_nano")).as("min_entropy_nano"),
+        max(col("entropy_nano")).as("max_entropy_nano"))
+      .orderBy("lang")
+  }
+
+  /** q273 marker vocabulary: the union of all stopword profiles —
+    * high-frequency function words, the classic stylometric features
+    * (content words track topic; function words track the author). */
+  val DeltaMarkerWords: Seq[String] =
+    StopwordProfiles.flatMap(_._2).distinct.sorted
+
+  /** q273_burrows_delta — Burrows' Delta stylometry between sources:
+    * per source the per-mille-of-ppm frequency of each marker word,
+    * z-scored ACROSS sources per word, then Delta(s₁, s₂) = mean
+    * |z₁ − z₂| over the marker vocabulary — the authorship /
+    * style-distance measure (Burrows 2002) that clusters crawl
+    * sources by REGISTER where q152/q213's content-distribution
+    * drift can't separate topic from voice.
+    *
+    * Determinism: frequencies are exact integer ppm; per-word means
+    * enter as exact integer deviations (dev = f·S − Σf); the only
+    * float is the 6dp-rounded population stddev (q39's convention),
+    * and z floors to nano before the pair averaging.
+    *
+    * Scale shape: one token-count aggregate filtered to the ≤40-word
+    * marker set SCAN-SIDE (q75's IN-filter trick), a words×sources
+    * grid (domain-bounded) for moments, one word-keyed pair join over
+    * sources² rows; output C(S,2) rows. */
+  def burrowsDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val markers = DeltaMarkerWords
+    val toksBySource = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(T.wsTokens(col("text"))).as("tok"))
+    val totals = toksBySource.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_toks"))
+    val freqs = toksBySource.filter(col("tok").isin(markers: _*))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    // dense (source × word) grid — an absent marker is frequency 0
+    val grid = totals.crossJoin(
+        broadcast(spark.createDataFrame(markers.map(Tuple1(_)))
+          .toDF("tok")))
+      .join(freqs, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"),
+        expr("coalesce(c, 0) * 1000000 div n_toks").as("f_ppm"))
+      .localCheckpoint()
+    val moments = grid.groupBy(col("tok"))
+      .agg(count(lit(1)).as("s"), sum(col("f_ppm")).as("sf"),
+        round(stddev_pop(col("f_ppm").cast("double")), 6).as("sd"))
+    val z = grid.join(broadcast(moments), "tok")
+      .filter(col("sd") > 0.0)
+      .select(col("source"), col("tok"),
+        floor((col("f_ppm") * col("s") - col("sf")).cast("double")
+          / (col("s").cast("double") * col("sd")) * lit(1e9))
+          .cast("long").as("z_nano"))
+    val pairs = z.as("za")
+      .join(z.as("zb"), col("za.tok") === col("zb.tok")
+        && col("za.source") < col("zb.source"))
+      .select(col("za.source").as("source_a"), col("zb.source").as("source_b"),
+        abs(col("za.z_nano") - col("zb.z_nano")).as("d"))
+    pairs.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_words"),
+        expr("sum(d) div count(*)").as("delta_nano"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q261_readability — Flesch reading-ease per language: per doc the
     * word count, sentence count ([.!?]+ runs, floor 1) and syllable
     * estimate (vowel-group runs — the standard heuristic; exact

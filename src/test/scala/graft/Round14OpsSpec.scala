@@ -271,6 +271,72 @@ class Round14OpsSpec extends SparkSuite {
     }
   }
 
+  test("q271 substring search recalls every self-match and reports true occurrence counts") {
+    import graft.operators.Indexing._
+    val rows = graft.operators.Indexing.substringIndex(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val queries = docs.filter { case (id, t) =>
+      id % SubstrQueryMod == 0 && t.length >= 30 }
+      .map { case (id, t) =>
+        id -> t.substring(SubstrNeedleStart - 1,
+          SubstrNeedleStart - 1 + SubstrNeedleLen) }
+    assert(queries.nonEmpty)
+    // every query matches its own doc (self-recall) ...
+    queries.keys.foreach { q =>
+      assert(rows.exists(r => r.getAs[Long]("query_id") == q
+        && r.getAs[Long]("doc_id") == q), s"query $q misses itself")
+    }
+    // ... and every reported count equals a literal substring count
+    def countOcc(hay: String, needle: String): Long = {
+      var i = hay.indexOf(needle); var n = 0L
+      while (i >= 0) { n += 1; i = hay.indexOf(needle, i + 1) }
+      n
+    }
+    rows.foreach { r =>
+      val expect = countOcc(docs(r.getAs[Long]("doc_id")),
+        queries(r.getAs[Long]("query_id")))
+      assert(r.getAs[Long]("n_occurrences") == expect)
+    }
+    // completeness: no (query, doc) pair with a match is missing
+    val present = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))).toSet
+    for ((q, needle) <- queries; (d, t) <- docs if countOcc(t, needle) > 0)
+      assert(present((q, d)), s"missing match ($q, $d)")
+  }
+
+  test("q272 char entropy is bounded by ln(alphabet) and nonnegative") {
+    val rows = graft.operators.TextAnalysis.charEntropy(spark, sf).collect()
+    val nAlpha = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), "")).as("ch"))
+      .distinct().count()
+    val cap = (math.log(nAlpha.toDouble) * 1e9).toLong
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_entropy_nano") >= 0L)
+      assert(r.getAs[Long]("max_entropy_nano") <= cap)
+      assert(r.getAs[Long]("min_entropy_nano")
+        <= r.getAs[Long]("mean_entropy_nano"))
+      assert(r.getAs[Long]("mean_entropy_nano")
+        <= r.getAs[Long]("max_entropy_nano"))
+    }
+  }
+
+  test("q273 burrows delta is a symmetric-complete pair table with self-consistent zeros") {
+    val rows = graft.operators.TextAnalysis.burrowsDelta(spark, sf).collect()
+    val sources = graft.sources.Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    assert(rows.length == sources * (sources - 1) / 2,
+      "one row per unordered source pair")
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      assert(r.getAs[Long]("delta_nano") >= 0L)
+      assert(r.getAs[Long]("n_words") > 0L)
+    }
+    // every pair scores the same word count (the shared marker vocab)
+    assert(rows.map(_.getAs[Long]("n_words")).toSet.size == 1)
+  }
+
   test("q261 flesch formula spot-check on a hand-computed doc") {
     // "Hello world. It is sunny." → w=5, s=2, y: e-o-o-i-i-u-(y? 'sunny'
     // has u and y) — count vowel GROUPS in lowercase:
