@@ -286,7 +286,11 @@ object SparkEntry {
     "q270_label_propagation" -> (Graph.labelPropagation _),
     "q271_substring_index" -> (Indexing.substringIndex _),
     "q272_char_entropy"   -> (TextAnalysis.charEntropy _),
-    "q273_burrows_delta"  -> (TextAnalysis.burrowsDelta _)
+    "q273_burrows_delta"  -> (TextAnalysis.burrowsDelta _),
+    "q274_simpson"        -> (DataQuality.simpson _),
+    "q275_stream_full_outer_join_exec" ->
+      (graft.streaming.EventStream.clickAttributionFullOuterStreamed _),
+    "q276_split_leakage"  -> (Dedup.splitLeakage _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -5300,6 +5304,81 @@ object SparkEntry {
         |SELECT source_a, source_b, count(*)::BIGINT AS n_words,
         |       sum(d)::BIGINT // count(*)::BIGINT AS delta_nano
         |FROM bdp GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+    },
+    "q274_simpson" ->
+      (qualityCte + """,
+        |sps AS (SELECT d.lang, q.quality_score AS y, ln(d.n_chars::DOUBLE) AS x
+        |        FROM qual q JOIN documents d USING (doc_id)
+        |        WHERE d.n_chars > 0),
+        |spp AS (SELECT round(regr_slope(y, x), 6) AS pooled_slope FROM sps),
+        |spl AS (SELECT lang, count(*)::BIGINT AS n,
+        |               round(regr_slope(y, x), 6) AS lang_slope
+        |        FROM sps GROUP BY 1)
+        |SELECT l.lang, l.n, l.lang_slope, p.pooled_slope,
+        |       (l.lang_slope * p.pooled_slope < 0.0) AS sign_reversed
+        |FROM spl l CROSS JOIN spp p ORDER BY l.lang""".stripMargin),
+    "q275_stream_full_outer_join_exec" ->
+      """WITH fc AS (SELECT event_id AS click_id, user_id, ts AS cts,
+        |                  epoch_us(ts) AS cus
+        |            FROM events WHERE event_type = 'click'),
+        |fv AS (SELECT event_id AS view_id, user_id, ts AS vts,
+        |              epoch_us(ts) AS vus
+        |       FROM events WHERE event_type = 'view'),
+        |fwm AS (SELECT least((SELECT max(cus) FROM fc), (SELECT max(vus) FROM fv))
+        |               - 600000000 AS wm),
+        |fj AS (SELECT c.click_id, c.user_id AS c_user, c.cts, c.cus,
+        |              v.view_id, v.user_id AS v_user, v.vts, v.vus
+        |       FROM fc c FULL JOIN fv v ON v.user_id = c.user_id
+        |         AND v.vus <= c.cus AND v.vus >= c.cus - 1800000000)
+        |SELECT coalesce(click_id, -1) AS click_id,
+        |       coalesce(c_user, v_user) AS user_id,
+        |       coalesce(strftime(cts, '%Y-%m-%d %H:%M:%S'), '-') AS click_ts,
+        |       coalesce(view_id, -1) AS view_id,
+        |       coalesce(strftime(vts, '%Y-%m-%d %H:%M:%S'), '-') AS view_ts
+        |FROM fj, fwm
+        |WHERE (click_id IS NOT NULL AND view_id IS NOT NULL)
+        |   OR (view_id IS NULL AND cus < wm)
+        |   OR (click_id IS NULL AND vus < wm - 1800000000)
+        |ORDER BY click_id, view_id""".stripMargin,
+    "q276_split_leakage" -> {
+      import graft.operators.Dedup.JaccardThreshold
+      import graft.operators.Sampling.{TrainPerMille, ValPerMille}
+      jaccardCte + s""",
+        |sls AS (SELECT doc_id,
+        |          CASE WHEN ('0x' || substr(md5('spl_' || doc_id), 1, 7))::BIGINT
+        |                    % 1000 < $TrainPerMille THEN 'train'
+        |               WHEN ('0x' || substr(md5('spl_' || doc_id), 1, 7))::BIGINT
+        |                    % 1000 < $ValPerMille THEN 'val'
+        |               ELSE 'test' END AS s
+        |        FROM documents),
+        |sln AS (SELECT least(a.s, b.s) AS split_a, greatest(a.s, b.s) AS split_b,
+        |               count(*)::BIGINT AS n_near_pairs
+        |        FROM (SELECT i, j FROM jac WHERE jaccard >= $JaccardThreshold) p
+        |        JOIN sls a ON a.doc_id = p.i JOIN sls b ON b.doc_id = p.j
+        |        GROUP BY 1, 2),
+        |slg AS (SELECT md5(d.text) AS h,
+        |               sum(CASE WHEN s.s = 'train' THEN 1 ELSE 0 END)::BIGINT AS ctr,
+        |               sum(CASE WHEN s.s = 'val' THEN 1 ELSE 0 END)::BIGINT AS cva,
+        |               sum(CASE WHEN s.s = 'test' THEN 1 ELSE 0 END)::BIGINT AS cte
+        |        FROM documents d JOIN sls s USING (doc_id) GROUP BY 1),
+        |sle AS (SELECT coalesce(sum(cte * (cte - 1) // 2), 0)::BIGINT AS p_tt,
+        |               coalesce(sum(cte * ctr), 0)::BIGINT AS p_ttr,
+        |               coalesce(sum(cte * cva), 0)::BIGINT AS p_tv,
+        |               coalesce(sum(ctr * (ctr - 1) // 2), 0)::BIGINT AS p_trtr,
+        |               coalesce(sum(ctr * cva), 0)::BIGINT AS p_trv,
+        |               coalesce(sum(cva * (cva - 1) // 2), 0)::BIGINT AS p_vv
+        |        FROM slg),
+        |slx AS (SELECT 'test' AS split_a, 'test' AS split_b, p_tt AS n_exact_pairs FROM sle
+        |        UNION ALL SELECT 'test', 'train', p_ttr FROM sle
+        |        UNION ALL SELECT 'test', 'val', p_tv FROM sle
+        |        UNION ALL SELECT 'train', 'train', p_trtr FROM sle
+        |        UNION ALL SELECT 'train', 'val', p_trv FROM sle
+        |        UNION ALL SELECT 'val', 'val', p_vv FROM sle)
+        |SELECT x.split_a, x.split_b, x.n_exact_pairs,
+        |       coalesce(n.n_near_pairs, 0)::BIGINT AS n_near_pairs,
+        |       (x.split_a <> x.split_b) AS crosses_split
+        |FROM slx x LEFT JOIN sln n USING (split_a, split_b)
+        |ORDER BY split_a, split_b""".stripMargin
     }
   )
 

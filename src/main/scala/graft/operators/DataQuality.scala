@@ -430,6 +430,43 @@ object DataQuality {
         ((col("nl") - 1) * (col("ns") - 1)).as("dof"), col("chi2_nano"))
   }
 
+  /** q274_simpson — Simpson's-paradox screen on the quality~length
+    * relationship: the POOLED OLS slope (q254's regression) beside
+    * each language's WITHIN-GROUP slope, with a reversal flag where
+    * the signs disagree — the aggregation-reversal audit that decides
+    * whether a corpus-wide trend is real or an artifact of group
+    * composition (the classic trap behind "longer docs score higher":
+    * if it reverses within every language, the pooled slope is
+    * mixture structure, not signal — filter thresholds must then be
+    * set per-stratum, q48/q60's knobs, not globally).
+    *
+    * Determinism: both slopes are single-pass co-moment aggregates
+    * rounded 6dp (q39/q254's convention); the flag compares the
+    * ROUNDED values, so it is as deterministic as they are.
+    *
+    * Scale shape: ONE scan feeds a lang-keyed co-moment aggregate and
+    * a 1-row pooled aggregate (broadcast back); |langs| output
+    * rows. */
+  def simpson(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+      .filter(col("n_chars") > 0)
+      .select(col("lang"), col("quality_score").as("y"),
+        log(col("n_chars").cast("double")).as("x"))
+      .localCheckpoint()
+    val pooled = scored.agg(
+      round(expr("regr_slope(y, x)"), 6).as("pooled_slope"))
+    val perLang = scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("regr_slope(y, x)"), 6).as("lang_slope"))
+    perLang.crossJoin(broadcast(pooled))
+      .select(col("lang"), col("n"), col("lang_slope"), col("pooled_slope"),
+        (col("lang_slope") * col("pooled_slope") < 0.0).as("sign_reversed"))
+      .orderBy("lang")
+  }
+
   /** Bootstrap replicate count for q268. */
   val BootstrapReps = 32
   /** Poisson(1) CDF thresholds on the md5-28 dyadic grid:

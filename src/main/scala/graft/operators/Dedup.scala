@@ -1121,4 +1121,70 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("in_minhash", "in_simhash", "in_containment")
   }
+
+  /** q276_split_leakage — train/val/test contamination census: how
+    * many EXACT-duplicate and NEAR-duplicate (Jaccard ≥ 0.8) pairs
+    * cross each unordered split-pair boundary of q99's deterministic
+    * split — the leakage audit a model evaluation stands on (a test
+    * doc with a train near-twin inflates every metric; q51 screens
+    * against an EXTERNAL benchmark, this audits the corpus's OWN
+    * held-out split; q118's bloom arm is the probabilistic fast
+    * path). Same-split rows ship as contrast — cross-split near-dup
+    * mass comparable to within-split mass is exactly what "the split
+    * ignores the dup structure" looks like (and why dedup-THEN-split,
+    * q14/q31's output, is the fix).
+    *
+    * Determinism: splits are q99's scan-local md5 per-mille rule
+    * recomputed from doc_id alone (no join with the sampling query);
+    * near pairs are the verified artifact; exact pairs are COUNTED
+    * from per-hash split tallies (c_train·c_val etc.), never
+    * materialized.
+    *
+    * Scale shape: near arm = one scan-local split projection over the
+    * pair artifact (10th consumer) + a ≤6-row aggregate; exact arm =
+    * one content-hash aggregate with three conditional counts, pair
+    * combinatorics per hash group scan-local, same ≤6-row roll-up. A
+    * flooded dup group costs integer multiplication, not C(n,2)
+    * rows. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    def splitOf(id: Column): Column = {
+      val bucket = pmod(H.md5Int28(concat(lit("spl_"), id.cast("string"))),
+        lit(1000))
+      when(bucket < Sampling.TrainPerMille, lit("train"))
+        .when(bucket < Sampling.ValPerMille, lit("val"))
+        .otherwise(lit("test"))
+    }
+    val near = verifiedPairs(spark, sfDir)
+      .select(splitOf(col("doc_a")).as("sa0"), splitOf(col("doc_b")).as("sb0"))
+      .select(least(col("sa0"), col("sb0")).as("split_a"),
+        greatest(col("sa0"), col("sb0")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_near_pairs"))
+    val exactGroups = Tables.documents(spark, sfDir)
+      .select(md5(col("text")).as("h"), splitOf(col("doc_id")).as("s"))
+      .groupBy(col("h"))
+      .agg(sum(when(col("s") === "train", 1L).otherwise(0L)).as("ctr"),
+        sum(when(col("s") === "val", 1L).otherwise(0L)).as("cva"),
+        sum(when(col("s") === "test", 1L).otherwise(0L)).as("cte"))
+    // ONE roll-up emits all six pair classes, unpivoted via stack —
+    // the hash-group scan runs once, not per class
+    val exact = exactGroups.agg(
+      coalesce(sum(expr("cte * (cte - 1) div 2")), lit(0L)).as("p_tt"),
+      coalesce(sum(expr("cte * ctr")), lit(0L)).as("p_ttr"),
+      coalesce(sum(expr("cte * cva")), lit(0L)).as("p_tv"),
+      coalesce(sum(expr("ctr * (ctr - 1) div 2")), lit(0L)).as("p_trtr"),
+      coalesce(sum(expr("ctr * cva")), lit(0L)).as("p_trv"),
+      coalesce(sum(expr("cva * (cva - 1) div 2")), lit(0L)).as("p_vv"))
+      .select(expr(
+        "stack(6, 'test', 'test', p_tt, 'test', 'train', p_ttr, " +
+          "'test', 'val', p_tv, 'train', 'train', p_trtr, " +
+          "'train', 'val', p_trv, 'val', 'val', p_vv) " +
+          "AS (split_a, split_b, n_exact_pairs)"))
+    exact.join(near, Seq("split_a", "split_b"), "full_outer")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_exact_pairs"), lit(0L)).as("n_exact_pairs"),
+        coalesce(col("n_near_pairs"), lit(0L)).as("n_near_pairs"),
+        (col("split_a") =!= col("split_b")).as("crosses_split"))
+      .orderBy("split_a", "split_b")
+  }
 }

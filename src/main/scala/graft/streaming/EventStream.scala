@@ -430,7 +430,10 @@ object EventStream {
           col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
         joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
-        col("view_id"), col("view_ts"))
+        col("view_id"), col("view_ts"),
+        // carried for the full-outer consumer (null-extended click side
+        // has no user_id of its own); inner/left consumers ignore it
+        col("view_user"))
   }
 
   /** Token-bucket rate limiting via flatMapGroupsWithState — the 0..n
@@ -880,6 +883,59 @@ object EventStream {
     val out = spark.table(name)
       .select(col("click_id"), col("user_id"),
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss"), lit("-"))
+          .as("view_ts"))
+      .orderBy("click_id", "view_id").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  /** q275_stream_full_outer_join_exec — FULL-outer stream-stream join,
+    * completing the graded join-type matrix (q113 inner, q237 left
+    * outer): BOTH sides null-extend, each under its OWN watermark
+    * fence — an unmatched click emits once no matching view can
+    * arrive (click_ts < wm, q237's fence), an unmatched view emits
+    * once no FUTURE click can still claim it (view_ts < wm − window:
+    * the view's last possible partner sits a full join-window later,
+    * so its fence trails by exactly the window). The
+    * both-sides-accounted form an auditor wants: every click AND
+    * every view appears exactly once, matched or organic.
+    *
+    * Same three-day-band arrival harness + no-data catch-up batches
+    * as q237; the two fences are pinned empirically at all three SFs
+    * (q178's method) and the oracle replays them. At scale: state
+    * bounded by watermark+window per side, keyed by user. */
+  def clickAttributionFullOuterStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val tagged = ev.withColumn("b",
+      when(dayofmonth(col("ts")) <= 10, 0)
+        .when(dayofmonth(col("ts")) <= 20, 1).otherwise(2))
+    val dir = writeArrivalBatches(tagged,
+      Seq("event_id", "ts", "user_id", "event_type"), "graft_foj_", 3)
+    def src(): DataFrame = spark.readStream
+      .schema(tagged.select("event_id", "ts", "user_id", "event_type").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val name = s"graft_stream_foj_${streamRunId.incrementAndGet()}"
+    withStatePartitions(spark, 4) {
+      val q = streamingClickAttribution(
+          src().filter(col("event_type") === "click"),
+          src().filter(col("event_type") === "view"),
+          joinType = "full_outer")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val out = spark.table(name)
+      .select(coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("user_id"),
+          col("view_user")).as("user_id"),
+        coalesce(date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss"), lit("-"))
+          .as("click_ts"),
         coalesce(col("view_id"), lit(-1L)).as("view_id"),
         coalesce(date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss"), lit("-"))
           .as("view_ts"))

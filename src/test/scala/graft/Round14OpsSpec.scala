@@ -337,6 +337,73 @@ class Round14OpsSpec extends SparkSuite {
     assert(rows.map(_.getAs[Long]("n_words")).toSet.size == 1)
   }
 
+  test("q274 per-lang slopes pool consistently and flags match the sign product") {
+    val rows = graft.operators.DataQuality.simpson(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pooled = rows.map(_.getAs[Double]("pooled_slope")).distinct
+    assert(pooled.length == 1, "one pooled slope broadcast to every row")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("sign_reversed") ==
+        (r.getAs[Double]("lang_slope") * r.getAs[Double]("pooled_slope") < 0.0))
+      assert(r.getAs[Long]("n") > 0L)
+    }
+  }
+
+  test("q275 full-outer stream join accounts for every click and view exactly once") {
+    val rows = graft.streaming.EventStream
+      .clickAttributionFullOuterStreamed(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type")).collect()
+    val clicks = ev.filter(_.getString(3) == "click")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val views = ev.filter(_.getString(3) == "view")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wm = math.min(clicks.map(_._2).max, views.map(_._2).max) - 600000000L
+    // matched pairs equal the batch interval join
+    val expectMatched = (for {
+      c <- clicks; v <- views
+      if v._3 == c._3 && v._2 <= c._2 && v._2 >= c._2 - 1800000000L
+    } yield (c._1, v._1)).toSet
+    val gotMatched = rows.filter(r => r.getAs[Long]("click_id") >= 0
+        && r.getAs[Long]("view_id") >= 0)
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("view_id"))).toSet
+    assert(gotMatched == expectMatched)
+    // organic clicks are exactly the unmatched ones behind the fence
+    val matchedClicks = expectMatched.map(_._1)
+    val organicClicks = rows.filter(r => r.getAs[Long]("view_id") == -1L)
+      .map(_.getAs[Long]("click_id")).toSet
+    assert(organicClicks == clicks.filter(c =>
+      !matchedClicks(c._1) && c._2 < wm).map(_._1).toSet)
+    // organic views trail by the join window
+    val matchedViews = expectMatched.map(_._2)
+    val organicViews = rows.filter(r => r.getAs[Long]("click_id") == -1L)
+      .map(_.getAs[Long]("view_id")).toSet
+    assert(organicViews == views.filter(v =>
+      !matchedViews(v._1) && v._2 < wm - 1800000000L).map(_._1).toSet)
+    // no duplicates anywhere
+    assert(rows.map(r => (r.getAs[Long]("click_id"),
+      r.getAs[Long]("view_id"))).distinct.length == rows.length)
+  }
+
+  test("q276 split-leakage pair counts conserve both dup families") {
+    val rows = graft.operators.Dedup.splitLeakage(spark, sf).collect()
+    assert(rows.length == 6)
+    val nNear = graft.operators.Dedup.verifiedPairs(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_near_pairs")).sum == nNear,
+      "every verified near-dup pair lands in exactly one split class")
+    val nExact = graft.sources.Tables.documents(spark, sf)
+      .groupBy(md5(col("text"))).agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2"))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_exact_pairs")).sum == nExact,
+      "exact-dup pair combinatorics conserve C(n,2) per hash group")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("crosses_split") ==
+        (r.getAs[String]("split_a") != r.getAs[String]("split_b")))
+    }
+  }
+
   test("q261 flesch formula spot-check on a hand-computed doc") {
     // "Hello world. It is sunny." → w=5, s=2, y: e-o-o-i-i-u-(y? 'sunny'
     // has u and y) — count vowel GROUPS in lowercase:
