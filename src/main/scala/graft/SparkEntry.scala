@@ -290,7 +290,10 @@ object SparkEntry {
     "q274_simpson"        -> (DataQuality.simpson _),
     "q275_stream_full_outer_join_exec" ->
       (graft.streaming.EventStream.clickAttributionFullOuterStreamed _),
-    "q276_split_leakage"  -> (Dedup.splitLeakage _)
+    "q276_split_leakage"  -> (Dedup.splitLeakage _),
+    "q277_cohen_kappa"    -> (DataQuality.cohenKappa _),
+    "q278_join_estimate_audit" -> (DataQuality.joinEstimateAudit _),
+    "q279_minhash_roc"    -> (Dedup.minhashRoc _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -5379,6 +5382,108 @@ object SparkEntry {
         |       (x.split_a <> x.split_b) AS crosses_split
         |FROM slx x LEFT JOIN sln n USING (split_a, split_b)
         |ORDER BY split_a, split_b""".stripMargin
+    },
+    "q277_cohen_kappa" -> {
+      import graft.operators.TextAnalysis.{CharGramN, ProfileSize}
+      materializeCtes(langIdCte + s""",
+        |ckd AS (SELECT doc_id, lang, text FROM documents
+        |        WHERE len(text) >= $CharGramN),
+        |ckg AS (SELECT doc_id, lang, substr(text, s.i, $CharGramN) AS g
+        |        FROM ckd, unnest(range(1, len(text) - ${CharGramN - 2})) s(i)),
+        |ckp AS (SELECT lang AS plang, g FROM (
+        |          SELECT lang, g, row_number() OVER (PARTITION BY lang
+        |            ORDER BY count(*) DESC, g ASC) AS rn
+        |          FROM ckg GROUP BY lang, g) WHERE rn <= $ProfileSize),
+        |cksc AS (SELECT ckg.doc_id, p.plang, count(*) AS score
+        |         FROM ckg JOIN ckp p USING (g) GROUP BY 1, 2),
+        |ckb AS (SELECT doc_id, plang FROM (
+        |          SELECT doc_id, plang, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, plang ASC) AS rn
+        |          FROM cksc) WHERE rn = 1),
+        |ckj AS (SELECT d.doc_id, pr.plang AS pa,
+        |               coalesce(b.plang, 'und') AS pb
+        |        FROM ckd d JOIN pred pr USING (doc_id)
+        |        LEFT JOIN ckb b USING (doc_id)),
+        |ckt AS (SELECT count(*)::BIGINT AS n,
+        |               sum(CASE WHEN pa = pb THEN 1 ELSE 0 END)::BIGINT AS n_agree
+        |        FROM ckj),
+        |ckma AS (SELECT pa AS l, count(*)::BIGINT AS ca FROM ckj GROUP BY 1),
+        |ckmb AS (SELECT pb AS l, count(*)::BIGINT AS cb FROM ckj GROUP BY 1),
+        |ckpe AS (SELECT coalesce(sum(ca * cb), 0)::BIGINT AS pe_num
+        |         FROM ckma JOIN ckmb USING (l)),
+        |ckq AS (SELECT n, n_agree,
+        |               n_agree * 1000000000 // n AS po_nano,
+        |               pe_num * 1000000000 // (n * n) AS pe_nano
+        |        FROM ckt CROSS JOIN ckpe)
+        |SELECT n, n_agree, po_nano, pe_nano,
+        |       floor((po_nano - pe_nano)::DOUBLE
+        |             / (1000000000 - pe_nano)::DOUBLE
+        |             * 1000000000.0)::BIGINT AS kappa_nano
+        |FROM ckq""".stripMargin)
+    },
+    "q278_join_estimate_audit" -> {
+      val branches = graft.operators.DataQuality.EstimateJoins.map {
+        case (tag, lt, lk, rt, rk) =>
+          s"""SELECT '$tag' AS join_tag, ls.n_left, rs.n_right,
+             |       ls.ndv_left, rs.ndv_right,
+             |       ls.n_left * rs.n_right
+             |         // greatest(ls.ndv_left, rs.ndv_right) AS est_rows,
+             |       (SELECT count(*) FROM $lt l JOIN $rt r
+             |        ON l.$lk = r.$rk)::BIGINT AS actual_rows
+             |FROM (SELECT count(*)::BIGINT AS n_left,
+             |             count(DISTINCT $lk)::BIGINT AS ndv_left FROM $lt) ls,
+             |     (SELECT count(*)::BIGINT AS n_right,
+             |             count(DISTINCT $rk)::BIGINT AS ndv_right FROM $rt) rs""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH jea AS (
+        |$branches
+        |)
+        |SELECT join_tag, n_left, n_right, ndv_left, ndv_right, est_rows,
+        |       actual_rows,
+        |       abs(est_rows - actual_rows) * 1000000 // actual_rows AS err_ppm
+        |FROM jea ORDER BY join_tag""".stripMargin
+    },
+    "q279_minhash_roc" -> {
+      import graft.operators.Dedup.{JaccardThreshold, NumHashes, RocStrides,
+        RocThresholds}
+      materializeCtes(jaccardCte + s""",
+        |roch AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 7))::BIGINT AS h
+        |         FROM sh),
+        |rocs AS (SELECT doc_id, t.i,
+        |                min(((2 * t.i + 1) * h + 101 * t.i + 7) % 2147483647)
+        |                  AS s
+        |         FROM roch, unnest(range(0, $NumHashes)) t(i) GROUP BY 1, 2),
+        |rocp AS (SELECT z.doc_a, b.doc_id AS doc_b
+        |         FROM (SELECT a.doc_id AS doc_a, a.doc_id + t.s AS doc_b
+        |               FROM documents a,
+        |                    unnest([${RocStrides.mkString(", ")}]) t(s)) z
+        |         JOIN documents b ON b.doc_id = z.doc_b),
+        |rocm AS (SELECT p.doc_a, p.doc_b,
+        |                sum(CASE WHEN x.s = y.s THEN 1 ELSE 0 END)::BIGINT AS m
+        |         FROM rocp p JOIN rocs x ON x.doc_id = p.doc_a
+        |         JOIN rocs y ON y.doc_id = p.doc_b AND y.i = x.i
+        |         GROUP BY 1, 2),
+        |roce AS (SELECT m.m,
+        |                (coalesce(j.jaccard, 0.0) >= $JaccardThreshold) AS truth
+        |         FROM rocm m LEFT JOIN jac j ON j.i = m.doc_a AND j.j = m.doc_b),
+        |rocc AS (SELECT t.m_min,
+        |                sum(CASE WHEN e.m >= t.m_min AND e.truth
+        |                         THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |                sum(CASE WHEN e.m >= t.m_min AND NOT e.truth
+        |                         THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |                sum(CASE WHEN e.m < t.m_min AND e.truth
+        |                         THEN 1 ELSE 0 END)::BIGINT AS fn,
+        |                sum(CASE WHEN e.m < t.m_min AND NOT e.truth
+        |                         THEN 1 ELSE 0 END)::BIGINT AS tn
+        |         FROM roce e CROSS JOIN
+        |              (SELECT unnest([${RocThresholds.mkString(", ")}]) AS m_min) t
+        |         GROUP BY 1)
+        |SELECT m_min, tp, fp, fn, tn,
+        |       CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END AS tpr_ppm,
+        |       CASE WHEN fp + tn > 0 THEN fp * 1000000 // (fp + tn) END AS fpr_ppm,
+        |       CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) END
+        |         AS precision_ppm
+        |FROM rocc ORDER BY m_min""".stripMargin)
     }
   )
 

@@ -430,6 +430,93 @@ object DataQuality {
         ((col("nl") - 1) * (col("ns") - 1)).as("dof"), col("chi2_nano"))
   }
 
+  /** q277_cohen_kappa — inter-system agreement between the two
+    * language-ID classifiers (q18's fixed stopword profiles vs q65's
+    * corpus-trained char trigrams) as Cohen's κ: observed agreement
+    * discounted by the agreement two INDEPENDENT systems with these
+    * marginals would reach by chance — the standard
+    * annotator/classifier agreement statistic (Cohen 1960), and the
+    * right way to read "the two lang-ids agree 60% of the time" (on a
+    * corpus where one label dominates, raw agreement flatters; κ
+    * doesn't). High κ justifies serving the cheap classifier; low κ
+    * routes disagreements to the expensive one.
+    *
+    * Determinism: p_o and p_e are exact integer ratios quantized to
+    * nano; κ = (p_o − p_e)/(1 − p_e) is one floor of a
+    * correctly-rounded double ratio of exact integers (q152's
+    * convention — integer `div` would split trunc/floor on a
+    * negative κ, lesson 49).
+    *
+    * Scale shape: both prediction frames are existing scan-shaped
+    * pipelines; the join is doc-keyed; marginals aggregate onto the
+    * label domain and meet in one label-keyed join; 1-row output. */
+  def cohenKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = TextAnalysis.langId(spark, sfDir)
+      .select(col("doc_id"), col("predicted_lang").as("pa"))
+    val b = TextAnalysis.charLangId(spark, sfDir)
+      .select(col("doc_id"), col("predicted_lang").as("pb"))
+    val joined = a.join(b, "doc_id").localCheckpoint()
+    val tot = joined.agg(count(lit(1)).as("n"),
+      sum(when(col("pa") === col("pb"), 1L).otherwise(0L)).as("n_agree"))
+    val ma = joined.groupBy(col("pa").as("l")).agg(count(lit(1)).as("ca"))
+    val mb = joined.groupBy(col("pb").as("l")).agg(count(lit(1)).as("cb"))
+    val peNum = ma.join(mb, "l")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("pe_num"))
+    tot.crossJoin(broadcast(peNum))
+      .select(col("n"), col("n_agree"),
+        expr("n_agree * 1000000000 div n").as("po_nano"),
+        expr("pe_num * 1000000000 div (n * n)").as("pe_nano"))
+      .select(col("n"), col("n_agree"), col("po_nano"), col("pe_nano"),
+        floor((col("po_nano") - col("pe_nano")).cast("double")
+          / (lit(1000000000L) - col("pe_nano")).cast("double") * lit(1e9))
+          .cast("long").as("kappa_nano"))
+  }
+
+  /** The FK joins q278 audits: (tag, left table, left key, right
+    * table, right key). */
+  private[graft] val EstimateJoins = Seq(
+    ("orders-customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem-orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem-part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer-nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+
+  /** q278_join_estimate_audit — cost-based-optimizer cardinality
+    * check: for each FK join, the textbook uniform-independence
+    * estimate |L|·|R| / max(ndv_L, ndv_R) beside the ACTUAL join
+    * cardinality, with the error in ppm — the audit behind every
+    * join-order decision (q167 advises on skew, q189 on file sizes;
+    * this measures whether the size ESTIMATE a planner would use is
+    * even close — a 10× miss on a fact-fact join is how broadcast
+    * thresholds and AQE fallbacks get mis-tuned).
+    *
+    * Determinism: counts and exact two-phase distinct counts; est
+    * and err are exact integer arithmetic (≤2⁵³ at audited scales;
+    * a 100 TB deployment computes the same ratio in doubles).
+    *
+    * Scale shape: per join two scan aggregates (count + distinct) and
+    * ONE keyed join count; 4 independent 1-row branches unioned. */
+  def joinEstimateAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = EstimateJoins.map { case (tag, lt, lk, rt, rk) =>
+      val l = Tables.table(spark, sfDir, lt).select(col(lk).as("k"))
+      val r = Tables.table(spark, sfDir, rt).select(col(rk).as("k"))
+      val ls = l.agg(count(lit(1)).as("n_left"),
+        countDistinct(col("k")).as("ndv_left"))
+      val rs = r.agg(count(lit(1)).as("n_right"),
+        countDistinct(col("k")).as("ndv_right"))
+      val actual = l.join(r, "k").agg(count(lit(1)).as("actual_rows"))
+      ls.crossJoin(broadcast(rs)).crossJoin(broadcast(actual))
+        .select(lit(tag).as("join_tag"), col("n_left"), col("n_right"),
+          col("ndv_left"), col("ndv_right"),
+          expr("n_left * n_right div greatest(ndv_left, ndv_right)")
+            .as("est_rows"),
+          col("actual_rows"))
+    }
+    rows.reduce(_ unionAll _)
+      .withColumn("err_ppm",
+        expr("abs(est_rows - actual_rows) * 1000000 div actual_rows"))
+      .orderBy("join_tag")
+  }
+
   /** q274_simpson — Simpson's-paradox screen on the quality~length
     * relationship: the POOLED OLS slope (q254's regression) beside
     * each language's WITHIN-GROUP slope, with a reversal flag where

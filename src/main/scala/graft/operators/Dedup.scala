@@ -1122,6 +1122,76 @@ object Dedup {
       .orderBy("in_minhash", "in_simhash", "in_containment")
   }
 
+  /** q279 stride sample + integer match-count thresholds
+    * (⌈t·128⌉ for t = 0.5, 0.6, 0.7, 0.8, 0.9). */
+  val RocStrides = Seq(1L, 3L, 17L)
+  val RocThresholds = Seq(64, 77, 90, 103, 116)
+
+  /** q279_minhash_roc — MinHash classifier ROC over a deterministic
+    * pair sample: for each signature-match threshold m ∈
+    * [[RocThresholds]], the TP/FP/FN/TN census of "≥ m of 128 hashes
+    * agree" against the EXACT Jaccard ≥ 0.8 ground truth, with
+    * TPR/FPR/precision in ppm — the operating-curve evidence behind
+    * the q12/q198 banding choices (q108 measures the ESTIMATOR's
+    * error on known positives; an ROC needs negatives too, and an
+    * all-pairs sweep is exactly the O(n²) this engine exists to
+    * avoid). The sample is id-stride pairs (doc, doc+s for three
+    * strides) — deterministic, id-uncorrelated with content, and
+    * linear in the corpus.
+    *
+    * Determinism: match counts are exact integers; ground truth uses
+    * the same double division both engines (the q12 jaccard
+    * convention); censuses are integer ppm with NULL precision where
+    * a threshold admits nothing.
+    *
+    * Scale shape: signatures via the native minhash aggregate (one
+    * keyed pass); the pair sample is 3n rows built by keyed
+    * self-joins on doc_id+stride (no candidate generation, no
+    * windows); per-pair intersection/signature comparison is in-row
+    * array work (lesson 53: pair-local verify stays inside the row);
+    * the census aggregates 3n×5 flag rows onto 5 output rows
+    * map-side. */
+  def minhashRoc(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingled(spark, sfDir).localCheckpoint()
+    val feats = sh.join(minhashSignaturesOf(sh), "doc_id").localCheckpoint()
+    val left = RocStrides.map { s =>
+      feats.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + lit(s)).as("doc_b"),
+        col("sh").as("sha"), col("sig").as("siga"))
+    }.reduce(_ unionAll _)
+    val pairs = left.join(
+      feats.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+        col("sig").as("sigb")), "doc_b")
+    val scored = pairs.select(
+      size(filter(zip_with(col("siga"), col("sigb"), (a, b) => a === b),
+        x => x)).cast("long").as("m"),
+      size(array_intersect(col("sha"), col("shb"))).cast("long").as("ni"),
+      (size(col("sha")) + size(col("shb"))).cast("long").as("nab"))
+      .select(col("m"),
+        (col("ni").cast("double")
+          / (col("nab") - col("ni")).cast("double") >= lit(JaccardThreshold))
+          .as("truth"))
+    val flagged = scored.select(col("m"), col("truth"),
+      explode(array(RocThresholds.map(lit(_)): _*)).as("m_min"))
+    flagged.groupBy(col("m_min"))
+      .agg(sum(when(col("m") >= col("m_min") && col("truth"), 1L)
+        .otherwise(0L)).as("tp"),
+        sum(when(col("m") >= col("m_min") && !col("truth"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("m") < col("m_min") && col("truth"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("m") < col("m_min") && !col("truth"), 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("m_min"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 1000000 div (tp + fn)")).as("tpr_ppm"),
+        when(col("fp") + col("tn") > 0,
+          expr("fp * 1000000 div (fp + tn)")).as("fpr_ppm"),
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 1000000 div (tp + fp)")).as("precision_ppm"))
+      .orderBy("m_min")
+  }
+
   /** q276_split_leakage — train/val/test contamination census: how
     * many EXACT-duplicate and NEAR-duplicate (Jaccard ≥ 0.8) pairs
     * cross each unordered split-pair boundary of q99's deterministic

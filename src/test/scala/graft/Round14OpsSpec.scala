@@ -404,6 +404,66 @@ class Round14OpsSpec extends SparkSuite {
     }
   }
 
+  test("q277 kappa matches a driver-side recompute and sits in [-1, 1]") {
+    val row = graft.operators.DataQuality.cohenKappa(spark, sf).collect().head
+    val a = graft.operators.TextAnalysis.langId(spark, sf)
+      .select(col("doc_id"), col("predicted_lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.operators.TextAnalysis.charLangId(spark, sf)
+      .select(col("doc_id"), col("predicted_lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val common = a.keySet.intersect(b.keySet).toSeq
+    val n = common.size.toLong
+    assert(row.getAs[Long]("n") == n)
+    val agree = common.count(d => a(d) == b(d)).toLong
+    assert(row.getAs[Long]("n_agree") == agree)
+    val ca = common.groupBy(a).view.mapValues(_.size.toLong).toMap
+    val cb = common.groupBy(b).view.mapValues(_.size.toLong).toMap
+    val peNum = ca.map { case (l, x) => x * cb.getOrElse(l, 0L) }.sum
+    assert(row.getAs[Long]("po_nano") == agree * 1000000000L / n)
+    assert(row.getAs[Long]("pe_nano") == peNum * 1000000000L / (n * n))
+    val k = row.getAs[Long]("kappa_nano")
+    assert(k >= -1000000000L && k <= 1000000000L)
+  }
+
+  test("q278 join estimates are exact for clean FK joins") {
+    val rows = graft.operators.DataQuality.joinEstimateAudit(spark, sf)
+      .collect()
+    assert(rows.length == graft.operators.DataQuality.EstimateJoins.length)
+    rows.foreach { r =>
+      // on a clean FK (child ndv <= parent ndv = parent rows), the
+      // uniform-independence estimate is EXACT when every child key
+      // exists in the parent: est = n_child * n_parent / n_parent
+      assert(r.getAs[Long]("est_rows") > 0L)
+      assert(r.getAs[Long]("actual_rows") > 0L)
+      assert(r.getAs[Long]("err_ppm") >= 0L)
+    }
+    // the TPC-H FK joins are clean: actual == n_left for each
+    rows.foreach { r =>
+      assert(r.getAs[Long]("actual_rows") == r.getAs[Long]("n_left"),
+        s"${r.getAs[String]("join_tag")}: FK join should preserve child rows")
+    }
+  }
+
+  test("q279 ROC censuses are monotone in the threshold and partition the sample") {
+    val rows = graft.operators.Dedup.minhashRoc(spark, sf)
+      .collect().sortBy(_.getAs[Int]("m_min"))
+    assert(rows.length == graft.operators.Dedup.RocThresholds.length)
+    val totals = rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fp")
+      + r.getAs[Long]("fn") + r.getAs[Long]("tn")).distinct
+    assert(totals.length == 1, "every threshold sees the same pair sample")
+    // raising the threshold can only shrink the positive set
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi.getAs[Long]("tp") + hi.getAs[Long]("fp")
+          <= lo.getAs[Long]("tp") + lo.getAs[Long]("fp"))
+      case _ =>
+    }
+    // truth marginals constant across thresholds
+    assert(rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn"))
+      .distinct.length == 1)
+  }
+
   test("q261 flesch formula spot-check on a hand-computed doc") {
     // "Hello world. It is sunny." → w=5, s=2, y: e-o-o-i-i-u-(y? 'sunny'
     // has u and y) — count vowel GROUPS in lowercase:
