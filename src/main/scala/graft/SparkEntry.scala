@@ -293,7 +293,10 @@ object SparkEntry {
     "q276_split_leakage"  -> (Dedup.splitLeakage _),
     "q277_cohen_kappa"    -> (DataQuality.cohenKappa _),
     "q278_join_estimate_audit" -> (DataQuality.joinEstimateAudit _),
-    "q279_minhash_roc"    -> (Dedup.minhashRoc _)
+    "q279_minhash_roc"    -> (Dedup.minhashRoc _),
+    "q280_mutual_info"    -> (DataQuality.mutualInfo _),
+    "q281_cluster_nmi"    -> (Similarity.clusterNmi _),
+    "q282_median_ci"      -> (Relational.medianCi _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -5484,7 +5487,83 @@ object SparkEntry {
         |       CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) END
         |         AS precision_ppm
         |FROM rocc ORDER BY m_min""".stripMargin)
-    }
+    },
+    "q280_mutual_info" ->
+      """WITH mio AS (SELECT lang, source, count(*)::BIGINT AS o
+        |             FROM documents GROUP BY 1, 2),
+        |mir AS (SELECT lang, sum(o)::BIGINT AS r FROM mio GROUP BY 1),
+        |mic AS (SELECT source, sum(o)::BIGINT AS c FROM mio GROUP BY 1),
+        |minn AS (SELECT sum(o)::BIGINT AS nn FROM mio),
+        |mim AS (SELECT count(*)::BIGINT AS n_cells_nonzero,
+        |               sum(floor(o.o::DOUBLE / nn.nn::DOUBLE
+        |                   * ln((o.o * nn.nn)::DOUBLE / (r.r * c.c)::DOUBLE)
+        |                   * 1000000000.0)::BIGINT)::BIGINT AS mi_nano
+        |        FROM mio o JOIN mir r USING (lang) JOIN mic c USING (source)
+        |        CROSS JOIN minn nn),
+        |mihl AS (SELECT sum(floor(r::DOUBLE / nn.nn::DOUBLE
+        |                  * ln(nn.nn::DOUBLE / r::DOUBLE)
+        |                  * 1000000000.0)::BIGINT)::BIGINT AS h_lang_nano
+        |         FROM mir CROSS JOIN minn nn),
+        |mihs AS (SELECT sum(floor(c::DOUBLE / nn.nn::DOUBLE
+        |                  * ln(nn.nn::DOUBLE / c::DOUBLE)
+        |                  * 1000000000.0)::BIGINT)::BIGINT AS h_source_nano
+        |         FROM mic CROSS JOIN minn nn)
+        |SELECT m.n_cells_nonzero, m.mi_nano, l.h_lang_nano, s.h_source_nano,
+        |       floor(m.mi_nano::DOUBLE
+        |             / sqrt(l.h_lang_nano::DOUBLE * s.h_source_nano::DOUBLE)
+        |             * 1000000000.0)::BIGINT AS nmi_nano
+        |FROM mim m CROSS JOIN mihl l CROSS JOIN mihs s""".stripMargin,
+    "q281_cluster_nmi" ->
+      materializeCtes(ivfHierCellsCte + """,
+        |nmo AS (SELECT c.cent_id, em.label, count(*)::BIGINT AS o
+        |        FROM cells c JOIN embeddings em ON em.vec_id = c.vec_id
+        |        GROUP BY 1, 2),
+        |nmr AS (SELECT cent_id, sum(o)::BIGINT AS r FROM nmo GROUP BY 1),
+        |nml AS (SELECT label, sum(o)::BIGINT AS c FROM nmo GROUP BY 1),
+        |nmn AS (SELECT sum(o)::BIGINT AS nn FROM nmo),
+        |nmm AS (SELECT count(*)::BIGINT AS n_cells_labels,
+        |               sum(floor(o.o::DOUBLE / nn.nn::DOUBLE
+        |                   * ln((o.o * nn.nn)::DOUBLE / (r.r * c.c)::DOUBLE)
+        |                   * 1000000000.0)::BIGINT)::BIGINT AS mi_nano
+        |        FROM nmo o JOIN nmr r USING (cent_id) JOIN nml c USING (label)
+        |        CROSS JOIN nmn nn),
+        |nmhc AS (SELECT sum(floor(r::DOUBLE / nn.nn::DOUBLE
+        |                  * ln(nn.nn::DOUBLE / r::DOUBLE)
+        |                  * 1000000000.0)::BIGINT)::BIGINT AS h_cells_nano
+        |         FROM nmr CROSS JOIN nmn nn),
+        |nmhl AS (SELECT sum(floor(c::DOUBLE / nn.nn::DOUBLE
+        |                  * ln(nn.nn::DOUBLE / c::DOUBLE)
+        |                  * 1000000000.0)::BIGINT)::BIGINT AS h_labels_nano
+        |         FROM nml CROSS JOIN nmn nn)
+        |SELECT m.n_cells_labels, m.mi_nano, hc.h_cells_nano, hl.h_labels_nano,
+        |       floor(m.mi_nano::DOUBLE
+        |             / sqrt(hc.h_cells_nano::DOUBLE * hl.h_labels_nano::DOUBLE)
+        |             * 1000000000.0)::BIGINT AS nmi_nano
+        |FROM nmm m CROSS JOIN nmhc hc CROSS JOIN nmhl hl""".stripMargin),
+    "q282_median_ci" ->
+      """WITH mcm AS (SELECT event_type, count(*)::BIGINT AS n,
+        |                   round(quantile_cont(value, 0.5), 4) AS median
+        |            FROM events GROUP BY 1),
+        |mcr AS (SELECT event_type, n, median,
+        |               greatest(1, floor((n::DOUBLE - 1.96 * sqrt(n::DOUBLE))
+        |                 / 2.0)::BIGINT) AS lo_rank,
+        |               least(n, ceil(1.0 + (n::DOUBLE + 1.96 * sqrt(n::DOUBLE))
+        |                 / 2.0)::BIGINT) AS hi_rank
+        |        FROM mcm),
+        |mch AS (SELECT event_type, value,
+        |               sum(count(*)) OVER (PARTITION BY event_type
+        |                 ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM events GROUP BY 1, 2),
+        |mclo AS (SELECT h.event_type, round(min(h.value), 4) AS ci_lo
+        |         FROM mch h JOIN mcr r USING (event_type)
+        |         WHERE h.cum >= r.lo_rank GROUP BY 1),
+        |mchi AS (SELECT h.event_type, round(min(h.value), 4) AS ci_hi
+        |         FROM mch h JOIN mcr r USING (event_type)
+        |         WHERE h.cum >= r.hi_rank GROUP BY 1)
+        |SELECT r.event_type, r.n, r.median, r.lo_rank, r.hi_rank,
+        |       l.ci_lo, hh.ci_hi
+        |FROM mcr r JOIN mclo l USING (event_type) JOIN mchi hh USING (event_type)
+        |ORDER BY r.event_type""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

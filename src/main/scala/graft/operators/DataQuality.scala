@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table-level data-quality machinery: the constraint-suite report a
@@ -697,6 +697,54 @@ object DataQuality {
       .select(col("score_bin"), col("n_docs"), col("n_correct"),
         expr("n_correct * 1000000 div n_docs").as("accuracy_ppm"))
       .orderBy("score_bin")
+  }
+
+  /** q280_mutual_info — mutual information and NMI between lang and
+    * source: I(L;S) = Σ (o/N)·ln(o·N/(r·c)) over the contingency
+    * grid, normalized by √(H(L)·H(S)) — the EFFECT-SIZE companion of
+    * q257's χ² (χ² answers "is there dependence"; MI answers "how
+    * many nats does knowing the source tell you about the language",
+    * and NMI puts it on the [0,1] scale cluster evaluation uses).
+    *
+    * Determinism: all summands are floor-nano-quantized doubles of
+    * exact integer ratios before the integer sums (negative MI terms
+    * floor identically both engines); NMI is one floor of a
+    * correctly-rounded double ratio.
+    *
+    * Scale shape: one (lang, source) count; marginals roll up from
+    * the grid; zero cells contribute nothing to MI by definition (no
+    * densify needed, unlike χ²); 1-row output. */
+  def mutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val rl = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val cs = obs.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val nn = obs.agg(sum(col("o")).as("nn"))
+    val mi = obs.join(broadcast(rl), "lang").join(broadcast(cs), "source")
+      .crossJoin(broadcast(nn))
+      .select(floor(col("o").cast("double") / col("nn").cast("double")
+        * log((col("o") * col("nn")).cast("double")
+          / (col("r") * col("c")).cast("double")) * lit(1e9))
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("n_cells_nonzero"), sum(col("t")).as("mi_nano"))
+    def entropy(cnt: String): Column =
+      floor(col(cnt).cast("double") / col("nn").cast("double")
+        * log(col("nn").cast("double") / col(cnt).cast("double")) * lit(1e9))
+        .cast("long")
+    val hl = rl.crossJoin(broadcast(nn))
+      .select(entropy("r").as("t")).agg(sum(col("t")).as("h_lang_nano"))
+    val hs = cs.crossJoin(broadcast(nn))
+      .select(entropy("c").as("t")).agg(sum(col("t")).as("h_source_nano"))
+    mi.crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
+      .select(col("n_cells_nonzero"), col("mi_nano"),
+        col("h_lang_nano"), col("h_source_nano"),
+        // nano·nano products graze 2⁶³ at H ≈ ln(20) nats — multiply
+        // as doubles on BOTH engines
+        floor(col("mi_nano").cast("double")
+          / sqrt(col("h_lang_nano").cast("double")
+            * col("h_source_nano").cast("double"))
+          * lit(1e9)).cast("long").as("nmi_nano"))
   }
 
   /** q259_benford — Benford first-digit audit over order totals: the

@@ -2634,6 +2634,56 @@ object Relational {
       .orderBy("decile")
   }
 
+  /** q282_median_ci — distribution-free 95% confidence interval for
+    * the per-type median via ORDER STATISTICS: the values at ranks
+    * ⌊(n − 1.96√n)/2⌋ and ⌈1 + (n + 1.96√n)/2⌉ bracket the true
+    * median with ≥95% coverage under NO distributional assumption
+    * (the binomial argument — each observation falls below the median
+    * with p=1/2) — the nonparametric error bar for every median this
+    * suite reports (q38/q49/q258), where q268's bootstrap handles
+    * means. Medians of skewed latency/value data are exactly where
+    * normal-theory CIs lie.
+    *
+    * Determinism: ranks are floor/ceil of correctly-rounded doubles
+    * of exact integers; the rank→value lookup walks the per-type
+    * VALUE HISTOGRAM (smallest value whose cumulative count reaches
+    * the rank) — exact, no interpolation ambiguity; the median
+    * itself follows q38's interpolation convention, 4dp.
+    *
+    * Scale shape: one (type, value) histogram; cumulative windows
+    * PARTITIONED by type over distinct values (q61's domain
+    * argument); rank thresholds ride a broadcast per-type count;
+    * |types| output rows. */
+  def medianCi(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.5)), 4).as("median"))
+      .select(col("event_type"), col("n"), col("median"),
+        greatest(lit(1L), floor((col("n").cast("double")
+          - lit(1.96) * sqrt(col("n").cast("double"))) / lit(2.0))
+          .cast("long")).as("lo_rank"),
+        least(col("n"), ceil((lit(1.0) + (col("n").cast("double")
+          + lit(1.96) * sqrt(col("n").cast("double"))) / lit(2.0)))
+          .cast("long")).as("hi_rank"))
+    val hist = ev.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(med), "event_type")
+    val lo = hist.filter(col("cum") >= col("lo_rank"))
+      .groupBy(col("event_type")).agg(round(min(col("value")), 4).as("ci_lo"))
+    val hi = hist.filter(col("cum") >= col("hi_rank"))
+      .groupBy(col("event_type")).agg(round(min(col("value")), 4).as("ci_hi"))
+    med.join(lo, "event_type").join(hi, "event_type")
+      .select(col("event_type"), col("n"), col("median"),
+        col("lo_rank"), col("hi_rank"), col("ci_lo"), col("ci_hi"))
+      .orderBy("event_type")
+  }
+
   /** q260_changepoint — CUSUM mean-shift detection over daily event
     * volume: cumulative deviation from the global daily mean per day,
     * with the maximum-|S| day flagged as the single most likely level

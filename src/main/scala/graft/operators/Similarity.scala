@@ -1079,6 +1079,57 @@ object Similarity {
       .orderBy("cent_id")
   }
 
+  /** q281_cluster_nmi — normalized mutual information between the
+    * trained k-means cells and the ground-truth labels: I(C;L) /
+    * √(H(C)·H(L)) — THE standard external cluster-evaluation score
+    * (what every clustering paper reports), completing the per-cell
+    * views (q161 purity/entropy, q127 inertia, q147 silhouette) with
+    * the single corpus-level number that is comparable across k (raw
+    * purity inflates as k grows; NMI doesn't). 8th `hierCells`
+    * consumer.
+    *
+    * Determinism: the contingency grid is exact integers; every
+    * summand floor-nano-quantizes before its integer sum (negative
+    * MI terms floor identically); NMI is one floor of a double ratio
+    * with the nano·nano product formed in doubles (q280's overflow
+    * note).
+    *
+    * Scale shape: one (cell, label) count over the memoized
+    * assignment, marginals roll up from the grid, 1-row output. */
+  def clusterNmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val cl = hierCells(spark, sfDir)
+      .select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
+      .join(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label")),
+        "vec_id")
+      .groupBy(col("cent_id"), col("label")).agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val rc = cl.groupBy(col("cent_id")).agg(sum(col("o")).as("r"))
+    val ll = cl.groupBy(col("label")).agg(sum(col("o")).as("c"))
+    val nn = cl.agg(sum(col("o")).as("nn"))
+    val mi = cl.join(broadcast(rc), "cent_id").join(broadcast(ll), "label")
+      .crossJoin(broadcast(nn))
+      .select(floor(col("o").cast("double") / col("nn").cast("double")
+        * log((col("o") * col("nn")).cast("double")
+          / (col("r") * col("c")).cast("double")) * lit(1e9))
+        .cast("long").as("t"))
+      .agg(count(lit(1)).as("n_cells_labels"), sum(col("t")).as("mi_nano"))
+    def ent(cnt: String): Column =
+      floor(col(cnt).cast("double") / col("nn").cast("double")
+        * log(col("nn").cast("double") / col(cnt).cast("double")) * lit(1e9))
+        .cast("long")
+    val hc = rc.crossJoin(broadcast(nn))
+      .select(ent("r").as("t")).agg(sum(col("t")).as("h_cells_nano"))
+    val hlb = ll.crossJoin(broadcast(nn))
+      .select(ent("c").as("t")).agg(sum(col("t")).as("h_labels_nano"))
+    mi.crossJoin(broadcast(hc)).crossJoin(broadcast(hlb))
+      .select(col("n_cells_labels"), col("mi_nano"),
+        col("h_cells_nano"), col("h_labels_nano"),
+        floor(col("mi_nano").cast("double")
+          / sqrt(col("h_cells_nano").cast("double")
+            * col("h_labels_nano").cast("double"))
+          * lit(1e9)).cast("long").as("nmi_nano"))
+  }
+
   /** Shared IVF search tail over a (vec_id, tc) cell assignment:
     * index side = home cell tc[0], query side probes every tc cell;
     * the probe⋈cell equi-join emits each pair at most once (one home

@@ -464,6 +464,58 @@ class Round14OpsSpec extends SparkSuite {
       .distinct.length == 1)
   }
 
+  test("q280 mutual information obeys its information-theoretic bounds") {
+    val r = graft.operators.DataQuality.mutualInfo(spark, sf).collect().head
+    val mi = r.getAs[Long]("mi_nano")
+    val hl = r.getAs[Long]("h_lang_nano")
+    val hs = r.getAs[Long]("h_source_nano")
+    // 0 <= MI <= min(H(L), H(S)) up to nano-floor slack
+    assert(mi >= -r.getAs[Long]("n_cells_nonzero"),
+      "MI can only dip below 0 by per-term floor slack")
+    assert(mi <= math.min(hl, hs) + r.getAs[Long]("n_cells_nonzero"))
+    assert(hl > 0L && hs > 0L)
+    val nmi = r.getAs[Long]("nmi_nano")
+    assert(nmi >= -1000000L && nmi <= 1000000000L)
+  }
+
+  test("q281 cluster NMI stays within bounds and reads the memoized cells") {
+    val r = graft.operators.Similarity.clusterNmi(spark, sf).collect().head
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    // grid marginals cover every assigned vector
+    assert(r.getAs[Long]("n_cells_labels") > 0L)
+    val nmi = r.getAs[Long]("nmi_nano")
+    assert(nmi >= -1000000L && nmi <= 1000000000L)
+    assert(r.getAs[Long]("h_cells_nano") > 0L)
+    assert(r.getAs[Long]("h_labels_nano") > 0L)
+    // labels are random wrt cells on this corpus: NMI should be small
+    assert(nmi < 500000000L, s"suspiciously high NMI $nmi on random labels")
+    assert(nVecs > 0L)
+  }
+
+  test("q282 median CI brackets the median with the claimed ranks") {
+    val rows = graft.operators.Relational.medianCi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("median"))
+      assert(r.getAs[Double]("median") <= r.getAs[Double]("ci_hi"))
+      assert(r.getAs[Long]("lo_rank") >= 1L)
+      assert(r.getAs[Long]("hi_rank") <= r.getAs[Long]("n"))
+      assert(r.getAs[Long]("lo_rank") < r.getAs[Long]("hi_rank"))
+    }
+    // spot-check one type against a full driver-side sort
+    val t = rows.head.getAs[String]("event_type")
+    val vals = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === t).select("value")
+      .collect().map(_.getDouble(0)).sorted
+    val r = rows.head
+    assert(r.getAs[Double]("ci_lo")
+      == BigDecimal(vals(r.getAs[Long]("lo_rank").toInt - 1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("ci_hi")
+      == BigDecimal(vals(r.getAs[Long]("hi_rank").toInt - 1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("q261 flesch formula spot-check on a hand-computed doc") {
     // "Hello world. It is sunny." → w=5, s=2, y: e-o-o-i-i-u-(y? 'sunny'
     // has u and y) — count vowel GROUPS in lowercase:
