@@ -296,7 +296,10 @@ object SparkEntry {
     "q279_minhash_roc"    -> (Dedup.minhashRoc _),
     "q280_mutual_info"    -> (DataQuality.mutualInfo _),
     "q281_cluster_nmi"    -> (Similarity.clusterNmi _),
-    "q282_median_ci"      -> (Relational.medianCi _)
+    "q282_median_ci"      -> (Relational.medianCi _),
+    "q283_sprt"           -> (Relational.sprt _),
+    "q284_autocorrelation" -> (Relational.autocorrelation _),
+    "q285_abtt"           -> (Similarity.abtt _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -3314,40 +3317,8 @@ object SparkEntry {
         |ORDER BY cluster_key""".stripMargin
     },
     "q177_pca_power" -> {
-      import graft.operators.Similarity.{PcaIters, PcaQ, PcaTopDims}
-      val iters = (1 to PcaIters).map { i =>
-        s"""pw$i AS (
-          |  SELECT m.j, sum(m.mv * v.vi) AS w
-          |  FROM pm m JOIN pv${i - 1} v ON v.j = m.k GROUP BY 1),
-          |pwm$i AS (SELECT max(abs(w)) AS wmax FROM pw$i),
-          |pv$i AS (
-          |  SELECT j, (CASE WHEN w < 0 THEN -1 ELSE 1 END)::HUGEINT
-          |            * ((abs(w) * $PcaQ) // wmax) AS vi
-          |  FROM pw$i CROSS JOIN pwm$i)""".stripMargin
-      }.mkString(",\n")
-      materializeCtes(s"""WITH pe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |pq AS (
-        |  SELECT vec_id, (t.d - 1)::BIGINT AS j,
-        |         floor(v[t.d] * $PcaQ.0 + 0.5)::BIGINT AS xq
-        |  FROM pe, unnest(range(1, 65)) t(d)),
-        |pn AS (SELECT count(*)::BIGINT AS n FROM pe),
-        |psj AS (SELECT j, sum(xq)::BIGINT AS s FROM pq GROUP BY 1),
-        |pg AS (
-        |  SELECT a.j AS j, b.j AS k, sum(a.xq * b.xq)::BIGINT AS sjk
-        |  FROM pq a JOIN pq b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-        |pm AS (
-        |  SELECT g.j, g.k,
-        |         (pn.n::HUGEINT * g.sjk::HUGEINT - sa.s::HUGEINT * sb.s::HUGEINT) AS mv
-        |  FROM pg g CROSS JOIN pn
-        |  JOIN psj sa ON sa.j = g.j JOIN psj sb ON sb.j = g.k),
-        |pv0 AS (
-        |  SELECT (t.d - 1)::BIGINT AS j, $PcaQ::HUGEINT AS vi
-        |  FROM unnest(range(1, 65)) t(d)),
-        |$iters,
-        |plead AS (SELECT vi FROM pv$PcaIters ORDER BY abs(vi) DESC, j ASC LIMIT 1),
-        |pvf AS (
-        |  SELECT j, CASE WHEN (SELECT vi FROM plead) < 0 THEN -vi ELSE vi END AS vi
-        |  FROM pv$PcaIters),
+      import graft.operators.Similarity.{PcaQ, PcaTopDims}
+      materializeCtes(pcaCte + s""",
         |pr1 AS (
         |  SELECT sum(a.vi * m.mv * b.vi) AS vmv
         |  FROM pm m JOIN pvf a ON a.j = m.j JOIN pvf b ON b.j = m.k),
@@ -5563,7 +5534,101 @@ object SparkEntry {
         |SELECT r.event_type, r.n, r.median, r.lo_rank, r.hi_rank,
         |       l.ci_lo, hh.ci_hi
         |FROM mcr r JOIN mclo l USING (event_type) JOIN mchi hh USING (event_type)
-        |ORDER BY r.event_type""".stripMargin
+        |ORDER BY r.event_type""".stripMargin,
+    "q283_sprt" -> {
+      import graft.operators.Relational.{RetentionEpochMs, SprtBoundNano,
+        SprtLift}
+      s"""WITH spu AS (
+        |  SELECT user_id,
+        |         (epoch_ms(ts) - $RetentionEpochMs) // 86400000 AS day,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1
+        |             ELSE 0 END)::BIGINT AS converted,
+        |         user_id % 2 AS arm
+        |  FROM events GROUP BY 1, 2),
+        |spc AS (SELECT floor(ln(least(0.999, p0 * $SprtLift) / p0)
+        |                     * 1000000000.0)::BIGINT AS l1,
+        |               floor(ln((1.0 - least(0.999, p0 * $SprtLift))
+        |                        / (1.0 - p0)) * 1000000000.0)::BIGINT AS l2
+        |        FROM (SELECT sum(converted)::DOUBLE / count(*)::DOUBLE AS p0
+        |              FROM spu WHERE arm = 0)),
+        |spd AS (SELECT day, count(*)::BIGINT AS dn,
+        |               sum(converted)::BIGINT AS dx
+        |        FROM spu WHERE arm = 1 GROUP BY 1),
+        |spq AS (SELECT day,
+        |               sum(dn) OVER (ORDER BY day
+        |                 ROWS UNBOUNDED PRECEDING)::BIGINT AS n_b,
+        |               sum(dx) OVER (ORDER BY day
+        |                 ROWS UNBOUNDED PRECEDING)::BIGINT AS x_b
+        |        FROM spd)
+        |SELECT q.day, q.n_b, q.x_b,
+        |       q.x_b * c.l1 + (q.n_b - q.x_b) * c.l2 AS llr_nano,
+        |       CASE WHEN q.x_b * c.l1 + (q.n_b - q.x_b) * c.l2
+        |                 >= $SprtBoundNano THEN 'accept_h1'
+        |            WHEN q.x_b * c.l1 + (q.n_b - q.x_b) * c.l2
+        |                 <= -$SprtBoundNano THEN 'accept_h0'
+        |            ELSE 'continue' END AS decision
+        |FROM spq q CROSS JOIN spc c ORDER BY q.day""".stripMargin
+    },
+    "q284_autocorrelation" -> {
+      import graft.operators.Relational.{AcfMaxLag, RetentionEpochMs}
+      s"""WITH acd AS (SELECT (epoch_ms(ts) - $RetentionEpochMs) // 86400000
+        |                      AS day,
+        |                    count(*)::BIGINT AS n
+        |             FROM events GROUP BY 1),
+        |act AS (SELECT count(*)::BIGINT AS dd, sum(n)::BIGINT AS s FROM acd),
+        |ace AS (SELECT day, (dd * n - s)::BIGINT AS e
+        |        FROM acd CROSS JOIN act),
+        |acden AS (SELECT sum(e * e)::BIGINT AS den FROM ace),
+        |acn AS (SELECT t.k, count(*)::BIGINT AS n_pairs,
+        |               sum(a.e * b.e)::BIGINT AS num
+        |        FROM unnest(range(1, ${AcfMaxLag + 1})) t(k)
+        |        JOIN ace b ON true
+        |        JOIN ace a ON a.day = b.day + t.k
+        |        GROUP BY 1)
+        |SELECT k::BIGINT AS k, n_pairs,
+        |       floor(num::DOUBLE / den::DOUBLE * 1000000.0)::BIGINT AS acf_ppm
+        |FROM acn CROSS JOIN acden ORDER BY k""".stripMargin
+    },
+    "q285_abtt" ->
+      materializeCtes(pcaCte + """,
+        |abvn AS (SELECT sqrt((sum(vi * vi))::DOUBLE) AS vn FROM pvf),
+        |abvh AS (SELECT list(vi::DOUBLE / vn ORDER BY j) AS vh
+        |         FROM pvf CROSS JOIN abvn),
+        |abmu AS (SELECT (t.d - 1) AS j,
+        |                floor(avg(v[t.d]) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |         FROM pe, unnest(range(1, 65)) t(d) GROUP BY 1),
+        |abml AS (SELECT list(m ORDER BY j) AS mu FROM abmu),
+        |abur AS (SELECT pe.vec_id,
+        |                list_transform(range(1, 65), d -> pe.v[d] - l.mu[d])
+        |                  AS u
+        |         FROM pe CROSS JOIN abml l),
+        |abpj AS (SELECT vec_id, u, list_dot_product(u, h.vh) AS proj
+        |         FROM abur CROSS JOIN abvh h),
+        |abrs AS (SELECT vec_id, proj,
+        |                list_transform(range(1, 65), d -> u[d] - proj * h.vh[d])
+        |                  AS r
+        |         FROM abpj CROSS JOIN abvh h),
+        |abst AS (SELECT count(*)::BIGINT AS n_vecs,
+        |                floor(avg(abs(proj)) * 1000000.0 + 0.5) / 1000000.0
+        |                  AS mean_abs_proj
+        |         FROM abrs),
+        |abm2 AS (SELECT (t.d - 1) AS j,
+        |                floor(avg(r[t.d]) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |         FROM abrs, unnest(range(1, 65)) t(d) GROUP BY 1),
+        |abn2b AS (SELECT floor(list_sum(list_transform(list(m ORDER BY j),
+        |                  x -> x * x)) * 1000000.0 + 0.5) / 1000000.0
+        |                  AS norm2_before
+        |          FROM abmu),
+        |abn2a AS (SELECT floor(list_sum(list_transform(list(m ORDER BY j),
+        |                  x -> x * x)) * 1000000.0 + 0.5) / 1000000.0
+        |                  AS norm2_after
+        |          FROM abm2)
+        |SELECT s.n_vecs, s.mean_abs_proj, b.norm2_before, a.norm2_after,
+        |       CASE WHEN b.norm2_before > 0.0
+        |            THEN floor((b.norm2_before - a.norm2_after)
+        |                       / b.norm2_before * 1000000.0)::BIGINT END
+        |         AS reduction_ppm
+        |FROM abst s CROSS JOIN abn2b b CROSS JOIN abn2a a""".stripMargin)
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,
@@ -5646,6 +5711,47 @@ object SparkEntry {
       |               + 0.3 * least(n_tokens / 100.0, 1.0), 5) AS quality_score
       |  FROM f
       |)""".stripMargin
+
+  /** Shared exact-integer top-PC recurrence (q177/q285): quantized
+    * components, scatter matrix `pm`, unrolled power iteration,
+    * ending in the canonical-sign loading vector `pvf(j, vi)` (plus
+    * `pe`, `pn`, `pm` for consumers). */
+  private def pcaCte: String = {
+    import graft.operators.Similarity.{PcaIters, PcaQ}
+    val iters = (1 to PcaIters).map { i =>
+      s"""pw$i AS (
+        |  SELECT m.j, sum(m.mv * v.vi) AS w
+        |  FROM pm m JOIN pv${i - 1} v ON v.j = m.k GROUP BY 1),
+        |pwm$i AS (SELECT max(abs(w)) AS wmax FROM pw$i),
+        |pv$i AS (
+        |  SELECT j, (CASE WHEN w < 0 THEN -1 ELSE 1 END)::HUGEINT
+        |            * ((abs(w) * $PcaQ) // wmax) AS vi
+        |  FROM pw$i CROSS JOIN pwm$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |pq AS (
+      |  SELECT vec_id, (t.d - 1)::BIGINT AS j,
+      |         floor(v[t.d] * $PcaQ.0 + 0.5)::BIGINT AS xq
+      |  FROM pe, unnest(range(1, 65)) t(d)),
+      |pn AS (SELECT count(*)::BIGINT AS n FROM pe),
+      |psj AS (SELECT j, sum(xq)::BIGINT AS s FROM pq GROUP BY 1),
+      |pg AS (
+      |  SELECT a.j AS j, b.j AS k, sum(a.xq * b.xq)::BIGINT AS sjk
+      |  FROM pq a JOIN pq b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      |pm AS (
+      |  SELECT g.j, g.k,
+      |         (pn.n::HUGEINT * g.sjk::HUGEINT - sa.s::HUGEINT * sb.s::HUGEINT) AS mv
+      |  FROM pg g CROSS JOIN pn
+      |  JOIN psj sa ON sa.j = g.j JOIN psj sb ON sb.j = g.k),
+      |pv0 AS (
+      |  SELECT (t.d - 1)::BIGINT AS j, $PcaQ::HUGEINT AS vi
+      |  FROM unnest(range(1, 65)) t(d)),
+      |$iters,
+      |plead AS (SELECT vi FROM pv$PcaIters ORDER BY abs(vi) DESC, j ASC LIMIT 1),
+      |pvf AS (
+      |  SELECT j, CASE WHEN (SELECT vi FROM plead) < 0 THEN -vi ELSE vi END AS vi
+      |  FROM pv$PcaIters)""".stripMargin
+  }
 
   /** Shared BPE training chain (q102/q107): word-count vocab `wc`,
     * spaced form `v0`, then per round r: argmax pair `r$r` and the

@@ -2634,6 +2634,116 @@ object Relational {
       .orderBy("decile")
   }
 
+  /** q283 design knobs: the minimal detectable lift and the
+    * α = β = 0.05 SPRT boundary ln((1−β)/α) = ln 19. */
+  val SprtLift = 1.25
+  val SprtBoundNano: Long = math.floor(math.log(19.0) * 1e9).toLong
+
+  /** q283_sprt — sequential probability-ratio test trajectory (Wald
+    * 1945) for the A/B experiment: the day-by-day log-likelihood
+    * ratio of the treatment arm's conversions against H₀ (rate = the
+    * control arm's final rate p₀) vs H₁ (rate = [[SprtLift]]·p₀),
+    * with Wald's ±ln 19 boundaries — the "when could this experiment
+    * have STOPPED" retrospective that q214's one-shot z-test cannot
+    * answer, and the mechanism behind every always-valid-inference
+    * dashboard (peeking at a fixed-horizon z-test inflates false
+    * positives; the SPRT is built to be peeked at).
+    *
+    * Determinism: a trial is a USER-DAY (the user was active that
+    * day), converting if that day saw a purchase — trials accrue
+    * every day, giving the test a real time axis (per-user
+    * enrollment would collapse onto the corpus's first days); the
+    * two per-observation log-likelihood increments quantize to nano
+    * ONCE (floor of doubles of exact integer ratios), so every daily
+    * LLR is exact integer x·l₁ + (n−x)·l₂; decisions compare
+    * integers against the integer boundary.
+    *
+    * Scale shape: one (user, day) aggregate, one (day, arm) roll-up,
+    * cumulative windows over the DAY domain (whitelist class),
+    * broadcast 1-row rate constants; |days| output rows. */
+  def sprt(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayMs = 86400000L
+    val users = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"),
+        expr(s"(unix_millis(ts) - $RetentionEpochMs) div $dayMs").as("day"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+      .localCheckpoint()
+    val p0 = users.filter(col("arm") === 0L)
+      .agg(count(lit(1)).as("n0"), sum(col("converted")).as("x0"))
+      .select(
+        (col("x0").cast("double") / col("n0").cast("double")).as("p0"))
+      .select(col("p0"),
+        least(lit(0.999), col("p0") * lit(SprtLift)).as("p1"))
+      .select(
+        floor(log(col("p1") / col("p0")) * lit(1e9)).cast("long").as("l1"),
+        floor(log((lit(1.0) - col("p1")) / (lit(1.0) - col("p0"))) * lit(1e9))
+          .cast("long").as("l2"))
+    val daily = users.filter(col("arm") === 1L)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dn"), sum(col("converted")).as("dx"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n_b", sum(col("dn")).over(w))
+      .withColumn("x_b", sum(col("dx")).over(w))
+      .crossJoin(broadcast(p0))
+      .select(col("day"), col("n_b"), col("x_b"),
+        (col("x_b") * col("l1") + (col("n_b") - col("x_b")) * col("l2"))
+          .as("llr_nano"))
+      .select(col("day"), col("n_b"), col("x_b"), col("llr_nano"),
+        when(col("llr_nano") >= SprtBoundNano, "accept_h1")
+          .when(col("llr_nano") <= -SprtBoundNano, "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy("day")
+  }
+
+  /** Maximum lag for q284's autocorrelation function. */
+  val AcfMaxLag = 14
+
+  /** q284_autocorrelation — ACF of daily event volume at lags 1..14:
+    * Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)² — the periodicity detector that
+    * READS the weekly cycle q245 bakes in as an assumption (a spike
+    * at lag 7 is the evidence; its absence means the seasonal
+    * baseline is modeling noise), and the residual-whiteness check
+    * after any q156-style trend fit.
+    *
+    * Determinism: deviations are made exact by scaling through the
+    * day count (D·x − S, q260's trick); numerator and denominator
+    * are exact ≤2⁵³ integer sums; the ratio floors ONE double (a
+    * negative ACF would split trunc/floor integer division — lesson
+    * 49).
+    *
+    * Scale shape: one day-keyed count; lag pairing is a self-join
+    * keyed on day+k over the DAY domain; per-lag sums partial-
+    * aggregable; 14 output rows. */
+  def autocorrelation(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayMs = 86400000L
+    val daily = Tables.events(spark, sfDir)
+      .select(expr(s"(unix_millis(ts) - $RetentionEpochMs) div $dayMs").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tot = daily.agg(count(lit(1)).as("dd"), sum(col("n")).as("s"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("day"), (col("dd") * col("n") - col("s")).as("e"))
+      .localCheckpoint()
+    val den = dev.agg(sum(col("e") * col("e")).as("den"))
+    val lags = dev.select(col("day"), col("e"),
+      explode(sequence(lit(1), lit(AcfMaxLag))).as("k"))
+      .select((col("day") + col("k")).as("day"), col("k"), col("e").as("e_lag"))
+    val nums = dev.join(lags, "day")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("e") * col("e_lag")).as("num"))
+    nums.crossJoin(broadcast(den))
+      .select(col("k").cast("long").as("k"), col("n_pairs"),
+        floor(col("num").cast("double") / col("den").cast("double")
+          * lit(1e6)).cast("long").as("acf_ppm"))
+      .orderBy("k")
+  }
+
   /** q282_median_ci — distribution-free 95% confidence interval for
     * the per-type median via ORDER STATISTICS: the values at ranks
     * ⌊(n − 1.96√n)/2⌋ and ⌈1 + (n + 1.96√n)/2⌉ bracket the true

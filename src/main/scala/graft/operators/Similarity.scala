@@ -984,7 +984,12 @@ object Similarity {
     * M ≤ n²·(0.6·Q)² ≈ 1.4e14 at n = 2000 — Spark's long sums hold to
     * n ≈ 5e8 vectors; past that the Gram aggregate moves to
     * decimal(38,0) (the CC-signature precedent). */
-  def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The exact-integer top-PC recurrence shared by q177 (which grades
+    * its loadings/λ) and q285 (which projects it out): returns the
+    * canonical-sign integer loading vector v (scale [[PcaQ]]), the
+    * integer scatter matrix M, and n. O(d²) driver state. */
+  private[graft] def topPcState(spark: SparkSession, sfDir: String)
+      : (Array[BigInt], Array[Array[BigInt]], Long) = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val withJ = e.select(posexplode(col("v")).as(Seq("j", "xj")), col("v"))
@@ -1019,6 +1024,12 @@ object Similarity {
     // canonical sign: the largest-|loading| dim (ties → lowest) positive
     val lead = (0 until d).maxBy(j => (v(j).abs, BigInt(-j)))
     if (v(lead).signum < 0) v = v.map(-_)
+    (v, m, n)
+  }
+
+  def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val (v, m, n) = topPcState(spark, sfDir)
+    val d = v.length
     val vMv = (for (j <- 0 until d; k <- 0 until d) yield v(j) * m(j)(k) * v(k)).sum
     val vv = v.map(x => x * x).sum
     val trace = (0 until d).map(j => m(j)(j)).sum
@@ -1033,6 +1044,67 @@ object Similarity {
       }
     import spark.implicits._
     top.toSeq.toDF("loading_rank", "dim", "loading", "lambda1", "explained_share")
+  }
+
+  /** q285_abtt — "All-but-the-Top" embedding post-processing (Mu &
+    * Viswanath 2018): subtract the mean vector, project out the top
+    * principal component, and measure how much common-direction
+    * energy the correction removed — the standard cheap fix for the
+    * anisotropy q149 diagnoses (embeddings sharing a dominant
+    * direction make every cosine optimistically similar, hurting both
+    * ANN contrast and near-dup thresholds); the graded numbers are
+    * the mean-vector energy before/after and the mean |projection|
+    * onto the removed component.
+    *
+    * Determinism: the component is q177's EXACT-INTEGER power
+    * iteration (shared recurrence, zero float drift); v̂ and all
+    * per-row work are fixed-ascending-order array arithmetic (the
+    * q16/q233 convention); the only cross-row float sums are per-dim
+    * averages absorbed on the 6dp grid (q149's precedent).
+    *
+    * Scale shape: the PC costs q177's two aggregates; the correction
+    * is scan-local array math against a BROADCAST (μ, v̂) pair; the
+    * audit re-runs the 64-group mean aggregate on residuals; 1-row
+    * output. At 100 TB this is exactly the shape of a production
+    * embedding-normalization pass: one tiny trained artifact, one
+    * map-only rewrite, one audit aggregate. */
+  def abtt(spark: SparkSession, sfDir: String): DataFrame = {
+    val (vInt, _, _) = topPcState(spark, sfDir)
+    val vn = math.sqrt(vInt.map(x => x * x).sum.toDouble)
+    val vhLit = array(vInt.map(x => lit(x.toDouble / vn)): _*)
+    val v = vecs(spark, sfDir)
+    def dimMeans(df: DataFrame, c: String): DataFrame = df
+      .select(posexplode(col(c)).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg((floor(avg(col("x")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("m"))
+      .agg(expr("transform(sort_array(collect_list(struct(d, m))), s -> s.m)")
+        .as("mv"))
+    def norm2(mv: Column): Column =
+      floor(aggregate(mv, lit(0.0), (acc, e) => acc + e * e) * lit(1e6)
+        + lit(0.5)) / lit(1e6)
+    val mu = dimMeans(v, "v").select(col("mv").as("mu"))
+    val withU = v.crossJoin(broadcast(mu))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("mu"), (x, m) => x - m).as("u"))
+    val withProj = withU.select(col("vec_id"), col("u"),
+      aggregate(zip_with(col("u"), vhLit, (a, b) => a * b), lit(0.0),
+        (acc, e) => acc + e).as("proj"))
+    val resid = withProj.select(col("vec_id"), col("proj"),
+      zip_with(col("u"), vhLit, (uj, vj) => uj - col("proj") * vj).as("r"))
+      .localCheckpoint()
+    val stats = resid.agg(count(lit(1)).as("n_vecs"),
+      (floor(avg(abs(col("proj"))) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("mean_abs_proj"))
+    val before = mu.select(norm2(col("mu")).as("norm2_before"))
+    val after = dimMeans(resid, "r")
+      .select(norm2(col("mv")).as("norm2_after"))
+    stats.crossJoin(broadcast(before)).crossJoin(broadcast(after))
+      .select(col("n_vecs"), col("mean_abs_proj"),
+        col("norm2_before"), col("norm2_after"),
+        when(col("norm2_before") > 0.0,
+          floor((col("norm2_before") - col("norm2_after"))
+            / col("norm2_before") * lit(1e6)).cast("long"))
+          .as("reduction_ppm"))
   }
 
   /** q161_cell_purity — the EXTERNAL-LABEL audit of the trained cells:

@@ -516,6 +516,60 @@ class Round14OpsSpec extends SparkSuite {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("q283 SPRT trajectory is cumulative-consistent and decisions match the boundary") {
+    import graft.operators.Relational.SprtBoundNano
+    val rows = graft.operators.Relational.sprt(spark, sf)
+      .collect().sortBy(_.getAs[Long]("day"))
+    assert(rows.length > 5, "a real multi-day trajectory")
+    // n_b and x_b are nondecreasing and x <= n
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_b") >= a.getAs[Long]("n_b"))
+        assert(b.getAs[Long]("x_b") >= a.getAs[Long]("x_b"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("x_b") <= r.getAs[Long]("n_b"))
+      val llr = r.getAs[Long]("llr_nano")
+      val expected =
+        if (llr >= SprtBoundNano) "accept_h1"
+        else if (llr <= -SprtBoundNano) "accept_h0"
+        else "continue"
+      assert(r.getAs[String]("decision") == expected)
+    }
+  }
+
+  test("q284 ACF is 1 at lag 0 by construction and bounded at graded lags") {
+    val rows = graft.operators.Relational.autocorrelation(spark, sf).collect()
+    assert(rows.length == graft.operators.Relational.AcfMaxLag)
+    rows.foreach { r =>
+      val acf = r.getAs[Long]("acf_ppm")
+      // |ACF| <= 1 up to floor slack on the pair-truncated estimator
+      assert(acf >= -1100000L && acf <= 1100000L, s"acf out of range: $acf")
+      assert(r.getAs[Long]("n_pairs") > 0L)
+    }
+    // fewer pairs at longer lags
+    val byK = rows.sortBy(_.getAs[Long]("k"))
+    byK.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_pairs") <= a.getAs[Long]("n_pairs"))
+      case _ =>
+    }
+  }
+
+  test("q285 ABTT removes nearly all common-direction energy") {
+    val r = graft.operators.Similarity.abtt(spark, sf).collect().head
+    assert(r.getAs[Long]("n_vecs") > 0L)
+    assert(r.getAs[Double]("norm2_before") > 0.0,
+      "synthetic embeddings have a nonzero mean vector")
+    // after subtracting mu and the top PC, the residual mean vector
+    // collapses (rounding leaves crumbs, so assert a big reduction)
+    assert(r.getAs[Double]("norm2_after") < r.getAs[Double]("norm2_before"))
+    assert(r.getAs[Long]("reduction_ppm") > 900000L,
+      s"expected >90% reduction, got ${r.getAs[Long]("reduction_ppm")} ppm")
+    assert(r.getAs[Double]("mean_abs_proj") >= 0.0)
+  }
+
   test("q261 flesch formula spot-check on a hand-computed doc") {
     // "Hello world. It is sunny." → w=5, s=2, y: e-o-o-i-i-u-(y? 'sunny'
     // has u and y) — count vowel GROUPS in lowercase:

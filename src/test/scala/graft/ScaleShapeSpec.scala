@@ -46,7 +46,10 @@ class ScaleShapeSpec extends SparkSuite {
       // q267's hour-prefix window runs over the HOUR domain totals
       // (calendar-bounded); the per-ts cumsum window is partitioned
       // by hour (q53's block identity)
-      "q267_max_concurrency")
+      "q267_max_concurrency",
+      // q283's enrollment/conversion cumsums run over the DAY domain
+      // (q260's class)
+      "q283_sprt")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
