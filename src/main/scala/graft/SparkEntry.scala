@@ -387,9 +387,28 @@ object SparkEntry {
   /** 131^j mod (2^31-1) for j = 0..15, inlined as (j, p) VALUES rows for
     * the q21 rolling-hash oracle — mirrors the native RollingHash
     * expression's family (B = 131, P = 2^31-1, window 16). */
-  private val rollingPow: String =
-    Iterator.iterate(1L)(h => h * 131L % 2147483647L).take(16).zipWithIndex
+  private def rollingPowN(w: Int): String =
+    Iterator.iterate(1L)(h => h * 131L % 2147483647L).take(w).zipWithIndex
       .map { case (p, j) => s"($j, $p)" }.mkString(", ")
+  private val rollingPow: String = rollingPowN(16)
+
+  /** The q65/q277 trigram-hash CTE pair: doc frame `$d` (len-guarded)
+    * and per-position trigram rolling hashes `$g(doc_id, lang, g)` —
+    * mirrors the native RollingHash family at window [[TextAnalysis.CharGramN]]. */
+  private def charGramCte(d: String, g: String): String = {
+    import graft.operators.TextAnalysis.CharGramN
+    s"""${d}pw(j, p) AS (VALUES ${rollingPowN(CharGramN)}),
+      |$d AS (SELECT doc_id, lang, text FROM documents
+      |       WHERE len(text) >= $CharGramN),
+      |$g AS (
+      |  SELECT d.doc_id, d.lang,
+      |         (sum(ord(substr(d.text, s.i + ${CharGramN - 1} - w.j, 1))::BIGINT
+      |              * w.p) % 2147483647)::BIGINT AS g
+      |  FROM $d d, unnest(range(1, len(d.text) - ${CharGramN - 2})) s(i),
+      |       ${d}pw w
+      |  GROUP BY d.doc_id, d.lang, s.i
+      |)""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1337,12 +1356,7 @@ object SparkEntry {
         |LEFT JOIN p ON p.user_id = u.user_id
         |ORDER BY u.user_id""".stripMargin,
     "q65_char_langid" ->
-      s"""WITH d AS (SELECT doc_id, lang, text FROM documents
-        |           WHERE len(text) >= ${TextAnalysis.CharGramN}),
-        |g AS (
-        |  SELECT doc_id, lang, substr(text, s.i, ${TextAnalysis.CharGramN}) AS g
-        |  FROM d, unnest(range(1, len(text) - ${TextAnalysis.CharGramN - 2})) s(i)
-        |),
+      s"""WITH ${charGramCte("d", "g")},
         |prof AS (
         |  SELECT lang AS plang, g FROM (
         |    SELECT lang, g,
@@ -5213,28 +5227,40 @@ object SparkEntry {
     "q271_substring_index" -> {
       import graft.operators.Indexing.{SubstrGramLen => G, SubstrNeedleLen,
         SubstrNeedleStart, SubstrQueryMod}
-      s"""WITH ssq AS (SELECT doc_id AS query_id,
-        |                    substring(text, $SubstrNeedleStart, $SubstrNeedleLen)
-        |                      AS needle
-        |             FROM documents
-        |             WHERE doc_id % $SubstrQueryMod = 0 AND n_chars >= 30),
-        |ssg AS (SELECT query_id, substring(needle, 1, $G) AS gram,
-        |               0::BIGINT AS goff FROM ssq
+      materializeCtes(
+        s"""WITH sspw(j, p) AS (VALUES ${rollingPowN(G)}),
+        |ssq AS (SELECT doc_id AS query_id,
+        |               substring(text, $SubstrNeedleStart, $SubstrNeedleLen)
+        |                 AS needle
+        |        FROM documents
+        |        WHERE doc_id % $SubstrQueryMod = 0 AND n_chars >= 30),
+        |ssh0 AS (SELECT d.doc_id, s.i::BIGINT AS pos,
+        |                (sum(ord(substr(d.text, s.i + ${G - 1} - w.j, 1))::BIGINT
+        |                     * w.p) % 2147483647)::BIGINT AS h
+        |         FROM documents d,
+        |              unnest(range(1, d.n_chars - ${G - 2})) s(i), sspw w
+        |         GROUP BY d.doc_id, s.i),
+        |ssg AS (SELECT q.query_id, h0.h, 0::BIGINT AS goff
+        |        FROM ssq q JOIN ssh0 h0 ON h0.doc_id = q.query_id
+        |                                AND h0.pos = $SubstrNeedleStart
         |        UNION ALL
-        |        SELECT query_id, substring(needle, ${G + 1}, $G), $G::BIGINT
-        |        FROM ssq),
-        |ssp AS (SELECT d.doc_id, substring(d.text, t.pos, $G) AS gram,
-        |               t.pos::BIGINT AS pos
-        |        FROM documents d, unnest(range(1, d.n_chars - ${G - 2})) t(pos)),
-        |ssh AS (SELECT query_id, doc_id, start, ng FROM (
+        |        SELECT q.query_id, h0.h, $G::BIGINT
+        |        FROM ssq q JOIN ssh0 h0 ON h0.doc_id = q.query_id
+        |                                AND h0.pos = ${SubstrNeedleStart + G}),
+        |ssc AS (SELECT query_id, doc_id, start FROM (
         |          SELECT g.query_id, p.doc_id, p.pos - g.goff AS start,
         |                 count(DISTINCT g.goff) AS ng
-        |          FROM ssp p JOIN ssg g USING (gram)
+        |          FROM ssh0 p JOIN ssg g USING (h)
         |          GROUP BY 1, 2, 3)
-        |        WHERE ng = 2 AND start >= 1)
+        |        WHERE ng = 2 AND start >= 1),
+        |ssv AS (SELECT c.query_id, c.doc_id
+        |        FROM ssc c JOIN documents d ON d.doc_id = c.doc_id
+        |        JOIN ssq q ON q.query_id = c.query_id
+        |        WHERE substring(d.text, c.start::INT, $SubstrNeedleLen)
+        |              = q.needle)
         |SELECT query_id, doc_id, count(*)::BIGINT AS n_occurrences,
         |       (query_id = doc_id) AS is_self
-        |FROM ssh GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin
+        |FROM ssv GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin)
     },
     "q272_char_entropy" ->
       """WITH ceu AS (SELECT lang, doc_id, n_chars,
@@ -5358,12 +5384,9 @@ object SparkEntry {
         |ORDER BY split_a, split_b""".stripMargin
     },
     "q277_cohen_kappa" -> {
-      import graft.operators.TextAnalysis.{CharGramN, ProfileSize}
+      import graft.operators.TextAnalysis.ProfileSize
       materializeCtes(langIdCte + s""",
-        |ckd AS (SELECT doc_id, lang, text FROM documents
-        |        WHERE len(text) >= $CharGramN),
-        |ckg AS (SELECT doc_id, lang, substr(text, s.i, $CharGramN) AS g
-        |        FROM ckd, unnest(range(1, len(text) - ${CharGramN - 2})) s(i)),
+        |${charGramCte("ckd", "ckg")},
         |ckp AS (SELECT lang AS plang, g FROM (
         |          SELECT lang, g, row_number() OVER (PARTITION BY lang
         |            ORDER BY count(*) DESC, g ASC) AS rn

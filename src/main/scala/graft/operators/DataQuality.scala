@@ -455,11 +455,20 @@ object DataQuality {
       .select(col("doc_id"), col("predicted_lang").as("pa"))
     val b = TextAnalysis.charLangId(spark, sfDir)
       .select(col("doc_id"), col("predicted_lang").as("pb"))
-    val joined = a.join(b, "doc_id").localCheckpoint()
-    val tot = joined.agg(count(lit(1)).as("n"),
-      sum(when(col("pa") === col("pb"), 1L).otherwise(0L)).as("n_agree"))
-    val ma = joined.groupBy(col("pa").as("l")).agg(count(lit(1)).as("ca"))
-    val mb = joined.groupBy(col("pb").as("l")).agg(count(lit(1)).as("cb"))
+    // BOTH classifier pipelines execute exactly once: the doc-keyed
+    // join collapses straight into the ≤|labels|² contingency grid
+    // (one aggregation), and the tiny grid is what gets checkpointed
+    // for the four downstream readers (round-14 perf fix: the
+    // previous per-doc checkpoint re-materialized the full pipelines
+    // row-by-row — 6.4 s vs 2.4 s)
+    val grid = a.join(b, "doc_id")
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = grid.agg(sum(col("c")).as("n"),
+      coalesce(sum(when(col("pa") === col("pb"), col("c"))), lit(0L))
+        .as("n_agree"))
+    val ma = grid.groupBy(col("pa").as("l")).agg(sum(col("c")).as("ca"))
+    val mb = grid.groupBy(col("pb").as("l")).agg(sum(col("c")).as("cb"))
     val peNum = ma.join(mb, "l")
       .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("pe_num"))
     tot.crossJoin(broadcast(peNum))

@@ -536,24 +536,29 @@ object Indexing {
   val SubstrNeedleLen = 12
   val SubstrGramLen = 6
 
-  /** q271_substring_index — character q-gram positional index search
-    * (the grep-accelerating index; Navarro & Baeza-Yates' q-gram
-    * filtration): every doc whose id ≡ 0 mod [[SubstrQueryMod]]
-    * queries with a [[SubstrNeedleLen]]-char slice of its own text;
-    * the needle splits into [[SubstrGramLen]]-char grams at offsets
-    * 0 and 6, candidate positions must carry BOTH grams at a
-    * CONSISTENT start (pos − offset equal) — and because the two
-    * grams tile the needle contiguously, consistency IS an exact
-    * substring match: no re-verification pass exists to get wrong.
-    * q96's phrase search is token-positional; this is the
-    * character-level sibling that finds matches crossing token
-    * boundaries (code search, DNA-style data, no-whitespace CJK).
+  /** q271_substring_index — Rabin-Karp substring search over a
+    * positional q-gram HASH index (Karp & Rabin 1987; Navarro &
+    * Baeza-Yates' q-gram filtration): every doc whose id ≡ 0 mod
+    * [[SubstrQueryMod]] queries with a [[SubstrNeedleLen]]-char slice
+    * of its own text; the index is the native O(n) `rolling_hash`
+    * stream ([[SubstrGramLen]]-byte windows, ONE codegen'd linear
+    * pass emitting 8-byte keys — round-14 perf fix: per-position
+    * `substring` seeks from the string head, an O(len²) pass that
+    * also dragged the full text through the explode, measured 3× the
+    * hash form); candidates must carry the needle's BOTH gram hashes
+    * at a CONSISTENT start (pos − offset equal), then the classic
+    * Rabin-Karp verification confirms each candidate start with ONE
+    * length-12 substring compare — exactness restored at the cost of
+    * |candidates|, not |corpus|. q96's phrase search is
+    * token-positional; this is the character-level sibling that finds
+    * matches crossing token boundaries (code search, DNA-style data,
+    * no-whitespace CJK).
     *
-    * Scale shape: the position fan-out (one row per char offset) is
-    * scan-side and immediately filtered by a BROADCAST join on the
-    * tiny needle-gram set — the full fan-out never crosses an
-    * exchange; the only shuffle is matching gram rows keyed
-    * (query, doc, start), grouped with a distinct-offset count.
+    * Scale shape: the hash fan-out is scan-side (8-byte rows) and
+    * immediately filtered by a BROADCAST join on the tiny needle-hash
+    * set — the fan-out never crosses an exchange; the one shuffle
+    * carries matching hash rows keyed (query, doc, start); the verify
+    * joins text/needle back onto the BOUNDED candidate rows only.
     * Self-matches prove recall (every query finds its own doc at
     * [[SubstrNeedleStart]]). */
   def substringIndex(spark: SparkSession, sfDir: String): DataFrame = {
@@ -565,28 +570,33 @@ object Indexing {
       .select(col("doc_id").as("query_id"),
         expr(s"substring(text, $SubstrNeedleStart, $SubstrNeedleLen)")
           .as("needle"))
+      .localCheckpoint()
+    val nh = org.apache.spark.sql.graft.native
+      .rollingHash(col("needle"), SubstrGramLen)
     val qGrams = needles.select(col("query_id"),
       explode(array(
-        struct(expr(s"substring(needle, 1, $SubstrGramLen)").as("gram"),
-          lit(0L).as("goff")),
-        struct(expr(s"substring(needle, ${SubstrGramLen + 1}, $SubstrGramLen)")
-          .as("gram"), lit(SubstrGramLen.toLong).as("goff")))).as("g"))
-      .select(col("query_id"), col("g.gram").as("gram"), col("g.goff").as("goff"))
+        struct(element_at(nh, 1).as("h"), lit(0L).as("goff")),
+        struct(element_at(nh, SubstrGramLen + 1).as("h"),
+          lit(SubstrGramLen.toLong).as("goff")))).as("g"))
+      .select(col("query_id"), col("g.h").as("h"), col("g.goff").as("goff"))
     val positions = docs
-      .select(col("doc_id"), col("text"),
-        explode_outer(sequence(lit(1),
-          (col("n_chars") - lit(SubstrGramLen - 1)).cast("int"))).as("pos"))
-      .filter(col("pos").isNotNull)
       .select(col("doc_id"),
-        expr(s"substring(text, pos, $SubstrGramLen)").as("gram"),
-        col("pos").cast("long").as("pos"))
-    val hits = positions.join(broadcast(qGrams), "gram")
+        posexplode_outer(org.apache.spark.sql.graft.native
+          .rollingHash(col("text"), SubstrGramLen)).as(Seq("p0", "h")))
+      .filter(col("h").isNotNull)
+      .select(col("doc_id"), col("h"), (col("p0") + lit(1)).cast("long").as("pos"))
+    val cand = positions.join(broadcast(qGrams), "h")
       .select(col("query_id"), col("doc_id"),
         (col("pos") - col("goff")).as("start"), col("goff"))
       .groupBy(col("query_id"), col("doc_id"), col("start"))
       .agg(countDistinct(col("goff")).as("ng"))
       .filter(col("ng") === 2L && col("start") >= 1L)
-    hits.groupBy(col("query_id"), col("doc_id"))
+    // Rabin-Karp verify: one substring compare per CANDIDATE row
+    val verified = cand
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .join(broadcast(needles), "query_id")
+      .filter(expr(s"substring(text, start, $SubstrNeedleLen) = needle"))
+    verified.groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_occurrences"))
       .select(col("query_id"), col("doc_id"), col("n_occurrences"),
         (col("query_id") === col("doc_id")).as("is_self"))

@@ -320,26 +320,37 @@ object TextAnalysis {
     *      that hit that language's profile; predict the argmax
     *      (ties → lexicographically smallest language).
     *
-    * Scale shape: the trigram explode rides the scan; profile training
-    * is a partial-aggregable (lang, trigram) count whose ranked output
-    * is bounded by |langs|·|trigram domain| rows (the per-lang ranking
-    * window runs over that domain-bounded aggregate, never the corpus);
-    * the tiny profile table broadcasts back onto the trigram rows; the
-    * per-doc argmax is a partial-aggregable struct-min over ≤ |langs|
-    * rows per doc. One corpus scan per phase, no corpus-sized windows,
-    * no driver state. */
+    * Trigrams are represented by their native O(n) `rolling_hash`
+    * values rather than substrings (round-14 perf fix: per-position
+    * `substring` seeks from the string head, making the gram pass
+    * O(len²) per doc and carrying the full text through the explode —
+    * measured 7+ s at sf0.1; the hash pass is one codegen'd linear
+    * scan emitting 8-byte keys). Profile ranking tie-breaks on the
+    * HASH (count DESC, hash ASC — deterministic, oracle-mirrored);
+    * a 2⁻³¹ hash collision would merge two trigrams' counts in both
+    * engines identically.
+    *
+    * Scale shape: the trigram-hash explode rides the scan and the
+    * gram frame is computed ONCE (checkpointed) for its two consumers
+    * (profile training + scoring); profile training is a
+    * partial-aggregable (lang, hash) count whose ranked output is
+    * bounded by |langs|·|trigram domain| rows; the tiny profile table
+    * broadcasts back onto the gram rows; the per-doc argmax is a
+    * partial-aggregable struct-min over ≤ |langs| rows per doc. */
   def charLangId(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-      // guard length >= N: Spark's sequence(1, len-2) would count DOWN
-      // for shorter docs; the oracle's range() is empty there
+      // guard length >= N: the oracle's range() is empty below it
       .filter(length(col("text")) >= CharGramN)
       .select(col("doc_id"), col("lang"), col("text"))
     val grams = docs
       .select(col("doc_id"), col("lang"),
-        explode(sequence(lit(1), length(col("text")) - (CharGramN - 1))).as("i"),
-        col("text"))
-      .select(col("doc_id"), col("lang"),
-        expr(s"substring(text, i, $CharGramN)").as("g"))
+        // explode_outer + null filter: plain explode synthesizes a
+        // size>0 pre-filter that re-evaluates the O(n) hash pass
+        // (lesson 3)
+        explode_outer(org.apache.spark.sql.graft.native
+          .rollingHash(col("text"), CharGramN)).as("g"))
+      .filter(col("g").isNotNull)
+      .localCheckpoint()
     val wProfile = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("cnt").desc, col("g").asc)
     val profiles = grams.groupBy(col("lang"), col("g"))
