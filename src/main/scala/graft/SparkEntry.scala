@@ -299,7 +299,10 @@ object SparkEntry {
     "q282_median_ci"      -> (Relational.medianCi _),
     "q283_sprt"           -> (Relational.sprt _),
     "q284_autocorrelation" -> (Relational.autocorrelation _),
-    "q285_abtt"           -> (Similarity.abtt _)
+    "q285_abtt"           -> (Similarity.abtt _),
+    "q286_boilerplate"    -> (TextAnalysis.boilerplate _),
+    "q287_trimmed_mean"   -> (Relational.trimmedMean _),
+    "q288_absorption"     -> (Relational.absorption _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -5651,7 +5654,84 @@ object SparkEntry {
         |            THEN floor((b.norm2_before - a.norm2_after)
         |                       / b.norm2_before * 1000000.0)::BIGINT END
         |         AS reduction_ppm
-        |FROM abst s CROSS JOIN abn2b b CROSS JOIN abn2a a""".stripMargin)
+        |FROM abst s CROSS JOIN abn2b b CROSS JOIN abn2a a""".stripMargin),
+    "q286_boilerplate" -> {
+      import graft.operators.TextAnalysis.{BoilerMinSupport, BoilerTopK}
+      s"""WITH bps AS (
+        |  SELECT DISTINCT source, doc_id,
+        |         w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3]
+        |           || '_' || w[i+4] AS shingle
+        |  FROM (SELECT source, doc_id,
+        |               regexp_extract_all(text, '[^ \\t\\n\\r]+') AS w
+        |        FROM documents),
+        |       unnest(range(1, len(w) - 3)) t(i)),
+        |bpc AS (SELECT source, h, count(*)::BIGINT AS n,
+        |               min(shingle) AS shingle
+        |        FROM (SELECT source, shingle,
+        |                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |              FROM bps)
+        |        GROUP BY 1, 2 HAVING count(*) >= $BoilerMinSupport),
+        |bpt AS (SELECT source, h, n, shingle,
+        |               row_number() OVER (PARTITION BY source
+        |                 ORDER BY n DESC, h ASC) AS rnk
+        |        FROM bpc)
+        |SELECT source, rnk::BIGINT AS rank, n AS n_docs, shingle
+        |FROM bpt WHERE rnk <= $BoilerTopK ORDER BY source, rank""".stripMargin
+    },
+    "q287_trimmed_mean" -> {
+      import graft.operators.Relational.TrimPerMille
+      s"""WITH tmh AS (SELECT event_type, value, count(*)::BIGINT AS cnt,
+        |                   sum(count(*)) OVER (PARTITION BY event_type
+        |                     ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum
+        |            FROM events GROUP BY 1, 2),
+        |tmb AS (SELECT event_type, max(cum)::BIGINT AS n,
+        |               max(cum) * $TrimPerMille // 1000 + 1 AS lo,
+        |               max(cum) - max(cum) * $TrimPerMille // 1000 AS hi
+        |        FROM tmh GROUP BY 1),
+        |tmi AS (SELECT h.event_type, b.n,
+        |               floor(h.value * 1000000.0)::BIGINT AS v_micros,
+        |               greatest(0, least(h.cum, b.hi)
+        |                 - greatest(h.cum - h.cnt + 1, b.lo) + 1)::BIGINT
+        |                 AS included
+        |        FROM tmh h JOIN tmb b USING (event_type))
+        |SELECT event_type, n, sum(included)::BIGINT AS n_kept,
+        |       sum(v_micros * included)::BIGINT // sum(included)::BIGINT
+        |         AS trimmed_mean_micros
+        |FROM tmi GROUP BY 1, 2 ORDER BY event_type""".stripMargin
+    },
+    "q288_absorption" -> {
+      import graft.operators.Relational.AbsorptionSteps
+      val steps = (2 to AbsorptionSteps).map { k =>
+        s"""abc$k AS (SELECT t.src, t.r, sum(t.n_trans * p.p_ppm)::BIGINT AS acc
+           |        FROM abt t JOIN abp${k - 1} p ON p.src = t.dst
+           |        WHERE t.dst <> 'purchase'
+           |        GROUP BY 1, 2),
+           |abp$k AS (SELECT coalesce(a.src, c.src) AS src,
+           |                coalesce(a.p_ppm, 0) + coalesce(c.acc // c.r, 0)
+           |                  AS p_ppm
+           |         FROM abp1 a FULL JOIN abc$k c ON c.src = a.src)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to AbsorptionSteps)
+        .map(k => s"SELECT src, $k AS k, p_ppm FROM abp$k")
+        .mkString("\nUNION ALL ")
+      materializeCtes(sessionCte + s""",
+        |abtr AS (
+        |  SELECT event_type AS src, lead(event_type, 1) OVER w2 AS dst
+        |  FROM s
+        |  WINDOW w2 AS (PARTITION BY user_id, session_no ORDER BY ts, event_id)
+        |),
+        |abcnt AS (SELECT src, dst, count(*)::BIGINT AS n_trans
+        |          FROM abtr WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |abrs AS (SELECT src, sum(n_trans)::BIGINT AS r FROM abcnt GROUP BY 1),
+        |abt AS (SELECT c.src, c.dst, c.n_trans, t.r
+        |        FROM abcnt c JOIN abrs t USING (src)),
+        |abp1 AS (SELECT src, n_trans * 1000000 // r AS p_ppm
+        |         FROM abt WHERE dst = 'purchase'),
+        |$steps
+        |SELECT src, k::BIGINT AS k, p_ppm FROM (
+        |$out
+        |) ORDER BY src, k""".stripMargin)
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -1137,7 +1137,9 @@ object Relational {
     * windows (bounded per key); the transition count is a
     * partial-aggregable groupBy over (src, dst) — a types² domain; the
     * row-count denominator joins back by broadcast. */
-  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The (src, dst, n_trans) within-session transition counts shared
+    * by q128 (probabilities) and q288 (absorption). */
+  private def transitionCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val ev = Tables.events(spark, sfDir)
@@ -1150,11 +1152,16 @@ object Relational {
         sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
     val bySession = Window.partitionBy(col("user_id"), col("session_no"))
       .orderBy(col("ts"), col("event_id"))
-    val trans = ev
+    ev
       .withColumn("dst", lead(col("event_type"), 1).over(bySession))
       .filter(col("dst").isNotNull)
       .groupBy(col("event_type").as("src"), col("dst"))
       .agg(count(lit(1)).as("n_trans"))
+  }
+
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val trans = transitionCounts(spark, sfDir)
     // the denominator is a window over the AGGREGATED (src, dst) frame —
     // a types² domain, so the window input is bounded by the label
     // vocabulary, and the sessionize/lead pipeline executes ONCE (a
@@ -2742,6 +2749,99 @@ object Relational {
         floor(col("num").cast("double") / col("den").cast("double")
           * lit(1e6)).cast("long").as("acf_ppm"))
       .orderBy("k")
+  }
+
+  /** q287 trim fraction (each tail), in per-mille. */
+  val TrimPerMille = 50L
+
+  /** q287_trimmed_mean — exact 5%-trimmed mean of event value per
+    * type: drop the lowest and highest [[TrimPerMille]]‰ of
+    * OBSERVATIONS by rank and average the interior — the robust
+    * location estimate between the mean (q39, outlier-dragged) and
+    * the median (q38, throws away 98% of the data); the standard
+    * latency-SLO aggregate when tails are heavy but the median is
+    * too coarse.
+    *
+    * Determinism: rank boundaries are exact integers; each distinct
+    * value's INCLUDED multiplicity is interval arithmetic on its
+    * cumulative range (partial clipping at the boundary values —
+    * exact, no interpolation); values enter the sum floor-quantized
+    * to micros, so the weighted sum is pure integers.
+    *
+    * Scale shape: per-type value histogram + cum window partitioned
+    * by type over distinct values (q61's argument), boundaries ride
+    * a broadcast per-type count; |types| output rows. */
+  def trimmedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bounds = hist.groupBy(col("event_type"))
+      .agg(max(col("cum")).as("n"))
+      .select(col("event_type"), col("n"),
+        (expr(s"n * $TrimPerMille div 1000") + lit(1L)).as("lo"),
+        (col("n") - expr(s"n * $TrimPerMille div 1000")).as("hi"))
+    hist.join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("n"),
+        floor(col("value") * lit(1e6)).cast("long").as("v_micros"),
+        greatest(lit(0L),
+          least(col("cum"), col("hi"))
+            - greatest(col("cum") - col("cnt") + 1L, col("lo")) + lit(1L))
+          .as("included"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(sum(col("included")).as("n_kept"),
+        sum(col("v_micros") * col("included")).as("sum_micros"))
+      .select(col("event_type"), col("n"), col("n_kept"),
+        expr("sum_micros div n_kept").as("trimmed_mean_micros"))
+      .orderBy("event_type")
+  }
+
+  /** Steps graded in q288's absorption table. */
+  val AbsorptionSteps = 3
+
+  /** q288_absorption — k-step absorption probability into `purchase`
+    * from each event type, over q128's within-session transition
+    * matrix: p₁(s) = T(s, purchase); p_k(s) = p₁(s) +
+    * Σ_{t≠purchase} T(s, t)·p_{k−1}(t) — "starting from a view, how
+    * likely is a purchase within 3 clicks" — the absorbing-chain
+    * readout that turns q128's one-step matrix into the funnel
+    * forecast q64 measures empirically (agreement between the two is
+    * the Markov assumption's own audit).
+    *
+    * Determinism: probabilities live on an integer ppm grid from step
+    * one — each step is Σ c_st·p_{k−1}(t) div r_s (exact ≤2⁵³
+    * integers, floor per step, identical both engines).
+    *
+    * Scale shape: the transition matrix is q128's one corpus pass
+    * (shared chain), aggregated to the types² domain; each unrolled
+    * step is a join on that tiny domain; |types| output rows. */
+  def absorption(spark: SparkSession, sfDir: String): DataFrame = {
+    val trans = transitionCounts(spark, sfDir).localCheckpoint()
+    val rowSum = trans.groupBy(col("src")).agg(sum(col("n_trans")).as("r"))
+    val t = trans.join(rowSum, "src")
+    var p = t.filter(col("dst") === "purchase")
+      .select(col("src"), expr("n_trans * 1000000 div r").as("p_ppm"))
+    val steps = Seq.newBuilder[DataFrame]
+    steps += p.withColumn("k", lit(1))
+    for (k <- 2 to AbsorptionSteps) {
+      val contrib = t.filter(col("dst") =!= "purchase")
+        .join(p.select(col("src").as("dst"), col("p_ppm").as("pt")), "dst")
+        .groupBy(col("src"), col("r"))
+        .agg(sum(col("n_trans") * col("pt")).as("acc"))
+        .select(col("src"), expr("acc div r").as("step_ppm"))
+      val p1 = t.filter(col("dst") === "purchase")
+        .select(col("src"), expr("n_trans * 1000000 div r").as("p1_ppm"))
+      p = p1.join(contrib, Seq("src"), "full_outer")
+        .select(col("src"),
+          (coalesce(col("p1_ppm"), lit(0L))
+            + coalesce(col("step_ppm"), lit(0L))).as("p_ppm"))
+      steps += p.withColumn("k", lit(k))
+    }
+    steps.result().reduce(_ unionAll _)
+      .select(col("src"), col("k").cast("long").as("k"), col("p_ppm"))
+      .orderBy("src", "k")
   }
 
   /** q282_median_ci — distribution-free 95% confidence interval for

@@ -1248,6 +1248,61 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** q286 knobs: shingle width, minimum doc support, list size. */
+  val BoilerShingleK = 5
+  val BoilerMinSupport = 2L
+  val BoilerTopK = 3
+
+  /** q286_boilerplate — per-source template-phrase mining: the
+    * word-5-grams repeated across the most DOCUMENTS of each source
+    * (distinct per doc, support ≥ [[BoilerMinSupport]]) — the
+    * operator that FINDS the navigation chrome / cookie banners /
+    * legal footers which q54 (intra-doc repetition) and q59 (global
+    * passage dedup) then strip: template removal starts from a
+    * per-SOURCE template list, because boilerplate is a property of
+    * the crawler × site pair, not of single documents (and not of
+    * the corpus globally — a phrase common everywhere is language,
+    * common in ONE source is chrome).
+    *
+    * Determinism: shingle keys are md5-60 hashes (also the
+    * deterministic tie-break for equal support); the per-source top
+    * list uses the bounded `top_k_by_score` aggregate keyed by the
+    * hash, the phrase string re-attached by hash join.
+    *
+    * Scale shape: the distinct-shingle explode rides the scan; ONE
+    * (source, hash) partial-aggregable count (the phrase carried via
+    * min — equal-hash rows carry the same string); the per-source
+    * top-k is a map-side bounded aggregate (a flooded source never
+    * sorts its phrase domain — q69's argument); output ≤ sources·k
+    * rows. */
+  def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), T.wsTokens(col("text")).as("w"))
+      .select(col("source"), col("doc_id"),
+        explode_outer(T.shingleSet(col("w"), BoilerShingleK)).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    val counts = grams
+      .select(col("source"), col("shingle"),
+        H.md5Int60(col("shingle")).as("h"))
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("n"), min(col("shingle")).as("shingle"))
+      .filter(col("n") >= BoilerMinSupport)
+      .localCheckpoint()
+    val top = counts
+      .groupBy(col("source"))
+      // (score desc, id asc) buffer order = (support desc, hash asc)
+      .agg(org.apache.spark.sql.graft.native.topKByScore(
+        col("n").cast("double"), col("h"), BoilerTopK).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("source"), (col("r0") + 1).cast("long").as("rank"),
+        col("t")("id").as("h"))
+    top.join(counts.select(col("source"), col("h"), col("n"), col("shingle")),
+        Seq("source", "h"))
+      .select(col("source"), col("rank"), col("n").as("n_docs"),
+        col("shingle"))
+      .orderBy("source", "rank")
+  }
+
   /** q272_char_entropy — character-level Shannon entropy per document,
     * rolled up per language: Σ (c/n)·ln(n/c) over the doc's char
     * histogram in exact integer nano-nats — the alphabet-agnostic

@@ -570,6 +570,65 @@ class Round14OpsSpec extends SparkSuite {
     assert(r.getAs[Double]("mean_abs_proj") >= 0.0)
   }
 
+  test("q286 boilerplate support counts are true distinct-doc counts") {
+    val rows = graft.operators.TextAnalysis.boilerplate(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def shingles(t: String): Set[String] = {
+      val w = t.split("[ \t\n\r]+").filter(_.nonEmpty)
+      w.sliding(5).filter(_.length == 5).map(_.mkString("_")).toSet
+    }
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val sh = r.getAs[String]("shingle")
+      val support = docs.count { case (s, _, t) =>
+        s == src && shingles(t).contains(sh) }
+      assert(support.toLong == r.getAs[Long]("n_docs"),
+        s"support mismatch for '$sh' in $src")
+      assert(support >= 2)
+    }
+    // ranks are 1..k per source without gaps
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted
+        .sameElements(1L to rs.length))
+    }
+  }
+
+  test("q287 trimmed mean sits between min and max and drops the tails") {
+    val rows = graft.operators.Relational.trimmedMean(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val kept = r.getAs[Long]("n_kept")
+      val cut = n * graft.operators.Relational.TrimPerMille / 1000
+      assert(kept == n - 2 * cut, s"kept $kept of $n with $cut per tail")
+    }
+    // spot-check one type against a literal driver-side trim
+    val t = rows.head.getAs[String]("event_type")
+    val vals = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === t).select("value")
+      .collect().map(v => math.floor(v.getDouble(0) * 1e6).toLong).sorted
+    val cut = (vals.length * graft.operators.Relational.TrimPerMille / 1000).toInt
+    val interior = vals.slice(cut, vals.length - cut)
+    assert(rows.head.getAs[Long]("trimmed_mean_micros")
+      == interior.sum / interior.length)
+  }
+
+  test("q288 absorption probabilities are monotone in k and bounded") {
+    val rows = graft.operators.Relational.absorption(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("src")).foreach { case (src, rs) =>
+      val byK = rs.sortBy(_.getAs[Long]("k")).map(_.getAs[Long]("p_ppm"))
+      // more steps can only ADD absorption mass (floor slack aside)
+      byK.sliding(2).foreach {
+        case Array(a, b) => assert(b >= a - 3, s"$src: $a -> $b")
+        case _ =>
+      }
+      byK.foreach(p => assert(p >= 0L && p <= 1000000L))
+    }
+  }
+
   test("q261 flesch formula spot-check on a hand-computed doc") {
     // "Hello world. It is sunny." → w=5, s=2, y: e-o-o-i-i-u-(y? 'sunny'
     // has u and y) — count vowel GROUPS in lowercase:
