@@ -302,7 +302,10 @@ object SparkEntry {
     "q285_abtt"           -> (Similarity.abtt _),
     "q286_boilerplate"    -> (TextAnalysis.boilerplate _),
     "q287_trimmed_mean"   -> (Relational.trimmedMean _),
-    "q288_absorption"     -> (Relational.absorption _)
+    "q288_absorption"     -> (Relational.absorption _),
+    "q289_rbo"            -> (Indexing.rbo _),
+    "q290_permutation_test" -> (DataQuality.permutationTest _),
+    "q291_parquet_footprint" -> (Layout.parquetFootprint _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -5731,6 +5734,113 @@ object SparkEntry {
         |SELECT src, k::BIGINT AS k, p_ppm FROM (
         |$out
         |) ORDER BY src, k""".stripMargin)
+    },
+    "q289_rbo" -> {
+      import graft.operators.Indexing.{Bm25B, Bm25K1, Bm25Query, RboDepth,
+        RboWeightsNano}
+      val weights = RboWeightsNano.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+      materializeCtes(s"""WITH rbterms AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |    AS term
+        |  FROM documents),
+        |rbdl AS (SELECT doc_id, count(*) AS dl FROM rbterms GROUP BY doc_id),
+        |rbst AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM rbdl),
+        |rbtf AS (SELECT doc_id, term, count(*) AS tf FROM rbterms
+        |         WHERE term IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})
+        |         GROUP BY 1, 2),
+        |rbdf AS (SELECT term, count(*) AS df FROM rbtf GROUP BY term),
+        |rbsc AS (
+        |  SELECT t.term, t.doc_id,
+        |         floor(ln(((s.n_docs - d.df + 0.5) / (d.df + 0.5)) + 1.0)
+        |               * (t.tf * ${Bm25K1 + 1.0})
+        |               / (t.tf + $Bm25K1 * (${1.0 - Bm25B}
+        |                  + $Bm25B * l.dl / s.avgdl)) * 1000000.0)::BIGINT
+        |           AS s_bm25,
+        |         floor(t.tf * ln(s.n_docs / d.df) * 1000000.0)::BIGINT
+        |           AS s_tfidf
+        |  FROM rbtf t JOIN rbdl l USING (doc_id) JOIN rbdf d USING (term),
+        |       rbst s),
+        |rba AS (SELECT term, doc_id, row_number() OVER (PARTITION BY term
+        |          ORDER BY s_bm25 DESC, doc_id ASC) AS ra
+        |        FROM rbsc),
+        |rbb AS (SELECT term, doc_id, row_number() OVER (PARTITION BY term
+        |          ORDER BY s_tfidf DESC, doc_id ASC) AS rb
+        |        FROM rbsc),
+        |rbp AS (SELECT a.term, greatest(a.ra, b.rb) AS m
+        |        FROM rba a JOIN rbb b ON b.term = a.term
+        |                             AND b.doc_id = a.doc_id
+        |        WHERE a.ra <= $RboDepth AND b.rb <= $RboDepth),
+        |rbw(i, w) AS (VALUES $weights),
+        |rbsp AS (SELECT d.term, t.i FROM rbdf d,
+        |                unnest(range(1, ${RboDepth + 1})) t(i)),
+        |rbov AS (SELECT sp.term, sp.i,
+        |                (SELECT count(*) FROM rbp p
+        |                 WHERE p.term = sp.term AND p.m <= sp.i)::BIGINT AS ov
+        |         FROM rbsp sp)
+        |SELECT o.term,
+        |       max(CASE WHEN o.i = $RboDepth THEN o.ov ELSE 0 END)::BIGINT
+        |         AS overlap_at_10,
+        |       sum(floor(o.ov * w.w))::BIGINT AS rbo_nano
+        |FROM rbov o JOIN rbw w ON w.i = o.i
+        |GROUP BY o.term ORDER BY o.term""".stripMargin)
+    },
+    "q290_permutation_test" -> {
+      import graft.operators.DataQuality.{PermReps, PermSrcA, PermSrcB}
+      s"""WITH ptd AS (SELECT doc_id, source, n_chars FROM documents
+        |            WHERE source IN ('$PermSrcA', '$PermSrcB')),
+        |pto AS (SELECT sum(CASE WHEN source = '$PermSrcA' THEN 1 ELSE 0 END)::BIGINT
+        |                 AS n_a,
+        |               sum(CASE WHEN source = '$PermSrcB' THEN 1 ELSE 0 END)::BIGINT
+        |                 AS n_b,
+        |               sum(CASE WHEN source = '$PermSrcA' THEN n_chars END)::BIGINT
+        |                 * 1000000
+        |                 // sum(CASE WHEN source = '$PermSrcA' THEN 1 ELSE 0 END)::BIGINT
+        |               - sum(CASE WHEN source = '$PermSrcB' THEN n_chars END)::BIGINT
+        |                 * 1000000
+        |                 // sum(CASE WHEN source = '$PermSrcB' THEN 1 ELSE 0 END)::BIGINT
+        |                 AS t_obs_micros
+        |        FROM ptd),
+        |ptf AS (SELECT t.b, d.n_chars,
+        |               ('0x' || substr(md5('perm_' || t.b || '_' || d.doc_id),
+        |                               1, 7))::BIGINT % 2 AS side
+        |        FROM ptd d, unnest(range(1, ${PermReps + 1})) t(b)),
+        |ptb AS (SELECT sum(CASE WHEN side = 0 THEN n_chars END)::BIGINT * 1000000
+        |                 // sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT
+        |               - sum(CASE WHEN side = 1 THEN n_chars END)::BIGINT * 1000000
+        |                 // sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT
+        |                 AS t_b
+        |        FROM ptf GROUP BY b)
+        |SELECT o.n_a, o.n_b, o.t_obs_micros,
+        |       sum(CASE WHEN abs(t.t_b) >= abs(o.t_obs_micros)
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_extreme,
+        |       (sum(CASE WHEN abs(t.t_b) >= abs(o.t_obs_micros)
+        |                 THEN 1 ELSE 0 END)::BIGINT + 1) * 1000000
+        |         // ${PermReps + 1} AS p_ppm
+        |FROM ptb t CROSS JOIN pto o
+        |GROUP BY o.n_a, o.n_b, o.t_obs_micros""".stripMargin
+    },
+    "q291_parquet_footprint" -> {
+      val branches = graft.operators.Layout.FootprintTables.map { t =>
+        s"""SELECT '$t' AS table_name,
+           |       (SELECT count(DISTINCT file_name)
+           |        FROM parquet_metadata('__SFDIR__/$t.parquet'))::BIGINT
+           |         AS n_files,
+           |       (SELECT count(*) FROM (
+           |          SELECT DISTINCT file_name, row_group_id
+           |          FROM parquet_metadata('__SFDIR__/$t.parquet')))::BIGINT
+           |         AS n_row_groups,
+           |       (SELECT sum(row_group_num_rows) FROM (
+           |          SELECT DISTINCT file_name, row_group_id, row_group_num_rows
+           |          FROM parquet_metadata('__SFDIR__/$t.parquet')))::BIGINT
+           |         AS n_rows,
+           |       (SELECT sum(total_compressed_size)
+           |        FROM parquet_metadata('__SFDIR__/$t.parquet'))::BIGINT
+           |         AS compressed_bytes""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT * FROM (
+        |$branches
+        |) ORDER BY table_name""".stripMargin
     }
   )
 

@@ -43,6 +43,9 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
+      // metadata-tier oracles (q291) reference parquet FILES, not the
+      // table views — the concrete scale-factor dir is only known here
+      .map { case (k, v) => k -> v.replace("__SFDIR__", sfDir) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -708,6 +708,63 @@ object DataQuality {
       .orderBy("score_bin")
   }
 
+  /** q290 knobs: relabeling replicates and the two compared sources. */
+  val PermReps = 64
+  val PermSrcA = "src0"
+  val PermSrcB = "src1"
+
+  /** q290_permutation_test — randomization test for the difference in
+    * mean doc length between two sources: the observed T = mean_A −
+    * mean_B against [[PermReps]] derandomized RELABELINGS of the same
+    * docs (each doc flips group by an md5 coin per replicate), p =
+    * (#{|T_b| ≥ |T_obs|} + 1)/(B + 1) — the exact-by-construction
+    * nonparametric test that needs no normality, no variance
+    * pooling, and no asymptotics (q214's z-test assumes all three;
+    * q268 builds CIs, this tests a hypothesis — together they're the
+    * suite's resampling-inference pair).
+    *
+    * Determinism: q48's replayable-draw rule applied to relabeling
+    * (md5 parity per (replicate, doc)); every statistic is integer
+    * micros (sums are nonnegative, so trunc-div is floor-div); the
+    * p-value is an exact integer ratio in ppm.
+    *
+    * Scale shape: the B× fan-out rides the scan (q268's shape); one
+    * (b, side) partial-aggregable sum pair, a B-row statistic frame,
+    * a broadcast observed row; 1-row output. */
+  def permutationTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("source").isin(PermSrcA, PermSrcB))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val obs = docs.groupBy()
+      .agg(sum(when(col("source") === PermSrcA, col("n_chars"))).as("sa"),
+        sum(when(col("source") === PermSrcA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("source") === PermSrcB, col("n_chars"))).as("sb"),
+        sum(when(col("source") === PermSrcB, 1L).otherwise(0L)).as("nb"))
+      .select(col("na"), col("nb"),
+        (expr("sa * 1000000 div na") - expr("sb * 1000000 div nb"))
+          .as("t_obs_micros"))
+    val flips = docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(1), lit(PermReps))).as("b"))
+      .withColumn("side", pmod(graft.functions.HashFunctions.md5Int28(
+        concat(lit("perm_"), col("b").cast("string"), lit("_"),
+          col("doc_id").cast("string"))), lit(2)))
+    val tb = flips.groupBy(col("b"))
+      .agg(sum(when(col("side") === 0, col("n_chars"))).as("s0"),
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("side") === 1, col("n_chars"))).as("s1"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n1"))
+      .select((expr("s0 * 1000000 div n0") - expr("s1 * 1000000 div n1"))
+        .as("t_b"))
+    tb.crossJoin(broadcast(obs))
+      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+        first(col("t_obs_micros")).as("t_obs_micros"),
+        sum(when(abs(col("t_b")) >= abs(col("t_obs_micros")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .select(col("n_a"), col("n_b"), col("t_obs_micros"), col("n_extreme"),
+        expr(s"(n_extreme + 1) * 1000000 div (${PermReps} + 1)").as("p_ppm"))
+  }
+
   /** q280_mutual_info — mutual information and NMI between lang and
     * source: I(L;S) = Σ (o/N)·ln(o·N/(r·c)) over the contingency
     * grid, normalized by √(H(L)·H(S)) — the EFFECT-SIZE companion of

@@ -530,6 +530,88 @@ object Indexing {
       .orderBy("term")
   }
 
+  /** q289 knobs: list depth and RBO persistence (Webber's p). */
+  val RboDepth = 10
+  val RboP = 0.9
+  /** Per-depth RBO weights (1−p)·p^(i−1)/i scaled to nano — computed
+    * once and INJECTED into both engines as identical double
+    * literals (the PoissonCdf28 pattern). */
+  val RboWeightsNano: Seq[Double] =
+    (1 to RboDepth).map(i => (1.0 - RboP) * math.pow(RboP, i - 1) / i * 1e9)
+
+  /** q289_rbo — rank-biased overlap (Webber, Moffat & Zobel 2010)
+    * between the BM25 and TF-IDF rankings of each query term: RBO@10
+    * with p = 0.9 — the top-weighted ranking-agreement measure built
+    * for indefinite rankings (Kendall/Spearman need conjoint lists;
+    * retrieval rankings aren't), answering "does BM25's length
+    * normalization actually change what we'd serve" per term — the
+    * measurement behind choosing between the q75 and q34 scorers
+    * (and the metric a ranker migration gates on: RBO ≈ 1 means the
+    * swap is invisible to users).
+    *
+    * Determinism: both scores rank on the floor-6dp integer grid
+    * (q75's convention) with doc-id ties; depth weights are
+    * precomputed double literals identical in both engines; per-depth
+    * terms floor to nano before the integer sum.
+    *
+    * Scale shape: candidates per term are its posting rows (df-
+    * bounded); both top-10s use the map-side bounded `top_k_by_score`
+    * aggregate (no window over posting lists); the overlap table is
+    * ≤ terms·10² rows; output |terms| rows. */
+  def rbo(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(T.alphaTokens(col("text"))).as("term"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = terms.filter(col("term").isin(Bm25Query: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dl, "doc_id")
+      .join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"),
+        floor(log(((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          + 1.0)
+          * (col("tf") * lit(Bm25K1 + 1.0))
+          / (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B)
+            + lit(Bm25B) * col("dl") / col("avgdl"))) * lit(1e6))
+          .as("s_bm25"),
+        floor(col("tf") * log(col("n_docs") / col("df")) * lit(1e6))
+          .as("s_tfidf"))
+      .localCheckpoint()
+    def top(score: String): DataFrame = scored
+      .groupBy(col("term"))
+      .agg(org.apache.spark.sql.graft.native.topKByScore(
+        col(score).cast("double"), col("doc_id"), RboDepth).as("t"))
+      .select(col("term"), posexplode(col("t")).as(Seq("r0", "e")))
+      .select(col("term"), col("e")("id").as("doc_id"),
+        (col("r0") + 1).cast("long").as("rnk"))
+    val pairs = top("s_bm25").withColumnRenamed("rnk", "ra")
+      .join(top("s_tfidf").withColumnRenamed("rnk", "rb"),
+        Seq("term", "doc_id"))
+      .select(col("term"), greatest(col("ra"), col("rb")).as("m"))
+    val spine = df_.select(col("term"))
+      .crossJoin(spark.range(1, RboDepth + 1).select(col("id").as("i")))
+    val ov = spine.join(
+        pairs.select(col("term"),
+          explode(sequence(col("m"), lit(RboDepth.toLong))).as("i"))
+          .groupBy(col("term"), col("i")).agg(count(lit(1)).as("ov")),
+        Seq("term", "i"), "left")
+      .select(col("term"), col("i"), coalesce(col("ov"), lit(0L)).as("ov"))
+    val weights = spark.createDataFrame(
+      RboWeightsNano.zipWithIndex.map { case (w, i) => (i + 1L, w) })
+      .toDF("i", "w")
+    ov.join(broadcast(weights), "i")
+      .select(col("term"),
+        when(col("i") === RboDepth, col("ov")).otherwise(lit(0L))
+          .as("ov10"),
+        floor(col("ov") * col("w")).cast("long").as("t"))
+      .groupBy(col("term"))
+      .agg(max(col("ov10")).as("overlap_at_10"), sum(col("t")).as("rbo_nano"))
+      .orderBy("term")
+  }
+
   /** q271 knobs: query selection stride, needle geometry. */
   val SubstrQueryMod = 97L
   val SubstrNeedleStart = 11

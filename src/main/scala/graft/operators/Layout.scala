@@ -169,4 +169,60 @@ object Layout {
           .as("fill_ppm"),
         (col("bytes") < lit(FileTargetBytes / 2)).as("merge_candidate"))
       .orderBy("lang", "source")
+
+  /** The tables q291 inventories (the full graded star + corpus set). */
+  val FootprintTables: Seq[String] = Seq("customer", "documents",
+    "embeddings", "events", "lineitem", "nation", "orders", "part",
+    "region", "supplier")
+
+  /** q291_parquet_footprint — physical-layout inventory straight from
+    * the parquet FOOTERS: per table the file count, row-group count,
+    * exact row count and compressed byte total — the ground-truth
+    * numbers the layout advisors (q189's file sizing, q219's padding
+    * waste, q103's clustering) ESTIMATE from row data; reading them
+    * from metadata is how a real lakehouse audits itself (row-group
+    * skew and tiny-file creep show up here before any query slows
+    * down). Both engines read THE SAME footers, so every value is
+    * byte-exact by construction.
+    *
+    * Scale shape: pure METADATA work — cost is O(files), zero row
+    * data touched (the point of the operator); footer reads happen
+    * driver-side exactly like a catalog/statistics pass (bounded by
+    * file count; a 100 TB table's footers are a few MB). The output
+    * is built with createDataFrame on the ≤|tables| summary rows. */
+  def parquetFootprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = FootprintTables.map { t =>
+      val dir = new Path(s"$sfDir/$t.parquet")
+      val fs = dir.getFileSystem(conf)
+      val root = fs.getFileStatus(dir)
+      // the testdata ships single-file tables; partitioned dirs list
+      val files = (if (root.isFile) Seq(root)
+        else fs.listStatus(dir).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+        .sortBy(_.getPath.getName)
+      var groups = 0L; var nRows = 0L; var bytes = 0L
+      files.foreach { f =>
+        val reader = ParquetFileReader
+          .open(HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          groups += blocks.size
+          blocks.foreach { b =>
+            nRows += b.getRowCount
+            bytes += b.getColumns.asScala.map(_.getTotalSize).sum
+          }
+        } finally reader.close()
+      }
+      (t, files.size.toLong, groups, nRows, bytes)
+    }
+    spark.createDataFrame(rows)
+      .toDF("table_name", "n_files", "n_row_groups", "n_rows",
+        "compressed_bytes")
+      .orderBy("table_name")
+  }
 }

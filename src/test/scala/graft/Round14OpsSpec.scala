@@ -629,6 +629,51 @@ class Round14OpsSpec extends SparkSuite {
     }
   }
 
+  test("q289 RBO is bounded, identical lists score ~1, weights sum to the truncated mass") {
+    import graft.operators.Indexing.{RboDepth, RboWeightsNano}
+    val rows = graft.operators.Indexing.rbo(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // max attainable rbo_nano at full overlap = sum of floor(i * w_i)
+    val maxNano = RboWeightsNano.zipWithIndex
+      .map { case (w, i) => math.floor((i + 1) * w).toLong }.sum
+    rows.foreach { r =>
+      val v = r.getAs[Long]("rbo_nano")
+      assert(v >= 0L && v <= maxNano, s"rbo $v outside [0, $maxNano]")
+      assert(r.getAs[Long]("overlap_at_10") >= 0L)
+      assert(r.getAs[Long]("overlap_at_10") <= RboDepth)
+    }
+    // the truncated weight mass is 1 - p^d (times depth-weighted tail):
+    // just sanity the weights are positive decreasing
+    assert(RboWeightsNano.sliding(2).forall { case Seq(a, b) => b < a })
+  }
+
+  test("q290 permutation p-value is conservative-valid and extreme count consistent") {
+    import graft.operators.DataQuality.PermReps
+    val r = graft.operators.DataQuality.permutationTest(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_a") > 0L && r.getAs[Long]("n_b") > 0L)
+    val ne = r.getAs[Long]("n_extreme")
+    assert(ne >= 0L && ne <= PermReps)
+    assert(r.getAs[Long]("p_ppm")
+      == (ne + 1) * 1000000L / (PermReps + 1))
+    // identical-distribution sources: p should not be degenerate-small
+    assert(r.getAs[Long]("p_ppm") >= 1000000L / (PermReps + 1))
+  }
+
+  test("q291 footprint matches actual row counts and positive sizes") {
+    val rows = graft.operators.Layout.parquetFootprint(spark, sf).collect()
+    assert(rows.length == graft.operators.Layout.FootprintTables.length)
+    rows.foreach { r =>
+      val t = r.getAs[String]("table_name")
+      val actual = graft.sources.Tables.table(spark, sf, t).count()
+      assert(r.getAs[Long]("n_rows") == actual,
+        s"$t footer rows ${r.getAs[Long]("n_rows")} != scan count $actual")
+      assert(r.getAs[Long]("n_files") >= 1L)
+      assert(r.getAs[Long]("n_row_groups") >= r.getAs[Long]("n_files"))
+      assert(r.getAs[Long]("compressed_bytes") > 0L)
+    }
+  }
+
   test("q261 flesch formula spot-check on a hand-computed doc") {
     // "Hello world. It is sunny." → w=5, s=2, y: e-o-o-i-i-u-(y? 'sunny'
     // has u and y) — count vowel GROUPS in lowercase:
