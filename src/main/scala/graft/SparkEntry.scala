@@ -305,7 +305,8 @@ object SparkEntry {
     "q288_absorption"     -> (Relational.absorption _),
     "q289_rbo"            -> (Indexing.rbo _),
     "q290_permutation_test" -> (DataQuality.permutationTest _),
-    "q291_parquet_footprint" -> (Layout.parquetFootprint _)
+    "q291_parquet_footprint" -> (Layout.parquetFootprint _),
+    "q292_tail_attribution" -> (Relational.tailAttribution _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -5841,7 +5842,26 @@ object SparkEntry {
       s"""SELECT * FROM (
         |$branches
         |) ORDER BY table_name""".stripMargin
-    }
+    },
+    "q292_tail_attribution" ->
+      """WITH tat AS (SELECT quantile_cont(value, 0.99) AS p99 FROM events),
+        |tag AS (SELECT e.event_type, t.p99,
+        |               count(*)::BIGINT AS n_tail,
+        |               sum(floor((e.value - t.p99) * 1000000.0)::BIGINT)::BIGINT
+        |                 AS excess_micros
+        |        FROM events e CROSS JOIN tat t
+        |        WHERE e.value > t.p99
+        |        GROUP BY 1, 2),
+        |tt AS (SELECT sum(n_tail)::BIGINT AS nt,
+        |              sum(excess_micros)::BIGINT AS et
+        |       FROM tag)
+        |SELECT g.event_type,
+        |       floor(g.p99 * 10000.0 + 0.5) / 10000.0 AS p99,
+        |       g.n_tail,
+        |       g.n_tail * 1000000 // t.nt AS tail_share_ppm,
+        |       g.excess_micros,
+        |       g.excess_micros * 1000000 // t.et AS excess_share_ppm
+        |FROM tag g CROSS JOIN tt t ORDER BY g.event_type""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

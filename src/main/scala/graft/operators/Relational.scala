@@ -2751,6 +2751,47 @@ object Relational {
       .orderBy("k")
   }
 
+  /** q292_tail_attribution — p99 tail decomposition: the corpus-wide
+    * exact p99 of event value, then per event type its COUNT share of
+    * the tail and its share of the EXCESS mass Σ(v − p99) — the
+    * "which workload drives our tail latency" attribution every SRE
+    * postmortem starts with (q258 tracks per-type quantiles over
+    * time; this answers the cross-type blame question at one global
+    * threshold — a type can have a modest p99 of its own yet
+    * contribute most of the global tail by volume).
+    *
+    * Determinism: the threshold is one exact interpolated percentile
+    * (q38's convention); tail membership is a strict comparison
+    * against that shared double; excess contributions floor to
+    * micros per row before the integer sums.
+    *
+    * Scale shape: one percentile aggregate broadcast back onto the
+    * scan, one type-keyed conditional aggregate + broadcast totals;
+    * |types| output rows. */
+  def tailAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+    val thr = ev.agg(percentile(col("value"), lit(0.99)).as("p99"))
+    val tail = ev.crossJoin(broadcast(thr))
+      .filter(col("value") > col("p99"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_tail"),
+        sum(floor((col("value") - col("p99")) * lit(1e6)).cast("long"))
+          .as("excess_micros"),
+        first(col("p99")).as("p99"))
+    val tot = tail.agg(sum(col("n_tail")).as("nt"),
+      sum(col("excess_micros")).as("et"))
+    tail.crossJoin(broadcast(tot))
+      .select(col("event_type"),
+        (floor(col("p99") * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("p99"),
+        col("n_tail"),
+        expr("n_tail * 1000000 div nt").as("tail_share_ppm"),
+        col("excess_micros"),
+        expr("excess_micros * 1000000 div et").as("excess_share_ppm"))
+      .orderBy("event_type")
+  }
+
   /** q287 trim fraction (each tail), in per-mille. */
   val TrimPerMille = 50L
 

@@ -674,6 +674,20 @@ class Round14OpsSpec extends SparkSuite {
     }
   }
 
+  test("q292 tail attribution shares partition the tail and sum to ~1e6") {
+    val rows = graft.operators.Relational.tailAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nTail = rows.map(_.getAs[Long]("n_tail")).sum
+    // tail size ~ 1% of events (strict > on the interpolated p99)
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(nTail <= nEvents / 50 && nTail > 0, s"tail $nTail of $nEvents")
+    val shares = rows.map(_.getAs[Long]("tail_share_ppm")).sum
+    assert(shares > 999000L && shares <= 1000000L)
+    val eshares = rows.map(_.getAs[Long]("excess_share_ppm")).sum
+    assert(eshares > 999000L && eshares <= 1000000L)
+    rows.foreach(r => assert(r.getAs[Long]("excess_micros") > 0L))
+  }
+
   test("q261 flesch formula spot-check on a hand-computed doc") {
     // "Hello world. It is sunny." → w=5, s=2, y: e-o-o-i-i-u-(y? 'sunny'
     // has u and y) — count vowel GROUPS in lowercase:
