@@ -306,7 +306,10 @@ object SparkEntry {
     "q289_rbo"            -> (Indexing.rbo _),
     "q290_permutation_test" -> (DataQuality.permutationTest _),
     "q291_parquet_footprint" -> (Layout.parquetFootprint _),
-    "q292_tail_attribution" -> (Relational.tailAttribution _)
+    "q292_tail_attribution" -> (Relational.tailAttribution _),
+    "q293_kendall_tau"    -> (Relational.kendallTau _),
+    "q294_mann_whitney"   -> (DataQuality.mannWhitney _),
+    "q295_llr_bigrams"    -> (TextAnalysis.llrBigrams _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -5861,7 +5864,96 @@ object SparkEntry {
         |       g.n_tail * 1000000 // t.nt AS tail_share_ppm,
         |       g.excess_micros,
         |       g.excess_micros * 1000000 // t.et AS excess_share_ppm
-        |FROM tag g CROSS JOIN tt t ORDER BY g.event_type""".stripMargin
+        |FROM tag g CROSS JOIN tt t ORDER BY g.event_type""".stripMargin,
+    "q293_kendall_tau" ->
+      s"""WITH kdaily AS MATERIALIZED (
+        |  SELECT (epoch_ms(ts) - ${Relational.RetentionEpochMs}) // 86400000 AS day,
+        |         count(*)::BIGINT AS x,
+        |         sum(floor(value * 1000000.0)::BIGINT)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |kp AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        |       FROM kdaily a JOIN kdaily b ON b.day > a.day),
+        |ka AS (SELECT count(*)::BIGINT AS n_pairs,
+        |              sum(CASE WHEN (x2 > x1 AND y2 > y1)
+        |                         OR (x2 < x1 AND y2 < y1)
+        |                       THEN 1 ELSE 0 END)::BIGINT AS concordant,
+        |              sum(CASE WHEN (x2 > x1 AND y2 < y1)
+        |                         OR (x2 < x1 AND y2 > y1)
+        |                       THEN 1 ELSE 0 END)::BIGINT AS discordant,
+        |              sum(CASE WHEN x2 = x1 THEN 1 ELSE 0 END)::BIGINT AS ties_x,
+        |              sum(CASE WHEN y2 = y1 THEN 1 ELSE 0 END)::BIGINT AS ties_y
+        |       FROM kp)
+        |SELECT (SELECT count(*)::BIGINT FROM kdaily) AS n_days,
+        |       n_pairs, concordant, discordant, ties_x, ties_y,
+        |       round((concordant - discordant)::DOUBLE
+        |             / sqrt((n_pairs - ties_x)::DOUBLE
+        |                    * (n_pairs - ties_y)::DOUBLE), 6) AS tau_b
+        |FROM ka""".stripMargin,
+    "q294_mann_whitney" -> {
+      import graft.operators.DataQuality.{MwGroupA, MwGroupB}
+      s"""WITH mwh AS (
+        |  SELECT n_chars AS value, count(*)::BIGINT AS cnt,
+        |         sum(CASE WHEN lang = '$MwGroupA' THEN 1 ELSE 0 END)::BIGINT AS ca
+        |  FROM documents WHERE lang IN ('$MwGroupA', '$MwGroupB')
+        |  GROUP BY 1),
+        |mwr AS (
+        |  SELECT cnt, ca,
+        |         2 * coalesce(sum(cnt) OVER (ORDER BY value
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + cnt + 1 AS r2
+        |  FROM mwh),
+        |mwa AS (
+        |  SELECT sum(ca)::BIGINT AS n_a,
+        |         sum(cnt - ca)::BIGINT AS n_b,
+        |         sum(ca * r2)::BIGINT AS ra2,
+        |         sum(cnt * cnt * cnt - cnt)::BIGINT AS tie_term
+        |  FROM mwr)
+        |SELECT n_a, n_b,
+        |       (ra2 - n_a * (n_a + 1))::BIGINT AS u2_a,
+        |       tie_term,
+        |       (ra2 - n_a * (n_a + 1)) * 1000000 // (2 * n_a * n_b) AS auc_ppm,
+        |       round((ra2 - n_a * (n_a + 1) - n_a * n_b)::DOUBLE
+        |             / (2.0 * sqrt((n_a * n_b)::DOUBLE / 12.0
+        |                 * ((n_a + n_b + 1)::DOUBLE
+        |                    - tie_term::DOUBLE
+        |                      / ((n_a + n_b)::DOUBLE * (n_a + n_b - 1)::DOUBLE)))),
+        |             6) AS z
+        |FROM mwa""".stripMargin
+    },
+    "q295_llr_bigrams" ->
+      """WITH llt AS (SELECT regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents),
+        |llg AS (SELECT unnest([w[i] || '_' || w[i+1] FOR i IN range(1, len(w))]) AS bigram FROM llt),
+        |llc AS MATERIALIZED (
+        |  SELECT bigram, count(*)::BIGINT AS k11,
+        |         split_part(bigram, '_', 1) AS a,
+        |         split_part(bigram, '_', 2) AS b
+        |  FROM llg GROUP BY 1),
+        |lla AS (SELECT a, sum(k11)::BIGINT AS ra FROM llc GROUP BY 1),
+        |llb AS (SELECT b, sum(k11)::BIGINT AS cb FROM llc GROUP BY 1),
+        |lln AS (SELECT sum(k11)::BIGINT AS nn FROM llc),
+        |llx AS (
+        |  SELECT c.bigram, c.k11, a.ra, b.cb, n.nn,
+        |         a.ra - c.k11 AS k12, b.cb - c.k11 AS k21,
+        |         n.nn - a.ra - b.cb + c.k11 AS k22
+        |  FROM llc c JOIN lla a USING (a) JOIN llb b USING (b) CROSS JOIN lln n)
+        |SELECT bigram, k11,
+        |       2 * (
+        |         CASE WHEN k11 > 0 THEN floor(k11::DOUBLE
+        |           * ln((k11::DOUBLE * nn::DOUBLE) / (ra::DOUBLE * cb::DOUBLE))
+        |           * 1000000.0)::BIGINT ELSE 0 END
+        |       + CASE WHEN k12 > 0 THEN floor(k12::DOUBLE
+        |           * ln((k12::DOUBLE * nn::DOUBLE) / (ra::DOUBLE * (nn - cb)::DOUBLE))
+        |           * 1000000.0)::BIGINT ELSE 0 END
+        |       + CASE WHEN k21 > 0 THEN floor(k21::DOUBLE
+        |           * ln((k21::DOUBLE * nn::DOUBLE) / ((nn - ra)::DOUBLE * cb::DOUBLE))
+        |           * 1000000.0)::BIGINT ELSE 0 END
+        |       + CASE WHEN k22 > 0 THEN floor(k22::DOUBLE
+        |           * ln((k22::DOUBLE * nn::DOUBLE) / ((nn - ra)::DOUBLE * (nn - cb)::DOUBLE))
+        |           * 1000000.0)::BIGINT ELSE 0 END
+        |       ) AS llr_micros
+        |FROM llx
+        |ORDER BY llr_micros DESC, bigram ASC
+        |LIMIT 20""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

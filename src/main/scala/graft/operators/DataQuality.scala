@@ -847,4 +847,69 @@ object DataQuality {
       .withColumn("dev_ppm", col("share_ppm") - col("benford_ppm"))
       .orderBy("digit")
   }
+
+  /** q294's compared languages (the A/B sides of the rank-sum). The
+    * corpus generator gives zh genuinely SHORTER docs than en (mean
+    * 282 vs 299 chars at sf0.1), so the test exercises a real
+    * rejection — every event-type value pair was measured null
+    * (|z| < 1.8 at sf0.1), which would have graded only the
+    * no-difference branch. */
+  val MwGroupA = "zh"
+  val MwGroupB = "en"
+
+  /** q294_mann_whitney — Mann-Whitney U (Wilcoxon rank-sum) comparing
+    * the doc-length distributions of two languages: the nonparametric
+    * two-sample location test — q214's two-proportion z compares
+    * RATES, this compares whole DISTRIBUTIONS without assuming
+    * normality. Emits the exact doubled U statistic, the
+    * common-language effect size (P(A > B), the AUC — the probability
+    * a random zh doc outranks a random en doc), and the tie-corrected
+    * normal-approximation z. Integer lengths tie heavily, so the tie
+    * correction IS load-bearing here.
+    *
+    * Determinism: average ranks come from the combined length
+    * histogram via the doubled-rank identity (q262's r2 = 2·prefix +
+    * cnt + 1 — pure integers), so 2·U is an exact integer; the AUC is
+    * exact integer ppm; z is one double expression over exact
+    * integers (sqrt only at the end), rounded 6dp. No continuity
+    * correction (both engines would apply it identically, but the
+    * uncorrected form keeps the formula one expression).
+    *
+    * Scale shape: one combined histogram keyed by length with
+    * conditional group counts, one cumulative window over the
+    * distinct-VALUE domain (q194/q262's whitelisted shape), one
+    * global aggregate; 1-row output. */
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(spark, sfDir)
+      .filter(col("lang").isin(MwGroupA, MwGroupB))
+      .select(col("lang"), col("n_chars").as("value"))
+      .groupBy(col("value"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("lang") === MwGroupA, 1L).otherwise(0L))
+          .as("ca"))
+    val ranked = hist.withColumn("r2",
+      lit(2) * coalesce(sum(col("cnt")).over(Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        + col("cnt") + lit(1L))
+    ranked.agg(
+        sum(col("ca")).as("n_a"),
+        sum(col("cnt") - col("ca")).as("n_b"),
+        sum(col("ca") * col("r2")).as("ra2"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+          .as("tie_term"))
+      .select(col("n_a"), col("n_b"),
+        (col("ra2") - col("n_a") * (col("n_a") + lit(1L))).as("u2_a"),
+        col("tie_term"))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("tie_term"),
+        expr("u2_a * 1000000 div (2 * n_a * n_b)").as("auc_ppm"),
+        round((col("u2_a") - col("n_a") * col("n_b")).cast("double")
+          / (lit(2.0) * sqrt(
+            (col("n_a") * col("n_b")).cast("double") / lit(12.0)
+              * ((col("n_a") + col("n_b") + lit(1L)).cast("double")
+                - col("tie_term").cast("double")
+                  / ((col("n_a") + col("n_b")).cast("double")
+                    * (col("n_a") + col("n_b") - lit(1L)).cast("double"))))),
+          6).as("z"))
+  }
 }

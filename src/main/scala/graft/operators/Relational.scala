@@ -2974,4 +2974,60 @@ object Relational {
           .as("is_changepoint"))
       .orderBy("day")
   }
+
+  /** Maximum day span q293's pair generation covers. The events table
+    * spans 30 days at every SF; 64 leaves headroom for a wider
+    * generator vintage, and the spec asserts the pair count equals
+    * the full n·(n−1)/2 so a silent span overflow cannot grade. */
+  val KendallMaxSpan = 64
+
+  /** q293_kendall_tau — Kendall τ-b between daily event volume and
+    * daily value mass: over all day pairs, the balance of concordant
+    * vs discordant orderings with the tie-corrected denominator —
+    * the nonparametric association measure on the SERIES level
+    * (q262's Spearman ranks individual docs; this asks whether
+    * heavier DAYS carry proportionally heavier value, the capacity-
+    * planning question "does load scale revenue monotonically").
+    *
+    * Determinism: both series are exact integers (a count and a sum
+    * of per-row micro-floored values), so every pair comparison is
+    * integer-exact; τ-b is one sqrt of exact integer products
+    * (IEEE-correctly-rounded, lesson: sqrt only) rounded 6dp.
+    *
+    * Scale shape: one day-keyed aggregate (calendar-bounded), pair
+    * generation via the q284 lag-explode identity (an equi-join on
+    * day+k over the DAY domain — never a theta join), one global
+    * pair aggregate; 1-row output. */
+  def kendallTau(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayMs = 86400000L
+    val daily = Tables.events(spark, sfDir)
+      .select(expr(s"(unix_millis(ts) - $RetentionEpochMs) div $dayMs").as("day"),
+        floor(col("value") * lit(1e6)).cast("long").as("v_micros"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("x"), sum(col("v_micros")).as("y"))
+      .localCheckpoint()
+    val earlier = daily.select(col("day"), col("x"), col("y"),
+        explode(sequence(lit(1), lit(KendallMaxSpan))).as("k"))
+      .select((col("day") + col("k")).as("day"),
+        col("x").as("x1"), col("y").as("y1"))
+    val pairs = daily.join(earlier, "day")
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when((col("x") > col("x1") && col("y") > col("y1"))
+          || (col("x") < col("x1") && col("y") < col("y1")), 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((col("x") > col("x1") && col("y") < col("y1"))
+          || (col("x") < col("x1") && col("y") > col("y1")), 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(col("x") === col("x1"), 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("y") === col("y1"), 1L).otherwise(0L)).as("ties_y"))
+      .crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("ties_x"), col("ties_y"),
+        round((col("concordant") - col("discordant")).cast("double")
+          / sqrt((col("n_pairs") - col("ties_x")).cast("double")
+            * (col("n_pairs") - col("ties_y")).cast("double")), 6)
+          .as("tau_b"))
+  }
 }

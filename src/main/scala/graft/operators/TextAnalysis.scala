@@ -1448,4 +1448,57 @@ object TextAnalysis {
         expr("sum_micros div n_docs").as("mean_flesch_micros"), col("n_easy"))
       .orderBy("lang")
   }
+
+  /** q295_llr_bigrams — Dunning log-likelihood-ratio collocations:
+    * top-20 bigrams by the G² statistic over the 2×2 contingency of
+    * (first word = a) × (second word = b) — the collocation measure
+    * that FIXES q50's PMI bias toward rare pairs (PMI ranks a
+    * 2-occurrence pair of 2-occurrence words at the top; LLR weights
+    * evidence by count, so the top of this list is the corpus's
+    * actual phrase inventory, which is what a tokenizer-merge or
+    * boilerplate-phrase pass wants).
+    *
+    * Determinism: all four cell counts are exact integers from one
+    * bigram histogram and its two marginals; each k·ln(kN/(RC)) term
+    * is floor-micro-quantized before the integer sum (q280's
+    * convention — cross-engine ln agrees to ~1 ulp and the 1e-6
+    * floor absorbs it); ordering on the integer statistic with the
+    * bigram string as total tie-break.
+    *
+    * Scale shape: the bigram histogram rides the token scan (one
+    * keyed aggregate); marginals roll up FROM the histogram (never a
+    * second corpus pass) and broadcast-join back; top-20 is a
+    * TakeOrdered. */
+  def llrBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.documents(spark, sfDir)
+      .select(T.wsTokens(col("text")).as("w"))
+      .select(explode_outer(T.shingles(col("w"), 2)).as("bigram"))
+      .filter(col("bigram").isNotNull)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("k11"))
+      .withColumn("a", split(col("bigram"), "_").getItem(0))
+      .withColumn("b", split(col("bigram"), "_").getItem(1))
+      .localCheckpoint()
+    val la = big.groupBy(col("a")).agg(sum(col("k11")).as("ra"))
+    val rb = big.groupBy(col("b")).agg(sum(col("k11")).as("cb"))
+    val nn = big.agg(sum(col("k11")).as("nn"))
+    def term(k: Column, row: Column, cc: Column): Column =
+      when(k > 0, floor(k.cast("double")
+        * log((k.cast("double") * col("nn").cast("double"))
+          / (row.cast("double") * cc.cast("double"))) * lit(1e6))
+        .cast("long")).otherwise(lit(0L))
+    big.join(broadcast(la), "a").join(broadcast(rb), "b")
+      .crossJoin(broadcast(nn))
+      .select(col("bigram"), col("k11"), col("ra"), col("cb"), col("nn"),
+        (col("ra") - col("k11")).as("k12"),
+        (col("cb") - col("k11")).as("k21"),
+        (col("nn") - col("ra") - col("cb") + col("k11")).as("k22"))
+      .select(col("bigram"), col("k11"),
+        (lit(2L) * (term(col("k11"), col("ra"), col("cb"))
+          + term(col("k12"), col("ra"), col("nn") - col("cb"))
+          + term(col("k21"), col("nn") - col("ra"), col("cb"))
+          + term(col("k22"), col("nn") - col("ra"), col("nn") - col("cb"))))
+          .as("llr_micros"))
+      .orderBy(col("llr_micros").desc, col("bigram").asc)
+      .limit(20)
+  }
 }

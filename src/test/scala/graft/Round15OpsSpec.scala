@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 graded operators: series-level Kendall τ-b, Mann-Whitney
+  * rank-sum, and Dunning LLR collocations. */
+class Round15OpsSpec extends SparkSuite {
+
+  test("q293 kendall pair census is complete and tau is bounded") {
+    val r = graft.operators.Relational.kendallTau(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val nDays = row.getAs[Long]("n_days")
+    val nPairs = row.getAs[Long]("n_pairs")
+    // the lag-explode generator must cover EVERY pair — a silent span
+    // overflow (> KendallMaxSpan) would drop pairs without failing
+    assert(nPairs == nDays * (nDays - 1) / 2,
+      s"pair census incomplete: $nPairs of ${nDays * (nDays - 1) / 2}")
+    assert(nDays <= graft.operators.Relational.KendallMaxSpan,
+      "day span exceeds the generator cap — raise KendallMaxSpan")
+    val c = row.getAs[Long]("concordant"); val d = row.getAs[Long]("discordant")
+    assert(c + d + row.getAs[Long]("ties_x") >= nPairs - row.getAs[Long]("ties_y"),
+      "every pair is concordant, discordant, or tied in some coordinate")
+    val tau = row.getAs[Double]("tau_b")
+    assert(tau >= -1.0 && tau <= 1.0)
+    // heavier days carry more total value by construction
+    assert(tau > 0.0, s"volume-value association should be positive, got $tau")
+  }
+
+  test("q293 tau matches a driver-side recomputation") {
+    val dayMs = 86400000L
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select(expr(s"(unix_millis(ts) - ${graft.operators.Relational.RetentionEpochMs}) div $dayMs")
+        .as("day"), floor(col("value") * lit(1e6)).cast("long").as("v"))
+      .groupBy("day").agg(count(lit(1)).as("x"), sum(col("v")).as("y"))
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    var c = 0L; var d = 0L; var tx = 0L; var ty = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length) {
+      val s = java.lang.Long.signum(daily(j)._1 - daily(i)._1) *
+        java.lang.Long.signum(daily(j)._2 - daily(i)._2)
+      if (s > 0) c += 1 else if (s < 0) d += 1
+      if (daily(i)._1 == daily(j)._1) tx += 1
+      if (daily(i)._2 == daily(j)._2) ty += 1
+    }
+    val row = graft.operators.Relational.kendallTau(spark, sf).collect().head
+    assert(row.getAs[Long]("concordant") == c)
+    assert(row.getAs[Long]("discordant") == d)
+    assert(row.getAs[Long]("ties_x") == tx)
+    assert(row.getAs[Long]("ties_y") == ty)
+  }
+
+  test("q294 rank-sum identities hold and the AUC matches U") {
+    val row = graft.operators.DataQuality.mannWhitney(spark, sf).collect().head
+    val na = row.getAs[Long]("n_a"); val nb = row.getAs[Long]("n_b")
+    val u2 = row.getAs[Long]("u2_a")
+    // group sizes = corpus slice sizes
+    val docs = graft.sources.Tables.documents(spark, sf)
+    import graft.operators.DataQuality.{MwGroupA, MwGroupB}
+    assert(na == docs.filter(col("lang") === MwGroupA).count())
+    assert(nb == docs.filter(col("lang") === MwGroupB).count())
+    // 0 <= U <= n_a * n_b  (doubled throughout)
+    assert(u2 >= 0L && u2 <= 2 * na * nb)
+    assert(row.getAs[Long]("auc_ppm") == u2 * 1000000 / (2 * na * nb))
+    // U_A + U_B = n_a * n_b: recompute U_B by swapping the groups
+    val histB = docs.filter(col("lang").isin(MwGroupA, MwGroupB))
+      .select(col("lang"), col("n_chars").as("value"))
+    val vals = histB.collect().map(r => (r.getString(0), r.getAs[Long](1)))
+    var u2b = 0L
+    for ((la, va) <- vals if la == MwGroupB; (lb, vb) <- vals if lb == MwGroupA) {
+      if (va > vb) u2b += 2 else if (va == vb) u2b += 1
+    }
+    assert(u2 + u2b == 2 * na * nb, s"U_A + U_B must equal n_a*n_b: $u2 + $u2b")
+  }
+
+  test("q294 doubled-U equals the brute-force pair count") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    import graft.operators.DataQuality.{MwGroupA, MwGroupB}
+    val vals = docs.filter(col("lang").isin(MwGroupA, MwGroupB))
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getAs[Long](1)))
+    var u2 = 0L
+    for ((la, va) <- vals if la == MwGroupA; (lb, vb) <- vals if lb == MwGroupB) {
+      if (va > vb) u2 += 2 else if (va == vb) u2 += 1
+    }
+    val row = graft.operators.DataQuality.mannWhitney(spark, sf).collect().head
+    assert(row.getAs[Long]("u2_a") == u2)
+  }
+
+  test("q295 LLR top list is count-weighted, not rare-pair-dominated") {
+    val rows = graft.operators.TextAnalysis.llrBigrams(spark, sf).collect()
+    assert(rows.length == 20)
+    // scores are sorted descending with the bigram tie-break
+    val scores = rows.map(_.getAs[Long]("llr_micros"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.head > 0, "top collocation must have positive association")
+    // the PMI failure mode: a hapax pair of hapax words tops PMI but
+    // must NOT top LLR — the top-5 here all have k11 > 1
+    assert(rows.take(5).forall(_.getAs[Long]("k11") >= 2),
+      "LLR top-5 should be evidence-weighted")
+  }
+
+  test("q295 LLR agrees with a driver-side contingency recomputation") {
+    val top = graft.operators.TextAnalysis.llrBigrams(spark, sf).collect()
+      .map(r => (r.getAs[String]("bigram"), r.getAs[Long]("k11"),
+        r.getAs[Long]("llr_micros"))).head
+    // recompute the statistic for the single top bigram from raw counts
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val toks = docs.select(graft.functions.TextFunctions.wsTokens(col("text")).as("w"))
+      .select(explode_outer(graft.functions.TextFunctions.shingles(col("w"), 2)).as("bg"))
+      .filter(col("bg").isNotNull).collect().map(_.getString(0))
+    val n = toks.length.toLong
+    val k11 = toks.count(_ == top._1).toLong
+    val a = top._1.split("_")(0); val b = top._1.split("_")(1)
+    val ra = toks.count(_.startsWith(a + "_")).toLong
+    val cb = toks.count(_.endsWith("_" + b)).toLong
+    assert(k11 == top._2)
+    def t(k: Long, r: Long, c: Long): Long =
+      if (k > 0) math.floor(k.toDouble * math.log(k.toDouble * n / (r.toDouble * c)) * 1e6).toLong
+      else 0L
+    val llr = 2 * (t(k11, ra, cb) + t(ra - k11, ra, n - cb)
+      + t(cb - k11, n - ra, cb) + t(n - ra - cb + k11, n - ra, n - cb))
+    assert(llr == top._3, s"driver recomputation $llr vs ${top._3}")
+  }
+}

@@ -49,7 +49,10 @@ class ScaleShapeSpec extends SparkSuite {
       "q267_max_concurrency",
       // q283's enrollment/conversion cumsums run over the DAY domain
       // (q260's class)
-      "q283_sprt")
+      "q283_sprt",
+      // q294's rank-histogram cumsum runs over the distinct
+      // value-domain of a two-type slice (q194/q262's shape)
+      "q294_mann_whitney")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
