@@ -309,7 +309,8 @@ object SparkEntry {
     "q292_tail_attribution" -> (Relational.tailAttribution _),
     "q293_kendall_tau"    -> (Relational.kendallTau _),
     "q294_mann_whitney"   -> (DataQuality.mannWhitney _),
-    "q295_llr_bigrams"    -> (TextAnalysis.llrBigrams _)
+    "q295_llr_bigrams"    -> (TextAnalysis.llrBigrams _),
+    "q296_jsd_sources"    -> (TextAnalysis.jsdSources _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -5953,7 +5954,38 @@ object SparkEntry {
         |       ) AS llr_micros
         |FROM llx
         |ORDER BY llr_micros DESC, bigram ASC
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    "q296_jsd_sources" ->
+      """WITH jt AS (SELECT source, unnest(regexp_extract_all(text, '[^ \t\n\r]+')) AS term FROM documents),
+        |jc AS MATERIALIZED (SELECT source, term, count(*)::BIGINT AS c FROM jt GROUP BY 1, 2),
+        |jn AS (SELECT source, sum(c)::BIGINT AS n FROM jc GROUP BY 1),
+        |jp AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         na.n AS na, nb.n AS nb, a.c AS ca, b.c AS cb
+        |  FROM jc a JOIN jc b USING (term)
+        |  JOIN jn na ON na.source = a.source
+        |  JOIN jn nb ON nb.source = b.source
+        |  WHERE a.source < b.source),
+        |jg AS (
+        |  SELECT source_a, source_b, na, nb,
+        |         count(*)::BIGINT AS n_common,
+        |         sum(ca)::BIGINT AS ia, sum(cb)::BIGINT AS ib,
+        |         sum(floor(ca::DOUBLE / na::DOUBLE
+        |           * ln(2.0 * (ca::DOUBLE / na::DOUBLE)
+        |               / (ca::DOUBLE / na::DOUBLE + cb::DOUBLE / nb::DOUBLE))
+        |           * 1000000000.0)::BIGINT)::BIGINT AS sa_nano,
+        |         sum(floor(cb::DOUBLE / nb::DOUBLE
+        |           * ln(2.0 * (cb::DOUBLE / nb::DOUBLE)
+        |               / (ca::DOUBLE / na::DOUBLE + cb::DOUBLE / nb::DOUBLE))
+        |           * 1000000000.0)::BIGINT)::BIGINT AS sb_nano
+        |  FROM jp GROUP BY 1, 2, 3, 4)
+        |SELECT source_a, source_b, n_common,
+        |       (sa_nano + sb_nano
+        |        + floor(ln(2.0) * (na - ia)::DOUBLE / na::DOUBLE * 1000000000.0)::BIGINT
+        |        + floor(ln(2.0) * (nb - ib)::DOUBLE / nb::DOUBLE * 1000000000.0)::BIGINT) // 2
+        |         AS jsd_nano
+        |FROM jg
+        |ORDER BY source_a, source_b""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

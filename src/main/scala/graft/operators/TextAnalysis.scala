@@ -1501,4 +1501,62 @@ object TextAnalysis {
       .orderBy(col("llr_micros").desc, col("bigram").asc)
       .limit(20)
   }
+
+  /** q296_jsd_sources — pairwise Jensen-Shannon divergence between the
+    * unigram distributions of every source pair: the symmetric,
+    * bounded (≤ ln 2) companion of q152's KL — the "which two crawls
+    * actually differ in CONTENT" matrix (q184 measures literal shared
+    * documents; this measures distributional distance even when no
+    * document is shared), and the standard pre-merge check before
+    * pooling two corpora into one training mix.
+    *
+    * The identity that keeps it one intersection join: the
+    * disjoint-support mass contributes exactly ln 2 · (1 − Σ_common p)
+    * per side, so only terms present in BOTH sources need the
+    * pairwise log terms — no outer join, no densified vocab grid.
+    *
+    * Determinism: p, q are exact integer-count ratios; each common
+    * summand floor-nano-quantizes before the integer sum (q280's ln
+    * convention); the disjoint-mass terms are two more floors of
+    * exact-ratio doubles; the final halving is integer division.
+    *
+    * Scale shape: one (source, term) count riding the token scan
+    * (checkpointed — both join sides read it), totals roll up from it
+    * and broadcast back, the pair frame is a term-keyed equi-join
+    * bounded by sources² per term; |sources|²/2 output rows. */
+  def jsdSources(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = Tables.documents(spark, sfDir)
+      .select(col("source"), explode_outer(T.wsTokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val st = tc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val a = tc.select(col("source").as("sa"), col("term"), col("c").as("ca"))
+      .join(broadcast(st.select(col("source").as("sa"), col("n").as("na"))), "sa")
+    val b = tc.select(col("source").as("sb"), col("term"), col("c").as("cb"))
+      .join(broadcast(st.select(col("source").as("sb"), col("n").as("nb"))), "sb")
+    val pa = col("ca").cast("double") / col("na").cast("double")
+    val pb = col("cb").cast("double") / col("nb").cast("double")
+    a.join(b, "term").filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb"), col("na"), col("nb"), col("ca"), col("cb"),
+        floor(pa * log(lit(2.0) * pa / (pa + pb)) * lit(1e9))
+          .cast("long").as("ta"),
+        floor(pb * log(lit(2.0) * pb / (pa + pb)) * lit(1e9))
+          .cast("long").as("tb"))
+      .groupBy(col("sa"), col("sb"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_common"), sum(col("ca")).as("ia"),
+        sum(col("cb")).as("ib"), sum(col("ta")).as("sa_nano"),
+        sum(col("tb")).as("sb_nano"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_common"),
+        ((col("sa_nano") + col("sb_nano")
+          + floor(log(lit(2.0)) * (col("na") - col("ia")).cast("double")
+            / col("na").cast("double") * lit(1e9)).cast("long")
+          + floor(log(lit(2.0)) * (col("nb") - col("ib")).cast("double")
+            / col("nb").cast("double") * lit(1e9)).cast("long")))
+          .as("jsd2_nano"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        expr("jsd2_nano div 2").as("jsd_nano"))
+      .orderBy("source_a", "source_b")
+  }
 }

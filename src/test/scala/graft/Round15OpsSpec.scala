@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Round-15 graded operators: series-level Kendall τ-b, Mann-Whitney
-  * rank-sum, and Dunning LLR collocations. */
+  * rank-sum, Dunning LLR collocations, and pairwise source JSD. */
 class Round15OpsSpec extends SparkSuite {
 
   test("q293 kendall pair census is complete and tau is bounded") {
@@ -120,5 +120,51 @@ class Round15OpsSpec extends SparkSuite {
     val llr = 2 * (t(k11, ra, cb) + t(ra - k11, ra, n - cb)
       + t(cb - k11, n - ra, cb) + t(n - ra - cb + k11, n - ra, n - cb))
     assert(llr == top._3, s"driver recomputation $llr vs ${top._3}")
+  }
+
+  test("q296 JSD covers every source pair and stays within the ln 2 bound") {
+    val rows = graft.operators.TextAnalysis.jsdSources(spark, sf).collect()
+    val nSrc = graft.sources.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1) / 2)
+    val ln2Nano = math.floor(math.log(2.0) * 1e9).toLong
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      val j = r.getAs[Long]("jsd_nano")
+      // floors only subtract, so the upper bound is exact; the lower
+      // bound admits up to 1 nano per floored summand (n_common + 2)
+      assert(j <= ln2Nano, s"JSD must be ≤ ln 2: $j")
+      assert(j >= -(r.getAs[Long]("n_common") + 3) / 2,
+        s"JSD must be ≥ 0 up to floor error: $j")
+    }
+  }
+
+  test("q296 matches a driver-side distribution recomputation for one pair") {
+    val top = graft.operators.TextAnalysis.jsdSources(spark, sf).collect().head
+    val (sa, sb) = (top.getAs[String]("source_a"), top.getAs[String]("source_b"))
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .filter(col("source").isin(sa, sb))
+      .select(col("source"),
+        explode_outer(graft.functions.TextFunctions.wsTokens(col("text"))).as("t"))
+      .filter(col("t").isNotNull).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def counts(s: String): Map[String, Long] =
+      toks.filter(_._1 == s).groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val (cA, cB) = (counts(sa), counts(sb))
+    val (na, nb) = (cA.values.sum, cB.values.sum)
+    val common = cA.keySet.intersect(cB.keySet)
+    assert(top.getAs[Long]("n_common") == common.size.toLong)
+    var s2 = 0L
+    common.foreach { t =>
+      val pa = cA(t).toDouble / na.toDouble
+      val pb = cB(t).toDouble / nb.toDouble
+      s2 += math.floor(pa * math.log(2.0 * pa / (pa + pb)) * 1e9).toLong
+      s2 += math.floor(pb * math.log(2.0 * pb / (pa + pb)) * 1e9).toLong
+    }
+    val ia = common.toSeq.map(cA).sum; val ib = common.toSeq.map(cB).sum
+    s2 += math.floor(math.log(2.0) * (na - ia).toDouble / na.toDouble * 1e9).toLong
+    s2 += math.floor(math.log(2.0) * (nb - ib).toDouble / nb.toDouble * 1e9).toLong
+    assert(top.getAs[Long]("jsd_nano") == s2 / 2,
+      s"driver recomputation ${s2 / 2} vs ${top.getAs[Long]("jsd_nano")}")
   }
 }
