@@ -310,7 +310,10 @@ object SparkEntry {
     "q293_kendall_tau"    -> (Relational.kendallTau _),
     "q294_mann_whitney"   -> (DataQuality.mannWhitney _),
     "q295_llr_bigrams"    -> (TextAnalysis.llrBigrams _),
-    "q296_jsd_sources"    -> (TextAnalysis.jsdSources _)
+    "q296_jsd_sources"    -> (TextAnalysis.jsdSources _),
+    "q297_anova_f"        -> (DataQuality.anovaF _),
+    "q298_kruskal_wallis" -> (DataQuality.kruskalWallis _),
+    "q299_jarque_bera"    -> (DataQuality.jarqueBera _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -5985,7 +5988,103 @@ object SparkEntry {
         |        + floor(ln(2.0) * (nb - ib)::DOUBLE / nb::DOUBLE * 1000000000.0)::BIGINT) // 2
         |         AS jsd_nano
         |FROM jg
-        |ORDER BY source_a, source_b""".stripMargin
+        |ORDER BY source_a, source_b""".stripMargin,
+    "q297_anova_f" ->
+      """WITH ag AS (
+        |  SELECT lang, count(*)::BIGINT AS ni, sum(n_chars)::BIGINT AS si,
+        |         sum(n_chars * n_chars)::BIGINT AS qi
+        |  FROM documents GROUP BY 1),
+        |ag2 AS (
+        |  SELECT ni, si, qi,
+        |         floor(si::DOUBLE * si::DOUBLE / ni::DOUBLE * 1000.0)::BIGINT AS term_milli
+        |  FROM ag),
+        |ag3 AS (
+        |  SELECT count(*)::BIGINT AS k_groups, sum(ni)::BIGINT AS n_total,
+        |         sum(si)::BIGINT AS s_total, sum(qi)::BIGINT AS q_total,
+        |         sum(term_milli)::BIGINT AS t_milli
+        |  FROM ag2),
+        |ag4 AS (
+        |  SELECT k_groups, n_total,
+        |         t_milli - floor(s_total::DOUBLE * s_total::DOUBLE
+        |           / n_total::DOUBLE * 1000.0)::BIGINT AS ssb_milli,
+        |         q_total * 1000 - t_milli AS ssw_milli
+        |  FROM ag3)
+        |SELECT k_groups, n_total, ssb_milli, ssw_milli,
+        |       floor(ssb_milli::DOUBLE * (n_total - k_groups)::DOUBLE
+        |             / (ssw_milli::DOUBLE * (k_groups - 1)::DOUBLE)
+        |             * 1000000.0)::BIGINT AS f_micros
+        |FROM ag4""".stripMargin,
+    "q298_kruskal_wallis" ->
+      """WITH kwl AS (
+        |  SELECT lang, n_chars AS value, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2),
+        |kwv AS (
+        |  SELECT value, sum(c)::BIGINT AS cnt FROM kwl GROUP BY 1),
+        |kwr AS (
+        |  SELECT value, cnt,
+        |         2 * coalesce(sum(cnt) OVER (ORDER BY value
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + cnt + 1 AS r2
+        |  FROM kwv),
+        |kwg AS (
+        |  SELECT lang, sum(c)::BIGINT AS ni, sum(c * r2)::BIGINT AS ri2
+        |  FROM kwl JOIN kwr USING (value) GROUP BY 1),
+        |kwg2 AS (
+        |  SELECT ni,
+        |         floor(ri2::DOUBLE * ri2::DOUBLE / ni::DOUBLE * 1000.0)::BIGINT
+        |           AS term_milli
+        |  FROM kwg),
+        |kwt AS (
+        |  SELECT sum(cnt * cnt * cnt - cnt)::BIGINT AS tie_term FROM kwv),
+        |kwa AS (
+        |  SELECT count(*)::BIGINT AS k_groups, sum(ni)::BIGINT AS n_total,
+        |         sum(term_milli)::BIGINT AS t_milli
+        |  FROM kwg2),
+        |kwh AS (
+        |  SELECT k_groups, n_total, tie_term,
+        |         3.0 * t_milli::DOUBLE
+        |           / (1000.0 * (n_total * (n_total + 1))::DOUBLE)
+        |           - 3.0 * (n_total + 1)::DOUBLE AS h_raw
+        |  FROM kwa CROSS JOIN kwt)
+        |SELECT k_groups, n_total, tie_term,
+        |       floor(h_raw * 1000000.0)::BIGINT AS h_micros,
+        |       floor(h_raw
+        |         / (1.0 - tie_term::DOUBLE
+        |             / (n_total::DOUBLE * n_total::DOUBLE * n_total::DOUBLE
+        |                - n_total::DOUBLE))
+        |         * 1000000.0)::BIGINT AS h_adj_micros
+        |FROM kwh""".stripMargin,
+    "q299_jarque_bera" ->
+      """WITH jbu AS (
+        |  SELECT user_id, count(*)::BIGINT AS x FROM events GROUP BY 1),
+        |jbs AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s1,
+        |         sum(x * x)::BIGINT AS s2, sum(x * x * x)::BIGINT AS s3,
+        |         sum(x * x * x * x)::BIGINT AS s4
+        |  FROM jbu),
+        |jbp AS (
+        |  SELECT n, s1::DOUBLE / n::DOUBLE AS mean,
+        |         s2::DOUBLE / n::DOUBLE AS p2,
+        |         s3::DOUBLE / n::DOUBLE AS p3,
+        |         s4::DOUBLE / n::DOUBLE AS p4
+        |  FROM jbs),
+        |jbm AS (
+        |  SELECT n,
+        |         p2 - mean * mean AS m2,
+        |         p3 - 3.0 * mean * p2 + 2.0 * mean * mean * mean AS m3,
+        |         p4 - 4.0 * mean * p3 + 6.0 * mean * mean * p2
+        |           - 3.0 * mean * mean * mean * mean AS m4
+        |  FROM jbp),
+        |jbk AS (
+        |  SELECT n, m3 / (m2 * sqrt(m2)) AS skew, m4 / (m2 * m2) AS kurt
+        |  FROM jbm)
+        |SELECT n AS n_users,
+        |       floor(skew * 1000000.0)::BIGINT AS skew_micros,
+        |       floor(kurt * 1000000.0)::BIGINT AS kurt_micros,
+        |       floor(n::DOUBLE / 6.0
+        |         * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+        |         * 1000000.0)::BIGINT AS jb_micros
+        |FROM jbk""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

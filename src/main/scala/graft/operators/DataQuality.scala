@@ -912,4 +912,145 @@ object DataQuality {
                     * (col("n_a") + col("n_b") - lit(1L)).cast("double"))))),
           6).as("z"))
   }
+
+  /** q297_anova_f — one-way ANOVA F over document lengths by language:
+    * the k-group parametric companion of q294's two-group rank test
+    * ("do the language slices have the same MEAN length?" — the
+    * pre-tokenizer budget question, since per-lang packing and
+    * truncation waste both key off the length distribution).
+    *
+    * Determinism: n_chars is integral, so the per-group count / sum /
+    * sum-of-squares moments are exact BIGINTs; the only rational term,
+    * each group's sᵢ²/nᵢ, floor-milli-quantizes BEFORE the cross-group
+    * sum (integer sums are order-independent — doubles across groups
+    * would not be), and F is one final double over four integers.
+    *
+    * Scale shape: one partial-aggregable scan aggregate to |langs|
+    * rows, one global aggregate; 1-row output. */
+  def anovaF(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("ni"), sum(col("n_chars")).as("si"),
+        sum(col("n_chars") * col("n_chars")).as("qi"))
+      .select(col("ni"), col("si"), col("qi"),
+        floor(col("si").cast("double") * col("si").cast("double")
+          / col("ni").cast("double") * lit(1000.0)).cast("long")
+          .as("term_milli"))
+    g.agg(count(lit(1)).as("k_groups"), sum(col("ni")).as("n_total"),
+        sum(col("si")).as("s_total"), sum(col("qi")).as("q_total"),
+        sum(col("term_milli")).as("t_milli"))
+      .select(col("k_groups"), col("n_total"),
+        (col("t_milli")
+          - floor(col("s_total").cast("double") * col("s_total").cast("double")
+            / col("n_total").cast("double") * lit(1000.0)).cast("long"))
+          .as("ssb_milli"),
+        (col("q_total") * lit(1000L) - col("t_milli")).as("ssw_milli"))
+      .select(col("k_groups"), col("n_total"), col("ssb_milli"),
+        col("ssw_milli"),
+        floor(col("ssb_milli").cast("double")
+          * (col("n_total") - col("k_groups")).cast("double")
+          / (col("ssw_milli").cast("double")
+            * (col("k_groups") - lit(1L)).cast("double"))
+          * lit(1000000.0)).cast("long").as("f_micros"))
+  }
+
+  /** q298_kruskal_wallis — the k-group rank-based ANOVA (Kruskal-Wallis
+    * H with the tie correction) over document lengths by language:
+    * q294's machinery generalized from 2 groups to all of them, and
+    * the robust cross-check of q297 (H is distribution-free where F
+    * assumes normal residuals — when they disagree, the length
+    * distributions are skewed, not shifted).
+    *
+    * Ranks come from the shared value-histogram identity (q194/q262/
+    * q294): doubled average rank r2 = 2·cum + cnt + 1 keeps every rank
+    * integral under ties, so the per-group rank sums Rᵢ2 are exact
+    * BIGINTs; each Rᵢ2²/nᵢ floor-milli-quantizes before the
+    * cross-group sum, and H / its tie-corrected form are two final
+    * doubles over integers.
+    *
+    * Scale shape: one (lang, value) aggregate, the value histogram
+    * rolls up FROM it, the cumsum window runs over the distinct
+    * length-VALUE domain (whitelisted shape — never corpus rows);
+    * 1-row output. */
+  def kruskalWallis(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lv = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("n_chars").as("value"))
+      .agg(count(lit(1)).as("c"))
+    val vh = lv.groupBy(col("value")).agg(sum(col("c")).as("cnt"))
+      .withColumn("r2",
+        lit(2) * coalesce(sum(col("cnt")).over(Window.orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          + col("cnt") + lit(1L))
+    val grp = lv.join(vh.select(col("value"), col("r2")), "value")
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("ni"), sum(col("c") * col("r2")).as("ri2"))
+      .select(col("ni"),
+        floor(col("ri2").cast("double") * col("ri2").cast("double")
+          / col("ni").cast("double") * lit(1000.0)).cast("long")
+          .as("term_milli"))
+    val tie = vh.agg(
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
+    grp.agg(count(lit(1)).as("k_groups"), sum(col("ni")).as("n_total"),
+        sum(col("term_milli")).as("t_milli"))
+      .crossJoin(broadcast(tie))
+      .select(col("k_groups"), col("n_total"), col("tie_term"),
+        (lit(3.0) * col("t_milli").cast("double")
+          / (lit(1000.0)
+            * (col("n_total") * (col("n_total") + lit(1L))).cast("double"))
+          - lit(3.0) * (col("n_total") + lit(1L)).cast("double")).as("h_raw"))
+      .select(col("k_groups"), col("n_total"), col("tie_term"),
+        floor(col("h_raw") * lit(1000000.0)).cast("long").as("h_micros"),
+        floor(col("h_raw")
+          / (lit(1.0) - col("tie_term").cast("double")
+            / (col("n_total").cast("double") * col("n_total").cast("double")
+              * col("n_total").cast("double") - col("n_total").cast("double")))
+          * lit(1000000.0)).cast("long").as("h_adj_micros"))
+  }
+
+  /** q299_jarque_bera — Jarque-Bera normality test on the per-user
+    * event-count distribution: the moment-based "is activity
+    * log-normal-ish or actually normal?" gate that decides whether
+    * q214-style z-tests on user activity are trustworthy. Skewness
+    * and excess kurtosis come from the same raw power sums, so the
+    * operator doubles as the moment census for the activity column.
+    *
+    * Determinism: per-user counts are integral, so the four raw power
+    * sums S₁..S₄ are exact BIGINTs and every double after them is one
+    * fixed expression tree over those integers (central moments via
+    * the binomial identities, m₂^1.5 as m₂·√m₂ — no pow).
+    *
+    * Scale shape: one keyed count aggregate to |users| rows, one
+    * 4-moment global aggregate; 1-row output. */
+  def jarqueBera(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("x")
+    val m = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+    val nD = col("n").cast("double")
+    m.select(col("n"),
+        (col("s1").cast("double") / nD).as("mean"),
+        (col("s2").cast("double") / nD).as("p2"),
+        (col("s3").cast("double") / nD).as("p3"),
+        (col("s4").cast("double") / nD).as("p4"))
+      .select(col("n"),
+        (col("p2") - col("mean") * col("mean")).as("m2"),
+        (col("p3") - lit(3.0) * col("mean") * col("p2")
+          + lit(2.0) * col("mean") * col("mean") * col("mean")).as("m3"),
+        (col("p4") - lit(4.0) * col("mean") * col("p3")
+          + lit(6.0) * col("mean") * col("mean") * col("p2")
+          - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+          .as("m4"))
+      .select(col("n"),
+        (col("m3") / (col("m2") * sqrt(col("m2")))).as("skew"),
+        (col("m4") / (col("m2") * col("m2"))).as("kurt"))
+      .select(col("n").as("n_users"),
+        floor(col("skew") * lit(1000000.0)).cast("long").as("skew_micros"),
+        floor(col("kurt") * lit(1000000.0)).cast("long").as("kurt_micros"),
+        floor(col("n").cast("double") / lit(6.0)
+          * (col("skew") * col("skew")
+            + (col("kurt") - lit(3.0)) * (col("kurt") - lit(3.0)) / lit(4.0))
+          * lit(1000000.0)).cast("long").as("jb_micros"))
+  }
 }

@@ -167,4 +167,89 @@ class Round15OpsSpec extends SparkSuite {
     assert(top.getAs[Long]("jsd_nano") == s2 / 2,
       s"driver recomputation ${s2 / 2} vs ${top.getAs[Long]("jsd_nano")}")
   }
+
+  private def docLengths: Array[(String, Long)] =
+    graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getAs[Long](1)))
+
+  test("q297 ANOVA moments and F match a driver-side recomputation") {
+    val row = graft.operators.DataQuality.anovaF(spark, sf).collect().head
+    val xs = docLengths
+    val groups = xs.groupBy(_._1).values.toSeq
+    assert(row.getAs[Long]("k_groups") == groups.size.toLong)
+    assert(row.getAs[Long]("n_total") == xs.length.toLong)
+    val tMilli = groups.map { g =>
+      val ni = g.length.toLong; val si = g.map(_._2).sum
+      math.floor(si.toDouble * si.toDouble / ni.toDouble * 1000.0).toLong
+    }.sum
+    val s = xs.map(_._2).sum; val q = xs.map(x => x._2 * x._2).sum
+    val n = xs.length.toLong
+    val ssb = tMilli - math.floor(s.toDouble * s.toDouble / n.toDouble * 1000.0).toLong
+    val ssw = q * 1000L - tMilli
+    assert(row.getAs[Long]("ssb_milli") == ssb)
+    assert(row.getAs[Long]("ssw_milli") == ssw)
+    val k = groups.size.toLong
+    val f = math.floor(ssb.toDouble * (n - k).toDouble
+      / (ssw.toDouble * (k - 1).toDouble) * 1e6).toLong
+    assert(row.getAs[Long]("f_micros") == f)
+    assert(f > 0, "between-group variation must be positive")
+  }
+
+  test("q298 Kruskal-Wallis H matches a driver-side rank recomputation") {
+    val row = graft.operators.DataQuality.kruskalWallis(spark, sf).collect().head
+    val xs = docLengths
+    val n = xs.length.toLong
+    // doubled average ranks per distinct value
+    val hist = xs.groupBy(_._2).map { case (v, g) => v -> g.length.toLong }
+    val sortedVals = hist.keys.toSeq.sorted
+    var cum = 0L
+    val r2 = sortedVals.map { v =>
+      val r = 2 * cum + hist(v) + 1; cum += hist(v); v -> r
+    }.toMap
+    val tMilli = xs.groupBy(_._1).values.map { g =>
+      val ni = g.length.toLong
+      val ri2 = g.map(x => r2(x._2)).sum
+      math.floor(ri2.toDouble * ri2.toDouble / ni.toDouble * 1000.0).toLong
+    }.sum
+    val tie = hist.values.map(c => c * c * c - c).sum
+    assert(row.getAs[Long]("n_total") == n)
+    assert(row.getAs[Long]("tie_term") == tie)
+    val hRaw = 3.0 * tMilli.toDouble / (1000.0 * (n * (n + 1)).toDouble) -
+      3.0 * (n + 1).toDouble
+    assert(row.getAs[Long]("h_micros") == math.floor(hRaw * 1e6).toLong)
+    val hAdj = hRaw / (1.0 - tie.toDouble /
+      (n.toDouble * n.toDouble * n.toDouble - n.toDouble))
+    assert(row.getAs[Long]("h_adj_micros") == math.floor(hAdj * 1e6).toLong)
+    // tie-corrected H can only grow (correction factor < 1)
+    assert(row.getAs[Long]("h_adj_micros") >= row.getAs[Long]("h_micros"))
+  }
+
+  test("q299 Jarque-Bera moments match a driver-side recomputation") {
+    val row = graft.operators.DataQuality.jarqueBera(spark, sf).collect().head
+    val counts = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id")).count().collect().map(_.getAs[Long]("count"))
+    val n = counts.length.toLong
+    assert(row.getAs[Long]("n_users") == n)
+    val (s1, s2, s3, s4) = (counts.sum,
+      counts.map(x => x * x).sum,
+      counts.map(x => x * x * x).sum,
+      counts.map(x => x * x * x * x).sum)
+    val mean = s1.toDouble / n.toDouble
+    val p2 = s2.toDouble / n.toDouble
+    val p3 = s3.toDouble / n.toDouble
+    val p4 = s4.toDouble / n.toDouble
+    val m2 = p2 - mean * mean
+    val m3 = p3 - 3.0 * mean * p2 + 2.0 * mean * mean * mean
+    val m4 = p4 - 4.0 * mean * p3 + 6.0 * mean * mean * p2 -
+      3.0 * mean * mean * mean * mean
+    val skew = m3 / (m2 * math.sqrt(m2))
+    val kurt = m4 / (m2 * m2)
+    assert(row.getAs[Long]("skew_micros") == math.floor(skew * 1e6).toLong)
+    assert(row.getAs[Long]("kurt_micros") == math.floor(kurt * 1e6).toLong)
+    val jb = n.toDouble / 6.0 *
+      (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+    assert(row.getAs[Long]("jb_micros") == math.floor(jb * 1e6).toLong)
+    assert(row.getAs[Long]("jb_micros") >= 0L)
+  }
 }

@@ -52,7 +52,10 @@ class ScaleShapeSpec extends SparkSuite {
       "q283_sprt",
       // q294's rank-histogram cumsum runs over the distinct
       // value-domain of a two-type slice (q194/q262's shape)
-      "q294_mann_whitney")
+      "q294_mann_whitney",
+      // q298's rank-histogram cumsum runs over the distinct
+      // length-VALUE domain across all languages (q294's shape)
+      "q298_kruskal_wallis")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
