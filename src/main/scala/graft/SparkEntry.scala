@@ -313,7 +313,9 @@ object SparkEntry {
     "q296_jsd_sources"    -> (TextAnalysis.jsdSources _),
     "q297_anova_f"        -> (DataQuality.anovaF _),
     "q298_kruskal_wallis" -> (DataQuality.kruskalWallis _),
-    "q299_jarque_bera"    -> (DataQuality.jarqueBera _)
+    "q299_jarque_bera"    -> (DataQuality.jarqueBera _),
+    "q300_brown_forsythe" -> (DataQuality.brownForsythe _),
+    "q301_kaplan_meier"   -> (Relational.kaplanMeier _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -6084,7 +6086,84 @@ object SparkEntry {
         |       floor(n::DOUBLE / 6.0
         |         * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
         |         * 1000000.0)::BIGINT AS jb_micros
-        |FROM jbk""".stripMargin
+        |FROM jbk""".stripMargin,
+    "q300_brown_forsythe" ->
+      """WITH bfx AS (SELECT lang, doc_id, n_chars AS x FROM documents),
+        |bfr AS (
+        |  SELECT lang, x,
+        |         row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM bfx),
+        |bfm AS (
+        |  SELECT lang,
+        |         sum(x * (CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END
+        |                + CASE WHEN rn = (n + 2) // 2 THEN 1 ELSE 0 END))::BIGINT
+        |           AS med2
+        |  FROM bfr GROUP BY 1),
+        |bfd AS (
+        |  SELECT lang, abs(x * 2 - med2)::BIGINT AS d2
+        |  FROM bfx JOIN bfm USING (lang)),
+        |bfg AS (
+        |  SELECT lang, count(*)::BIGINT AS ni, sum(d2)::BIGINT AS si,
+        |         sum(d2 * d2)::BIGINT AS qi
+        |  FROM bfd GROUP BY 1),
+        |bfg2 AS (
+        |  SELECT ni, si, qi,
+        |         floor(si::DOUBLE * si::DOUBLE / ni::DOUBLE * 1000.0)::BIGINT AS term_milli
+        |  FROM bfg),
+        |bfa AS (
+        |  SELECT count(*)::BIGINT AS k_groups, sum(ni)::BIGINT AS n_total,
+        |         sum(si)::BIGINT AS s_total, sum(qi)::BIGINT AS q_total,
+        |         sum(term_milli)::BIGINT AS t_milli
+        |  FROM bfg2),
+        |bfb AS (
+        |  SELECT k_groups, n_total,
+        |         t_milli - floor(s_total::DOUBLE * s_total::DOUBLE
+        |           / n_total::DOUBLE * 1000.0)::BIGINT AS ssb_milli,
+        |         q_total * 1000 - t_milli AS ssw_milli
+        |  FROM bfa)
+        |SELECT k_groups, n_total, ssb_milli, ssw_milli,
+        |       floor(ssb_milli::DOUBLE * (n_total - k_groups)::DOUBLE
+        |             / (ssw_milli::DOUBLE * (k_groups - 1)::DOUBLE)
+        |             * 1000000.0)::BIGINT AS f_micros
+        |FROM bfb""".stripMargin,
+    "q301_kaplan_meier" -> {
+      import graft.operators.Relational.KmCapHours
+      s"""WITH kmf AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS ft FROM events GROUP BY 1),
+        |kmp AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS pt FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |kms AS (
+        |  SELECT CASE WHEN pt IS NOT NULL AND (pt - ft) // 3600000000 < $KmCapHours
+        |              THEN (pt - ft) // 3600000000 ELSE $KmCapHours END AS dur,
+        |         CASE WHEN pt IS NOT NULL AND (pt - ft) // 3600000000 < $KmCapHours
+        |              THEN 1 ELSE 0 END AS ev
+        |  FROM kmf LEFT JOIN kmp USING (user_id)),
+        |kmh AS (
+        |  SELECT dur, count(*)::BIGINT AS cnt, sum(ev)::BIGINT AS d
+        |  FROM kms GROUP BY 1),
+        |kmr AS (
+        |  SELECT dur, d,
+        |         sum(cnt) OVER (ORDER BY dur
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+        |           AS n_risk
+        |  FROM kmh),
+        |kmt AS (
+        |  SELECT dur, n_risk, d,
+        |         floor(ln((n_risk - d)::DOUBLE / n_risk::DOUBLE)
+        |           * 1000000000.0)::BIGINT AS term_nano
+        |  FROM kmr WHERE d > 0)
+        |SELECT dur AS duration_hours, n_risk, d AS d_events,
+        |       (sum(term_nano) OVER (ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |         AS ln_s_nano,
+        |       floor(exp((sum(term_nano) OVER (ORDER BY dur
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+        |           / 1000000000.0) * 1000000.0)::BIGINT AS s_ppm
+        |FROM kmt
+        |ORDER BY duration_hours""".stripMargin
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -927,16 +927,22 @@ object DataQuality {
     *
     * Scale shape: one partial-aggregable scan aggregate to |langs|
     * rows, one global aggregate; 1-row output. */
-  def anovaF(spark: SparkSession, sfDir: String): DataFrame = {
-    val g = Tables.documents(spark, sfDir)
+  def anovaF(spark: SparkSession, sfDir: String): DataFrame =
+    anovaTail(Tables.documents(spark, sfDir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("ni"), sum(col("n_chars")).as("si"),
-        sum(col("n_chars") * col("n_chars")).as("qi"))
-      .select(col("ni"), col("si"), col("qi"),
+        sum(col("n_chars") * col("n_chars")).as("qi")))
+
+  /** One-way F over a (group → ni, si, qi) integer-moment frame — the
+    * shared tail of q297 (raw lengths) and q300 (absolute deviations
+    * from the group median). Each group's sᵢ²/nᵢ floor-milli-quantizes
+    * before the cross-group sum so the fold is order-independent. */
+  private def anovaTail(g: DataFrame): DataFrame =
+    g.select(col("ni"), col("si"), col("qi"),
         floor(col("si").cast("double") * col("si").cast("double")
           / col("ni").cast("double") * lit(1000.0)).cast("long")
           .as("term_milli"))
-    g.agg(count(lit(1)).as("k_groups"), sum(col("ni")).as("n_total"),
+      .agg(count(lit(1)).as("k_groups"), sum(col("ni")).as("n_total"),
         sum(col("si")).as("s_total"), sum(col("qi")).as("q_total"),
         sum(col("term_milli")).as("t_milli"))
       .select(col("k_groups"), col("n_total"),
@@ -952,6 +958,43 @@ object DataQuality {
           / (col("ssw_milli").cast("double")
             * (col("k_groups") - lit(1L)).cast("double"))
           * lit(1000000.0)).cast("long").as("f_micros"))
+
+  /** q300_brown_forsythe — the Brown-Forsythe/Levene variance-
+    * homogeneity test over document lengths by language: one-way F on
+    * |x − median_g| instead of x. q297 asks whether the language means
+    * differ; this asks whether their SPREADS do — the assumption
+    * behind pooling variances (and behind reading q297's F at face
+    * value), and in curation terms the "is one crawl's length profile
+    * wider, not just shifted?" screen. Median centering (Brown-
+    * Forsythe's robustification of Levene) keeps the test valid on
+    * skewed length distributions.
+    *
+    * Determinism: group medians are the DOUBLED integer med2 = x(k) +
+    * x(k2) (q174's order-statistic identity), deviations d2 =
+    * |2x − med2| are exact integers, and the F tail is q297's
+    * integer-moment fold over them.
+    *
+    * Scale shape: one lang-partitioned rank window (shard-local sort
+    * after one lang exchange — never a global order), the ≤|langs|-row
+    * median frame broadcasts back onto the scan, then the q297
+    * aggregate chain; 1-row output. */
+  def brownForsythe(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("n_chars").as("x"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("x"), col("doc_id"))
+    val med = x.select(col("lang"), col("x"),
+        row_number().over(w).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("lang"))).as("n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("x") *
+        (expr("cast(rn = (n + 1) div 2 as long)") +
+         expr("cast(rn = (n + 2) div 2 as long)"))).as("med2"))
+    val dev = x.join(broadcast(med), Seq("lang"))
+      .select(col("lang"), abs(col("x") * 2 - col("med2")).as("d2"))
+    anovaTail(dev.groupBy(col("lang"))
+      .agg(count(lit(1)).as("ni"), sum(col("d2")).as("si"),
+        sum(col("d2") * col("d2")).as("qi")))
   }
 
   /** q298_kruskal_wallis — the k-group rank-based ANOVA (Kruskal-Wallis

@@ -3030,4 +3030,69 @@ object Relational {
             * (col("n_pairs") - col("ties_y")).cast("double")), 6)
           .as("tau_b"))
   }
+
+  /** q301 administrative censoring horizon: hours of each user's
+    * history observed for the first purchase. 72 keeps BOTH outcomes
+    * populated at every SF (censored users: 2 / 23 / 313 at
+    * sf0.001/0.01/0.1 — measured; the spec asserts non-emptiness, and
+    * censoring > 0 is also what keeps every KM step's risk set
+    * strictly above its event count, so ln(1 − d/n) never hits
+    * ln 0). */
+  val KmCapHours = 72L
+
+  /** q301_kaplan_meier — Kaplan-Meier survival curve of time-to-first-
+    * purchase with administrative right-censoring: the standard
+    * censoring-aware answer to "how long until a new user converts?",
+    * where q230's delay histogram silently conditions on CONVERTED
+    * users only (immortal-bias). Each user contributes from first
+    * event to first purchase, or is censored at [[KmCapHours]]; the
+    * curve multiplies (1 − dᵢ/nᵢ) over event times.
+    *
+    * Determinism: durations are exact integer hours (micros div
+    * 3600000000 — q230's convention); the product lives in ln space
+    * with each step's ln(1 − d/n) floor-nano-quantized from exact
+    * integer ratios BEFORE the cumulative integer sum; the reported
+    * survival exponentiates the integer back (one exp per output row).
+    *
+    * Scale shape: two user-keyed min aggregates (one filtered) joined
+    * user-keyed; the duration histogram is ≤ [[KmCapHours]]+1 rows at
+    * any corpus size, so both the at-risk reverse-cumsum window and
+    * the ln-survival cumsum window run over the bounded DURATION
+    * domain (whitelisted — never corpus rows); ≤ cap-many output
+    * rows. */
+  def kaplanMeier(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("ft"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("pt"))
+    val isEvent = col("pt").isNotNull &&
+      expr("(pt - ft) div 3600000000") < lit(KmCapHours)
+    val subj = first.join(purch, Seq("user_id"), "left")
+      .select(
+        when(isEvent, expr("(pt - ft) div 3600000000"))
+          .otherwise(lit(KmCapHours)).as("dur"),
+        when(isEvent, lit(1L)).otherwise(lit(0L)).as("ev"))
+    val hist = subj.groupBy(col("dur"))
+      .agg(count(lit(1)).as("cnt"), sum(col("ev")).as("d"))
+    val wRisk = Window.orderBy(col("dur"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val steps = hist
+      .withColumn("n_risk", sum(col("cnt")).over(wRisk))
+      .filter(col("d") > 0)
+      .select(col("dur"), col("n_risk"), col("d"),
+        floor(log((col("n_risk") - col("d")).cast("double")
+          / col("n_risk").cast("double")) * lit(1000000000.0)).cast("long")
+          .as("term_nano"))
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    steps.withColumn("ln_s_nano", sum(col("term_nano")).over(wCum))
+      .select(col("dur").as("duration_hours"), col("n_risk"),
+        col("d").as("d_events"), col("ln_s_nano"),
+        floor(exp(col("ln_s_nano").cast("double") / lit(1000000000.0))
+          * lit(1000000.0)).cast("long").as("s_ppm"))
+      .orderBy("duration_hours")
+  }
 }

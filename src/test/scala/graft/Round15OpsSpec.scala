@@ -252,4 +252,84 @@ class Round15OpsSpec extends SparkSuite {
     assert(row.getAs[Long]("jb_micros") == math.floor(jb * 1e6).toLong)
     assert(row.getAs[Long]("jb_micros") >= 0L)
   }
+
+  test("q300 Brown-Forsythe matches a driver-side median-deviation recomputation") {
+    val row = graft.operators.DataQuality.brownForsythe(spark, sf).collect().head
+    val xs = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byLang = xs.groupBy(_._1)
+    // doubled median per group from the two middle order statistics
+    val med2 = byLang.map { case (l, g) =>
+      val s = g.sortBy(x => (x._3, x._2)).map(_._3)
+      l -> (s((s.length + 1) / 2 - 1) + s((s.length + 2) / 2 - 1))
+    }
+    val devs = xs.map(x => (x._1, math.abs(2 * x._3 - med2(x._1))))
+    val tMilli = devs.groupBy(_._1).values.map { g =>
+      val ni = g.length.toLong; val si = g.map(_._2).sum
+      math.floor(si.toDouble * si.toDouble / ni.toDouble * 1000.0).toLong
+    }.sum
+    val n = devs.length.toLong; val k = byLang.size.toLong
+    val s = devs.map(_._2).sum; val q = devs.map(d => d._2 * d._2).sum
+    val ssb = tMilli - math.floor(s.toDouble * s.toDouble / n.toDouble * 1000.0).toLong
+    val ssw = q * 1000L - tMilli
+    assert(row.getAs[Long]("k_groups") == k)
+    assert(row.getAs[Long]("n_total") == n)
+    assert(row.getAs[Long]("ssb_milli") == ssb)
+    assert(row.getAs[Long]("ssw_milli") == ssw)
+    assert(row.getAs[Long]("f_micros") == math.floor(ssb.toDouble * (n - k).toDouble
+      / (ssw.toDouble * (k - 1).toDouble) * 1e6).toLong)
+  }
+
+  test("q301 KM curve is a valid survival function with real censoring") {
+    import graft.operators.Relational.KmCapHours
+    val rows = graft.operators.Relational.kaplanMeier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    // first step's risk set is the whole cohort
+    assert(rows.head.getAs[Long]("n_risk") == nUsers)
+    // survival is strictly decreasing across event times, stays in (0, 1]
+    val s = rows.map(_.getAs[Long]("s_ppm"))
+    assert(s.zip(s.tail).forall { case (a, b) => a > b })
+    assert(s.head < 1000000L && s.last > 0L)
+    // censoring must be REAL at this SF (the degeneracy guard: every
+    // risk set strictly exceeds its event count because censored
+    // users survive past the last event time)
+    val nEvents = rows.map(_.getAs[Long]("d_events")).sum
+    assert(nEvents < nUsers, "at least one censored user required")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_risk") > r.getAs[Long]("d_events"))
+      assert(r.getAs[Long]("duration_hours") < KmCapHours)
+    }
+  }
+
+  test("q301 KM matches a driver-side product-limit recomputation") {
+    import graft.operators.Relational.KmCapHours
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    val subj = byUser.values.map { g =>
+      val ft = g.map(_._2).min
+      val pts = g.filter(_._3 == "purchase").map(_._2)
+      if (pts.nonEmpty && (pts.min - ft) / 3600000000L < KmCapHours)
+        ((pts.min - ft) / 3600000000L, 1L)
+      else (KmCapHours, 0L)
+    }.toSeq
+    val rows = graft.operators.Relational.kaplanMeier(spark, sf).collect()
+    var lnS = 0L
+    val eventTimes = subj.filter(_._2 == 1L).map(_._1).distinct.sorted
+    assert(rows.map(_.getAs[Long]("duration_hours")).toSeq == eventTimes)
+    eventTimes.zip(rows).foreach { case (t, r) =>
+      val nRisk = subj.count(_._1 >= t).toLong
+      val d = subj.count(x => x._1 == t && x._2 == 1L).toLong
+      lnS += math.floor(math.log((nRisk - d).toDouble / nRisk.toDouble) * 1e9).toLong
+      assert(r.getAs[Long]("n_risk") == nRisk)
+      assert(r.getAs[Long]("d_events") == d)
+      assert(r.getAs[Long]("ln_s_nano") == lnS)
+      assert(r.getAs[Long]("s_ppm") ==
+        math.floor(math.exp(lnS.toDouble / 1e9) * 1e6).toLong)
+    }
+  }
 }

@@ -55,7 +55,10 @@ class ScaleShapeSpec extends SparkSuite {
       "q294_mann_whitney",
       // q298's rank-histogram cumsum runs over the distinct
       // length-VALUE domain across all languages (q294's shape)
-      "q298_kruskal_wallis")
+      "q298_kruskal_wallis",
+      // q301's at-risk reverse cumsum and ln-survival cumsum run over
+      // the ≤ KmCapHours+1-row DURATION domain (q260's class)
+      "q301_kaplan_meier")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
