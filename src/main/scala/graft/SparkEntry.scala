@@ -315,7 +315,8 @@ object SparkEntry {
     "q298_kruskal_wallis" -> (DataQuality.kruskalWallis _),
     "q299_jarque_bera"    -> (DataQuality.jarqueBera _),
     "q300_brown_forsythe" -> (DataQuality.brownForsythe _),
-    "q301_kaplan_meier"   -> (Relational.kaplanMeier _)
+    "q301_kaplan_meier"   -> (Relational.kaplanMeier _),
+    "q302_naive_bayes"    -> (TextAnalysis.naiveBayes _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -6163,7 +6164,55 @@ object SparkEntry {
         |           / 1000000000.0) * 1000000.0)::BIGINT AS s_ppm
         |FROM kmt
         |ORDER BY duration_hours""".stripMargin
-    }
+    },
+    "q302_naive_bayes" ->
+      """WITH nbd AS (
+        |  SELECT doc_id, lang, text,
+        |         ('0x' || substr(md5('nb_' || doc_id), 1, 7))::BIGINT % 2 = 0 AS is_train
+        |  FROM documents),
+        |nbt AS MATERIALIZED (
+        |  SELECT doc_id, lang, is_train,
+        |         unnest(regexp_extract_all(text, '[^ \t\n\r]+')) AS term
+        |  FROM nbd),
+        |nbtr AS MATERIALIZED (
+        |  SELECT term, lang, count(*)::BIGINT AS ctl
+        |  FROM nbt WHERE is_train GROUP BY 1, 2),
+        |nbcl AS (SELECT lang, sum(ctl)::BIGINT AS nl FROM nbtr GROUP BY 1),
+        |nbv AS (SELECT count(DISTINCT term)::BIGINT AS v FROM nbtr),
+        |nbpr AS (SELECT lang, count(*)::BIGINT AS dl FROM nbd WHERE is_train GROUP BY 1),
+        |nbto AS (SELECT count(*)::BIGINT AS dt FROM nbd WHERE is_train),
+        |nbcf AS (
+        |  SELECT c.lang AS clang,
+        |         floor(ln(dl::DOUBLE / dt::DOUBLE) * 1000000.0)::BIGINT AS prior_micros,
+        |         floor(ln((nl + v)::DOUBLE) * 1000000.0)::BIGINT AS lnden_micros
+        |  FROM nbcl c JOIN nbpr p ON c.lang = p.lang
+        |  CROSS JOIN nbv CROSS JOIN nbto),
+        |nbte AS MATERIALIZED (
+        |  SELECT doc_id, lang, term, count(*)::BIGINT AS cdt
+        |  FROM nbt WHERE NOT is_train GROUP BY 1, 2, 3),
+        |nbdm AS (
+        |  SELECT doc_id, lang AS true_lang, sum(cdt)::BIGINT AS m
+        |  FROM nbte GROUP BY 1, 2),
+        |nbma AS (
+        |  SELECT t.doc_id, r.lang AS clang,
+        |         sum(t.cdt
+        |             * floor(ln((r.ctl + 1)::DOUBLE) * 1000000.0)::BIGINT)::BIGINT AS ms
+        |  FROM nbte t JOIN nbtr r USING (term) GROUP BY 1, 2),
+        |nbsc AS (
+        |  SELECT d.doc_id, d.true_lang, c.clang,
+        |         c.prior_micros - d.m * c.lnden_micros + coalesce(ma.ms, 0)
+        |           AS score_micros
+        |  FROM nbdm d CROSS JOIN nbcf c
+        |  LEFT JOIN nbma ma ON ma.doc_id = d.doc_id AND ma.clang = c.clang),
+        |nbpk AS (
+        |  SELECT true_lang, clang AS pred_lang,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score_micros DESC, clang ASC) AS rk
+        |  FROM nbsc)
+        |SELECT true_lang, pred_lang, count(*)::BIGINT AS n_docs
+        |FROM nbpk WHERE rk = 1
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

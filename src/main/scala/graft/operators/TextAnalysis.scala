@@ -1559,4 +1559,82 @@ object TextAnalysis {
         expr("jsd2_nano div 2").as("jsd_nano"))
       .orderBy("source_a", "source_b")
   }
+
+  /** q302_naive_bayes — a multinomial Naive Bayes language classifier
+    * TRAINED from the corpus (Laplace-smoothed token likelihoods +
+    * class priors on the md5-even half) and EVALUATED on the held-out
+    * half, emitting the confusion matrix. This is the fastText-style
+    * trained-classifier curation stage (CCNet/GPT-3-style quality and
+    * language filters are exactly this shape) that q18/q65's fixed
+    * lexicons approximate — the engine content is train/score/eval as
+    * ONE plan over the corpus, no model file round-trip.
+    *
+    * Per test doc d and class l the score is
+    *   ln P(l) + Σ_t c_dt·ln(c_tl + 1) − m_d·ln(n_l + V)
+    * (Laplace-smoothed multinomial likelihood split so that only
+    * terms with c_tl > 0 need the join — the unseen-term mass folds
+    * into the m_d·ln(n_l + V) closed form, like q296's disjoint-mass
+    * identity).
+    *
+    * Determinism: every ln floor-micro-quantizes from exact integer
+    * counts before any sum; scores are integer sums; the argmax
+    * tie-breaks lang-ascending via min(struct(−score, lang)).
+    *
+    * Scale shape: the (term, class) count table rides the train-half
+    * token scan (checkpointed — likelihood join, class totals, and
+    * vocab size all read it); class priors/denominators collapse to a
+    * ≤|langs|-row broadcast; scoring is ONE term-keyed equi-join
+    * (each term matches ≤|langs| rows) + a (doc, class) aggregate;
+    * the confusion rollup is ≤|langs|² rows. No per-class scan, no
+    * all-pairs stage — at 100 TB this is two token scans and one
+    * bounded keyed join. */
+  def naiveBayes(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("is_train",
+        pmod(H.md5Int28(concat(lit("nb_"), col("doc_id").cast("string"))),
+          lit(2)) === 0)
+    val toks = docs
+      .select(col("doc_id"), col("lang"), col("is_train"),
+        explode_outer(T.wsTokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+    val trainTc = toks.filter(col("is_train"))
+      .groupBy(col("term"), col("lang")).agg(count(lit(1)).as("ctl"))
+      .localCheckpoint()
+    val classTotals = trainTc.groupBy(col("lang")).agg(sum(col("ctl")).as("nl"))
+    val vocab = trainTc.agg(countDistinct(col("term")).as("v"))
+    val priors = docs.filter(col("is_train"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("dl"))
+    val total = docs.filter(col("is_train")).agg(count(lit(1)).as("dt"))
+    val classFrame = classTotals.join(priors, "lang")
+      .crossJoin(vocab).crossJoin(total)
+      .select(col("lang").as("clang"),
+        floor(log(col("dl").cast("double") / col("dt").cast("double"))
+          * lit(1000000.0)).cast("long").as("prior_micros"),
+        floor(log((col("nl") + col("v")).cast("double")) * lit(1000000.0))
+          .cast("long").as("lnden_micros"))
+    val testTc = toks.filter(!col("is_train"))
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("cdt"))
+      .localCheckpoint()
+    val docm = testTc.groupBy(col("doc_id"), col("lang").as("true_lang"))
+      .agg(sum(col("cdt")).as("m"))
+    val matched = testTc
+      .join(trainTc.select(col("term"), col("lang").as("clang"),
+        floor(log((col("ctl") + lit(1L)).cast("double")) * lit(1000000.0))
+          .cast("long").as("lnnum_micros")), "term")
+      .groupBy(col("doc_id"), col("clang"))
+      .agg(sum(col("cdt") * col("lnnum_micros")).as("ms"))
+    docm.crossJoin(broadcast(classFrame))
+      .join(matched, Seq("doc_id", "clang"), "left")
+      .select(col("doc_id"), col("true_lang"), col("clang"),
+        (col("prior_micros") - col("m") * col("lnden_micros")
+          + coalesce(col("ms"), lit(0L))).as("score_micros"))
+      .groupBy(col("doc_id"), col("true_lang"))
+      .agg(min(struct((-col("score_micros")).as("ns"), col("clang").as("l")))
+        .as("best"))
+      .select(col("true_lang"), col("best").getField("l").as("pred_lang"))
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("true_lang", "pred_lang")
+  }
 }

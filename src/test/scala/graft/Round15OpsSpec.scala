@@ -332,4 +332,47 @@ class Round15OpsSpec extends SparkSuite {
         math.floor(math.exp(lnS.toDouble / 1e9) * 1e6).toLong)
     }
   }
+
+  test("q302 NB confusion matches a full driver-side train/score recomputation") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.wsTokens(col("text")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    def md5i28(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString.take(7), 16)
+    }
+    val (train, test) = docs.partition(d => md5i28("nb_" + d._1) % 2 == 0)
+    assert(train.nonEmpty && test.nonEmpty)
+    val ctl = scala.collection.mutable.Map[(String, String), Long]()
+    train.foreach { case (_, l, w) =>
+      w.foreach(t => ctl((t, l)) = ctl.getOrElse((t, l), 0L) + 1) }
+    val nl = ctl.groupBy(_._1._2).map { case (l, m) => l -> m.values.sum }
+    val v = ctl.keys.map(_._1).toSet.size.toLong
+    val langs = train.map(_._2).distinct.sorted
+    val dl = train.groupBy(_._2).map { case (l, g) => l -> g.length.toLong }
+    val dt = train.length.toLong
+    val prior = langs.map(l =>
+      l -> math.floor(math.log(dl(l).toDouble / dt.toDouble) * 1e6).toLong).toMap
+    val lnden = langs.map(l =>
+      l -> math.floor(math.log((nl(l) + v).toDouble) * 1e6).toLong).toMap
+    val conf = scala.collection.mutable.Map[(String, String), Long]()
+    test.filter(_._3.nonEmpty).foreach { case (_, tl, w) =>
+      val counts = w.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      val m = w.length.toLong
+      val best = langs.map { l =>
+        val ms = counts.map { case (t, c) =>
+          ctl.get((t, l)).map(cc =>
+            c * math.floor(math.log((cc + 1).toDouble) * 1e6).toLong).getOrElse(0L)
+        }.sum
+        (-(prior(l) - m * lnden(l) + ms), l)
+      }.min._2
+      conf((tl, best)) = conf.getOrElse((tl, best), 0L) + 1
+    }
+    val rows = graft.operators.TextAnalysis.naiveBayes(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("n_docs"))).toMap
+    assert(rows == conf.toMap, s"spark=$rows driver=$conf")
+  }
 }
