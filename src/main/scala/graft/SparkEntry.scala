@@ -316,7 +316,10 @@ object SparkEntry {
     "q299_jarque_bera"    -> (DataQuality.jarqueBera _),
     "q300_brown_forsythe" -> (DataQuality.brownForsythe _),
     "q301_kaplan_meier"   -> (Relational.kaplanMeier _),
-    "q302_naive_bayes"    -> (TextAnalysis.naiveBayes _)
+    "q302_naive_bayes"    -> (TextAnalysis.naiveBayes _),
+    "q303_cond_entropy"   -> (TextAnalysis.condEntropy _),
+    "q304_fd_discovery"   -> (DataQuality.fdDiscovery _),
+    "q305_textrank"       -> (Graph.textRank _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -6212,7 +6215,49 @@ object SparkEntry {
         |SELECT true_lang, pred_lang, count(*)::BIGINT AS n_docs
         |FROM nbpk WHERE rk = 1
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "q303_cond_entropy" ->
+      """WITH cet AS (SELECT regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents),
+        |cea AS (
+        |  SELECT w[i] AS a, w[i+1] AS b
+        |  FROM cet, unnest(range(1, len(w))) t(i)),
+        |cec AS MATERIALIZED (
+        |  SELECT a, b, count(*)::BIGINT AS c FROM cea GROUP BY 1, 2),
+        |cet2 AS (
+        |  SELECT sum(c)::BIGINT AS n_pairs, count(*)::BIGINT AS v_bigrams
+        |  FROM cec),
+        |ceb AS (
+        |  SELECT sum(floor(c::DOUBLE / n_pairs::DOUBLE
+        |    * ln(n_pairs::DOUBLE / c::DOUBLE)
+        |    * 1000000000.0)::BIGINT)::BIGINT AS h_bigram_nano
+        |  FROM cec, cet2),
+        |cem AS (SELECT a, sum(c)::BIGINT AS ca FROM cec GROUP BY 1),
+        |ce1 AS (
+        |  SELECT count(*)::BIGINT AS v_first,
+        |         sum(floor(ca::DOUBLE / n_pairs::DOUBLE
+        |           * ln(n_pairs::DOUBLE / ca::DOUBLE)
+        |           * 1000000000.0)::BIGINT)::BIGINT AS h_first_nano
+        |  FROM cem, cet2)
+        |SELECT n_pairs, v_bigrams, v_first, h_bigram_nano, h_first_nano,
+        |       h_bigram_nano - h_first_nano AS h_cond_nano,
+        |       floor(exp((h_bigram_nano - h_first_nano)::DOUBLE / 1000000000.0)
+        |         * 1000000.0)::BIGINT AS ppl_micros
+        |FROM cet2, ceb, ce1""".stripMargin,
+    "q304_fd_discovery" -> {
+      import graft.operators.DataQuality.FdCandidates
+      FdCandidates.map { case (tbl, lhs, rhs) =>
+        s"""SELECT '$tbl' AS tbl, '$lhs' AS lhs, '$rhs' AS rhs,
+           |       count(*)::BIGINT AS n_lhs, sum(na)::BIGINT AS n_rows,
+           |       sum(na - ma)::BIGINT AS g3_violations,
+           |       (sum(na - ma) = 0)::BIGINT AS holds
+           |FROM (
+           |  SELECT a, sum(c)::BIGINT AS na, max(c)::BIGINT AS ma FROM (
+           |    SELECT $lhs::VARCHAR AS a, $rhs::VARCHAR AS b,
+           |           count(*)::BIGINT AS c
+           |    FROM $tbl GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, lhs, rhs")
+    },
+    "q305_textrank" -> textRankOracle
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,
@@ -6645,6 +6690,48 @@ object SparkEntry {
 
   /** q76's oracle: the identical damped recurrence over the verified
     * pair graph, one CTE per unrolled iteration, 9dp state rounding. */
+  /** q305's oracle: the word-adjacency graph + the INTEGER-pico
+    * PageRank recurrence unrolled ([[graft.operators.Graph.textRank]]'s
+    * exact arithmetic — every division integer, every sum over
+    * integers, so no float fold order can differ). */
+  private def textRankOracle: String = {
+    import graft.operators.Graph.{PrIterations, TextRankTopK}
+    val iters = (1 to PrIterations).map { i =>
+      s"""trp$i AS MATERIALIZED (
+        |  SELECT n.term,
+        |         150000000000 // nn.n_nodes
+        |           + (coalesce(s.in_sum, 0) * 17) // 20 AS pr
+        |  FROM trn n
+        |  LEFT JOIN (
+        |    SELECT e.dst AS term, sum(p.pr // d.out_deg)::BIGINT AS in_sum
+        |    FROM trp${i - 1} p
+        |    JOIN tre e ON e.src = p.term
+        |    JOIN trd d ON d.src = e.src
+        |    GROUP BY 1) s USING (term), trnn nn
+        |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH trt AS (SELECT regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents),
+      |tra AS (
+      |  SELECT w[i] AS a, w[i+1] AS b
+      |  FROM trt, unnest(range(1, len(w))) t(i)
+      |  WHERE w[i] <> w[i+1]),
+      |trp AS MATERIALIZED (
+      |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM tra),
+      |tre AS MATERIALIZED (
+      |  SELECT a AS src, b AS dst FROM trp
+      |  UNION ALL SELECT b AS src, a AS dst FROM trp),
+      |trd AS MATERIALIZED (SELECT src, count(*)::BIGINT AS out_deg FROM tre GROUP BY 1),
+      |trn AS MATERIALIZED (SELECT DISTINCT src AS term FROM tre),
+      |trnn AS MATERIALIZED (SELECT count(*)::BIGINT AS n_nodes FROM trn),
+      |trp0 AS MATERIALIZED (
+      |  SELECT term, 1000000000000 // n_nodes AS pr FROM trn, trnn),
+      |$iters
+      |SELECT p.term, p.pr AS pr_pico, d.out_deg AS degree
+      |FROM trp$PrIterations p JOIN trd d ON d.src = p.term
+      |ORDER BY pr_pico DESC, term ASC
+      |LIMIT $TextRankTopK""".stripMargin
+  }
+
   private def pageRankOracle: String = {
     import graft.operators.Graph.{Damping, PrIterations, PrStateDp}
     import graft.operators.Dedup.JaccardThreshold

@@ -997,6 +997,59 @@ object DataQuality {
         sum(col("d2") * col("d2")).as("qi")))
   }
 
+  /** q304 candidate (table, lhs → rhs) pairs — a governance config,
+    * chosen so the census exercises both outcomes: key-determined
+    * columns that HOLD and plausible-looking dependencies that FAIL
+    * (the point of FD discovery is separating the two). */
+  val FdCandidates: Seq[(String, String, String)] = Seq(
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("documents", "doc_id", "lang"),
+    ("documents", "source", "lang"),
+    ("events", "user_id", "event_type"),
+    ("lineitem", "l_orderkey", "l_linestatus"),
+    ("nation", "n_nationkey", "n_name"),
+    ("nation", "n_regionkey", "n_name"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderkey", "o_orderstatus"))
+
+  /** q304_fd_discovery — functional-dependency census over the
+    * candidate pairs in [[FdCandidates]]: for each lhs → rhs claim,
+    * the distinct-lhs count, row count, and the g3 error (minimum
+    * rows to DELETE for the dependency to hold — Kivinen & Mannila
+    * 1995's robust FD measure, Σ_a (n_a − majority_a)). q249 finds
+    * cross-table inclusion dependencies; this is the within-table
+    * half of schema discovery — together they recover the star
+    * schema's keys and links from data alone, which is what a
+    * catalog crawler does over an unlabeled 100 TB lake.
+    *
+    * Scale shape: per candidate ONE (lhs, rhs) count aggregate
+    * collapsing to a (lhs) majority aggregate then a 1-row fold —
+    * all partial-aggregable keyed shuffles of count frames, unioned
+    * into a fixed |candidates|-row report. All-integer output. */
+  def fdDiscovery(spark: SparkSession, sfDir: String): DataFrame = {
+    def table(name: String): DataFrame = name match {
+      case "customer" => Tables.customer(spark, sfDir)
+      case "documents" => Tables.documents(spark, sfDir)
+      case "events" => Tables.events(spark, sfDir)
+      case "lineitem" => Tables.lineitem(spark, sfDir)
+      case "nation" => Tables.nation(spark, sfDir)
+      case "orders" => Tables.orders(spark, sfDir)
+    }
+    FdCandidates.map { case (tbl, lhs, rhs) =>
+      table(tbl)
+        .groupBy(col(lhs).cast("string").as("a"),
+          col(rhs).cast("string").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("a"))
+        .agg(sum(col("c")).as("na"), max(col("c")).as("ma"))
+        .agg(count(lit(1)).as("n_lhs"), sum(col("na")).as("n_rows"),
+          sum(col("na") - col("ma")).as("g3_violations"))
+        .select(lit(tbl).as("tbl"), lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_lhs"), col("n_rows"), col("g3_violations"),
+          (col("g3_violations") === lit(0L)).cast("long").as("holds"))
+    }.reduce(_.unionAll(_)).orderBy("tbl", "lhs", "rhs")
+  }
+
   /** q298_kruskal_wallis — the k-group rank-based ANOVA (Kruskal-Wallis
     * H with the tie correction) over document lengths by language:
     * q294's machinery generalized from 2 groups to all of them, and

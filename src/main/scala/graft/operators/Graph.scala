@@ -80,6 +80,75 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** q305 output size. */
+  val TextRankTopK = 20
+
+  /** q305_textrank — TextRank keyword extraction (Mihalcea & Tarau
+    * 2004): PageRank over the word ADJACENCY graph (distinct
+    * unordered pairs of consecutive tokens), top-[[TextRankTopK]]
+    * terms. Where q34's TF-IDF scores terms by rarity, TextRank
+    * scores them by graph centrality — the two disagree exactly on
+    * hub words that co-occur with everything, which is why keyword
+    * extractors run both.
+    *
+    * NOT q76's recurrence: a word graph has hub nodes with thousands
+    * of in-edges, so q76's float contribution sums (safe on near-
+    * clique dup graphs with tiny in-degrees) would be order-dependent
+    * here. The rank mass lives on an INTEGER pico grid instead —
+    * pr₀ = 10¹² div n, each edge contributes pr div out_deg (integer
+    * division), and the damped update is (15·10¹⁰) div n +
+    * (in_sum · 17) div 20 — every fold an order-independent integer
+    * sum, bit-equal on any engine at any parallelism.
+    *
+    * Scale shape: pair generation rides the token scan (consecutive-
+    * slice zip — no self-join); the distinct edge set checkpoints
+    * once (degree, node set, and all [[PrIterations]] contribution
+    * joins read it); each iteration is one term-keyed equi-join +
+    * keyed aggregate over the EDGE table (vocab-sized, corpus-
+    * independent); top-k is a TakeOrdered. */
+  def textRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val pairs = graft.sources.Tables.documents(spark, sfDir)
+      .select(T.wsTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(slice(col("w"), lit(1), size(col("w")) - 1).as("s1"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("s2"))
+      .select(explode(arrays_zip(col("s1"), col("s2"))).as("z"))
+      .select(col("z.s1").as("a"), col("z.s2").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val edges = pairs.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val nodes = edges.select(col("src").as("term")).distinct()
+    val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+    var pr = nodes.crossJoin(broadcast(nNodes))
+      .select(col("term"), expr("1000000000000 div n_nodes").as("pr"))
+    for (_ <- 1 to PrIterations) {
+      val contrib = pr
+        .join(edges, col("term") === col("src"))
+        .join(outDeg, "src")
+        .select(col("dst"), expr("pr div out_deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+        .withColumnRenamed("dst", "term")
+      pr = nodes
+        .join(contrib, Seq("term"), "left")
+        .crossJoin(broadcast(nNodes))
+        .select(col("term"),
+          expr("150000000000 div n_nodes + (coalesce(in_sum, 0L) * 17) div 20")
+            .as("pr"))
+    }
+    pr.join(outDeg.withColumnRenamed("src", "term"), "term")
+      .select(col("term"), col("pr").as("pr_pico"), col("out_deg").as("degree"))
+      .orderBy(col("pr_pico").desc, col("term").asc)
+      .limit(TextRankTopK)
+  }
+
   /** q104_dup_triangles — triangle census of the verified near-dup
     * graph: node/edge/wedge/triangle counts and the global clustering
     * coefficient 3·triangles/wedges. Near-dup graphs from boilerplate

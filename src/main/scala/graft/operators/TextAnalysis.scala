@@ -1637,4 +1637,55 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("true_lang", "pred_lang")
   }
+
+  /** q303_cond_entropy — corpus entropy rate: the conditional entropy
+    * H(w₂|w₁) = H(w₁,w₂) − H(w₁) of the next token given the current
+    * one, plus the implied bigram-LM perplexity. This is the
+    * information-theoretic summary of how REPETITIVE the corpus is at
+    * the token level — the number that drops when boilerplate floods
+    * a crawl (q286 finds WHICH phrases; this measures the aggregate
+    * predictability they cause), and the lower bound any LM trained
+    * on the corpus can hope to reach on it.
+    *
+    * Determinism: both entropies sum floor-nano-quantized
+    * c/N·ln(N/c) terms over exact integer histogram counts (the q296
+    * convention — integer sums are order-independent); the
+    * subtraction and the one exp for perplexity are fixed expression
+    * trees over those integers.
+    *
+    * Scale shape: the bigram histogram rides the token scan
+    * (checkpointed — the marginal, the total, and the entropy fold
+    * all read it); the first-token marginal rolls up FROM it; one
+    * broadcast 1-row total; 1-row output. */
+  def condEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val pc = Tables.documents(spark, sfDir)
+      .select(T.wsTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(slice(col("w"), lit(1), size(col("w")) - 1).as("s1"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("s2"))
+      .select(explode(arrays_zip(col("s1"), col("s2"))).as("z"))
+      .select(col("z.s1").as("a"), col("z.s2").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = pc.agg(sum(col("c")).as("n_pairs"),
+      count(lit(1)).as("v_bigrams"))
+    def entNano(counts: DataFrame, cCol: String): Column =
+      sum(floor(col(cCol).cast("double") / col("n_pairs").cast("double")
+        * log(col("n_pairs").cast("double") / col(cCol).cast("double"))
+        * lit(1000000000.0)).cast("long"))
+    val hb = pc.crossJoin(broadcast(tot))
+      .agg(entNano(pc, "c").as("h_bigram_nano"))
+    val ma = pc.groupBy(col("a")).agg(sum(col("c")).as("ca"))
+    val h1 = ma.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("v_first"),
+        entNano(ma, "ca").as("h_first_nano"))
+    tot.crossJoin(broadcast(hb)).crossJoin(broadcast(h1))
+      .select(col("n_pairs"), col("v_bigrams"), col("v_first"),
+        col("h_bigram_nano"), col("h_first_nano"),
+        (col("h_bigram_nano") - col("h_first_nano")).as("h_cond_nano"))
+      .select(col("n_pairs"), col("v_bigrams"), col("v_first"),
+        col("h_bigram_nano"), col("h_first_nano"), col("h_cond_nano"),
+        floor(exp(col("h_cond_nano").cast("double") / lit(1000000000.0))
+          * lit(1000000.0)).cast("long").as("ppl_micros"))
+  }
 }

@@ -375,4 +375,81 @@ class Round15OpsSpec extends SparkSuite {
       .map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("n_docs"))).toMap
     assert(rows == conf.toMap, s"spark=$rows driver=$conf")
   }
+
+  private def allTokenLists: Array[Seq[String]] =
+    graft.sources.Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.wsTokens(col("text")).as("w"))
+      .collect().map(_.getSeq[String](0))
+
+  test("q303 conditional entropy matches a driver-side recomputation") {
+    val row = graft.operators.TextAnalysis.condEntropy(spark, sf).collect().head
+    val bigrams = allTokenLists.flatMap(w => w.zip(w.drop(1)))
+    val n = bigrams.length.toLong
+    val bc = bigrams.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val mc = bigrams.groupBy(_._1).map { case (k, g) => k -> g.length.toLong }
+    def ent(counts: Iterable[Long]): Long = counts.map(c =>
+      math.floor(c.toDouble / n.toDouble * math.log(n.toDouble / c.toDouble)
+        * 1e9).toLong).sum
+    assert(row.getAs[Long]("n_pairs") == n)
+    assert(row.getAs[Long]("v_bigrams") == bc.size.toLong)
+    assert(row.getAs[Long]("v_first") == mc.size.toLong)
+    val (hb, h1) = (ent(bc.values), ent(mc.values))
+    assert(row.getAs[Long]("h_bigram_nano") == hb)
+    assert(row.getAs[Long]("h_first_nano") == h1)
+    assert(row.getAs[Long]("h_cond_nano") == hb - h1)
+    // chain rule sanity: 0 ≤ H(w2|w1) ≤ H(w1,w2)
+    assert(hb - h1 >= 0 && hb - h1 <= hb)
+    assert(row.getAs[Long]("ppl_micros") ==
+      math.floor(math.exp((hb - h1).toDouble / 1e9) * 1e6).toLong)
+  }
+
+  test("q304 FD census separates holding from failing dependencies") {
+    val rows = graft.operators.DataQuality.fdDiscovery(spark, sf).collect()
+    assert(rows.length == graft.operators.DataQuality.FdCandidates.size)
+    val byKey = rows.map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+      (r.getAs[Long]("n_lhs"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("g3_violations"), r.getAs[Long]("holds")))).toMap
+    // keys hold; plausible-but-false dependencies fail
+    assert(byKey(("documents", "doc_id", "lang"))._4 == 1L)
+    assert(byKey(("nation", "n_nationkey", "n_name"))._4 == 1L)
+    assert(byKey(("documents", "source", "lang"))._4 == 0L)
+    rows.foreach { r =>
+      val (nLhs, nRows, g3, holds) = byKey(
+        (r.getString(0), r.getString(1), r.getString(2)))
+      assert(nLhs <= nRows && g3 >= 0 && g3 < nRows)
+      assert((g3 == 0L) == (holds == 1L))
+    }
+    // driver-side g3 recomputation for the failing documents FD
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val g3 = docs.groupBy(_._1).values.map { g =>
+      g.length.toLong - g.groupBy(_._2).values.map(_.length).max.toLong }.sum
+    assert(byKey(("documents", "source", "lang"))._3 == g3)
+  }
+
+  test("q305 TextRank matches a driver-side integer-pico recomputation") {
+    import graft.operators.Graph.{PrIterations, TextRankTopK}
+    val pairs = allTokenLists.flatMap(w => w.zip(w.drop(1)))
+      .filter(p => p._1 != p._2)
+      .map(p => if (p._1 < p._2) p else p.swap).distinct
+    val edges = pairs ++ pairs.map(_.swap)
+    val deg = edges.groupBy(_._1).map { case (t, g) => t -> g.length.toLong }
+    val nodes = edges.map(_._1).distinct.sorted
+    val n = nodes.length.toLong
+    var pr = nodes.map(t => t -> 1000000000000L / n).toMap
+    for (_ <- 1 to PrIterations) {
+      val in = scala.collection.mutable.Map[String, Long]()
+      edges.foreach { case (s, d) =>
+        in(d) = in.getOrElse(d, 0L) + pr(s) / deg(s) }
+      pr = nodes.map(t =>
+        t -> (150000000000L / n + in.getOrElse(t, 0L) * 17 / 20)).toMap
+    }
+    val expect = nodes.map(t => (t, pr(t), deg(t)))
+      .sortBy { case (t, p, _) => (-p, t) }.take(TextRankTopK).toSeq
+    val rows = graft.operators.Graph.textRank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("pr_pico"),
+        r.getAs[Long]("degree"))).toSeq
+    assert(rows == expect, s"spark=${rows.take(3)} driver=${expect.take(3)}")
+  }
 }
