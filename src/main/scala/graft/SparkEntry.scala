@@ -319,7 +319,10 @@ object SparkEntry {
     "q302_naive_bayes"    -> (TextAnalysis.naiveBayes _),
     "q303_cond_entropy"   -> (TextAnalysis.condEntropy _),
     "q304_fd_discovery"   -> (DataQuality.fdDiscovery _),
-    "q305_textrank"       -> (Graph.textRank _)
+    "q305_textrank"       -> (Graph.textRank _),
+    "q306_logreg"         -> (DataQuality.logReg _),
+    "q307_haar_energy"    -> (Relational.haarEnergy _),
+    "q308_decision_stump" -> (DataQuality.decisionStump _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -6257,7 +6260,61 @@ object SparkEntry {
            |    FROM $tbl GROUP BY 1, 2) GROUP BY 1)""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, lhs, rhs")
     },
-    "q305_textrank" -> textRankOracle
+    "q305_textrank" -> textRankOracle,
+    "q306_logreg" -> logRegOracle,
+    "q307_haar_energy" -> {
+      import graft.operators.Relational.HaarLevels
+      val levels = (1 to HaarLevels).map { k =>
+        val half = 1L << (k - 1)
+        s"""SELECT $k AS level, ${2 * half} AS block_days,
+           |       count(*)::BIGINT AS n_blocks,
+           |       coalesce(sum(diff * diff), 0)::BIGINT AS energy
+           |FROM (
+           |  SELECT b // 2 AS pb,
+           |         sum(CASE WHEN b % 2 = 0 THEN s ELSE -s END)::BIGINT AS diff
+           |  FROM (SELECT day // $half AS b, sum(cnt)::BIGINT AS s
+           |        FROM hdaily GROUP BY 1)
+           |  GROUP BY 1)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "")
+      s"""WITH hev AS (SELECT epoch_us(ts) // 86400000000 AS dayabs FROM events),
+        |hd0 AS (SELECT min(dayabs) AS d0 FROM hev),
+        |hdaily AS MATERIALIZED (
+        |  SELECT dayabs - d0 AS day, count(*)::BIGINT AS cnt
+        |  FROM hev, hd0 GROUP BY 1)
+        |$levels
+        |ORDER BY level""".stripMargin
+    },
+    "q308_decision_stump" -> {
+      import graft.operators.DataQuality.LrPosLang
+      s"""WITH dsh AS (
+        |  SELECT n_chars AS v, count(*)::BIGINT AS cnt,
+        |         sum(CASE WHEN lang = '$LrPosLang' THEN 1 ELSE 0 END)::BIGINT AS pos
+        |  FROM documents GROUP BY 1),
+        |dst AS (SELECT sum(cnt)::BIGINT AS n, sum(pos)::BIGINT AS npos FROM dsh),
+        |dsc AS (
+        |  SELECT v,
+        |         sum(cnt) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS nle,
+        |         sum(pos) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS ple
+        |  FROM dsh),
+        |dsg AS (
+        |  SELECT v, nle, ple, n, npos,
+        |         floor((2.0 * ple::DOUBLE * (nle - ple)::DOUBLE / nle::DOUBLE
+        |              + 2.0 * (npos - ple)::DOUBLE
+        |                * ((n - nle) - (npos - ple))::DOUBLE
+        |                / (n - nle)::DOUBLE)
+        |               / n::DOUBLE * 1000000.0)::BIGINT AS gini_micros
+        |  FROM dsc, dst WHERE nle < n)
+        |SELECT v AS threshold, gini_micros, nle AS n_le, ple AS pos_le,
+        |       n AS n_total, npos AS n_pos,
+        |       (greatest(ple, nle - ple)
+        |        + greatest(npos - ple, (n - nle) - (npos - ple))) * 1000000 // n
+        |         AS acc_ppm
+        |FROM dsg
+        |ORDER BY gini_micros ASC, v ASC
+        |LIMIT 1""".stripMargin
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,
@@ -6690,6 +6747,67 @@ object SparkEntry {
 
   /** q76's oracle: the identical damped recurrence over the verified
     * pair graph, one CTE per unrolled iteration, 9dp state rounding. */
+  /** q306's oracle: the integer feature frame + the full-batch
+    * gradient recurrence unrolled ([[graft.operators.DataQuality
+    * .logReg]]'s exact arithmetic — per-row gradient terms floor-
+    * micro-quantized before each order-free integer sum, weight
+    * updates via floor() on doubles, never `//`-vs-`div` on
+    * negatives). */
+  private def logRegOracle: String = {
+    import graft.operators.DataQuality.{LrIterations, LrPosLang, LrRate}
+    def score(w: String) =
+      s"(($w.w0::DOUBLE + $w.w1::DOUBLE * (x1::DOUBLE / 1000.0)" +
+        s" + $w.w2::DOUBLE * (x2::DOUBLE / 100.0)) / 1000000.0)"
+    val iters = (1 to LrIterations).map { i =>
+      s"""ls$i AS (
+        |  SELECT y, x1, x2, lw${i - 1}.w0, lw${i - 1}.w1, lw${i - 1}.w2,
+        |         1.0 / (1.0 + exp(-${score(s"lw${i - 1}")})) AS p
+        |  FROM lft, lw${i - 1}),
+        |lg$i AS (
+        |  SELECT w0, w1, w2,
+        |         sum(floor((p - y::DOUBLE) * 1000000.0)::BIGINT)::BIGINT AS g0,
+        |         sum(floor((p - y::DOUBLE) * (x1::DOUBLE / 1000.0)
+        |           * 1000000.0)::BIGINT)::BIGINT AS g1,
+        |         sum(floor((p - y::DOUBLE) * (x2::DOUBLE / 100.0)
+        |           * 1000000.0)::BIGINT)::BIGINT AS g2
+        |  FROM ls$i GROUP BY 1, 2, 3),
+        |lw$i AS (
+        |  SELECT w0 - floor(g0::DOUBLE * $LrRate / n::DOUBLE)::BIGINT AS w0,
+        |         w1 - floor(g1::DOUBLE * $LrRate / n::DOUBLE)::BIGINT AS w1,
+        |         w2 - floor(g2::DOUBLE * $LrRate / n::DOUBLE)::BIGINT AS w2
+        |  FROM lg$i, ln)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lraw AS (
+      |  SELECT (lang = '$LrPosLang')::BIGINT AS y, n_chars AS x1,
+      |         len(regexp_extract_all(text, '[^ \t\n\r]+'))::BIGINT AS x2
+      |  FROM documents),
+      |lm AS (
+      |  SELECT sum(x1)::BIGINT // count(*) AS m1,
+      |         sum(x2)::BIGINT // count(*) AS m2,
+      |         count(*)::BIGINT AS n
+      |  FROM lraw),
+      |lft AS MATERIALIZED (
+      |  SELECT y, x1 - m1 AS x1, x2 - m2 AS x2 FROM lraw, lm),
+      |ln AS (SELECT n FROM lm),
+      |lw0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2),
+      |$iters,
+      |ltot AS (SELECT count(*)::BIGINT AS nd, sum(y)::BIGINT AS npos FROM lft),
+      |lpred AS (
+      |  SELECT y, lw$LrIterations.w0, lw$LrIterations.w1, lw$LrIterations.w2,
+      |         (${score(s"lw$LrIterations")}
+      |          > ln(npos::DOUBLE / (nd - npos)::DOUBLE))::BIGINT AS pred
+      |  FROM lft, lw$LrIterations, ltot),
+      |lacc AS (
+      |  SELECT w0, w1, w2, count(*)::BIGINT AS n_docs, sum(y)::BIGINT AS n_pos,
+      |         sum(CASE WHEN pred = y THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+      |         sum(pred * y)::BIGINT AS n_true_pos
+      |  FROM lpred GROUP BY 1, 2, 3)
+      |SELECT w0 AS w0_micros, w1 AS w1_micros, w2 AS w2_micros,
+      |       n_docs, n_pos, n_correct, n_true_pos,
+      |       n_correct * 1000000 // n_docs AS acc_ppm
+      |FROM lacc""".stripMargin
+  }
+
   /** q305's oracle: the word-adjacency graph + the INTEGER-pico
     * PageRank recurrence unrolled ([[graft.operators.Graph.textRank]]'s
     * exact arithmetic — every division integer, every sum over

@@ -997,6 +997,157 @@ object DataQuality {
         sum(col("d2") * col("d2")).as("qi")))
   }
 
+  /** q306 training-loop knobs: full-batch gradient steps, learning
+    * rate, and the positive-class label. 12 steps at rate 4 over
+    * CENTERED features is where the balanced-threshold confusion
+    * becomes informative at every SF (0 < true-positives < positives
+    * — measured; fewer steps leave w0 short of the prior log-odds and
+    * the readout degenerates to all-or-nothing). */
+  val LrIterations = 12
+  val LrRate = 4.0
+  val LrPosLang = "zh"
+
+  /** q306_logreg — logistic regression TRAINED IN-ENGINE by
+    * [[LrIterations]] full-batch gradient steps: P(lang = zh) from
+    * (n_chars, token count), reporting the learned micro-weights and
+    * the training confusion counts. With q302 (generative NB) this
+    * completes the classifier pair a curation pipeline actually
+    * ships — a discriminative model whose TRAINING is itself a Spark
+    * plan: each step is ONE partial-aggregable scan aggregate (three
+    * gradient sums), so a 100 TB fit is k passes with no driver-side
+    * data, the textbook distributed-GD shape.
+    *
+    * Determinism: weights live on an integer MICRO grid. Each row's
+    * (p − y)·x_j gradient term is one fixed IEEE tree over the
+    * integer weights and integer features, floor-micro-quantized
+    * BEFORE the cross-row sum (order-free); the update steps by
+    * floor(g·[[LrRate]]/n) on doubles — floor, not
+    * truncation, because gradients go negative and Spark's `div`
+    * truncates toward zero while SQL's `//` floors.
+    *
+    * Scale shape: the integer feature frame checkpoints once ([[
+    * LrIterations]]+1 consumers); per step one broadcast 1-row weight
+    * frame crosses onto the scan and collapses to a 3-integer
+    * aggregate; the readout is one more scan aggregate; 1-row
+    * output. */
+  def logReg(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val raw = Tables.documents(spark, sfDir)
+      .select((col("lang") === LrPosLang).cast("long").as("y"),
+        col("n_chars").as("x1"),
+        size(T.wsTokens(col("text"))).cast("long").as("x2"))
+    // center on the integer feature means — uncentered features couple
+    // the intercept and slope gradients and full-batch GD crawls
+    val m = raw.agg(sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+      count(lit(1)).as("nd"))
+    val feats = raw.crossJoin(broadcast(m))
+      .select(col("y"),
+        (col("x1") - expr("sx1 div nd")).as("x1"),
+        (col("x2") - expr("sx2 div nd")).as("x2"))
+      .localCheckpoint()
+    val n = feats.count()
+    // score in natural units from micro-weights and integer features
+    def score(w0: String, w1: String, w2: String): Column =
+      (col(w0).cast("double")
+        + col(w1).cast("double") * (col("x1").cast("double") / lit(1000.0))
+        + col(w2).cast("double") * (col("x2").cast("double") / lit(100.0))) / lit(1000000.0)
+    val p: Column = lit(1.0) / (lit(1.0) + exp(-score("w0", "w1", "w2")))
+    var w = feats.sparkSession.range(1)
+      .select(lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"))
+    for (_ <- 1 to LrIterations) {
+      val grads = feats.crossJoin(broadcast(w))
+        .select(
+          floor((p - col("y").cast("double")) * lit(1000000.0))
+            .cast("long").as("t0"),
+          floor((p - col("y").cast("double"))
+            * (col("x1").cast("double") / lit(1000.0)) * lit(1000000.0))
+            .cast("long").as("t1"),
+          floor((p - col("y").cast("double"))
+            * (col("x2").cast("double") / lit(100.0)) * lit(1000000.0))
+            .cast("long").as("t2"),
+          col("w0"), col("w1"), col("w2"))
+        .groupBy(col("w0"), col("w1"), col("w2"))
+        .agg(sum(col("t0")).as("g0"), sum(col("t1")).as("g1"),
+          sum(col("t2")).as("g2"))
+      w = grads.select(
+        (col("w0") - floor(col("g0").cast("double") * lit(LrRate)
+          / lit(n.toDouble)).cast("long")).as("w0"),
+        (col("w1") - floor(col("g1").cast("double") * lit(LrRate)
+          / lit(n.toDouble)).cast("long")).as("w1"),
+        (col("w2") - floor(col("g2").cast("double") * lit(LrRate)
+          / lit(n.toDouble)).cast("long")).as("w2"))
+    }
+    // balanced-threshold readout: predict positive when the score
+    // clears the PRIOR log-odds (a 15%-prior class never crosses the
+    // 0.5 default, so thresholding there would report the majority
+    // vote and hide what the slopes learned)
+    val tot = feats.agg(count(lit(1)).as("nd"), sum(col("y")).as("npos"))
+    feats.crossJoin(broadcast(w)).crossJoin(broadcast(tot))
+      .select(col("w0"), col("w1"), col("w2"), col("y"),
+        (score("w0", "w1", "w2") >
+          log(col("npos").cast("double")
+            / (col("nd") - col("npos")).cast("double"))).cast("long")
+          .as("pred"))
+      .groupBy(col("w0"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y")).as("n_pos"),
+        sum((col("pred") === col("y")).cast("long")).as("n_correct"),
+        sum((col("pred") * col("y"))).as("n_true_pos"))
+      .select(col("w0").as("w0_micros"), col("w1").as("w1_micros"),
+        col("w2").as("w2_micros"), col("n_docs"), col("n_pos"),
+        col("n_correct"), col("n_true_pos"),
+        expr("n_correct * 1000000 div n_docs").as("acc_ppm"))
+  }
+
+  /** q308_decision_stump — the exact best depth-1 decision tree for
+    * "is this document zh?" on the length axis: every distinct
+    * n_chars value is a candidate split, scored by the exact weighted
+    * Gini impurity of the two sides; the argmin (with the smallest-
+    * threshold tie-break) plus its confusion counts. This is the
+    * inner loop of every tree/GBDT trainer expressed as the engine
+    * primitive it really is — one histogram + one cumulative sweep —
+    * and the third member of the in-engine classifier family
+    * (generative q302, linear q306, axis-aligned q308).
+    *
+    * Determinism: the cumulative (n≤, pos≤) pairs are exact integers
+    * from the value histogram; each candidate's weighted Gini is one
+    * fixed double tree over those integers, floor-micro-quantized;
+    * the argmin is an integer TakeOrdered.
+    *
+    * Scale shape: one value histogram with conditional class counts,
+    * one cumsum window over the distinct length-VALUE domain
+    * (whitelisted — never corpus rows), broadcast 1-row totals, top-1
+    * TakeOrdered; 1-row output. */
+  def decisionStump(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(spark, sfDir)
+      .select(col("n_chars").as("v"),
+        (col("lang") === LrPosLang).cast("long").as("y"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("npos"))
+    hist.select(col("v"), sum(col("cnt")).over(w).as("nle"),
+        sum(col("pos")).over(w).as("ple"))
+      .crossJoin(broadcast(tot))
+      .filter(col("nle") < col("n"))
+      .select(col("v"), col("nle"), col("ple"), col("n"), col("npos"),
+        floor((lit(2.0) * col("ple").cast("double")
+            * (col("nle") - col("ple")).cast("double")
+            / col("nle").cast("double")
+          + lit(2.0) * (col("npos") - col("ple")).cast("double")
+            * ((col("n") - col("nle")) - (col("npos") - col("ple"))).cast("double")
+            / (col("n") - col("nle")).cast("double"))
+          / col("n").cast("double") * lit(1000000.0)).cast("long")
+          .as("gini_micros"))
+      .orderBy(col("gini_micros").asc, col("v").asc).limit(1)
+      .select(col("v").as("threshold"), col("gini_micros"),
+        col("nle").as("n_le"), col("ple").as("pos_le"),
+        col("n").as("n_total"), col("npos").as("n_pos"),
+        expr("(greatest(ple, nle - ple) + greatest(npos - ple, (n - nle) - (npos - ple))) * 1000000 div n")
+          .as("acc_ppm"))
+  }
+
   /** q304 candidate (table, lhs → rhs) pairs — a governance config,
     * chosen so the census exercises both outcomes: key-determined
     * columns that HOLD and plausible-looking dependencies that FAIL

@@ -3031,6 +3031,52 @@ object Relational {
           .as("tau_b"))
   }
 
+  /** q307 decomposition depth: levels 1..5 cover block sizes 2..32 —
+    * one past the 30-day event window, so the top level is the
+    * half-month-vs-half-month contrast. */
+  val HaarLevels = 5
+
+  /** q307_haar_energy — Haar wavelet energy decomposition of the daily
+    * event-volume series: for each dyadic scale 2^k, the summed
+    * squared sibling-block differences. This is the multi-resolution
+    * companion of q284's ACF — energy concentrated at small scales
+    * means day-to-day jitter, at large scales means regime drift
+    * (q260's changepoint would fire) — and the scale histogram is the
+    * standard feature a seasonality detector reads.
+    *
+    * Determinism: block sums are exact integer counts at every level
+    * (Haar details computed on SUMS, not normalized averages, so no
+    * division ever happens); energies are integer sums of squared
+    * integers. Nothing floats.
+    *
+    * Scale shape: one scan collapses to the ≤32-row day histogram
+    * (checkpointed — all [[HaarLevels]] levels read it); each level
+    * is two tiny keyed aggregates over that domain frame; fixed
+    * 5-row output. */
+  def haarEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("dayabs"))
+    val d0 = ev.agg(min(col("dayabs")).as("d0"))
+    val daily = ev.crossJoin(broadcast(d0))
+      .select((col("dayabs") - col("d0")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val levels = (1 to HaarLevels).map { k =>
+      val half = 1L << (k - 1)
+      daily
+        .groupBy(expr(s"day div $half").as("b"))
+        .agg(sum(col("cnt")).as("s"))
+        .groupBy(expr("b div 2").as("pb"))
+        .agg(sum(when(pmod(col("b"), lit(2L)) === 0, col("s"))
+          .otherwise(-col("s"))).as("diff"))
+        .agg(count(lit(1)).as("n_blocks"),
+          coalesce(sum(col("diff") * col("diff")), lit(0L)).as("energy"))
+        .select(lit(k).as("level"), lit(2L * half).as("block_days"),
+          col("n_blocks"), col("energy"))
+    }
+    levels.reduce(_.unionAll(_)).orderBy("level")
+  }
+
   /** q301 administrative censoring horizon: hours of each user's
     * history observed for the first purchase. 72 keeps BOTH outcomes
     * populated at every SF (censored users: 2 / 23 / 313 at

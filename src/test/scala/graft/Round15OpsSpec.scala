@@ -452,4 +452,107 @@ class Round15OpsSpec extends SparkSuite {
         r.getAs[Long]("degree"))).toSeq
     assert(rows == expect, s"spark=${rows.take(3)} driver=${expect.take(3)}")
   }
+
+  test("q306 logreg matches a driver-side integer-GD recomputation and discriminates") {
+    import graft.operators.DataQuality.{LrIterations, LrPosLang, LrRate}
+    val raw = graft.sources.Tables.documents(spark, sf)
+      .select((col("lang") === LrPosLang).cast("long").as("y"), col("n_chars"),
+        size(graft.functions.TextFunctions.wsTokens(col("text"))).cast("long").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = raw.length.toLong
+    val m1 = raw.map(_._2).sum / n; val m2 = raw.map(_._3).sum / n
+    val feats = raw.map { case (y, a, b) => (y, a - m1, b - m2) }
+    var (w0, w1, w2) = (0L, 0L, 0L)
+    def s(x1: Long, x2: Long): Double =
+      (w0.toDouble + w1.toDouble * (x1.toDouble / 1000.0)
+        + w2.toDouble * (x2.toDouble / 100.0)) / 1000000.0
+    for (_ <- 1 to LrIterations) {
+      var (g0, g1, g2) = (0L, 0L, 0L)
+      feats.foreach { case (y, x1, x2) =>
+        val p = 1.0 / (1.0 + math.exp(-s(x1, x2)))
+        g0 += math.floor((p - y.toDouble) * 1e6).toLong
+        g1 += math.floor((p - y.toDouble) * (x1.toDouble / 1000.0) * 1e6).toLong
+        g2 += math.floor((p - y.toDouble) * (x2.toDouble / 100.0) * 1e6).toLong
+      }
+      w0 -= math.floor(g0.toDouble * LrRate / n.toDouble).toLong
+      w1 -= math.floor(g1.toDouble * LrRate / n.toDouble).toLong
+      w2 -= math.floor(g2.toDouble * LrRate / n.toDouble).toLong
+    }
+    val npos = feats.map(_._1).sum
+    val thr = math.log(npos.toDouble / (n - npos).toDouble)
+    val preds = feats.map { case (y, x1, x2) => (y, if (s(x1, x2) > thr) 1L else 0L) }
+    val row = graft.operators.DataQuality.logReg(spark, sf).collect().head
+    assert((row.getAs[Long]("w0_micros"), row.getAs[Long]("w1_micros"),
+      row.getAs[Long]("w2_micros")) == ((w0, w1, w2)))
+    assert(row.getAs[Long]("n_docs") == n)
+    assert(row.getAs[Long]("n_pos") == npos)
+    assert(row.getAs[Long]("n_correct") == preds.count(p => p._1 == p._2).toLong)
+    val tp = preds.count(p => p._1 == 1L && p._2 == 1L).toLong
+    assert(row.getAs[Long]("n_true_pos") == tp)
+    // the trained model must actually discriminate at the prior
+    // threshold — neither all-negative nor all-positive
+    assert(tp > 0L && tp < npos)
+  }
+
+  test("q307 Haar energies satisfy the exact integer Parseval identity") {
+    import graft.operators.Relational.HaarLevels
+    val rows = graft.operators.Relational.haarEnergy(spark, sf).collect()
+    assert(rows.length == HaarLevels)
+    val days = graft.sources.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("d")).collect()
+      .map(_.getLong(0))
+    val d0 = days.min
+    val counts = Array.fill(32)(0L)
+    days.foreach(d => counts((d - d0).toInt) += 1)
+    // driver-side recomputation per level (zero-filled grid; the
+    // operator's n_blocks counts only parents containing a PRESENT
+    // day — empty tail blocks contribute 0 energy either way)
+    var blocks = counts
+    var present = counts.map(_ > 0L)
+    rows.sortBy(_.getAs[Int]("level")).foreach { r =>
+      val k = r.getAs[Int]("level")
+      val parents = blocks.grouped(2).toArray
+      val diffs = parents.map(p => p(0) - p(1))
+      val pPresent = present.grouped(2).map(_.exists(identity)).toArray
+      assert(r.getAs[Long]("block_days") == (1L << k))
+      assert(r.getAs[Long]("n_blocks") == pPresent.count(identity).toLong)
+      assert(r.getAs[Long]("energy") == diffs.map(d => d * d).sum)
+      blocks = parents.map(_.sum)
+      present = pPresent
+    }
+    // Parseval on unnormalized sums: 32·Σx² = S² + Σ_k E_k·2^(5−k)
+    val lhs = 32L * counts.map(c => c * c).sum
+    val s = counts.sum
+    val rhs = s * s + rows.map(r =>
+      r.getAs[Long]("energy") * (1L << (HaarLevels - r.getAs[Int]("level")))).sum
+    assert(lhs == rhs, s"Parseval: $lhs vs $rhs")
+  }
+
+  test("q308 stump is the exact gini argmin with both sides populated") {
+    val row = graft.operators.DataQuality.decisionStump(spark, sf).collect().head
+    val xs = graft.sources.Tables.documents(spark, sf)
+      .select(col("n_chars"),
+        (col("lang") === graft.operators.DataQuality.LrPosLang).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = xs.length.toLong; val npos = xs.map(_._2).sum
+    val cands = xs.map(_._1).distinct.sorted.init.map { v =>
+      val le = xs.filter(_._1 <= v)
+      val (nle, ple) = (le.length.toLong, le.map(_._2).sum)
+      val (ngt, pgt) = (n - nle, npos - ple)
+      val g = math.floor((2.0 * ple.toDouble * (nle - ple).toDouble / nle.toDouble
+        + 2.0 * pgt.toDouble * (ngt - pgt).toDouble / ngt.toDouble)
+        / n.toDouble * 1e6).toLong
+      (v, g, nle, ple)
+    }
+    val best = cands.minBy(c => (c._2, c._1))
+    assert(row.getAs[Long]("threshold") == best._1)
+    assert(row.getAs[Long]("gini_micros") == best._2)
+    assert(row.getAs[Long]("n_le") == best._3)
+    assert(row.getAs[Long]("pos_le") == best._4)
+    assert(row.getAs[Long]("n_le") > 0 && row.getAs[Long]("n_le") < n)
+    // the chosen split must beat the no-split gini
+    val g0 = math.floor(2.0 * npos.toDouble * (n - npos).toDouble
+      / n.toDouble / n.toDouble * 1e6).toLong
+    assert(row.getAs[Long]("gini_micros") <= g0)
+  }
 }

@@ -58,7 +58,10 @@ class ScaleShapeSpec extends SparkSuite {
       "q298_kruskal_wallis",
       // q301's at-risk reverse cumsum and ln-survival cumsum run over
       // the ≤ KmCapHours+1-row DURATION domain (q260's class)
-      "q301_kaplan_meier")
+      "q301_kaplan_meier",
+      // q308's split-candidate cumsum runs over the distinct
+      // length-VALUE domain (q194/q262's shape)
+      "q308_decision_stump")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
