@@ -322,7 +322,10 @@ object SparkEntry {
     "q305_textrank"       -> (Graph.textRank _),
     "q306_logreg"         -> (DataQuality.logReg _),
     "q307_haar_energy"    -> (Relational.haarEnergy _),
-    "q308_decision_stump" -> (DataQuality.decisionStump _)
+    "q308_decision_stump" -> (DataQuality.decisionStump _),
+    "q309_shapley_credit" -> (Relational.shapleyCredit _),
+    "q310_matched_uplift" -> (Relational.matchedUplift _),
+    "q311_late_orders"    -> (Relational.lateOrders _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -6314,6 +6317,71 @@ object SparkEntry {
         |FROM dsg
         |ORDER BY gini_micros ASC, v ASC
         |LIMIT 1""".stripMargin
+    },
+    "q309_shapley_credit" -> {
+      import graft.operators.Relational.AttribLookbackUs
+      s"""WITH shp AS (
+        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS pus,
+        |         floor(value * 100 + 0.5)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |sht AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |shd AS MATERIALIZED (
+        |  SELECT DISTINCT p.p_id, p.cents, t.channel
+        |  FROM shp p LEFT JOIN sht t ON t.user_id = p.user_id
+        |    AND t.tus < p.pus AND t.tus >= p.pus - $AttribLookbackUs),
+        |shk AS (SELECT p_id, count(channel)::BIGINT AS k FROM shd GROUP BY 1)
+        |SELECT coalesce(d.channel, '(none)') AS channel,
+        |       count(*)::BIGINT AS n_conversions,
+        |       sum(d.cents * 10000 // greatest(k.k, 1))::BIGINT AS credit_microcents
+        |FROM shd d JOIN shk k USING (p_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q310_matched_uplift" ->
+      """WITH mue AS (
+        |  SELECT user_id, count(*)::BIGINT AS cnt,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y,
+        |         min({'us': epoch_us(ts), 'eid': event_id, 'et': event_type}) AS fe
+        |  FROM events GROUP BY 1),
+        |mus AS (
+        |  SELECT length(printf('%b', cnt)) AS stratum_b,
+        |         CASE WHEN fe.et = 'click' THEN 1 ELSE 0 END AS treated, y
+        |  FROM mue),
+        |muc AS (
+        |  SELECT stratum_b,
+        |         sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END)::BIGINT AS nt,
+        |         sum(CASE WHEN treated = 1 THEN y ELSE 0 END)::BIGINT AS yt,
+        |         sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END)::BIGINT AS nc,
+        |         sum(CASE WHEN treated = 0 THEN y ELSE 0 END)::BIGINT AS yc
+        |  FROM mus GROUP BY 1),
+        |mur AS MATERIALIZED (
+        |  SELECT stratum_b::VARCHAR AS stratum, nt, nc,
+        |         yt * 1000000 // nt AS treated_mean_micros,
+        |         yc * 1000000 // nc AS control_mean_micros,
+        |         yt * 1000000 // nt - yc * 1000000 // nc AS uplift_micros
+        |  FROM muc WHERE nt > 0 AND nc > 0)
+        |SELECT stratum, nt, nc, treated_mean_micros, control_mean_micros,
+        |       uplift_micros
+        |FROM mur
+        |UNION ALL
+        |SELECT '(att)', sum(nt)::BIGINT, sum(nc)::BIGINT,
+        |       NULL::BIGINT, NULL::BIGINT,
+        |       floor(sum(nt * uplift_micros)::DOUBLE / sum(nt)::DOUBLE)::BIGINT
+        |FROM mur
+        |ORDER BY stratum""".stripMargin,
+    "q311_late_orders" -> {
+      import graft.operators.Relational.{LateShipDays, LateWindowEnd, LateWindowStart}
+      s"""SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '$LateWindowStart'
+        |  AND o.o_orderdate < TIMESTAMP '$LateWindowEnd'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL $LateShipDays DAY)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
     }
   )
 

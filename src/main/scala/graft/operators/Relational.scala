@@ -3031,6 +3031,139 @@ object Relational {
           .as("tau_b"))
   }
 
+  /** q309_shapley_credit — set-based Shapley attribution: for each
+    * purchase, the distinct channels touched in the lookback window
+    * form a coalition with v(S) = revenue, and symmetry gives each
+    * member exactly revenue/|S| — the game-theoretic model q235's
+    * trio brackets (first/last are the extreme orderings; linear
+    * splits by TOUCH COUNT so a channel spamming 9 of 10 touches
+    * takes 90%, while Shapley splits by MEMBERSHIP and gives it a
+    * third of a 3-channel set). Touchless purchases credit "(none)".
+    *
+    * Determinism: credits are exact integer microcents via
+    * cents·10⁴ div |S| (positive — `div` safe); the distinct
+    * (purchase, channel) set is exact.
+    *
+    * Scale shape: q235's purchase⋈touch lookback join collapsed to
+    * DISTINCT (purchase, channel) rows (checkpointed — the set-size
+    * aggregate and the credit fold both read it); one purchase-keyed
+    * count, one channel rollup; ≤|channels|+1 output rows. */
+  def shapleyCredit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("pus"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val t = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id").as("t_user"), unix_micros(col("ts")).as("tus"),
+        col("event_type").as("channel"))
+    val d = p.join(t,
+        col("p_user") === col("t_user") && col("tus") < col("pus") &&
+          col("tus") >= col("pus") - lit(AttribLookbackUs), "left")
+      .select(col("p_id"), col("cents"), col("channel"))
+      .distinct()
+      .localCheckpoint()
+    val k = d.groupBy(col("p_id")).agg(count(col("channel")).as("k"))
+    d.join(k, "p_id")
+      .select(coalesce(col("channel"), lit("(none)")).as("channel"),
+        expr("cents * 10000 div greatest(k, 1)").as("credit"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("credit")).as("credit_microcents"))
+      .orderBy("channel")
+  }
+
+  /** q310_matched_uplift — stratified exact matching: treatment =
+    * "the user's FIRST event was a click" (a deterministic exposure
+    * confounded with activity), outcome = purchase count, strata =
+    * q236's bit-length activity tiers. Within each stratum treated
+    * and control users are exchangeable on the matched axis, so the
+    * per-stratum mean gap is the adjusted effect and the
+    * treated-weighted fold is the ATT — the causal counterpart of
+    * q214's raw A/B read (which is only valid because ITS assignment
+    * is a hash; here assignment is organic and the naive gap is
+    * confounded by activity, which is exactly what the
+    * stratification removes). Strata without common support drop
+    * from the fold, as matching prescribes.
+    *
+    * Determinism: per-stratum means are exact integer micro via
+    * positive `div`; the ATT numerator is an integer sum of integer
+    * products; the single final division floors on doubles (the
+    * gap goes negative — q306's floor-not-div rule).
+    *
+    * Scale shape: one user-keyed collapse (count, outcome sum,
+    * min-struct first event), one (stratum, arm) aggregate over
+    * ≤2·tiers rows, the support-filtered stratum frame checkpoints
+    * once (output + ATT fold); ≤tiers+1 output rows. */
+  def matchedUplift(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum((col("event_type") === "purchase").cast("long")).as("y"),
+        min(struct(col("us"), col("event_id"), col("event_type"))).as("fe"))
+    val cells = perUser
+      .select(length(bin(col("cnt"))).as("stratum_b"),
+        (col("fe").getField("event_type") === "click").cast("long").as("treated"),
+        col("y"))
+      .groupBy(col("stratum_b"))
+      .agg(sum(when(col("treated") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("treated") === 1, col("y")).otherwise(0L)).as("yt"),
+        sum(when(col("treated") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("treated") === 0, col("y")).otherwise(0L)).as("yc"))
+    val rows = cells.filter(col("nt") > 0 && col("nc") > 0)
+      .select(col("stratum_b").cast("string").as("stratum"), col("nt"),
+        col("nc"),
+        expr("yt * 1000000 div nt").as("treated_mean_micros"),
+        expr("yc * 1000000 div nc").as("control_mean_micros"),
+        expr("yt * 1000000 div nt - yc * 1000000 div nc").as("uplift_micros"))
+      .localCheckpoint()
+    val att = rows.agg(sum(col("nt")).as("ntt"), sum(col("nc")).as("ncc"),
+        sum(col("nt") * col("uplift_micros")).as("wsum"))
+      .select(lit("(att)").as("stratum"), col("ntt").as("nt"),
+        col("ncc").as("nc"),
+        lit(null).cast("long").as("treated_mean_micros"),
+        lit(null).cast("long").as("control_mean_micros"),
+        floor(col("wsum").cast("double") / col("ntt").cast("double"))
+          .cast("long").as("uplift_micros"))
+    rows.unionAll(att).orderBy("stratum")
+  }
+
+  /** q311 order window + lateness threshold (TPC-H Q4's shape on this
+    * schema's columns: no commit/receipt dates, so "late" = shipped
+    * more than [[LateShipDays]] days after the order). */
+  val LateWindowStart = "1996-01-01"
+  val LateWindowEnd = "1996-04-01"
+  val LateShipDays = 60
+
+  /** q311_late_orders — the TPC-H Q4 order-priority check: how many
+    * orders placed in one quarter had at least one line shipped late,
+    * counted by priority (reference shape: TPC-H spec rev 3.0 §B
+    * Q4). The engine content is the decorrelated EXISTS: the
+    * predicate subquery becomes one LEFT SEMI join keyed on the
+    * order key with the lateness range as a join residual, so each
+    * order counts ONCE however many lines are late — count-distinct-
+    * free, unlike the naive inner-join + distinct rewrite.
+    *
+    * Scale shape: the quarter filter prunes the orders scan before
+    * the join (predicate pushdown into the parquet scan); the semi
+    * join shuffles only the filtered orders and the (orderkey,
+    * shipdate) projection; ≤5 output rows. */
+  def lateOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(LateWindowStart).cast("timestamp") &&
+        col("o_orderdate") < lit(LateWindowEnd).cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate")
+          + expr(s"INTERVAL $LateShipDays DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
   /** q307 decomposition depth: levels 1..5 cover block sizes 2..32 —
     * one past the 30-day event window, so the top level is the
     * half-month-vs-half-month contrast. */

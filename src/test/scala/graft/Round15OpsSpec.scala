@@ -555,4 +555,76 @@ class Round15OpsSpec extends SparkSuite {
       / n.toDouble / n.toDouble * 1e6).toLong
     assert(row.getAs[Long]("gini_micros") <= g0)
   }
+
+  test("q309 Shapley credits match a driver-side coalition recomputation") {
+    import graft.operators.Relational.AttribLookbackUs
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val touches = ev.filter(e => Set("view", "click", "signup")(e._4))
+    val credits = scala.collection.mutable.Map[String, (Long, Long)]()
+    ev.filter(_._4 == "purchase").foreach { p =>
+      val cents = math.floor(p._5 * 100 + 0.5).toLong
+      val s = touches.filter(t => t._2 == p._2 && t._3 < p._3 &&
+        t._3 >= p._3 - AttribLookbackUs).map(_._4).distinct
+      val chs = if (s.isEmpty) Seq("(none)") else s.toSeq
+      val per = cents * 10000L / chs.length
+      chs.foreach { c =>
+        val (n0, c0) = credits.getOrElse(c, (0L, 0L))
+        credits(c) = (n0 + 1, c0 + per)
+      }
+    }
+    val rows = graft.operators.Relational.shapleyCredit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_conversions"),
+        r.getAs[Long]("credit_microcents"))).toMap
+    assert(rows == credits.toMap, s"spark=$rows driver=$credits")
+  }
+
+  test("q310 matched uplift strata and ATT fold are consistent") {
+    val rows = graft.operators.Relational.matchedUplift(spark, sf).collect()
+    val (attRows, strata) = rows.partition(_.getString(0) == "(att)")
+    assert(attRows.length == 1 && strata.nonEmpty)
+    val att = attRows.head
+    // ATT row aggregates exactly the common-support strata
+    assert(att.getAs[Long]("nt") == strata.map(_.getAs[Long]("nt")).sum)
+    assert(att.getAs[Long]("nc") == strata.map(_.getAs[Long]("nc")).sum)
+    val wsum = strata.map(r => r.getAs[Long]("nt") * r.getAs[Long]("uplift_micros")).sum
+    assert(att.getAs[Long]("uplift_micros") ==
+      math.floor(wsum.toDouble / att.getAs[Long]("nt").toDouble).toLong)
+    strata.foreach { r =>
+      assert(r.getAs[Long]("nt") > 0 && r.getAs[Long]("nc") > 0)
+      assert(r.getAs[Long]("uplift_micros") ==
+        r.getAs[Long]("treated_mean_micros") - r.getAs[Long]("control_mean_micros"))
+    }
+    // treatment assignment is the first-event rule: arm sizes must
+    // partition the common-support users
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(att.getAs[Long]("nt") + att.getAs[Long]("nc") <= users)
+  }
+
+  test("q311 late-order census matches a driver-side EXISTS recomputation") {
+    import graft.operators.Relational.{LateShipDays, LateWindowEnd, LateWindowStart}
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(cast(o_orderdate AS timestamp)) div 1000000").as("od"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ships = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        expr("unix_micros(cast(l_shipdate AS timestamp)) div 1000000").as("sd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).max }
+    val startS = java.time.Instant.parse(s"${LateWindowStart}T00:00:00Z").getEpochSecond
+    val endS = java.time.Instant.parse(s"${LateWindowEnd}T00:00:00Z").getEpochSecond
+    val expected = orders
+      .filter(o => o._3 >= startS && o._3 < endS)
+      .filter(o => ships.get(o._1).exists(_ > o._3 + LateShipDays * 86400L))
+      .groupBy(_._2).map { case (p, g) => p -> g.length.toLong }
+    val rows = graft.operators.Relational.lateOrders(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("order_count")).toMap
+    assert(rows == expected, s"spark=$rows driver=$expected")
+  }
 }
