@@ -325,7 +325,9 @@ object SparkEntry {
     "q308_decision_stump" -> (DataQuality.decisionStump _),
     "q309_shapley_credit" -> (Relational.shapleyCredit _),
     "q310_matched_uplift" -> (Relational.matchedUplift _),
-    "q311_late_orders"    -> (Relational.lateOrders _)
+    "q311_late_orders"    -> (Relational.lateOrders _),
+    "q312_wl_hash"        -> (Graph.wlHash _),
+    "q313_local_clustering" -> (Graph.localClustering _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -6382,7 +6384,9 @@ object SparkEntry {
         |      AND l.l_shipdate > o.o_orderdate + INTERVAL $LateShipDays DAY)
         |GROUP BY 1
         |ORDER BY 1""".stripMargin
-    }
+    },
+    "q312_wl_hash" -> materializeCtes(wlHashOracle),
+    "q313_local_clustering" -> materializeCtes(localClusteringOracle)
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,
@@ -6874,6 +6878,60 @@ object SparkEntry {
       |       n_docs, n_pos, n_correct, n_true_pos,
       |       n_correct * 1000000 // n_docs AS acc_ppm
       |FROM lacc""".stripMargin
+  }
+
+  /** q312's oracle: the verified-pair graph + [[graft.operators.Graph
+    * .WlRounds]] rounds of canonical-string WL refinement. */
+  private def wlHashOracle: String = {
+    import graft.operators.Dedup.JaccardThreshold
+    import graft.operators.Graph.WlRounds
+    val rounds = (1 to WlRounds).map { i =>
+      s"""wc$i AS (
+        |  SELECT j.v, substr(md5(p.c || '|' || j.ns), 1, 12) AS c
+        |  FROM (
+        |    SELECT e.src AS v, string_agg(n.c, ',' ORDER BY n.c) AS ns
+        |    FROM wedges e JOIN wc${i - 1} n ON n.v = e.dst
+        |    GROUP BY 1) j
+        |  JOIN wc${i - 1} p ON p.v = j.v
+        |)""".stripMargin
+    }.mkString(",\n")
+    jaccardCte + s""",
+      |wpairs AS (SELECT i AS a, j AS b FROM jac WHERE jaccard >= $JaccardThreshold),
+      |wedges AS (SELECT a AS src, b AS dst FROM wpairs
+      |           UNION ALL SELECT b AS src, a AS dst FROM wpairs),
+      |wc0 AS (SELECT src AS v, count(*)::VARCHAR AS c FROM wedges GROUP BY 1),
+      |$rounds
+      |SELECT c AS wl_color, count(*)::BIGINT AS n_nodes
+      |FROM wc$WlRounds GROUP BY 1
+      |ORDER BY n_nodes DESC, wl_color ASC""".stripMargin
+  }
+
+  /** q313's oracle: node-iterator triangles on the a<b pair set +
+    * degree rollup of the integer-ppm coefficients. */
+  private def localClusteringOracle: String = {
+    import graft.operators.Dedup.JaccardThreshold
+    jaccardCte + s""",
+      |lcp AS (SELECT i AS a, j AS b FROM jac WHERE jaccard >= $JaccardThreshold),
+      |lct AS (
+      |  SELECT v, count(*)::BIGINT AS tri FROM (
+      |    SELECT unnest([e1.a, e1.b, e2.b]) AS v
+      |    FROM lcp e1
+      |    JOIN lcp e2 ON e1.b = e2.a
+      |    JOIN lcp e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |  GROUP BY 1),
+      |lcd AS (
+      |  SELECT v, count(*)::BIGINT AS d FROM (
+      |    SELECT unnest([a, b]) AS v FROM lcp)
+      |  GROUP BY 1),
+      |lcc AS (
+      |  SELECT d, coalesce(tri, 0)::BIGINT AS tri,
+      |         coalesce(tri, 0) * 2000000 // (d * (d - 1)) AS cc_ppm
+      |  FROM lcd LEFT JOIN lct USING (v)
+      |  WHERE d >= 2)
+      |SELECT d AS degree, count(*)::BIGINT AS n_nodes,
+      |       sum(tri)::BIGINT AS n_triangles,
+      |       sum(cc_ppm)::BIGINT // count(*) AS mean_cc_ppm
+      |FROM lcc GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** q305's oracle: the word-adjacency graph + the INTEGER-pico

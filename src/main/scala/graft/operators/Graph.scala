@@ -149,6 +149,97 @@ object Graph {
       .limit(TextRankTopK)
   }
 
+  /** q312 refinement depth: 2 rounds separate all structures up to
+    * radius-2 neighborhoods — the standard WL-kernel budget. */
+  val WlRounds = 2
+
+  /** q312_wl_hash — Weisfeiler-Lehman color refinement over the
+    * verified near-dup graph: nodes start as their degree, then twice
+    * absorb the SORTED multiset of neighbor colors through a hash
+    * (Weisfeiler & Leman 1968; Shervashidze et al. 2011's WL kernel).
+    * The final color histogram is a structural fingerprint of the dup
+    * topology — two crawls with the same histogram have locally
+    * indistinguishable duplication patterns, so this is the one-line
+    * "did the template structure change?" diff between corpus
+    * snapshots (q104's global counts can agree while structures
+    * differ; WL colors can't at radius ≤ 2).
+    *
+    * Determinism: colors are md5 prefixes of a canonical string (own
+    * color + ',' -joined SORTED neighbor colors) — no float anywhere;
+    * collect_list order is laundered through sort_array before any
+    * hash, so shuffle order can't leak in.
+    *
+    * Scale shape: reads the memoized pair artifact (never the
+    * corpus); per round one edge⋈color equi-join + one node-keyed
+    * sorted-concat aggregate over the edge table — bounded by the
+    * capped pair set, ≤|colors| output rows. */
+  def wlHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Dedup.verifiedPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = e.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("x"))
+      .select(col("x.src").as("src"), col("x.dst").as("dst"))
+      .localCheckpoint()
+    var colors = edges.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("d"))
+      .select(col("v"), col("d").cast("string").as("c"))
+    for (_ <- 1 to WlRounds) {
+      val nbr = edges
+        .join(colors.select(col("v").as("dst"), col("c").as("nc")), "dst")
+        .groupBy(col("src"))
+        .agg(concat_ws(",", sort_array(collect_list(col("nc")))).as("ns"))
+      colors = colors
+        .join(nbr.select(col("src").as("v"), col("ns")), "v")
+        .select(col("v"),
+          substring(md5(concat(col("c"), lit("|"), col("ns"))), 1, 12).as("c"))
+    }
+    colors.groupBy(col("c").as("wl_color")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("wl_color").asc)
+  }
+
+  /** q313_local_clustering — per-node clustering coefficient census of
+    * the verified near-dup graph, rolled up by degree: for each node,
+    * closed wedges / possible wedges, then (degree → node count,
+    * triangle mass, mean coefficient). q104 reports ONE global
+    * coefficient; the degree-resolved curve is what actually
+    * separates template families (flat ≈ 1 at all degrees) from
+    * chain-merged clusters (coefficient collapsing as degree grows —
+    * the signature that transitive closure is about to over-merge,
+    * measured per degree rather than once).
+    *
+    * Determinism: per-node triangle counts are exact (Schank & Wagner
+    * node-iterator on a<b<c oriented edges — each triangle explodes to
+    * its 3 vertices exactly once); per-node coefficients are integer
+    * ppm via positive `div`; the degree rollup averages the already-
+    * quantized integers.
+    *
+    * Scale shape: reads the memoized pair artifact; the triangle join
+    * is two vertex-keyed equi-joins of the capped pair set (q104's
+    * plan) + one explode; degrees are one explode aggregate; ≤
+    * |distinct degrees| output rows. */
+  def localClustering(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Dedup.verifiedPairs(spark, sfDir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
+    val tri = p.as("e1")
+      .join(p.as("e2"), col("e1.b") === col("e2.a"))
+      .join(p.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+    val deg = p.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    deg.filter(col("d") >= 2)
+      .join(tri, Seq("v"), "left")
+      .select(col("d"), coalesce(col("tri"), lit(0L)).as("tri"),
+        expr("coalesce(tri, 0) * 2000000 div (d * (d - 1))").as("cc_ppm"))
+      .groupBy(col("d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("tri")).as("n_triangles"),
+        expr("sum(cc_ppm) div count(1)").as("mean_cc_ppm"))
+      .orderBy("degree")
+  }
+
   /** q104_dup_triangles — triangle census of the verified near-dup
     * graph: node/edge/wedge/triangle counts and the global clustering
     * coefficient 3·triangles/wedges. Near-dup graphs from boilerplate

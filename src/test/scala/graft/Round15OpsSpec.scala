@@ -627,4 +627,53 @@ class Round15OpsSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getAs[Long]("order_count")).toMap
     assert(rows == expected, s"spark=$rows driver=$expected")
   }
+
+  private def dupEdges: Array[(Long, Long)] =
+    graft.operators.Dedup.verifiedPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+  test("q312 WL colors match a driver-side refinement recomputation") {
+    import graft.operators.Graph.WlRounds
+    val pairs = dupEdges
+    val adj = scala.collection.mutable.Map[Long, List[Long]]()
+    pairs.foreach { case (a, b) =>
+      adj(a) = b :: adj.getOrElse(a, Nil); adj(b) = a :: adj.getOrElse(b, Nil) }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(12)
+    var c: Map[Long, String] = adj.map { case (v, ns) => v -> ns.length.toString }.toMap
+    for (_ <- 1 to WlRounds)
+      c = adj.map { case (v, ns) =>
+        v -> md5hex(c(v) + "|" + ns.map(c).sorted.mkString(","))
+      }.toMap
+    val expect = c.values.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val rows = graft.operators.Graph.wlHash(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_nodes")).toMap
+    assert(rows == expect, s"spark=$rows driver=$expect")
+    assert(rows.values.sum == adj.size.toLong)
+  }
+
+  test("q313 clustering census matches a driver-side recomputation") {
+    val pairs = dupEdges.toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    pairs.foreach { case (a, b) =>
+      adj(a) = adj.getOrElse(a, Set()) + b; adj(b) = adj.getOrElse(b, Set()) + a }
+    val perNode = adj.filter(_._2.size >= 2).map { case (v, ns) =>
+      val nsSeq = ns.toSeq
+      val tri = (for {
+        i <- nsSeq.indices; j <- (i + 1) until nsSeq.size
+        (x, y) = (nsSeq(i) min nsSeq(j), nsSeq(i) max nsSeq(j))
+        if pairs((x, y))
+      } yield 1).size.toLong
+      val d = ns.size.toLong
+      (d, tri, tri * 2000000L / (d * (d - 1)))
+    }.toSeq
+    val expect = perNode.groupBy(_._1).map { case (d, g) =>
+      d -> (g.size.toLong, g.map(_._2).sum, g.map(_._3).sum / g.size) }
+    val rows = graft.operators.Graph.localClustering(spark, sf).collect()
+      .map(r => r.getAs[Long]("degree") -> ((r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_triangles"), r.getAs[Long]("mean_cc_ppm")))).toMap
+    assert(rows == expect, s"spark=$rows driver=$expect")
+  }
 }
