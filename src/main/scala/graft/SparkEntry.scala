@@ -327,7 +327,8 @@ object SparkEntry {
     "q310_matched_uplift" -> (Relational.matchedUplift _),
     "q311_late_orders"    -> (Relational.lateOrders _),
     "q312_wl_hash"        -> (Graph.wlHash _),
-    "q313_local_clustering" -> (Graph.localClustering _)
+    "q313_local_clustering" -> (Graph.localClustering _),
+    "q314_lof"            -> (Similarity.lofOutliers _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -6386,7 +6387,46 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin
     },
     "q312_wl_hash" -> materializeCtes(wlHashOracle),
-    "q313_local_clustering" -> materializeCtes(localClusteringOracle)
+    "q313_local_clustering" -> materializeCtes(localClusteringOracle),
+    "q314_lof" -> {
+      import graft.operators.Similarity.{LofK, LofTopK}
+      materializeCtes(ivfHierCellsCte + s""",
+        |lbig AS (
+        |  SELECT cent_id FROM cells GROUP BY 1 HAVING count(*) >= ${LofK + 1}),
+        |lmem AS (SELECT c.vec_id, c.cent_id FROM cells c JOIN lbig USING (cent_id)),
+        |lofp AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         floor((1.0 - list_dot_product(ea.v, eb.v) /
+        |           (sqrt(list_dot_product(ea.v, ea.v))
+        |            * sqrt(list_dot_product(eb.v, eb.v))))
+        |           * 1000000000.0)::BIGINT AS dn
+        |  FROM lmem a JOIN lmem b
+        |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id),
+        |lofr AS (
+        |  SELECT va, vb, dn,
+        |         row_number() OVER (PARTITION BY va ORDER BY dn, vb) AS rn
+        |  FROM lofp),
+        |lofn AS (SELECT va, vb, dn FROM lofr WHERE rn <= $LofK),
+        |lofk AS (SELECT va, max(dn) AS kdist FROM lofn GROUP BY 1),
+        |lofs AS (
+        |  SELECT n.va, sum(greatest(kb.kdist, n.dn))::BIGINT AS s
+        |  FROM lofn n JOIN lofk kb ON kb.va = n.vb GROUP BY 1),
+        |lofl AS (
+        |  SELECT va, $LofK * 1000000000000000 // greatest(s, 1) AS lrd FROM lofs),
+        |loff AS (
+        |  SELECT n.va, sum(lb.lrd)::BIGINT AS slrd
+        |  FROM lofn n JOIN lofl lb ON lb.va = n.vb GROUP BY 1)
+        |SELECT f.va AS vec_id, c.cent_id, k.kdist AS kdist_nano,
+        |       f.slrd * 1000000 // ($LofK * la.lrd) AS lof_ppm
+        |FROM loff f
+        |JOIN lofl la ON la.va = f.va
+        |JOIN lofk k ON k.va = f.va
+        |JOIN cells c ON c.vec_id = f.va
+        |ORDER BY lof_ppm DESC, vec_id ASC
+        |LIMIT $LofTopK""".stripMargin)
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

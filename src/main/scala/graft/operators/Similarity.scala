@@ -614,6 +614,78 @@ object Similarity {
     * documented): a selective filter thins probed cells, so filtered
     * recall ≤ unfiltered recall at equal nprobe — the operational fix
     * is raising nprobe with filter selectivity. */
+  /** q314 knobs: neighborhood size and report length. */
+  val LofK = 5
+  val LofTopK = 20
+
+  /** q314_lof — Local Outlier Factor (Breunig et al. 2000) over the
+    * embedding corpus, computed CELL-LOCALLY on the memoized IVF
+    * assignment: each vector's k-distance, local reachability
+    * density, and LOF ratio against its [[LofK]]-NN inside its home
+    * cell. q66's centroid-distance outliers miss points that are far
+    * from their centroid but inside a sparse region's density; LOF is
+    * the density-RATIO detector that finds "locally lonely" vectors —
+    * the standard screen for mislabeled/garbage embeddings before
+    * they poison ANN training.
+    *
+    * Cell-local, not all-pairs: candidates are home-cell members
+    * (cells below [[LofK]]+1 members drop — every member of a kept
+    * cell then has a defined k-distance, since candidate count is
+    * uniform within a cell). At 100 TB the pair work is Σ|cell|² over
+    * the persisted index cells — the same bound SemDeDup (q73) rides,
+    * and a deployment caps cell width by raising k.
+    *
+    * Determinism: distances floor-nano-quantize 1 − cosine
+    * immediately (cosines are bit-equal across engines — same
+    * left-to-right fold); k-NN rank ties break by neighbor id;
+    * reachability/lrd/LOF are pure integer arithmetic from there
+    * (lrd = k·10¹⁵ div Σreach, LOF = Σlrd_b·10⁶ div (k·lrd_a)).
+    *
+    * Scale shape: one cell-keyed self-join of the (vec_id, cell)
+    * frame bounded per-cell, a va-partitioned rank window (shard-
+    * local), the checkpointed k-NN frame feeds kdist/reach/LOF joins
+    * (all va- or vb-keyed); top-[[LofTopK]] TakeOrdered. */
+  def lofOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs(spark, sfDir)
+    val cells = hierCells(spark, sfDir)
+      .select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
+    val big = cells.groupBy(col("cent_id")).agg(count(lit(1)).as("csize"))
+      .filter(col("csize") >= LofK + 1)
+    val mem = cells.join(broadcast(big.select("cent_id")), "cent_id")
+    val pairs = mem.select(col("cent_id"), col("vec_id").as("va"))
+      .join(mem.select(col("cent_id"), col("vec_id").as("vb")), "cent_id")
+      .filter(col("va") =!= col("vb"))
+      .join(v.select(col("vec_id").as("va"), col("v").as("xa")), "va")
+      .join(v.select(col("vec_id").as("vb"), col("v").as("xb")), "vb")
+      .select(col("va"), col("vb"),
+        floor((lit(1.0) - org.apache.spark.sql.graft.native
+          .cosineSim(col("xa"), col("xb"))) * lit(1000000000.0))
+          .cast("long").as("dn"))
+    val w = Window.partitionBy(col("va")).orderBy(col("dn"), col("vb"))
+    val knn = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= LofK)
+      .select(col("va"), col("vb"), col("dn"))
+      .localCheckpoint()
+    val kdist = knn.groupBy(col("va")).agg(max(col("dn")).as("kdist"))
+    val s = knn
+      .join(kdist.select(col("va").as("vb"), col("kdist").as("kdist_b")), "vb")
+      .select(col("va"), greatest(col("kdist_b"), col("dn")).as("reach"))
+      .groupBy(col("va")).agg(sum(col("reach")).as("s"))
+    val lrd = s.select(col("va"),
+      expr(s"$LofK * 1000000000000000 div greatest(s, 1)").as("lrd"))
+    knn.join(lrd.select(col("va").as("vb"), col("lrd").as("lrd_b")), "vb")
+      .groupBy(col("va")).agg(sum(col("lrd_b")).as("slrd"))
+      .join(lrd, "va")
+      .join(kdist, "va")
+      .join(cells.select(col("vec_id").as("va"), col("cent_id")), "va")
+      .select(col("va").as("vec_id"), col("cent_id"),
+        col("kdist").as("kdist_nano"),
+        expr(s"slrd * 1000000 div ($LofK * lrd)").as("lof_ppm"))
+      .orderBy(col("lof_ppm").desc, col("vec_id").asc)
+      .limit(LofTopK)
+  }
+
   def filteredSearch(spark: SparkSession, sfDir: String): DataFrame = {
     val top2 = hierCells(spark, sfDir)
     val labels = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))

@@ -676,4 +676,41 @@ class Round15OpsSpec extends SparkSuite {
         r.getAs[Long]("n_triangles"), r.getAs[Long]("mean_cc_ppm")))).toMap
     assert(rows == expect, s"spark=$rows driver=$expect")
   }
+
+  test("q314 LOF matches a driver-side density recomputation") {
+    import graft.operators.Similarity.{LofK, LofTopK}
+    val cells = graft.operators.Similarity.hierCells(spark, sf)
+      .select(col("vec_id"), col("tc")(0)("id").as("cent_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell = cells.groupBy(_._2).filter(_._2.size >= LofK + 1)
+    val members = byCell.values.flatten.map(_._1).toSet
+    val knn = members.map { a =>
+      val cellmates = byCell(cells(a)).map(_._1).filter(_ != a)
+      a -> cellmates.map { b =>
+        (math.floor((1.0 - cos(vs(a), vs(b))) * 1e9).toLong, b)
+      }.toSeq.sorted.take(LofK)
+    }.toMap
+    val kdist = knn.map { case (a, ns) => a -> ns.map(_._1).max }
+    val sReach = knn.map { case (a, ns) =>
+      a -> ns.map { case (dn, b) => math.max(kdist(b), dn) }.sum }
+    val lrd = sReach.map { case (a, s) => a -> LofK * 1000000000000000L / math.max(s, 1L) }
+    val lof = knn.map { case (a, ns) =>
+      (a, cells(a), kdist(a), ns.map(n => lrd(n._2)).sum * 1000000L / (LofK * lrd(a)))
+    }.toSeq.sortBy(x => (-x._4, x._1)).take(LofTopK)
+    val rows = graft.operators.Similarity.lofOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("kdist_nano"),
+        r.getAs[Long]("lof_ppm"))).toSeq
+    assert(rows == lof, s"spark=${rows.take(3)} driver=${lof.take(3)}")
+    // LOF of a clustered point ≈ 1; the report must surface genuine
+    // density outliers at its head
+    assert(rows.head._4 > 1000000L)
+  }
 }
