@@ -328,7 +328,8 @@ object SparkEntry {
     "q311_late_orders"    -> (Relational.lateOrders _),
     "q312_wl_hash"        -> (Graph.wlHash _),
     "q313_local_clustering" -> (Graph.localClustering _),
-    "q314_lof"            -> (Similarity.lofOutliers _)
+    "q314_lof"            -> (Similarity.lofOutliers _),
+    "q315_probe_curve"    -> (Similarity.probeCurve _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -6426,6 +6427,54 @@ object SparkEntry {
         |JOIN cells c ON c.vec_id = f.va
         |ORDER BY lof_ppm DESC, vec_id ASC
         |LIMIT $LofTopK""".stripMargin)
+    },
+    "q315_probe_curve" -> {
+      import graft.operators.Similarity.{BucketK, ProbeSweepMax}
+      val points = (1 to ProbeSweepMax).map { p =>
+        s"""SELECT $p AS nprobe,
+           |       (SELECT count(*) FROM ptruth t
+           |        JOIN (SELECT query_id, neighbor_id FROM (
+           |                SELECT query_id, neighbor_id,
+           |                       row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY c DESC, neighbor_id ASC) AS rnk
+           |                FROM pcsc WHERE prn <= $p) WHERE rnk <= $BucketK) a
+           |        USING (query_id, neighbor_id))::BIGINT AS n_match,
+           |       (SELECT count(*) FROM ptruth t
+           |        JOIN (SELECT query_id, neighbor_id FROM (
+           |                SELECT query_id, neighbor_id,
+           |                       row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY c DESC, neighbor_id ASC) AS rnk
+           |                FROM pcsc WHERE prn <= $p) WHERE rnk <= $BucketK) a
+           |        USING (query_id, neighbor_id)) * 1000000
+           |         // (10 * $BucketK) AS recall_ppm""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "")
+      materializeCtes(ivfHierCellsCte + s""",
+        |pprobes AS (SELECT vec_id, cent_id, rn AS prn FROM asg
+        |            WHERE rn <= $ProbeSweepMax AND vec_id < 10),
+        |pcsc AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.prn,
+        |         list_dot_product(ea.v, eb.v) /
+        |         (sqrt(list_dot_product(ea.v, ea.v))
+        |          * sqrt(list_dot_product(eb.v, eb.v))) AS c
+        |  FROM pprobes a JOIN cells b
+        |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id),
+        |ptp AS (
+        |  SELECT ea.vec_id AS query_id, eb.vec_id AS neighbor_id,
+        |         list_dot_product(ea.v, eb.v) /
+        |         (sqrt(list_dot_product(ea.v, ea.v))
+        |          * sqrt(list_dot_product(eb.v, eb.v))) AS c
+        |  FROM e ea, e eb
+        |  WHERE ea.vec_id < 10 AND ea.vec_id <> eb.vec_id),
+        |ptruth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY c DESC, neighbor_id ASC) AS rnk
+        |    FROM ptp) WHERE rnk <= $BucketK)
+        |$points
+        |ORDER BY nprobe""".stripMargin)
     }
   )
 

@@ -553,7 +553,8 @@ object Similarity {
     * order — a row_number over the k-row codebook, checkpointed so the
     * bounded window never appears in consumer plans. */
   private[graft] def hierCellAssignment(
-      spark: SparkSession, v: DataFrame, fine: DataFrame, k: Int): DataFrame = {
+      spark: SparkSession, v: DataFrame, fine: DataFrame, k: Int,
+      nprobe: Int = IvfNProbe): DataFrame = {
     val k1 = math.max(IvfCoarseMin, math.ceil(math.sqrt(k.toDouble)).toInt)
     val stride = math.max(1, k / k1)
     val coarseDf = broadcast(fine
@@ -589,7 +590,65 @@ object Similarity {
         org.apache.spark.sql.graft.native.cosineSim(col("v"), col("cv")).as("sim"))
       .groupBy(col("vec_id"))
       .agg(org.apache.spark.sql.graft.native
-        .topKByScore(col("sim"), col("cent_id").cast("long"), IvfNProbe).as("tc"))
+        .topKByScore(col("sim"), col("cent_id").cast("long"), nprobe).as("tc"))
+  }
+
+  /** q315 sweep ceiling: recall measured at nprobe = 1..4. */
+  val ProbeSweepMax = 4
+
+  /** q315_probe_curve — the IVF TUNING curve: recall@[[BucketK]]
+    * (averaged over the audited query set, vec_id < 10) at nprobe =
+    * 1..[[ProbeSweepMax]]. q109 grades ONE operating point; this is
+    * the measurement an operator actually reads before picking
+    * nprobe — where the curve flattens, extra probes buy latency and
+    * no recall. One widened hierarchical assignment (top-
+    * [[ProbeSweepMax]] cells per vector) prices the whole sweep; each
+    * sweep point is a FILTER on the probe rank, not a re-assignment.
+    *
+    * Scale shape: one hierarchical assignment pass (n·5√k cosines,
+    * the q57 build shape) checkpointed; the scored candidate frame
+    * (queries × probed-cell members, with the probe rank carried)
+    * checkpoints once and every sweep point re-ranks it map-side via
+    * the top-k aggregate; ground truth is the q16 brute-force shape
+    * restricted to the query set; 4-row output, all-integer. */
+  def probeCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val n = corpusSize(spark, sfDir)
+    val k = math.max(IvfMinCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val wide = hierCellAssignment(spark, v, trainedCodebook(spark, sfDir), k,
+      ProbeSweepMax).localCheckpoint()
+    val cells = wide.select(col("vec_id").as("vec_b"),
+      col("tc")(0)("id").as("cent_id"))
+    val probes = wide.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("vec_a"), posexplode(col("tc")).as(Seq("pos", "s")))
+      .select(col("vec_a"), (col("pos") + 1).as("prn"), col("s.id").as("cent_id"))
+    val scored = probes.join(cells, "cent_id")
+      .filter(col("vec_a") =!= col("vec_b"))
+      .join(v.select(col("vec_id").as("vec_a"), col("v").as("xa")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("v").as("xb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("prn"),
+        org.apache.spark.sql.graft.native.cosineSim(col("xa"), col("xb")).as("c"))
+      .localCheckpoint()
+    val ids = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+    val tcand = ids.filter(col("vec_id") < 10).select(col("vec_id").as("vec_a"))
+      .crossJoin(ids.select(col("vec_id").as("vec_b")))
+      .filter(col("vec_a") =!= col("vec_b"))
+    val truth = topK(tcand, v, BucketK)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val levels = (1 to ProbeSweepMax).map { p =>
+      val approx = scored.filter(col("prn") <= p)
+        .groupBy(col("vec_a"))
+        .agg(org.apache.spark.sql.graft.native
+          .topKByScore(col("c"), col("vec_b"), BucketK).as("top"))
+        .select(col("vec_a").as("query_id"), explode(col("top")).as("s"))
+        .select(col("query_id"), col("s.id").as("neighbor_id"))
+      truth.join(approx, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_match"))
+        .select(lit(p).as("nprobe"), col("n_match"),
+          expr(s"n_match * 1000000 div (10 * $BucketK)").as("recall_ppm"))
+    }
+    levels.reduce(_.unionAll(_)).orderBy("nprobe")
   }
 
   def annIvfHier(spark: SparkSession, sfDir: String): DataFrame =

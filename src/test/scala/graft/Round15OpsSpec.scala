@@ -713,4 +713,24 @@ class Round15OpsSpec extends SparkSuite {
     // density outliers at its head
     assert(rows.head._4 > 1000000L)
   }
+
+  test("q315 recall curve is monotone and anchored to the graded operating point") {
+    import graft.operators.Similarity.{BucketK, IvfNProbe, ProbeSweepMax}
+    val rows = graft.operators.Similarity.probeCurve(spark, sf).collect()
+      .sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.length == ProbeSweepMax)
+    // more probes can only add candidates, never remove them
+    val recalls = rows.map(_.getAs[Long]("recall_ppm"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    recalls.foreach(r => assert(r >= 0 && r <= 1000000L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("recall_ppm") ==
+        r.getAs[Long]("n_match") * 1000000L / (10 * BucketK))
+    }
+    // the sweep's nprobe = IvfNProbe point must reproduce q109's
+    // aggregate match count (same index, same queries, same k)
+    val q109 = graft.operators.Similarity.ivfRecall(spark, sf).collect()
+      .map(_.getAs[Long]("n_match")).sum
+    assert(rows(IvfNProbe - 1).getAs[Long]("n_match") == q109)
+  }
 }
