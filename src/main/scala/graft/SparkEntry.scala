@@ -329,7 +329,10 @@ object SparkEntry {
     "q312_wl_hash"        -> (Graph.wlHash _),
     "q313_local_clustering" -> (Graph.localClustering _),
     "q314_lof"            -> (Similarity.lofOutliers _),
-    "q315_probe_curve"    -> (Similarity.probeCurve _)
+    "q315_probe_curve"    -> (Similarity.probeCurve _),
+    "q316_yules_k"        -> (TextAnalysis.yulesK _),
+    "q317_term_burstiness" -> (TextAnalysis.termBurstiness _),
+    "q318_u_shape_attribution" -> (Relational.uShapeAttribution _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -6475,6 +6478,77 @@ object SparkEntry {
         |    FROM ptp) WHERE rnk <= $BucketK)
         |$points
         |ORDER BY nprobe""".stripMargin)
+    },
+    "q316_yules_k" ->
+      """WITH ykc AS (
+        |  SELECT source, term, count(*)::BIGINT AS c FROM (
+        |    SELECT source, unnest(regexp_extract_all(text, '[^ \t\n\r]+')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |yka AS (
+        |  SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |         sum(c * c)::BIGINT AS s2
+        |  FROM ykc GROUP BY 1)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |       floor((s2 - n_tokens)::DOUBLE * 10000000.0
+        |             / (n_tokens::DOUBLE * n_tokens::DOUBLE))::BIGINT
+        |         AS yule_k_milli,
+        |       floor(ln(n_types::DOUBLE) / ln(n_tokens::DOUBLE)
+        |             * 1000000.0)::BIGINT AS herdan_c_micro
+        |FROM yka
+        |ORDER BY source""".stripMargin,
+    "q317_term_burstiness" -> {
+      import graft.operators.TextAnalysis.{BurstMinDf, BurstTopK}
+      s"""WITH tbc AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS c FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\r]+')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |tba AS (
+        |  SELECT term, count(*)::BIGINT AS df, sum(c)::BIGINT AS total,
+        |         sum(c * c)::BIGINT AS s2
+        |  FROM tbc GROUP BY 1),
+        |tbn AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+        |SELECT term, df, total,
+        |       floor((s2::DOUBLE / total::DOUBLE
+        |              - total::DOUBLE / n_docs::DOUBLE)
+        |             * 1000000.0)::BIGINT AS vmr_micro
+        |FROM tba, tbn
+        |WHERE df >= $BurstMinDf
+        |ORDER BY vmr_micro DESC, term ASC
+        |LIMIT $BurstTopK""".stripMargin
+    },
+    "q318_u_shape_attribution" -> {
+      import graft.operators.Relational.AttribLookbackUs
+      s"""WITH upe AS (
+        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS pus,
+        |         floor(value * 100 + 0.5)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |utt AS (
+        |  SELECT user_id, event_id AS t_id, epoch_us(ts) AS tus,
+        |         event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |uj AS MATERIALIZED (
+        |  SELECT p.p_id, p.cents, t.t_id, t.tus, t.channel
+        |  FROM upe p LEFT JOIN utt t ON t.user_id = p.user_id
+        |    AND t.tus < p.pus AND t.tus >= p.pus - $AttribLookbackUs),
+        |uag AS (
+        |  SELECT p_id, max(cents) AS cents, count(t_id) AS n,
+        |         min({'tus': tus, 'tid': t_id}) AS f,
+        |         max({'tus': tus, 'tid': t_id}) AS l
+        |  FROM uj GROUP BY 1),
+        |ucr AS (
+        |  SELECT coalesce(j.channel, '(none)') AS channel,
+        |         CASE WHEN g.n <= 1 THEN j.cents * 10000
+        |              WHEN g.n = 2 THEN j.cents * 5000
+        |              WHEN j.t_id = g.f.tid OR j.t_id = g.l.tid
+        |                THEN j.cents * 4000
+        |              ELSE j.cents * 2000 // (g.n - 2) END AS credit
+        |  FROM uj j JOIN uag g USING (p_id))
+        |SELECT channel, count(*)::BIGINT AS n_credits,
+        |       sum(credit)::BIGINT AS credit_microcents
+        |FROM ucr GROUP BY 1 ORDER BY 1""".stripMargin
     }
   )
 

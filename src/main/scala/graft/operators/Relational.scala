@@ -3130,6 +3130,56 @@ object Relational {
     rows.unionAll(att).orderBy("stratum")
   }
 
+  /** q318_u_shape_attribution — position-based (U-shaped / 40-20-40)
+    * credit, the fourth attribution model next to q235's first/last/
+    * linear and q309's Shapley: the endpoints of each converting
+    * touch path take 40% each and the interior splits the remaining
+    * 20% evenly — the standard "discovery and closing both matter"
+    * compromise. Degenerate paths keep conservation exact by
+    * construction: one touch takes 100%, two touches 50/50,
+    * touchless purchases credit "(none)".
+    *
+    * Determinism: per-touch credits are integer microcents
+    * (cents·4000 / cents·2000 div (n−2) / cents·5000 / cents·10⁴ by
+    * case — positive `div` only); first/last resolve by the
+    * (timestamp, event_id) min/max structs, q235's tie rule.
+    *
+    * Scale shape: q235's lookback join (checkpointed — the endpoint
+    * aggregate and the credit fold both read it), one purchase-keyed
+    * aggregate, one channel rollup; ≤|channels|+1 rows. */
+  def uShapeAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("pus"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val t = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type").as("channel"))
+    val j = p.join(t,
+        col("p_user") === col("t_user") && col("tus") < col("pus") &&
+          col("tus") >= col("pus") - lit(AttribLookbackUs), "left")
+      .select(col("p_id"), col("cents"), col("t_id"), col("tus"), col("channel"))
+      .localCheckpoint()
+    val agg = j.groupBy(col("p_id")).agg(
+      max(col("cents")).as("cents"), count(col("t_id")).as("n"),
+      min(struct(col("tus"), col("t_id"))).as("f"),
+      max(struct(col("tus"), col("t_id"))).as("l"))
+    j.join(agg.select(col("p_id"), col("n"),
+        col("f").getField("t_id").as("f_id"),
+        col("l").getField("t_id").as("l_id")), "p_id")
+      .select(coalesce(col("channel"), lit("(none)")).as("channel"),
+        when(col("n") === 0, col("cents") * lit(10000L))
+          .when(col("n") === 1, col("cents") * lit(10000L))
+          .when(col("n") === 2, col("cents") * lit(5000L))
+          .when(col("t_id") === col("f_id") || col("t_id") === col("l_id"),
+            col("cents") * lit(4000L))
+          .otherwise(expr("cents * 2000 div (n - 2)")).as("credit"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("credit")).as("credit_microcents"))
+      .orderBy("channel")
+  }
+
   /** q311 order window + lateness threshold (TPC-H Q4's shape on this
     * schema's columns: no commit/receipt dates, so "late" = shipped
     * more than [[LateShipDays]] days after the order). */

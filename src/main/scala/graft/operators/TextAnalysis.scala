@@ -1638,6 +1638,80 @@ object TextAnalysis {
       .orderBy("true_lang", "pred_lang")
   }
 
+  /** q316_yules_k — per-source lexical-richness constants: Yule's K
+    * (10⁴·(Σc² − N)/N², the repeat-rate characteristic that is
+    * length-INVARIANT where raw type/token ratios are not) and
+    * Herdan's C (ln V / ln N), plus the hapax count. K spikes on
+    * template/boilerplate sources (few types dominate the token
+    * mass) and is the classic single-number "is this crawl
+    * vocabulary-degenerate?" screen next to q148's growth curve.
+    *
+    * Determinism: N, V, hapax, and Σc² are exact BIGINTs off one
+    * (source, term) count; K floor-milli-quantizes one integer-ratio
+    * double; C floor-micro-quantizes ln V / ln N.
+    *
+    * Scale shape: one (source, term) count riding the token scan,
+    * one source rollup; |sources| rows. */
+  def yulesK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), explode_outer(T.wsTokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum((col("c") === 1).cast("long")).as("n_hapax"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        floor((col("s2") - col("n_tokens")).cast("double") * lit(10000000.0)
+          / (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          .cast("long").as("yule_k_milli"),
+        floor(log(col("n_types").cast("double"))
+          / log(col("n_tokens").cast("double")) * lit(1000000.0))
+          .cast("long").as("herdan_c_micro"))
+      .orderBy("source")
+
+  /** q317 burstiness knobs: minimum document frequency (rarer terms
+    * have undefined dispersion at corpus scale) and report length. */
+  val BurstMinDf = 20L
+  val BurstTopK = 20
+
+  /** q317_term_burstiness — per-term index of dispersion (variance-to-
+    * mean ratio of the per-document count, zeros included — Church &
+    * Gale 1995's burstiness): Poisson-distributed function words sit
+    * at VMR ≈ 1, topical/keyword terms clump into few documents and
+    * score ≫ 1. This is the distributional keyword detector that
+    * complements q34 (rarity) and q305 (centrality) — and the screen
+    * for boilerplate terms whose VMR explodes because one template
+    * repeats them hundreds of times in a handful of docs.
+    *
+    * Determinism: T = Σc and S2 = Σc² are exact BIGINTs per term
+    * (zero docs contribute exactly nothing to either, which the VMR
+    * identity var/mean = S2/T − T/N absorbs in closed form — no
+    * densified doc×term grid); one floored double per term; the
+    * report is an integer TakeOrdered.
+    *
+    * Scale shape: one (doc, term) count riding the token scan, one
+    * term rollup joined with a broadcast 1-row doc count;
+    * [[BurstTopK]] rows. */
+  def termBurstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(col("doc_id"), explode_outer(T.wsTokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("s2"))
+      .filter(col("df") >= BurstMinDf)
+      .crossJoin(broadcast(nd))
+      .select(col("term"), col("df"), col("total"),
+        floor((col("s2").cast("double") / col("total").cast("double")
+          - col("total").cast("double") / col("n_docs").cast("double"))
+          * lit(1000000.0)).cast("long").as("vmr_micro"))
+      .orderBy(col("vmr_micro").desc, col("term").asc)
+      .limit(BurstTopK)
+  }
+
   /** q303_cond_entropy — corpus entropy rate: the conditional entropy
     * H(w₂|w₁) = H(w₁,w₂) − H(w₁) of the next token given the current
     * one, plus the implied bigram-LM perplexity. This is the

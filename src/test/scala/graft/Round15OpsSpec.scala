@@ -733,4 +733,87 @@ class Round15OpsSpec extends SparkSuite {
       .map(_.getAs[Long]("n_match")).sum
     assert(rows(IvfNProbe - 1).getAs[Long]("n_match") == q109)
   }
+
+  test("q316 lexical constants match a driver-side recomputation") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"),
+        graft.functions.TextFunctions.wsTokens(col("text")).as("w"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val expect = docs.groupBy(_._1).map { case (src, g) =>
+      val counts = g.flatMap(_._2).groupBy(identity)
+        .map { case (_, xs) => xs.length.toLong }
+      val n = counts.sum; val v = counts.size.toLong
+      val s2 = counts.map(c => c * c).sum
+      src -> ((n, v, counts.count(_ == 1L).toLong,
+        math.floor((s2 - n).toDouble * 1e7 / (n.toDouble * n.toDouble)).toLong,
+        math.floor(math.log(v.toDouble) / math.log(n.toDouble) * 1e6).toLong))
+    }
+    val rows = graft.operators.TextAnalysis.yulesK(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_types"), r.getAs[Long]("n_hapax"),
+        r.getAs[Long]("yule_k_milli"), r.getAs[Long]("herdan_c_micro")))).toMap
+    assert(rows == expect, s"spark=${rows.take(2)} driver=${expect.take(2)}")
+    rows.values.foreach { case (n, v, h, _, c) =>
+      assert(h <= v && v <= n && c > 0 && c <= 1000000L)
+    }
+  }
+
+  test("q317 burstiness report matches a driver-side dispersion recomputation") {
+    import graft.operators.TextAnalysis.{BurstMinDf, BurstTopK}
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wsTokens(col("text")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val nDocs = docs.length.toLong
+    val perTerm = docs.flatMap { case (d, w) =>
+      w.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) } }
+      .groupBy(_._1).filter(_._2.length >= BurstMinDf)
+      .map { case (t, g) =>
+        val total = g.map(_._2).sum; val s2 = g.map(x => x._2 * x._2).sum
+        (t, g.length.toLong, total,
+          math.floor((s2.toDouble / total.toDouble
+            - total.toDouble / nDocs.toDouble) * 1e6).toLong)
+      }.toSeq
+    val expect = perTerm.sortBy(x => (-x._4, x._1)).take(BurstTopK)
+    val rows = graft.operators.TextAnalysis.termBurstiness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("df"), r.getAs[Long]("total"),
+        r.getAs[Long]("vmr_micro"))).toSeq
+    assert(rows == expect, s"spark=${rows.take(3)} driver=${expect.take(3)}")
+  }
+
+  test("q318 U-shape credits conserve revenue up to integer truncation") {
+    import graft.operators.Relational.AttribLookbackUs
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val touches = ev.filter(e => Set("view", "click", "signup")(e._4))
+    val credits = scala.collection.mutable.Map[String, (Long, Long)]()
+    var totalCents = 0L; var truncLoss = 0L
+    ev.filter(_._4 == "purchase").foreach { p =>
+      val cents = math.floor(p._5 * 100 + 0.5).toLong
+      totalCents += cents
+      val s = touches.filter(t => t._2 == p._2 && t._3 < p._3 &&
+        t._3 >= p._3 - AttribLookbackUs).sortBy(t => (t._3, t._1))
+      def add(c: String, cr: Long): Unit = {
+        val (n0, c0) = credits.getOrElse(c, (0L, 0L))
+        credits(c) = (n0 + 1, c0 + cr)
+      }
+      if (s.isEmpty) add("(none)", cents * 10000L)
+      else if (s.length == 1) add(s.head._4, cents * 10000L)
+      else if (s.length == 2) s.foreach(t => add(t._4, cents * 5000L))
+      else {
+        add(s.head._4, cents * 4000L); add(s.last._4, cents * 4000L)
+        val mid = cents * 2000L / (s.length - 2)
+        s.tail.init.foreach(t => add(t._4, mid))
+        truncLoss += cents * 2000L - mid * (s.length - 2)
+      }
+    }
+    val rows = graft.operators.Relational.uShapeAttribution(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_credits"),
+        r.getAs[Long]("credit_microcents")))).toMap
+    assert(rows == credits.toMap, s"spark=$rows driver=$credits")
+    assert(rows.values.map(_._2).sum == totalCents * 10000L - truncLoss)
+  }
 }
