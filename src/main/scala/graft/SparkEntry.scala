@@ -332,7 +332,10 @@ object SparkEntry {
     "q315_probe_curve"    -> (Similarity.probeCurve _),
     "q316_yules_k"        -> (TextAnalysis.yulesK _),
     "q317_term_burstiness" -> (TextAnalysis.termBurstiness _),
-    "q318_u_shape_attribution" -> (Relational.uShapeAttribution _)
+    "q318_u_shape_attribution" -> (Relational.uShapeAttribution _),
+    "q319_feature_hashing" -> (TextAnalysis.featureHashing _),
+    "q320_good_turing"    -> (TextAnalysis.goodTuring _),
+    "q321_rank_turnover"  -> (Relational.rankTurnover _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -6549,6 +6552,76 @@ object SparkEntry {
         |SELECT channel, count(*)::BIGINT AS n_credits,
         |       sum(credit)::BIGINT AS credit_microcents
         |FROM ucr GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q319_feature_hashing" -> {
+      import graft.operators.TextAnalysis.FhBuckets
+      s"""WITH fhc AS (
+        |  SELECT term, count(*)::BIGINT AS mass FROM (
+        |    SELECT unnest(regexp_extract_all(text, '[^ \t\n\r]+')) AS term
+        |    FROM documents)
+        |  GROUP BY 1),
+        |fhb AS (
+        |  SELECT ('0x' || substr(md5('fh_' || term), 1, 7))::BIGINT % $FhBuckets
+        |           AS bucket,
+        |         count(*)::BIGINT AS load, sum(mass)::BIGINT AS bmass
+        |  FROM fhc GROUP BY 1),
+        |fha AS (
+        |  SELECT sum(load)::BIGINT AS n_terms, count(*)::BIGINT AS occupied,
+        |         max(load)::BIGINT AS max_load, sum(load * load)::BIGINT AS s2,
+        |         sum(bmass)::BIGINT AS n_tokens,
+        |         max(bmass)::BIGINT AS max_bucket_mass
+        |  FROM fhb)
+        |SELECT n_terms, $FhBuckets AS n_buckets, occupied, max_load,
+        |       (n_terms - occupied) * 1000000 // n_terms AS collision_ppm,
+        |       floor(($FhBuckets.0 * s2::DOUBLE / n_terms::DOUBLE
+        |              - n_terms::DOUBLE) * 1000000.0)::BIGINT AS chi2_micro,
+        |       max_bucket_mass * 1000000 // n_tokens AS max_mass_ppm
+        |FROM fha""".stripMargin
+    },
+    "q320_good_turing" -> {
+      import graft.operators.TextAnalysis.GtMaxR
+      s"""WITH gtc AS (
+        |  SELECT term, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest([w[i] || '_' || w[i+1] || '_' || w[i+2]
+        |                   FOR i IN range(1, len(w) - 1)]) AS term
+        |    FROM (SELECT regexp_extract_all(text, '[^ \t\n\r]+') AS w
+        |          FROM documents))
+        |  GROUP BY 1),
+        |gth AS MATERIALIZED (
+        |  SELECT c AS r, count(*)::BIGINT AS nr FROM gtc GROUP BY 1),
+        |gtt AS (SELECT sum(r * nr)::BIGINT AS n_tokens FROM gth)
+        |SELECT h.r, h.nr, coalesce(nx.nr, 0)::BIGINT AS nr_next,
+        |       floor((h.r + 1)::DOUBLE * coalesce(nx.nr, 0)::DOUBLE
+        |             / h.nr::DOUBLE * 1000000.0)::BIGINT AS r_star_micro,
+        |       CASE WHEN h.r = 1 THEN h.nr * 1000000 // n_tokens
+        |            ELSE NULL::BIGINT END AS missing_mass_ppm
+        |FROM gth h
+        |LEFT JOIN gth nx ON nx.r = h.r + 1, gtt
+        |WHERE h.r <= $GtMaxR
+        |ORDER BY h.r""".stripMargin
+    },
+    "q321_rank_turnover" -> {
+      import graft.operators.Relational.TurnoverK
+      s"""WITH rtd AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+        |         count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |rtt AS MATERIALIZED (
+        |  SELECT day, user_id FROM (
+        |    SELECT day, user_id,
+        |           row_number() OVER (PARTITION BY day
+        |             ORDER BY cnt DESC, user_id ASC) AS rn
+        |    FROM rtd) WHERE rn <= $TurnoverK),
+        |rtc AS (
+        |  SELECT t.day, count(*)::BIGINT AS nc
+        |  FROM rtt t JOIN rtt p ON p.day = t.day - 1 AND p.user_id = t.user_id
+        |  GROUP BY 1),
+        |rds AS (SELECT DISTINCT day FROM rtt),
+        |rdd AS (SELECT d.day FROM rds d JOIN rds p ON p.day = d.day - 1)
+        |SELECT d.day, coalesce(c.nc, 0)::BIGINT AS n_common,
+        |       coalesce(c.nc, 0) * 1000000 // $TurnoverK AS retention_ppm
+        |FROM rdd d LEFT JOIN rtc c USING (day)
+        |ORDER BY day""".stripMargin
     }
   )
 

@@ -3180,6 +3180,49 @@ object Relational {
       .orderBy("channel")
   }
 
+  /** q321 leaderboard depth. */
+  val TurnoverK = 10
+
+  /** q321_rank_turnover — day-over-day leaderboard stability: each
+    * day's top-[[TurnoverK]] users by event count, and what fraction
+    * of today's board was already on yesterday's. A volatile board on
+    * stable data means the metric is noise-ranked (q116's heavy
+    * hitters need this check before anyone alerts on rank changes);
+    * a frozen board under churning data means the metric saturated.
+    * q289's RBO compares two RANKERS on one snapshot — this tracks
+    * ONE ranker across time.
+    *
+    * Determinism: board membership ties break (count desc, user_id
+    * asc); commonality and retention are exact integers.
+    *
+    * Scale shape: one (day, user) count; the board is a day-
+    * partitioned rank window (shard-local after one day exchange)
+    * kept to [[TurnoverK]] rows/day (checkpointed — the lag join
+    * reads both sides); the turnover join is day+user keyed on two
+    * ≤10·days-row frames; ≤days−1 output rows. */
+  def rankTurnover(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .groupBy(col("day"), col("user_id")).agg(count(lit(1)).as("cnt"))
+    val top = daily
+      .withColumn("rn", row_number().over(Window.partitionBy(col("day"))
+        .orderBy(col("cnt").desc, col("user_id").asc)))
+      .filter(col("rn") <= TurnoverK)
+      .select(col("day"), col("user_id"))
+      .localCheckpoint()
+    val common = top
+      .join(top.select((col("day") + 1).as("day"), col("user_id")),
+        Seq("day", "user_id"))
+      .groupBy(col("day")).agg(count(lit(1)).as("nc"))
+    val days = top.select(col("day")).distinct()
+    days.join(days.select((col("day") + 1).as("day")), "day")
+      .join(common, Seq("day"), "left")
+      .select(col("day"), coalesce(col("nc"), lit(0L)).as("n_common"),
+        expr(s"coalesce(nc, 0) * 1000000 div $TurnoverK").as("retention_ppm"))
+      .orderBy("day")
+  }
+
   /** q311 order window + lateness threshold (TPC-H Q4's shape on this
     * schema's columns: no commit/receipt dates, so "late" = shipped
     * more than [[LateShipDays]] days after the order). */

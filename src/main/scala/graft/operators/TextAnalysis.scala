@@ -1712,6 +1712,98 @@ object TextAnalysis {
       .limit(BurstTopK)
   }
 
+  /** q319 hashing-trick width (the classic 2⁸ toy width so collisions
+    * are actually observable at corpus vocab sizes). */
+  val FhBuckets = 256L
+
+  /** q319_feature_hashing — the hashing-trick audit: every distinct
+    * term hashes into [[FhBuckets]] buckets (md5, the engine's
+    * cross-engine hash convention) and the report grades the
+    * vectorizer BEFORE a model trains on it: occupied buckets,
+    * worst-case load, collision rate, the χ² uniformity statistic of
+    * the load histogram, and how much token MASS the heaviest bucket
+    * absorbs (type-collisions are harmless if the colliding types
+    * are rare — mass concentration is what actually distorts a
+    * hashed feature space).
+    *
+    * Determinism: bucket = md5-28(term) mod B on distinct terms;
+    * every report field is integer arithmetic over exact counts
+    * except χ², one floored double over two BIGINTs.
+    *
+    * Scale shape: one (term) count riding the token scan, one
+    * bucket rollup (≤[[FhBuckets]] rows), one 1-row fold. */
+  def featureHashing(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = Tables.documents(spark, sfDir)
+      .select(explode_outer(T.wsTokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("term")).agg(count(lit(1)).as("mass"))
+    val buckets = tc
+      .select(pmod(H.md5Int28(concat(lit("fh_"), col("term"))), lit(FhBuckets))
+        .as("bucket"), col("mass"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("load"), sum(col("mass")).as("bmass"))
+    buckets.agg(sum(col("load")).as("n_terms"),
+        count(lit(1)).as("occupied"),
+        max(col("load")).as("max_load"),
+        sum(col("load") * col("load")).as("s2"),
+        sum(col("bmass")).as("n_tokens"),
+        max(col("bmass")).as("max_bucket_mass"))
+      .select(col("n_terms"), lit(FhBuckets).as("n_buckets"), col("occupied"),
+        col("max_load"),
+        expr("(n_terms - occupied) * 1000000 div n_terms").as("collision_ppm"),
+        floor((lit(FhBuckets.toDouble) * col("s2").cast("double")
+          / col("n_terms").cast("double") - col("n_terms").cast("double"))
+          * lit(1000000.0)).cast("long").as("chi2_micro"),
+        expr("max_bucket_mass * 1000000 div n_tokens").as("max_mass_ppm"))
+  }
+
+  /** q320 report depth: frequencies-of-frequencies r = 1..10 (SGT's
+    * unsmoothed Turing estimates are only trusted at small r, where
+    * N_r is large). */
+  val GtMaxR = 10
+
+  /** q320_good_turing — the Good-Turing frequency-of-frequencies
+    * table over word-TRIGRAM types (the unigram vocabulary here is
+    * tiny and saturated — min count 26, no rare mass — while the
+    * trigram spectrum has the heavy singleton tail GT exists for):
+    * for r = 1..[[GtMaxR]], how many types occur exactly r times
+    * (N_r) and the Turing-smoothed adjusted count
+    * r* = (r+1)·N_{r+1}/N_r — plus the N₁/N missing-mass estimate
+    * (the probability the NEXT trigram is unseen). This is the
+    * quantitative basis under every smoothing scheme the engine
+    * ships (q234's backoff, q250's table) and the standard "how much
+    * of this corpus is singleton noise?" readout.
+    *
+    * Determinism: the count-of-counts histogram is exact; r* and the
+    * missing mass are single floored doubles over BIGINTs; the
+    * N_{r+1} lookup is a 1-step lag join on the tiny r domain, not a
+    * window.
+    *
+    * Scale shape: one (trigram) count riding the token scan, one
+    * count-histogram rollup (≤|distinct counts| rows), one self-join
+    * on r+1 over the ≤[[GtMaxR]]-row report domain. */
+  def goodTuring(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = Tables.documents(spark, sfDir)
+      .select(explode_outer(T.shingles(T.wsTokens(col("text")), 3)).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c").as("r")).agg(count(lit(1)).as("nr"))
+      .localCheckpoint()
+    val tot = tc.agg(sum(col("r") * col("nr")).as("n_tokens"))
+    tc.filter(col("r") <= GtMaxR)
+      .join(tc.select((col("r") - 1).as("r"), col("nr").as("nr_next")), Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("nr"), coalesce(col("nr_next"), lit(0L)).as("nr_next"),
+        floor((col("r") + 1).cast("double")
+          * coalesce(col("nr_next"), lit(0L)).cast("double")
+          / col("nr").cast("double") * lit(1000000.0)).cast("long")
+          .as("r_star_micro"),
+        when(col("r") === 1,
+          expr("nr * 1000000 div n_tokens")).otherwise(lit(null).cast("long"))
+          .as("missing_mass_ppm"))
+      .orderBy("r")
+  }
+
   /** q303_cond_entropy — corpus entropy rate: the conditional entropy
     * H(w₂|w₁) = H(w₁,w₂) − H(w₁) of the next token given the current
     * one, plus the implied bigram-LM perplexity. This is the

@@ -816,4 +816,74 @@ class Round15OpsSpec extends SparkSuite {
     assert(rows == credits.toMap, s"spark=$rows driver=$credits")
     assert(rows.values.map(_._2).sum == totalCents * 10000L - truncLoss)
   }
+
+  test("q319 hashing audit matches a driver-side bucket recomputation") {
+    import graft.operators.TextAnalysis.FhBuckets
+    val row = graft.operators.TextAnalysis.featureHashing(spark, sf).collect().head
+    val terms = allTokenLists.flatten.groupBy(identity)
+      .map { case (t, g) => t -> g.length.toLong }
+    def md5i28(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString.take(7), 16)
+    }
+    val buckets = terms.groupBy { case (t, _) => md5i28("fh_" + t) % FhBuckets }
+      .toSeq.map { case (_, g) => (g.size.toLong, g.values.sum) }
+    val nTerms = terms.size.toLong
+    assert(row.getAs[Long]("n_terms") == nTerms)
+    assert(row.getAs[Long]("occupied") == buckets.size.toLong)
+    assert(row.getAs[Long]("max_load") == buckets.map(_._1).max)
+    assert(row.getAs[Long]("collision_ppm") ==
+      (nTerms - buckets.size) * 1000000L / nTerms)
+    val s2 = buckets.map(b => b._1 * b._1).sum
+    assert(row.getAs[Long]("chi2_micro") == math.floor(
+      (FhBuckets.toDouble * s2.toDouble / nTerms.toDouble - nTerms.toDouble)
+        * 1e6).toLong)
+    val nTokens = terms.values.sum
+    assert(row.getAs[Long]("max_mass_ppm") ==
+      buckets.map(_._2).max * 1000000L / nTokens)
+  }
+
+  test("q320 Good-Turing table matches a driver-side count-of-counts") {
+    import graft.operators.TextAnalysis.GtMaxR
+    val tris = allTokenLists.flatMap(w =>
+      if (w.length < 3) Nil
+      else (0 to w.length - 3).map(i => s"${w(i)}_${w(i + 1)}_${w(i + 2)}"))
+    val counts = tris.groupBy(identity).map { case (_, g) => g.length.toLong }
+    val nr = counts.groupBy(identity).map { case (r, g) => r -> g.size.toLong }
+    val nTokens = tris.length.toLong
+    val rows = graft.operators.TextAnalysis.goodTuring(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("r")).toSeq ==
+      nr.keys.filter(_ <= GtMaxR).toSeq.sorted)
+    rows.foreach { row =>
+      val r = row.getAs[Long]("r")
+      val next = nr.getOrElse(r + 1, 0L)
+      assert(row.getAs[Long]("nr") == nr(r))
+      assert(row.getAs[Long]("nr_next") == next)
+      assert(row.getAs[Long]("r_star_micro") == math.floor(
+        (r + 1).toDouble * next.toDouble / nr(r).toDouble * 1e6).toLong)
+      if (r == 1L)
+        assert(row.getAs[Long]("missing_mass_ppm") == nr(1L) * 1000000L / nTokens)
+      else assert(row.isNullAt(row.fieldIndex("missing_mass_ppm")))
+    }
+  }
+
+  test("q321 leaderboard turnover matches a driver-side recomputation") {
+    import graft.operators.Relational.TurnoverK
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tops = ev.groupBy(_._1).map { case (d, g) =>
+      d -> g.groupBy(_._2).map { case (u, xs) => (u, xs.length.toLong) }
+        .toSeq.sortBy { case (u, c) => (-c, u) }.take(TurnoverK).map(_._1).toSet
+    }
+    val expect = tops.keys.filter(d => tops.contains(d - 1)).toSeq.sorted.map { d =>
+      val common = tops(d).intersect(tops(d - 1)).size.toLong
+      (d, common, common * 1000000L / TurnoverK)
+    }
+    val rows = graft.operators.Relational.rankTurnover(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_common"),
+        r.getAs[Long]("retention_ppm"))).toSeq
+    assert(rows == expect, s"spark=${rows.take(3)} driver=${expect.take(3)}")
+  }
 }
