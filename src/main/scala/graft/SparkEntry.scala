@@ -335,7 +335,9 @@ object SparkEntry {
     "q318_u_shape_attribution" -> (Relational.uShapeAttribution _),
     "q319_feature_hashing" -> (TextAnalysis.featureHashing _),
     "q320_good_turing"    -> (TextAnalysis.goodTuring _),
-    "q321_rank_turnover"  -> (Relational.rankTurnover _)
+    "q321_rank_turnover"  -> (Relational.rankTurnover _),
+    "q322_l_moments"      -> (DataQuality.lMoments _),
+    "q323_theil_sen"      -> (Relational.theilSen _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -6622,7 +6624,74 @@ object SparkEntry {
         |       coalesce(c.nc, 0) * 1000000 // $TurnoverK AS retention_ppm
         |FROM rdd d LEFT JOIN rtc c USING (day)
         |ORDER BY day""".stripMargin
-    }
+    },
+    "q322_l_moments" ->
+      """WITH lmh AS (
+        |  SELECT n_chars AS v, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+        |lmr AS (
+        |  SELECT v, cnt,
+        |         coalesce(sum(cnt) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS a
+        |  FROM lmh),
+        |lmr2 AS (SELECT v, cnt, a, a + cnt - 1 AS b FROM lmr),
+        |lmb AS (
+        |  SELECT sum(cnt)::BIGINT AS n,
+        |         sum(v * cnt)::BIGINT AS b0,
+        |         sum(v * (cnt * (a + b - 2) // 2))::BIGINT AS b1,
+        |         sum(v * 2 * (b * (b - 1) * (b - 2) // 6
+        |                      - (a - 1) * (a - 2) * (a - 3) // 6))::BIGINT AS b2,
+        |         sum(v * 6 * (b * (b - 1) * (b - 2) * (b - 3) // 24
+        |                      - (a - 1) * (a - 2) * (a - 3) * (a - 4) // 24))::BIGINT
+        |           AS b3
+        |  FROM lmr2),
+        |lmd AS (
+        |  SELECT n, b0::DOUBLE / n::DOUBLE AS d0,
+        |         b1::DOUBLE / (n * (n - 1))::DOUBLE AS d1,
+        |         b2::DOUBLE / (n * (n - 1) * (n - 2))::DOUBLE AS d2,
+        |         b3::DOUBLE / (n * (n - 1) * (n - 2) * (n - 3))::DOUBLE AS d3
+        |  FROM lmb),
+        |lml AS (
+        |  SELECT n, d0, 2.0 * d1 - d0 AS l2,
+        |         6.0 * d2 - 6.0 * d1 + d0 AS l3,
+        |         20.0 * d3 - 30.0 * d2 + 12.0 * d1 - d0 AS l4
+        |  FROM lmd)
+        |SELECT n, floor(d0 * 1000000.0)::BIGINT AS l1_micro,
+        |       floor(l2 * 1000000.0)::BIGINT AS l2_micro,
+        |       floor(l3 / l2 * 1000000.0)::BIGINT AS t3_micro,
+        |       floor(l4 / l2 * 1000000.0)::BIGINT AS t4_micro
+        |FROM lml""".stripMargin,
+    "q323_theil_sen" ->
+      """WITH tse AS (SELECT epoch_us(ts) // 86400000000 AS dayabs FROM events),
+        |tsd0 AS (SELECT min(dayabs) AS d0 FROM tse),
+        |tsdy AS MATERIALIZED (
+        |  SELECT dayabs - d0 AS d, count(*)::BIGINT AS c
+        |  FROM tse, tsd0 GROUP BY 1),
+        |tsp AS MATERIALIZED (
+        |  SELECT floor((b.c - a.c)::DOUBLE * 1000000000.0
+        |               / (b.d - a.d)::DOUBLE)::BIGINT AS s
+        |  FROM tsdy a JOIN tsdy b ON a.d < b.d),
+        |tsn AS (SELECT count(*)::BIGINT AS np FROM tsp),
+        |tsm AS (
+        |  SELECT max(np)::BIGINT AS n_pairs,
+        |         sum(s * (CASE WHEN rn = (np + 1) // 2 THEN 1 ELSE 0 END
+        |                + CASE WHEN rn = (np + 2) // 2 THEN 1 ELSE 0 END))::BIGINT
+        |           AS med2
+        |  FROM (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM tsp), tsn),
+        |tss AS (
+        |  SELECT n_pairs, floor(med2::DOUBLE / 2.0)::BIGINT AS slope_nano
+        |  FROM tsm),
+        |tsr AS (
+        |  SELECT sum(r * (CASE WHEN rn = (nd + 1) // 2 THEN 1 ELSE 0 END
+        |               + CASE WHEN rn = (nd + 2) // 2 THEN 1 ELSE 0 END))::BIGINT
+        |           AS rmed2
+        |  FROM (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM (
+        |          SELECT d.c * 1000000000 - s.slope_nano * d.d AS r
+        |          FROM tsdy d, tss s)),
+        |       (SELECT count(*)::BIGINT AS nd FROM tsdy))
+        |SELECT (SELECT count(*)::BIGINT FROM tsdy) AS n_days,
+        |       s.n_pairs, s.slope_nano,
+        |       floor(r.rmed2::DOUBLE / 2.0)::BIGINT AS intercept_nano
+        |FROM tss s, tsr r""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -1153,6 +1153,68 @@ object DataQuality {
           .as("acc_ppm"))
   }
 
+  /** q322_l_moments — the first four L-moments of the document-length
+    * distribution (Hosking 1990): ℓ1/ℓ2 as location/scale and the
+    * ratios τ3 (L-skewness) and τ4 (L-kurtosis). Unlike q299's
+    * conventional moments, L-moments are linear in the data — a
+    * single monster document moves τ3 by O(1/n), not O(x³) — so this
+    * is the heavy-tail-safe shape summary a length-distribution
+    * monitor should alert on.
+    *
+    * Exactness: the probability-weighted-moment numerators
+    * B_k = Σ (i−1)…(i−k)·x_(i) reduce over the VALUE HISTOGRAM in
+    * closed form — a value occupying sorted positions a..b
+    * contributes x·Σ_{i=a..b} of the weight polynomial, which
+    * telescopes to binomial-coefficient differences
+    * (Σ(i−1)(i−2) = 2(C(b,3) − C(a−1,3)), etc.) — all exact BIGINTs
+    * (the parity/divisibility of each `div` is guaranteed by the
+    * binomial identities). λ and τ are fixed doubles over those
+    * integers. (BIGINT headroom: x·C(n,4) ≲ 10¹⁸ holds to n ≈ 10⁵
+    * at this value range; a larger corpus runs the same identities
+    * in decimal.)
+    *
+    * Scale shape: one value histogram, one cumsum window over the
+    * distinct length-VALUE domain (whitelisted), one 1-row fold. */
+  def lMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(spark, sfDir)
+      .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("a", coalesce(sum(col("cnt")).over(w), lit(0L)) + 1)
+      .withColumn("b", col("a") + col("cnt") - 1)
+    val bs = ranked.agg(
+      sum(col("cnt")).as("n"),
+      sum(col("v") * col("cnt")).as("b0"),
+      sum(col("v") * expr("cnt * (a + b - 2) div 2")).as("b1"),
+      sum(col("v") * lit(2L) *
+        (expr("b * (b - 1) * (b - 2) div 6")
+          - expr("(a - 1) * (a - 2) * (a - 3) div 6"))).as("b2"),
+      sum(col("v") * lit(6L) *
+        (expr("b * (b - 1) * (b - 2) * (b - 3) div 24")
+          - expr("(a - 1) * (a - 2) * (a - 3) * (a - 4) div 24"))).as("b3"))
+    bs.select(col("n"),
+        (col("b0").cast("double") / col("n").cast("double")).as("d0"),
+        (col("b1").cast("double")
+          / (col("n") * (col("n") - 1)).cast("double")).as("d1"),
+        (col("b2").cast("double")
+          / (col("n") * (col("n") - 1) * (col("n") - 2)).cast("double")).as("d2"),
+        (col("b3").cast("double")
+          / (col("n") * (col("n") - 1) * (col("n") - 2) * (col("n") - 3))
+            .cast("double")).as("d3"))
+      .select(col("n"), col("d0"),
+        (lit(2.0) * col("d1") - col("d0")).as("l2"),
+        (lit(6.0) * col("d2") - lit(6.0) * col("d1") + col("d0")).as("l3"),
+        (lit(20.0) * col("d3") - lit(30.0) * col("d2") + lit(12.0) * col("d1")
+          - col("d0")).as("l4"))
+      .select(col("n"),
+        floor(col("d0") * lit(1000000.0)).cast("long").as("l1_micro"),
+        floor(col("l2") * lit(1000000.0)).cast("long").as("l2_micro"),
+        floor(col("l3") / col("l2") * lit(1000000.0)).cast("long").as("t3_micro"),
+        floor(col("l4") / col("l2") * lit(1000000.0)).cast("long").as("t4_micro"))
+  }
+
   /** q304 candidate (table, lhs → rhs) pairs — a governance config,
     * chosen so the census exercises both outcomes: key-determined
     * columns that HOLD and plausible-looking dependencies that FAIL

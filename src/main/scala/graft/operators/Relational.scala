@@ -3223,6 +3223,64 @@ object Relational {
       .orderBy("day")
   }
 
+  /** q323_theil_sen — the Theil-Sen robust trend of daily event
+    * volume: the median of all pairwise day-slopes, with the median-
+    * of-residuals intercept. q156's OLS trend moves arbitrarily far
+    * under one bad ingestion day; the pairwise-median estimator has a
+    * 29% breakdown point, so this is the trend line a volume monitor
+    * should draw (and diverging Theil-Sen vs OLS slopes is itself
+    * the outlier-day alarm).
+    *
+    * Determinism: pair slopes floor-nano-quantize exact integer
+    * Δcount/Δday ratios; medians come from rank positions over the
+    * bounded pair/day domains (tied slope values make the selected
+    * VALUE unique regardless of tie order); the halving and the
+    * residuals floor on doubles (negative-safe).
+    *
+    * Scale shape: one scan to the ≤31-row day histogram
+    * (checkpointed — pair join and residual pass read it); the pair
+    * frame is the day-domain self-join (≤465 rows at ANY corpus
+    * size); both median windows run over those bounded domains
+    * (whitelisted); 1-row output. */
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("dayabs"))
+    val d0 = ev.agg(min(col("dayabs")).as("d0"))
+    val daily = ev.crossJoin(broadcast(d0))
+      .select((col("dayabs") - col("d0")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val pairs = daily.select(col("d").as("di"), col("c").as("ci"))
+      .join(daily.select(col("d").as("dj"), col("c").as("cj")),
+        col("di") < col("dj"))
+      .select(floor((col("cj") - col("ci")).cast("double") * lit(1000000000.0)
+        / (col("dj") - col("di")).cast("double")).cast("long").as("s"))
+    val np = pairs.agg(count(lit(1)).as("np"))
+    val slope = pairs
+      .withColumn("rn", row_number().over(Window.orderBy(col("s"))).cast("long"))
+      .crossJoin(broadcast(np))
+      .agg(max(col("np")).as("n_pairs"),
+        sum(col("s") * (expr("cast(rn = (np + 1) div 2 as long)")
+          + expr("cast(rn = (np + 2) div 2 as long)"))).as("med2"))
+      .select(col("n_pairs"),
+        floor(col("med2").cast("double") / lit(2.0)).cast("long")
+          .as("slope_nano"))
+    val nd = daily.agg(count(lit(1)).as("ndays"))
+    val res = daily.crossJoin(broadcast(slope))
+      .select(col("d"), (col("c") * lit(1000000000L)
+        - col("slope_nano") * col("d")).as("r"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("r"))).cast("long"))
+      .crossJoin(broadcast(nd))
+      .agg(sum(col("r") * (expr("cast(rn = (ndays + 1) div 2 as long)")
+        + expr("cast(rn = (ndays + 2) div 2 as long)"))).as("rmed2"))
+      .select(floor(col("rmed2").cast("double") / lit(2.0)).cast("long")
+        .as("intercept_nano"))
+    nd.crossJoin(broadcast(slope)).crossJoin(broadcast(res))
+      .select(col("ndays").as("n_days"), col("n_pairs"), col("slope_nano"),
+        col("intercept_nano"))
+  }
+
   /** q311 order window + lateness threshold (TPC-H Q4's shape on this
     * schema's columns: no commit/receipt dates, so "late" = shipped
     * more than [[LateShipDays]] days after the order). */

@@ -886,4 +886,61 @@ class Round15OpsSpec extends SparkSuite {
         r.getAs[Long]("retention_ppm"))).toSeq
     assert(rows == expect, s"spark=${rows.take(3)} driver=${expect.take(3)}")
   }
+
+  test("q322 L-moments match a direct order-statistic recomputation") {
+    val row = graft.operators.DataQuality.lMoments(spark, sf).collect().head
+    val xs = graft.sources.Tables.documents(spark, sf)
+      .select(col("n_chars")).collect().map(_.getLong(0)).sorted
+    val n = xs.length.toLong
+    // direct PWM sums over sorted positions (1-indexed)
+    var (b0, b1, b2, b3) = (0L, 0L, 0L, 0L)
+    xs.zipWithIndex.foreach { case (x, i0) =>
+      val i = i0 + 1L
+      b0 += x
+      b1 += x * (i - 1)
+      b2 += x * (i - 1) * (i - 2)
+      b3 += x * (i - 1) * (i - 2) * (i - 3)
+    }
+    val d0 = b0.toDouble / n.toDouble
+    val d1 = b1.toDouble / (n * (n - 1)).toDouble
+    val d2 = b2.toDouble / (n * (n - 1) * (n - 2)).toDouble
+    val d3 = b3.toDouble / (n * (n - 1) * (n - 2) * (n - 3)).toDouble
+    val l2 = 2.0 * d1 - d0
+    val l3 = 6.0 * d2 - 6.0 * d1 + d0
+    val l4 = 20.0 * d3 - 30.0 * d2 + 12.0 * d1 - d0
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("l1_micro") == math.floor(d0 * 1e6).toLong)
+    assert(row.getAs[Long]("l2_micro") == math.floor(l2 * 1e6).toLong)
+    assert(row.getAs[Long]("t3_micro") == math.floor(l3 / l2 * 1e6).toLong)
+    assert(row.getAs[Long]("t4_micro") == math.floor(l4 / l2 * 1e6).toLong)
+    // L-scale positive; τ3/τ4 inside their theoretical (−1, 1) bound
+    assert(row.getAs[Long]("l2_micro") > 0)
+    assert(math.abs(row.getAs[Long]("t3_micro")) < 1000000L)
+    assert(math.abs(row.getAs[Long]("t4_micro")) < 1000000L)
+  }
+
+  test("q323 Theil-Sen matches a driver-side pairwise-median recomputation") {
+    val days = graft.sources.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("d")).collect()
+      .map(_.getLong(0))
+    val d0 = days.min
+    val daily = days.groupBy(d => d - d0).map { case (d, g) => (d, g.length.toLong) }
+      .toSeq.sortBy(_._1)
+    val slopes = (for {
+      (di, ci) <- daily; (dj, cj) <- daily if di < dj
+    } yield math.floor((cj - ci).toDouble * 1e9 / (dj - di).toDouble).toLong)
+      .sorted
+    val np = slopes.length
+    val med2 = slopes((np + 1) / 2 - 1) + slopes((np + 2) / 2 - 1)
+    val slope = math.floor(med2.toDouble / 2.0).toLong
+    val res = daily.map { case (d, c) => c * 1000000000L - slope * d }.sorted
+    val nd = res.length
+    val rmed2 = res((nd + 1) / 2 - 1) + res((nd + 2) / 2 - 1)
+    val row = graft.operators.Relational.theilSen(spark, sf).collect().head
+    assert(row.getAs[Long]("n_days") == nd.toLong)
+    assert(row.getAs[Long]("n_pairs") == np.toLong)
+    assert(row.getAs[Long]("slope_nano") == slope)
+    assert(row.getAs[Long]("intercept_nano") ==
+      math.floor(rmed2.toDouble / 2.0).toLong)
+  }
 }

@@ -61,7 +61,13 @@ class ScaleShapeSpec extends SparkSuite {
       "q301_kaplan_meier",
       // q308's split-candidate cumsum runs over the distinct
       // length-VALUE domain (q194/q262's shape)
-      "q308_decision_stump")
+      "q308_decision_stump",
+      // q322's position cumsum runs over the distinct length-VALUE
+      // domain (q194/q262's shape)
+      "q322_l_moments",
+      // q323's median rank windows run over the bounded day-pair
+      // (≤465-row) and day (≤31-row) domains
+      "q323_theil_sen")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
