@@ -337,7 +337,10 @@ object SparkEntry {
     "q320_good_turing"    -> (TextAnalysis.goodTuring _),
     "q321_rank_turnover"  -> (Relational.rankTurnover _),
     "q322_l_moments"      -> (DataQuality.lMoments _),
-    "q323_theil_sen"      -> (Relational.theilSen _)
+    "q323_theil_sen"      -> (Relational.theilSen _),
+    "q324_bm25_grid"      -> (Indexing.bm25Grid _),
+    "q325_pr_curve"       -> (TextAnalysis.prCurve _),
+    "q326_k_anonymity"    -> (DataQuality.kAnonymity _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -6691,7 +6694,103 @@ object SparkEntry {
         |SELECT (SELECT count(*)::BIGINT FROM tsdy) AS n_days,
         |       s.n_pairs, s.slope_nano,
         |       floor(r.rmed2::DOUBLE / 2.0)::BIGINT AS intercept_nano
-        |FROM tss s, tsr r""".stripMargin
+        |FROM tss s, tsr r""".stripMargin,
+    "q324_bm25_grid" -> {
+      import graft.operators.Indexing.{Bm25Grid, KnownItemEvery, KnownItemTerms, KnownItemTopK}
+      val nqSql = "(SELECT count(DISTINCT query_id) FROM gq)"
+      val cteParts = Bm25Grid.zipWithIndex.map { case ((k1, b), i) =>
+        s"""gs$i AS (
+           |  SELECT query_id, doc_id,
+           |         round(sum(idf * (tf * ${k1 + 1.0})
+           |               / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl))), 6)
+           |           AS bm25
+           |  FROM gjn GROUP BY 1, 2),
+           |gr$i AS (
+           |  SELECT query_id, rnk FROM (
+           |    SELECT query_id, doc_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY bm25 DESC, doc_id ASC) AS rnk
+           |    FROM gs$i) WHERE query_id = doc_id AND rnk <= $KnownItemTopK),
+           |gm$i AS (
+           |  SELECT count(*)::BIGINT AS n_hits,
+           |         coalesce(sum(1000000 // rnk), 0)::BIGINT AS sum_rr
+           |  FROM gr$i)""".stripMargin
+      }
+      val unionParts = Bm25Grid.zipWithIndex.map { case ((k1, b), i) =>
+        s"""SELECT ${(k1 * 1000).round} AS k1_milli, ${(b * 1000).round} AS b_milli,
+           |       $nqSql AS n_queries, n_hits, sum_rr AS sum_rr_ppm,
+           |       sum_rr // $nqSql AS mrr_ppm
+           |FROM gm$i""".stripMargin
+      }
+      materializeCtes(
+        s"""WITH gdt AS (
+          |  SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
+          |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          |        FROM documents)
+          |  GROUP BY 1, 2),
+          |gdl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM gdt GROUP BY 1),
+          |gst AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM gdl),
+          |gdf AS (SELECT term, count(*)::BIGINT AS df FROM gdt GROUP BY 1),
+          |gq AS (
+          |  SELECT doc_id AS query_id, term, df FROM (
+          |    SELECT t.doc_id, t.term, f.df,
+          |           row_number() OVER (PARTITION BY t.doc_id
+          |             ORDER BY f.df ASC, t.term ASC) AS rn
+          |    FROM gdt t JOIN gdf f USING (term)
+          |    WHERE t.doc_id % $KnownItemEvery = 0) WHERE rn <= $KnownItemTerms),
+          |gjn AS (
+          |  SELECT q.query_id, t.doc_id, t.tf, l.dl, gst.avgdl,
+          |         ln((gst.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0) AS idf
+          |  FROM gq q JOIN gdt t USING (term)
+          |  JOIN gdl l ON l.doc_id = t.doc_id, gst),
+          |${cteParts.mkString(",\n")}
+          |${unionParts.mkString("\nUNION ALL\n")}
+          |ORDER BY k1_milli, b_milli""".stripMargin)
+    },
+    "q325_pr_curve" -> {
+      import graft.operators.TextAnalysis.PrClass
+      langIdCte + s""",
+        |prp AS (
+        |  SELECT sum(CASE WHEN lang = '$PrClass' THEN 1 ELSE 0 END)::BIGINT
+        |           AS n_true
+        |  FROM pred),
+        |prh AS (
+        |  SELECT score AS t,
+        |         sum(CASE WHEN lang = '$PrClass' THEN 1 ELSE 0 END)::BIGINT AS tp1,
+        |         sum(CASE WHEN lang <> '$PrClass' THEN 1 ELSE 0 END)::BIGINT AS fp1
+        |  FROM pred WHERE plang = '$PrClass' GROUP BY 1),
+        |prr AS (
+        |  SELECT t,
+        |         sum(tp1) OVER (ORDER BY t
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS tp,
+        |         sum(fp1) OVER (ORDER BY t
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS fp
+        |  FROM prh)
+        |SELECT t AS threshold, tp, fp, (n_true - tp)::BIGINT AS fn,
+        |       tp * 1000000 // (tp + fp) AS precision_ppm,
+        |       tp * 1000000 // n_true AS recall_ppm,
+        |       2 * tp * 1000000 // (2 * tp + fp + (n_true - tp)) AS f1_ppm
+        |FROM prr, prp
+        |ORDER BY threshold""".stripMargin
+    },
+    "q326_k_anonymity" -> {
+      import graft.operators.DataQuality.{KAnonBucket, KAnonK}
+      s"""WITH kac AS (
+        |  SELECT lang, n_chars // $KAnonBucket AS bucket,
+        |         count(*)::BIGINT AS csize,
+        |         count(DISTINCT source)::BIGINT AS ldiv
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT $KAnonK AS k, count(*)::BIGINT AS n_classes,
+        |       sum(csize)::BIGINT AS n_rows,
+        |       min(csize)::BIGINT AS min_class_size,
+        |       max(csize)::BIGINT AS max_class_size,
+        |       sum(CASE WHEN csize < $KAnonK THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_classes_below_k,
+        |       sum(CASE WHEN csize < $KAnonK THEN csize ELSE 0 END)::BIGINT
+        |         AS n_rows_at_risk,
+        |       min(ldiv)::BIGINT AS min_l_diversity
+        |FROM kac""".stripMargin
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -1215,6 +1215,42 @@ object DataQuality {
         floor(col("l4") / col("l2") * lit(1000000.0)).cast("long").as("t4_micro"))
   }
 
+  /** q326 anonymity threshold and the quasi-identifier length-bucket
+    * width. */
+  val KAnonK = 5L
+  val KAnonBucket = 100L
+
+  /** q326_k_anonymity — re-identification risk census: with
+    * quasi-identifiers (lang, n_chars div [[KAnonBucket]]) and
+    * `source` as the sensitive attribute, how many equivalence
+    * classes fall below k = [[KAnonK]], how many rows sit in them,
+    * and the worst-case l-diversity (minimum distinct sensitive
+    * values in any class). This is the privacy-governance audit run
+    * BEFORE releasing a per-segment breakdown (q246's DP release is
+    * the remedy; this measures whether one is needed) — classes of
+    * size < k make their members linkable, and l = 1 classes leak
+    * the sensitive value outright.
+    *
+    * Scale shape: one QI-keyed aggregate (count + distinct-sensitive
+    * count), one 1-row fold; all-integer output. */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), expr(s"n_chars div $KAnonBucket").as("bucket"))
+      .agg(count(lit(1)).as("csize"),
+        countDistinct(col("source")).as("ldiv"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("csize")).as("n_rows"),
+        min(col("csize")).as("min_class_size"),
+        max(col("csize")).as("max_class_size"),
+        sum((col("csize") < KAnonK).cast("long")).as("n_classes_below_k"),
+        sum(when(col("csize") < KAnonK, col("csize")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        min(col("ldiv")).as("min_l_diversity"))
+      .select(lit(KAnonK).as("k"), col("n_classes"), col("n_rows"),
+        col("min_class_size"), col("max_class_size"),
+        col("n_classes_below_k"), col("n_rows_at_risk"),
+        col("min_l_diversity"))
+
   /** q304 candidate (table, lhs → rhs) pairs — a governance config,
     * chosen so the census exercises both outcomes: key-determined
     * columns that HOLD and plausible-looking dependencies that FAIL

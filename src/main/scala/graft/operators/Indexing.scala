@@ -494,6 +494,73 @@ object Indexing {
       .orderBy("query_id")
   }
 
+  /** q324 sweep: the five canonical (k1, b) corners around the
+    * default — saturation low/high, length-normalization off/full. */
+  val Bm25Grid: Seq[(Double, Double)] =
+    Seq((0.6, 0.75), (1.2, 0.0), (1.2, 0.75), (1.2, 1.0), (2.0, 0.75))
+
+  /** q324_bm25_grid — BM25 parameter tuning: q244's known-item MRR
+    * evaluated at the [[Bm25Grid]] (k1, b) corners. k1 sets term-
+    * frequency saturation, b sets length normalization — the two
+    * knobs every search deployment tunes, and this measures them the
+    * only defensible way (end-metric sweep on held-out known-item
+    * queries) rather than by folklore defaults. Pairs with q315's
+    * nprobe curve as the engine's parameter-tuning tier.
+    *
+    * Scale shape: the expensive prefix — doc-term counts, lengths,
+    * document frequencies, query-term selection, and the scored
+    * candidate join WITH the idf factored out — is built once and
+    * checkpointed; each grid point re-aggregates that frame with its
+    * own saturation/normalization arithmetic and re-ranks per query
+    * (query-partitioned window over the bounded candidate set);
+    * |grid| output rows. */
+  def bm25Grid(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val doctf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(T.alphaTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = doctf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val dft = doctf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wq = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val qterms = doctf.filter(col("doc_id") % KnownItemEvery === 0)
+      .join(dft, "term")
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= KnownItemTerms)
+      .select(col("doc_id").as("query_id"), col("term"), col("df"))
+      .localCheckpoint()
+    val joined = qterms.join(doctf, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) + 1.0))
+      .select(col("query_id"), col("doc_id"), col("tf"), col("dl"),
+        col("avgdl"), col("idf"))
+      .localCheckpoint()
+    val nq = qterms.select(col("query_id")).distinct().count()
+    Bm25Grid.map { case (k1, b) =>
+      val scored = joined
+        .withColumn("s",
+          col("idf") * (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(round(sum(col("s")), 6).as("bm25"))
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+      scored.withColumn("rnk", row_number().over(wr))
+        .filter(col("query_id") === col("doc_id") && col("rnk") <= KnownItemTopK)
+        .agg(count(lit(1)).as("n_hits"),
+          coalesce(sum(expr("1000000 div rnk")), lit(0L)).as("sum_rr_ppm"))
+        .select(lit((k1 * 1000).round).as("k1_milli"),
+          lit((b * 1000).round).as("b_milli"),
+          lit(nq).as("n_queries"), col("n_hits"), col("sum_rr_ppm"),
+          expr(s"sum_rr_ppm div $nq").as("mrr_ppm"))
+    }.reduce(_.unionAll(_)).orderBy("k1_milli", "b_milli")
+  }
+
   /** q251_postings_compression — delta-varint compression audit of the
     * inverted index's posting lists (the Lucene/PforDelta storage
     * move): per term, the raw 8 B/doc_id cost vs the delta-encoded

@@ -1804,6 +1804,52 @@ object TextAnalysis {
       .orderBy("r")
   }
 
+  /** q325 target class for the PR sweep. */
+  val PrClass = "en"
+
+  /** q325_pr_curve — the precision/recall/F1 operating curve of the
+    * q18 language classifier for the [[PrClass]] class, one row per
+    * confidence threshold ("predict en iff the argmax is en AND its
+    * profile-hit score ≥ t"). q263 grades calibration of the
+    * SCORES; this grades the DECISIONS available at each cutoff —
+    * the curve an operator reads to pick the threshold where a
+    * lang-filter keeps 95% precision, and the eval-tier completion
+    * for thresholded classifiers (ROC exists for the dedup detector,
+    * q279).
+    *
+    * Determinism: thresholds are the distinct integer scores of
+    * en-predicted docs; tp/fp come from one reverse cumsum over that
+    * score domain; P, R, F1 are exact integer ppm (F1 =
+    * 2·tp·10⁶ div (2tp + fp + fn) — no float ever).
+    *
+    * Scale shape: the q18 scorer is scan-local; one (score,
+    * correctness) histogram, one reverse-cumsum window over the
+    * bounded score domain (whitelisted), broadcast 1-row class
+    * total; ≤|distinct scores| output rows. */
+  def prCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = langId(spark, sfDir)
+      .select(col("labeled_lang"), col("predicted_lang"), col("score"))
+    val pos = scored.agg(
+      sum((col("labeled_lang") === PrClass).cast("long")).as("n_true"))
+    val hist = scored.filter(col("predicted_lang") === PrClass)
+      .groupBy(col("score").as("t"))
+      .agg(sum((col("labeled_lang") === PrClass).cast("long")).as("tp1"),
+        sum((col("labeled_lang") =!= PrClass).cast("long")).as("fp1"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    hist
+      .withColumn("tp", sum(col("tp1")).over(w))
+      .withColumn("fp", sum(col("fp1")).over(w))
+      .crossJoin(broadcast(pos))
+      .select(col("t").as("threshold"), col("tp"), col("fp"),
+        (col("n_true") - col("tp")).as("fn"),
+        expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
+        expr("tp * 1000000 div n_true").as("recall_ppm"),
+        expr("2 * tp * 1000000 div (2 * tp + fp + (n_true - tp))").as("f1_ppm"))
+      .orderBy("threshold")
+  }
+
   /** q303_cond_entropy — corpus entropy rate: the conditional entropy
     * H(w₂|w₁) = H(w₁,w₂) − H(w₁) of the next token given the current
     * one, plus the implied bigram-LM perplexity. This is the

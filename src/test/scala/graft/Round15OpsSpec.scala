@@ -943,4 +943,72 @@ class Round15OpsSpec extends SparkSuite {
     assert(row.getAs[Long]("intercept_nano") ==
       math.floor(rmed2.toDouble / 2.0).toLong)
   }
+
+  test("q324 grid is anchored to q244 at the default corner") {
+    import graft.operators.Indexing.{Bm25B, Bm25K1, Bm25Grid}
+    val rows = graft.operators.Indexing.bm25Grid(spark, sf).collect()
+    assert(rows.length == Bm25Grid.size)
+    // one shared query set across all corners
+    assert(rows.map(_.getAs[Long]("n_queries")).distinct.length == 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mrr_ppm") ==
+        r.getAs[Long]("sum_rr_ppm") / r.getAs[Long]("n_queries"))
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_queries"))
+    }
+    // the (k1, b) default corner must reproduce q244's per-query sums
+    val q244 = graft.operators.Indexing.bm25Eval(spark, sf).collect()
+    val defRow = rows.find(r =>
+      r.getAs[Long]("k1_milli") == (Bm25K1 * 1000).round &&
+        r.getAs[Long]("b_milli") == (Bm25B * 1000).round).get
+    assert(defRow.getAs[Long]("sum_rr_ppm") ==
+      q244.map(_.getAs[Long]("rr_ppm")).sum)
+    assert(defRow.getAs[Long]("n_hits") ==
+      q244.count(_.getAs[Int]("self_rank") > 0).toLong)
+  }
+
+  test("q325 PR curve matches the q18 decisions at every threshold") {
+    import graft.operators.TextAnalysis.PrClass
+    val scored = graft.operators.TextAnalysis.langId(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getAs[Int]("score")))
+    val nTrue = scored.count(_._1 == PrClass).toLong
+    val rows = graft.operators.TextAnalysis.prCurve(spark, sf).collect()
+    rows.foreach { r =>
+      val t = r.getAs[Int]("threshold")
+      val preds = scored.filter(s => s._2 == PrClass && s._3 >= t)
+      val tp = preds.count(_._1 == PrClass).toLong
+      val fp = preds.length - tp
+      assert(r.getAs[Long]("tp") == tp)
+      assert(r.getAs[Long]("fp") == fp)
+      assert(r.getAs[Long]("fn") == nTrue - tp)
+      assert(r.getAs[Long]("precision_ppm") == tp * 1000000L / (tp + fp))
+      assert(r.getAs[Long]("recall_ppm") == tp * 1000000L / nTrue)
+      assert(r.getAs[Long]("f1_ppm") ==
+        2 * tp * 1000000L / (2 * tp + fp + (nTrue - tp)))
+    }
+    // raising the threshold can only shrink the predicted-positive set
+    val byT = rows.sortBy(_.getAs[Int]("threshold"))
+    val tps = byT.map(_.getAs[Long]("tp"))
+    val fps = byT.map(_.getAs[Long]("fp"))
+    assert(tps.zip(tps.tail).forall { case (a, b) => a >= b })
+    assert(fps.zip(fps.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q326 k-anonymity census matches a driver-side class recomputation") {
+    import graft.operators.DataQuality.{KAnonBucket, KAnonK}
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars"), col("source")).collect()
+      .map(r => ((r.getString(0), r.getLong(1) / KAnonBucket), r.getString(2)))
+    val classes = docs.groupBy(_._1).toSeq.map { case (_, g) =>
+      (g.length.toLong, g.map(_._2).distinct.length.toLong) }
+    val row = graft.operators.DataQuality.kAnonymity(spark, sf).collect().head
+    assert(row.getAs[Long]("n_classes") == classes.length.toLong)
+    assert(row.getAs[Long]("n_rows") == classes.map(_._1).sum)
+    assert(row.getAs[Long]("min_class_size") == classes.map(_._1).min)
+    assert(row.getAs[Long]("max_class_size") == classes.map(_._1).max)
+    assert(row.getAs[Long]("n_classes_below_k") ==
+      classes.count(_._1 < KAnonK).toLong)
+    assert(row.getAs[Long]("n_rows_at_risk") ==
+      classes.filter(_._1 < KAnonK).map(_._1).sum)
+    assert(row.getAs[Long]("min_l_diversity") == classes.map(_._2).min)
+  }
 }

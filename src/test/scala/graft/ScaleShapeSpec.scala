@@ -67,7 +67,10 @@ class ScaleShapeSpec extends SparkSuite {
       "q322_l_moments",
       // q323's median rank windows run over the bounded day-pair
       // (≤465-row) and day (≤31-row) domains
-      "q323_theil_sen")
+      "q323_theil_sen",
+      // q325's reverse cumsum runs over the bounded profile-score
+      // domain (≤ max hits per doc, a few dozen values)
+      "q325_pr_curve")
 
   test("no graded query plans an unpartitioned window over row data") {
     SparkEntry.queries.foreach { case (name, fn) =>
