@@ -340,7 +340,10 @@ object SparkEntry {
     "q323_theil_sen"      -> (Relational.theilSen _),
     "q324_bm25_grid"      -> (Indexing.bm25Grid _),
     "q325_pr_curve"       -> (TextAnalysis.prCurve _),
-    "q326_k_anonymity"    -> (DataQuality.kAnonymity _)
+    "q326_k_anonymity"    -> (DataQuality.kAnonymity _),
+    "q327_cuped"          -> (Relational.cuped _),
+    "q328_diff_in_diff"   -> (Relational.diffInDiff _),
+    "q329_mde"            -> (Relational.mde _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -6790,6 +6793,108 @@ object SparkEntry {
         |         AS n_rows_at_risk,
         |       min(ldiv)::BIGINT AS min_l_diversity
         |FROM kac""".stripMargin
+    },
+    "q327_cuped" ->
+      """WITH cue AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |cum AS (SELECT (min(us) + max(us)) // 2 AS mid FROM cue),
+        |cup AS MATERIALIZED (
+        |  SELECT user_id % 2 AS arm,
+        |         sum(CASE WHEN us < mid THEN 1 ELSE 0 END)::BIGINT AS x,
+        |         sum(CASE WHEN us >= mid AND event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM cue, cum GROUP BY user_id),
+        |cpo AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |         sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+        |         sum(x * y)::BIGINT AS sxy, sum(y * y)::BIGINT AS syy
+        |  FROM cup),
+        |car AS (
+        |  SELECT arm, count(*)::BIGINT AS na, sum(x)::BIGINT AS ax,
+        |         sum(y)::BIGINT AS ay
+        |  FROM cup GROUP BY 1),
+        |ca AS (SELECT na AS n_a, ax AS x_a, ay AS y_a FROM car WHERE arm = 0),
+        |cb AS (SELECT na AS n_b, ax AS x_b, ay AS y_b FROM car WHERE arm = 1),
+        |cth AS (
+        |  SELECT n_a, n_b,
+        |         (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |           / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS theta,
+        |         (y_a::DOUBLE / n_a::DOUBLE - y_b::DOUBLE / n_b::DOUBLE)
+        |           AS raw_diff,
+        |         (x_a::DOUBLE / n_a::DOUBLE - x_b::DOUBLE / n_b::DOUBLE)
+        |           AS x_diff,
+        |         ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |          * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE))
+        |           / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |              * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+        |           AS rho2
+        |  FROM ca, cb, cpo)
+        |SELECT n_a, n_b,
+        |       floor(theta * 1000000.0)::BIGINT AS theta_micro,
+        |       floor(raw_diff * 1000000.0)::BIGINT AS raw_diff_micro,
+        |       floor((raw_diff - theta * x_diff) * 1000000.0)::BIGINT
+        |         AS adj_diff_micro,
+        |       floor(rho2 * 1000000.0)::BIGINT AS rho2_ppm
+        |FROM cth""".stripMargin,
+    "q328_diff_in_diff" ->
+      """WITH dde AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+        |ddm AS (SELECT (min(us) + max(us)) // 2 AS mid FROM dde),
+        |ddu0 AS MATERIALIZED (
+        |  SELECT user_id,
+        |         min({'us': us, 'eid': event_id, 'et': event_type}) AS fe,
+        |         sum(CASE WHEN us < mid AND event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END)::BIGINT AS y_pre,
+        |         sum(CASE WHEN us >= mid AND event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END)::BIGINT AS y_post
+        |  FROM dde, ddm GROUP BY user_id),
+        |ddu AS (
+        |  SELECT CASE WHEN fe.et = 'click' THEN 1 ELSE 0 END AS treated,
+        |         y_pre, y_post
+        |  FROM ddu0),
+        |ddg AS (
+        |  SELECT treated, count(*)::BIGINT AS n, sum(y_pre)::BIGINT AS sp,
+        |         sum(y_post)::BIGINT AS so
+        |  FROM ddu GROUP BY 1),
+        |ddt AS (SELECT n AS n_t, sp AS pre_t, so AS post_t FROM ddg WHERE treated = 1),
+        |ddc AS (SELECT n AS n_c, sp AS pre_c, so AS post_c FROM ddg WHERE treated = 0)
+        |SELECT n_t, n_c,
+        |       pre_t * 1000000 // n_t AS pre_t_mean_micro,
+        |       post_t * 1000000 // n_t AS post_t_mean_micro,
+        |       pre_c * 1000000 // n_c AS pre_c_mean_micro,
+        |       post_c * 1000000 // n_c AS post_c_mean_micro,
+        |       floor(((post_t::DOUBLE / n_t::DOUBLE - pre_t::DOUBLE / n_t::DOUBLE)
+        |              - (post_c::DOUBLE / n_c::DOUBLE
+        |                 - pre_c::DOUBLE / n_c::DOUBLE))
+        |             * 1000000.0)::BIGINT AS did_micro
+        |FROM ddt, ddc""".stripMargin,
+    "q329_mde" -> {
+      import graft.operators.Relational.AbConvMin
+      s"""WITH mdu AS (
+        |  SELECT user_id % 2 AS arm,
+        |         (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |          >= $AbConvMin)::BIGINT AS converted
+        |  FROM events GROUP BY user_id),
+        |mda AS (
+        |  SELECT arm, count(*)::BIGINT AS n, sum(converted)::BIGINT AS x
+        |  FROM mdu GROUP BY 1),
+        |ma AS (SELECT n AS n_a, x AS x_a FROM mda WHERE arm = 0),
+        |mb AS (SELECT n AS n_b, x AS x_b FROM mda WHERE arm = 1),
+        |mp AS (
+        |  SELECT n_a, n_b, x_a, x_b,
+        |         (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE AS p,
+        |         (x_a::DOUBLE / n_a::DOUBLE - x_b::DOUBLE / n_b::DOUBLE) AS d
+        |  FROM ma, mb),
+        |mq AS (
+        |  SELECT n_a, n_b,
+        |         (x_a + x_b) * 1000000 // (n_a + n_b) AS p_pool_ppm,
+        |         floor((1.96 + 0.8416) * sqrt(p * (1.0 - p)
+        |               * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE))
+        |               * 1000000.0)::BIGINT AS mde_ppm,
+        |         floor(abs(d) * 1000000.0)::BIGINT AS obs_diff_ppm
+        |  FROM mp)
+        |SELECT n_a, n_b, p_pool_ppm, mde_ppm, obs_diff_ppm,
+        |       (obs_diff_ppm >= mde_ppm)::BIGINT AS powered
+        |FROM mq""".stripMargin
     }
   )
 

@@ -3281,6 +3281,168 @@ object Relational {
         col("intercept_nano"))
   }
 
+  /** q327_cuped — CUPED variance reduction (Deng et al. 2013) on the
+    * q214 experiment: pre-period activity is the covariate, post-
+    * period purchase count the metric, θ = cov(x,y)/var(x) fitted
+    * pooled, and the adjusted arm means follow in CLOSED FORM from
+    * arm-level sums (ȳ'ₐ = ȳₐ − θ(x̄ₐ − x̄) — no per-row adjusted
+    * pass). Reports the raw vs adjusted arm gap and ρ², whose value
+    * IS the fraction of metric variance CUPED removes — the number
+    * that decides whether an experimentation platform ships the
+    * adjustment.
+    *
+    * Determinism: x and y are integer counts, so all five pooled
+    * sums and the per-arm sums are exact BIGINTs; θ, the gaps, and
+    * ρ² are fixed double trees over those integers, floor-quantized.
+    *
+    * Scale shape: one user-keyed conditional collapse over the span
+    * midpoint (q236's integer-µs split), one arm aggregate + one
+    * pooled aggregate, 1-row output. */
+  def cuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum((col("us") < col("mid")).cast("long")).as("x"),
+        sum((col("us") >= col("mid") && col("event_type") === "purchase")
+          .cast("long")).as("y"))
+      .select(pmod(col("user_id"), lit(2)).cast("int").as("arm"),
+        col("x"), col("y"))
+      .localCheckpoint()
+    val pooled = perUser.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("y") * col("y")).as("syy"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("na"), sum(col("x")).as("ax"), sum(col("y")).as("ay"))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("na").as("n_a"), col("ax").as("x_a"), col("ay").as("y_a"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("na").as("n_b"), col("ax").as("x_b"), col("ay").as("y_b"))
+    a.crossJoin(b).crossJoin(broadcast(pooled))
+      .select(col("n_a"), col("n_b"),
+        ((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))).as("theta"),
+        (col("y_a").cast("double") / col("n_a").cast("double")
+          - col("y_b").cast("double") / col("n_b").cast("double")).as("raw_diff"),
+        ((col("x_a").cast("double") / col("n_a").cast("double")
+          - col("x_b").cast("double") / col("n_b").cast("double"))).as("x_diff"),
+        (((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          * (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")))
+          / ((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))))
+          .as("rho2"))
+      .select(col("n_a"), col("n_b"),
+        floor(col("theta") * lit(1000000.0)).cast("long").as("theta_micro"),
+        floor(col("raw_diff") * lit(1000000.0)).cast("long").as("raw_diff_micro"),
+        floor((col("raw_diff") - col("theta") * col("x_diff"))
+          * lit(1000000.0)).cast("long").as("adj_diff_micro"),
+        floor(col("rho2") * lit(1000000.0)).cast("long").as("rho2_ppm"))
+  }
+
+  /** q328_diff_in_diff — difference-in-differences on the organic
+    * "first event was a click" exposure (q310's treatment): purchase
+    * counts per user in the pre and post halves of the timeline, and
+    * the DiD estimate (ΔT − ΔC) that nets out both the group
+    * difference (clicky users buy more at baseline) and the period
+    * difference (volume drifts between halves). Completes the
+    * observational-causal pair with q310: matching removes STATIC
+    * confounding, DiD removes ADDITIVE TIME confounding — disagree
+    * and the parallel-trends assumption broke.
+    *
+    * Determinism: four cell sums + two arm sizes, all exact BIGINTs
+    * (each user is in exactly one group and contributes to both
+    * periods); the four means and the DiD are one fixed double tree.
+    *
+    * Scale shape: one user-keyed collapse (first-event struct + two
+    * conditional period counts), one group aggregate, 1-row
+    * output. */
+  def diffInDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("us"), col("event_id"), col("event_type"))).as("fe"),
+        sum((col("us") < col("mid") && col("event_type") === "purchase")
+          .cast("long")).as("y_pre"),
+        sum((col("us") >= col("mid") && col("event_type") === "purchase")
+          .cast("long")).as("y_post"))
+      .select((col("fe").getField("event_type") === "click").cast("long")
+        .as("treated"), col("y_pre"), col("y_post"))
+    val g = perUser.groupBy(col("treated"))
+      .agg(count(lit(1)).as("n"), sum(col("y_pre")).as("sp"),
+        sum(col("y_post")).as("so"))
+    val t = g.filter(col("treated") === 1)
+      .select(col("n").as("n_t"), col("sp").as("pre_t"), col("so").as("post_t"))
+    val c = g.filter(col("treated") === 0)
+      .select(col("n").as("n_c"), col("sp").as("pre_c"), col("so").as("post_c"))
+    t.crossJoin(c)
+      .select(col("n_t"), col("n_c"),
+        expr("pre_t * 1000000 div n_t").as("pre_t_mean_micro"),
+        expr("post_t * 1000000 div n_t").as("post_t_mean_micro"),
+        expr("pre_c * 1000000 div n_c").as("pre_c_mean_micro"),
+        expr("post_c * 1000000 div n_c").as("post_c_mean_micro"),
+        floor(((col("post_t").cast("double") / col("n_t").cast("double")
+          - col("pre_t").cast("double") / col("n_t").cast("double"))
+          - (col("post_c").cast("double") / col("n_c").cast("double")
+            - col("pre_c").cast("double") / col("n_c").cast("double")))
+          * lit(1000000.0)).cast("long").as("did_micro"))
+  }
+
+  /** q329_mde — the power audit of the q214 experiment: given the
+    * realized arm sizes and pooled conversion rate, the minimum
+    * detectable absolute effect at α = 5% two-sided and 80% power
+    * (z = 1.96 and 0.8416), next to the gap actually observed. The
+    * one-row answer to "was this test even capable of seeing the
+    * effect we care about?" — an insignificant q214 z with observed
+    * gap ≪ MDE means underpowered, not null.
+    *
+    * Determinism: counts are exact; the MDE is one fixed double tree
+    * (constants written identically on both engines), floored to
+    * ppm; `powered` compares the two floored integers.
+    *
+    * Scale shape: q214's user-keyed collapse + arm aggregate, 1-row
+    * output. */
+  def mde(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy(col("user_id"))
+      .agg((sum(col("p")) >= AbConvMin).cast("long").as("converted"))
+      .select(pmod(col("user_id"), lit(2)).cast("int").as("arm"), col("converted"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("x").as("x_a"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("x").as("x_b"))
+    a.crossJoin(b)
+      .select(col("n_a"), col("n_b"),
+        ((col("x_a") + col("x_b")).cast("double")
+          / (col("n_a") + col("n_b")).cast("double")).as("p"),
+        ((col("x_a").cast("double") / col("n_a").cast("double")
+          - col("x_b").cast("double") / col("n_b").cast("double"))).as("d"),
+        col("x_a"), col("x_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("(x_a + x_b) * 1000000 div (n_a + n_b)").as("p_pool_ppm"),
+        floor((lit(1.96) + lit(0.8416)) * sqrt(col("p") * (lit(1.0) - col("p"))
+          * (lit(1.0) / col("n_a").cast("double")
+            + lit(1.0) / col("n_b").cast("double")))
+          * lit(1000000.0)).cast("long").as("mde_ppm"),
+        floor(abs(col("d")) * lit(1000000.0)).cast("long").as("obs_diff_ppm"))
+      .select(col("n_a"), col("n_b"), col("p_pool_ppm"), col("mde_ppm"),
+        col("obs_diff_ppm"),
+        (col("obs_diff_ppm") >= col("mde_ppm")).cast("long").as("powered"))
+  }
+
   /** q311 order window + lateness threshold (TPC-H Q4's shape on this
     * schema's columns: no commit/receipt dates, so "late" = shipped
     * more than [[LateShipDays]] days after the order). */

@@ -1011,4 +1011,86 @@ class Round15OpsSpec extends SparkSuite {
       classes.filter(_._1 < KAnonK).map(_._1).sum)
     assert(row.getAs[Long]("min_l_diversity") == classes.map(_._2).min)
   }
+
+  private def eventTuples: Array[(Long, Long, Long, String)] =
+    graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+  test("q327 CUPED matches a driver-side closed-form recomputation") {
+    val ev = eventTuples
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val perUser = ev.groupBy(_._1).toSeq.map { case (u, g) =>
+      (u % 2, g.count(_._2 < mid).toLong,
+        g.count(e => e._2 >= mid && e._4 == "purchase").toLong)
+    }
+    val n = perUser.length.toLong
+    val sx = perUser.map(_._2).sum; val sy = perUser.map(_._3).sum
+    val sxx = perUser.map(p => p._2 * p._2).sum
+    val sxy = perUser.map(p => p._2 * p._3).sum
+    val syy = perUser.map(p => p._3 * p._3).sum
+    val theta = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+    val (as, bs) = perUser.partition(_._1 == 0)
+    def mean(g: Seq[(Long, Long, Long)], f: ((Long, Long, Long)) => Long) =
+      g.map(f).sum.toDouble / g.length.toDouble
+    val rawDiff = mean(as, _._3) - mean(bs, _._3)
+    val xDiff = mean(as, _._2) - mean(bs, _._2)
+    val row = graft.operators.Relational.cuped(spark, sf).collect().head
+    assert(row.getAs[Long]("n_a") == as.length.toLong)
+    assert(row.getAs[Long]("n_b") == bs.length.toLong)
+    assert(row.getAs[Long]("theta_micro") == math.floor(theta * 1e6).toLong)
+    assert(row.getAs[Long]("raw_diff_micro") == math.floor(rawDiff * 1e6).toLong)
+    assert(row.getAs[Long]("adj_diff_micro") ==
+      math.floor((rawDiff - theta * xDiff) * 1e6).toLong)
+    val rho2 = math.pow(n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble, 2) /
+      ((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+        (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    assert(row.getAs[Long]("rho2_ppm") == math.floor(rho2 * 1e6).toLong)
+    assert(row.getAs[Long]("rho2_ppm") >= 0 && row.getAs[Long]("rho2_ppm") <= 1000000L)
+  }
+
+  test("q328 DiD matches a driver-side four-cell recomputation") {
+    val ev = eventTuples
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val perUser = ev.groupBy(_._1).toSeq.map { case (_, g) =>
+      val first = g.sortBy(e => (e._2, e._3)).head._4
+      (if (first == "click") 1L else 0L,
+        g.count(e => e._2 < mid && e._4 == "purchase").toLong,
+        g.count(e => e._2 >= mid && e._4 == "purchase").toLong)
+    }
+    val (t, c) = perUser.partition(_._1 == 1L)
+    val row = graft.operators.Relational.diffInDiff(spark, sf).collect().head
+    assert(row.getAs[Long]("n_t") == t.length.toLong)
+    assert(row.getAs[Long]("n_c") == c.length.toLong)
+    assert(row.getAs[Long]("pre_t_mean_micro") ==
+      t.map(_._2).sum * 1000000L / t.length)
+    assert(row.getAs[Long]("post_c_mean_micro") ==
+      c.map(_._3).sum * 1000000L / c.length)
+    val did = (t.map(_._3).sum.toDouble / t.length - t.map(_._2).sum.toDouble / t.length) -
+      (c.map(_._3).sum.toDouble / c.length - c.map(_._2).sum.toDouble / c.length)
+    assert(row.getAs[Long]("did_micro") == math.floor(did * 1e6).toLong)
+  }
+
+  test("q329 MDE is consistent with q214's arms and its own verdict") {
+    import graft.operators.Relational.AbConvMin
+    val ev = eventTuples
+    val perUser = ev.groupBy(_._1).toSeq.map { case (u, g) =>
+      (u % 2, if (g.count(_._4 == "purchase") >= AbConvMin) 1L else 0L) }
+    val (as, bs) = perUser.partition(_._1 == 0)
+    val (xa, xb) = (as.map(_._2).sum, bs.map(_._2).sum)
+    val (na, nb) = (as.length.toLong, bs.length.toLong)
+    val p = (xa + xb).toDouble / (na + nb).toDouble
+    val d = xa.toDouble / na.toDouble - xb.toDouble / nb.toDouble
+    val mdeV = (1.96 + 0.8416) * math.sqrt(p * (1.0 - p) *
+      (1.0 / na.toDouble + 1.0 / nb.toDouble))
+    val row = graft.operators.Relational.mde(spark, sf).collect().head
+    assert(row.getAs[Long]("n_a") == na && row.getAs[Long]("n_b") == nb)
+    assert(row.getAs[Long]("p_pool_ppm") == (xa + xb) * 1000000L / (na + nb))
+    assert(row.getAs[Long]("mde_ppm") == math.floor(mdeV * 1e6).toLong)
+    assert(row.getAs[Long]("obs_diff_ppm") == math.floor(math.abs(d) * 1e6).toLong)
+    assert(row.getAs[Long]("powered") ==
+      (if (row.getAs[Long]("obs_diff_ppm") >= row.getAs[Long]("mde_ppm")) 1L else 0L))
+  }
 }
