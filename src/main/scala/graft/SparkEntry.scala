@@ -343,7 +343,9 @@ object SparkEntry {
     "q326_k_anonymity"    -> (DataQuality.kAnonymity _),
     "q327_cuped"          -> (Relational.cuped _),
     "q328_diff_in_diff"   -> (Relational.diffInDiff _),
-    "q329_mde"            -> (Relational.mde _)
+    "q329_mde"            -> (Relational.mde _),
+    "q330_weekday_anova"  -> (DataQuality.weekdayAnova _),
+    "q331_forecast_backtest" -> (Relational.forecastBacktest _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -6895,7 +6897,58 @@ object SparkEntry {
         |SELECT n_a, n_b, p_pool_ppm, mde_ppm, obs_diff_ppm,
         |       (obs_diff_ppm >= mde_ppm)::BIGINT AS powered
         |FROM mq""".stripMargin
-    }
+    },
+    "q330_weekday_anova" ->
+      """WITH wae AS (SELECT epoch_us(ts) // 86400000000 AS dayabs FROM events),
+        |wad0 AS (SELECT min(dayabs) AS d0 FROM wae),
+        |wady AS (
+        |  SELECT dayabs - d0 AS d, count(*)::BIGINT AS c
+        |  FROM wae, wad0 GROUP BY 1),
+        |wag AS (
+        |  SELECT d % 7 AS wd, count(*)::BIGINT AS ni, sum(c)::BIGINT AS si,
+        |         sum(c * c)::BIGINT AS qi
+        |  FROM wady GROUP BY 1),
+        |wag2 AS (
+        |  SELECT ni, si, qi,
+        |         floor(si::DOUBLE * si::DOUBLE / ni::DOUBLE * 1000.0)::BIGINT
+        |           AS term_milli
+        |  FROM wag),
+        |wag3 AS (
+        |  SELECT count(*)::BIGINT AS k_groups, sum(ni)::BIGINT AS n_total,
+        |         sum(si)::BIGINT AS s_total, sum(qi)::BIGINT AS q_total,
+        |         sum(term_milli)::BIGINT AS t_milli
+        |  FROM wag2),
+        |wag4 AS (
+        |  SELECT k_groups, n_total,
+        |         t_milli - floor(s_total::DOUBLE * s_total::DOUBLE
+        |           / n_total::DOUBLE * 1000.0)::BIGINT AS ssb_milli,
+        |         q_total * 1000 - t_milli AS ssw_milli
+        |  FROM wag3)
+        |SELECT k_groups, n_total, ssb_milli, ssw_milli,
+        |       floor(ssb_milli::DOUBLE * (n_total - k_groups)::DOUBLE
+        |             / (ssw_milli::DOUBLE * (k_groups - 1)::DOUBLE)
+        |             * 1000000.0)::BIGINT AS f_micros
+        |FROM wag4""".stripMargin,
+    "q331_forecast_backtest" ->
+      """WITH fbe AS (SELECT epoch_us(ts) // 86400000000 AS dayabs FROM events),
+        |fbd0 AS (SELECT min(dayabs) AS d0 FROM fbe),
+        |fbdy AS MATERIALIZED (
+        |  SELECT dayabs - d0 AS d, count(*)::BIGINT AS c
+        |  FROM fbe, fbd0 GROUP BY 1),
+        |fba AS (
+        |  SELECT count(*)::BIGINT AS n_eval,
+        |         sum(abs(b.c - l.c))::BIGINT AS sae_last,
+        |         sum(abs(b.c - s.c))::BIGINT AS sae_seasonal
+        |  FROM fbdy b
+        |  JOIN fbdy l ON l.d = b.d - 1
+        |  JOIN fbdy s ON s.d = b.d - 7)
+        |SELECT n_eval, sae_last, sae_seasonal,
+        |       sae_last * 1000000 // n_eval AS mae_last_micro,
+        |       sae_seasonal * 1000000 // n_eval AS mae_seasonal_micro,
+        |       CASE WHEN sae_seasonal < sae_last THEN 'seasonal'
+        |            WHEN sae_last < sae_seasonal THEN 'last'
+        |            ELSE 'tie' END AS winner
+        |FROM fba""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -1251,6 +1251,29 @@ object DataQuality {
         col("n_classes_below_k"), col("n_rows_at_risk"),
         col("min_l_diversity"))
 
+  /** q330_weekday_anova — one-way F of daily event volume across the
+    * seven weekday slots (day-index mod 7): the TEST behind the
+    * weekly cycle q245's seasonal baseline and q307's scale-7 energy
+    * assume. A small F here means the "weekly pattern" is noise and
+    * the seasonal baseline is overfitting its denominator.
+    *
+    * Reuses q297's integer-moment tail verbatim over the ≤31-row day
+    * histogram: daily counts are exact integers, the 7 group moments
+    * are exact, F is one double. Scale shape: one scan collapse to
+    * the day domain, two tiny aggregates; 1-row output. */
+  def weekdayAnova(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("dayabs"))
+    val d0 = ev.agg(min(col("dayabs")).as("d0"))
+    val daily = ev.crossJoin(broadcast(d0))
+      .select((col("dayabs") - col("d0")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("c"))
+    anovaTail(daily
+      .groupBy(pmod(col("d"), lit(7L)).as("wd"))
+      .agg(count(lit(1)).as("ni"), sum(col("c")).as("si"),
+        sum(col("c") * col("c")).as("qi")))
+  }
+
   /** q304 candidate (table, lhs → rhs) pairs — a governance config,
     * chosen so the census exercises both outcomes: key-determined
     * columns that HOLD and plausible-looking dependencies that FAIL

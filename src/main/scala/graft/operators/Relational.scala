@@ -3443,6 +3443,43 @@ object Relational {
         (col("obs_diff_ppm") >= col("mde_ppm")).cast("long").as("powered"))
   }
 
+  /** q331_forecast_backtest — rolling-origin backtest of the two
+    * baseline forecasters every volume monitor should be benchmarked
+    * against: last-value (ŷ_t = y_{t−1}) and seasonal-naive
+    * (ŷ_t = y_{t−7}), scored by MAE over every day with both lags
+    * available. q156 fits a trend and q245 a seasonal profile; this
+    * measures whether either beats the naive baselines AT ALL — the
+    * M-competition lesson institutionalized as an operator (a model
+    * that can't beat seasonal-naive has negative value).
+    *
+    * Determinism: absolute errors are exact integers; MAEs are
+    * integer ppm via positive `div`; the verdict compares integers.
+    *
+    * Scale shape: one scan collapse to the ≤31-row day histogram
+    * (checkpointed — base and both lag joins read it); two day-keyed
+    * lag joins on that domain; 1-row output. */
+  def forecastBacktest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("dayabs"))
+    val d0 = ev.agg(min(col("dayabs")).as("d0"))
+    val daily = ev.crossJoin(broadcast(d0))
+      .select((col("dayabs") - col("d0")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    daily
+      .join(daily.select((col("d") + 1).as("d"), col("c").as("c_last")), "d")
+      .join(daily.select((col("d") + 7).as("d"), col("c").as("c_snaive")), "d")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("c") - col("c_last"))).as("sae_last"),
+        sum(abs(col("c") - col("c_snaive"))).as("sae_seasonal"))
+      .select(col("n_eval"), col("sae_last"), col("sae_seasonal"),
+        expr("sae_last * 1000000 div n_eval").as("mae_last_micro"),
+        expr("sae_seasonal * 1000000 div n_eval").as("mae_seasonal_micro"),
+        when(col("sae_seasonal") < col("sae_last"), lit("seasonal"))
+          .when(col("sae_last") < col("sae_seasonal"), lit("last"))
+          .otherwise(lit("tie")).as("winner"))
+  }
+
   /** q311 order window + lateness threshold (TPC-H Q4's shape on this
     * schema's columns: no commit/receipt dates, so "late" = shipped
     * more than [[LateShipDays]] days after the order). */

@@ -1093,4 +1093,51 @@ class Round15OpsSpec extends SparkSuite {
     assert(row.getAs[Long]("powered") ==
       (if (row.getAs[Long]("obs_diff_ppm") >= row.getAs[Long]("mde_ppm")) 1L else 0L))
   }
+
+  private def dailyCounts: Seq[(Long, Long)] = {
+    val days = graft.sources.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("d")).collect()
+      .map(_.getLong(0))
+    val d0 = days.min
+    days.groupBy(d => d - d0).toSeq.map { case (d, g) => (d, g.length.toLong) }
+      .sortBy(_._1)
+  }
+
+  test("q330 weekday ANOVA matches a driver-side recomputation") {
+    val daily = dailyCounts
+    val groups = daily.groupBy(_._1 % 7).toSeq.map(_._2)
+    val tMilli = groups.map { g =>
+      val ni = g.length.toLong; val si = g.map(_._2).sum
+      math.floor(si.toDouble * si.toDouble / ni.toDouble * 1000.0).toLong
+    }.sum
+    val n = daily.length.toLong; val k = groups.length.toLong
+    val s = daily.map(_._2).sum; val q = daily.map(x => x._2 * x._2).sum
+    val ssb = tMilli - math.floor(s.toDouble * s.toDouble / n.toDouble * 1000.0).toLong
+    val ssw = q * 1000L - tMilli
+    val row = graft.operators.DataQuality.weekdayAnova(spark, sf).collect().head
+    assert(row.getAs[Long]("k_groups") == k)
+    assert(row.getAs[Long]("n_total") == n)
+    assert(row.getAs[Long]("ssb_milli") == ssb)
+    assert(row.getAs[Long]("ssw_milli") == ssw)
+    assert(row.getAs[Long]("f_micros") == math.floor(ssb.toDouble * (n - k).toDouble
+      / (ssw.toDouble * (k - 1).toDouble) * 1e6).toLong)
+  }
+
+  test("q331 backtest matches a driver-side rolling-origin recomputation") {
+    val daily = dailyCounts.toMap
+    val evalDays = daily.keys.filter(d => daily.contains(d - 1) && daily.contains(d - 7))
+      .toSeq.sorted
+    val saeLast = evalDays.map(d => math.abs(daily(d) - daily(d - 1))).sum
+    val saeSeasonal = evalDays.map(d => math.abs(daily(d) - daily(d - 7))).sum
+    val row = graft.operators.Relational.forecastBacktest(spark, sf).collect().head
+    assert(row.getAs[Long]("n_eval") == evalDays.length.toLong)
+    assert(row.getAs[Long]("sae_last") == saeLast)
+    assert(row.getAs[Long]("sae_seasonal") == saeSeasonal)
+    assert(row.getAs[Long]("mae_last_micro") ==
+      saeLast * 1000000L / evalDays.length)
+    val expectWinner =
+      if (saeSeasonal < saeLast) "seasonal"
+      else if (saeLast < saeSeasonal) "last" else "tie"
+    assert(row.getAs[String]("winner") == expectWinner)
+  }
 }
