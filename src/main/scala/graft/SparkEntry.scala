@@ -345,7 +345,9 @@ object SparkEntry {
     "q328_diff_in_diff"   -> (Relational.diffInDiff _),
     "q329_mde"            -> (Relational.mde _),
     "q330_weekday_anova"  -> (DataQuality.weekdayAnova _),
-    "q331_forecast_backtest" -> (Relational.forecastBacktest _)
+    "q331_forecast_backtest" -> (Relational.forecastBacktest _),
+    "q332_count_min"      -> (TextAnalysis.countMin _),
+    "q333_friedman"       -> (DataQuality.friedman _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -6948,7 +6950,60 @@ object SparkEntry {
         |       CASE WHEN sae_seasonal < sae_last THEN 'seasonal'
         |            WHEN sae_last < sae_seasonal THEN 'last'
         |            ELSE 'tie' END AS winner
-        |FROM fba""".stripMargin
+        |FROM fba""".stripMargin,
+    "q332_count_min" -> {
+      import graft.operators.TextAnalysis.{CmDepth, CmTopK, CmWidth}
+      s"""WITH cmt AS MATERIALIZED (
+        |  SELECT term, count(*)::BIGINT AS mass FROM (
+        |    SELECT unnest([w[i] || '_' || w[i+1] || '_' || w[i+2]
+        |                   FOR i IN range(1, len(w) - 1)]) AS term
+        |    FROM (SELECT regexp_extract_all(text, '[^ \t\n\r]+') AS w
+        |          FROM documents))
+        |  GROUP BY 1),
+        |cmh AS MATERIALIZED (
+        |  SELECT term, mass, i,
+        |         ('0x' || substr(md5('cm' || i || '_' || term), 1, 7))::BIGINT
+        |           % $CmWidth AS c
+        |  FROM cmt, unnest(range(0, $CmDepth)) t(i)),
+        |cmc AS (SELECT i, c, sum(mass)::BIGINT AS cnt FROM cmh GROUP BY 1, 2),
+        |cmq AS (SELECT term, mass FROM cmt
+        |        ORDER BY mass DESC, term ASC LIMIT $CmTopK),
+        |cme AS (
+        |  SELECT q.term, q.mass, min(cc.cnt)::BIGINT AS est
+        |  FROM cmq q JOIN cmh h USING (term)
+        |  JOIN cmc cc ON cc.i = h.i AND cc.c = h.c
+        |  GROUP BY 1, 2)
+        |SELECT term, mass AS true_mass, est AS est_mass,
+        |       est - mass AS overestimate,
+        |       (est - mass) * 1000000 // mass AS err_ppm
+        |FROM cme
+        |ORDER BY true_mass DESC, term ASC""".stripMargin
+    },
+    "q333_friedman" ->
+      """WITH fre AS (SELECT epoch_us(ts) // 86400000000 AS dayabs FROM events),
+        |frd0 AS (SELECT min(dayabs) AS d0 FROM fre),
+        |frb AS MATERIALIZED (
+        |  SELECT d // 7 AS wk, d % 7 AS wd, c FROM (
+        |    SELECT dayabs - d0 AS d, count(*)::BIGINT AS c
+        |    FROM fre, frd0 GROUP BY 1)),
+        |frc AS (SELECT wk FROM frb GROUP BY wk HAVING count(*) = 7),
+        |frk AS MATERIALIZED (SELECT b.wk, b.wd, b.c FROM frb b JOIN frc USING (wk)),
+        |frr AS (
+        |  SELECT x.wk, x.wd,
+        |         (sum(CASE WHEN y.c < x.c THEN 2
+        |                   WHEN y.c = x.c THEN 1 ELSE 0 END) + 1)::BIGINT AS r2
+        |  FROM frk x JOIN frk y USING (wk)
+        |  GROUP BY 1, 2),
+        |frw AS (SELECT wd, sum(r2)::BIGINT AS rj2 FROM frr GROUP BY 1),
+        |frn AS (SELECT count(*)::BIGINT AS n_blocks FROM frc),
+        |fra AS (
+        |  SELECT count(*)::BIGINT AS k, sum(rj2 * rj2)::BIGINT AS s2 FROM frw)
+        |SELECT n_blocks, k, s2,
+        |       floor((3.0 * s2::DOUBLE
+        |              / (n_blocks * k * (k + 1))::DOUBLE
+        |              - 3.0 * (n_blocks * (k + 1))::DOUBLE)
+        |             * 1000000.0)::BIGINT AS f_micros
+        |FROM fra, frn""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

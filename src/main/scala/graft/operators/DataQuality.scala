@@ -1274,6 +1274,51 @@ object DataQuality {
         sum(col("c") * col("c")).as("qi")))
   }
 
+  /** q333_friedman — Friedman's rank test of weekday effect across
+    * complete weeks: blocks = weeks with all 7 days observed,
+    * treatments = weekday slots, within-block average ranks. The
+    * nonparametric companion of q330 (which assumes equal-variance
+    * normal residuals the volume series need not have) — agreement
+    * between the two is the robust no-seasonality verdict.
+    *
+    * Determinism: within-block DOUBLED average ranks come from an
+    * exact block-local comparison fold (r2 = 2·|{y<x}| + |{y=x}| + 1
+    * over the 7-row block — ties exact, no float); ΣR²_j is an exact
+    * BIGINT and the statistic one double (doubled-rank form
+    * F = 3·ΣR2²_j/(n·k·(k+1)) − 3·n·(k+1)).
+    *
+    * Scale shape: one scan collapse to the day histogram, a block-
+    * keyed 7×7 self-join over the ≤31-row domain, one weekday
+    * rollup; 1-row output. */
+  def friedman(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("dayabs"))
+    val d0 = ev.agg(min(col("dayabs")).as("d0"))
+    val blocks = ev.crossJoin(broadcast(d0))
+      .select((col("dayabs") - col("d0")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("c"))
+      .select(expr("d div 7").as("wk"), pmod(col("d"), lit(7L)).as("wd"),
+        col("c"))
+      .localCheckpoint()
+    val complete = blocks.groupBy(col("wk")).agg(count(lit(1)).as("nw"))
+      .filter(col("nw") === 7).select(col("wk"))
+    val kept = blocks.join(broadcast(complete), "wk")
+    val ranks = kept.as("x")
+      .join(kept.select(col("wk"), col("c").as("cy")).as("y"), "wk")
+      .groupBy(col("wk"), col("wd"))
+      .agg((sum(when(col("cy") < col("c"), 2L)
+        .when(col("cy") === col("c"), 1L).otherwise(0L)) + 1L).as("r2"))
+    val byWd = ranks.groupBy(col("wd")).agg(sum(col("r2")).as("rj2"))
+    val nb = complete.agg(count(lit(1)).as("n_blocks"))
+    byWd.agg(count(lit(1)).as("k"), sum(col("rj2") * col("rj2")).as("s2"))
+      .crossJoin(broadcast(nb))
+      .select(col("n_blocks"), col("k"), col("s2"),
+        floor((lit(3.0) * col("s2").cast("double")
+          / (col("n_blocks") * col("k") * (col("k") + 1)).cast("double")
+          - lit(3.0) * (col("n_blocks") * (col("k") + 1)).cast("double"))
+          * lit(1000000.0)).cast("long").as("f_micros"))
+  }
+
   /** q304 candidate (table, lhs → rhs) pairs — a governance config,
     * chosen so the census exercises both outcomes: key-determined
     * columns that HOLD and plausible-looking dependencies that FAIL

@@ -1850,6 +1850,57 @@ object TextAnalysis {
       .orderBy("threshold")
   }
 
+  /** q332 sketch geometry and query depth. */
+  val CmDepth = 4
+  val CmWidth = 256L
+  val CmTopK = 20
+
+  /** q332_count_min — Count-Min sketch audit (Cormode & Muthukrishnan
+    * 2005): build a [[CmDepth]]×[[CmWidth]] counter grid over the
+    * word-TRIGRAM stream (the unigram vocab is 31 types — nothing
+    * would ever collide; the ~10⁴-type trigram stream exercises the
+    * sketch), then point-query the [[CmTopK]] true heaviest
+    * types and report each estimate against its exact count. CM's
+    * one-sided guarantee (est ≥ true, excess ≤ εN w.h.p.) is what
+    * makes it THE streaming frequency sketch; the audit measures the
+    * actual overestimate this corpus induces at this geometry — the
+    * number that picks the width before a deployment trusts sketch
+    * counts (q116's heavy hitters keep exact counts; the sketch is
+    * the O(d·w)-memory path).
+    *
+    * Determinism: rows are md5-hashed (the engine's cross-engine
+    * convention); counters, estimates (min over rows), and errors
+    * are exact integers.
+    *
+    * Scale shape: one (term) count riding the token scan
+    * (checkpointed — grid build and query set read it); the grid is
+    * a ≤d·w-row aggregate that BROADCASTS to the query join; the
+    * query set is a TakeOrdered head; [[CmTopK]] output rows. */
+  def countMin(spark: SparkSession, sfDir: String): DataFrame = {
+    def hashes(term: Column): Column = array((0 until CmDepth).map(i =>
+      struct(lit(i).as("i"),
+        pmod(H.md5Int28(concat(lit(s"cm${i}_"), term)), lit(CmWidth)).as("c"))): _*)
+    val tc = Tables.documents(spark, sfDir)
+      .select(explode_outer(T.shingles(T.wsTokens(col("text")), 3)).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("term")).agg(count(lit(1)).as("mass"))
+      .localCheckpoint()
+    val counters = tc
+      .select(explode(hashes(col("term"))).as("h"), col("mass"))
+      .groupBy(col("h.i").as("i"), col("h.c").as("c"))
+      .agg(sum(col("mass")).as("cnt"))
+    tc.orderBy(col("mass").desc, col("term").asc).limit(CmTopK)
+      .select(col("term"), col("mass"), explode(hashes(col("term"))).as("h"))
+      .select(col("term"), col("mass"), col("h.i").as("i"), col("h.c").as("c"))
+      .join(broadcast(counters), Seq("i", "c"))
+      .groupBy(col("term"), col("mass"))
+      .agg(min(col("cnt")).as("est"))
+      .select(col("term"), col("mass").as("true_mass"), col("est").as("est_mass"),
+        (col("est") - col("mass")).as("overestimate"),
+        expr("(est - mass) * 1000000 div mass").as("err_ppm"))
+      .orderBy(col("true_mass").desc, col("term").asc)
+  }
+
   /** q303_cond_entropy — corpus entropy rate: the conditional entropy
     * H(w₂|w₁) = H(w₁,w₂) − H(w₁) of the next token given the current
     * one, plus the implied bigram-LM perplexity. This is the

@@ -1140,4 +1140,60 @@ class Round15OpsSpec extends SparkSuite {
       else if (saeLast < saeSeasonal) "last" else "tie"
     assert(row.getAs[String]("winner") == expectWinner)
   }
+
+  test("q332 CM estimates match a driver-side sketch and never undercount") {
+    import graft.operators.TextAnalysis.{CmDepth, CmTopK, CmWidth}
+    val tris = allTokenLists.flatMap(w =>
+      if (w.length < 3) Nil
+      else (0 to w.length - 3).map(i => s"${w(i)}_${w(i + 1)}_${w(i + 2)}"))
+    val counts = tris.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    def md5i28(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString.take(7), 16)
+    }
+    val grid = Array.fill(CmDepth, CmWidth.toInt)(0L)
+    counts.foreach { case (t, m) =>
+      (0 until CmDepth).foreach(i =>
+        grid(i)((md5i28(s"cm${i}_" + t) % CmWidth).toInt) += m)
+    }
+    val expect = counts.toSeq.sortBy { case (t, m) => (-m, t) }.take(CmTopK)
+      .map { case (t, m) =>
+        val est = (0 until CmDepth)
+          .map(i => grid(i)((md5i28(s"cm${i}_" + t) % CmWidth).toInt)).min
+        (t, m, est, est - m, (est - m) * 1000000L / m)
+      }
+    val rows = graft.operators.TextAnalysis.countMin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("true_mass"),
+        r.getAs[Long]("est_mass"), r.getAs[Long]("overestimate"),
+        r.getAs[Long]("err_ppm"))).toSeq
+    assert(rows == expect, s"spark=${rows.take(2)} driver=${expect.take(2)}")
+    // CM's one-sided guarantee
+    rows.foreach(r => assert(r._4 >= 0L))
+  }
+
+  test("q333 Friedman matches a driver-side within-block rank recomputation") {
+    val daily = dailyCounts
+    val blocks = daily.map { case (d, c) => (d / 7, d % 7, c) }
+      .groupBy(_._1).filter(_._2.length == 7)
+    val ranks = blocks.values.flatMap { g =>
+      g.map { case (_, wd, c) =>
+        val r2 = g.map(y =>
+          if (y._3 < c) 2L else if (y._3 == c) 1L else 0L).sum + 1L
+        (wd, r2)
+      }
+    }
+    val rj2 = ranks.groupBy(_._1).map { case (_, g) => g.map(_._2).sum }
+    val n = blocks.size.toLong; val k = 7L
+    val s2 = rj2.map(r => r * r).sum
+    val f = 3.0 * s2.toDouble / (n * k * (k + 1)).toDouble -
+      3.0 * (n * (k + 1)).toDouble
+    val row = graft.operators.DataQuality.friedman(spark, sf).collect().head
+    assert(row.getAs[Long]("n_blocks") == n)
+    assert(row.getAs[Long]("k") == k)
+    assert(row.getAs[Long]("s2") == s2)
+    assert(row.getAs[Long]("f_micros") == math.floor(f * 1e6).toLong)
+    // rank-sum conservation: ΣR2_j = n·k·(k+1) (doubled ranks)
+    assert(ranks.map(_._2).sum == n * k * (k + 1))
+  }
 }
