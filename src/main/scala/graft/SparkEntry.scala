@@ -347,7 +347,9 @@ object SparkEntry {
     "q330_weekday_anova"  -> (DataQuality.weekdayAnova _),
     "q331_forecast_backtest" -> (Relational.forecastBacktest _),
     "q332_count_min"      -> (TextAnalysis.countMin _),
-    "q333_friedman"       -> (DataQuality.friedman _)
+    "q333_friedman"       -> (DataQuality.friedman _),
+    "q334_session_gap_curve" -> (Relational.sessionGapCurve _),
+    "q335_snm_blocking"   -> (Dedup.snmBlocking _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7003,7 +7005,69 @@ object SparkEntry {
         |              / (n_blocks * k * (k + 1))::DOUBLE
         |              - 3.0 * (n_blocks * (k + 1))::DOUBLE)
         |             * 1000000.0)::BIGINT AS f_micros
-        |FROM fra, frn""".stripMargin
+        |FROM fra, frn""".stripMargin,
+    "q334_session_gap_curve" -> {
+      import graft.operators.Relational.SessionGapsMin
+      val brkCols = SessionGapsMin.zipWithIndex.map { case (g, i) =>
+        s"sum(CASE WHEN delta > ${g * 60000000L} THEN 1 ELSE 0 END)::BIGINT AS brk$i"
+      }.mkString(",\n        |         ")
+      val points = SessionGapsMin.zipWithIndex.map { case (g, i) =>
+        s"""SELECT $g AS gap_minutes,
+           |       (n_users + brk$i)::BIGINT AS n_sessions,
+           |       n_events * 1000000 // (n_users + brk$i)
+           |         AS events_per_session_ppm,
+           |       brk$i * 1000000 // (n_events - n_users) AS break_share_ppm
+           |FROM sga""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sgd AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         us - lag(us, 1) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS delta
+        |  FROM events),
+        |sga AS MATERIALIZED (
+        |  SELECT count(*)::BIGINT AS n_events,
+        |         sum(CASE WHEN delta IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_users,
+        |         $brkCols
+        |  FROM sgd)
+        |$points
+        |ORDER BY gap_minutes""".stripMargin
+    },
+    "q335_snm_blocking" -> {
+      import graft.operators.Dedup.{FuzzyMaxDistance, SnmWindow}
+      s"""WITH snn AS (
+        |  SELECT p_name, count(*)::BIGINT AS n_parts FROM part GROUP BY 1),
+        |snr AS MATERIALIZED (
+        |  SELECT p_name, row_number() OVER (ORDER BY p_name) AS rk1,
+        |         row_number() OVER (ORDER BY reverse(p_name)) AS rk2
+        |  FROM snn),
+        |snc AS MATERIALIZED (
+        |  SELECT least(a.p_name, b.p_name) AS name_a,
+        |         greatest(a.p_name, b.p_name) AS name_b
+        |  FROM snr a JOIN snr b
+        |    ON b.rk1 > a.rk1 AND b.rk1 <= a.rk1 + $SnmWindow
+        |  UNION
+        |  SELECT least(a.p_name, b.p_name), greatest(a.p_name, b.p_name)
+        |  FROM snr a JOIN snr b
+        |    ON b.rk2 > a.rk2 AND b.rk2 <= a.rk2 + $SnmWindow),
+        |snm AS (
+        |  SELECT name_a, name_b FROM snc
+        |  WHERE levenshtein(name_a, name_b) <= $FuzzyMaxDistance),
+        |snt AS (
+        |  SELECT a.p_name AS name_a, b.p_name AS name_b
+        |  FROM snn a JOIN snn b ON a.p_name < b.p_name
+        |  WHERE abs(length(a.p_name) - length(b.p_name)) <= $FuzzyMaxDistance
+        |    AND levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDistance),
+        |sns AS (SELECT count(*)::BIGINT AS n_names FROM snn)
+        |SELECT n_names, $SnmWindow AS window,
+        |       (SELECT count(*) FROM snc)::BIGINT AS n_candidates,
+        |       (SELECT count(*) FROM snm)::BIGINT AS n_matches,
+        |       (SELECT count(*) FROM snt)::BIGINT AS n_truth_matches,
+        |       (SELECT count(*) FROM snm) * 1000000
+        |         // (SELECT count(*) FROM snt) AS recall_ppm,
+        |       1000000 - (SELECT count(*) FROM snc) * 1000000
+        |         // (n_names * (n_names - 1) // 2) AS candidate_savings_ppm
+        |FROM sns""".stripMargin
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

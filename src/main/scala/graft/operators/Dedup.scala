@@ -794,6 +794,65 @@ object Dedup {
       .orderBy("name_a", "name_b")
   }
 
+  /** q335 neighborhood width (ranks compared past each name). */
+  val SnmWindow = 3
+
+  /** q335_snm_blocking — sorted-neighborhood entity-resolution
+    * blocking (Hernández & Stolfo 1995) evaluated against q135's
+    * exhaustive truth: sort the name vocabulary, compare each name
+    * only to its next [[SnmWindow]] neighbors, verify with the same
+    * levenshtein threshold, and report what fraction of the true
+    * fuzzy matches the cheap blocker recovers vs how many candidate
+    * comparisons it saved. The third blocking family in the engine
+    * (hash/length blocks in q135, LSH in q12) — and the measurement
+    * that decides between them (SNM wins when typos preserve
+    * prefixes; the recall number says whether they do here).
+    *
+    * Determinism: ranks are lexicographic; candidate generation is
+    * rank arithmetic; counts exact.
+    *
+    * Scale shape: one vocabulary aggregate, one rank window over the
+    * name-vocabulary domain (q176's whitelisted class), candidate
+    * pairs via [[SnmWindow]] exploded-offset EQUI-joins on rank (no
+    * range join); the truth side is q135's length-blocked vocabulary
+    * pair set; 1-row output. */
+  def snmBlocking(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // multi-pass SNM: one pass sorted by the name, one by its REVERSAL
+    // (suffix sort) — single-key SNM misses variants that differ in
+    // their first token (measured recall 0 here: these names vary the
+    // FIRST word), which is exactly why Hernández-Stolfo prescribe
+    // multiple passes with independent sort keys
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("rk1",
+        row_number().over(Window.orderBy(col("p_name"))).cast("long"))
+      .withColumn("rk2",
+        row_number().over(Window.orderBy(reverse(col("p_name")))).cast("long"))
+      .localCheckpoint()
+    def passCand(rk: String): DataFrame =
+      names.select(col("p_name").as("na"), col(rk).as("ra"))
+        .withColumn("i", explode(array((1 to SnmWindow).map(lit(_)): _*)))
+        .join(names.select(col("p_name").as("nb"), col(rk).as("rb")),
+          col("rb") === col("ra") + col("i"))
+        .select(least(col("na"), col("nb")).as("name_a"),
+          greatest(col("na"), col("nb")).as("name_b"))
+    val cand = passCand("rk1").unionAll(passCand("rk2")).distinct()
+      .localCheckpoint()
+    val matches = cand
+      .filter(levenshtein(col("name_a"), col("name_b")) <= FuzzyMaxDistance)
+    val truth = fuzzyNames(spark, sfDir).select(col("name_a"), col("name_b"))
+    val nn = names.agg(count(lit(1)).as("n_names"))
+    nn.crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(matches.agg(count(lit(1)).as("n_matches"))))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth_matches"))))
+      .select(col("n_names"), lit(SnmWindow.toLong).as("window"),
+        col("n_candidates"), col("n_matches"), col("n_truth_matches"),
+        expr("n_matches * 1000000 div n_truth_matches").as("recall_ppm"),
+        expr("1000000 - n_candidates * 1000000 div (n_names * (n_names - 1) div 2)")
+          .as("candidate_savings_ppm"))
+  }
+
   /** q176_golden_record — entity-resolution COMPLETION over the q135
     * linkage pairs: connected components over the fuzzy-match graph
     * (levenshtein ≤ [[FuzzyMaxDistance]] on the name vocabulary), then

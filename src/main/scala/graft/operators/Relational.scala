@@ -3480,6 +3480,50 @@ object Relational {
           .otherwise(lit("tie")).as("winner"))
   }
 
+  /** q334 candidate inactivity gaps (minutes). */
+  val SessionGapsMin: Seq[Long] = Seq(15L, 30L, 60L)
+
+  /** q334_session_gap_curve — sessionization TUNING: the session
+    * census at inactivity gaps of 15/30/60 minutes, all from ONE
+    * per-user delta pass (the gap parameter only thresholds the
+    * precomputed inter-event deltas, so the whole curve costs one
+    * window, not one sessionization per config). q25 ships the
+    * 30-minute convention; this measures what that choice does —
+    * where the session count stops moving as the gap grows, the
+    * natural break structure has been found (the q315/q324 tuning-
+    * curve family applied to sessionization).
+    *
+    * Determinism: deltas are exact integer µs; every census field is
+    * integer arithmetic.
+    *
+    * Scale shape: one user-partitioned lag window (shard-local after
+    * one user exchange — never a global order), the ≤|events|-row
+    * delta frame collapses to one 3-conditional aggregate
+    * (checkpointed — every gap reads it); |gaps| output rows. */
+  def sessionGapCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_events"),
+        sum(col("delta").isNull.cast("long")).as("n_users")) ++
+        SessionGapsMin.indices.map(i =>
+          sum((col("delta") > SessionGapsMin(i) * 60000000L).cast("long"))
+            .as(s"brk$i"))
+    val deltas = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("delta", col("us") - lag(col("us"), 1).over(w))
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
+    SessionGapsMin.zipWithIndex.map { case (g, i) =>
+      deltas.select(lit(g).as("gap_minutes"),
+        (col("n_users") + col(s"brk$i")).as("n_sessions"),
+        expr(s"n_events * 1000000 div (n_users + brk$i)")
+          .as("events_per_session_ppm"),
+        expr(s"brk$i * 1000000 div (n_events - n_users)")
+          .as("break_share_ppm"))
+    }.reduce(_.unionAll(_)).orderBy("gap_minutes")
+  }
+
   /** q311 order window + lateness threshold (TPC-H Q4's shape on this
     * schema's columns: no commit/receipt dates, so "late" = shipped
     * more than [[LateShipDays]] days after the order). */

@@ -1196,4 +1196,67 @@ class Round15OpsSpec extends SparkSuite {
     // rank-sum conservation: ΣR2_j = n·k·(k+1) (doubled ranks)
     assert(ranks.map(_._2).sum == n * k * (k + 1))
   }
+
+  test("q334 gap curve matches a driver-side delta recomputation") {
+    import graft.operators.Relational.SessionGapsMin
+    val ev = eventTuples.map(e => (e._1, e._2, e._3)).sortBy(e => (e._1, e._2, e._3))
+    val deltas = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._2, e._3))
+      s.zip(s.drop(1)).map { case (a, b) => b._2 - a._2 }
+    }.toSeq
+    val nEvents = ev.length.toLong
+    val nUsers = ev.map(_._1).distinct.length.toLong
+    val rows = graft.operators.Relational.sessionGapCurve(spark, sf).collect()
+      .sortBy(_.getAs[Long]("gap_minutes"))
+    assert(rows.map(_.getAs[Long]("gap_minutes")).toSeq == SessionGapsMin)
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gap_minutes") * 60000000L
+      val brk = deltas.count(_ > g).toLong
+      assert(r.getAs[Long]("n_sessions") == nUsers + brk)
+      assert(r.getAs[Long]("events_per_session_ppm") ==
+        nEvents * 1000000L / (nUsers + brk))
+      assert(r.getAs[Long]("break_share_ppm") ==
+        brk * 1000000L / (nEvents - nUsers))
+    }
+    // a larger gap can only merge sessions
+    val ns = rows.map(_.getAs[Long]("n_sessions"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q335 SNM candidates are sound and the audit is self-consistent") {
+    import graft.operators.Dedup.{FuzzyMaxDistance, SnmWindow}
+    val row = graft.operators.Dedup.snmBlocking(spark, sf).collect().head
+    val names = graft.sources.Tables.part(spark, sf)
+      .select(col("p_name")).distinct().collect().map(_.getString(0))
+    val n = names.length.toLong
+    assert(row.getAs[Long]("n_names") == n)
+    // driver-side two-pass candidate generation
+    def passPairs(sorted: Seq[String]): Set[(String, String)] =
+      (for {
+        i <- sorted.indices; j <- (i + 1) to math.min(i + SnmWindow, sorted.size - 1)
+      } yield {
+        val (a, b) = (sorted(i), sorted(j))
+        (if (a < b) a else b, if (a < b) b else a)
+      }).toSet
+    val cand = passPairs(names.sorted.toSeq) ++
+      passPairs(names.sortBy(_.reverse).toSeq)
+    assert(row.getAs[Long]("n_candidates") == cand.size.toLong)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val matches = cand.count { case (a, b) => lev(a, b) <= FuzzyMaxDistance }
+    assert(row.getAs[Long]("n_matches") == matches.toLong)
+    // truth from q135's exhaustive pass; SNM matches must be a subset
+    val truth = graft.operators.Dedup.fuzzyNames(spark, sf).count()
+    assert(row.getAs[Long]("n_truth_matches") == truth)
+    assert(row.getAs[Long]("n_matches") <= truth)
+    assert(row.getAs[Long]("recall_ppm") == matches * 1000000L / truth)
+    // the multi-pass blocker must actually find matches here
+    assert(row.getAs[Long]("n_matches") > 0)
+  }
 }
