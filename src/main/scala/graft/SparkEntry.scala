@@ -349,7 +349,9 @@ object SparkEntry {
     "q332_count_min"      -> (TextAnalysis.countMin _),
     "q333_friedman"       -> (DataQuality.friedman _),
     "q334_session_gap_curve" -> (Relational.sessionGapCurve _),
-    "q335_snm_blocking"   -> (Dedup.snmBlocking _)
+    "q335_snm_blocking"   -> (Dedup.snmBlocking _),
+    "q336_source_cosine"  -> (TextAnalysis.sourceCosine _),
+    "q337_hll_sweep"      -> (Sketches.hllSweep _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7067,6 +7069,71 @@ object SparkEntry {
         |       1000000 - (SELECT count(*) FROM snc) * 1000000
         |         // (n_names * (n_names - 1) // 2) AS candidate_savings_ppm
         |FROM sns""".stripMargin
+    },
+    "q336_source_cosine" ->
+      """WITH sct AS MATERIALIZED (
+        |  SELECT source, term, count(*)::BIGINT AS tf FROM (
+        |    SELECT source, unnest([w[i] || '_' || w[i+1] || '_' || w[i+2]
+        |                           FOR i IN range(1, len(w) - 1)]) AS term
+        |    FROM (SELECT source, regexp_extract_all(text, '[^ \t\n\r]+') AS w
+        |          FROM documents))
+        |  GROUP BY 1, 2),
+        |scn AS (SELECT count(DISTINCT source)::BIGINT AS ns FROM sct),
+        |scd AS (SELECT term, count(*)::BIGINT AS df FROM sct GROUP BY 1),
+        |scw AS MATERIALIZED (
+        |  SELECT source, term,
+        |         floor(tf::DOUBLE * ln(ns::DOUBLE / df::DOUBLE)
+        |           * 1000.0)::BIGINT AS w
+        |  FROM sct JOIN scd USING (term), scn
+        |  WHERE floor(tf::DOUBLE * ln(ns::DOUBLE / df::DOUBLE) * 1000.0) > 0),
+        |scm AS (SELECT source, sum(w * w)::BIGINT AS n2 FROM scw GROUP BY 1),
+        |scp AS (
+        |  SELECT a.source AS sa, b.source AS sb, sum(a.w * b.w)::BIGINT AS dot
+        |  FROM scw a JOIN scw b USING (term)
+        |  WHERE a.source < b.source GROUP BY 1, 2),
+        |scs AS (SELECT DISTINCT source FROM sct)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       floor(coalesce(p.dot, 0)::DOUBLE
+        |             / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))
+        |             * 1000000.0)::BIGINT AS cos_ppm
+        |FROM scs a JOIN scs b ON a.source < b.source
+        |LEFT JOIN scp p ON p.sa = a.source AND p.sb = b.source
+        |JOIN scm na ON na.source = a.source
+        |JOIN scm nb ON nb.source = b.source
+        |ORDER BY source_a, source_b""".stripMargin,
+    "q337_hll_sweep" -> {
+      import graft.operators.Sketches.HllSweepP
+      val points = HllSweepP.map { p =>
+        val m = 1 << p
+        s"""SELECT $p AS p, $m AS m,
+           |       (SELECT exact_distinct FROM hsx) AS exact_distinct,
+           |       floor(e * 10000.0 + 0.5) / 10000.0 AS hll_estimate,
+           |       floor((e - (SELECT exact_distinct FROM hsx)::DOUBLE)
+           |             / (SELECT exact_distinct FROM hsx)::DOUBLE
+           |             * 10000.0 + 0.5) / 10000.0 AS rel_error,
+           |       floor(1.04 / sqrt($m.0) * 1000000.0)::BIGINT AS theory_err_ppm
+           |FROM (
+           |  SELECT CASE WHEN e_raw <= ${2.5 * m} AND z > 0
+           |              THEN $m.0 * ln($m.0 / z) ELSE e_raw END AS e
+           |  FROM (
+           |    SELECT (0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0
+           |             / (s + ($m - v)::DOUBLE) AS e_raw,
+           |           ($m - v)::DOUBLE AS z
+           |    FROM (
+           |      SELECT count(*)::BIGINT AS v,
+           |             sum(1.0 / (1::BIGINT << mj)::DOUBLE) AS s
+           |      FROM (
+           |        SELECT h % $m AS reg,
+           |               max(${60 - p + 1} - length(ltrim(bin(h // $m), '0'))) AS mj
+           |        FROM hsh GROUP BY 1))))""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH hsh AS MATERIALIZED (
+        |  SELECT ('0x' || substr(md5('hs_' || user_id), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |hsx AS (SELECT count(DISTINCT user_id)::BIGINT AS exact_distinct
+        |        FROM events)
+        |$points
+        |ORDER BY p""".stripMargin
     }
   )
 

@@ -278,4 +278,59 @@ object Sketches {
         approx_percentile(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
         approx_percentile(col("value"), lit(0.99), lit(1000)).as("approx_p99"))
       .orderBy("event_type")
+
+  /** q337 precision sweep: register-count exponents p (m = 2^p). */
+  val HllSweepP: Seq[Int] = Seq(4, 6, 8)
+
+  /** q337_hll_sweep — HyperLogLog precision tuning: the distinct-user
+    * estimate at m = 16/64/256 registers beside the exact count and
+    * the theoretical 1.04/√m standard error. q115 grades ONE
+    * operating point per language; this is the register-budget curve
+    * an operator reads before sizing sketch state (the q315/q324/
+    * q334 tuning-curve family applied to sketches) — where the
+    * measured error meets the theoretical band, the budget is
+    * justified.
+    *
+    * Determinism: register hashes are md5 (q115's convention); the
+    * harmonic sum adds exact dyadic rationals (each 2^−M_j is
+    * exactly representable and the partial sums stay exact, so the
+    * float fold is order-independent — the q115 trick); estimates
+    * round half-up at 4dp.
+    *
+    * Scale shape: one hashed scan checkpointed (all sweep points
+    * read it); per point one ≤m-row register aggregate and a 1-row
+    * estimate; broadcast exact count; |sweep| output rows. */
+  def hllSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(H.md5Int60(concat(lit("hs_"), col("user_id").cast("string")))
+        .as("h"))
+      .localCheckpoint()
+    val exact = Tables.events(spark, sfDir)
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    HllSweepP.map { p =>
+      val m = 1 << p
+      val regs = ev
+        .groupBy(pmod(col("h"), lit(m.toLong)).as("reg"))
+        .agg(max(lit(60 - p + 1) -
+          length(ltrim(bin(expr(s"h div $m")), "0"))).as("mj"))
+      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+      regs
+        .agg(count(lit(1)).as("v"),
+          sum(lit(1.0) / expr("shiftleft(1L, mj)").cast("double")).as("s"))
+        .select((alpha * lit(m.toDouble) * lit(m.toDouble) /
+            (col("s") + (lit(m) - col("v")).cast("double"))).as("e_raw"),
+          (lit(m) - col("v")).cast("double").as("z"))
+        .select(when(col("e_raw") <= lit(2.5 * m) && col("z") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("z")))
+          .otherwise(col("e_raw")).as("e"))
+        .crossJoin(broadcast(exact))
+        .select(lit(p).as("p"), lit(m.toLong).as("m"), col("exact_distinct"),
+          (floor(col("e") * lit(1e4) + lit(0.5)) / lit(1e4)).as("hll_estimate"),
+          (floor((col("e") - col("exact_distinct").cast("double"))
+            / col("exact_distinct").cast("double") * lit(1e4) + lit(0.5))
+            / lit(1e4)).as("rel_error"),
+          floor(lit(1.04) / sqrt(lit(m.toDouble)) * lit(1000000.0))
+            .cast("long").as("theory_err_ppm"))
+    }.reduce(_.unionAll(_)).orderBy("p")
+  }
 }

@@ -1901,6 +1901,60 @@ object TextAnalysis {
       .orderBy(col("true_mass").desc, col("term").asc)
   }
 
+  /** q336_source_cosine — the source×source tf-idf cosine matrix over
+    * word-TRIGRAM features: each source is one "document", weights
+    * are tf·ln(NS/df) (terms shared by every source weigh exactly 0
+    * and drop), and every unordered pair gets its cosine. The
+    * IR-standard companion of q296's JSD — JSD compares probability
+    * MASS, tf-idf cosine compares DISTINCTIVE content, and sources
+    * that agree on one but not the other differ precisely in their
+    * shared boilerplate.
+    *
+    * Determinism: weights floor-milli-quantize one ln over exact
+    * integers; dot products and norms are integer sums; each cosine
+    * is one floored double over three integers. The pair spine is
+    * densified so no-overlap pairs report 0, not absence.
+    *
+    * Scale shape: one (source, trigram) count riding the token scan
+    * (checkpointed — df rollup and both join sides read it); the
+    * pair frame is a term-keyed equi-join bounded by sources² per
+    * term; norms broadcast; |sources|²/2 output rows. */
+  def sourceCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode_outer(T.shingles(T.wsTokens(col("text")), 3)).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val nsrc = tc.agg(countDistinct(col("source")).as("ns"))
+    val dfr = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wts = tc.join(dfr, "term").crossJoin(broadcast(nsrc))
+      .select(col("source"), col("term"),
+        floor(col("tf").cast("double")
+          * log(col("ns").cast("double") / col("df").cast("double"))
+          * lit(1000.0)).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .localCheckpoint()
+    val norms = wts.groupBy(col("source")).agg(sum(col("w") * col("w")).as("n2"))
+    val dots = wts.select(col("source").as("sa"), col("term"), col("w").as("wa"))
+      .join(wts.select(col("source").as("sb"), col("term"), col("w").as("wb")),
+        "term")
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(sum(col("wa") * col("wb")).as("dot"))
+    val spine = tc.select(col("source")).distinct()
+    spine.select(col("source").as("sa"))
+      .crossJoin(spine.select(col("source").as("sb")))
+      .filter(col("sa") < col("sb"))
+      .join(dots, Seq("sa", "sb"), "left")
+      .join(broadcast(norms.select(col("source").as("sa"), col("n2").as("na"))), "sa")
+      .join(broadcast(norms.select(col("source").as("sb"), col("n2").as("nb"))), "sb")
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        floor(coalesce(col("dot"), lit(0L)).cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+          * lit(1000000.0)).cast("long").as("cos_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q303_cond_entropy — corpus entropy rate: the conditional entropy
     * H(w₂|w₁) = H(w₁,w₂) − H(w₁) of the next token given the current
     * one, plus the implied bigram-LM perplexity. This is the

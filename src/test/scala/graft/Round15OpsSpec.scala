@@ -1259,4 +1259,81 @@ class Round15OpsSpec extends SparkSuite {
     // the multi-pass blocker must actually find matches here
     assert(row.getAs[Long]("n_matches") > 0)
   }
+
+  test("q336 source cosines match a driver-side tf-idf recomputation") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"),
+        graft.functions.TextFunctions.wsTokens(col("text")).as("w"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val tc = docs.flatMap { case (s, w) =>
+      if (w.length < 3) Nil
+      else (0 to w.length - 3).map(i => (s, s"${w(i)}_${w(i + 1)}_${w(i + 2)}"))
+    }.groupBy(identity).map { case ((s, t), g) => (s, t, g.length.toLong) }.toSeq
+    val ns = tc.map(_._1).distinct.length.toLong
+    val dfm = tc.groupBy(_._2).map { case (t, g) => t -> g.length.toLong }
+    val wts = tc.map { case (s, t, tf) =>
+      (s, t, math.floor(tf.toDouble * math.log(ns.toDouble / dfm(t).toDouble)
+        * 1000.0).toLong)
+    }.filter(_._3 > 0)
+    val norms = wts.groupBy(_._1).map { case (s, g) => s -> g.map(x => x._3 * x._3).sum }
+    val byTerm = wts.groupBy(_._2)
+    val sources = tc.map(_._1).distinct.sorted
+    val expect = (for {
+      i <- sources.indices; j <- (i + 1) until sources.size
+    } yield {
+      val (a, b) = (sources(i), sources(j))
+      val dot = byTerm.values.map { g =>
+        val wa = g.find(_._1 == a).map(_._3).getOrElse(0L)
+        val wb = g.find(_._1 == b).map(_._3).getOrElse(0L)
+        wa * wb
+      }.sum
+      (a, b, math.floor(dot.toDouble /
+        (math.sqrt(norms(a).toDouble) * math.sqrt(norms(b).toDouble)) * 1e6).toLong)
+    }).toSeq
+    val rows = graft.operators.TextAnalysis.sourceCosine(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("cos_ppm"))).toSeq
+    assert(rows == expect, s"spark=${rows.take(3)} driver=${expect.take(3)}")
+    rows.foreach(r => assert(r._3 >= 0 && r._3 <= 1000000L))
+  }
+
+  test("q337 HLL sweep matches a driver-side register recomputation") {
+    import graft.operators.Sketches.HllSweepP
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").collect().map(_.getLong(0))
+    val exact = users.distinct.length.toLong
+    def md5i60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val hs = users.map(u => md5i60("hs_" + u))
+    val rows = graft.operators.Sketches.hllSweep(spark, sf).collect()
+      .sortBy(_.getAs[Int]("p"))
+    assert(rows.map(_.getAs[Int]("p")).toSeq == HllSweepP)
+    rows.foreach { r =>
+      val p = r.getAs[Int]("p"); val m = 1 << p
+      val regs = hs.groupBy(h => (h % m).toInt).map { case (_, g) =>
+        g.map { h =>
+          val shifted = h / m
+          val bits = java.lang.Long.toBinaryString(shifted)
+          (60 - p + 1) - (if (shifted == 0) 0 else bits.length)
+        }.max
+      }
+      val v = regs.size
+      val s = regs.map(mj => 1.0 / (1L << mj).toDouble).sum
+      val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+      val eRaw = alpha * m.toDouble * m.toDouble / (s + (m - v).toDouble)
+      val z = (m - v).toDouble
+      val e = if (eRaw <= 2.5 * m && z > 0) m.toDouble * math.log(m.toDouble / z)
+        else eRaw
+      assert(r.getAs[Long]("exact_distinct") == exact)
+      assert(r.getAs[Double]("hll_estimate") ==
+        math.floor(e * 1e4 + 0.5) / 1e4)
+      assert(r.getAs[Long]("theory_err_ppm") ==
+        math.floor(1.04 / math.sqrt(m.toDouble) * 1e6).toLong)
+      // measured error should be within ~4 theoretical sigmas
+      assert(math.abs(r.getAs[Double]("rel_error")) <
+        5.0 * 1.04 / math.sqrt(m.toDouble))
+    }
+  }
 }
