@@ -351,7 +351,9 @@ object SparkEntry {
     "q334_session_gap_curve" -> (Relational.sessionGapCurve _),
     "q335_snm_blocking"   -> (Dedup.snmBlocking _),
     "q336_source_cosine"  -> (TextAnalysis.sourceCosine _),
-    "q337_hll_sweep"      -> (Sketches.hllSweep _)
+    "q337_hll_sweep"      -> (Sketches.hllSweep _),
+    "q338_market_concentration" -> (Relational.marketConcentration _),
+    "q339_interarrival_cv" -> (Relational.interarrivalCv _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7134,7 +7136,42 @@ object SparkEntry {
         |        FROM events)
         |$points
         |ORDER BY p""".stripMargin
-    }
+    },
+    "q338_market_concentration" ->
+      """WITH mcr AS MATERIALIZED (
+        |  SELECT o_custkey, sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
+        |           AS rev
+        |  FROM orders GROUP BY 1),
+        |mct AS (
+        |  SELECT count(*)::BIGINT AS n_customers, sum(rev)::BIGINT AS total,
+        |         sum(rev // 1000)::BIGINT AS totk,
+        |         sum((rev // 1000) * (rev // 1000))::BIGINT AS s2,
+        |         max(rev)::BIGINT AS top1
+        |  FROM mcr),
+        |mc4 AS (
+        |  SELECT sum(rev)::BIGINT AS t4 FROM (
+        |    SELECT rev FROM mcr ORDER BY rev DESC, o_custkey ASC LIMIT 4))
+        |SELECT n_customers, total AS total_cents,
+        |       floor(s2::DOUBLE / (totk::DOUBLE * totk::DOUBLE)
+        |             * 1000000.0)::BIGINT AS hhi_ppm,
+        |       t4 * 1000000 // total AS cr4_ppm,
+        |       top1 * 1000000 // total AS top1_share_ppm
+        |FROM mct, mc4""".stripMargin,
+    "q339_interarrival_cv" ->
+      """WITH iag AS (
+        |  SELECT (us - lag(us, 1) OVER (PARTITION BY user_id
+        |            ORDER BY us, event_id)) // 1000000 AS d
+        |  FROM (SELECT user_id, epoch_us(ts) AS us, event_id FROM events)),
+        |iaa AS (
+        |  SELECT count(*)::BIGINT AS n_gaps, sum(d)::BIGINT AS sd,
+        |         sum(d * d)::BIGINT AS sd2
+        |  FROM iag WHERE d IS NOT NULL)
+        |SELECT n_gaps, sd // n_gaps AS mean_gap_s,
+        |       floor((n_gaps::DOUBLE * sd2::DOUBLE / (sd::DOUBLE * sd::DOUBLE)
+        |              - 1.0) * 1000000.0)::BIGINT AS cv2_micro,
+        |       floor(sqrt(n_gaps::DOUBLE * sd2::DOUBLE / (sd::DOUBLE * sd::DOUBLE)
+        |              - 1.0) * 1000000.0)::BIGINT AS cv_micro
+        |FROM iaa""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -3524,6 +3524,84 @@ object Relational {
     }.reduce(_.unionAll(_)).orderBy("gap_minutes")
   }
 
+  /** q338_market_concentration — revenue-concentration metrics over
+    * the customer base: the Herfindahl-Hirschman index (Σ share²),
+    * the CR4 four-firm ratio, and the top-1 share. The standard
+    * "how dependent is revenue on a few accounts" risk readout —
+    * and, applied to a training corpus's SOURCES, the same math is
+    * the "one crawl dominates the mix" alarm (q218's Gini measures
+    * inequality of the whole curve; HHI weights the HEAD, which is
+    * what concentration risk actually is).
+    *
+    * Determinism: revenue in exact integer cents per order (the
+    * q235 half-up convention) summed per customer; Σrev² is an
+    * exact BIGINT and HHI one floored double over it; CR4/top-1 are
+    * integer ppm off a 4-row TakeOrdered head.
+    *
+    * Scale shape: one customer-keyed sum, one 1-row moment fold +
+    * one bounded top-4 head; 1-row output. */
+  def marketConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("rev"))
+      .localCheckpoint()
+    // the squared-revenue moment runs in THOUSAND-cent units: cents²
+    // overflows BIGINT already at sf0.001 (5e8² × 1.5e3 customers),
+    // while (rev div 1000)² × customers stays ≤ ~1e17 to sf1; shares
+    // use the coarsened total so the ratio is self-consistent
+    val tot = rev
+      .select(col("rev"), expr("rev div 1000").as("revk"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("total"),
+        sum(col("revk")).as("totk"),
+        sum(col("revk") * col("revk")).as("s2"), max(col("rev")).as("top1"))
+    val top4 = rev.orderBy(col("rev").desc, col("o_custkey").asc).limit(4)
+      .agg(sum(col("rev")).as("t4"))
+    tot.crossJoin(broadcast(top4))
+      .select(col("n_customers"), col("total").as("total_cents"),
+        floor(col("s2").cast("double")
+          / (col("totk").cast("double") * col("totk").cast("double"))
+          * lit(1000000.0)).cast("long").as("hhi_ppm"),
+        expr("t4 * 1000000 div total").as("cr4_ppm"),
+        expr("top1 * 1000000 div total").as("top1_share_ppm"))
+  }
+
+  /** q339_interarrival_cv — exponentiality diagnostic of the event
+    * process: pooled within-user inter-arrival gaps (integer
+    * seconds) and their coefficient of variation. A Poisson process
+    * has CV = 1; CV ≫ 1 means bursty sessions (and q25's gap
+    * sessionization is MEANINGFUL), CV ≪ 1 means machine-regular
+    * traffic (and "sessions" are an artifact). The point-process
+    * complement of q141's per-doc burstiness and the modeling
+    * assumption check under q301's exponential-ish thinking.
+    *
+    * Determinism: gaps floor to integer seconds (µs div 10⁶ — both
+    * engines floor positives identically); Σd and Σd² are exact
+    * BIGINTs; CV² = n·Σd²/(Σd)² − 1 and its root are one fixed
+    * double tree.
+    *
+    * Scale shape: one user-partitioned lag window (q334's pass),
+    * one 3-sum fold; 1-row output. */
+  def interarrivalCv(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("dus", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("d", expr("dus div 1000000"))
+      .filter(col("d").isNotNull)
+      .agg(count(lit(1)).as("n_gaps"), sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("sd2"))
+      .select(col("n_gaps"),
+        expr("sd div n_gaps").as("mean_gap_s"),
+        floor((col("n_gaps").cast("double") * col("sd2").cast("double")
+          / (col("sd").cast("double") * col("sd").cast("double"))
+          - lit(1.0)) * lit(1000000.0)).cast("long").as("cv2_micro"),
+        floor(sqrt(col("n_gaps").cast("double") * col("sd2").cast("double")
+          / (col("sd").cast("double") * col("sd").cast("double"))
+          - lit(1.0)) * lit(1000000.0)).cast("long").as("cv_micro"))
+  }
+
   /** q311 order window + lateness threshold (TPC-H Q4's shape on this
     * schema's columns: no commit/receipt dates, so "late" = shipped
     * more than [[LateShipDays]] days after the order). */

@@ -1336,4 +1336,45 @@ class Round15OpsSpec extends SparkSuite {
         5.0 * 1.04 / math.sqrt(m.toDouble))
     }
   }
+
+  test("q338 concentration metrics match a driver-side recomputation") {
+    val rev = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.map { case (k, g) => (k, g.map(_._2).sum) }
+    val total = rev.map(_._2).sum
+    val revk = rev.map(_._2 / 1000)
+    val (totk, s2) = (revk.sum, revk.map(r => r * r).sum)
+    val top4 = rev.sortBy(r => (-r._2, r._1)).take(4).map(_._2).sum
+    val row = graft.operators.Relational.marketConcentration(spark, sf)
+      .collect().head
+    assert(row.getAs[Long]("n_customers") == rev.length.toLong)
+    assert(row.getAs[Long]("total_cents") == total)
+    assert(row.getAs[Long]("hhi_ppm") == math.floor(
+      s2.toDouble / (totk.toDouble * totk.toDouble) * 1e6).toLong)
+    assert(row.getAs[Long]("cr4_ppm") == top4 * 1000000L / total)
+    assert(row.getAs[Long]("top1_share_ppm") ==
+      rev.map(_._2).max * 1000000L / total)
+    // HHI lower bound 1/n (perfect equality), upper bound CR4-consistent
+    assert(row.getAs[Long]("hhi_ppm") >= 1000000L / rev.length - 1)
+  }
+
+  test("q339 interarrival CV matches a driver-side recomputation") {
+    val ev = eventTuples
+    val gaps = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.map(e => (e._2, e._3)).sortBy(identity)
+      s.zip(s.drop(1)).map { case (a, b) => (b._1 - a._1) / 1000000L }
+    }.toSeq
+    val n = gaps.length.toLong
+    val sd = gaps.sum; val sd2 = gaps.map(d => d * d).sum
+    val cv2 = n.toDouble * sd2.toDouble / (sd.toDouble * sd.toDouble) - 1.0
+    val row = graft.operators.Relational.interarrivalCv(spark, sf).collect().head
+    assert(row.getAs[Long]("n_gaps") == n)
+    assert(row.getAs[Long]("mean_gap_s") == sd / n)
+    assert(row.getAs[Long]("cv2_micro") == math.floor(cv2 * 1e6).toLong)
+    assert(row.getAs[Long]("cv_micro") == math.floor(math.sqrt(cv2) * 1e6).toLong)
+    // dispersion must be nonnegative (Cauchy-Schwarz)
+    assert(row.getAs[Long]("cv2_micro") >= -1L)
+  }
 }
