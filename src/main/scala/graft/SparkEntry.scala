@@ -353,7 +353,9 @@ object SparkEntry {
     "q336_source_cosine"  -> (TextAnalysis.sourceCosine _),
     "q337_hll_sweep"      -> (Sketches.hllSweep _),
     "q338_market_concentration" -> (Relational.marketConcentration _),
-    "q339_interarrival_cv" -> (Relational.interarrivalCv _)
+    "q339_interarrival_cv" -> (Relational.interarrivalCv _),
+    "q340_neg_binomial"   -> (DataQuality.negBinomial _),
+    "q341_chao1"          -> (DataQuality.chao1 _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7171,7 +7173,44 @@ object SparkEntry {
         |              - 1.0) * 1000000.0)::BIGINT AS cv2_micro,
         |       floor(sqrt(n_gaps::DOUBLE * sd2::DOUBLE / (sd::DOUBLE * sd::DOUBLE)
         |              - 1.0) * 1000000.0)::BIGINT AS cv_micro
-        |FROM iaa""".stripMargin
+        |FROM iaa""".stripMargin,
+    "q340_neg_binomial" ->
+      """WITH nbu AS (
+        |  SELECT user_id, count(*)::BIGINT AS x FROM events GROUP BY 1),
+        |nbs AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s1,
+        |         sum(x * x)::BIGINT AS s2
+        |  FROM nbu),
+        |nbm AS (
+        |  SELECT n, s1::DOUBLE / n::DOUBLE AS mu,
+        |         s2::DOUBLE / n::DOUBLE
+        |           - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE) AS v
+        |  FROM nbs)
+        |SELECT n AS n_users,
+        |       floor(mu * 1000000.0)::BIGINT AS mean_micro,
+        |       floor(v * 1000000.0)::BIGINT AS var_micro,
+        |       floor(v / mu * 1000000.0)::BIGINT AS dispersion_micro,
+        |       floor(mu * mu / (v - mu) * 1000000.0)::BIGINT AS r_micro,
+        |       floor(mu / v * 1000000.0)::BIGINT AS p_micro
+        |FROM nbm""".stripMargin,
+    "q341_chao1" ->
+      """WITH chc AS (
+        |  SELECT term, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest([w[i] || '_' || w[i+1] || '_' || w[i+2]
+        |                   FOR i IN range(1, len(w) - 1)]) AS term
+        |    FROM (SELECT regexp_extract_all(text, '[^ \t\n\r]+') AS w
+        |          FROM documents))
+        |  GROUP BY 1),
+        |cha AS (
+        |  SELECT count(*)::BIGINT AS v_obs, sum(c)::BIGINT AS n_tokens,
+        |         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+        |  FROM chc)
+        |SELECT v_obs, n_tokens, n1, n2,
+        |       v_obs + floor(n1::DOUBLE * n1::DOUBLE
+        |                     / (2.0 * n2::DOUBLE))::BIGINT AS chao1_est,
+        |       1000000 - n1 * 1000000 // n_tokens AS coverage_ppm
+        |FROM cha""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

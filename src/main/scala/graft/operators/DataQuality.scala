@@ -1319,6 +1319,67 @@ object DataQuality {
           * lit(1000000.0)).cast("long").as("f_micros"))
   }
 
+  /** q340_neg_binomial — method-of-moments negative-binomial fit of
+    * the per-user event-count distribution: r = μ²/(σ²−μ),
+    * p = μ/σ², and the dispersion ratio σ²/μ that justifies the
+    * model (Poisson has σ²/μ = 1; user activity is almost always
+    * overdispersed). This is the MODEL q299 shows the counts need
+    * (JB rejects normal) and q339 localizes (gaps are exponential
+    * but RATES vary per user — exactly the Gamma-Poisson mixture NB
+    * is) — the parametric hand-off from the diagnostic tier.
+    *
+    * Determinism: n, Σx, Σx² are exact BIGINTs; μ, σ² (computed as
+    * the n-divisor moment), r, p, and the ratio are one fixed
+    * double tree, floor-quantized.
+    *
+    * Scale shape: one user-keyed count collapse, one 3-sum fold;
+    * 1-row output. */
+  def negBinomial(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .select(col("n"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+        (col("s2").cast("double") / col("n").cast("double")
+          - (col("s1").cast("double") / col("n").cast("double"))
+          * (col("s1").cast("double") / col("n").cast("double"))).as("v"))
+      .select(col("n").as("n_users"),
+        floor(col("mu") * lit(1000000.0)).cast("long").as("mean_micro"),
+        floor(col("v") * lit(1000000.0)).cast("long").as("var_micro"),
+        floor(col("v") / col("mu") * lit(1000000.0)).cast("long")
+          .as("dispersion_micro"),
+        floor(col("mu") * col("mu") / (col("v") - col("mu"))
+          * lit(1000000.0)).cast("long").as("r_micro"),
+        floor(col("mu") / col("v") * lit(1000000.0)).cast("long").as("p_micro"))
+
+  /** q341_chao1 — Chao1 nonparametric richness estimation over word-
+    * trigram types: V̂ = V_obs + N₁²/(2N₂), with the Good-Turing
+    * sample coverage ĉ = 1 − N₁/N. The "how many types exist in the
+    * crawl we HAVEN'T fetched yet" estimate that q320's spectrum
+    * feeds — the number a corpus-expansion decision actually needs
+    * (if coverage ≈ 1, more crawling buys no new vocabulary).
+    *
+    * Determinism: V, N₁, N₂, N are exact BIGINTs off one histogram;
+    * the estimator and coverage are single floored doubles.
+    *
+    * Scale shape: one (trigram) count riding the token scan, one
+    * spectrum fold; 1-row output. */
+  def chao1(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    Tables.documents(spark, sfDir)
+      .select(explode_outer(T.shingles(T.wsTokens(col("text")), 3)).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("v_obs"), sum(col("c")).as("n_tokens"),
+        sum((col("c") === 1).cast("long")).as("n1"),
+        sum((col("c") === 2).cast("long")).as("n2"))
+      .select(col("v_obs"), col("n_tokens"), col("n1"), col("n2"),
+        (col("v_obs") + floor(col("n1").cast("double") * col("n1").cast("double")
+          / (lit(2.0) * col("n2").cast("double"))).cast("long")).as("chao1_est"),
+        expr("1000000 - n1 * 1000000 div n_tokens").as("coverage_ppm"))
+  }
+
   /** q304 candidate (table, lhs → rhs) pairs — a governance config,
     * chosen so the census exercises both outcomes: key-determined
     * columns that HOLD and plausible-looking dependencies that FAIL

@@ -1377,4 +1377,38 @@ class Round15OpsSpec extends SparkSuite {
     // dispersion must be nonnegative (Cauchy-Schwarz)
     assert(row.getAs[Long]("cv2_micro") >= -1L)
   }
+
+  test("q340 NB moment fit matches a driver-side recomputation") {
+    val counts = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id")).count().collect().map(_.getAs[Long]("count"))
+    val n = counts.length.toLong
+    val mu = counts.sum.toDouble / n.toDouble
+    val v = counts.map(x => x * x).sum.toDouble / n.toDouble - mu * mu
+    val row = graft.operators.DataQuality.negBinomial(spark, sf).collect().head
+    assert(row.getAs[Long]("n_users") == n)
+    assert(row.getAs[Long]("mean_micro") == math.floor(mu * 1e6).toLong)
+    assert(row.getAs[Long]("var_micro") == math.floor(v * 1e6).toLong)
+    assert(row.getAs[Long]("dispersion_micro") == math.floor(v / mu * 1e6).toLong)
+    assert(row.getAs[Long]("r_micro") == math.floor(mu * mu / (v - mu) * 1e6).toLong)
+    assert(row.getAs[Long]("p_micro") == math.floor(mu / v * 1e6).toLong)
+  }
+
+  test("q341 Chao1 matches a driver-side spectrum recomputation") {
+    val tris = allTokenLists.flatMap(w =>
+      if (w.length < 3) Nil
+      else (0 to w.length - 3).map(i => s"${w(i)}_${w(i + 1)}_${w(i + 2)}"))
+    val counts = tris.groupBy(identity).map { case (_, g) => g.length.toLong }
+    val v = counts.size.toLong; val nTok = tris.length.toLong
+    val n1 = counts.count(_ == 1L).toLong; val n2 = counts.count(_ == 2L).toLong
+    val row = graft.operators.DataQuality.chao1(spark, sf).collect().head
+    assert(row.getAs[Long]("v_obs") == v)
+    assert(row.getAs[Long]("n_tokens") == nTok)
+    assert(row.getAs[Long]("n1") == n1)
+    assert(row.getAs[Long]("n2") == n2)
+    assert(row.getAs[Long]("chao1_est") ==
+      v + math.floor(n1.toDouble * n1.toDouble / (2.0 * n2.toDouble)).toLong)
+    assert(row.getAs[Long]("coverage_ppm") == 1000000L - n1 * 1000000L / nTok)
+    // the estimator can only add unseen types
+    assert(row.getAs[Long]("chao1_est") >= v)
+  }
 }
