@@ -355,7 +355,9 @@ object SparkEntry {
     "q338_market_concentration" -> (Relational.marketConcentration _),
     "q339_interarrival_cv" -> (Relational.interarrivalCv _),
     "q340_neg_binomial"   -> (DataQuality.negBinomial _),
-    "q341_chao1"          -> (DataQuality.chao1 _)
+    "q341_chao1"          -> (DataQuality.chao1 _),
+    "q342_partial_corr"   -> (Relational.partialCorr _),
+    "q343_runs_test"      -> (Relational.runsTest _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7210,7 +7212,79 @@ object SparkEntry {
         |       v_obs + floor(n1::DOUBLE * n1::DOUBLE
         |                     / (2.0 * n2::DOUBLE))::BIGINT AS chao1_est,
         |       1000000 - n1 * 1000000 // n_tokens AS coverage_ppm
-        |FROM cha""".stripMargin
+        |FROM cha""".stripMargin,
+    "q342_partial_corr" ->
+      """WITH pce AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS dayabs,
+        |         CASE WHEN event_type = 'purchase'
+        |              THEN floor(value * 100 + 0.5)::BIGINT ELSE 0 END AS cents
+        |  FROM events),
+        |pcd0 AS (SELECT min(dayabs) AS d0 FROM pce),
+        |pcd AS (
+        |  SELECT dayabs - d0 AS t, count(*)::BIGINT AS x,
+        |         sum(cents)::BIGINT AS y
+        |  FROM pce, pcd0 GROUP BY 1),
+        |pcm AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |         sum(y)::BIGINT AS sy, sum(t)::BIGINT AS st,
+        |         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+        |         sum(t * t)::BIGINT AS stt, sum(x * y)::BIGINT AS sxy,
+        |         sum(x * t)::BIGINT AS sxt, sum(y * t)::BIGINT AS syt
+        |  FROM pcd),
+        |pcr AS (
+        |  SELECT n,
+        |         (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |           / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |                  * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+        |           AS rxy,
+        |         (n::DOUBLE * sxt::DOUBLE - sx::DOUBLE * st::DOUBLE)
+        |           / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |                  * (n::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE))
+        |           AS rxt,
+        |         (n::DOUBLE * syt::DOUBLE - sy::DOUBLE * st::DOUBLE)
+        |           / sqrt((n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+        |                  * (n::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE))
+        |           AS ryt
+        |  FROM pcm)
+        |SELECT n AS n_days,
+        |       floor(rxy * 1000000.0)::BIGINT AS r_raw_micro,
+        |       floor(rxt * 1000000.0)::BIGINT AS r_xt_micro,
+        |       floor(ryt * 1000000.0)::BIGINT AS r_yt_micro,
+        |       floor((rxy - rxt * ryt)
+        |             / sqrt((1.0 - rxt * rxt) * (1.0 - ryt * ryt))
+        |             * 1000000.0)::BIGINT AS r_partial_micro
+        |FROM pcr""".stripMargin,
+    "q343_runs_test" ->
+      """WITH rue AS (SELECT epoch_us(ts) // 86400000000 AS dayabs FROM events),
+        |rud0 AS (SELECT min(dayabs) AS d0 FROM rue),
+        |rudy AS MATERIALIZED (
+        |  SELECT dayabs - d0 AS d, count(*)::BIGINT AS c
+        |  FROM rue, rud0 GROUP BY 1),
+        |rum AS (
+        |  SELECT sum(c * (CASE WHEN rn = (nd + 1) // 2 THEN 1 ELSE 0 END
+        |                + CASE WHEN rn = (nd + 2) // 2 THEN 1 ELSE 0 END))::BIGINT
+        |           AS med2
+        |  FROM (SELECT c, row_number() OVER (ORDER BY c, d) AS rn,
+        |               count(*) OVER () AS nd
+        |        FROM rudy)),
+        |rus AS (SELECT d, (c * 2 > med2)::BIGINT AS s FROM rudy, rum),
+        |rur AS (
+        |  SELECT count(*)::BIGINT AS n, sum(s)::BIGINT AS n_above,
+        |         sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END)::BIGINT
+        |           AS n_runs
+        |  FROM (SELECT s, lag(s, 1) OVER (ORDER BY d) AS prev FROM rus))
+        |SELECT n AS n_days, n_above, n - n_above AS n_below, n_runs,
+        |       floor((2.0 * n_above::DOUBLE * (n - n_above)::DOUBLE / n::DOUBLE
+        |              + 1.0) * 1000000.0)::BIGINT AS expected_runs_micro,
+        |       round((n_runs::DOUBLE
+        |              - (2.0 * n_above::DOUBLE * (n - n_above)::DOUBLE / n::DOUBLE
+        |                 + 1.0))
+        |             / sqrt(2.0 * n_above::DOUBLE * (n - n_above)::DOUBLE
+        |                    * (2.0 * n_above::DOUBLE * (n - n_above)::DOUBLE
+        |                       - n::DOUBLE)
+        |                    / (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0))), 6)
+        |         AS z
+        |FROM rur""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

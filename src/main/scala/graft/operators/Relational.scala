@@ -3602,6 +3602,115 @@ object Relational {
           - lit(1.0)) * lit(1000000.0)).cast("long").as("cv_micro"))
   }
 
+  /** q342_partial_corr — partial correlation of daily event volume
+    * and daily revenue CONTROLLING for the time trend: both series
+    * drift over the month, so their raw correlation (q242's grain)
+    * conflates co-movement with shared trend; r_xy·t removes the
+    * linear time component from both sides via the closed form
+    * (r_xy − r_xt·r_yt)/√((1−r_xt²)(1−r_yt²)). The difference
+    * between raw and partial IS the trend confound, quantified.
+    *
+    * Determinism: volume is an integer count and revenue exact
+    * integer cents per day; all five co-moment sums over the ≤31-row
+    * day domain are exact BIGINTs; the three Pearson r's and the
+    * partial are one fixed double tree, floor-quantized.
+    *
+    * Scale shape: one scan collapse to the day histogram (volume +
+    * revenue in one aggregate), one 9-sum fold; 1-row output. */
+  def partialCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("dayabs"),
+        when(col("event_type") === "purchase",
+          floor(col("value") * 100 + lit(0.5)).cast("long")).otherwise(0L)
+          .as("cents"))
+    val d0 = ev.agg(min(col("dayabs")).as("d0"))
+    val daily = ev.crossJoin(broadcast(d0))
+      .groupBy((col("dayabs") - col("d0")).as("t"))
+      .agg(count(lit(1)).as("x"), sum(col("cents")).as("y"))
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("t")).as("st"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("t") * col("t")).as("stt"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("t")).as("sxt"), sum(col("y") * col("t")).as("syt"))
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String): Column =
+      (col("n").cast("double") * col(sab).cast("double")
+        - col(sa).cast("double") * col(sb).cast("double")) /
+        sqrt((col("n").cast("double") * col(saa).cast("double")
+          - col(sa).cast("double") * col(sa).cast("double"))
+          * (col("n").cast("double") * col(sbb).cast("double")
+            - col(sb).cast("double") * col(sb).cast("double")))
+    m.select(col("n").as("n_days"),
+        r("sxy", "sx", "sy", "sxx", "syy").as("rxy"),
+        r("sxt", "sx", "st", "sxx", "stt").as("rxt"),
+        r("syt", "sy", "st", "syy", "stt").as("ryt"))
+      .select(col("n_days"),
+        floor(col("rxy") * lit(1000000.0)).cast("long").as("r_raw_micro"),
+        floor(col("rxt") * lit(1000000.0)).cast("long").as("r_xt_micro"),
+        floor(col("ryt") * lit(1000000.0)).cast("long").as("r_yt_micro"),
+        floor((col("rxy") - col("rxt") * col("ryt"))
+          / sqrt((lit(1.0) - col("rxt") * col("rxt"))
+            * (lit(1.0) - col("ryt") * col("ryt")))
+          * lit(1000000.0)).cast("long").as("r_partial_micro"))
+  }
+
+  /** q343_runs_test — Wald-Wolfowitz runs test of the daily-volume
+    * series against its median: too FEW runs of above/below-median
+    * days means positive persistence (trends), too many means
+    * oscillation — the randomness check that decides whether q331's
+    * last-value forecaster wins by structure or by luck, with an
+    * exact null (E[R] = 2n₊n₋/n + 1) rather than q284's lag-by-lag
+    * reading.
+    *
+    * Determinism: the doubled median is q174's order-statistic
+    * identity over the day domain; signs are exact comparisons
+    * (median-equal days join the BELOW side — documented
+    * convention); runs come from a lag over the bounded DAY domain;
+    * E[R], Var[R], z are one double tree over exact integers.
+    *
+    * Scale shape: one scan collapse to the ≤31-row day histogram
+    * (checkpointed — median rank window, sign pass, and lag all read
+    * it); everything after is day-domain bounded (whitelisted);
+    * 1-row output. */
+  def runsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("dayabs"))
+    val d0 = ev.agg(min(col("dayabs")).as("d0"))
+    val daily = ev.crossJoin(broadcast(d0))
+      .groupBy((col("dayabs") - col("d0")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val med = daily
+      .select(col("d"), col("c"),
+        row_number().over(Window.orderBy(col("c"), col("d"))).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy(lit(1))).as("nd"))
+      .agg(sum(col("c") *
+        (expr("cast(rn = (nd + 1) div 2 as long)") +
+         expr("cast(rn = (nd + 2) div 2 as long)"))).as("med2"))
+    val signs = daily.crossJoin(broadcast(med))
+      .select(col("d"), (col("c") * 2 > col("med2")).cast("long").as("s"))
+    val runs = signs
+      .withColumn("prev", lag(col("s"), 1).over(Window.orderBy(col("d"))))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("n_above"),
+        (sum((col("prev").isNull || col("prev") =!= col("s")).cast("long")))
+          .as("n_runs"))
+    runs.select(col("n").as("n_days"), col("n_above"),
+        (col("n") - col("n_above")).as("n_below"), col("n_runs"),
+        (lit(2.0) * col("n_above").cast("double")
+          * (col("n") - col("n_above")).cast("double")
+          / col("n").cast("double") + lit(1.0)).as("er"),
+        col("n_runs").cast("double").as("rd"),
+        col("n_above").cast("double").as("ad"),
+        (col("n") - col("n_above")).cast("double").as("bd"),
+        col("n").cast("double").as("nd"))
+      .select(col("n_days"), col("n_above"), col("n_below"), col("n_runs"),
+        floor(col("er") * lit(1000000.0)).cast("long").as("expected_runs_micro"),
+        round((col("rd") - col("er"))
+          / sqrt(lit(2.0) * col("ad") * col("bd")
+            * (lit(2.0) * col("ad") * col("bd") - col("nd"))
+            / (col("nd") * col("nd") * (col("nd") - lit(1.0)))), 6).as("z"))
+  }
+
   /** q311 order window + lateness threshold (TPC-H Q4's shape on this
     * schema's columns: no commit/receipt dates, so "late" = shipped
     * more than [[LateShipDays]] days after the order). */

@@ -1411,4 +1411,58 @@ class Round15OpsSpec extends SparkSuite {
     // the estimator can only add unseen types
     assert(row.getAs[Long]("chao1_est") >= v)
   }
+
+  test("q342 partial correlation matches a driver-side co-moment recomputation") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"), col("event_type"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val d0 = ev.map(_._1).min
+    val daily = ev.groupBy(e => e._1 - d0).toSeq.map { case (t, g) =>
+      (t, g.length.toLong,
+        g.filter(_._2 == "purchase")
+          .map(e => math.floor(e._3 * 100 + 0.5).toLong).sum)
+    }
+    val n = daily.length.toLong
+    def r(xs: Seq[Long], ys: Seq[Long]): Double = {
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(v => v * v).sum; val syy = ys.map(v => v * v).sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        math.sqrt((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    }
+    val (ts, xs, ys) = (daily.map(_._1), daily.map(_._2), daily.map(_._3))
+    val (rxy, rxt, ryt) = (r(xs, ys), r(xs, ts), r(ys, ts))
+    val row = graft.operators.Relational.partialCorr(spark, sf).collect().head
+    assert(row.getAs[Long]("n_days") == n)
+    assert(row.getAs[Long]("r_raw_micro") == math.floor(rxy * 1e6).toLong)
+    assert(row.getAs[Long]("r_xt_micro") == math.floor(rxt * 1e6).toLong)
+    assert(row.getAs[Long]("r_yt_micro") == math.floor(ryt * 1e6).toLong)
+    assert(row.getAs[Long]("r_partial_micro") == math.floor(
+      (rxy - rxt * ryt) /
+        math.sqrt((1.0 - rxt * rxt) * (1.0 - ryt * ryt)) * 1e6).toLong)
+  }
+
+  test("q343 runs test matches a driver-side run-counting recomputation") {
+    val daily = dailyCounts
+    val n = daily.length
+    val sorted = daily.sortBy(x => (x._2, x._1)).map(_._2)
+    val med2 = sorted((n + 1) / 2 - 1) + sorted((n + 2) / 2 - 1)
+    val signs = daily.sortBy(_._1).map(x => if (x._2 * 2 > med2) 1L else 0L)
+    val nAbove = signs.sum
+    val nRuns = 1L + signs.zip(signs.tail).count { case (a, b) => a != b }.toLong
+    val row = graft.operators.Relational.runsTest(spark, sf).collect().head
+    assert(row.getAs[Long]("n_days") == n.toLong)
+    assert(row.getAs[Long]("n_above") == nAbove)
+    assert(row.getAs[Long]("n_below") == n - nAbove)
+    assert(row.getAs[Long]("n_runs") == nRuns)
+    val (ad, bd, nd) = (nAbove.toDouble, (n - nAbove).toDouble, n.toDouble)
+    val er = 2.0 * ad * bd / nd + 1.0
+    assert(row.getAs[Long]("expected_runs_micro") ==
+      math.floor(er * 1e6).toLong)
+    val varR = 2.0 * ad * bd * (2.0 * ad * bd - nd) / (nd * nd * (nd - 1.0))
+    assert(math.abs(row.getAs[Double]("z") -
+      (nRuns.toDouble - er) / math.sqrt(varR)) < 1e-5)
+  }
 }

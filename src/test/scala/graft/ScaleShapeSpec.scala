@@ -70,7 +70,10 @@ class ScaleShapeSpec extends SparkSuite {
       "q323_theil_sen",
       // q325's reverse cumsum runs over the bounded profile-score
       // domain (≤ max hits per doc, a few dozen values)
-      "q325_pr_curve")
+      "q325_pr_curve",
+      // q343's median rank and run-boundary lag windows run over the
+      // ≤31-row DAY domain (q260's class)
+      "q343_runs_test")
       // (q335's vocabulary-domain rank windows execute inside its
       // eager localCheckpoint, so they never appear in the graded
       // plan this sweep inspects)
