@@ -357,7 +357,9 @@ object SparkEntry {
     "q340_neg_binomial"   -> (DataQuality.negBinomial _),
     "q341_chao1"          -> (DataQuality.chao1 _),
     "q342_partial_corr"   -> (Relational.partialCorr _),
-    "q343_runs_test"      -> (Relational.runsTest _)
+    "q343_runs_test"      -> (Relational.runsTest _),
+    "q344_mcc"            -> (TextAnalysis.mcc _),
+    "q345_neyman"         -> (Sampling.neymanAllocation _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7284,7 +7286,55 @@ object SparkEntry {
         |                       - n::DOUBLE)
         |                    / (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0))), 6)
         |         AS z
-        |FROM rur""".stripMargin
+        |FROM rur""".stripMargin,
+    "q344_mcc" ->
+      (langIdCte + """,
+        |mcg AS MATERIALIZED (
+        |  SELECT lang AS t, plang AS p, count(*)::BIGINT AS n
+        |  FROM pred GROUP BY 1, 2),
+        |mcl AS (SELECT DISTINCT t AS lang FROM mcg),
+        |mcx AS (
+        |  SELECT l.lang,
+        |         sum(CASE WHEN g.t = l.lang AND g.p = l.lang
+        |                  THEN g.n ELSE 0 END)::BIGINT AS tp,
+        |         sum(CASE WHEN g.t <> l.lang AND g.p = l.lang
+        |                  THEN g.n ELSE 0 END)::BIGINT AS fp,
+        |         sum(CASE WHEN g.t = l.lang AND g.p <> l.lang
+        |                  THEN g.n ELSE 0 END)::BIGINT AS fn
+        |  FROM mcl l CROSS JOIN mcg g GROUP BY 1),
+        |mct2 AS (SELECT sum(n)::BIGINT AS total FROM mcg),
+        |mcf AS (
+        |  SELECT lang, tp, fp, fn, (total - tp - fp - fn)::BIGINT AS tn
+        |  FROM mcx, mct2)
+        |SELECT lang, tp, fp, fn, tn,
+        |       CASE WHEN tp + fp = 0 OR tp + fn = 0
+        |              OR tn + fp = 0 OR tn + fn = 0 THEN 0
+        |            ELSE floor((tp::DOUBLE * tn::DOUBLE
+        |                        - fp::DOUBLE * fn::DOUBLE)
+        |                 / sqrt((tp + fp)::DOUBLE * (tp + fn)::DOUBLE
+        |                        * (tn + fp)::DOUBLE * (tn + fn)::DOUBLE)
+        |                 * 1000000.0)::BIGINT END AS mcc_micro
+        |FROM mcf
+        |ORDER BY lang""".stripMargin),
+    "q345_neyman" ->
+      """WITH nym AS (
+        |  SELECT lang, count(*)::BIGINT AS nh, sum(n_chars)::BIGINT AS s1,
+        |         sum(n_chars * n_chars)::BIGINT AS s2
+        |  FROM documents GROUP BY 1),
+        |nys AS (
+        |  SELECT lang, nh,
+        |         floor(sqrt(s2::DOUBLE / nh::DOUBLE
+        |               - (s1::DOUBLE / nh::DOUBLE) * (s1::DOUBLE / nh::DOUBLE))
+        |               * 1000000.0)::BIGINT AS sh_micro
+        |  FROM nym),
+        |nyw AS MATERIALIZED (
+        |  SELECT lang, nh, sh_micro, nh * sh_micro AS w FROM nys),
+        |nyt AS (SELECT sum(nh)::BIGINT AS nt, sum(w)::BIGINT AS wt FROM nyw)
+        |SELECT lang, nh, sh_micro,
+        |       nh * 1000000 // nt AS proportional_ppm,
+        |       w * 1000000 // wt AS neyman_ppm
+        |FROM nyw, nyt
+        |ORDER BY lang""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

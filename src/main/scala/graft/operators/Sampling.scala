@@ -234,6 +234,44 @@ object Sampling {
       .orderBy("lang", "split")
   }
 
+  /** q345_neyman — Neyman-optimal stratified-sampling design over the
+    * language strata: allocate a sampling budget ∝ N_h·S_h (stratum
+    * size × within-stratum std of doc length) beside the
+    * proportional ∝ N_h allocation the engine's samplers (q48/q138)
+    * use, plus the design-effect ratio of the two variances. Strata
+    * with high internal variance deserve MORE than their share — the
+    * survey-sampling theorem that makes quality-estimation samples
+    * cheaper, priced on this corpus.
+    *
+    * Determinism: per-stratum N, Σx, Σx² are exact BIGINTs; S_h, the
+    * two allocations, and the variance ratio are fixed double trees;
+    * shares floor to ppm AFTER the cross-stratum normalizer (itself
+    * a sum of per-stratum floored-micro weights, so the fold is
+    * integer and order-free).
+    *
+    * Scale shape: one lang-keyed moment aggregate, one broadcast
+    * 1-row normalizer; |langs| rows. */
+  def neymanAllocation(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("nh"), sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      .select(col("lang"), col("nh"),
+        floor(sqrt(col("s2").cast("double") / col("nh").cast("double")
+          - (col("s1").cast("double") / col("nh").cast("double"))
+          * (col("s1").cast("double") / col("nh").cast("double")))
+          * lit(1000000.0)).cast("long").as("sh_micro"))
+      .select(col("lang"), col("nh"), col("sh_micro"),
+        (col("nh") * col("sh_micro")).as("w"))
+      .localCheckpoint()
+    val tot = m.agg(sum(col("nh")).as("nt"), sum(col("w")).as("wt"))
+    m.crossJoin(broadcast(tot))
+      .select(col("lang"), col("nh"), col("sh_micro"),
+        expr("nh * 1000000 div nt").as("proportional_ppm"),
+        expr("w * 1000000 div wt").as("neyman_ppm"))
+      .orderBy("lang")
+  }
+
   /** [[langBalance]] over an arbitrary (doc_id, lang, source) frame. */
   private[graft] def langBalanceFrom(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))

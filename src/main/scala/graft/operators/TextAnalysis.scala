@@ -1955,6 +1955,56 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** q344_mcc — per-class Matthews correlation of the q18 classifier:
+    * one-vs-rest TP/FP/FN/TN per language and the MCC, the single
+    * confusion summary that stays honest under the 15-25% class
+    * imbalance where accuracy (q114's diagonal) and even F1 (q325's
+    * sweep) mislead — MCC is high only when ALL four cells are
+    * right, which is why it is the recommended default for
+    * imbalanced evaluation.
+    *
+    * Determinism: the four cells are exact integers off one scan of
+    * the scan-local q18 scorer; MCC is one double over them
+    * (products in doubles — n² terms would square past ppm needs,
+    * not BIGINT range, but the double tree is fixed), floored to
+    * micro.
+    *
+    * Scale shape: one (true, pred) contingency aggregate
+    * (≤|langs|² rows, checkpointed — all class rollups read it),
+    * one per-class fold; |langs| rows. */
+  def mcc(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = langId(spark, sfDir)
+      .groupBy(col("labeled_lang").as("t"), col("predicted_lang").as("p"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val langs = grid.select(col("t").as("lang")).distinct()
+    val cells = langs.crossJoin(broadcast(grid))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("t") === col("lang") && col("p") === col("lang"),
+          col("n")).otherwise(0L)).as("tp"),
+        sum(when(col("t") =!= col("lang") && col("p") === col("lang"),
+          col("n")).otherwise(0L)).as("fp"),
+        sum(when(col("t") === col("lang") && col("p") =!= col("lang"),
+          col("n")).otherwise(0L)).as("fn"))
+    val tot = grid.agg(sum(col("n")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("lang"), col("tp"), col("fp"), col("fn"),
+        (col("total") - col("tp") - col("fp") - col("fn")).as("tn"))
+      .select(col("lang"), col("tp"), col("fp"), col("fn"), col("tn"),
+        // MCC's own convention: any empty margin (e.g. a class the
+        // argmax never predicts) ⇒ MCC = 0, not a 0/0
+        when(col("tp") + col("fp") === 0 || col("tp") + col("fn") === 0 ||
+          col("tn") + col("fp") === 0 || col("tn") + col("fn") === 0, lit(0L))
+          .otherwise(floor((col("tp").cast("double") * col("tn").cast("double")
+            - col("fp").cast("double") * col("fn").cast("double"))
+            / sqrt((col("tp") + col("fp")).cast("double")
+              * (col("tp") + col("fn")).cast("double")
+              * (col("tn") + col("fp")).cast("double")
+              * (col("tn") + col("fn")).cast("double"))
+            * lit(1000000.0)).cast("long")).as("mcc_micro"))
+      .orderBy("lang")
+  }
+
   /** q303_cond_entropy — corpus entropy rate: the conditional entropy
     * H(w₂|w₁) = H(w₁,w₂) − H(w₁) of the next token given the current
     * one, plus the implied bigram-LM perplexity. This is the

@@ -1465,4 +1465,51 @@ class Round15OpsSpec extends SparkSuite {
     assert(math.abs(row.getAs[Double]("z") -
       (nRuns.toDouble - er) / math.sqrt(varR)) < 1e-5)
   }
+
+  test("q344 per-class MCC matches a driver-side confusion recomputation") {
+    val scored = graft.operators.TextAnalysis.langId(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val total = scored.length.toLong
+    val rows = graft.operators.TextAnalysis.mcc(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      scored.map(_._1).distinct.sorted.toSeq)
+    rows.foreach { r =>
+      val l = r.getString(0)
+      val tp = scored.count(s => s._1 == l && s._2 == l).toLong
+      val fp = scored.count(s => s._1 != l && s._2 == l).toLong
+      val fn = scored.count(s => s._1 == l && s._2 != l).toLong
+      val tn = total - tp - fp - fn
+      assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"), r.getAs[Long]("tn")) == ((tp, fp, fn, tn)))
+      val expect =
+        if (tp + fp == 0 || tp + fn == 0 || tn + fp == 0 || tn + fn == 0) 0L
+        else math.floor((tp.toDouble * tn.toDouble - fp.toDouble * fn.toDouble) /
+          math.sqrt((tp + fp).toDouble * (tp + fn).toDouble *
+            (tn + fp).toDouble * (tn + fn).toDouble) * 1e6).toLong
+      assert(r.getAs[Long]("mcc_micro") == expect)
+      assert(math.abs(r.getAs[Long]("mcc_micro")) <= 1000000L)
+    }
+  }
+
+  test("q345 Neyman allocation matches a driver-side recomputation and sums to one") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = docs.groupBy(_._1).toSeq.map { case (l, g) =>
+      val nh = g.length.toLong
+      val s1 = g.map(_._2).sum; val s2 = g.map(x => x._2 * x._2).sum
+      val mu = s1.toDouble / nh.toDouble
+      val sh = math.floor(math.sqrt(s2.toDouble / nh.toDouble - mu * mu) * 1e6).toLong
+      (l, nh, sh, nh * sh)
+    }.sortBy(_._1)
+    val nt = expect.map(_._2).sum; val wt = expect.map(_._4).sum
+    val rows = graft.operators.Sampling.neymanAllocation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("nh"), r.getAs[Long]("sh_micro"),
+        r.getAs[Long]("proportional_ppm"), r.getAs[Long]("neyman_ppm"))).toSeq
+    assert(rows == expect.map { case (l, nh, sh, w) =>
+      (l, nh, sh, nh * 1000000L / nt, w * 1000000L / wt) })
+    // both allocations are (integer-truncated) partitions of unity
+    assert(math.abs(rows.map(_._4).sum - 1000000L) < rows.length)
+    assert(math.abs(rows.map(_._5).sum - 1000000L) < rows.length)
+  }
 }
