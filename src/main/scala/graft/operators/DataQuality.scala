@@ -1368,7 +1368,8 @@ object DataQuality {
   def chao1(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.{TextFunctions => T}
     Tables.documents(spark, sfDir)
-      .select(explode_outer(T.shingles(T.wsTokens(col("text")), 3)).as("term"))
+      .select(T.wsTokens(col("text")).as("w"))
+      .select(explode_outer(T.shingles(col("w"), 3)).as("term"))
       .filter(col("term").isNotNull)
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
       .agg(count(lit(1)).as("v_obs"), sum(col("c")).as("n_tokens"),

@@ -1784,7 +1784,8 @@ object TextAnalysis {
     * on r+1 over the ≤[[GtMaxR]]-row report domain. */
   def goodTuring(spark: SparkSession, sfDir: String): DataFrame = {
     val tc = Tables.documents(spark, sfDir)
-      .select(explode_outer(T.shingles(T.wsTokens(col("text")), 3)).as("term"))
+      .select(T.wsTokens(col("text")).as("w"))
+      .select(explode_outer(T.shingles(col("w"), 3)).as("term"))
       .filter(col("term").isNotNull)
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
       .groupBy(col("c").as("r")).agg(count(lit(1)).as("nr"))
@@ -1881,7 +1882,8 @@ object TextAnalysis {
       struct(lit(i).as("i"),
         pmod(H.md5Int28(concat(lit(s"cm${i}_"), term)), lit(CmWidth)).as("c"))): _*)
     val tc = Tables.documents(spark, sfDir)
-      .select(explode_outer(T.shingles(T.wsTokens(col("text")), 3)).as("term"))
+      .select(T.wsTokens(col("text")).as("w"))
+      .select(explode_outer(T.shingles(col("w"), 3)).as("term"))
       .filter(col("term").isNotNull)
       .groupBy(col("term")).agg(count(lit(1)).as("mass"))
       .localCheckpoint()
@@ -1921,8 +1923,8 @@ object TextAnalysis {
     * term; norms broadcast; |sources|²/2 output rows. */
   def sourceCosine(spark: SparkSession, sfDir: String): DataFrame = {
     val tc = Tables.documents(spark, sfDir)
-      .select(col("source"),
-        explode_outer(T.shingles(T.wsTokens(col("text")), 3)).as("term"))
+      .select(col("source"), T.wsTokens(col("text")).as("w"))
+      .select(col("source"), explode_outer(T.shingles(col("w"), 3)).as("term"))
       .filter(col("term").isNotNull)
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint()
