@@ -39,3 +39,23 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// ClusterSmokeSpec boots a local-cluster[2,2,1024] SparkContext (two real
+// executor JVMs). A JVM holds ONE SparkContext, and every other suite
+// shares the singleton local[4] session — so that spec runs in its own
+// forked JVM. SPARK_HOME points the standalone Worker's executor
+// launcher at the full distribution shipped with the image.
+// SPARK_SCALA_VERSION short-circuits the launcher's getScalaVersion(),
+// which otherwise probes source-tree build directories a binary
+// distribution doesn't have.
+Test / envVars ++= Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val forkOpts = ForkOptions()
+    .withEnvVars(Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13"))
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (cluster, rest) = tests.partition(_.name.contains("ClusterSmokeSpec"))
+  Seq(
+    Tests.Group("main", rest, Tests.SubProcess(forkOpts)),
+    Tests.Group("cluster", cluster, Tests.SubProcess(forkOpts)),
+  ).filter(_.tests.nonEmpty)
+}

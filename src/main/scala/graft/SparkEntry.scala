@@ -2299,7 +2299,7 @@ object SparkEntry {
         |sess AS (
         |  SELECT user_id,
         |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                          ROWS UNBOUNDED PRECEDING) AS session_no,
+        |                          ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no,
         |         ts
         |  FROM o
         |),
@@ -4765,7 +4765,7 @@ object SparkEntry {
         |        FROM dpc))
         |SELECT lang, n_docs, noise_micro,
         |       n_docs + floor((noise_micro + 500000) / 1000000.0)::BIGINT AS noisy_count,
-        |       $DpEpsilon AS epsilon
+        |       $DpEpsilon::DOUBLE AS epsilon
         |FROM dpn ORDER BY lang""".stripMargin
     },
     "q247_session_entropy" ->
@@ -5042,7 +5042,7 @@ object SparkEntry {
         |cpt AS (SELECT count(*)::BIGINT AS dd, sum(n)::BIGINT AS nn FROM cpd),
         |cpc AS (SELECT day, n,
         |               sum(dd * n - nn) OVER (ORDER BY day
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
         |                 AS cusum_scaled
         |        FROM cpd CROSS JOIN cpt),
         |cpm AS (SELECT day AS cp_day FROM cpc
@@ -6450,7 +6450,10 @@ object SparkEntry {
         |  SELECT n.va, sum(lb.lrd)::BIGINT AS slrd
         |  FROM lofn n JOIN lofl lb ON lb.va = n.vb GROUP BY 1)
         |SELECT f.va AS vec_id, c.cent_id, k.kdist AS kdist_nano,
-        |       f.slrd * 1000000 // ($LofK * la.lrd) AS lof_ppm
+        |       CASE WHEN f.slrd <= 9223372036854
+        |            THEN f.slrd * 1000000 // ($LofK * la.lrd)
+        |            ELSE f.slrd // greatest($LofK * la.lrd // 1000000, 1)
+        |       END AS lof_ppm
         |FROM loff f
         |JOIN lofl la ON la.va = f.va
         |JOIN lofk k ON k.va = f.va
@@ -7026,7 +7029,7 @@ object SparkEntry {
            |       (n_users + brk$i)::BIGINT AS n_sessions,
            |       n_events * 1000000 // (n_users + brk$i)
            |         AS events_per_session_ppm,
-           |       brk$i * 1000000 // (n_events - n_users) AS break_share_ppm
+           |       brk$i * 1000000 // greatest(n_events - n_users, 1) AS break_share_ppm
            |FROM sga""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH sgd AS (

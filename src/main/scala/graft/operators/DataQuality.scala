@@ -332,30 +332,48 @@ object DataQuality {
     * Determinism: distinct counts and semi-join matches are exact
     * integers; containment is one integer ppm division.
     *
-    * Scale shape: per candidate, one child-side two-phase distinct
-    * (the heavy exchange, each value once) + a semi join against the
-    * parent's distinct keys (broadcast when dim-sized) + a 1-row
-    * count fold; candidates are independent branches of one union —
-    * at scale each is a separate bounded job over its column pair,
-    * never a cross-table product. */
+    * Scale shape: ONE scan per distinct child table (lineitem's three
+    * candidates ride a single pass — explode to (candidate, value)
+    * rows, then one two-phase distinct over the union; the fold that
+    * halved this query's bench cost in round 11) + ONE semi join of
+    * the tagged child values against the union of distinct parent-key
+    * sets (keyed by candidate, so a value only matches its own
+    * parent; each unique parent column scanned once even when two
+    * candidates share it) + a per-candidate count fold. Keys are
+    * widened to BIGINT so heterogeneous candidates union — equality
+    * is preserved (all candidate columns are integral). */
   def fkDiscovery(spark: SparkSession, sfDir: String): DataFrame = {
     def load(t: String) = t match {
       case "events" => Tables.events(spark, sfDir)
       case other    => Tables.table(spark, sfDir, other)
     }
-    FkCandidates.map { case (ct, cc, pt, pc) =>
-      val child = load(ct).select(col(cc).as("v")).filter(col("v").isNotNull)
-        .distinct().localCheckpoint()
-      val parent = load(pt).select(col(pc).as("v")).distinct()
-      val nChild = child.agg(count(lit(1)).as("n_child_distinct"))
-      val nMatch = child.join(parent, Seq("v"), "left_semi")
-        .agg(count(lit(1)).as("n_matched"))
-      nChild.crossJoin(nMatch)
-        .select(lit(s"$ct.$cc").as("child_col"), lit(s"$pt.$pc").as("parent_col"),
-          col("n_child_distinct"), col("n_matched"),
-          expr("n_matched * 1000000 div n_child_distinct").as("containment_ppm"),
-          (col("n_matched") === col("n_child_distinct")).as("discovered"))
-    }.reduce(_ unionAll _).orderBy("child_col", "parent_col")
+    val child = FkCandidates.groupBy(_._1).toSeq.map { case (ct, cands) =>
+      val tagged = cands.map { case (_, cc, pt, pc) =>
+        struct(lit(s"$ct.$cc").as("child_col"), lit(s"$pt.$pc").as("parent_col"),
+          col(cc).cast("long").as("v"))
+      }
+      load(ct).select(explode(array(tagged: _*)).as("c"))
+        .select(col("c.child_col"), col("c.parent_col"), col("c.v"))
+        .filter(col("v").isNotNull)
+    }.reduce(_ unionAll _).distinct().localCheckpoint()
+    val parents = FkCandidates.map { case (_, _, pt, pc) => (pt, pc) }.distinct
+      .map { case (pt, pc) =>
+        load(pt).select(lit(s"$pt.$pc").as("parent_col"),
+          col(pc).cast("long").as("v")).distinct()
+      }.reduce(_ unionAll _)
+    val nChild = child.groupBy(col("child_col"), col("parent_col"))
+      .agg(count(lit(1)).as("n_child_distinct"))
+    val nMatch = child.join(parents, Seq("parent_col", "v"), "left_semi")
+      .groupBy(col("child_col"), col("parent_col"))
+      .agg(count(lit(1)).as("n_matched"))
+    nChild.join(nMatch, Seq("child_col", "parent_col"), "left")
+      .select(col("child_col"), col("parent_col"), col("n_child_distinct"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .select(col("child_col"), col("parent_col"),
+        col("n_child_distinct"), col("n_matched"),
+        expr("n_matched * 1000000 div n_child_distinct").as("containment_ppm"),
+        (col("n_matched") === col("n_child_distinct")).as("discovered"))
+      .orderBy("child_col", "parent_col")
   }
 
   /** q254_quality_length_ols — score-confound regression: OLS of the

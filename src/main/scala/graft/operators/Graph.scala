@@ -918,6 +918,12 @@ object Graph {
       val authRaw = edges.join(hub, "c")
         .groupBy(col("p")).agg(sum(col("h")).as("ar"))
       val authMax = authRaw.agg(max(col("ar")).as("am"))
+      // auth IS checkpointed: it feeds two plan references (hubMax's
+      // broadcast side and hub's stream side) and relying on
+      // ReuseExchange to share them instead measured SLOWER at sf0.1
+      // (bench median 4.1 → 6.0 s — the exchange reuse doesn't cover
+      // the pre-exchange join work on both references). Measured,
+      // reverted (round-16 note in PLANS.md).
       val auth = authRaw.crossJoin(broadcast(authMax))
         .select(col("p"), expr("ar * 1000000 div am").as("a"))
         .localCheckpoint()

@@ -3,9 +3,10 @@ package graft.operators
 import graft.sources.IndexStore
 import org.apache.spark.sql.SparkSession
 
-/** Cross-session index lifecycle over the three session artifacts —
-  * the trained IVF codebook, the hierarchical cell assignment, and the
-  * verified near-dup pair set.
+/** Cross-session index lifecycle over the session artifacts — the
+  * trained IVF codebook, the hierarchical cell assignment, the SQ8
+  * stats, the BPE merge table, and the three near-dup detector pair
+  * sets (minhash-verified, simhash, containment).
   *
   * `persistAll` writes each artifact to the configured
   * `spark.graft.indexDir` store (building in-session first if needed);
@@ -19,7 +20,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Indexes {
 
-  /** Build (or reuse) and persist all five index artifacts for a
+  /** Build (or reuse) and persist all seven index artifacts for a
     * corpus. Requires `spark.graft.indexDir` to be set. */
   def persistAll(spark: SparkSession, sfDir: String): Unit = {
     IndexStore.write(spark, Similarity.trainedCodebook(spark, sfDir),
@@ -28,6 +29,10 @@ object Indexes {
       Similarity.HierCellsArtifact, sfDir)
     IndexStore.write(spark, Dedup.verifiedPairs(spark, sfDir),
       Dedup.PairsArtifact, sfDir)
+    IndexStore.write(spark, Dedup.verifiedSimhashPairs(spark, sfDir),
+      Dedup.SimhashPairsArtifact, sfDir)
+    IndexStore.write(spark, Dedup.verifiedContainmentPairs(spark, sfDir),
+      Dedup.ContainmentPairsArtifact, sfDir)
     IndexStore.write(spark, Similarity.sqStats(spark, sfDir),
       Similarity.SqStatsArtifact, sfDir)
     IndexStore.write(spark, TextAnalysis.trainedBpeMerges(spark, sfDir),
@@ -44,6 +49,8 @@ object Indexes {
     IndexStore.evict(Similarity.hierCellsCache, spark)
     IndexStore.evict(Similarity.sqStatsCache, spark)
     IndexStore.evict(Dedup.pairCache, spark)
+    IndexStore.evict(Dedup.simhashPairsCache, spark)
+    IndexStore.evict(Dedup.containmentPairsCache, spark)
     IndexStore.evict(TextAnalysis.bpeMergesCache, spark)
   }
 }

@@ -3519,7 +3519,10 @@ object Relational {
         (col("n_users") + col(s"brk$i")).as("n_sessions"),
         expr(s"n_events * 1000000 div (n_users + brk$i)")
           .as("events_per_session_ppm"),
-        expr(s"brk$i * 1000000 div (n_events - n_users)")
+        // greatest(…,1): every-user-has-one-event leaves zero
+        // inter-event deltas — report 0-share rows, not a div/0
+        // (the q309 convention; identical guard in the oracle)
+        expr(s"brk$i * 1000000 div greatest(n_events - n_users, 1)")
           .as("break_share_ppm"))
     }.reduce(_.unionAll(_)).orderBy("gap_minutes")
   }

@@ -740,7 +740,15 @@ object Similarity {
       .join(cells.select(col("vec_id").as("va"), col("cent_id")), "va")
       .select(col("va").as("vec_id"), col("cent_id"),
         col("kdist").as("kdist_nano"),
-        expr(s"slrd * 1000000 div ($LofK * lrd)").as("lof_ppm"))
+        // overflow guard (ADVICE r10): on a degenerate cell of k+1
+        // near-identical vectors every lrd saturates at k·10¹⁵, so
+        // slrd can reach k²·10¹⁵ ≈ 2.5e16 and slrd·10⁶ > 2⁶³. Above
+        // ⌊2⁶³/10⁶⌋ switch to dividing by the 10⁶-rescaled denominator
+        // (relative error ≤ 10⁶/(k·lrd) — negligible exactly when the
+        // branch triggers); greatest(…,1) keeps a tiny denominator
+        // from flooring to 0. Identical CASE in the oracle.
+        expr(s"CASE WHEN slrd <= 9223372036854 THEN slrd * 1000000 div ($LofK * lrd)" +
+          s" ELSE slrd div greatest($LofK * lrd div 1000000, 1) END").as("lof_ppm"))
       .orderBy(col("lof_ppm").desc, col("vec_id").asc)
       .limit(LofTopK)
   }

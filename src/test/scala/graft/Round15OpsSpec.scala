@@ -16,7 +16,15 @@ class Round15OpsSpec extends SparkSuite {
     // overflow (> KendallMaxSpan) would drop pairs without failing
     assert(nPairs == nDays * (nDays - 1) / 2,
       s"pair census incomplete: $nPairs of ${nDays * (nDays - 1) / 2}")
-    assert(nDays <= graft.operators.Relational.KendallMaxSpan,
+    // guard the day-index SPAN, not the distinct-day count: with gaps
+    // in the day domain the span can exceed the cap while the count
+    // stays under it (ADVICE r10)
+    val dayMs = 86400000L
+    val spanRow = graft.sources.Tables.events(spark, sf)
+      .select(expr(s"(unix_millis(ts) - ${graft.operators.Relational.RetentionEpochMs}) div $dayMs")
+        .as("day"))
+      .agg((max(col("day")) - min(col("day"))).as("span")).collect().head
+    assert(spanRow.getAs[Long]("span") <= graft.operators.Relational.KendallMaxSpan,
       "day span exceeds the generator cap — raise KendallMaxSpan")
     val c = row.getAs[Long]("concordant"); val d = row.getAs[Long]("discordant")
     assert(c + d + row.getAs[Long]("ties_x") >= nPairs - row.getAs[Long]("ties_y"),
