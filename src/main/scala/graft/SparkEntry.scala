@@ -359,7 +359,11 @@ object SparkEntry {
     "q342_partial_corr"   -> (Relational.partialCorr _),
     "q343_runs_test"      -> (Relational.runsTest _),
     "q344_mcc"            -> (TextAnalysis.mcc _),
-    "q345_neyman"         -> (Sampling.neymanAllocation _)
+    "q345_neyman"         -> (Sampling.neymanAllocation _),
+    "q346_semantic_decontam" -> (Similarity.semanticDecontam _),
+    "q347_boundary_splice" -> (Dedup.boundarySplice _),
+    "q348_wilson_returns" -> (Relational.wilsonReturns _),
+    "q349_stream_chained_exec" -> (graft.streaming.EventStream.dailyUniquesChainedStreamed _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7337,7 +7341,72 @@ object SparkEntry {
         |       nh * 1000000 // nt AS proportional_ppm,
         |       w * 1000000 // wt AS neyman_ppm
         |FROM nyw, nyt
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+    "q346_semantic_decontam" -> {
+      import graft.operators.Similarity.DecontamCosine
+      s"""WITH sde AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sdq AS (SELECT vec_id AS eval_id, v AS qv FROM sde WHERE vec_id % 50 = 0),
+        |sdp AS (
+        |  SELECT sde.vec_id, sdq.eval_id,
+        |         list_dot_product(sde.v, sdq.qv) /
+        |         (sqrt(list_dot_product(sde.v, sde.v))
+        |          * sqrt(list_dot_product(sdq.qv, sdq.qv))) AS c
+        |  FROM sde JOIN sdq ON sde.vec_id % 50 <> 0),
+        |sdb AS (
+        |  SELECT vec_id, eval_id, c,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY c DESC, eval_id ASC) AS rnk
+        |  FROM sdp)
+        |SELECT vec_id, eval_id, round(c, 6) AS cosine
+        |FROM sdb WHERE rnk = 1 AND c >= $DecontamCosine
+        |ORDER BY vec_id""".stripMargin
+    },
+    "q347_boundary_splice" -> {
+      val widths = graft.operators.Dedup.SpliceWidths.mkString(", ")
+      s"""WITH bst AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\r]+') AS toks
+        |  FROM documents),
+        |bsk AS (
+        |  SELECT doc_id, k,
+        |         array_to_string(list_slice(toks, 1, k), ' ') AS pre,
+        |         array_to_string(list_slice(toks, -k, -1), ' ') AS suf
+        |  FROM bst, unnest([$widths]) t(k)
+        |  WHERE len(toks) >= k)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       max(a.k)::BIGINT AS overlap_tokens
+        |FROM bsk a JOIN bsk b ON a.k = b.k AND a.suf = b.pre
+        |  AND a.doc_id <> b.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q348_wilson_returns" ->
+      """WITH wrb AS (
+        |  SELECT p.p_brand, count(*)::BIGINT AS n_lines,
+        |         sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+        |           AS n_returned
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  GROUP BY 1),
+        |wrp AS (
+        |  SELECT p_brand, n_lines, n_returned,
+        |         n_returned::DOUBLE / n_lines::DOUBLE AS p,
+        |         n_lines::DOUBLE AS nd
+        |  FROM wrb)
+        |SELECT p_brand, n_lines, n_returned,
+        |       n_returned * 1000000 // n_lines AS return_rate_ppm,
+        |       round((p + 3.8416 / (2.0 * nd) - 1.96 * sqrt(p * (1.0 - p) / nd
+        |              + 3.8416 / (4.0 * nd * nd))) / (1.0 + 3.8416 / nd), 6)
+        |         AS wilson_lb
+        |FROM wrp ORDER BY p_brand""".stripMargin,
+    "q349_stream_chained_exec" ->
+      """WITH scd AS (
+        |  SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts) AS dts
+        |  FROM events),
+        |scm AS (SELECT max(dts) AS m FROM scd)
+        |SELECT strftime(dts, '%Y-%m-%d %H:%M:%S') AS day,
+        |       count(*)::BIGINT AS n_users
+        |FROM scd CROSS JOIN scm
+        |WHERE dts < m
+        |GROUP BY dts ORDER BY day""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -1343,4 +1343,56 @@ object Dedup {
         (col("split_a") =!= col("split_b")).as("crosses_split"))
       .orderBy("split_a", "split_b")
   }
+
+  /** q347 probe widths, ascending — a pair is reported at its MAXIMAL
+    * matching width. 3 is the floor where the synthetic corpus still
+    * has splices at every SF; a crawl deployment probes 8/16/32. */
+  val SpliceWidths = Seq(3, 4, 6)
+
+  /** q347_boundary_splice — the SHARD-BOUNDARY splice detector: doc A's
+    * last k whitespace tokens exactly equal doc B's FIRST k tokens, the
+    * concatenation/pagination/chunk-overlap failure mode every
+    * resemblance detector (q12/q13/q14) AND the containment detector
+    * (q181) structurally miss: a k-token seam is a vanishing share of
+    * either document's shingle set, yet it is exactly what a re-crawled
+    * paginated article or a chunked-then-reassembled corpus produces —
+    * and training on spliced shards teaches the model the seam. Pairs
+    * are DIRECTED (a's tail feeds b's head) and report the largest
+    * width in [[SpliceWidths]] that matches.
+    *
+    * Determinism: keys are exact token-slice strings (whitespace
+    * tokenization is the shared q56 regex contract; tokens contain no
+    * spaces, so the joined key is collision-free by construction); the
+    * census is max-k set algebra, no floats anywhere.
+    *
+    * Scale shape: ONE token-array projection per doc (lesson 63: the
+    * array binds to an attribute before the 6 slice references), a
+    * 3-row-per-doc (k, prefix, suffix) explode, one (k, key)-keyed
+    * equi-join of suffix rows against prefix rows — work ∝ seam-key
+    * bucket occupancy, never corpus², with the same boilerplate-key
+    * skew profile as q13's bands (a viral k-token seam salts through
+    * [[CandidatePairs]] if a deployment ever needs it) — then a
+    * pair-keyed max. */
+  def boundarySplice(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), T.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+    val keyStructs = SpliceWidths.map { k =>
+      struct(lit(k).as("k"),
+        when(col("n") >= k, concat_ws(" ", slice(col("toks"), 1, k))).as("pre"),
+        when(col("n") >= k, concat_ws(" ", slice(col("toks"), -k, k))).as("suf"))
+    }
+    val keyed = toks
+      .select(col("doc_id"), explode(array(keyStructs: _*)).as("s"))
+      .select(col("doc_id"), col("s.k").as("k"),
+        col("s.pre").as("pre"), col("s.suf").as("suf"))
+      .filter(col("pre").isNotNull)
+    keyed.select(col("doc_id").as("doc_a"), col("k"), col("suf").as("key"))
+      .join(keyed.select(col("doc_id").as("doc_b"), col("k"), col("pre").as("key")),
+        Seq("k", "key"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("k")).cast("long").as("overlap_tokens"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -3858,4 +3858,42 @@ object Relational {
           * lit(1000000.0)).cast("long").as("s_ppm"))
       .orderBy("duration_hours")
   }
+
+  /** q348_wilson_returns — return-rate ranking under UNCERTAINTY: per
+    * part brand, the Wilson-score LOWER bound (z = 1.96) of its line
+    * return rate beside the raw rate — the ranking rule that stops a
+    * brand with 3 returns out of 4 lines outranking one with 200 out
+    * of 400 (raw rates ignore evidence volume; the Wilson bound is the
+    * standard fix, and the same formula every "sort by rating"
+    * backend runs). The supplier-quality twin of q55/q159's revenue
+    * rankings, with the statistical honesty of q268/q282's CIs.
+    *
+    * Determinism: n and k are exact integers; p̂ and the bound are ONE
+    * identical double expression tree both engines (literals `3.8416`
+    * and `1.96` parse to the same doubles everywhere), rounded 6dp;
+    * raw rate in exact integer ppm.
+    *
+    * Scale shape: one lineitem scan → brand-keyed conditional
+    * aggregate (25-row domain, partial map-side) with the part dim
+    * broadcast into the scan; the bound is a scan-local double
+    * projection on the 25-row result. */
+  def wilsonReturns(spark: SparkSession, sfDir: String): DataFrame = {
+    val byBrand = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_returnflag"))
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))
+    byBrand
+      .withColumn("p", col("n_returned").cast("double") / col("n_lines").cast("double"))
+      .withColumn("nd", col("n_lines").cast("double"))
+      .select(col("p_brand"), col("n_lines"), col("n_returned"),
+        expr("n_returned * 1000000 div n_lines").as("return_rate_ppm"),
+        round(expr(
+          "(p + 3.8416 / (2.0 * nd) - 1.96 * sqrt(p * (1.0 - p) / nd" +
+            " + 3.8416 / (4.0 * nd * nd))) / (1.0 + 3.8416 / nd)"), 6)
+          .as("wilson_lb"))
+      .orderBy("p_brand")
+  }
 }

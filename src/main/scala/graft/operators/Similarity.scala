@@ -2430,4 +2430,51 @@ object Similarity {
           .as("regret_ppm"))
       .orderBy("prefix_dim", "query_id")
   }
+
+  /** q346 contamination threshold — chosen to be non-degenerate on the
+    * synthetic corpus (random embeddings top out at cosine ~0.45; a
+    * production run against a real eval set uses ~0.9, the q15 pattern
+    * of documenting the synthetic-corpus calibration). */
+  val DecontamCosine = 0.40
+
+  /** q346_semantic_decontam — EMBEDDING-space decontamination: every
+    * corpus vector whose cosine to ANY held-out eval vector
+    * (vec_id ≡ 0 mod 50, the q51/q190 held-out convention) reaches
+    * [[DecontamCosine]], with its closest eval vector — the modern
+    * semantic complement of the n-gram decontamination family (q51
+    * exact 8-gram containment, q118's Bloom fast path, q276's split
+    * audit): paraphrased or re-worded benchmark leakage has NO shared
+    * n-grams but near-identical embeddings, and every serious training
+    * pipeline now runs both screens before a data release.
+    *
+    * Determinism: cosines are the shared left-to-right dot-product
+    * fold (bit-equal cross-engine, the q16 contract); the per-vector
+    * argmax ties break eval_id asc inside the native top-k aggregate;
+    * the threshold compares the RAW double on both engines; output
+    * rounds 6dp.
+    *
+    * Scale shape = [[annBruteForce]] transposed: the EVAL side is the
+    * tiny one (an eval benchmark is KBs at any corpus size) and
+    * broadcasts; the corpus side streams through one scan with the
+    * per-vector top-1 as the map-side top-k aggregate, so the only
+    * exchange carries O(corpus) pre-reduced 3-column rows and the
+    * threshold prunes to the contaminated sliver. An indexed variant
+    * composes like q73 (probe the eval vectors' cells only); the
+    * graded form is the exact-recall baseline a release gate wants. */
+  def semanticDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val cand = v.filter(col("vec_id") % 50 =!= 0).select(col("vec_id").as("vec_a"))
+      .crossJoin(broadcast(v.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("vec_b"))))
+    pairCosine(cand, v)
+      .groupBy(col("vec_a"))
+      .agg(org.apache.spark.sql.graft.native
+        .topKByScore(col("cosine"), col("vec_b"), 1).as("top"))
+      .select(col("vec_a").as("vec_id"),
+        col("top")(0)("id").as("eval_id"),
+        col("top")(0)("score").as("c"))
+      .filter(col("c") >= DecontamCosine)
+      .select(col("vec_id"), col("eval_id"), round(col("c"), 6).as("cosine"))
+      .orderBy("vec_id")
+  }
 }

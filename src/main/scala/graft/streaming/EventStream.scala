@@ -1049,4 +1049,51 @@ object EventStream {
         (-col("m.negus")).as("at_us"), col("n_boundary_ts"))
       .crossJoin(broadcast(nSessions))
   }
+
+  /** q349_stream_chained_exec — CHAINED STATEFUL OPERATORS in one
+    * streaming query (13th graded streaming path, and the first with
+    * TWO state stores in one plan): file stream → watermark →
+    * `dropDuplicates(user_id, day)` (StreamingDeduplicateExec) →
+    * daily-window count aggregate (StateStoreSaveExec) → Append
+    * memory sink. Daily active users is THE query this pipeline shape
+    * exists for, and multi-stateful support (Spark 3.4+) is what
+    * makes it one streaming job instead of dedup-to-Kafka-to-agg.
+    *
+    * Determinism comes from the q106 key-only rule extended through
+    * the chain: the dedup's projected row IS its key (user, truncated
+    * day), so micro-batch boundaries choose which PHYSICAL arrival
+    * survives but never the emitted key set, and the downstream count
+    * per day-window is therefore arrival-order-free. Append mode
+    * emits a window only once the watermark passes its end: with a
+    * 0-second delay the final watermark is max(day), so every day
+    * except the corpus's LAST emits — the last day is legitimately
+    * withheld (it could still grow on an unbounded stream), and the
+    * oracle replays exactly that fence (`day < max(day)`), making the
+    * watermark semantics themselves the graded contract (q178's
+    * method, single-batch form).
+    *
+    * At scale: dedup state = one entry per (user, day) inside the
+    * watermark; agg state = open windows; both partition by their
+    * keys across executors (the local-cluster smoke proves nothing
+    * here is single-JVM). */
+  def dailyUniquesChainedStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = Tables.eventsStream(spark, sfDir)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("dts"))
+      .withWatermark("dts", "0 seconds")
+      .dropDuplicates("user_id", "dts")
+      .groupBy(window(col("dts"), "1 day").as("win"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("day"),
+        col("n_users"))
+    val name = s"graft_stream_chain_${streamRunId.incrementAndGet()}"
+    withStatePartitions(spark, 4) {
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val out = spark.table(name).orderBy("day").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
 }

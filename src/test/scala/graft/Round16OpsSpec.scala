@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-16 graded operators: semantic decontamination, boundary-splice
+  * dedup, Wilson-bound return ranking, chained-stateful streaming. */
+class Round16OpsSpec extends SparkSuite {
+
+  test("q346 semantic decontam matches a driver-side exact recomputation") {
+    val got = graft.operators.Similarity.semanticDecontam(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Double]("cosine")))
+    // brute-force truth over the 500-vector test corpus
+    val vs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val evals = vs.keys.filter(_ % 50 == 0).toSeq.sorted
+    val want = vs.keys.filter(_ % 50 != 0).toSeq.sorted.flatMap { vid =>
+      val best = evals.map(e => (cos(vs(vid), vs(e)), e))
+        .maxBy { case (c, e) => (c, -e) }
+      if (best._1 >= graft.operators.Similarity.DecontamCosine)
+        Some((vid, best._2,
+          BigDecimal(best._1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
+    }
+    assert(got.nonEmpty, "threshold degenerate: no contaminated vectors at test SF")
+    assert(got.toSeq == want)
+    assert(got.forall { case (v, e, c) =>
+      v % 50 != 0 && e % 50 == 0 && c >= graft.operators.Similarity.DecontamCosine })
+  }
+
+  test("q347 boundary splice matches a driver-side recomputation and is maximal-k") {
+    val got = graft.operators.Dedup.boundarySplice(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("overlap_tokens"))).toSet
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("[ \t\n\r]+").filter(_.nonEmpty))
+    val want = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (k <- graft.operators.Dedup.SpliceWidths;
+         (ida, ta) <- docs if ta.length >= k;
+         (idb, tb) <- docs if idb != ida && tb.length >= k)
+      if (ta.takeRight(k).sameElements(tb.take(k))) {
+        val key = (ida, idb)
+        want(key) = math.max(want.getOrElse(key, 0L), k.toLong)
+      }
+    assert(got.nonEmpty, "no splice pairs at test SF — widths degenerate")
+    assert(got == want.map { case ((a, b), k) => (a, b, k) }.toSet)
+  }
+
+  test("q348 wilson bound matches a driver recomputation and sits below the raw rate") {
+    val rows = graft.operators.Relational.wilsonReturns(spark, sf).collect()
+    assert(rows.length == 25) // 5x5 TPC-H brand domain
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_lines").toDouble
+      val k = r.getAs[Long]("n_returned").toDouble
+      val p = k / n
+      val lb = (p + 3.8416 / (2.0 * n) -
+        1.96 * math.sqrt(p * (1.0 - p) / n + 3.8416 / (4.0 * n * n))) /
+        (1.0 + 3.8416 / n)
+      val want = BigDecimal(lb).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("wilson_lb") == want, s"brand ${r.getString(0)}")
+      assert(r.getAs[Double]("wilson_lb") >= 0.0 && r.getAs[Double]("wilson_lb") <= p + 1e-12)
+    }
+    // the bound rewards evidence: equal rates, more trials => higher bound
+    val lb1 = (0.5 + 3.8416 / 20.0 - 1.96 * math.sqrt(0.025 + 3.8416 / 400.0)) / (1.0 + 3.8416 / 10.0)
+    val lb2 = (0.5 + 3.8416 / 2000.0 - 1.96 * math.sqrt(0.00025 + 3.8416 / 4e6)) / (1.0 + 3.8416 / 1000.0)
+    assert(lb2 > lb1)
+  }
+
+  test("q349 chained-stateful stream equals the batch fence (all days but the last)") {
+    val got = graft.streaming.EventStream.dailyUniquesChainedStreamed(spark, sf)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_users")))
+    val batch = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("dts"))
+      .distinct()
+      .groupBy(col("dts")).agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("dts"), "yyyy-MM-dd HH:mm:ss").as("day"),
+        col("n_users"))
+      .orderBy("day")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_users")))
+    assert(batch.length >= 2, "test corpus spans too few days")
+    // append mode + 0s watermark withholds exactly the final day
+    assert(got.toSeq == batch.dropRight(1).toSeq)
+  }
+}
