@@ -363,7 +363,9 @@ object SparkEntry {
     "q346_semantic_decontam" -> (Similarity.semanticDecontam _),
     "q347_boundary_splice" -> (Dedup.boundarySplice _),
     "q348_wilson_returns" -> (Relational.wilsonReturns _),
-    "q349_stream_chained_exec" -> (graft.streaming.EventStream.dailyUniquesChainedStreamed _)
+    "q349_stream_chained_exec" -> (graft.streaming.EventStream.dailyUniquesChainedStreamed _),
+    "q350_conformal_interval" -> (DataQuality.conformalInterval _),
+    "q351_seasonal_decompose" -> (Relational.seasonalDecompose _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7406,7 +7408,92 @@ object SparkEntry {
         |       count(*)::BIGINT AS n_users
         |FROM scd CROSS JOIN scm
         |WHERE dts < m
-        |GROUP BY dts ORDER BY day""".stripMargin
+        |GROUP BY dts ORDER BY day""".stripMargin,
+    "q350_conformal_interval" -> {
+      import graft.operators.Sampling.{TrainPerMille, ValPerMille}
+      import graft.operators.DataQuality.ConformalTargetPpm
+      qualityCte + s""",
+        |cfs AS (
+        |  SELECT q.doc_id,
+        |         floor(q.quality_score * 1000.0 + 0.5)::BIGINT AS yq,
+        |         floor(ln(d.n_chars::DOUBLE) * 1000.0)::BIGINT AS xq,
+        |         ('0x' || substr(md5('spl_' || q.doc_id), 1, 7))::BIGINT % 1000
+        |           AS bucket
+        |  FROM qual q JOIN documents d USING (doc_id) WHERE d.n_chars > 0),
+        |cfa AS MATERIALIZED (
+        |  SELECT doc_id, yq, xq,
+        |         CASE WHEN bucket < $TrainPerMille THEN 'train'
+        |              WHEN bucket < $ValPerMille THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM cfs),
+        |cff AS (
+        |  SELECT count(*)::BIGINT AS n, sum(xq)::BIGINT AS sx,
+        |         sum(yq)::BIGINT AS sy, sum(xq * yq)::BIGINT AS sxy,
+        |         sum(xq * xq)::BIGINT AS sxx
+        |  FROM cfa WHERE split = 'train'),
+        |cfb AS (
+        |  SELECT n AS n_train, slope,
+        |         (sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE AS icept
+        |  FROM (SELECT n, sx, sy,
+        |               (n * sxy - sx * sy)::DOUBLE
+        |                 / (n * sxx - sx * sx)::DOUBLE AS slope
+        |        FROM cff)),
+        |cfr AS MATERIALIZED (
+        |  SELECT a.split,
+        |         abs(a.yq * 1000 - floor((b.icept + b.slope * a.xq::DOUBLE)
+        |           * 1000.0 + 0.5)::BIGINT) AS rq
+        |  FROM cfa a CROSS JOIN cfb b WHERE a.split <> 'train'),
+        |cfk AS (SELECT count(*)::BIGINT AS n_cal,
+        |               (9 * (count(*) + 1) + 9) // 10 AS k
+        |        FROM cfr WHERE split = 'val'),
+        |cfc AS (
+        |  SELECT rq, sum(c) OVER (ORDER BY rq
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM (SELECT rq, count(*)::BIGINT AS c FROM cfr
+        |        WHERE split = 'val' GROUP BY 1)),
+        |cfq AS (SELECT min(rq)::BIGINT AS qhat_micro
+        |        FROM cfc CROSS JOIN cfk WHERE cum >= k),
+        |cft AS (
+        |  SELECT count(*)::BIGINT AS n_test,
+        |         sum(CASE WHEN rq <= (SELECT qhat_micro FROM cfq)
+        |             THEN 1 ELSE 0 END)::BIGINT AS cov
+        |  FROM cfr WHERE split = 'test')
+        |SELECT b.n_train, k.n_cal, t.n_test,
+        |       round(b.slope, 6) AS slope, round(b.icept, 6) AS intercept,
+        |       q.qhat_micro, $ConformalTargetPpm::BIGINT AS target_ppm,
+        |       t.cov * 1000000 // t.n_test AS coverage_ppm
+        |FROM cfb b, cfk k, cft t, cfq q""".stripMargin
+    },
+    "q351_seasonal_decompose" -> {
+      import graft.operators.Relational.RetentionEpochMs
+      s"""WITH sdd AS (
+        |  SELECT (epoch_ms(ts) - $RetentionEpochMs) // 86400000 AS day,
+        |         count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |sdt AS (
+        |  SELECT day, n,
+        |         CASE WHEN count(*) OVER w7 = 7
+        |              THEN (sum(n) OVER w7)::BIGINT * 1000000 // 7
+        |              ELSE NULL END AS trend_micro
+        |  FROM sdd
+        |  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |sde AS (
+        |  SELECT day, n, trend_micro,
+        |         CASE WHEN trend_micro IS NOT NULL
+        |              THEN n * 1000000 - trend_micro END AS det_micro
+        |  FROM sdt),
+        |sds AS (
+        |  SELECT day % 7 AS slot,
+        |         sum(det_micro)::BIGINT // count(*) AS s_raw
+        |  FROM sde WHERE det_micro IS NOT NULL GROUP BY 1),
+        |sdm AS (SELECT sum(s_raw)::BIGINT // 7 AS s_mean FROM sds),
+        |sdn AS (SELECT slot, s_raw - s_mean AS seasonal_micro
+        |        FROM sds CROSS JOIN sdm)
+        |SELECT e.day, e.n AS n_events, e.trend_micro, s.seasonal_micro,
+        |       e.det_micro - s.seasonal_micro AS residual_micro
+        |FROM sde e JOIN sdn s ON s.slot = e.day % 7
+        |ORDER BY e.day""".stripMargin
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -1551,4 +1551,94 @@ object DataQuality {
             + (col("kurt") - lit(3.0)) * (col("kurt") - lit(3.0)) / lit(4.0))
           * lit(1000000.0)).cast("long").as("jb_micros"))
   }
+
+  /** q350 miscoverage target: α = 0.1 → a 90%-coverage interval. */
+  val ConformalTargetPpm = 900000L
+
+  /** q350_conformal_interval — SPLIT-CONFORMAL prediction interval
+    * (Vovk; Lei et al. 2018) for the q19 quality score from ln(doc
+    * length): fit OLS on the train split, take the ⌈0.9·(n_cal+1)⌉-th
+    * smallest absolute residual on the CALIBRATION split as the
+    * interval half-width q̂, then MEASURE coverage on the test split —
+    * finite-sample-valid uncertainty for any score a pipeline gates
+    * on, with no normality assumption (q254 fits this regression and
+    * q268/q282 bootstrap CIs for MEANS; conformal is the per-PREDICTION
+    * guarantee, the thing an auto-labeling rollout actually needs).
+    * Marginal coverage ≥ 90% holds by exchangeability alone — the
+    * measured test coverage audits it.
+    *
+    * Determinism: y and x quantize to exact milli-grid BIGINTs BEFORE
+    * the co-moment sums (exact integers ⇒ slope/intercept are one
+    * identical double tree both engines — no float-fold drift, the
+    * q342 rule; bounds hold to ~10⁷ docs, then the grid drops a
+    * digit); predictions floor to the micro grid so residuals are
+    * exact integers; q̂ is a grid-CDF order statistic; coverage is an
+    * integer ppm.
+    *
+    * Scale shape: one scored scan (splits are q99's scan-local md5
+    * rule) checkpointed once for its three split-consumers; the fit
+    * is a 5-sum aggregate; q̂ comes from a residual-VALUE-domain
+    * histogram + cumulative window (the q61/q136/q194 whitelisted
+    * class — never a corpus-wide sort); coverage is one conditional
+    * aggregate. */
+  def conformalInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars")), "doc_id")
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"),
+        floor(col("quality_score") * lit(1000.0) + lit(0.5)).cast("long").as("yq"),
+        floor(log(col("n_chars").cast("double")) * lit(1000.0)).cast("long").as("xq"),
+        pmod(H.md5Int28(concat(lit("spl_"), col("doc_id").cast("string"))),
+          lit(1000)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < Sampling.TrainPerMille, lit("train"))
+          .when(col("bucket") < Sampling.ValPerMille, lit("val"))
+          .otherwise(lit("test")))
+      .localCheckpoint()
+    val fitSums = scored.filter(col("split") === "train")
+      .agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"), sum(col("xq") * col("xq")).as("sxx"))
+    val fit = fitSums
+      .select(col("n").as("n_train"), col("sx"), col("sy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("slope"))
+      .select(col("n_train"), col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n_train").cast("double")).as("icept"))
+    val resid = scored.filter(col("split") =!= "train")
+      .crossJoin(broadcast(fit))
+      .select(col("split"),
+        abs(col("yq") * lit(1000L)
+          - floor((col("icept") + col("slope") * col("xq").cast("double"))
+            * lit(1000.0) + lit(0.5)).cast("long")).as("rq"),
+        col("n_train"), col("slope"), col("icept"))
+      .localCheckpoint()
+    val calN = resid.filter(col("split") === "val")
+      .agg(count(lit(1)).as("n_cal"))
+    val cdf = resid.filter(col("split") === "val")
+      .groupBy(col("rq")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("rq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val qhat = cdf.crossJoin(broadcast(calN))
+      .filter(col("cum") >= expr("(9 * (n_cal + 1) + 9) div 10"))
+      .agg(min(col("rq")).as("qhat_micro"))
+    val test = resid.filter(col("split") === "test")
+      .crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("rq") <= col("qhat_micro"), 1L).otherwise(0L)).as("cov"),
+        first(col("qhat_micro")).as("qhat_micro"),
+        first(col("n_train")).as("n_train"),
+        first(col("slope")).as("slope"), first(col("icept")).as("icept"))
+    test.crossJoin(broadcast(calN))
+      .select(col("n_train"), col("n_cal"), col("n_test"),
+        round(col("slope"), 6).as("slope"),
+        round(col("icept"), 6).as("intercept"),
+        col("qhat_micro"),
+        lit(ConformalTargetPpm).as("target_ppm"),
+        expr("cov * 1000000 div n_test").as("coverage_ppm"))
+  }
 }

@@ -3896,4 +3896,55 @@ object Relational {
           .as("wilson_lb"))
       .orderBy("p_brand")
   }
+
+  /** q351_seasonal_decompose — classical ADDITIVE decomposition of the
+    * daily event-volume series: centered 7-day moving-average TREND
+    * (defined where the full window exists), per-weekday SEASONAL
+    * means of the detrended series (normalized to sum ~0 over the
+    * week), and the RESIDUAL — the decomposition q245's weekday
+    * baseline and q307's wavelet energies assume without exhibiting;
+    * a residual that q343/q339 cannot distinguish from noise is the
+    * evidence the additive model suffices. The time-series tier's
+    * missing middle: q245 forecasts, q307 localizes energy, q331
+    * backtests — this SHOWS the components.
+    *
+    * Determinism: the day histogram is exact integers; trend is a
+    * 7-sum integer micro division; seasonal/residual are integer
+    * subtractions with truncating integer division (BOTH engines
+    * truncate toward zero — asserted by spec); no floats anywhere.
+    *
+    * Scale shape: one day-keyed count; every window (trailing MA,
+    * weekday means, normalization) runs on the ≤31-row DAY domain —
+    * the q260/q188 whitelisted calendar-bounded class; output is the
+    * day table. */
+  def seasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .select(expr(s"(unix_millis(ts) - $RetentionEpochMs) div 86400000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trend = daily
+      .withColumn("wsum", sum(col("n")).over(w7))
+      .withColumn("wn", count(lit(1)).over(w7))
+      .select(col("day"), col("n"),
+        when(col("wn") === 7, expr("wsum * 1000000 div 7"))
+          .otherwise(lit(null).cast("long")).as("trend_micro"))
+    val det = trend.withColumn("det_micro",
+      when(col("trend_micro").isNotNull, col("n") * lit(1000000L) - col("trend_micro")))
+    val bySlot = det.filter(col("det_micro").isNotNull)
+      .groupBy(pmod(col("day"), lit(7)).as("slot"))
+      .agg(sum(col("det_micro")).as("ds"), count(lit(1)).as("dc"))
+      .select(col("slot"), expr("ds div dc").as("s_raw"))
+    val sMean = bySlot.agg(expr("sum(s_raw) div 7").as("s_mean"))
+    val seasonal = bySlot.crossJoin(broadcast(sMean))
+      .select(col("slot"), (col("s_raw") - col("s_mean")).as("seasonal_micro"))
+    det.withColumn("slot", pmod(col("day"), lit(7)))
+      .join(broadcast(seasonal), "slot")
+      .select(col("day"), col("n").as("n_events"), col("trend_micro"),
+        col("seasonal_micro"),
+        when(col("det_micro").isNotNull,
+          col("det_micro") - col("seasonal_micro")).as("residual_micro"))
+      .orderBy("day")
+  }
 }

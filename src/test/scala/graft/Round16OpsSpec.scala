@@ -88,4 +88,78 @@ class Round16OpsSpec extends SparkSuite {
     // append mode + 0s watermark withholds exactly the final day
     assert(got.toSeq == batch.dropRight(1).toSeq)
   }
+
+  test("q350 conformal interval: calibration quantile is the exact order stat, coverage near target") {
+    val r = graft.operators.DataQuality.conformalInterval(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val nCal = row.getAs[Long]("n_cal"); val nTest = row.getAs[Long]("n_test")
+    assert(row.getAs[Long]("n_train") > nCal && nCal > 0 && nTest > 0)
+    // recompute q-hat driver-side from the same integer grids
+    val slope = row.getAs[Double]("slope"); val icept = row.getAs[Double]("intercept")
+    // split-conformal guarantee is marginal >= 1 - alpha in expectation;
+    // on one finite draw allow +-15 points around the 90% target
+    val cov = row.getAs[Long]("coverage_ppm")
+    assert(cov >= 750000L && cov <= 1000000L, s"coverage $cov wildly off 900000")
+    assert(row.getAs[Long]("qhat_micro") >= 0L)
+    assert(slope.abs < 10.0 && icept.abs < 10000.0) // milli-grid magnitudes
+  }
+
+  test("q350 conformal q-hat matches a driver-side exact recomputation") {
+    import graft.functions.{HashFunctions => H}
+    val row = graft.operators.DataQuality.conformalInterval(spark, sf).collect().head
+    val scored = graft.operators.TextAnalysis.quality(spark, sf)
+      .select(col("doc_id"), col("quality_score"))
+      .join(graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("n_chars")), "doc_id")
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"),
+        floor(col("quality_score") * lit(1000.0) + lit(0.5)).cast("long").as("yq"),
+        floor(log(col("n_chars").cast("double")) * lit(1000.0)).cast("long").as("xq"),
+        pmod(H.md5Int28(concat(lit("spl_"), col("doc_id").cast("string"))),
+          lit(1000)).cast("int").as("bucket"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val train = scored.filter(_._4 < 800)
+    val n = train.length.toLong
+    val sx = train.map(_._3).sum; val sy = train.map(_._2).sum
+    val sxy = train.map(t => t._3 * t._2).sum; val sxx = train.map(t => t._3 * t._3).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val icept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+    def rq(t: (Long, Long, Long, Int)): Long =
+      math.abs(t._2 * 1000L - math.floor((icept + slope * t._3.toDouble) * 1000.0 + 0.5).toLong)
+    val cal = scored.filter(t => t._4 >= 800 && t._4 < 900).map(rq).sorted
+    val k = ((9 * (cal.length + 1) + 9) / 10).min(cal.length)
+    val qhat = cal(k - 1)
+    assert(row.getAs[Long]("qhat_micro") == qhat)
+    val test = scored.filter(_._4 >= 900).map(rq)
+    val cov = test.count(_ <= qhat).toLong * 1000000L / test.length
+    assert(row.getAs[Long]("coverage_ppm") == cov)
+  }
+
+  test("q351 seasonal decomposition reassembles the series and is consistent") {
+    val rows = graft.operators.Relational.seasonalDecompose(spark, sf).collect()
+    assert(rows.length >= 14, "too few days for a weekly decomposition")
+    // integer div truncation parity assumption the operator documents
+    assert(spark.sql("SELECT -7 div 2").collect().head.getLong(0) == -3L)
+    var withTrend = 0
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      if (!r.isNullAt(r.fieldIndex("trend_micro"))) {
+        withTrend += 1
+        val t = r.getAs[Long]("trend_micro")
+        val s = r.getAs[Long]("seasonal_micro")
+        val res = r.getAs[Long]("residual_micro")
+        // additive identity: n*1e6 = trend + seasonal + residual exactly
+        assert(n * 1000000L == t + s + res, s"day ${r.getAs[Long]("day")}")
+      } else assert(r.isNullAt(r.fieldIndex("residual_micro")))
+    }
+    // exactly the first and last 3 days lack a full centered window
+    assert(withTrend == rows.length - 6)
+    // seasonal normalization: the 7 slot values sum to ~0 (|sum| < 7 from
+    // the two truncating divisions)
+    val slots = rows.map(r => (r.getAs[Long]("day") % 7, r.getAs[Long]("seasonal_micro")))
+      .distinct.toMap
+    assert(slots.size == 7 && math.abs(slots.values.sum) < 7L * 2)
+  }
 }

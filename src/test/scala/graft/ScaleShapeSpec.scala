@@ -73,7 +73,13 @@ class ScaleShapeSpec extends SparkSuite {
       "q325_pr_curve",
       // q343's median rank and run-boundary lag windows run over the
       // ≤31-row DAY domain (q260's class)
-      "q343_runs_test")
+      "q343_runs_test",
+      // q350's calibration-CDF cumsum runs over the distinct
+      // residual-VALUE domain (q194/q262's shape)
+      "q350_conformal_interval",
+      // q351's centered-MA window runs over the ≤31-row DAY domain
+      // (q260's class)
+      "q351_seasonal_decompose")
       // (q335's vocabulary-domain rank windows execute inside its
       // eager localCheckpoint, so they never appear in the graded
       // plan this sweep inspects)
