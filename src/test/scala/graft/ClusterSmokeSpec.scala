@@ -80,6 +80,10 @@ class ClusterSmokeSpec extends AnyFunSuite {
     // second consumer reuses the SAME artifact (cache hit, other plan)
     val report = SparkEntry.queries("q80_dedup_report")(spark, sf).collect()
     assert(report.nonEmpty)
+    // q238 reads all THREE detector pair artifacts (minhash + simhash +
+    // containment) — the round-16 memoizations, consumed cross-JVM
+    val venn = SparkEntry.queries("q238_detector_venn")(spark, sf).collect()
+    assert(venn.nonEmpty)
   }
 
   test("structured streaming execution with cross-JVM state stores (q88)") {

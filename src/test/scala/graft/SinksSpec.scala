@@ -36,6 +36,10 @@ class SinksSpec extends SparkSuite {
       val cells = Similarity.hierCells(spark, sf)
         .select(col("vec_id"), col("tc")(0)("id")).collect().map(key).toMap
       val pairs = Dedup.verifiedPairs(spark, sf).collect().map(_.toString).sorted
+      val simPairs = Dedup.verifiedSimhashPairs(spark, sf)
+        .collect().map(_.toString).sorted
+      val contPairs = Dedup.verifiedContainmentPairs(spark, sf)
+        .collect().map(_.toString).sorted
       Indexes.persistAll(spark, sf)
       // a fresh resolution (empty caches = what a new session sees)
       // must return the persisted rows
@@ -46,6 +50,10 @@ class SinksSpec extends SparkSuite {
         .select(col("vec_id"), col("tc")(0)("id")).collect().map(key).toMap == cells)
       assert(Dedup.verifiedPairs(spark, sf).collect().map(_.toString).sorted
         .sameElements(pairs))
+      assert(Dedup.verifiedSimhashPairs(spark, sf).collect().map(_.toString).sorted
+        .sameElements(simPairs))
+      assert(Dedup.verifiedContainmentPairs(spark, sf).collect().map(_.toString).sorted
+        .sameElements(contPairs))
       // prove the store (not a rebuild) is the source: tamper the
       // persisted codebook and assert the tampered row comes back
       val p = IndexStore.artifactPath(dir, Similarity.CodebookArtifact, sf)
