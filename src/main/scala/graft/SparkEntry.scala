@@ -365,7 +365,8 @@ object SparkEntry {
     "q348_wilson_returns" -> (Relational.wilsonReturns _),
     "q349_stream_chained_exec" -> (graft.streaming.EventStream.dailyUniquesChainedStreamed _),
     "q350_conformal_interval" -> (DataQuality.conformalInterval _),
-    "q351_seasonal_decompose" -> (Relational.seasonalDecompose _)
+    "q351_seasonal_decompose" -> (Relational.seasonalDecompose _),
+    "q352_lm_generalization_gap" -> (TextAnalysis.lmGeneralizationGap _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7493,6 +7494,53 @@ object SparkEntry {
         |       e.det_micro - s.seasonal_micro AS residual_micro
         |FROM sde e JOIN sdn s ON s.slot = e.day % 7
         |ORDER BY e.day""".stripMargin
+    },
+    "q352_lm_generalization_gap" -> {
+      import graft.operators.Sampling.{TrainPerMille, ValPerMille}
+      s"""WITH mmb AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents),
+        |mmc AS MATERIALIZED (
+        |  SELECT split, tok, count(*)::BIGINT AS n
+        |  FROM (SELECT tok,
+        |          CASE WHEN ('0x' || substr(md5('spl_' || doc_id), 1, 7))::BIGINT
+        |                    % 1000 < $TrainPerMille THEN 'train'
+        |               WHEN ('0x' || substr(md5('spl_' || doc_id), 1, 7))::BIGINT
+        |                    % 1000 < $ValPerMille THEN 'val'
+        |               ELSE 'test' END AS split
+        |        FROM mmb)
+        |  WHERE split <> 'val' GROUP BY 1, 2),
+        |mmtr AS (SELECT tok, n AS cnt FROM mmc WHERE split = 'train'),
+        |mmst AS (SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v FROM mmtr),
+        |mmterm AS (
+        |  SELECT c.split, c.n, s.v,
+        |         (tr.cnt IS NULL) AS oov,
+        |         floor(-ln((coalesce(tr.cnt, 0) + 1)::DOUBLE
+        |           / (s.t + s.v)::DOUBLE) * 1000000000.0)::BIGINT AS term_nano
+        |  FROM mmc c LEFT JOIN mmtr tr USING (tok) CROSS JOIN mmst s),
+        |mmp AS (
+        |  SELECT split, sum(n)::BIGINT AS n_tokens,
+        |         sum(n * term_nano)::BIGINT AS sum_nano,
+        |         sum(CASE WHEN oov THEN n ELSE 0 END)::BIGINT AS n_oov,
+        |         max(v)::BIGINT AS v
+        |  FROM mmterm GROUP BY 1),
+        |mmf AS (
+        |  SELECT max(CASE WHEN split = 'train' THEN n_tokens END)::BIGINT
+        |           AS n_train_tokens,
+        |         max(CASE WHEN split = 'test' THEN n_tokens END)::BIGINT
+        |           AS n_test_tokens,
+        |         max(v)::BIGINT AS vocab,
+        |         max(CASE WHEN split = 'train' THEN sum_nano // n_tokens END)::BIGINT
+        |           AS train_nll_nano,
+        |         max(CASE WHEN split = 'test' THEN sum_nano // n_tokens END)::BIGINT
+        |           AS test_nll_nano,
+        |         max(CASE WHEN split = 'test' THEN n_oov * 1000000 // n_tokens
+        |             END)::BIGINT AS test_oov_ppm
+        |  FROM mmp)
+        |SELECT n_train_tokens, n_test_tokens, vocab, train_nll_nano,
+        |       test_nll_nano, test_nll_nano - train_nll_nano AS gap_nano,
+        |       test_oov_ppm
+        |FROM mmf""".stripMargin
     }
   )
 

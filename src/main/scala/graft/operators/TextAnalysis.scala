@@ -2057,4 +2057,71 @@ object TextAnalysis {
         floor(exp(col("h_cond_nano").cast("double") / lit(1000000000.0))
           * lit(1000000.0)).cast("long").as("ppl_micros"))
   }
+
+  /** q352_lm_generalization_gap — the SPLIT-EXCHANGEABILITY audit that
+    * q350's conformal guarantee and every train/test evaluation stand
+    * on: a Laplace-smoothed unigram LM trained on q99's train split,
+    * evaluated on train AND test — per-split mean negative
+    * log-likelihood, their gap, and the test OOV share. For a random
+    * split the gap should sit at ~0 (both splits draw the same
+    * distribution); a materially positive gap means the split is NOT
+    * exchangeable (temporal drift, per-source clustering, leakage
+    * repair gone wrong) and every downstream metric is suspect. The
+    * null-audit complement of q79 (which scores docs against the
+    * corpus LM) and q152 (per-source KL): this one audits the SPLIT.
+    *
+    * Determinism: per-token terms −ln((cnt+1)/(T+V)) are computed
+    * from exact integers (identical doubles both engines), floor-
+    * quantized to nano BEFORE the integer sum (the q152/q247 rule);
+    * averages and the gap are integer divisions.
+    *
+    * Scale shape: one token scan → (split, token) partial-aggregable
+    * counts (vocabulary-bounded); the train LM joins back on the
+    * token key (vocabulary-domain join, not a token-stream join);
+    * 1-row output. Term magnitudes bound the integer sums to ~2⁶³ up
+    * to ~10¹¹ tokens; past that the grid drops to micro. */
+  def lmGeneralizationGap(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(T.alphaTokens(col("text"))).as("tok"))
+      .withColumn("bucket",
+        pmod(H.md5Int28(concat(lit("spl_"), col("doc_id").cast("string"))), lit(1000)))
+      .withColumn("split",
+        when(col("bucket") < Sampling.TrainPerMille, lit("train"))
+          .when(col("bucket") < Sampling.ValPerMille, lit("val"))
+          .otherwise(lit("test")))
+      .filter(col("split") =!= "val")
+    val perTok = base.groupBy(col("split"), col("tok"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val trainCnt = perTok.filter(col("split") === "train")
+      .select(col("tok"), col("n").as("cnt"))
+    val stats = trainCnt.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
+    val terms = perTok
+      .join(trainCnt, Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("split"), col("n"), col("v"),
+        col("cnt").isNull.as("oov"),
+        floor(-log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double")
+          / (col("t") + col("v")).cast("double")) * lit(1000000000.0))
+          .cast("long").as("term_nano"))
+    val per = terms.groupBy(col("split"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("term_nano")).as("sum_nano"),
+        sum(when(col("oov"), col("n")).otherwise(lit(0L))).as("n_oov"),
+        max(col("v")).as("v"))
+    per.groupBy()
+      .agg(
+        max(when(col("split") === "train", col("n_tokens"))).as("n_train_tokens"),
+        max(when(col("split") === "test", col("n_tokens"))).as("n_test_tokens"),
+        max(col("v")).as("vocab"),
+        max(when(col("split") === "train", expr("sum_nano div n_tokens")))
+          .as("train_nll_nano"),
+        max(when(col("split") === "test", expr("sum_nano div n_tokens")))
+          .as("test_nll_nano"),
+        max(when(col("split") === "test", expr("n_oov * 1000000 div n_tokens")))
+          .as("test_oov_ppm"))
+      .select(col("n_train_tokens"), col("n_test_tokens"), col("vocab"),
+        col("train_nll_nano"), col("test_nll_nano"),
+        (col("test_nll_nano") - col("train_nll_nano")).as("gap_nano"),
+        col("test_oov_ppm"))
+  }
 }

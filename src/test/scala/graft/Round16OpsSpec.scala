@@ -162,4 +162,33 @@ class Round16OpsSpec extends SparkSuite {
       .distinct.toMap
     assert(slots.size == 7 && math.abs(slots.values.sum) < 7L * 2)
   }
+
+  test("q352 generalization gap matches a driver-side recomputation and sits near zero") {
+    import graft.functions.{HashFunctions => H}
+    val row = graft.operators.TextAnalysis.lmGeneralizationGap(spark, sf).collect().head
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+      .withColumn("bucket",
+        pmod(H.md5Int28(concat(lit("spl_"), col("doc_id").cast("string"))), lit(1000)).cast("int"))
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    val train = toks.filter(_._2 < 800).map(_._1)
+    val test = toks.filter(_._2 >= 900).map(_._1)
+    val cnt = train.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val t = train.length.toLong; val v = cnt.size.toLong
+    def termNano(w: String): Long =
+      math.floor(-math.log((cnt.getOrElse(w, 0L) + 1).toDouble / (t + v).toDouble) * 1e9).toLong
+    val trainNll = train.map(termNano).sum / train.length
+    val testNll = test.map(termNano).sum / test.length
+    assert(row.getAs[Long]("n_train_tokens") == train.length)
+    assert(row.getAs[Long]("n_test_tokens") == test.length)
+    assert(row.getAs[Long]("vocab") == v)
+    assert(row.getAs[Long]("train_nll_nano") == trainNll)
+    assert(row.getAs[Long]("test_nll_nano") == testNll)
+    assert(row.getAs[Long]("gap_nano") == testNll - trainNll)
+    // the audit's point: a random split is exchangeable — the gap is a
+    // tiny fraction of the NLL itself
+    assert(math.abs(row.getAs[Long]("gap_nano")) < trainNll / 100)
+    assert(row.getAs[Long]("test_oov_ppm") ==
+      1000000L * test.count(w => !cnt.contains(w)) / test.length)
+  }
 }
