@@ -366,7 +366,8 @@ object SparkEntry {
     "q349_stream_chained_exec" -> (graft.streaming.EventStream.dailyUniquesChainedStreamed _),
     "q350_conformal_interval" -> (DataQuality.conformalInterval _),
     "q351_seasonal_decompose" -> (Relational.seasonalDecompose _),
-    "q352_lm_generalization_gap" -> (TextAnalysis.lmGeneralizationGap _)
+    "q352_lm_generalization_gap" -> (TextAnalysis.lmGeneralizationGap _),
+    "q353_stream_join_agg_exec" -> (graft.streaming.EventStream.attributionRateStreamed _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7541,7 +7542,25 @@ object SparkEntry {
         |       test_nll_nano, test_nll_nano - train_nll_nano AS gap_nano,
         |       test_oov_ppm
         |FROM mmf""".stripMargin
-    }
+    },
+    "q353_stream_join_agg_exec" ->
+      """WITH jap AS (
+        |  SELECT c.ts AS click_ts
+        |  FROM events c JOIN events v
+        |    ON v.user_id = c.user_id
+        |   AND c.event_type = 'click' AND v.event_type = 'view'
+        |   AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE),
+        |jam AS (
+        |  SELECT least(max(CASE WHEN event_type = 'click' THEN ts END),
+        |               max(CASE WHEN event_type = 'view' THEN ts END))
+        |         - INTERVAL 10 MINUTE AS wm
+        |  FROM events)
+        |SELECT strftime(time_bucket(INTERVAL '1 hour', click_ts),
+        |                '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       count(*)::BIGINT AS n_pairs
+        |FROM jap CROSS JOIN jam
+        |WHERE time_bucket(INTERVAL '1 hour', click_ts) + INTERVAL 1 HOUR <= wm
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -1076,6 +1076,47 @@ object EventStream {
     * watermark; agg state = open windows; both partition by their
     * keys across executors (the local-cluster smoke proves nothing
     * here is single-JVM). */
+  /** q353_stream_join_agg_exec — STREAM-STREAM JOIN FOLLOWED BY
+    * AGGREGATION in one streaming query (14th graded streaming path;
+    * with q349 this completes the multi-stateful matrix the engine
+    * supports since 3.4: dedup→agg and join→agg): q113's watermarked
+    * click↔view interval join feeding an hourly attribution-count
+    * window, Append memory sink — the "attribution rate dashboard"
+    * every ads pipeline runs as ONE job instead of
+    * join-to-Kafka-then-aggregate.
+    *
+    * Determinism: the inner join's emitted pair set is arrival-order-
+    * free (q113's contract); the downstream hourly count therefore
+    * depends only on the pair set and the EMISSION FENCE: a window
+    * emits once the global watermark — min(max click_ts, max view_ts)
+    * − 10 min over the bounded run — passes its end. The oracle
+    * replays the batch interval join and applies exactly that fence
+    * (q178's measured-fence method; verified at all three SFs).
+    *
+    * At scale: join state is O(events within watermark+window) per
+    * side keyed by user; agg state is open hour windows; the two
+    * stateful exchanges partition independently. */
+  def attributionRateStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val joined = streamingClickAttribution(
+      Tables.eventsStream(spark, sfDir).filter(col("event_type") === "click"),
+      Tables.eventsStream(spark, sfDir).filter(col("event_type") === "view"))
+    val name = s"graft_stream_ja_${streamRunId.incrementAndGet()}"
+    withStatePartitions(spark, 4) {
+      val q = joined
+        .groupBy(window(col("click_ts"), "1 hour").as("win"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("n_pairs"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val out = spark.table(name).orderBy("win_start").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   def dailyUniquesChainedStreamed(spark: SparkSession, sfDir: String): DataFrame = {
     val stream = Tables.eventsStream(spark, sfDir)
       .select(col("user_id"), date_trunc("DAY", col("ts")).as("dts"))

@@ -191,4 +191,28 @@ class Round16OpsSpec extends SparkSuite {
     assert(row.getAs[Long]("test_oov_ppm") ==
       1000000L * test.count(w => !cnt.contains(w)) / test.length)
   }
+
+  test("q353 stream join then agg equals the batch interval join under the watermark fence") {
+    val got = graft.streaming.EventStream.attributionRateStreamed(spark, sf)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_pairs")))
+    val ev = graft.sources.Tables.events(spark, sf)
+    // the same interval-join plan on batch frames (watermarks no-op)
+    val pairs = graft.streaming.EventStream.streamingClickAttribution(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "view"))
+    val wm = ev.agg(least(
+      max(when(col("event_type") === "click", col("ts"))),
+      max(when(col("event_type") === "view", col("ts")))).as("m"))
+      .select((unix_micros(col("m")) - lit(600000000L)).as("wm_us"))
+    val want = pairs
+      .select(window(col("click_ts"), "1 hour").as("win"))
+      .crossJoin(broadcast(wm))
+      .filter(unix_micros(col("win.end")) <= col("wm_us"))
+      .groupBy(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("win_start")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_pairs")))
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
 }
