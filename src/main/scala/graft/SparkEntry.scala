@@ -367,7 +367,8 @@ object SparkEntry {
     "q350_conformal_interval" -> (DataQuality.conformalInterval _),
     "q351_seasonal_decompose" -> (Relational.seasonalDecompose _),
     "q352_lm_generalization_gap" -> (TextAnalysis.lmGeneralizationGap _),
-    "q353_stream_join_agg_exec" -> (graft.streaming.EventStream.attributionRateStreamed _)
+    "q353_stream_join_agg_exec" -> (graft.streaming.EventStream.attributionRateStreamed _),
+    "q354_stream_window_rollup_exec" -> (graft.streaming.EventStream.windowRollupStreamed _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7560,6 +7561,18 @@ object SparkEntry {
         |       count(*)::BIGINT AS n_pairs
         |FROM jap CROSS JOIN jam
         |WHERE time_bucket(INTERVAL '1 hour', click_ts) + INTERVAL 1 HOUR <= wm
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q354_stream_window_rollup_exec" ->
+      """WITH wrh AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS h, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |wrm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+        |SELECT strftime(time_bucket(INTERVAL '1 day', h),
+        |                '%Y-%m-%d %H:%M:%S') AS day,
+        |       count(*)::BIGINT AS n_hours, sum(n)::BIGINT AS n_events,
+        |       min(n)::BIGINT AS min_hourly, max(n)::BIGINT AS max_hourly
+        |FROM wrh CROSS JOIN wrm
+        |WHERE time_bucket(INTERVAL '1 day', h) + INTERVAL 1 DAY <= wm
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 

@@ -1117,6 +1117,50 @@ object EventStream {
     out
   }
 
+  /** q354_stream_window_rollup_exec — CHAINED TIME-WINDOW AGGREGATIONS
+    * (15th graded streaming path; with q349 dedup→agg and q353
+    * join→agg this closes the multi-stateful matrix): hourly event
+    * counts ROLLED UP into daily min/max/total hourly load, both
+    * windows in ONE streaming plan (`window(window_time(...))` — the
+    * multi-layer window API added for exactly this). The production
+    * shape where a fine-grained stream metric feeds a coarse dashboard
+    * without a second job or an intermediate topic.
+    *
+    * Determinism: the hourly layer's counts are arrival-order-free;
+    * the daily layer consumes only CLOSED hourly windows, and since
+    * hours close strictly before their enclosing day, a day that
+    * passes the final watermark fence (day end ≤ max ts − 10 min over
+    * the bounded run) contains exactly its calendar hours — the
+    * oracle replays the batch hour histogram rolled up to days under
+    * that fence. On the shipped corpora the fence withholds the final
+    * day (its end is past max ts), exercising the withheld side at
+    * every SF.
+    *
+    * At scale: layer-1 state is open hour windows, layer-2 open day
+    * windows; both partition by window key across executors. */
+  def windowRollupStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_wr_${streamRunId.incrementAndGet()}"
+    withStatePartitions(spark, 4) {
+      val hourly = Tables.eventsStream(spark, sfDir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("hw"))
+        .agg(count(lit(1)).as("n"))
+      val q = hourly
+        .groupBy(window(window_time(col("hw")), "1 day").as("dw"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("n_events"),
+          min(col("n")).as("min_hourly"), max(col("n")).as("max_hourly"))
+        .select(date_format(col("dw.start"), "yyyy-MM-dd HH:mm:ss").as("day"),
+          col("n_hours"), col("n_events"), col("min_hourly"), col("max_hourly"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val out = spark.table(name).orderBy("day").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   def dailyUniquesChainedStreamed(spark: SparkSession, sfDir: String): DataFrame = {
     val stream = Tables.eventsStream(spark, sfDir)
       .select(col("user_id"), date_trunc("DAY", col("ts")).as("dts"))

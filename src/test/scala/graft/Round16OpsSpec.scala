@@ -215,4 +215,29 @@ class Round16OpsSpec extends SparkSuite {
     assert(got.nonEmpty)
     assert(got.toSeq == want.toSeq)
   }
+
+  test("q354 chained window rollup equals the batch hour histogram under the fence") {
+    val got = graft.streaming.EventStream.windowRollupStreamed(spark, sf)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_hours"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("min_hourly"), r.getAs[Long]("max_hourly")))
+    val ev = graft.sources.Tables.events(spark, sf)
+    val hourly = ev.groupBy(window(col("ts"), "1 hour").as("hw"))
+      .agg(count(lit(1)).as("n"))
+    val wm = ev.agg((unix_micros(max(col("ts"))) - lit(600000000L)).as("wm_us"))
+    val want = hourly
+      .select(window(window_time(col("hw")), "1 day").as("dw"), col("n"))
+      .crossJoin(broadcast(wm))
+      .filter(unix_micros(col("dw.end")) <= col("wm_us"))
+      .groupBy(date_format(col("dw.start"), "yyyy-MM-dd HH:mm:ss").as("day"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("n_events"),
+        min(col("n")).as("min_hourly"), max(col("n")).as("max_hourly"))
+      .orderBy("day")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_hours"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("min_hourly"), r.getAs[Long]("max_hourly")))
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+    // the fence is exercised: the corpus's final day is withheld
+    val allDays = ev.select(date_trunc("DAY", col("ts"))).distinct().count()
+    assert(got.length == allDays - 1)
+  }
 }
