@@ -368,7 +368,8 @@ object SparkEntry {
     "q351_seasonal_decompose" -> (Relational.seasonalDecompose _),
     "q352_lm_generalization_gap" -> (TextAnalysis.lmGeneralizationGap _),
     "q353_stream_join_agg_exec" -> (graft.streaming.EventStream.attributionRateStreamed _),
-    "q354_stream_window_rollup_exec" -> (graft.streaming.EventStream.windowRollupStreamed _)
+    "q354_stream_window_rollup_exec" -> (graft.streaming.EventStream.windowRollupStreamed _),
+    "q355_hll_set_ops" -> (Sketches.hllSetOps _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7573,7 +7574,63 @@ object SparkEntry {
         |       min(n)::BIGINT AS min_hourly, max(n)::BIGINT AS max_hourly
         |FROM wrh CROSS JOIN wrm
         |WHERE time_bucket(INTERVAL '1 day', h) + INTERVAL 1 DAY <= wm
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q355_hll_set_ops" -> {
+      import graft.operators.Sketches.{HllM, HllRankBits}
+      s"""WITH sohalf AS (SELECT count(*) // 2 AS half FROM documents),
+        |sosh AS MATERIALIZED (
+        |  SELECT DISTINCT
+        |    CASE WHEN doc_id < (SELECT half FROM sohalf) THEN 'a' ELSE 'b' END AS s,
+        |    doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] AS g
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\r]+') AS w
+        |        FROM documents),
+        |       unnest(range(1, len(w) - 1)) t(i)),
+        |soh AS (SELECT DISTINCT s, g, ('0x'||substr(md5(g),1,15))::BIGINT AS h
+        |        FROM sosh),
+        |soregs AS MATERIALIZED (
+        |  SELECT s, h % $HllM AS reg,
+        |         max(${HllRankBits + 1} - length(ltrim(bin(h // $HllM), '0'))) AS mj
+        |  FROM soh GROUP BY 1, 2),
+        |souregs AS (SELECT reg, max(mj) AS mj FROM soregs GROUP BY 1),
+        |soest AS (
+        |  SELECT k, CASE WHEN e_raw <= ${2.5 * HllM} AND z > 0
+        |                 THEN $HllM.0 * ln($HllM.0 / z) ELSE e_raw END AS e
+        |  FROM (
+        |    SELECT k,
+        |           (0.7213/(1.0+1.079/$HllM.0)) * $HllM.0 * $HllM.0
+        |             / (s + ($HllM - v)::DOUBLE) AS e_raw,
+        |           ($HllM - v)::DOUBLE AS z
+        |    FROM (SELECT s AS k, count(*)::BIGINT AS v,
+        |                 sum(1.0 / (1::BIGINT << mj)::DOUBLE) AS s
+        |          FROM soregs GROUP BY 1
+        |          UNION ALL
+        |          SELECT 'u' AS k, count(*)::BIGINT AS v,
+        |                 sum(1.0 / (1::BIGINT << mj)::DOUBLE) AS s
+        |          FROM souregs))),
+        |soex AS (
+        |  SELECT sum(ia)::BIGINT AS n_a_exact, sum(ib)::BIGINT AS n_b_exact,
+        |         sum(ia * ib)::BIGINT AS n_inter_exact
+        |  FROM (SELECT g, max(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS ia,
+        |               max(CASE WHEN s = 'b' THEN 1 ELSE 0 END) AS ib
+        |        FROM sosh GROUP BY 1)),
+        |sow AS (
+        |  SELECT x.n_a_exact, x.n_b_exact, x.n_inter_exact,
+        |         (SELECT e FROM soest WHERE k = 'a') AS ea,
+        |         (SELECT e FROM soest WHERE k = 'b') AS eb,
+        |         (SELECT e FROM soest WHERE k = 'u') AS eu
+        |  FROM soex x)
+        |SELECT n_a_exact, n_b_exact, n_inter_exact,
+        |       floor(ea * 1e4 + 0.5)/1e4 AS hll_a,
+        |       floor(eb * 1e4 + 0.5)/1e4 AS hll_b,
+        |       floor(eu * 1e4 + 0.5)/1e4 AS hll_union,
+        |       floor((ea + eb - eu) * 1e4 + 0.5)/1e4 AS hll_inter,
+        |       floor((eu - (n_a_exact + n_b_exact - n_inter_exact)::DOUBLE)
+        |             / (n_a_exact + n_b_exact - n_inter_exact)::DOUBLE
+        |             * 1e4 + 0.5)/1e4 AS union_rel_error,
+        |       floor((ea + eb - eu - n_inter_exact::DOUBLE)
+        |             / n_inter_exact::DOUBLE * 1e4 + 0.5)/1e4 AS inter_rel_error
+        |FROM sow""".stripMargin
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

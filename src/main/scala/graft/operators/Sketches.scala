@@ -333,4 +333,65 @@ object Sketches {
             .cast("long").as("theory_err_ppm"))
     }.reduce(_.unionAll(_)).orderBy("p")
   }
+
+  /** q355_hll_set_ops — sketched SET ALGEBRA and its honest error
+    * bill: HLL register maps for the two corpus halves' trigram
+    * vocabularies (q100's exact split), the UNION by per-register max
+    * (q169's merge — exact over the sketch), and the INTERSECTION by
+    * inclusion-exclusion |A|+|B|−|A∪B| — each audited against q100's
+    * exact counts in one graded row. The union inherits HLL's
+    * ~1.04/√m relative error; the intersection error is AMPLIFIED by
+    * the cancellation (three ±6.5% estimates differenced against a
+    * possibly-small true intersection) — the measured verdict for why
+    * intersection-heavy workloads move to Theta/KMV sketches while
+    * union-only pipelines keep HLL's 256-byte state.
+    *
+    * Determinism: register ranks are exact integers; the harmonic
+    * sums add exact dyadic rationals (order-free — q115's trick);
+    * estimates and errors are one identical double tree both engines,
+    * floor-4dp.
+    *
+    * Scale shape: one trigram scan → (half, register) max aggregate
+    * (≤2·256 rows of shipped state, checkpointed for its three
+    * estimator reads); the exact audit is its own trigram-set
+    * aggregate (the q115 two-scan pattern — at 100 TB the exact side
+    * is the one you DON'T run, which is the operator's point);
+    * everything downstream is ≤512-row algebra. */
+  def hllSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val halfF = docs.agg(expr("count(1) div 2").as("half"))
+    def grams = docs.crossJoin(broadcast(halfF))
+      .select(col("doc_id"), col("half"), T.wsTokens(col("text")).as("w"))
+      .select(when(col("doc_id") < col("half"), lit("a")).otherwise(lit("b")).as("s"),
+        explode(T.shingleSet(col("w"), 3)).as("g"))
+    val h = grams.withColumn("h", H.md5Int60(col("g")))
+    val regs = h
+      .groupBy(col("s"), pmod(col("h"), lit(HllM.toLong)).as("reg"))
+      .agg(max(lit(HllRankBits + 1) -
+        length(ltrim(bin(shiftright(col("h"), HllP)), "0"))).as("mj"))
+      .localCheckpoint()
+    val eA = hllEstimate(regs.filter(col("s") === "a").select(col("reg"), col("mj")))
+      .select(col("e").as("ea"))
+    val eB = hllEstimate(regs.filter(col("s") === "b").select(col("reg"), col("mj")))
+      .select(col("e").as("eb"))
+    val eU = hllEstimate(regs.groupBy(col("reg")).agg(max(col("mj")).as("mj")))
+      .select(col("e").as("eu"))
+    val exact = grams
+      .groupBy(col("g"))
+      .agg(max(when(col("s") === "a", 1L).otherwise(0L)).as("ia"),
+        max(when(col("s") === "b", 1L).otherwise(0L)).as("ib"))
+      .agg(sum(col("ia")).as("n_a_exact"), sum(col("ib")).as("n_b_exact"),
+        sum(col("ia") * col("ib")).as("n_inter_exact"))
+    exact.crossJoin(broadcast(eA)).crossJoin(broadcast(eB)).crossJoin(broadcast(eU))
+      .select(col("n_a_exact"), col("n_b_exact"), col("n_inter_exact"),
+        round4(col("ea")).as("hll_a"), round4(col("eb")).as("hll_b"),
+        round4(col("eu")).as("hll_union"),
+        round4(col("ea") + col("eb") - col("eu")).as("hll_inter"),
+        round4((col("eu")
+          - (col("n_a_exact") + col("n_b_exact") - col("n_inter_exact")).cast("double"))
+          / (col("n_a_exact") + col("n_b_exact") - col("n_inter_exact")).cast("double"))
+          .as("union_rel_error"),
+        round4((col("ea") + col("eb") - col("eu") - col("n_inter_exact").cast("double"))
+          / col("n_inter_exact").cast("double")).as("inter_rel_error"))
+  }
 }
