@@ -90,8 +90,22 @@ object Bench {
     val candidates = (3 to 0 by -1).map(shortJson(_, results.size)) ++
       Seq(160, 120, 80, 40).map(shortJson(0, _))
     val jsonShort = candidates.find(_.length <= 1900).getOrElse(shortJson(0, 40))
+    // Quiesce BEFORE the final print (r11's BENCH json was unparseable:
+    // an async "StateStore: Error running maintenance thread" warning
+    // landed after the JSON line because the state-store maintenance
+    // thread outlived spark.stop()):
+    //  1. stop any streaming queries the *_exec benches left active
+    //  2. stop the shared StateStore maintenance thread explicitly
+    //  3. silence the loggers so no straggler thread can emit output
+    //  4. spark.stop(), THEN print the JSON as the unambiguous last line
+    spark.streams.active.foreach { q =>
+      try { q.stop(); q.awaitTermination() } catch { case _: Throwable => () }
+    }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    // final stdout line (after spark.stop() so no shutdown logs trail it)
     println(jsonShort)
+    System.out.flush()
   }
 }

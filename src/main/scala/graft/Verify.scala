@@ -41,8 +41,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the oracle map is ALWAYS written in full (it costs no Spark work):
+    // a subset run would otherwise overwrite a prior full dump's
+    // oracle_sql.json with only the subset's entries and silently
+    // shrink the compare
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       // metadata-tier oracles (q291) reference parquet FILES, not the
       // table views — the concrete scale-factor dir is only known here
       .map { case (k, v) => k -> v.replace("__SFDIR__", sfDir) }

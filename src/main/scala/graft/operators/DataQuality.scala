@@ -335,17 +335,42 @@ object DataQuality {
     * Scale shape: ONE scan per distinct child table (lineitem's three
     * candidates ride a single pass — explode to (candidate, value)
     * rows, then one two-phase distinct over the union; the fold that
-    * halved this query's bench cost in round 11) + ONE semi join of
+    * halved this query's bench cost in round 11) + ONE left join of
     * the tagged child values against the union of distinct parent-key
     * sets (keyed by candidate, so a value only matches its own
     * parent; each unique parent column scanned once even when two
-    * candidates share it) + a per-candidate count fold. Keys are
+    * candidates share it, and ≤1 parent row matches since parents are
+    * distinct) whose match marker feeds BOTH counts in a single
+    * per-candidate aggregate — the round-12 fold that removed the
+    * separate distinct-count job, the semi-join job, the agg⋈agg join
+    * AND the multi-reference localCheckpoint (the r11 shape ran 4-5
+    * sequential jobs and measured 49.8× the oracle on job-count
+    * alone; the child frame is now referenced exactly once). Keys are
     * widened to BIGINT so heterogeneous candidates union — equality
     * is preserved (all candidate columns are integral). */
   def fkDiscovery(spark: SparkSession, sfDir: String): DataFrame = {
-    def load(t: String) = t match {
+    // one reader per distinct table (file-listing + footer reads are
+    // per-call driver work; the integral gate below would otherwise
+    // double them)
+    val loaded = scala.collection.mutable.Map.empty[String, DataFrame]
+    def load(t: String) = loaded.getOrElseUpdate(t, t match {
       case "events" => Tables.events(spark, sfDir)
       case other    => Tables.table(spark, sfDir, other)
+    })
+    // the BIGINT widening below preserves equality ONLY for integral
+    // columns (a string key would cast to NULL and be silently dropped
+    // by the isNotNull filter, deflating the counts): fail loudly at
+    // build time if a future candidate breaks the invariant
+    def requireIntegral(df: DataFrame, t: String, c: String): Unit = {
+      import org.apache.spark.sql.types._
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"fkDiscovery candidate $t.$c is $dt — only integral key " +
+          "columns survive the BIGINT widening; extend the key type " +
+          "handling before adding non-integral candidates")
+    }
+    FkCandidates.foreach { case (ct, cc, pt, pc) =>
+      requireIntegral(load(ct), ct, cc); requireIntegral(load(pt), pt, pc)
     }
     val child = FkCandidates.groupBy(_._1).toSeq.map { case (ct, cands) =>
       val tagged = cands.map { case (_, cc, pt, pc) =>
@@ -355,20 +380,15 @@ object DataQuality {
       load(ct).select(explode(array(tagged: _*)).as("c"))
         .select(col("c.child_col"), col("c.parent_col"), col("c.v"))
         .filter(col("v").isNotNull)
-    }.reduce(_ unionAll _).distinct().localCheckpoint()
+    }.reduce(_ unionAll _).distinct()
     val parents = FkCandidates.map { case (_, _, pt, pc) => (pt, pc) }.distinct
       .map { case (pt, pc) =>
         load(pt).select(lit(s"$pt.$pc").as("parent_col"),
           col(pc).cast("long").as("v")).distinct()
       }.reduce(_ unionAll _)
-    val nChild = child.groupBy(col("child_col"), col("parent_col"))
-      .agg(count(lit(1)).as("n_child_distinct"))
-    val nMatch = child.join(parents, Seq("parent_col", "v"), "left_semi")
+    child.join(parents.withColumn("m", lit(1)), Seq("parent_col", "v"), "left")
       .groupBy(col("child_col"), col("parent_col"))
-      .agg(count(lit(1)).as("n_matched"))
-    nChild.join(nMatch, Seq("child_col", "parent_col"), "left")
-      .select(col("child_col"), col("parent_col"), col("n_child_distinct"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .agg(count(lit(1)).as("n_child_distinct"), count(col("m")).as("n_matched"))
       .select(col("child_col"), col("parent_col"),
         col("n_child_distinct"), col("n_matched"),
         expr("n_matched * 1000000 div n_child_distinct").as("containment_ppm"),

@@ -1191,10 +1191,14 @@ object Dedup {
     // flag join) — all three are memoized checkpointed artifacts
     val s = verifiedSimhashPairs(spark, sfDir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // m and s are shuffle-free projections over their checkpoints, but
+    // c adds a distinct (containment pairs are directed) — checkpoint
+    // it so the dedup exchange runs once, not once per plan reference
+    // (the q31 multi-reference rule)
     val c = verifiedContainmentPairs(spark, sfDir)
       .select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .distinct()
+      .distinct().localCheckpoint()
     val all = m.unionAll(s).unionAll(c).distinct()
     all
       .join(m.withColumn("im", lit(true)), Seq("a", "b"), "left")

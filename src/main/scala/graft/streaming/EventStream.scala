@@ -720,16 +720,26 @@ object EventStream {
     * consumer). Keyed like the index-artifact caches; entries of
     * stopped sessions are dropped (their tmp dirs die with the OS
     * tmpdir). */
+  // per-key lazy holder: putIfAbsent races resolve on the MAP (cheap —
+  // the byname staging write stays unevaluated in the losing holder)
+  // and the winner's thread-safe lazy val runs the Spark staging job
+  // exactly once WITHOUT a map-wide monitor, so staging unrelated
+  // layouts (e.g. "late" vs "dayband") proceeds concurrently instead
+  // of serializing every stream-query thread behind one lock
+  private final class StagedDir(mk: => java.io.File) {
+    lazy val dir: java.io.File = mk
+  }
   private val stageCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), java.io.File]
+    .empty[(SparkSession, String, String), StagedDir]
   private def stagedBatches(
       spark: SparkSession, sfDir: String, key: String, nBatches: Int)(
-      tagged: => DataFrame, cols: Seq[String]): java.io.File =
-    stageCache.synchronized {
-      stageCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
-      stageCache.getOrElseUpdate((spark, sfDir, key),
-        writeArrivalBatches(tagged, cols, s"graft_${key}_", nBatches))
-    }
+      tagged: => DataFrame, cols: Seq[String]): java.io.File = {
+    stageCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+    val k = (spark, sfDir, key)
+    val holder = new StagedDir(
+      writeArrivalBatches(tagged, cols, s"graft_${key}_", nBatches))
+    stageCache.putIfAbsent(k, holder).getOrElse(holder).dir
+  }
 
   /** The superset day-band staging shared by q193 (user stats) and
     * q205 (type counts): both read column subsets of one staged
@@ -1050,32 +1060,6 @@ object EventStream {
       .crossJoin(broadcast(nSessions))
   }
 
-  /** q349_stream_chained_exec — CHAINED STATEFUL OPERATORS in one
-    * streaming query (13th graded streaming path, and the first with
-    * TWO state stores in one plan): file stream → watermark →
-    * `dropDuplicates(user_id, day)` (StreamingDeduplicateExec) →
-    * daily-window count aggregate (StateStoreSaveExec) → Append
-    * memory sink. Daily active users is THE query this pipeline shape
-    * exists for, and multi-stateful support (Spark 3.4+) is what
-    * makes it one streaming job instead of dedup-to-Kafka-to-agg.
-    *
-    * Determinism comes from the q106 key-only rule extended through
-    * the chain: the dedup's projected row IS its key (user, truncated
-    * day), so micro-batch boundaries choose which PHYSICAL arrival
-    * survives but never the emitted key set, and the downstream count
-    * per day-window is therefore arrival-order-free. Append mode
-    * emits a window only once the watermark passes its end: with a
-    * 0-second delay the final watermark is max(day), so every day
-    * except the corpus's LAST emits — the last day is legitimately
-    * withheld (it could still grow on an unbounded stream), and the
-    * oracle replays exactly that fence (`day < max(day)`), making the
-    * watermark semantics themselves the graded contract (q178's
-    * method, single-batch form).
-    *
-    * At scale: dedup state = one entry per (user, day) inside the
-    * watermark; agg state = open windows; both partition by their
-    * keys across executors (the local-cluster smoke proves nothing
-    * here is single-JVM). */
   /** q353_stream_join_agg_exec — STREAM-STREAM JOIN FOLLOWED BY
     * AGGREGATION in one streaming query (14th graded streaming path;
     * with q349 this completes the multi-stateful matrix the engine
@@ -1161,6 +1145,32 @@ object EventStream {
     out
   }
 
+  /** q349_stream_chained_exec — CHAINED STATEFUL OPERATORS in one
+    * streaming query (13th graded streaming path, and the first with
+    * TWO state stores in one plan): file stream → watermark →
+    * `dropDuplicates(user_id, day)` (StreamingDeduplicateExec) →
+    * daily-window count aggregate (StateStoreSaveExec) → Append
+    * memory sink. Daily active users is THE query this pipeline shape
+    * exists for, and multi-stateful support (Spark 3.4+) is what
+    * makes it one streaming job instead of dedup-to-Kafka-to-agg.
+    *
+    * Determinism comes from the q106 key-only rule extended through
+    * the chain: the dedup's projected row IS its key (user, truncated
+    * day), so micro-batch boundaries choose which PHYSICAL arrival
+    * survives but never the emitted key set, and the downstream count
+    * per day-window is therefore arrival-order-free. Append mode
+    * emits a window only once the watermark passes its end: with a
+    * 0-second delay the final watermark is max(day), so every day
+    * except the corpus's LAST emits — the last day is legitimately
+    * withheld (it could still grow on an unbounded stream), and the
+    * oracle replays exactly that fence (`day < max(day)`), making the
+    * watermark semantics themselves the graded contract (q178's
+    * method, single-batch form).
+    *
+    * At scale: dedup state = one entry per (user, day) inside the
+    * watermark; agg state = open windows; both partition by their
+    * keys across executors (the local-cluster smoke proves nothing
+    * here is single-JVM). */
   def dailyUniquesChainedStreamed(spark: SparkSession, sfDir: String): DataFrame = {
     val stream = Tables.eventsStream(spark, sfDir)
       .select(col("user_id"), date_trunc("DAY", col("ts")).as("dts"))
