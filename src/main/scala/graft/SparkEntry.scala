@@ -369,7 +369,8 @@ object SparkEntry {
     "q352_lm_generalization_gap" -> (TextAnalysis.lmGeneralizationGap _),
     "q353_stream_join_agg_exec" -> (graft.streaming.EventStream.attributionRateStreamed _),
     "q354_stream_window_rollup_exec" -> (graft.streaming.EventStream.windowRollupStreamed _),
-    "q355_hll_set_ops" -> (Sketches.hllSetOps _)
+    "q355_hll_set_ops" -> (Sketches.hllSetOps _),
+    "q356_video_frames" -> (Multimodal.videoFrames _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7630,6 +7631,28 @@ object SparkEntry {
         |       floor((ea + eb - eu - n_inter_exact::DOUBLE)
         |             / n_inter_exact::DOUBLE * 1e4 + 0.5)/1e4 AS inter_rel_error
         |FROM sow""".stripMargin
+    },
+    "q356_video_frames" -> {
+      // the oracle computes per-frame gray sums from the pixel
+      // ARITHMETIC; the Spark side computes them from AVI-packed,
+      // container-parsed, PNG-decoded frames — equality proves the
+      // whole container + per-frame codec cycle byte-exact (q180's
+      // method on the video axis)
+      import graft.operators.Multimodal.{VideoFrames, VideoSide}
+      val n = VideoSide * VideoSide
+      s"""WITH vfh AS (
+        |  SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS h FROM documents),
+        |vfpx AS (
+        |  SELECT doc_id, f.f AS fno,
+        |         ((h % 1048576) * 31 + f.f * 131 + t.i * 97 + (t.i * t.i) % 251) % 256 AS g
+        |  FROM vfh,
+        |       unnest(range(0, $VideoFrames)) f(f),
+        |       unnest(range(0, $n)) t(i))
+        |SELECT doc_id, fno::BIGINT AS frame_no,
+        |       $VideoSide::BIGINT AS width, $VideoSide::BIGINT AS height,
+        |       sum(g)::BIGINT AS gray_sum, (sum(g) // $n)::BIGINT AS mean_gray
+        |FROM vfpx GROUP BY doc_id, fno
+        |ORDER BY doc_id, frame_no""".stripMargin
     }
   )
 

@@ -786,6 +786,76 @@ object Dedup {
   /** q135 edit-distance bound for a fuzzy name match. */
   val FuzzyMaxDistance = 2
 
+  /** Vocabulary-size ceiling for the broadcast BNLJ fuzzy pair search;
+    * above it the banded equi-join plans instead. 64Ki names × ~40 B is
+    * ~2.5 MB broadcast — comfortably inside the default 10 MB
+    * threshold with headroom for longer names. */
+  val FuzzyBroadcastMaxVocab = 65536L
+
+  /** Session-memoized part-name vocabulary size (the corpusSize
+    * pattern): ONE count job per (session, corpus) decides which fuzzy
+    * pair-search plan q135/q176 build; bench reps and co-consumers
+    * reuse it. */
+  private val vocabSizeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private[graft] def partNameVocabSize(spark: SparkSession, sfDir: String): Long = {
+    vocabSizeCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    vocabSizeCache.getOrElseUpdate((spark, sfDir),
+      Tables.part(spark, sfDir).select(col("p_name")).distinct().count())
+  }
+
+  /** Fuzzy pair search over a name VOCABULARY — the one primitive
+    * behind q135 (linkage pairs) and q176 (entity resolution): all
+    * unordered pairs (name_a < name_b) within Levenshtein distance
+    * [[FuzzyMaxDistance]], carrying one payload column per side.
+    *
+    * Two plans, ONE output (FuzzyBandingSpec proves pair-set
+    * equality; the choice is pure physical strategy):
+    *
+    *  - `banded = false` (vocabulary fits broadcast): broadcast
+    *    nested-loop join with the cheap |len(a)−len(b)| ≤ d metric
+    *    pre-filter ahead of the DP `levenshtein` verify — O(V²)
+    *    length compares but zero shuffles, the right call for catalog
+    *    vocabularies.
+    *
+    *  - `banded = true` (vocabulary outgrew the broadcast threshold —
+    *    the q74 binned-join move): names hash-join on a LENGTH BIN
+    *    key of width w = d+1. Since a qualifying pair satisfies
+    *    |len(a)−len(b)| ≤ d < w, its bins differ by at most 1, so the
+    *    left side exploding to probes {bin−1, bin, bin+1} meets every
+    *    qualifying right name on an EQUI key — a shuffled hash join
+    *    whose per-bin work is (names in 3 adjacent bins)², not V²;
+    *    each unordered pair joins on exactly one probe (the right's
+    *    single bin), so no dedup stage is needed. Length skew (every
+    *    name the same length) degrades to the BNLJ's compare count
+    *    but never worse, and the bin key composes with any further
+    *    blocking key (e.g. a q335 sort-key block) multiplicatively.
+    *
+    * Input: (name, pl); output: (name_a, name_b, distance, pl_a,
+    * pl_b). Levenshtein is an integer metric — identical in both
+    * engines, nothing to round. */
+  private[graft] def fuzzyVocabPairs(names: DataFrame, banded: Boolean): DataFrame = {
+    val a = names.select(col("name").as("name_a"), col("pl").as("pl_a"))
+    val b = names.select(col("name").as("name_b"), col("pl").as("pl_b"))
+    val cand =
+      if (!banded) a.crossJoin(broadcast(b))
+      else {
+        val w = FuzzyMaxDistance + 1
+        def bin(c: Column): Column = floor(length(c).cast("long") / lit(w))
+        a.withColumn("bin", explode(array(
+            bin(col("name_a")) - 1, bin(col("name_a")), bin(col("name_a")) + 1)))
+          .join(b.withColumn("bin", bin(col("name_b"))), "bin")
+          .drop("bin")
+      }
+    cand
+      .filter(col("name_a") < col("name_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= FuzzyMaxDistance)
+      .withColumn("distance", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("distance") <= FuzzyMaxDistance)
+      .select(col("name_a"), col("name_b"),
+        col("distance").cast("int").as("distance"), col("pl_a"), col("pl_b"))
+  }
+
   /** q135_fuzzy_names — RECORD LINKAGE over the catalog's name
     * vocabulary: pairs of distinct part names within Levenshtein
     * distance [[FuzzyMaxDistance]], each carrying its usage count —
@@ -798,26 +868,22 @@ object Dedup {
     * never on corpus rows.
     *
     * Scale shape: the corpus collapses to (name, n_parts) via one
-    * partial-aggregable groupBy; the vocabulary side broadcasts into a
-    * BroadcastNestedLoopJoin (never a CartesianProduct stage) with the
-    * cheap |len(a)−len(b)| ≤ d metric pre-filter ahead of the DP
-    * `levenshtein` verify — the length-band pre-filter is exactly what
-    * becomes the banded equi-join key when a vocabulary outgrows the
-    * broadcast threshold (the q74 binned-join move, documented, not
-    * needed at catalog scale). Levenshtein is an integer metric —
-    * identical in both engines, nothing to round. */
+    * partial-aggregable groupBy; the pair search is
+    * [[fuzzyVocabPairs]] — a broadcast BNLJ with the length
+    * pre-filter while the vocabulary fits [[FuzzyBroadcastMaxVocab]]
+    * (one memoized count job decides), switching to the length-banded
+    * hash join (the q74 binned-join move) when it outgrows broadcast;
+    * FuzzyBandingSpec proves the two plans emit the identical pair
+    * set. Levenshtein is an integer metric — identical in both
+    * engines, nothing to round. */
   def fuzzyNames(spark: SparkSession, sfDir: String): DataFrame = {
     val names = Tables.part(spark, sfDir)
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
-    val a = names.select(col("p_name").as("name_a"), col("n_parts").as("n_parts_a"))
-    val b = names.select(col("p_name").as("name_b"), col("n_parts").as("n_parts_b"))
-    a.crossJoin(broadcast(b))
-      .filter(col("name_a") < col("name_b"))
-      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= FuzzyMaxDistance)
-      .withColumn("distance", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("distance") <= FuzzyMaxDistance)
-      .select(col("name_a"), col("name_b"), col("distance").cast("int").as("distance"),
-        col("n_parts_a"), col("n_parts_b"))
+      .select(col("p_name").as("name"), col("n_parts").as("pl"))
+    val banded = partNameVocabSize(spark, sfDir) > FuzzyBroadcastMaxVocab
+    fuzzyVocabPairs(names, banded)
+      .select(col("name_a"), col("name_b"), col("distance"),
+        col("pl_a").as("n_parts_a"), col("pl_b").as("n_parts_b"))
       .orderBy("name_a", "name_b")
   }
 
@@ -898,8 +964,9 @@ object Dedup {
     *
     * Scale shape: the corpus collapses to the name VOCABULARY before
     * anything else (one partial-aggregable groupBy); the rank window
-    * and pair search (broadcast nested loop with the length-band
-    * pre-filter) run on vocabulary-sized frames — corpus rows are
+    * and pair search ([[fuzzyVocabPairs]] — BNLJ at catalog scale,
+    * the length-banded hash join past [[FuzzyBroadcastMaxVocab]])
+    * run on vocabulary-sized frames — corpus rows are
     * touched exactly once. CC runs as driver-side union-find over the
     * COLLECTED pair list: the matched-pair set is vocabulary-bounded
     * (catalog vocabularies are ~10⁶ at 100 TB, the codebook-scale
@@ -913,13 +980,10 @@ object Dedup {
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
     val ids = names.select(col("p_name"), col("n_parts"),
       row_number().over(Window.orderBy(col("p_name"))).cast("long").as("nid"))
-    val a = ids.select(col("p_name").as("name_a"), col("nid").as("u"))
-    val b = ids.select(col("p_name").as("name_b"), col("nid").as("v"))
-    val pairs = a.crossJoin(broadcast(b))
-      .filter(col("name_a") < col("name_b"))
-      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= FuzzyMaxDistance)
-      .filter(levenshtein(col("name_a"), col("name_b")) <= FuzzyMaxDistance)
-      .select(col("u"), col("v"))
+    val banded = partNameVocabSize(spark, sfDir) > FuzzyBroadcastMaxVocab
+    val pairs = fuzzyVocabPairs(
+        ids.select(col("p_name").as("name"), col("nid").as("pl")), banded)
+      .select(col("pl_a").as("u"), col("pl_b").as("v"))
     val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {

@@ -32,9 +32,12 @@ case class ImageFeatures(doc_id: Long, media_type: String, n_bytes: Int,
   * IMAGE decode and resize are REAL: `javax.imageio` ships with the JDK,
   * so [[decodeImage]] reads actual PNG/JPEG/GIF/BMP bytes to pixels and
   * [[resizeImage]] rescales and re-encodes — no external dependency.
-  * Only VIDEO frame extraction ([[sampleFrames]]) remains a declared
-  * deterministic stub (no ffmpeg in the JDK); its fan-out plumbing is
-  * the real flatMap shape a frame sampler distributes over.
+  * VIDEO is real at the container + per-frame-codec level: q356
+  * ([[Multimodal.videoFrames]]) builds, parses and frame-decodes a
+  * RIFF/AVI with lossless PNG frames end-to-end on the graded path.
+  * Only INTERFRAME-compressed codecs (H.264 etc.) stay out of reach
+  * JDK-only (no ffmpeg); [[sampleFrames]] keeps the byte-slicing stub
+  * as the API placeholder for that axis, clearly marked.
   */
 object MultimodalDecoder {
   def decode(b: MediaBlob): MediaFeatures = {
@@ -127,10 +130,14 @@ object MultimodalDecoder {
     MediaBlob(b.doc_id, b.media_type, b.content.take(n), n)
   }
 
-  /** ==== STUB ==== frame sampling: a real implementation decodes video
-    * frames; the stub slices the blob into `n` evenly-spaced chunks. The
-    * PLUMBING is the point: one blob row fans out to n frame rows
-    * (flatMap/explode shape), which is how frame extraction distributes. */
+  /** ==== STUB ==== frame sampling over OPAQUE (interframe-compressed)
+    * video: a real implementation hands the blob to ffmpeg; the stub
+    * slices it into `n` evenly-spaced chunks. The PLUMBING is the
+    * point: one blob row fans out to n frame rows (flatMap/explode
+    * shape), which is how frame extraction distributes. For container
+    * formats with per-frame codecs the REAL path exists — q356
+    * ([[Multimodal.videoFrames]]) parses an AVI and decodes every
+    * frame with `javax.imageio` on the graded path. */
   def sampleFrames(b: MediaBlob, n: Int): Seq[Frame] = {
     if (b.n_bytes == 0) Seq.empty
     else (0 until n).map { i =>
@@ -279,6 +286,183 @@ object Multimodal {
       .filter(col("n_docs") >= 2)
       .select(col("ahash"), col("n_docs"), col("rep_doc"), col("mean_gray"))
       .orderBy("ahash")
+  }
+
+  /** q356 video side: frames per clip and square frame edge — each
+    * frame's pixels pure arithmetic on (doc md5, frame no, pixel no). */
+  val VideoFrames = 4
+  val VideoSide = 8
+  val VideoFps = 10
+
+  /** Minimal RIFF/AVI container around per-frame PNG payloads — the
+    * ENCODE half of the q356 video codec round-trip ([[wavBytes]]'s
+    * pattern applied to the AVI layout: RIFF('AVI ') → LIST hdrl
+    * {avih, LIST strl {strh 'vids'/'MPNG', strf BITMAPINFOHEADER}} →
+    * LIST movi {'00dc' chunks} → idx1). PNG frames keep the per-frame
+    * codec LOSSLESS so the oracle's pixel arithmetic must match
+    * bit-for-bit ('MPNG' is the established lossless-PNG-in-AVI
+    * fourcc; MJPEG's DCT would break the proof). Layout is hand-built
+    * for the same reason as the WAV header: the container bytes are
+    * what's under test. */
+  private[graft] def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def even(n: Int) = n + (n & 1)
+    val k = frames.length
+    val maxBuf = frames.map(_.length).max
+    val strlSize = 4 + (8 + 56) + (8 + 40)            // 'strl' + strh + strf
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)      // 'hdrl' + avih + LIST strl
+    val moviSize = 4 + frames.map(f => 8 + even(f.length)).sum
+    val idx1Size = 16 * k
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val bb = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    fcc("RIFF"); bb.putInt(riffSize); fcc("AVI ")
+    fcc("LIST"); bb.putInt(hdrlSize); fcc("hdrl")
+    fcc("avih"); bb.putInt(56)
+    bb.putInt(1000000 / VideoFps).putInt(maxBuf * VideoFps).putInt(0)
+      .putInt(0x10 /* AVIF_HASINDEX */).putInt(k).putInt(0).putInt(1)
+      .putInt(maxBuf).putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    fcc("LIST"); bb.putInt(strlSize); fcc("strl")
+    fcc("strh"); bb.putInt(56)
+    fcc("vids"); fcc("MPNG")
+    bb.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(VideoFps)                      // scale, rate
+      .putInt(0).putInt(k).putInt(maxBuf).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fcc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    fcc("MPNG")
+    bb.putInt(maxBuf).putInt(0).putInt(0).putInt(0).putInt(0)
+    fcc("LIST"); bb.putInt(moviSize); fcc("movi")
+    val offsets = new Array[Int](k)
+    var off = 4                                        // relative to 'movi'
+    frames.zipWithIndex.foreach { case (f, i) =>
+      offsets(i) = off
+      fcc("00dc"); bb.putInt(f.length); bb.put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+      off += 8 + even(f.length)
+    }
+    fcc("idx1"); bb.putInt(idx1Size)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      fcc("00dc"); bb.putInt(0x10 /* keyframe */)
+      bb.putInt(offsets(i)).putInt(f.length)
+    }
+    require(bb.remaining() == 0, s"AVI layout arithmetic is off by ${bb.remaining()}")
+    bb.array()
+  }
+
+  /** The DECODE half: a REAL RIFF walk — validates the RIFF/'AVI '
+    * magic, reads dwTotalFrames out of the avih header, and extracts
+    * every video-data chunk ('##dc'/'##db') payload from the movi
+    * LIST in container order. Returns (declared frame count, frame
+    * payloads). Nothing is read by remembered offset — every chunk
+    * boundary comes from the parsed sizes, so a mis-written header
+    * breaks the round-trip loudly. */
+  private[graft] def parseAviFrames(bytes: Array[Byte]): (Int, Seq[Array[Byte]]) = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF stream")
+    bb.getInt                                           // riff size
+    require(fourcc() == "AVI ", "RIFF stream is not an AVI")
+    var totalFrames = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (bb.remaining() >= 8) {
+      val id = fourcc(); val size = bb.getInt
+      val next = bb.position() + size + (size & 1)
+      if (id == "LIST") {
+        fourcc() match {
+          case "hdrl" =>
+            val cid = fourcc(); bb.getInt
+            require(cid == "avih", s"hdrl must lead with avih, got $cid")
+            totalFrames = bb.getInt(bb.position() + 16) // dwTotalFrames
+          case "movi" =>
+            var q = bb.position()
+            while (q + 8 <= next) {
+              val cid = new String(bytes.slice(q, q + 4), "US-ASCII")
+              val csize = bb.getInt(q + 4)
+              if (cid.endsWith("dc") || cid.endsWith("db"))
+                frames += bytes.slice(q + 8, q + 8 + csize)
+              q += 8 + csize + (csize & 1)
+            }
+          case _ => ()
+        }
+      }
+      bb.position(next)
+    }
+    (totalFrames, frames.toSeq)
+  }
+
+  /** q356_video_frames — the VIDEO leg of the real-codec proof,
+    * closing the multimodal matrix (q22/q180 image, q232 audio): each
+    * doc's synthetic 4-frame clip (8×8 grayscale, every pixel pure
+    * arithmetic on (md5 hash, frame no, pixel no) — identical texts
+    * render identical clips) is PNG-encoded per frame, packed into a
+    * hand-built RIFF/AVI container ([[aviBytes]]), then the container
+    * is PARSED back chunk-by-chunk ([[parseAviFrames]]) and every
+    * extracted frame pixel-decoded via `javax.imageio`, all inside
+    * the mapPartitions boundary. Per-frame gray sums from the DECODED
+    * pixels are graded against the oracle computing the same integers
+    * straight from the arithmetic — a mis-written chunk size, a frame
+    * emitted out of order, a header/index inconsistency or a lossy
+    * frame codec all shift the graded numbers. Interframe compression
+    * is the one axis a JDK-only engine cannot exercise (no ffmpeg);
+    * the container + per-frame codec cycle here is real end-to-end.
+    *
+    * Determinism: pixels, sums and the integer mean are exact; PNG is
+    * lossless by spec; frame order is pinned by the container walk
+    * and cross-checked against avih's declared count.
+    *
+    * Scale shape: encode+parse+decode are partition-local scan work
+    * over the blob column (the decoder boundary — zero shuffles
+    * before the output sort); output is [[VideoFrames]] stat rows per
+    * doc. */
+  def videoFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val side = VideoSide
+    val n = side * side
+    val k = VideoFrames
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.md5Int60(col("text")).as("h"))
+      .as[(Long, Long)]
+    src.mapPartitions { it =>
+      it.flatMap { case (id, h) =>
+        val pngs = (0 until k).map { f =>
+          val im = new java.awt.image.BufferedImage(
+            side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < n) {
+            val g = (((h % 1048576L) * 31L + f * 131L + i * 97L +
+              (i.toLong * i) % 251L) % 256L).toInt
+            im.setRGB(i % side, i / side, (g << 16) | (g << 8) | g)
+            i += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(im, "png", baos)
+          baos.toByteArray
+        }
+        // REAL container round-trip: build the AVI, then trust ONLY the
+        // parsed bytes from here on
+        val (declared, frames) = parseAviFrames(aviBytes(pngs, side, side))
+        require(declared == k && frames.length == k,
+          s"AVI round-trip broke the frame count for doc $id: " +
+            s"declared=$declared extracted=${frames.length}")
+        frames.zipWithIndex.map { case (fb, fno) =>
+          val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+          require(im != null && im.getWidth == side && im.getHeight == side,
+            s"frame decode broke for doc $id frame $fno")
+          val px = im.getRGB(0, 0, side, side, null, 0, side)
+          var s = 0L
+          var i = 0
+          while (i < px.length) { s += px(i) & 0xff; i += 1 }
+          (id, fno.toLong, im.getWidth.toLong, im.getHeight.toLong, s, s / n)
+        }
+      }
+    }.toDF("doc_id", "frame_no", "width", "height", "gray_sum", "mean_gray")
+      .orderBy("doc_id", "frame_no")
   }
 
   /** q232 audio side: 8-bit unsigned PCM, mono, 8 kHz, 64 samples per

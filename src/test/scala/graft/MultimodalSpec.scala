@@ -111,4 +111,44 @@ class MultimodalSpec extends SparkSuite {
       assert(fs.forall(_.n_bytes > 0))
     }
   }
+
+  test("AVI container round-trip: build, parse, recover every frame byte-exact") {
+    // distinct payload sizes (odd + even) exercise the RIFF pad rule
+    val payloads = Seq(
+      Array.tabulate(13)(_.toByte), Array.tabulate(64)(i => (i * 3).toByte),
+      Array.tabulate(7)(i => (255 - i).toByte))
+    val avi = Multimodal.aviBytes(payloads, 8, 8)
+    // spot-check the layout: RIFF magic, AVI type, declared size = file
+    assert(new String(avi.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val riffSize = java.nio.ByteBuffer.wrap(avi, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(riffSize + 8 == avi.length)
+    val (declared, frames) = Multimodal.parseAviFrames(avi)
+    assert(declared == 3 && frames.length == 3)
+    payloads.zip(frames).foreach { case (p, f) => assert(p.toSeq == f.toSeq) }
+  }
+
+  test("q356 video codec proof: parsed+decoded frame stats equal the generating arithmetic") {
+    val out = Multimodal.videoFrames(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length == Multimodal.VideoFrames * nDocs)
+    val n = Multimodal.VideoSide * Multimodal.VideoSide
+    // independently recompute a sample of frames from the arithmetic
+    import org.apache.spark.sql.functions._
+    val hs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.md5Int60(col("text")).as("h"))
+      .orderBy("doc_id").limit(5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.filter(r => hs.contains(r.getLong(0))).foreach { r =>
+      val (id, f) = (r.getLong(0), r.getLong(1))
+      val h = hs(id)
+      val want = (0 until n).map(i =>
+        ((h % 1048576L) * 31L + f * 131L + i * 97L + (i.toLong * i) % 251L) % 256L).sum
+      assert(r.getLong(2) == 8L && r.getLong(3) == 8L)
+      assert(r.getLong(4) == want, s"gray_sum mismatch doc $id frame $f")
+      assert(r.getLong(5) == want / n)
+    }
+  }
 }
