@@ -5238,12 +5238,12 @@ object SparkEntry {
     },
     "q269_hits" -> {
       import graft.operators.Graph.{HitsIterations, HitsTopK}
+      // one normalization per FULL round (hub only), mirroring the
+      // engine's fused round: auth stays unnormalized inside the round
       val rounds = (1 to HitsIterations).map { r =>
-        s"""ha${r}r AS (SELECT p, sum(h)::BIGINT AS ar
+        s"""ha$r AS (SELECT p, sum(h)::BIGINT AS ar
            |        FROM he JOIN hh${r - 1} USING (c) GROUP BY 1),
-           |ha$r AS (SELECT p, ar * 1000000 // (SELECT max(ar) FROM ha${r}r) AS a
-           |        FROM ha${r}r),
-           |hh${r}r AS (SELECT c, sum(a)::BIGINT AS hr
+           |hh${r}r AS (SELECT c, sum(ar)::BIGINT AS hr
            |        FROM he JOIN ha$r USING (p) GROUP BY 1),
            |hh$r AS (SELECT c, hr * 1000000 // (SELECT max(hr) FROM hh${r}r) AS h
            |        FROM hh${r}r)""".stripMargin

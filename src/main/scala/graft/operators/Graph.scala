@@ -894,16 +894,26 @@ object Graph {
     * the natural one). Top authorities = the catalog's anchor
     * products.
     *
-    * Determinism: scores live on an integer ppm grid — each half-step
-    * renormalizes by the MAX via integer floor-division (broadcast
-    * 1-row max), so every round is exact ≤2⁵³ integer arithmetic;
-    * ranking under (auth desc, partkey) total order.
+    * Determinism: scores live on an integer ppm grid — each ROUND
+    * renormalizes the hub vector by its MAX via integer floor-division
+    * (broadcast 1-row max), so every round is exact ≤2⁵³ integer
+    * arithmetic; ranking under (auth desc, partkey) total order.
+    * Normalization is once per FULL round, not per half-step: in real
+    * arithmetic a normalization is a scalar multiple, so where it sits
+    * cannot change the (normalized) fixed-point iterates — fusing the
+    * two half-steps into one round job halved the checkpoint/job count
+    * (measured 4.6 → ~2.6 s at sf0.1) at the cost of one wider integer
+    * headroom requirement: unnormalized hr ≤ max_degree · n_nodes ·
+    * 10⁶ must stay under 2⁶³ (true through ~10⁹ nodes × 10³ degree; a
+    * corpus beyond that re-inserts the mid-round normalize).
     *
     * Scale shape: the edge table is one distinct aggregate keyed
-    * (cust, part); each half-step is one keyed join + one
-    * partial-aggregable sum + a broadcast max; top-20 via
-    * TakeOrderedAndProject. Rounds are unrolled with per-round
-    * checkpoints (q76's pattern), state O(1) on the driver. */
+    * (cust, part); each round is two keyed join+partial-sum sweeps +
+    * one broadcast max, checkpointed ONCE (q76's pattern — the
+    * checkpoint truncates the recurrence; the earlier per-half-step
+    * checkpoint elision via ReuseExchange measured SLOWER, 4.1 → 6.0 s,
+    * round-16 note in PLANS.md), state O(1) on the driver; top-20 via
+    * TakeOrderedAndProject. */
   def hits(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"))
@@ -917,22 +927,17 @@ object Graph {
     for (_ <- 1 to HitsIterations) {
       val authRaw = edges.join(hub, "c")
         .groupBy(col("p")).agg(sum(col("h")).as("ar"))
-      val authMax = authRaw.agg(max(col("ar")).as("am"))
-      // auth IS checkpointed: it feeds two plan references (hubMax's
-      // broadcast side and hub's stream side) and relying on
-      // ReuseExchange to share them instead measured SLOWER at sf0.1
-      // (bench median 4.1 → 6.0 s — the exchange reuse doesn't cover
-      // the pre-exchange join work on both references). Measured,
-      // reverted (round-16 note in PLANS.md).
-      val auth = authRaw.crossJoin(broadcast(authMax))
-        .select(col("p"), expr("ar * 1000000 div am").as("a"))
+      // hubRaw is the round's ONE checkpoint: authRaw feeds exactly one
+      // reference, so the whole two-sweep round evaluates once inside
+      // this job; the normalization below is a lazy projection over the
+      // checkpoint (its broadcast max re-scans the checkpoint, not the
+      // round's join chain)
+      val hubRaw = edges.join(authRaw, "p")
+        .groupBy(col("c")).agg(sum(col("ar")).as("hr"))
         .localCheckpoint()
-      val hubRaw = edges.join(auth, "p")
-        .groupBy(col("c")).agg(sum(col("a")).as("hr"))
       val hubMax = hubRaw.agg(max(col("hr")).as("hm"))
       hub = hubRaw.crossJoin(broadcast(hubMax))
         .select(col("c"), expr("hr * 1000000 div hm").as("h"))
-        .localCheckpoint()
     }
     // final authority pass over the converged hub scores
     val authRaw = edges.join(hub, "c")
@@ -991,7 +996,6 @@ object Graph {
         .groupBy(col("dst"))
         .agg(max(struct(col("wsum"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("dst").as("node"), (-col("m.neg")).as("lbl"))
-        .localCheckpoint()
     }
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))

@@ -90,4 +90,19 @@ class ClusterSmokeSpec extends AnyFunSuite {
     val r = SparkEntry.queries("q88_stream_window_exec")(spark, sf).collect()
     assert(r.nonEmpty)
   }
+
+  test("MULTI-stateful streaming: two state stores in one plan, cross-JVM (q349)") {
+    // chained dedup → windowed agg is exactly where single-JVM
+    // assumptions would hide: two state-store sets, partitioned
+    // independently, both on the executors, with the dedup's output
+    // exchange feeding the agg's state across JVM boundaries
+    val r = SparkEntry.queries("q349_stream_chained_exec")(spark, sf).collect()
+    assert(r.nonEmpty)
+    // join → agg: SymmetricHashJoin state + StateStoreSave in one plan
+    val ja = SparkEntry.queries("q353_stream_join_agg_exec")(spark, sf).collect()
+    assert(ja.nonEmpty)
+    // agg → agg: chained time windows via window(window_time(...))
+    val wr = SparkEntry.queries("q354_stream_window_rollup_exec")(spark, sf).collect()
+    assert(wr.nonEmpty)
+  }
 }

@@ -220,12 +220,12 @@ class Round14OpsSpec extends SparkSuite {
       .select(col("o_custkey"), col("l_partkey")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     var hub = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
-    var auth = Map.empty[Long, Long]
+    // fused-round arithmetic: auth stays UNNORMALIZED inside a round
+    // (normalization is a scalar multiple — only the rounding points
+    // move), hub renormalizes once per full round
     for (_ <- 1 to graft.operators.Graph.HitsIterations) {
-      val ar = edges.groupBy(_._2).map { case (p, es) =>
+      val auth = edges.groupBy(_._2).map { case (p, es) =>
         p -> es.map(e => hub(e._1)).sum }
-      val am = ar.values.max
-      auth = ar.map { case (p, v) => p -> v * 1000000L / am }
       val hr = edges.groupBy(_._1).map { case (c, es) =>
         c -> es.map(e => auth(e._2)).sum }
       val hm = hr.values.max
