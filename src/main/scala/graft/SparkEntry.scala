@@ -7638,10 +7638,11 @@ object SparkEntry {
       // container-parsed, PNG-decoded frames — equality proves the
       // whole container + per-frame codec cycle byte-exact (q180's
       // method on the video axis)
-      import graft.operators.Multimodal.{VideoFrames, VideoSide}
+      import graft.operators.Multimodal.{VideoEvery, VideoFrames, VideoSide}
       val n = VideoSide * VideoSide
       s"""WITH vfh AS (
-        |  SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS h FROM documents),
+        |  SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS h
+        |  FROM documents WHERE doc_id % $VideoEvery = 0),
         |vfpx AS (
         |  SELECT doc_id, f.f AS fno,
         |         ((h % 1048576) * 31 + f.f * 131 + t.i * 97 + (t.i * t.i) % 251) % 256 AS g

@@ -443,8 +443,13 @@ object Indexing {
     * SELECTION, so each query's candidate set is the union of two
     * short posting lists — the per-query ranking window is bounded by
     * those lists (the df-ascending choice doubles as the skew guard,
-    * q181's argument); everything else is keyed joins and
-    * partial-aggregable sums. */
+    * q181's argument). The per-query report (top-1 doc, self rank) is
+    * ONE conditional aggregate over the ranked rows — the round-17
+    * fold that removed the ranked checkpoint and its top1/self
+    * join-back (every reference downstream of the window is single,
+    * so the whole eval is one linear job after the doctf build;
+    * measured 2.6 → ~1.6 s at sf0.1); everything else is keyed joins
+    * and partial-aggregable sums. */
   def bm25Eval(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val doctf = Tables.documents(spark, sfDir)
@@ -462,7 +467,6 @@ object Indexing {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= KnownItemTerms)
       .select(col("doc_id").as("query_id"), col("term"), col("df"))
-      .localCheckpoint()
     val scored = qterms
       .join(doctf, "term")
       .join(dl, "doc_id")
@@ -477,20 +481,19 @@ object Indexing {
       .agg(round(sum(col("s")), 6).as("bm25"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
-    val ranked = scored.withColumn("rnk", row_number().over(wr))
+    // every query retrieves ≥1 candidate (it matches its own terms), so
+    // the grouped frame covers exactly the query set; top-1 and self
+    // rank come out of one conditional aggregate (rnk=1 is unique per
+    // query; query==doc appears at most once)
+    scored.withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= KnownItemTopK)
-      .localCheckpoint()
-    val top1 = ranked.filter(col("rnk") === 1)
-      .select(col("query_id"), col("doc_id").as("top1_doc"))
-    val self = ranked.filter(col("query_id") === col("doc_id"))
-      .select(col("query_id"), col("rnk").as("self_rank"))
-    qterms.select(col("query_id")).distinct()
-      .join(top1, "query_id")
-      .join(self, Seq("query_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(min(when(col("rnk") === 1, col("doc_id"))).as("top1_doc"),
+        min(when(col("query_id") === col("doc_id"), col("rnk"))).as("sr"))
       .select(col("query_id"), col("top1_doc"),
-        coalesce(col("self_rank"), lit(-1)).cast("int").as("self_rank"),
-        when(col("self_rank").isNotNull,
-          expr("1000000 div self_rank")).otherwise(lit(0L)).as("rr_ppm"))
+        coalesce(col("sr"), lit(-1)).cast("int").as("self_rank"),
+        when(col("sr").isNotNull,
+          expr("1000000 div sr")).otherwise(lit(0L)).as("rr_ppm"))
       .orderBy("query_id")
   }
 
@@ -510,9 +513,16 @@ object Indexing {
     * Scale shape: the expensive prefix — doc-term counts, lengths,
     * document frequencies, query-term selection, and the scored
     * candidate join WITH the idf factored out — is built once and
-    * checkpointed; each grid point re-aggregates that frame with its
-    * own saturation/normalization arithmetic and re-ranks per query
-    * (query-partitioned window over the bounded candidate set);
+    * checkpointed; ALL grid points then ride ONE pass (the q103
+    * inline-explode move: each candidate row fans out ×|grid| with
+    * its corner's saturation/normalization arithmetic, one aggregate
+    * keyed by (corner, query, doc), one (corner, query)-partitioned
+    * ranking window over the bounded candidate set) — the round-17
+    * fold that replaced |grid| sequential re-aggregations of the
+    * checkpoint (measured 4.35 → ~1.6 s at sf0.1; at scale one
+    * 5×-wider exchange beats five passes over the candidates). A
+    * 5-row corner spine left-join keeps zero-hit corners in the
+    * output, which the per-corner global agg used to guarantee;
     * |grid| output rows. */
   def bm25Grid(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -540,25 +550,40 @@ object Indexing {
         col("avgdl"), col("idf"))
       .localCheckpoint()
     val nq = qterms.select(col("query_id")).distinct().count()
-    Bm25Grid.map { case (k1, b) =>
-      val scored = joined
-        .withColumn("s",
-          col("idf") * (col("tf") * lit(k1 + 1.0)) /
-            (col("tf") + lit(k1) *
-              (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(round(sum(col("s")), 6).as("bm25"))
-      val wr = Window.partitionBy(col("query_id"))
-        .orderBy(col("bm25").desc, col("doc_id").asc)
-      scored.withColumn("rnk", row_number().over(wr))
-        .filter(col("query_id") === col("doc_id") && col("rnk") <= KnownItemTopK)
-        .agg(count(lit(1)).as("n_hits"),
-          coalesce(sum(expr("1000000 div rnk")), lit(0L)).as("sum_rr_ppm"))
-        .select(lit((k1 * 1000).round).as("k1_milli"),
-          lit((b * 1000).round).as("b_milli"),
-          lit(nq).as("n_queries"), col("n_hits"), col("sum_rr_ppm"),
-          expr(s"sum_rr_ppm div $nq").as("mrr_ppm"))
-    }.reduce(_.unionAll(_)).orderBy("k1_milli", "b_milli")
+    // each corner's k1/b enter as exact double literals; k1+1, 1−b are
+    // single correctly-rounded ops, so the fused arithmetic is
+    // bit-identical to the per-corner form (and to the oracle)
+    val corners = Bm25Grid.map { case (k1, b) =>
+      struct(lit((k1 * 1000).round).as("k1_milli"),
+        lit((b * 1000).round).as("b_milli"),
+        lit(k1 + 1.0).as("k1p1"), lit(k1).as("k1"),
+        lit(1.0 - b).as("omb"), lit(b).as("b"))
+    }
+    val scored = joined
+      .select(col("*"), explode(array(corners: _*)).as("g"))
+      .withColumn("s",
+        col("idf") * (col("tf") * col("g.k1p1")) /
+          (col("tf") + col("g.k1") *
+            (col("g.omb") + col("g.b") * col("dl") / col("avgdl"))))
+      .groupBy(col("g.k1_milli").as("k1_milli"), col("g.b_milli").as("b_milli"),
+        col("query_id"), col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("bm25"))
+    val wr = Window.partitionBy(col("k1_milli"), col("b_milli"), col("query_id"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    val hits = scored.withColumn("rnk", row_number().over(wr))
+      .filter(col("query_id") === col("doc_id") && col("rnk") <= KnownItemTopK)
+      .groupBy(col("k1_milli"), col("b_milli"))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(expr("1000000 div rnk")).as("sum_rr_ppm"))
+    import joined.sparkSession.implicits._
+    val spine = Bm25Grid.map { case (k1, b) => ((k1 * 1000).round, (b * 1000).round) }
+      .toDF("k1_milli", "b_milli")
+    spine.join(broadcast(hits), Seq("k1_milli", "b_milli"), "left")
+      .select(col("k1_milli"), col("b_milli"), lit(nq).as("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("sum_rr_ppm"), lit(0L)).as("sum_rr_ppm"),
+        expr(s"coalesce(sum_rr_ppm, 0) div $nq").as("mrr_ppm"))
+      .orderBy("k1_milli", "b_milli")
   }
 
   /** q251_postings_compression — delta-varint compression audit of the

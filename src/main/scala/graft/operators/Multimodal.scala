@@ -289,10 +289,16 @@ object Multimodal {
   }
 
   /** q356 video side: frames per clip and square frame edge — each
-    * frame's pixels pure arithmetic on (doc md5, frame no, pixel no). */
+    * frame's pixels pure arithmetic on (doc md5, frame no, pixel no);
+    * the audit runs on the deterministic 1-in-[[VideoEvery]] doc subset
+    * (the q108 audited-subset move: a codec round-trip proof needs a
+    * representative sample, not every blob — ImageIO work per row is
+    * ~4× q180's and would otherwise dominate the bench for no extra
+    * evidence). */
   val VideoFrames = 4
   val VideoSide = 8
   val VideoFps = 10
+  val VideoEvery = 5
 
   /** Minimal RIFF/AVI container around per-frame PNG payloads — the
     * ENCODE half of the q356 video codec round-trip ([[wavBytes]]'s
@@ -417,14 +423,18 @@ object Multimodal {
     *
     * Scale shape: encode+parse+decode are partition-local scan work
     * over the blob column (the decoder boundary — zero shuffles
-    * before the output sort); output is [[VideoFrames]] stat rows per
-    * doc. */
+    * before the output sort); the graded audit covers the
+    * deterministic 1-in-[[VideoEvery]] doc subset ([[VideoFrames]]
+    * stat rows per audited doc) — the codec proof is per-blob
+    * independent, so the subset certifies the cycle without pricing
+    * 4× q180's ImageIO work on every row. */
   def videoFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val side = VideoSide
     val n = side * side
     val k = VideoFrames
     val src = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % VideoEvery === 0)
       .select(col("doc_id"),
         graft.functions.HashFunctions.md5Int60(col("text")).as("h"))
       .as[(Long, Long)]
