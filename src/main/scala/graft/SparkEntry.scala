@@ -370,7 +370,8 @@ object SparkEntry {
     "q353_stream_join_agg_exec" -> (graft.streaming.EventStream.attributionRateStreamed _),
     "q354_stream_window_rollup_exec" -> (graft.streaming.EventStream.windowRollupStreamed _),
     "q355_hll_set_ops" -> (Sketches.hllSetOps _),
-    "q356_video_frames" -> (Multimodal.videoFrames _)
+    "q356_video_frames" -> (Multimodal.videoFrames _),
+    "q357_stream_tws_exec" -> (graft.streaming.EventStream.userStatsTwsStreamed _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7654,6 +7655,15 @@ object SparkEntry {
         |       sum(g)::BIGINT AS gray_sum, (sum(g) // $n)::BIGINT AS mean_gray
         |FROM vfpx GROUP BY doc_id, fno
         |ORDER BY doc_id, frame_no""".stripMargin
+    },
+    "q357_stream_tws_exec" -> {
+      // the batch restatement of the transformWithState fold: final
+      // per-user state = all-input count and integer-cent sum (q110's
+      // determinism rule on the state-v2 API; cents via the q193
+      // floor(value*100 + 0.5) convention)
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |       sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     }
   )
 

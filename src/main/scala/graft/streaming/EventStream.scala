@@ -11,6 +11,37 @@ case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String, valu
 /** Per-user running aggregate maintained by the stateful operator. */
 case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
+/** Per-user integer-cent running aggregate for the transformWithState
+  * path (q357) — cents keep the graded row off double-sum rounding. */
+case class UserCents(user_id: Long, n_events: Long, total_cents: Long)
+
+/** The q357 StatefulProcessor: per-user running (count, cent total) in
+  * a typed ValueState — the state-v2 API's form of
+  * [[EventStream.runningUserStats]]'s GroupState fold. One state read,
+  * one fold over the batch's rows, one write, one emitted update per
+  * (key, micro-batch); `init` runs once per partition per batch, the
+  * placement a native-lib state codec would use. */
+class UserCentsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), UserCents] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+  @transient private var st: ValueState[UserCents] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[UserCents](
+      "ustats", Encoders.product[UserCents], TTLConfig.NONE)
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[UserCents] = {
+    val prev = if (st.exists()) st.get() else UserCents(key, 0L, 0L)
+    val next = rows.foldLeft(prev) { case (acc, (_, cents)) =>
+      UserCents(key, acc.n_events + 1, acc.total_cents + cents)
+    }
+    st.update(next)
+    Iterator.single(next)
+  }
+}
+
 /** Open-session accumulator (epoch millis bounds). */
 case class SessionState(start: Long, end: Long, n: Int)
 
@@ -607,6 +638,73 @@ object EventStream {
       .agg(max(struct(col("n_events"), col("total_value"))).as("w"))
       .select(col("user_id"), col("w.n_events").as("n_events"),
         round(col("w.total_value"), 2).as("total_value"))
+      .orderBy("user_id").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  /** Run `f` with the RocksDB state-store provider — transformWithState
+    * (state v2) requires it; the conf is restored afterwards so the
+    * HDFS-backed default keeps serving the other stateful paths. */
+  private def withRocksDbStateStore[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** q357_stream_tws_exec — ARBITRARY STATE on the state-v2 API
+    * (`transformWithState`, Spark 4's replacement for
+    * mapGroupsWithState) driven through a genuine streaming run: file
+    * stream → groupByKey(user) → [[UserCentsProcessor]] (typed
+    * ValueState fold) → Update-mode memory sink, on the ROCKSDB
+    * state-store provider (required by the API — also the first graded
+    * path on the store production clusters run, where state spills to
+    * disk instead of capping at executor heap). 16th graded streaming
+    * path: q110 grades the v1 GroupState fold; this grades its
+    * successor, whose typed column families (value/list/map state,
+    * TTL, timers) are what new pipelines build on.
+    *
+    * Determinism: q110's rule — counts and integer-cent sums strictly
+    * increase per update, so the final state per key is
+    * max(struct(n_events, total_cents)) independent of micro-batch
+    * boundaries; cents enter as floor(value·100 + 0.5) (the q193
+    * convention), one identical IEEE expression in both engines, so
+    * no double-sum rounding reaches the graded row.
+    *
+    * At scale: O(users) ValueState entries partitioned by key across
+    * executors' RocksDB instances; a TTLConfig swap ages out idle
+    * users without a code change. */
+  def userStatsTwsStreamed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val stream = Tables.eventsStream(spark, sfDir)
+      .select(col("user_id"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("cents"))
+      .as[(Long, Long)]
+    val name = s"graft_stream_tws_${streamRunId.incrementAndGet()}"
+    withStatePartitions(spark, 4) {
+      withRocksDbStateStore(spark) {
+        val q = stream.groupByKey(_._1)
+          .transformWithState(new UserCentsProcessor,
+            TimeMode.None(), OutputMode.Update(),
+            org.apache.spark.sql.Encoders.product[UserCents])
+          .toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Update())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    val out = spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("w"))
+      .select(col("user_id"), col("w.n_events").as("n_events"),
+        col("w.total_cents").as("total_cents"))
       .orderBy("user_id").localCheckpoint()
     spark.catalog.dropTempView(name)
     out

@@ -320,4 +320,24 @@ class StreamingSpec extends SparkSuite {
       "streaming session_window diverged from the batch >=-gap rule")
     assert(got.nonEmpty)
   }
+
+  test("q357 transformWithState fold equals the batch per-user cent totals") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val got = EventStream.userStatsTwsStreamed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(100) + lit(0.5)).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq == expected.sorted.toSeq,
+      "state-v2 running fold diverged from the batch aggregate")
+    assert(got.nonEmpty)
+    // the RocksDB provider conf must not leak into the session
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").isEmpty ||
+      !spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDB"))
+  }
 }
