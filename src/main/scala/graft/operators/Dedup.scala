@@ -946,6 +946,47 @@ object Dedup {
           .as("candidate_savings_ppm"))
   }
 
+  /** Connected-component labels (node, cluster_id = component-min id)
+    * over a fuzzy-match edge list — the q176 CC primitive with BOTH
+    * physical plans behind one label law:
+    *
+    *  - `distributed = false`: collect the (vocabulary-bounded) edges
+    *    and run path-compressed union-find on the driver; union-by-min
+    *    keeps every root the component min. O(E α(E)) with zero jobs
+    *    beyond the collect — the right call while edges are
+    *    codebook-scale.
+    *  - `distributed = true`: the [[connectedComponents]] large-star/
+    *    small-star loop — pure shuffle primitives, O(log n) rounds,
+    *    nothing driver-resident — for edge lists past driver scale.
+    *
+    * Both emit (node, min-id of its component) covering every NON-ROOT
+    * node incident to an edge (roots may be absent from either side —
+    * consumers left-join and coalesce to the node's own id, under
+    * which the two labelings are identical; GoldenCcSpec asserts the
+    * coalesced assignments match), so the switch is invisible to
+    * consumers. */
+  private[graft] def fuzzyCcLabels(
+      spark: SparkSession, pairs: DataFrame, distributed: Boolean): DataFrame = {
+    import spark.implicits._
+    if (distributed) {
+      val (labels, _) = connectedComponents(pairs)
+      labels.select(col("doc_id").as("nid"), col("cluster_id"))
+    } else {
+      val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      parent.keys.map(n => (n, find(n))).toSeq.toDF("nid", "cluster_id")
+    }
+  }
+
   /** q176_golden_record — entity-resolution COMPLETION over the q135
     * linkage pairs: connected components over the fuzzy-match graph
     * (levenshtein ≤ [[FuzzyMaxDistance]] on the name vocabulary), then
@@ -967,13 +1008,17 @@ object Dedup {
     * and pair search ([[fuzzyVocabPairs]] — BNLJ at catalog scale,
     * the length-banded hash join past [[FuzzyBroadcastMaxVocab]])
     * run on vocabulary-sized frames — corpus rows are
-    * touched exactly once. CC runs as driver-side union-find over the
-    * COLLECTED pair list: the matched-pair set is vocabulary-bounded
-    * (catalog vocabularies are ~10⁶ at 100 TB, the codebook-scale
-    * driver-state precedent), so path-compressed union-find beats the
-    * distributed star-contraction loop's per-round job latency by an
-    * order of magnitude; a corpus-SIZED graph (doc ids, not names)
-    * belongs on [[connectedComponents]] instead. */
+    * touched exactly once. CC is plan-switched on the SAME gate as the
+    * pair search (one memoized vocabulary count): at catalog scale the
+    * matched-pair set is vocabulary-bounded (the codebook-scale
+    * driver-state precedent), so path-compressed union-find over the
+    * collected pair list beats the distributed star-contraction loop's
+    * per-round job latency by an order of magnitude; past
+    * [[FuzzyBroadcastMaxVocab]] the edge list is no longer presumed
+    * driver-sized and the SAME label law runs distributed on
+    * [[connectedComponents]] (large-star/small-star, min-id roots) —
+    * [[fuzzyCcLabels]] holds both plans, GoldenCcSpec proves they emit
+    * the identical assignment on the test corpus. */
   def goldenRecords(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val names = Tables.part(spark, sfDir)
@@ -984,23 +1029,12 @@ object Dedup {
     val pairs = fuzzyVocabPairs(
         ids.select(col("p_name").as("name"), col("nid").as("pl")), banded)
       .select(col("pl_a").as("u"), col("pl_b").as("v"))
-    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
-    }
-    edges.foreach { case (u, v) =>
-      val (ru, rv) = (find(u), find(v))
-      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
-    }
-    // min-id labeling: union-by-min keeps every root the component min,
-    // matching the distributed loop's (and the oracle's) label law
-    val assign = parent.keys.map(n => (n, find(n))).toSeq
-    import spark.implicits._
-    val cc = assign.toDF("nid", "cluster_id")
-    ids.join(broadcast(cc), Seq("nid"), "left")
+    val cc = fuzzyCcLabels(spark, pairs, distributed = banded)
+    // labels are edge-node-bounded: broadcast while the vocabulary is
+    // broadcast-scale, shuffled hash join once it isn't (same gate)
+    val labeled = if (banded) ids.join(cc, Seq("nid"), "left")
+                  else ids.join(broadcast(cc), Seq("nid"), "left")
+    labeled
       .select(col("p_name"), col("n_parts"), col("nid"),
         coalesce(col("cluster_id"), col("nid")).as("cid"))
       .groupBy(col("cid"))
