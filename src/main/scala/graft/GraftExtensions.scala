@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.graft.{CompressionRatio, CosineSimilarity, CountInSet, MinHashSignatureAgg, NfcNormalize, NormalizeIdempotence, RollingHash, StripAccents, TopKByScore, WinnowMin}
+import org.apache.spark.sql.graft.{CompressionRatio, CosineSimilarity, CountInSet, DamerauLevenshtein, JaroWinkler, MinHashSignatureAgg, NfcNormalize, NormalizeIdempotence, RollingHash, StripAccents, TopKByScore, WinnowMin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -67,6 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("strip_accents"),
       new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
       (exprs: Seq[Expression]) => StripAccents(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName, "damerau_levenshtein"),
+      (exprs: Seq[Expression]) => DamerauLevenshtein(exprs(0), exprs(1))))
     // the Rule[LogicalPlan] tier: normalize-idempotence folding
     e.injectOptimizerRule(_ => NormalizeIdempotence)
   }

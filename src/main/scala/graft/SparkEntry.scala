@@ -371,7 +371,8 @@ object SparkEntry {
     "q354_stream_window_rollup_exec" -> (graft.streaming.EventStream.windowRollupStreamed _),
     "q355_hll_set_ops" -> (Sketches.hllSetOps _),
     "q356_video_frames" -> (Multimodal.videoFrames _),
-    "q357_stream_tws_exec" -> (graft.streaming.EventStream.userStatsTwsStreamed _)
+    "q357_stream_tws_exec" -> (graft.streaming.EventStream.userStatsTwsStreamed _),
+    "q358_string_similarity" -> (Dedup.stringSimilarity _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7664,6 +7665,21 @@ object SparkEntry {
       """SELECT user_id, count(*)::BIGINT AS n_events,
         |       sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "q358_string_similarity" -> {
+      import graft.operators.Dedup.FuzzyMaxDistance
+      // DuckDB's jaro_winkler_similarity / damerau_levenshtein are the
+      // reference implementations the native expressions are pinned to
+      // (bit-compatible; see GraftExpressions fuzz note)
+      s"""WITH names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       levenshtein(a.p_name, b.p_name)::INT AS lev,
+        |       damerau_levenshtein(a.p_name, b.p_name)::INT AS dl,
+        |       jaro_winkler_similarity(a.p_name, b.p_name)::DOUBLE AS jw
+        |FROM names a JOIN names b ON a.p_name < b.p_name
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= $FuzzyMaxDistance
+        |  AND damerau_levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDistance
+        |ORDER BY name_a, name_b""".stripMargin
     }
   )
 

@@ -834,7 +834,21 @@ object Dedup {
     * Input: (name, pl); output: (name_a, name_b, distance, pl_a,
     * pl_b). Levenshtein is an integer metric — identical in both
     * engines, nothing to round. */
-  private[graft] def fuzzyVocabPairs(names: DataFrame, banded: Boolean): DataFrame = {
+  private[graft] def fuzzyVocabPairs(names: DataFrame, banded: Boolean): DataFrame =
+    fuzzyVocabCandidates(names, banded)
+      .withColumn("distance", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("distance") <= FuzzyMaxDistance)
+      .select(col("name_a"), col("name_b"),
+        col("distance").cast("int").as("distance"), col("pl_a"), col("pl_b"))
+
+  /** The blocking stage of [[fuzzyVocabPairs]] alone: all unordered
+    * name pairs with |len(a)−len(b)| ≤ [[FuzzyMaxDistance]], BNLJ or
+    * length-banded per the gate, BEFORE any metric verify — shared by
+    * every edit-metric verifier whose qualifying pairs satisfy the
+    * length bound (levenshtein ≤ d, and true Damerau-Levenshtein ≤ d:
+    * insert/delete shift length by 1, substitute/transpose by 0, so
+    * the pigeonhole argument is identical). */
+  private[graft] def fuzzyVocabCandidates(names: DataFrame, banded: Boolean): DataFrame = {
     val a = names.select(col("name").as("name_a"), col("pl").as("pl_a"))
     val b = names.select(col("name").as("name_b"), col("pl").as("pl_b"))
     val cand =
@@ -850,10 +864,6 @@ object Dedup {
     cand
       .filter(col("name_a") < col("name_b"))
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= FuzzyMaxDistance)
-      .withColumn("distance", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("distance") <= FuzzyMaxDistance)
-      .select(col("name_a"), col("name_b"),
-        col("distance").cast("int").as("distance"), col("pl_a"), col("pl_b"))
   }
 
   /** q135_fuzzy_names — RECORD LINKAGE over the catalog's name
@@ -884,6 +894,45 @@ object Dedup {
     fuzzyVocabPairs(names, banded)
       .select(col("name_a"), col("name_b"), col("distance"),
         col("pl_a").as("n_parts_a"), col("pl_b").as("n_parts_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** q358_string_similarity — the MULTI-METRIC linkage verify over
+    * q135's blocked candidate set: every vocabulary pair within TRUE
+    * Damerau-Levenshtein distance [[FuzzyMaxDistance]], scored by all
+    * three classic record-linkage metrics side by side — Levenshtein
+    * (built-in), true Damerau-Levenshtein and Jaro-Winkler (both
+    * native codegen expressions, `GraftExpressions`). The DL filter
+    * widens q135's pair set to transposition typos ("form"/"from")
+    * that plain edit distance prices at 2, and `lev − dl` exposes
+    * exactly which pairs the transposition edit rescued; JW rides
+    * along as the prefix-weighted score a linkage rule would threshold
+    * (Winkler's census rule: same block, JW ≥ 0.94 ⇒ match).
+    *
+    * Grading: DL is an integer metric; JW is pinned BIT-compatible
+    * with DuckDB's implementation (see [[JaroWinkler]]'s fuzz note),
+    * so the doubles hash-match, not just round-match.
+    *
+    * Scale shape: corpus → name vocabulary via one partial-aggregable
+    * groupBy; candidates via [[fuzzyVocabCandidates]] (broadcast BNLJ
+    * at catalog scale, the length-banded hash join past
+    * [[FuzzyBroadcastMaxVocab]] — LOSSLESS for a DL ≤ d filter since
+    * every DL edit moves length by ≤ 1); both native metrics run
+    * inside whole-stage codegen on the blocked pairs, never V². */
+  def stringSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.native
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .select(col("p_name").as("name"), col("n_parts").as("pl"))
+    val banded = partNameVocabSize(spark, sfDir) > FuzzyBroadcastMaxVocab
+    fuzzyVocabCandidates(names, banded)
+      .withColumn("dl",
+        native.damerauLevenshtein(col("name_a"), col("name_b")))
+      .filter(col("dl") <= FuzzyMaxDistance)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("lev"),
+        col("dl"),
+        native.jaroWinkler(col("name_a"), col("name_b")).as("jw"))
       .orderBy("name_a", "name_b")
   }
 

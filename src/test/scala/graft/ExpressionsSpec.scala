@@ -338,6 +338,52 @@ class ExpressionsSpec extends SparkSuite {
     assert(groups.length == 1 && groups.head.getLong(1) == 3L)
   }
 
+  test("jaro_winkler matches the published reference values and conventions") {
+    import spark.implicits._
+    val cases = Seq(
+      // (a, b, expected) — Winkler's census examples + convention edges,
+      // values = DuckDB jaro_winkler_similarity (the pinned reference)
+      ("martha", "marhta", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("TRATE", "TRACE", 0.9066666666666667),
+      ("aaaaaabc", "aaaaaabd", 0.95),     // prefix boost capped at l=4
+      ("ab", "ba", 0.0),                  // window 0: no matches at len 2
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0), ("", "", 0.0),    // either side empty -> 0 (DuckDB rule)
+      ("abcdefgh", "abxxxxxx", 0.5),      // jaro <= 0.7: boost NOT applied
+      ("café", "cafe", 0.8483333333333334)) // byte-level like the oracle engine
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(col("a"), col("b"), native.jaroWinkler(col("a"), col("b")).as("jw"))
+      .as[(String, String, Double)].collect().map { case (a, b, j) => ((a, b), j) }.toMap
+    cases.foreach { case (a, b, want) =>
+      assert(got((a, b)) == want, s"jw($a,$b) = ${got((a, b))}, want $want (bitwise)")
+    }
+  }
+
+  test("damerau_levenshtein is the TRUE (unrestricted) variant and bounds levenshtein") {
+    import spark.implicits._
+    val cases = Seq(
+      ("ca", "abc", 2),   // the OSA-vs-true discriminator (OSA says 3)
+      ("form", "from", 1), // adjacent transposition
+      ("abc", "abc", 0), ("", "abc", 3), ("abc", "", 3),
+      ("kitten", "sitting", 3), ("café", "cafe", 2)) // byte-level
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(col("a"), col("b"), native.damerauLevenshtein(col("a"), col("b")).as("d"))
+      .as[(String, String, Int)].collect().map { case (a, b, d) => ((a, b), d) }.toMap
+    cases.foreach { case (a, b, want) =>
+      assert(got((a, b)) == want, s"dl($a,$b) = ${got((a, b))}, want $want")
+    }
+    // dl <= lev on the real vocabulary pair set, and lev <= dl + transposes
+    val sim = graft.operators.Dedup.stringSimilarity(spark, sf).collect()
+    assert(sim.nonEmpty)
+    sim.foreach { r =>
+      val (lev, dl, jw) = (r.getAs[Int]("lev"), r.getAs[Int]("dl"), r.getAs[Double]("jw"))
+      assert(dl <= lev, s"dl must never exceed lev: $r")
+      assert(jw >= 0.0 && jw <= 1.0, s"jw out of range: $r")
+    }
+  }
+
   test("every graded query has an SF-stable output schema") {
     // a query whose column names/types drift with data volume would
     // break the driver's oracle compare between smoke (sf0.001) and
