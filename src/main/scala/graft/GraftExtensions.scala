@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.graft.{CompressionRatio, CosineSimilarity, CountInSet, DamerauLevenshtein, JaroWinkler, MinHashSignatureAgg, NfcNormalize, NormalizeIdempotence, RollingHash, StripAccents, TopKByScore, WinnowMin}
+import org.apache.spark.sql.graft.{CompressionRatio, CosineSimilarity, CountInSet, DamerauLevenshtein, JaroWinkler, L2Squared, MinHashSignatureAgg, NfcNormalize, NormalizeIdempotence, RollingHash, StripAccents, TopKByScore, WinnowMin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("strip_accents"),
       new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
       (exprs: Seq[Expression]) => StripAccents(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2Squared].getName, "l2_sq"),
+      (exprs: Seq[Expression]) => L2Squared(exprs(0), exprs(1))))
     e.injectFunction((
       new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),

@@ -726,6 +726,58 @@ object StripAccents {
   }
 }
 
+/** Native codegen'd squared Euclidean distance over two `array<double>`
+  * columns — the exact-scoring twin of [[CosineSimilarity]] for the
+  * L2-metric index family (SQ8/PQ rank by squared L2, so their exact
+  * rerank/ground-truth stages must score in the SAME metric). One fused
+  * ascending-d accumulation inside whole-stage codegen; mismatched
+  * lengths truncate to the shorter array (the [[CosineSimilarity]]
+  * totality rule). Always defined (zero vectors are fine — unlike
+  * cosine there is no normalization to divide by). */
+case class L2Squared(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native codegen'd Jaro-Winkler similarity over two string columns —
   * the record-linkage metric that, unlike edit distance, weights
   * agreeing PREFIXES (names/titles mistype their tails far more often
@@ -1132,6 +1184,10 @@ object native {
 
   def stripAccents(s: Column): Column =
     ExpressionUtils.column(StripAccents(ExpressionUtils.expression(s)))
+
+  def l2Sq(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      L2Squared(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def jaroWinkler(a: Column, b: Column): Column =
     ExpressionUtils.column(
