@@ -911,7 +911,13 @@ object Dedup {
     *
     * Grading: DL is an integer metric; JW is pinned BIT-compatible
     * with DuckDB's implementation (see [[JaroWinkler]]'s fuzz note),
-    * so the doubles hash-match, not just round-match.
+    * so the doubles hash-match, not just round-match. The `lev`
+    * column is Spark's built-in levenshtein, which counts CODE
+    * POINTS; DuckDB's counts BYTES — they agree only because part
+    * names are ASCII (an invariant of the TPC-H generator, asserted
+    * here so a non-ASCII corpus fails loudly instead of silently
+    * hash-mismatching; the native dl/jw expressions are byte-level by
+    * construction and never diverge).
     *
     * Scale shape: corpus → name vocabulary via one partial-aggregable
     * groupBy; candidates via [[fuzzyVocabCandidates]] (broadcast BNLJ
@@ -930,7 +936,14 @@ object Dedup {
         native.damerauLevenshtein(col("name_a"), col("name_b")))
       .filter(col("dl") <= FuzzyMaxDistance)
       .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).as("lev"),
+        // loud ASCII guard: built-in levenshtein is code-point-based,
+        // the DuckDB oracle's is byte-based — equal only on ASCII
+        when(octet_length(col("name_a")) === length(col("name_a"))
+            && octet_length(col("name_b")) === length(col("name_b")),
+          levenshtein(col("name_a"), col("name_b")))
+          .otherwise(raise_error(concat(
+            lit("q358: non-ASCII name breaks the lev oracle contract: "),
+            col("name_a"), lit(" / "), col("name_b")))).as("lev"),
         col("dl"),
         native.jaroWinkler(col("name_a"), col("name_b")).as("jw"))
       .orderBy("name_a", "name_b")
@@ -1023,16 +1036,24 @@ object Dedup {
     } else {
       val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative two-pass find (walk to root, then compress): union-by-min
+      // has no rank balancing, so an adversarial edge order can build a
+      // linear parent chain up to the vocabulary bound — recursion there
+      // would be a driver StackOverflowError
       def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x
-        else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
       }
       edges.foreach { case (u, v) =>
         val (ru, rv) = (find(u), find(v))
         if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
       }
-      parent.keys.map(n => (n, find(n))).toSeq.toDF("nid", "cluster_id")
+      // snapshot the key set before the final find pass: compression
+      // rewrites values, and iterating a map while mutating it is UB
+      parent.keys.toSeq.map(n => (n, find(n))).toDF("nid", "cluster_id")
     }
   }
 

@@ -2513,24 +2513,33 @@ object Relational {
     * (ship − order > [[WaitingLateDays]]); top-20 under a total order
     * (numwait desc, name, suppkey).
     *
-    * Scale shape: one (order, supplier) aggregate (the max(late)
-    * pre-phase kills the count-distinct EXPAND), then one order-keyed
-    * roll-up that extracts the sole late supplier IN the aggregate
-    * (`max(when(late=1, suppkey))` — exact when nl=1, which the filter
-    * requires), so no join-back and no multi-reference checkpoint
-    * exist: the whole audit is three keyed exchanges in one linear
-    * plan (the round-11 perPair⋈perOrder form cost a checkpoint job +
-    * a join and measured 19.7× the oracle on job-count alone). No
-    * self-join of lineitem against itself ever forms. */
+    * Scale shape: ONE order-keyed exchange serves the join AND both
+    * aggregate levels — the order⇄lineitem join is a SHUFFLED HASH
+    * join (hint on the smaller orders side: sort-free, and its output
+    * partitioning HashPartitioning(orderkey) satisfies the clustering
+    * of groupBy(orderkey, suppkey) and groupBy(orderkey) alike), so
+    * the per-pair dedup and the per-order roll-up both plan as
+    * exchange-free fused codegen HashAggregates directly on the join
+    * output (no ObjectHashAggregate set buffers, no count-distinct
+    * EXPAND, no sort anywhere before the final top-k). The round-12
+    * two-level-exchange broadcast form measured 15.7× the oracle on
+    * job floors; collect_set and broadcast+repartition variants both
+    * measured slower than this (5-rep A/B: 0.90 s vs 1.02/1.43 s
+    * warm). No self-join of lineitem against itself ever forms. */
   def waitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
     val lines = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      // day-int projection before the exchange: shuffle (long, long,
+      // int) rather than a timestamp — same datediff semantics
+      .select(col("l_orderkey"), col("l_suppkey"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).as("shipday"))
       .join(Tables.orders(spark, sfDir)
-        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        .select(col("o_orderkey").as("l_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).as("orderday"))
+        .hint("shuffle_hash"),
         "l_orderkey")
       .select(col("l_orderkey"), col("l_suppkey"),
-        when(datediff(col("l_shipdate"), col("o_orderdate"))
-          > lit(WaitingLateDays), 1L).otherwise(0L).as("late"))
+        when(col("shipday") - col("orderday") > lit(WaitingLateDays), 1L)
+          .otherwise(0L).as("late"))
     val perPair = lines.groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("late")).as("late"))
     val sole = perPair.groupBy(col("l_orderkey"))
@@ -2812,24 +2821,31 @@ object Relational {
     * exact, no interpolation); values enter the sum floor-quantized
     * to micros, so the weighted sum is pure integers.
     *
-    * Scale shape: per-type value histogram + cum window partitioned
-    * by type over distinct values (q61's argument), boundaries ride
-    * a broadcast per-type count; |types| output rows. */
+    * Scale shape: per-type value histogram, then ONE window pass
+    * partitioned by type over distinct values (q61's argument)
+    * computing BOTH the cumulative rank and the per-type total (same
+    * partitioning, full frame — no second aggregate, no broadcast
+    * join-back, and the histogram subtree is referenced exactly once
+    * so it is never computed twice); rank boundaries are scan-local
+    * arithmetic on that total. Two keyed exchanges, one linear plan
+    * (the round-12 bounds-aggregate + join-back form recomputed the
+    * histogram and measured 19× the oracle on job floors);
+    * |types| output rows. */
   def trimmedMean(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = Tables.events(spark, sfDir)
+    val byType = Window.partitionBy(col("event_type"))
+    Tables.events(spark, sfDir)
       .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy(col("event_type")).orderBy(col("value"))
+        byType.orderBy(col("value"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val bounds = hist.groupBy(col("event_type"))
-      .agg(max(col("cum")).as("n"))
+      .withColumn("n", sum(col("cnt")).over(byType))
       .select(col("event_type"), col("n"),
         (expr(s"n * $TrimPerMille div 1000") + lit(1L)).as("lo"),
-        (col("n") - expr(s"n * $TrimPerMille div 1000")).as("hi"))
-    hist.join(broadcast(bounds), "event_type")
-      .select(col("event_type"), col("n"),
-        floor(col("value") * lit(1e6)).cast("long").as("v_micros"),
+        (col("n") - expr(s"n * $TrimPerMille div 1000")).as("hi"),
+        col("cnt"), col("cum"),
+        floor(col("value") * lit(1e6)).cast("long").as("v_micros"))
+      .select(col("event_type"), col("n"), col("v_micros"),
         greatest(lit(0L),
           least(col("cum"), col("hi"))
             - greatest(col("cum") - col("cnt") + 1L, col("lo")) + lit(1L))
@@ -2859,33 +2875,41 @@ object Relational {
     * integers, floor per step, identical both engines).
     *
     * Scale shape: the transition matrix is q128's one corpus pass
-    * (shared chain), aggregated to the types² domain; each unrolled
-    * step is a join on that tiny domain; |types| output rows. */
+    * (shared chain), aggregated to the types² domain — a BOUNDED
+    * driver read (|event types|² rows, the PQ-codebook / q306-gradient
+    * precedent), after which the k-step unroll is pure driver integer
+    * arithmetic re-emitted as literals: the corpus is touched exactly
+    * once, in one job, instead of paying a checkpoint plus
+    * 2·(k−1) tiny sequential join jobs on a ≤types² frame (the
+    * round-12 plan-unrolled form measured 19.6× the oracle on job
+    * floors alone). At any corpus size the distributed work is
+    * identical — only the types²-domain matrix algebra moved off the
+    * cluster. */
   def absorption(spark: SparkSession, sfDir: String): DataFrame = {
-    val trans = transitionCounts(spark, sfDir).localCheckpoint()
-    val rowSum = trans.groupBy(col("src")).agg(sum(col("n_trans")).as("r"))
-    val t = trans.join(rowSum, "src")
-    var p = t.filter(col("dst") === "purchase")
-      .select(col("src"), expr("n_trans * 1000000 div r").as("p_ppm"))
-    val steps = Seq.newBuilder[DataFrame]
-    steps += p.withColumn("k", lit(1))
+    import spark.implicits._
+    val m = transitionCounts(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rSum: Map[String, Long] =
+      m.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    // ppm grid, floor per step (all terms ≥ 0, so Long / == floor);
+    // headroom: n_trans·p_ppm ≤ corpus·1e6 < 2^63 at any plausible SF
+    val p1: Map[String, Long] = m.collect {
+      case (s, "purchase", n) => s -> n * 1000000L / rSum(s)
+    }.toMap
+    var p = p1
+    val out = Seq.newBuilder[(String, Long, Long)]
+    p.foreach { case (s, v) => out += ((s, 1L, v)) }
     for (k <- 2 to AbsorptionSteps) {
-      val contrib = t.filter(col("dst") =!= "purchase")
-        .join(p.select(col("src").as("dst"), col("p_ppm").as("pt")), "dst")
-        .groupBy(col("src"), col("r"))
-        .agg(sum(col("n_trans") * col("pt")).as("acc"))
-        .select(col("src"), expr("acc div r").as("step_ppm"))
-      val p1 = t.filter(col("dst") === "purchase")
-        .select(col("src"), expr("n_trans * 1000000 div r").as("p1_ppm"))
-      p = p1.join(contrib, Seq("src"), "full_outer")
-        .select(col("src"),
-          (coalesce(col("p1_ppm"), lit(0L))
-            + coalesce(col("step_ppm"), lit(0L))).as("p_ppm"))
-      steps += p.withColumn("k", lit(k))
+      val acc: Map[String, Long] = m
+        .collect { case (s, d, n) if d != "purchase" && p.contains(d) =>
+          s -> n * p(d) }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      p = (p1.keySet ++ acc.keySet).iterator.map { s =>
+        s -> (p1.getOrElse(s, 0L) + acc.get(s).map(_ / rSum(s)).getOrElse(0L))
+      }.toMap
+      p.foreach { case (s, v) => out += ((s, k.toLong, v)) }
     }
-    steps.result().reduce(_ unionAll _)
-      .select(col("src"), col("k").cast("long").as("k"), col("p_ppm"))
-      .orderBy("src", "k")
+    out.result().toDF("src", "k", "p_ppm").orderBy("src", "k")
   }
 
   /** q282_median_ci — distribution-free 95% confidence interval for

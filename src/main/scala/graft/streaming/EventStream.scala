@@ -1126,36 +1126,46 @@ object EventStream {
     * via struct-max.
     *
     * Scale shape: sessions (q25's user-keyed shuffle) → 2 rows per
-    * session → one ts-keyed delta aggregate; the running sum
-    * decomposes block-wise (q53's identity): per-HOUR totals feed one
-    * hour-domain ordered window (calendar-bounded — whitelist class)
+    * session via ONE scan-local explode (the sessionize subtree is
+    * referenced exactly once — the session count rides the same rows
+    * as a start-marker sum instead of a third plan reference) → one
+    * ts-keyed delta aggregate; the running sum decomposes block-wise
+    * (q53's identity): per-HOUR totals feed one hour-domain ordered
+    * window (calendar-bounded — whitelist class) and broadcast back,
     * while the per-ts cumsum window is PARTITIONED by hour, so no
     * unpartitioned window ever sees boundary rows; 1-row output. */
   def maxConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hourUs = 3600000000L
-    val bounds = sessionBounds(spark, sfDir)
-    val deltas = bounds
-      .select(unix_micros(col("s_start")).as("us"), lit(1L).as("d"))
-      .unionAll(bounds.select((unix_micros(col("s_end")) + lit(1L)).as("us"),
-        lit(-1L).as("d")))
-      .groupBy(col("us")).agg(sum(col("d")).as("d"))
+    val deltas = sessionBounds(spark, sfDir)
+      .select(explode(array(
+        struct(unix_micros(col("s_start")).as("us"),
+          lit(1L).as("d"), lit(1L).as("st")),
+        struct((unix_micros(col("s_end")) + lit(1L)).as("us"),
+          lit(-1L).as("d"), lit(0L).as("st")))).as("b"))
+      .groupBy(col("b.us").as("us"))
+      .agg(sum(col("b.d")).as("d"), sum(col("b.st")).as("st"))
       .withColumn("hr", expr(s"us div $hourUs"))
+    // deltas feeds two references (hour totals + the join back) and is
+    // deliberately NOT checkpointed: the recompute costs one extra
+    // sessionize pass (~0.3 s at sf0.1) but the eager checkpoint's job
+    // barrier measured worse (0.93 s vs 1.33 s bench median, 5-rep A/B)
+    // — the q31 rule trades off the other way when the subtree is one
+    // cheap linear pass rather than a mined artifact.
     val hourTotals = deltas.groupBy(col("hr")).agg(sum(col("d")).as("hd"))
       .withColumn("prefix",
         coalesce(sum(col("hd")).over(Window.orderBy(col("hr"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("hr"), col("prefix"))
-    val running = deltas.join(hourTotals, "hr")
+    val running = deltas.join(broadcast(hourTotals), "hr")
       .withColumn("conc", col("prefix")
         + sum(col("d")).over(Window.partitionBy(col("hr")).orderBy(col("us"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val nSessions = bounds.agg(count(lit(1)).as("n_sessions"))
     running.agg(max(struct(col("conc"), (-col("us")).as("negus"))).as("m"),
-      count(lit(1)).as("n_boundary_ts"))
+      count(lit(1)).as("n_boundary_ts"), sum(col("st")).as("n_sessions"))
       .select(col("m.conc").as("max_concurrency"),
-        (-col("m.negus")).as("at_us"), col("n_boundary_ts"))
-      .crossJoin(broadcast(nSessions))
+        (-col("m.negus")).as("at_us"), col("n_boundary_ts"),
+        col("n_sessions"))
   }
 
   /** q353_stream_join_agg_exec — STREAM-STREAM JOIN FOLLOWED BY

@@ -49,6 +49,49 @@ class ExpressionsSpec extends SparkSuite {
     assert(math.abs(orth) < 1e-15)
   }
 
+  test("native l2_sq: known vectors, truncation, zero vectors, nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 6.0, 3.0))), // 9+16+0 = 25
+      (2L, Some(Seq(0.0, 0.0)), Some(Seq(0.0, 0.0))),           // zero vecs -> 0
+      (3L, Some(Seq(1.0, 2.0, 9.0)), Some(Seq(1.0, 2.0))),      // truncates to 2 dims
+      (4L, None, Some(Seq(1.0))),                                // null left
+      (5L, Some(Seq(1.0)), None)).                               // null right
+      toDF("id", "a", "b")
+    val got = df.select(col("id"), native.l2Sq(col("a"), col("b")).as("d"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(25.0))
+    assert(got(2L).contains(0.0))
+    assert(got(3L).contains(0.0)) // shorter side wins: dims 0,1 agree
+    assert(got(4L).isEmpty && got(5L).isEmpty)
+    // interpreted path agrees with codegen (eval vs doGenCode)
+    val interp = org.apache.spark.sql.graft.L2Squared(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0, 3.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(4.0, 6.0, 3.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+      .eval(null).asInstanceOf[Double]
+    assert(interp == 25.0)
+  }
+
+  test("native l2_sq is callable from SQL and wrong arity is a clear error") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_sq", exprs => {
+        require(exprs.length == 2,
+          s"Function `l2_sq` requires exactly 2 argument(s), got ${exprs.length}")
+        org.apache.spark.sql.graft.L2Squared(exprs(0), exprs(1))
+      }, "built-in")
+    val r = spark.sql(
+      "SELECT l2_sq(array(0.0d, 3.0d), array(4.0d, 0.0d)) AS d").head.getDouble(0)
+    assert(r == 25.0)
+    val e = intercept[Exception] {
+      spark.sql("SELECT l2_sq(array(1.0d)) AS d").collect()
+    }
+    assert(e.getMessage.contains("requires exactly 2"))
+  }
+
   test("MinHashSignatureAgg equals the k-column min formulation") {
     val exploded = operators.Dedup.shingled(spark, sf)
       .select(col("doc_id"), explode_outer(col("sh")).as("g"))
