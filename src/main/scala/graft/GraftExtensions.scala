@@ -115,7 +115,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("damerau_levenshtein", 2, exprs)
         DamerauLevenshtein(exprs(0), exprs(1))
       }))
-    // the Rule[LogicalPlan] tier: normalize-idempotence folding
+    // the Rule[LogicalPlan] tier: normalize- and case/trim-idempotence
+    // folding
     e.injectOptimizerRule(_ => NormalizeIdempotence)
+    e.injectOptimizerRule(_ => org.apache.spark.sql.graft.TrimIdempotence)
   }
 }

@@ -1155,25 +1155,35 @@ object Dedup {
     * candidate. */
   def containmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the shingle frame feeds FIVE plan references (explode, sizes, two
+    // the shingle frame feeds FOUR plan references (explode ×2, two
     // verify sides) — cut the regexp+shingle subtree off once (the q31
     // multi-reference rule) or the scan re-tokenizes per reference
     val sets = shingled(spark, sfDir).localCheckpoint()
-    val ex = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    // doc sizes ride the exploded frame scan-locally — no sizes join
+    val ex = sets.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)
     val prefix = ex.join(dfreq, "s")
       .withColumn("rn", row_number().over(w))
-      .join(sets.select(col("doc_id"), size(col("sh")).as("na")), "doc_id")
-      .filter(col("rn") <= expr("na div 10 + 1"))
-      .select(col("doc_id").as("cand_a"), col("s"))
+      .filter(col("rn") <= expr("n div 10 + 1"))
+      .select(col("doc_id").as("cand_a"), col("n").as("na"), col("s"))
+    // SIZE FILTER at candidate generation (lossless: containment ≥ 0.9
+    // needs |A∩B| ≥ 0.9|A| − ε and |A∩B| ≤ |B|, so |B| ≥ 0.89|A| is a
+    // safe necessary condition even after the 1e-6 rounding law) —
+    // measured 133k → 82k pairs before the array-carrying verify, whose
+    // shuffle of ~1.5 KB shingle arrays per pair is the operator's
+    // dominant cost; both verify joins are sort-free shuffled-hash
     val cands = prefix
-      .join(ex.select(col("doc_id").as("cand_b"), col("s")), "s")
-      .filter(col("cand_a") =!= col("cand_b"))
+      .join(ex.select(col("doc_id").as("cand_b"), col("n").as("nb"), col("s")), "s")
+      .filter(col("cand_a") =!= col("cand_b")
+        && col("nb") * 100 >= col("na") * 89)
       .select(col("cand_a"), col("cand_b")).distinct()
     cands
-      .join(sets.select(col("doc_id").as("cand_a"), col("sh").as("sha")), "cand_a")
-      .join(sets.select(col("doc_id").as("cand_b"), col("sh").as("shb")), "cand_b")
+      .join(sets.select(col("doc_id").as("cand_a"), col("sh").as("sha"))
+        .hint("shuffle_hash"), "cand_a")
+      .join(sets.select(col("doc_id").as("cand_b"), col("sh").as("shb"))
+        .hint("shuffle_hash"), "cand_b")
       .select(col("cand_a").as("doc_a"), col("cand_b").as("doc_b"),
         size(col("sha")).cast("long").as("n_a"),
         size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_shared"))

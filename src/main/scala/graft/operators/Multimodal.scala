@@ -36,8 +36,9 @@ case class ImageFeatures(doc_id: Long, media_type: String, n_bytes: Int,
   * ([[Multimodal.videoFrames]]) builds, parses and frame-decodes a
   * RIFF/AVI with lossless PNG frames end-to-end on the graded path.
   * Only INTERFRAME-compressed codecs (H.264 etc.) stay out of reach
-  * JDK-only (no ffmpeg); [[sampleFrames]] keeps the byte-slicing stub
-  * as the API placeholder for that axis, clearly marked.
+  * JDK-only (no ffmpeg); [[sampleFrames]] FAILS LOUDLY (codec name in
+  * the error) on such video rather than emitting pseudo-frames, and
+  * keeps the byte-slicing fan-out only for non-video payloads.
   */
 object MultimodalDecoder {
   def decode(b: MediaBlob): MediaFeatures = {
@@ -130,17 +131,41 @@ object MultimodalDecoder {
     MediaBlob(b.doc_id, b.media_type, b.content.take(n), n)
   }
 
-  /** ==== STUB ==== frame sampling over OPAQUE (interframe-compressed)
-    * video: a real implementation hands the blob to ffmpeg; the stub
-    * slices it into `n` evenly-spaced chunks. The PLUMBING is the
-    * point: one blob row fans out to n frame rows (flatMap/explode
-    * shape), which is how frame extraction distributes. For container
-    * formats with per-frame codecs the REAL path exists — q356
-    * ([[Multimodal.videoFrames]]) parses an AVI and decodes every
-    * frame with `javax.imageio` on the graded path. */
+  /** Frame sampling with a per-media-type dispatch:
+    *
+    *  - video-typed RIFF/AVI containers take the REAL path — the q356
+    *    parser ([[Multimodal.parseAviFrames]]) extracts every frame
+    *    payload, and `n` evenly-spaced ones become [[Frame]] rows.
+    *  - any OTHER video-typed codec (H.264-class interframe compression
+    *    needs ffmpeg, out of JDK scope) FAILS LOUDLY with the codec
+    *    name: silently emitting byte-sliced pseudo-frames for an
+    *    undecodable codec is a wrong-answer trap for any consumer that
+    *    does not read this doc comment.
+    *  - non-video media keep the ==== STUB ==== byte-slice fan-out (one
+    *    blob row → n chunk rows, the flatMap shape a real frame
+    *    extractor distributes) — the plumbing demonstration over
+    *    payloads that never claimed to be video. */
   def sampleFrames(b: MediaBlob, n: Int): Seq[Frame] = {
     if (b.n_bytes == 0) Seq.empty
-    else (0 until n).map { i =>
+    else if (b.media_type.startsWith("video/")) {
+      val isAvi = b.n_bytes >= 12 &&
+        b.content.startsWith("RIFF".getBytes("US-ASCII")) &&
+        java.util.Arrays.equals(
+          b.content.slice(8, 12), "AVI ".getBytes("US-ASCII"))
+      if (!isAvi) {
+        throw new IllegalArgumentException(
+          s"sampleFrames: undecodable video codec '${b.media_type}' for " +
+            s"doc ${b.doc_id} — interframe compression needs ffmpeg; " +
+            "refusing to emit pseudo-frames")
+      }
+      val (_, frames) = Multimodal.parseAviFrames(b.content)
+      if (frames.isEmpty) Seq.empty
+      else (0 until math.min(n, frames.length)).map { i =>
+        val idx = (frames.length.toLong * i / math.min(n, frames.length)).toInt
+        val f = frames(idx)
+        Frame(b.doc_id, i, f.length, if (f.nonEmpty) f(0) & 0xff else -1)
+      }
+    } else (0 until n).map { i =>
       val off = (b.n_bytes.toLong * i / n).toInt
       val len = math.max(1, b.n_bytes / n)
       val bytes = b.content.slice(off, math.min(b.n_bytes, off + len))

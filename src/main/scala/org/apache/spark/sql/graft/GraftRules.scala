@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{StringTrim, StringTrimLeft, StringTrimRight}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -38,13 +39,40 @@ object NormalizeIdempotence extends Rule[LogicalPlan] {
     }
 }
 
+/** [[TrimIdempotence]]: whitespace trimming is idempotent —
+  * `trim(trim(x))` and the l/r variants (default whitespace trim only)
+  * collapse to one pass. This is the trim analogue of Catalyst's own
+  * `SimplifyCaseConversionExpressions` (which already folds nested
+  * `lower`/`upper` chains — measured, which is why case conversions are
+  * deliberately NOT matched here), and the composition arises the same
+  * way the normalize chains do: an operator defensively trims input a
+  * q32/q33/q52-style upstream already trimmed. Custom-trimStr trims are
+  * left alone — trim(trim(x, "ab"), "ab") IS idempotent but the
+  * equality check on the trimStr expression is not worth the rule
+  * surface; inner/outer trims of DIFFERENT character sets do not
+  * commute at all. */
+object TrimIdempotence extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case StringTrim(inner @ StringTrim(_, None), None) => inner
+      case StringTrimLeft(inner @ StringTrimLeft(_, None), None) => inner
+      case StringTrimRight(inner @ StringTrimRight(_, None), None) => inner
+    }
+}
+
 object GraftRules {
+  /** All graft optimizer rules, in registration order. */
+  private[graft] val rules: Seq[Rule[LogicalPlan]] =
+    Seq(NormalizeIdempotence, TrimIdempotence)
+
   /** Idempotently add graft's optimizer rules to an EXISTING session
     * (extensions only apply at session construction). */
   def ensure(spark: SparkSession): Unit = {
-    if (!spark.experimental.extraOptimizations.contains(NormalizeIdempotence)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ NormalizeIdempotence
+    rules.foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+      }
     }
   }
 }

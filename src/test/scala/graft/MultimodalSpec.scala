@@ -112,6 +112,33 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("sampleFrames: AVI video decodes real frames, unknown codec fails loudly") {
+    import graft.operators.{MediaBlob, MultimodalDecoder}
+    // real path: an AVI blob yields frames whose stats come from the
+    // DECODED payloads, not byte slices of the container
+    val payloads = Seq(
+      Array.tabulate(13)(_.toByte), Array.tabulate(64)(i => (i * 3).toByte),
+      Array.tabulate(7)(i => (255 - i).toByte))
+    val avi = Multimodal.aviBytes(payloads, 8, 8)
+    val blob = MediaBlob(7L, "video/avi", avi, avi.length)
+    val fs = MultimodalDecoder.sampleFrames(blob, 3)
+    assert(fs.length == 3)
+    assert(fs.map(_.n_bytes) == payloads.map(_.length))
+    assert(fs.map(_.first_byte) == payloads.map(_(0) & 0xff))
+    // loud path: an interframe codec must raise with the codec name,
+    // never emit plausible-looking pseudo-frames
+    val opaque = MediaBlob(8L, "video/h264",
+      Array.tabulate(256)(_.toByte), 256)
+    val e = intercept[IllegalArgumentException] {
+      MultimodalDecoder.sampleFrames(opaque, 4)
+    }
+    assert(e.getMessage.contains("video/h264"))
+    assert(e.getMessage.contains("doc 8"))
+    // non-video media keep the byte-slice fan-out demonstration
+    val text = MediaBlob(9L, "text", "hello world".getBytes, 11)
+    assert(MultimodalDecoder.sampleFrames(text, 4).length == 4)
+  }
+
   test("AVI container round-trip: build, parse, recover every frame byte-exact") {
     // distinct payload sizes (odd + even) exercise the RIFF pad rule
     val payloads = Seq(

@@ -812,6 +812,35 @@ class Round12OpsSpec extends SparkSuite {
     assert(df.exceptAll(single).isEmpty && single.exceptAll(df).isEmpty)
   }
 
+  test("TrimIdempotence rule folds nested trims; case chains fold via the builtin") {
+    import org.apache.spark.sql.graft.GraftRules
+    import org.apache.spark.sql.catalyst.expressions.{Lower, StringTrim, StringTrimLeft}
+    GraftRules.ensure(spark)
+    val df = graft.sources.Tables.documents(spark, sf).select(
+      trim(trim(col("text"))).as("a"),
+      ltrim(ltrim(ltrim(col("text")))).as("b"),
+      // custom-trimStr composition must NOT fold (different char sets
+      // do not commute; rule only matches the default whitespace trim)
+      trim(trim(col("text"), "x")).as("c"),
+      // the case-conversion analogue is Catalyst's OWN
+      // SimplifyCaseConversionExpressions — proven here so the graft
+      // rule never duplicates it
+      lower(lower(col("text"))).as("d"))
+    val exprs = df.queryExecution.optimizedPlan.expressions
+    def count(pf: PartialFunction[Any, Unit]): Int =
+      exprs.flatMap(_.collect(pf)).size
+    assert(count { case _: StringTrim => } == 3,
+      "trim(trim(x)) folds to one; trim(trim(x,'x')) keeps both of its trims")
+    assert(count { case _: StringTrimLeft => } == 1, "ltrim^3 folds to one")
+    assert(count { case _: Lower => } == 1,
+      "lower(lower(x)) is folded by the stock optimizer")
+    // semantics preserved vs the single-application frame
+    val single = graft.sources.Tables.documents(spark, sf).select(
+      trim(col("text")).as("a"), ltrim(col("text")).as("b"),
+      trim(trim(col("text"), "x")).as("c"), lower(col("text")).as("d"))
+    assert(df.exceptAll(single).isEmpty && single.exceptAll(df).isEmpty)
+  }
+
   test("GraftExtensions registers nfc/strip_accents and the optimizer rule without error") {
     // construction-level smoke: registration raises no errors (full SQL
     // use requires a session built with the extensions — config
