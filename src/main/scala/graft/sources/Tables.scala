@@ -65,10 +65,17 @@ object Tables {
     * window queries run the same downstream code path. (File sources
     * need an explicit schema; it comes from one metadata-only batch
     * read of the same path.) */
+  // file-source schemas memoized per path: the metadata-only batch read
+  // is a parquet-footer job, and streaming paths that build several
+  // sources per run (q353's click+view pair) were paying it each time
+  private val streamSchemaCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
-    val rawSchema = spark.read.parquet(path).schema
+    val rawSchema = streamSchemaCache.getOrElseUpdate(path,
+      spark.read.parquet(path).schema)
     // the testdata table is a single FILE; the file stream source only
     // anchors its base at a directory, so address the file through a
     // single-alternative glob — globbed paths keep the parent as base
@@ -84,7 +91,8 @@ object Tables {
     * glob trick; schema from one metadata-only batch read) — the
     * ingestion-stream source for the graded stream-static paths. */
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val rawSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val rawSchema = streamSchemaCache.getOrElseUpdate(s"$sfDir/documents.parquet",
+      spark.read.parquet(s"$sfDir/documents.parquet").schema)
     spark.readStream.schema(rawSchema).parquet(s"$sfDir/{documents.parquet}")
   }
 

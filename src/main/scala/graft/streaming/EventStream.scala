@@ -829,6 +829,16 @@ object EventStream {
   }
   private val stageCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), StagedDir]
+  // staged-batch schema, memoized per staged dir: re-deriving it via
+  // spark.read.parquet(batch0).schema costs a parquet-footer job per
+  // STREAM SOURCE per run (q237/q275 build two sources each)
+  private val stageSchemaCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+  private def stagedSchema(
+      spark: SparkSession, dir: java.io.File): org.apache.spark.sql.types.StructType =
+    stageSchemaCache.getOrElseUpdate(dir.getAbsolutePath,
+      spark.read.parquet(
+        new java.io.File(dir, "batch0.parquet").getAbsolutePath).schema)
   private def stagedBatches(
       spark: SparkSession, sfDir: String, key: String, nBatches: Int)(
       tagged: => DataFrame, cols: Seq[String]): java.io.File = {
@@ -852,11 +862,18 @@ object EventStream {
             .when(dayofmonth(col("ts")) <= 20, 1).otherwise(2))
     }, Seq("event_id", "ts", "user_id", "event_type", "cents"))
 
-  /** The click/view day-band staging shared verbatim by q237 and q275. */
-  private def clickViewStage(spark: SparkSession, sfDir: String): java.io.File =
-    stagedBatches(spark, sfDir, "clickview", 3)({
+  /** The click/view day-band staging shared by q237 and q275 — staged
+    * as one dir PER SIDE so each join source scans only its own type
+    * (one shared mixed dir made both sources read and filter all the
+    * bytes: 2× scan amplification per run). Same day bands per side ⇒
+    * identical trigger pairing and watermark progression as the mixed
+    * layout, so the emitted pair set is unchanged (correctness-gated
+    * at all three SFs). */
+  private def typedBandStage(
+      spark: SparkSession, sfDir: String, eventType: String): java.io.File =
+    stagedBatches(spark, sfDir, s"${eventType}band", 3)({
       Tables.events(spark, sfDir)
-        .filter(col("event_type").isin("click", "view"))
+        .filter(col("event_type") === eventType)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         .withColumn("b",
           when(dayofmonth(col("ts")) <= 10, 0)
@@ -918,7 +935,7 @@ object EventStream {
   def userStatsUpdateStreamed(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = daybandStage(spark, sfDir)
     val stream = spark.readStream
-      .schema(spark.read.parquet(new java.io.File(dir, "batch0.parquet").getAbsolutePath).schema)
+      .schema(stagedSchema(spark, dir))
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.getAbsolutePath)
       .select(col("event_id"), col("ts"), col("user_id"), col("cents"))
@@ -958,7 +975,7 @@ object EventStream {
   def typeCountsCompleteStreamed(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = daybandStage(spark, sfDir)
     val stream = spark.readStream
-      .schema(spark.read.parquet(new java.io.File(dir, "batch0.parquet").getAbsolutePath).schema)
+      .schema(stagedSchema(spark, dir))
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.getAbsolutePath)
       .select(col("event_id"), col("ts"), col("event_type"))
@@ -1002,16 +1019,17 @@ object EventStream {
     * form of q30's "which clicks converted" with the non-converting
     * majority included. */
   def clickAttributionOuterStreamed(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = clickViewStage(spark, sfDir)
-    def src(): DataFrame = spark.readStream
-      .schema(spark.read.parquet(new java.io.File(dir, "batch0.parquet").getAbsolutePath).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.getAbsolutePath)
+    def src(eventType: String): DataFrame = {
+      val dir = typedBandStage(spark, sfDir, eventType)
+      spark.readStream
+        .schema(stagedSchema(spark, dir))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.getAbsolutePath)
+    }
     val name = s"graft_stream_oj_${streamRunId.incrementAndGet()}"
     withStatePartitions(spark, 4) {
       val q = streamingClickAttribution(
-          src().filter(col("event_type") === "click"),
-          src().filter(col("event_type") === "view"),
+          src("click"), src("view"),
           joinType = "left_outer")
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append())
@@ -1045,16 +1063,17 @@ object EventStream {
     * (q178's method) and the oracle replays them. At scale: state
     * bounded by watermark+window per side, keyed by user. */
   def clickAttributionFullOuterStreamed(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = clickViewStage(spark, sfDir)
-    def src(): DataFrame = spark.readStream
-      .schema(spark.read.parquet(new java.io.File(dir, "batch0.parquet").getAbsolutePath).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.getAbsolutePath)
+    def src(eventType: String): DataFrame = {
+      val dir = typedBandStage(spark, sfDir, eventType)
+      spark.readStream
+        .schema(stagedSchema(spark, dir))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.getAbsolutePath)
+    }
     val name = s"graft_stream_foj_${streamRunId.incrementAndGet()}"
     withStatePartitions(spark, 4) {
       val q = streamingClickAttribution(
-          src().filter(col("event_type") === "click"),
-          src().filter(col("event_type") === "view"),
+          src("click"), src("view"),
           joinType = "full_outer")
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append())
