@@ -89,4 +89,40 @@ object CandidatePairs {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
   }
+
+  /** [[boundedSelfJoin]]'s CONTRIBUTION form: same salted bucket
+    * machinery and the same every-ordered-pair-meets-exactly-once
+    * guarantee, but each match keeps caller-selected payload columns
+    * from both sides (`<c>_a` / `<c>_b`) and is NOT deduplicated — a
+    * pair emits once PER BUCKET KEY it shares, which is exactly what
+    * per-key contribution sums need (q171 accumulates sparse
+    * dot-product terms over (block, term) buckets this way: work ∝
+    * shared terms per pair, never |pair| × |posting|). */
+  def boundedSelfJoinContrib(
+      buckets: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      payloadCols: Seq[String],
+      cap: Int,
+      obs: Option[Observation] = None): DataFrame = {
+    require(cap > 0, s"bucket cap must be positive, got $cap")
+    val (leftBase, right) = salted(buckets, keyCols, idCol, cap)
+    val left = obs match {
+      case Some(o) => leftBase.observe(
+        o,
+        sum(when(col("bucket_n") > cap, 1L).otherwise(0L)).as("hot_bucket_rows"),
+        round(sum(when(col("bucket_n") > cap, lit(1.0) / col("bucket_n"))
+          .otherwise(lit(0.0)))).cast("long").as("hot_buckets"),
+        max(col("bucket_n")).as("max_bucket_n"))
+      case None => leftBase
+    }
+    val keyEq: Column = (keyCols :+ "salt")
+      .map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    val payload = payloadCols.flatMap(c =>
+      Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b")))
+    left.alias("a")
+      .join(right.alias("b"), keyEq && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a") +: col(s"b.$idCol").as("id_b")
+        +: payload: _*)
+  }
 }

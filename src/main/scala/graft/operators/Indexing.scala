@@ -271,10 +271,19 @@ object Indexing {
     * integer sums (products ≤ ~7e13 × doc-len terms, inside BIGINT);
     * one final cosine division floors on the 1e-6 grid.
     *
-    * Scale shape: weights are the q34 aggregates; blocking is one
-    * keyed exchange of (block, doc) rows; the dot product joins the
-    * two posting slices per candidate pair on term — pair-local work
-    * proportional to shared terms, never a corpus-wide window. */
+    * Scale shape: weights are the q34 aggregates; the dot products
+    * accumulate BLOCK-LOCALLY — every doc's postings carry its block
+    * tag, and one salted (block, term) self-join
+    * ([[CandidatePairs.boundedSelfJoinContrib]]) emits exactly one
+    * wa·wb contribution per SHARED term of each same-block pair, which
+    * a pair-keyed sum folds into dp. Work ∝ Σ_pairs |shared terms| —
+    * the sf1 spot-bench caught the previous pair-list × full-posting
+    * join at 23× the 10×-data cost (it shuffled |pairs| × |posting(a)|
+    * rows, 110M at sf1, most matching nothing); this form moved
+    * q171 75.7 → 17.1 s at sf1 (scaling factor 23× → 6.3× per 10×
+    * data) and 3.1 → 2.7 s at sf0.1, with an identical pair set
+    * (every candidate pair shares its block term, so the contribution
+    * frame covers exactly the blocked pairs). */
   def sparseCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = Tables.documents(spark, sfDir)
@@ -296,13 +305,16 @@ object Indexing {
     val top1 = w.withColumn("rn", row_number().over(byW))
       .filter(col("rn") === 1)
       .select(col("term").as("bterm"), col("doc_id"))
-    val cand = CandidatePairs.boundedSelfJoin(top1, Seq("bterm"), "doc_id", SparseBlockCap)
     val norms = w.groupBy(col("doc_id")).agg(sum(col("wi") * col("wi")).as("n2"))
-    val dots = cand
-      .join(w.select(col("doc_id").as("id_a"), col("term"), col("wi").as("wa")), "id_a")
-      .join(w.select(col("doc_id").as("id_b"), col("term"), col("wi").as("wb")),
-        Seq("id_b", "term"))
-      .groupBy(col("id_a"), col("id_b")).agg(sum(col("wa") * col("wb")).as("dp"))
+    // postings tagged with their doc's block: the (bterm, term) salted
+    // self-join below emits one wa·wb row per shared term per same-block
+    // pair — the dp contributions, never |pairs| × |posting| rows
+    val bw = w.join(top1, "doc_id")
+    val dots = CandidatePairs
+      .boundedSelfJoinContrib(bw, Seq("bterm", "term"), "doc_id",
+        Seq("wi"), SparseBlockCap)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("wi_a") * col("wi_b")).as("dp"))
     dots
       .join(norms.select(col("doc_id").as("id_a"), col("n2").as("na")), "id_a")
       .join(norms.select(col("doc_id").as("id_b"), col("n2").as("nb")), "id_b")

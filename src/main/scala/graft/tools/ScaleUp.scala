@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize a 10× scale-up of an existing testdata dir for the sf1
+  * spot-bench (`runMain graft.tools.ScaleUp <srcSfDir> <outDir> [factor]`)
+  * — the measured-scaling companion to the plan-shape arguments in
+  * PLANS.md. Replication is KEY-SHIFTED per replica so entity counts
+  * really grow (10× docs/vectors/orders/customers/parts), and content
+  * is made cross-replica DISJOINT where identical copies would change
+  * the workload class rather than its size:
+  *
+  *  - documents: every non-initial word gets a replica-specific pure
+  *    a-z prefix (a bijective word mapping, so WITHIN-replica shingle
+  *    structure — the dedup/near-dup workload — is preserved exactly,
+  *    while CROSS-replica shingle sets are disjoint; naive copies
+  *    would add ~45 artificial near-dup pairs per source doc and turn
+  *    a 10× corpus bench into a 100× pair-mining bench).
+  *  - embeddings: dimension 0 shifts by 1e-3·replica — vectors stay in
+  *    the same clusters (ANN index geometry comparable) without being
+  *    bit-identical copies.
+  *  - lineitem/orders: order/cust/part/supp keys shift by the source
+  *    table's key range per replica (graph workloads see 10× nodes).
+  *
+  * Not a correctness corpus (no oracle runs here) — a load corpus. */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicas(df: DataFrame): DataFrame =
+      df.crossJoin(
+        spark.range(0, factor).select(col("id").cast("int").as("rep")))
+
+    // pure a-z replica tags keep `[a-z]+`/whitespace tokenizers seeing
+    // one token per source word
+    val tags = "abcdefghijklmnopqrstuvwxyz".take(factor).map(c => s"q$c")
+    val tagCol = element_at(
+      array(tags.map(lit): _*), col("rep") + 1)
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val dMax = docs.agg(max("doc_id")).head.getLong(0) + 1L
+    val docsUp = replicas(docs)
+      .withColumn("doc_id", col("doc_id") + col("rep") * dMax)
+      .withColumn("text",
+        when(col("rep") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit(" "), concat(lit(" "), tagCol))))
+      .withColumn("n_chars", length(col("text")).cast(docs.schema("n_chars").dataType))
+      .drop("rep")
+    docsUp.select(docs.columns.map(col): _*)
+      .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vMax = emb.agg(max("vec_id")).head.getLong(0) + 1L
+    replicas(emb)
+      .withColumn("vec_id", col("vec_id") + col("rep") * vMax)
+      .withColumn("embedding",
+        expr("transform(embedding, (x, i) -> IF(i = 0, cast(x + rep * 0.001d as float), x))"))
+      .drop("rep")
+      .select(emb.columns.map(col): _*)
+      .repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val oMax = orders.agg(max("o_orderkey")).head.getLong(0) + 1L
+    val cMax = orders.agg(max("o_custkey")).head.getLong(0) + 1L
+    replicas(orders)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * oMax)
+      .withColumn("o_custkey", col("o_custkey") + col("rep") * cMax)
+      .drop("rep")
+      .select(orders.columns.map(col): _*)
+      .repartition(8).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val pMax = li.agg(max("l_partkey")).head.getLong(0) + 1L
+    val sMax = li.agg(max("l_suppkey")).head.getLong(0) + 1L
+    replicas(li)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * oMax)
+      .withColumn("l_partkey", col("l_partkey") + col("rep") * pMax)
+      .withColumn("l_suppkey", col("l_suppkey") + col("rep") * sMax)
+      .drop("rep")
+      .select(li.columns.map(col): _*)
+      .repartition(16).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    println(s"[scaleup] wrote ${factor}x of $src to $out")
+    spark.stop()
+  }
+}

@@ -62,4 +62,29 @@ class CandidatePairsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(tiny == default)
   }
+
+  test("contrib form: one payload row per shared key per pair, cap-invariant") {
+    import spark.implicits._
+    // docs -> (block, term, weight): a/b share block X and terms t1,t2
+    // (weights differ); c shares block X but only term t1 with a/b;
+    // d sits alone in block Y
+    val rows = Seq(
+      (1L, "X", "t1", 10L), (1L, "X", "t2", 3L),
+      (2L, "X", "t1", 7L), (2L, "X", "t2", 5L),
+      (3L, "X", "t1", 2L),
+      (4L, "Y", "t9", 8L))
+      .toDF("id", "blk", "term", "wi")
+    def dots(cap: Int) = CandidatePairs
+      .boundedSelfJoinContrib(rows, Seq("blk", "term"), "id", Seq("wi"), cap)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("wi_a") * col("wi_b")).as("dp"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val expected = Map(
+      (1L, 2L) -> (10L * 7L + 3L * 5L), // both shared terms contribute once
+      (1L, 3L) -> (10L * 2L),
+      (2L, 3L) -> (7L * 2L))            // d pairs with nobody
+    assert(dots(16) == expected)
+    // the salted redistribution never changes the contribution multiset
+    assert(dots(1) == expected)
+  }
 }
