@@ -372,7 +372,9 @@ object SparkEntry {
     "q355_hll_set_ops" -> (Sketches.hllSetOps _),
     "q356_video_frames" -> (Multimodal.videoFrames _),
     "q357_stream_tws_exec" -> (graft.streaming.EventStream.userStatsTwsStreamed _),
-    "q358_string_similarity" -> (Dedup.stringSimilarity _)
+    "q358_string_similarity" -> (Dedup.stringSimilarity _),
+    "q359_moving_ttr"     -> (TextAnalysis.movingTtr _),
+    "q360_lm_transfer"    -> (TextAnalysis.lmTransfer _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7680,7 +7682,50 @@ object SparkEntry {
         |WHERE abs(length(a.p_name) - length(b.p_name)) <= $FuzzyMaxDistance
         |  AND damerau_levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDistance
         |ORDER BY name_a, name_b""".stripMargin
-    }
+    },
+    "q359_moving_ttr" -> {
+      import graft.operators.TextAnalysis.TtrWindow
+      // complete windows only: docs under one window carry no signal
+      // and drop from both engines (empty comprehension range)
+      s"""WITH mtt AS (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r]+') AS w
+        |           FROM documents),
+        |mte AS (SELECT doc_id,
+        |               unnest([{'win': (i - 1) // $TtrWindow, 'term': w[i]}
+        |                       FOR i IN range(1, ((len(w) // $TtrWindow) * $TtrWindow) + 1)]) AS p
+        |        FROM mtt),
+        |mtw AS (SELECT doc_id, p.win AS win,
+        |               count(DISTINCT p.term)::BIGINT AS d
+        |        FROM mte GROUP BY 1, 2)
+        |SELECT doc_id, count(*)::BIGINT AS n_windows,
+        |       (sum(d) * 1000000 // ($TtrWindow * count(*)))::BIGINT AS mean_ttr_ppm,
+        |       (min(d) * 1000000 // $TtrWindow)::BIGINT AS min_ttr_ppm,
+        |       (max(d) * 1000000 // $TtrWindow)::BIGINT AS max_ttr_ppm
+        |FROM mtw GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q360_lm_transfer" ->
+      // per-term ln floors to nano-nats BEFORE the weighted sum (the
+      // q70/q352 floor-before-sum convention), so the grid is integer
+      """WITH ltt AS (SELECT source, unnest(regexp_extract_all(text, '[^ \t\n\r]+')) AS term
+        |           FROM documents),
+        |ltc AS (SELECT source, term, count(*)::BIGINT AS c FROM ltt GROUP BY 1, 2),
+        |ltot AS (SELECT source, sum(c)::BIGINT AS t FROM ltc GROUP BY 1),
+        |lv AS (SELECT count(DISTINCT term)::BIGINT AS v FROM ltc),
+        |lm AS (SELECT s.source AS src_model, w.term,
+        |              floor(ln((coalesce(c.c, 0) + 1)::DOUBLE
+        |                       / (s.t + (SELECT v FROM lv))::DOUBLE)
+        |                    * 1000000000.0)::BIGINT AS lnp
+        |       FROM ltot s
+        |       CROSS JOIN (SELECT DISTINCT term FROM ltc) w
+        |       LEFT JOIN ltc c ON c.source = s.source AND c.term = w.term),
+        |lce AS (SELECT e.source AS src_eval, m.src_model,
+        |               ((-sum(e.c * m.lnp)) // et.t)::BIGINT AS h_nano
+        |        FROM ltc e
+        |        JOIN lm m ON m.term = e.term
+        |        JOIN ltot et ON et.source = e.source
+        |        GROUP BY 1, 2, et.t)
+        |SELECT src_eval, src_model, h_nano,
+        |       h_nano = min(h_nano) OVER (PARTITION BY src_eval) AS best
+        |FROM lce ORDER BY src_eval, src_model""".stripMargin
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

@@ -2124,4 +2124,102 @@ object TextAnalysis {
         (col("test_nll_nano") - col("train_nll_nano")).as("gap_nano"),
         col("test_oov_ppm"))
   }
+
+  /** q359 window width (tokens per TTR window). */
+  val TtrWindow = 25
+
+  /** q359_moving_ttr — windowed type-token ratio (the MTLD/MATTR family
+    * of lexical-diversity scores): each doc's token stream splits into
+    * consecutive complete [[TtrWindow]]-token windows, each window's
+    * TTR = distinct/width, and the doc reports its window count and
+    * mean/min/max window TTR. The LENGTH-INVARIANT diversity signal a
+    * quality filter wants — raw TTR (q148's corpus curve shows why)
+    * falls mechanically with length, so thresholding it punishes long
+    * docs; fixed-window TTR compares docs of any length on one scale,
+    * and the min window flags locally-degenerate stretches (loops,
+    * keyword stuffing) that a doc-level mean hides. Docs shorter than
+    * one window carry no signal and drop (lesson: report nothing over
+    * windows that do not exist, not a 0/0).
+    *
+    * Determinism: windows are position arithmetic on the whitespace
+    * token stream; TTRs are exact integer ppm (distinct·10⁶ div width).
+    *
+    * Scale shape: ONE doc-keyed exchange (`repartition(doc_id)` — the
+    * q265 move) serves all three aggregate levels ((doc, win, term)
+    * dedup → (doc, win) distinct count → per-doc stats, each grouping
+    * a superset of the partition key); tokenize/posexplode are
+    * scan-local with the token count bound in its own projection. */
+  def movingTtr(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = TtrWindow
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), T.wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).as("n"),
+        posexplode(col("w")).as(Seq("pos", "term")))
+      .filter(col("pos") < expr(s"(n div $W) * $W"))
+      .select(col("doc_id"), expr(s"pos div $W").as("win"), col("term"))
+      .repartition(col("doc_id"))
+    val winTtr = toks
+      .groupBy(col("doc_id"), col("win"), col("term")).agg(count(lit(1)).as("m"))
+      .groupBy(col("doc_id"), col("win")).agg(count(lit(1)).as("d"))
+    winTtr.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("d")).as("sd"),
+        min(col("d")).as("mind"),
+        max(col("d")).as("maxd"))
+      .select(col("doc_id"), col("n_windows"),
+        expr(s"sd * 1000000 div ($W * n_windows)").as("mean_ttr_ppm"),
+        expr(s"mind * 1000000 div $W").as("min_ttr_ppm"),
+        expr(s"maxd * 1000000 div $W").as("max_ttr_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** q360_lm_transfer — cross-source language-model transfer matrix:
+    * train one add-1-smoothed unigram LM per source, score every
+    * source's token stream under every model, and report the full
+    * source×source cross-entropy grid with a per-row best-model flag —
+    * the domain-transfer audit behind "can we drop source X and cover
+    * it from Y" mixture decisions (q296's JSD measures distribution
+    * distance symmetrically; cross-entropy prices the MODELING cost of
+    * the transfer, which is what an LM pipeline pays). The diagonal
+    * being each row's minimum is the self-consistency check; an
+    * off-diagonal minimum flags a source whose text another source
+    * models better — a labeling/provenance smell.
+    *
+    * Determinism: the q70/q352 convention — per-term ln of an exact
+    * integer rational floors to nano-nats BEFORE the weighted sum
+    * (lesson 58: floor-before-sum), so the grid is pure ≤2⁶³ integers
+    * (headroom: count·|ln·1e9| ≤ corpus·6e10; switch the per-term
+    * weight to per-million-token shares past ~10⁸ tokens per source).
+    *
+    * Scale shape: the corpus collapses to the (source, term) frame in
+    * one partial-aggregable pass (checkpointed — it feeds the totals,
+    * vocabulary, model and eval sides; the q31 multi-reference rule);
+    * everything after lives on the sources×vocabulary domain. */
+  def lmTransfer(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(T.wsTokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val totals = tc.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val vocabN = tc.agg(countDistinct(col("term")).as("v"))
+    val model = totals.crossJoin(tc.select(col("term")).distinct())
+      .join(tc, Seq("source", "term"), "left")
+      .crossJoin(broadcast(vocabN))
+      .select(col("source").as("src_model"), col("term"),
+        floor(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double")
+          / (col("t") + col("v")).cast("double")) * lit(1000000000.0))
+          .cast("long").as("lnp"))
+    val ce = tc.select(col("source").as("src_eval"), col("term"), col("c"))
+      .join(model, "term")
+      .groupBy(col("src_eval"), col("src_model"))
+      .agg((-sum(col("c") * col("lnp"))).as("num"))
+      .join(totals.select(col("source").as("src_eval"), col("t")), "src_eval")
+      .select(col("src_eval"), col("src_model"),
+        expr("num div t").as("h_nano"))
+    // best-model flag over the sources² domain (tiny — whitelist class)
+    val byEval = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_eval"))
+    ce.withColumn("best", col("h_nano") === min(col("h_nano")).over(byEval))
+      .orderBy("src_eval", "src_model")
+  }
 }

@@ -261,4 +261,61 @@ class Round16OpsSpec extends SparkSuite {
     // magnitude is the operator's measured verdict — just bounded here
     assert(ei > 0 && math.abs(row.getAs[Double]("inter_rel_error")) < 1.0)
   }
+
+  test("q359 moving TTR equals a driver-side window recompute") {
+    val W = graft.operators.TextAnalysis.TtrWindow
+    val got = graft.operators.TextAnalysis.movingTtr(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split("[ \t\n\r]+").filter(_.nonEmpty)
+      val wins = toks.take(toks.length / W * W).grouped(W).toSeq
+      if (wins.isEmpty) None
+      else {
+        val ds = wins.map(_.distinct.length.toLong)
+        Some(id -> (wins.length.toLong,
+          ds.sum * 1000000L / (W.toLong * wins.length),
+          ds.min * 1000000L / W, ds.max * 1000000L / W))
+      }
+    }
+    assert(got == expected)
+    // short docs carry no windows and must be absent, not 0/0 rows
+    val short = docs.filter(_._2.split("[ \t\n\r]+").count(_.nonEmpty) < W)
+    assert(short.keySet.forall(!got.contains(_)))
+  }
+
+  test("q360 LM transfer grid: sources-squared shape, exact recompute of one row") {
+    val rows = graft.operators.TextAnalysis.lmTransfer(spark, sf).collect()
+    val srcs = rows.map(_.getString(0)).distinct.sorted
+    assert(rows.length == srcs.length * srcs.length)
+    // exactly one best=true minimum per eval source (ties would surface
+    // as >1 — acceptable, but this corpus has none)
+    srcs.foreach { e =>
+      val grid = rows.filter(_.getString(0) == e)
+      val minH = grid.map(_.getLong(2)).min
+      assert(grid.filter(_.getAs[Boolean]("best")).forall(_.getLong(2) == minH))
+      assert(grid.count(_.getAs[Boolean]("best")) >= 1)
+    }
+    // independent recompute of one (eval, model) cell from raw tokens
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tokensBySrc = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.flatMap(_._2.split("[ \t\n\r]+").filter(_.nonEmpty))
+    }
+    val vocab = tokensBySrc.values.flatten.toSet.size
+    val (e, m) = (srcs.head, srcs.last)
+    val cm = tokensBySrc(m).groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val tm = tokensBySrc(m).length.toLong
+    val ce = tokensBySrc(e).groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val te = tokensBySrc(e).length.toLong
+    val num = ce.map { case (w, c) =>
+      -c * math.floor(math.log((cm.getOrElse(w, 0L) + 1).toDouble / (tm + vocab).toDouble) * 1e9).toLong
+    }.sum
+    val expectedH = num / te
+    val gotH = rows.find(r => r.getString(0) == e && r.getString(1) == m).get.getLong(2)
+    assert(gotH == expectedH)
+  }
 }
