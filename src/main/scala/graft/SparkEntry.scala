@@ -374,7 +374,8 @@ object SparkEntry {
     "q357_stream_tws_exec" -> (graft.streaming.EventStream.userStatsTwsStreamed _),
     "q358_string_similarity" -> (Dedup.stringSimilarity _),
     "q359_moving_ttr"     -> (TextAnalysis.movingTtr _),
-    "q360_lm_transfer"    -> (TextAnalysis.lmTransfer _)
+    "q360_lm_transfer"    -> (TextAnalysis.lmTransfer _),
+    "q361_bucket_sweep"   -> (Packing.bucketSweep _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7725,7 +7726,29 @@ object SparkEntry {
         |        GROUP BY 1, 2, et.t)
         |SELECT src_eval, src_model, h_nano,
         |       h_nano = min(h_nano) OVER (PARTITION BY src_eval) AS best
-        |FROM lce ORDER BY src_eval, src_model""".stripMargin
+        |FROM lce ORDER BY src_eval, src_model""".stripMargin,
+    "q361_bucket_sweep" -> {
+      import graft.operators.Packing.BucketSweepKs
+      val grid = BucketSweepKs.map(k => s"($k)").mkString(", ")
+      s"""WITH bsh AS (SELECT len(regexp_extract_all(text, '[^ \t\n\r]+'))::BIGINT AS l,
+        |                   count(*)::BIGINT AS cnt
+        |            FROM documents GROUP BY 1),
+        |bsc AS (SELECT l, cnt,
+        |               sum(cnt) OVER (ORDER BY l ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+        |               sum(cnt) OVER ()::BIGINT AS n
+        |        FROM bsh),
+        |bse AS (SELECT kk.k::BIGINT AS k, (kk.k * cum + n - 1) // n AS j, l, cnt
+        |        FROM bsc, (VALUES $grid) kk(k)),
+        |bsb AS (SELECT k, j, sum(cnt)::BIGINT AS n_docs,
+        |               sum(l * cnt)::BIGINT AS raw, max(l)::BIGINT AS maxlen
+        |        FROM bse GROUP BY 1, 2)
+        |SELECT k, count(*)::BIGINT AS n_buckets, sum(n_docs)::BIGINT AS n_docs,
+        |       sum(raw)::BIGINT AS raw_tokens,
+        |       sum(n_docs * maxlen)::BIGINT AS padded_tokens,
+        |       ((sum(n_docs * maxlen) - sum(raw)) * 1000000
+        |        // sum(n_docs * maxlen))::BIGINT AS waste_ppm
+        |FROM bsb GROUP BY k ORDER BY k""".stripMargin
+    }
   )
 
   /** Shared q28/q73 oracle prefix: sample-bounded Lloyd's training,

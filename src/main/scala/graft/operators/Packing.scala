@@ -140,4 +140,57 @@ object Packing {
           .as("waste_ppm"))
       .orderBy("bucket")
   }
+
+  /** q361 bucket-count grid. */
+  val BucketSweepKs: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** q361_bucket_sweep — HOW MANY length buckets does batching need:
+    * for k ∈ [[BucketSweepKs]], split the corpus into k near-equal
+    * QUANTILE buckets by token count (doc → bucket ⌈k·rank/N⌉ on its
+    * length value's cumulative rank — value-atomic, so equal lengths
+    * land together and the split is deterministic under ties), pad
+    * each bucket to its own max length, and report the padded mass and
+    * waste — the serving/training batch-shape tuning curve that sits
+    * between q219 (FIXED power-of-two buckets) and q53 (packing,
+    * zero waste, full complexity): waste falls monotonically in k, and
+    * where it plateaus is the bucket count a bucketed-batching
+    * deployment should run.
+    *
+    * Determinism: buckets are integer ceiling arithmetic on exact
+    * cumulative counts; masses and ppm waste are exact integers.
+    *
+    * Scale shape: ONE (length) value-histogram aggregate; the
+    * cumulative-rank and total windows run over the distinct
+    * length-VALUE domain (the q61/q194 whitelist class — bounded by
+    * the length cap, never corpus rows) in one window pass (q287's
+    * same-partitioning move); the k-grid explodes on that domain;
+    * ≤|ks| output rows. */
+  def bucketSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(spark, sfDir)
+      .select(size(T.wsTokens(col("text"))).cast("long").as("l"))
+      .groupBy(col("l")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("l"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val ks = array(BucketSweepKs.map(k => lit(k.toLong)): _*)
+    hist.select(col("l"), col("cnt"), col("cum"), col("n"),
+        explode(ks).as("k"))
+      .select(col("k"), expr("(k * cum + n - 1) div n").as("j"),
+        col("l"), col("cnt"))
+      .groupBy(col("k"), col("j"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        sum(col("l") * col("cnt")).as("raw"),
+        max(col("l")).as("maxlen"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n_docs")).as("n_docs"),
+        sum(col("raw")).as("raw_tokens"),
+        sum(col("n_docs") * col("maxlen")).as("padded_tokens"))
+      .select(col("k"), col("n_buckets"), col("n_docs"), col("raw_tokens"),
+        col("padded_tokens"),
+        expr("(padded_tokens - raw_tokens) * 1000000 div padded_tokens")
+          .as("waste_ppm"))
+      .orderBy("k")
+  }
 }

@@ -318,4 +318,30 @@ class Round16OpsSpec extends SparkSuite {
     val gotH = rows.find(r => r.getString(0) == e && r.getString(1) == m).get.getLong(2)
     assert(gotH == expectedH)
   }
+
+  test("q361 bucket sweep: monotone waste, exact driver recompute") {
+    val rows = graft.operators.Packing.bucketSweep(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val lens = graft.sources.Tables.documents(spark, sf)
+      .select("text").collect()
+      .map(_.getString(0).split("[ \t\n\r]+").count(_.nonEmpty).toLong)
+      .sorted
+    val n = lens.length.toLong
+    graft.operators.Packing.BucketSweepKs.foreach { k =>
+      // value-atomic quantile buckets: doc -> ceil(k * cum(len) / n)
+      val cum = lens.distinct.map(v => v -> lens.count(_ <= v).toLong).toMap
+      val byBucket = lens.groupBy(v => (k * cum(v) + n - 1) / n)
+      val padded = byBucket.values.map(b => b.length.toLong * b.max).sum
+      val raw = lens.sum
+      val (nb, nd, rt, pt, wp) = rows(k.toLong)
+      assert(nb == byBucket.size && nd == n && rt == raw && pt == padded)
+      assert(wp == (padded - raw) * 1000000L / padded)
+    }
+    // the tuning curve: waste falls (weakly) as buckets are added
+    val ws = graft.operators.Packing.BucketSweepKs.map(k => rows(k.toLong)._5)
+    assert(ws.zip(ws.tail).forall { case (a, b) => b <= a })
+    // k=1 degenerates to uniform max-length padding
+    assert(rows(1L)._4 == n * lens.max)
+  }
 }

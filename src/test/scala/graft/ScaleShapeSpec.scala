@@ -79,7 +79,10 @@ class ScaleShapeSpec extends SparkSuite {
       "q350_conformal_interval",
       // q351's centered-MA window runs over the ≤31-row DAY domain
       // (q260's class)
-      "q351_seasonal_decompose")
+      "q351_seasonal_decompose",
+      // q361's cumulative-rank/total windows run over the distinct
+      // length-VALUE domain (q61/q194's shape)
+      "q361_bucket_sweep")
       // (q335's vocabulary-domain rank windows execute inside its
       // eager localCheckpoint, so they never appear in the graded
       // plan this sweep inspects)
