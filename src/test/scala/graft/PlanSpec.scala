@@ -244,4 +244,47 @@ class PlanSpec extends SparkSuite {
         s"no runtime bloom filter on the fact side:\n$p")
     } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }
+
+  private def simplePlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q265 folds both aggregate levels onto the join's orderkey exchange") {
+    val p = simplePlan("q265_waiting_suppliers")
+    assert(p.contains("ShuffledHashJoin"), "order join must be shuffled-hash")
+    assert(!p.contains("SortMergeJoin"), "no sort should precede the aggregates")
+    assert(!p.contains("ObjectHashAggregate"), "no set-buffer aggregation")
+    // one exchange per join side + one for the supplier rollup — the
+    // two aggregate levels reuse the join's orderkey partitioning
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 3, s"expected 3 hash exchanges, plan had $hashEx:\n$p")
+  }
+
+  test("q287 computes rank and total in one window pass, no join-back") {
+    val p = simplePlan("q287_trimmed_mean")
+    assert(!p.contains("Join"), "bounds must not join back onto the histogram")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2, s"expected 2 hash exchanges (histogram + window), got $hashEx")
+  }
+
+  test("q288 is a literal frame after the one transition-matrix job") {
+    val p = simplePlan("q288_absorption")
+    assert(p.contains("LocalTableScan") && !p.contains("Join"),
+      "the types^2 unroll must be driver literals, not per-step joins")
+  }
+
+  test("q118 probes bloom and exact membership in ONE corpus pass") {
+    val p = simplePlan("q118_bloom_decontam")
+    val docScans = "FileScan parquet".r.findAllIn(p).length
+    assert(docScans == 2,
+      s"expected 2 documents scans (train probe + bench grams), got $docScans")
+    assert(p.contains("BroadcastHashJoin"), "exact join must broadcast the bench gram set")
+  }
+
+  test("q171 dot products accumulate block-locally, never pairs x postings") {
+    val p = simplePlan("q171_sparse_cosine")
+    // the contribution self-join carries the salted (block, term) key;
+    // no join on a bare pair-id column may reintroduce the posting fan-out
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("salt"), "the (block, term) self-join must be salted")
+  }
 }
