@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.graft.{CompressionRatio, CosineSimilarity, CountInSet, DamerauLevenshtein, JaroWinkler, L2Squared, MinHashSignatureAgg, NfcNormalize, NormalizeIdempotence, RollingHash, StripAccents, TopKByScore, WinnowMin}
+import org.apache.spark.sql.graft.{CompressionRatio, CosineSimilarity, CountInSet, DamerauLevenshtein, JaroWinkler, L2Squared, MinHashSignatureAgg, NfcNormalize, NormalizeIdempotence, RollingHash, StripAccents, TopKByScore, TopKStringByScore, WinnowMin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -79,6 +79,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("top_k_by_score", 3, exprs)
         val k = exprs(2).eval(null).asInstanceOf[Number].intValue()
         TopKByScore(exprs(0), exprs(1), k)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("top_k_str_by_score"),
+      new ExpressionInfo(classOf[TopKStringByScore].getName, "top_k_str_by_score"),
+      (exprs: Seq[Expression]) => {
+        checkArity("top_k_str_by_score", 3, exprs)
+        val k = exprs(2).eval(null).asInstanceOf[Number].intValue()
+        TopKStringByScore(exprs(0), exprs(1), k)
       }))
     e.injectFunction((
       new FunctionIdentifier("nfc"),

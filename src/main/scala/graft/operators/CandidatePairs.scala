@@ -63,6 +63,23 @@ object CandidatePairs {
     (left, right)
   }
 
+  /** Shared hot-bucket telemetry: wraps the salted LEFT frame in the
+    * caller's [[Observation]] (rows in over-cap buckets, over-cap bucket
+    * count via the sum-of-1/n identity, max bucket size) — one
+    * definition so [[boundedSelfJoin]] and [[boundedSelfJoinContrib]]
+    * cannot drift. */
+  private def withHotBucketObs(
+      leftBase: DataFrame, cap: Int, obs: Option[Observation]): DataFrame =
+    obs match {
+      case Some(o) => leftBase.observe(
+        o,
+        sum(when(col("bucket_n") > cap, 1L).otherwise(0L)).as("hot_bucket_rows"),
+        round(sum(when(col("bucket_n") > cap, lit(1.0) / col("bucket_n"))
+          .otherwise(lit(0.0)))).cast("long").as("hot_buckets"),
+        max(col("bucket_n")).as("max_bucket_n"))
+      case None => leftBase
+    }
+
   /** All distinct (id_a < id_b) pairs of rows sharing a bucket key,
     * with per-task work bounded by `cap` as described above. */
   def boundedSelfJoin(
@@ -73,15 +90,7 @@ object CandidatePairs {
       obs: Option[Observation] = None): DataFrame = {
     require(cap > 0, s"bucket cap must be positive, got $cap")
     val (leftBase, right) = salted(buckets, keyCols, idCol, cap)
-    val left = obs match {
-      case Some(o) => leftBase.observe(
-        o,
-        sum(when(col("bucket_n") > cap, 1L).otherwise(0L)).as("hot_bucket_rows"),
-        round(sum(when(col("bucket_n") > cap, lit(1.0) / col("bucket_n"))
-          .otherwise(lit(0.0)))).cast("long").as("hot_buckets"),
-        max(col("bucket_n")).as("max_bucket_n"))
-      case None => leftBase
-    }
+    val left = withHotBucketObs(leftBase, cap, obs)
     val keyEq: Column = (keyCols :+ "salt")
       .map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
     left.alias("a")
@@ -107,15 +116,7 @@ object CandidatePairs {
       obs: Option[Observation] = None): DataFrame = {
     require(cap > 0, s"bucket cap must be positive, got $cap")
     val (leftBase, right) = salted(buckets, keyCols, idCol, cap)
-    val left = obs match {
-      case Some(o) => leftBase.observe(
-        o,
-        sum(when(col("bucket_n") > cap, 1L).otherwise(0L)).as("hot_bucket_rows"),
-        round(sum(when(col("bucket_n") > cap, lit(1.0) / col("bucket_n"))
-          .otherwise(lit(0.0)))).cast("long").as("hot_buckets"),
-        max(col("bucket_n")).as("max_bucket_n"))
-      case None => leftBase
-    }
+    val left = withHotBucketObs(leftBase, cap, obs)
     val keyEq: Column = (keyCols :+ "salt")
       .map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
     val payload = payloadCols.flatMap(c =>

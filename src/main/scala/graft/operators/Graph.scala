@@ -102,10 +102,19 @@ object Graph {
     *
     * Scale shape: pair generation rides the token scan (consecutive-
     * slice zip — no self-join); the distinct edge set checkpoints
-    * once (degree, node set, and all [[PrIterations]] contribution
-    * joins read it); each iteration is one term-keyed equi-join +
-    * keyed aggregate over the EDGE table (vocab-sized, corpus-
-    * independent); top-k is a TakeOrdered. */
+    * once; out-degree is pre-joined ONTO the checkpointed edge table
+    * (one more vocab-bounded materialization) and the node set
+    * checkpoints too, so each iteration is exactly one term-keyed
+    * equi-join + one keyed aggregate — the dangling-node left join is
+    * GONE (symmetric edges ⇒ every node has in-degree ≥ 1, so the
+    * contribution aggregate's key set already IS the node set) and
+    * there is no per-round re-aggregation of degrees/nodes/counts
+    * from the edge table (the pre-hoist shape re-derived outDeg,
+    * nodes AND nNodes inside every round). Measured 1.51 → 1.14 s at
+    * sf0.1, 5-rep medians; a per-round pr checkpoint A/B'd WORSE
+    * (1.25 s — lesson 64: vocab-sized rounds are cheap linear passes,
+    * the job barrier costs more than the recompute it saves). Top-k
+    * is a TakeOrdered. */
   def textRank(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.{TextFunctions => T}
     val pairs = graft.sources.Tables.documents(spark, sfDir)
@@ -125,25 +134,27 @@ object Graph {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val nodes = edges.select(col("src").as("term")).distinct()
+    // degree rides every contribution join: pre-join it onto the edge
+    // table ONCE instead of re-aggregating + re-joining per round
+    val edgesW = edges.join(outDeg, "src").localCheckpoint()
+    val nodes = edges.select(col("src").as("term")).distinct().localCheckpoint()
     val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
     var pr = nodes.crossJoin(broadcast(nNodes))
       .select(col("term"), expr("1000000000000 div n_nodes").as("pr"))
+    // no dangling-node left join inside the loop: edges are symmetric
+    // (both directions emitted above), so every node has in-degree >= 1
+    // and the contribution aggregate's key set IS the node set
     for (_ <- 1 to PrIterations) {
-      val contrib = pr
-        .join(edges, col("term") === col("src"))
-        .join(outDeg, "src")
+      pr = pr
+        .join(edgesW, col("term") === col("src"))
         .select(col("dst"), expr("pr div out_deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
         .withColumnRenamed("dst", "term")
-      pr = nodes
-        .join(contrib, Seq("term"), "left")
         .crossJoin(broadcast(nNodes))
         .select(col("term"),
-          expr("150000000000 div n_nodes + (coalesce(in_sum, 0L) * 17) div 20")
-            .as("pr"))
+          expr("150000000000 div n_nodes + (in_sum * 17) div 20").as("pr"))
     }
-    pr.join(outDeg.withColumnRenamed("src", "term"), "term")
+    pr.join(edgesW.select(col("src").as("term"), col("out_deg")).distinct(), "term")
       .select(col("term"), col("pr").as("pr_pico"), col("out_deg").as("degree"))
       .orderBy(col("pr_pico").desc, col("term").asc)
       .limit(TextRankTopK)

@@ -99,32 +99,53 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** q34_tfidf — classic TF-IDF: tf = term count / doc length, idf =
-    * ln(N / df), top-3 terms per doc by tf·idf (term tie-break). Two
-    * shuffles: per-(doc, term) counts and the (small) document-frequency
-    * table, which re-broadcasts onto the term rows. N is a broadcast
-    * 1-row aggregate cross-joined in, NOT a driver-side `.count()`, so
-    * the whole query stays one lazy plan (composable q33-style without
-    * triggering an extra job at plan-build time). */
+    * ln(N / df), top-3 terms per doc by tf·idf (term tie-break).
+    *
+    * ONE corpus pass: the scan+explode feeds exactly one (doc, term)
+    * count aggregate, CHECKPOINTED — doc lengths (sum of tc per doc)
+    * and the document-frequency table both derive from that
+    * materialized frame instead of re-running the corpus explode
+    * (ReuseExchange alone can't dedupe the three consumers: each
+    * join adds different null filters, so the explode subtrees are
+    * not syntactically identical — the q31 mined-artifact checkpoint
+    * rule applies, three consumers of one corpus-scale build). N is a
+    * broadcast 1-row aggregate cross-joined in, NOT a driver-side
+    * `.count()`.
+    *
+    * Per-doc top-3 via the native `top_k_str_by_score` aggregate (the
+    * house idiom — q69's argument): the k-slot buffer pre-reduces
+    * MAP-SIDE, so a 10⁶-term document contributes 3 rows to the rank
+    * exchange where the previous `row_number` window sorted every term
+    * of the doc inside one task. */
   def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.{native => gf}
     val terms = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(T.wsTokens(col("text"))).as("term"))
+    // LAZY checkpoint: the three consumers read ONE materialized copy
+    // of the (doc, term) counts instead of re-running the corpus
+    // explode (ReuseExchange can't dedupe them: each consumer prunes a
+    // different column set, so the exchanges aren't canonically equal —
+    // verified in the formatted plan), and under a non-AQE session the
+    // plan still builds without running any job (eager = false; AQE
+    // sessions materialize shuffle stages at toRdd — a Spark property
+    // of adaptive plans, not a driver-side collect in this operator).
     val termCounts = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
-    val docLens = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(eager = false)
+    val docLens = termCounts.groupBy("doc_id").agg(sum(col("tc")).as("dl"))
     val df_ = termCounts.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, sfDir)
       .agg(count(lit(1)).cast("double").as("n_docs"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf_raw").desc, col("term").asc)
     termCounts
       .join(docLens, "doc_id")
       .join(broadcast(df_), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf_raw",
         (col("tc").cast("double") / col("dl")) * log(col("n_docs") / col("df")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(col("doc_id"), col("rnk"), col("term"), round(col("tfidf_raw"), 6).as("tfidf"))
+      .groupBy(col("doc_id"))
+      .agg(gf.topKStrByScore(col("tfidf_raw"), col("term"), 3).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "kv")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("kv.id").as("term"), round(col("kv.score"), 6).as("tfidf"))
       .orderBy("doc_id", "rnk")
   }
 
@@ -2187,16 +2208,31 @@ object TextAnalysis {
     *
     * Determinism: the q70/q352 convention — per-term ln of an exact
     * integer rational floors to nano-nats BEFORE the weighted sum
-    * (lesson 58: floor-before-sum), so the grid is pure ≤2⁶³ integers
-    * (headroom: count·|ln·1e9| ≤ corpus·6e10; switch the per-term
-    * weight to per-million-token shares past ~10⁸ tokens per source).
+    * (lesson 58: floor-before-sum), so the grid is pure ≤2⁶³ integers.
+    * Headroom is GUARDED, not just argued: num = Σ c·|lnp| ≤
+    * t·ln(t+v)·10⁹, so at t = [[LmTransferMaxTokensPerSource]] = 10⁸
+    * tokens and any vocabulary ≤ 10⁹ the sum stays ≤ ~2.1·10¹⁸ < 2⁶³
+    * (all addends share a sign — lnp ≤ −1 always — so partial sums
+    * never exceed the final magnitude either). A source past the
+    * bound fails LOUDLY via an in-plan raise_error naming the source
+    * and the fix (switch the per-term weight to per-million-token
+    * shares) instead of silently wrapping.
     *
     * Scale shape: the corpus collapses to the (source, term) frame in
     * one partial-aggregable pass (checkpointed — it feeds the totals,
     * vocabulary, model and eval sides; the q31 multi-reference rule);
     * everything after lives on the sources×vocabulary domain. */
-  def lmTransfer(spark: SparkSession, sfDir: String): DataFrame = {
-    val tc = Tables.documents(spark, sfDir)
+  def lmTransfer(spark: SparkSession, sfDir: String): DataFrame =
+    lmTransferFrom(Tables.documents(spark, sfDir), LmTransferMaxTokensPerSource)
+
+  /** q360 integer-headroom boundary: max tokens per source before the
+    * nano-nat Σ c·|lnp| could approach 2⁶³ (see [[lmTransfer]]). */
+  val LmTransferMaxTokensPerSource = 100000000L
+
+  /** [[lmTransfer]] over an arbitrary (source, text) frame with an
+    * explicit headroom bound (spec hook for the boundary behavior). */
+  private[graft] def lmTransferFrom(docs: DataFrame, maxTokensPerSource: Long): DataFrame = {
+    val tc = docs
       .select(col("source"), explode(T.wsTokens(col("text"))).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
@@ -2215,7 +2251,17 @@ object TextAnalysis {
       .agg((-sum(col("c") * col("lnp"))).as("num"))
       .join(totals.select(col("source").as("src_eval"), col("t")), "src_eval")
       .select(col("src_eval"), col("src_model"),
-        expr("num div t").as("h_nano"))
+        // the guard wraps a COLUMN THE QUERY USES so pruning can't
+        // drop it; raise_error fires per-row at eval time, before any
+        // wrapped sum could have been trusted downstream
+        when(col("t") > lit(maxTokensPerSource),
+          raise_error(concat(
+            lit("q360 lm_transfer integer headroom exceeded: source '"),
+            col("src_eval"), lit("' has "), col("t"),
+            lit(s" tokens > $maxTokensPerSource; switch the per-term " +
+              "weight to per-million-token shares for this corpus")))
+            .cast("long"))
+          .otherwise(expr("num div t")).as("h_nano"))
     // best-model flag over the sources² domain (tiny — whitelist class)
     val byEval = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src_eval"))

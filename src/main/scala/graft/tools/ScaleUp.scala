@@ -29,6 +29,10 @@ object ScaleUp {
     val src = args(0)
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    // the replica word-tag alphabet below is a-z: beyond 26 replicas
+    // element_at would return null and null out every text column
+    require(factor >= 1 && factor <= 26,
+      s"factor must be in [1, 26] (a-z replica tags), got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,9 +56,14 @@ object ScaleUp {
     val dMax = docs.agg(max("doc_id")).head.getLong(0) + 1L
     val docsUp = replicas(docs)
       .withColumn("doc_id", col("doc_id") + col("rep") * dMax)
+      // replace on the SAME whitespace class the tokenizers split on
+      // ([ \t\n\r]) — a literal-space replace would leave tab/newline-
+      // separated words unprefixed and reintroduce the artificial
+      // cross-replica near-dup pairs this rewrite exists to prevent
       .withColumn("text",
         when(col("rep") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit(" "), concat(lit(" "), tagCol))))
+          .otherwise(regexp_replace(col("text"), lit("([ \\t\\n\\r])"),
+            concat(lit("$1"), tagCol))))
       .withColumn("n_chars", length(col("text")).cast(docs.schema("n_chars").dataType))
       .drop("rep")
     docsUp.select(docs.columns.map(col): _*)

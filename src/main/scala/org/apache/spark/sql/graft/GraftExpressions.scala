@@ -486,6 +486,138 @@ case class TopKByScore(
     copy(score = newLeft, id = newRight)
 }
 
+/** [[TopKBuffer]]'s string-payload sibling: k slots of (double score,
+  * UTF8String id), ordered (score desc, id asc) with the tie-break on
+  * BINARY UTF8String comparison — identical to Spark's own string sort
+  * order (and to DuckDB's default collation on the ASCII tokens the
+  * text operators feed it), so an aggregate top-k and a `row_number`
+  * window over the same (score desc, id asc) ordering pick the same
+  * rows. Same sorted-insert design as the long form: k is small, the
+  * worst case is one O(k) shift per accepted element. */
+final class TopKStrBuffer(val k: Int) {
+  import org.apache.spark.unsafe.types.UTF8String
+  val scores = new Array[Double](k)
+  val ids = new Array[UTF8String](k)
+  var n = 0
+
+  @inline private def better(
+      s1: Double, i1: UTF8String, s2: Double, i2: UTF8String): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1.compareTo(i2) < 0)
+  }
+
+  def add(s: Double, id: UTF8String): Unit = {
+    if (n == k) {
+      if (!better(s, id, scores(k - 1), ids(k - 1))) return
+      n -= 1
+    }
+    var pos = n
+    while (pos > 0 && better(s, id, scores(pos - 1), ids(pos - 1))) pos -= 1
+    var j = n
+    while (j > pos) { scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1 }
+    scores(pos) = s; ids(pos) = id; n += 1
+  }
+}
+
+/** `top_k_str_by_score(score, id, k)` — [[TopKByScore]] for STRING ids
+  * (the term/token/source payloads the text operators rank): the same
+  * k-slot map-side pre-reduction, so a "top terms per document" never
+  * pays a `row_number` window that materializes and sorts every term of
+  * a document per task — each partial aggregate carries at most k rows
+  * per group into the exchange. Output: array<struct<score,id>>
+  * best-first ((score desc, id asc)); rank = position + 1.
+  *
+  * The buffer clones incoming UTF8Strings: update() inputs may alias
+  * scan-backed memory that the next row overwrites. */
+case class TopKStringByScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKStrBuffer] with BinaryLike[Expression] {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(k > 0, s"top-k size must be positive, got $k")
+
+  override def left: Expression = score
+  override def right: Expression = id
+
+  override def createAggregationBuffer(): TopKStrBuffer = new TopKStrBuffer(k)
+
+  override def update(buf: TopKStrBuffer, input: InternalRow): TopKStrBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[UTF8String].clone())
+    buf
+  }
+
+  override def merge(b1: TopKStrBuffer, b2: TopKStrBuffer): TopKStrBuffer = {
+    var i = 0
+    while (i < b2.n) { b1.add(b2.scores(i), b2.ids(i)); i += 1 }
+    b1
+  }
+
+  override def eval(buf: TopKStrBuffer): Any = {
+    val out = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(buf.scores(i), buf.ids(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKStrBuffer): Array[Byte] = {
+    var bytes = 0
+    var i = 0
+    while (i < buf.n) { bytes += buf.ids(i).numBytes(); i += 1 }
+    val bb = ByteBuffer.allocate(4 + 12 * buf.n + bytes)
+    bb.putInt(buf.n)
+    i = 0
+    while (i < buf.n) {
+      bb.putDouble(buf.scores(i))
+      val b = buf.ids(i).getBytes
+      bb.putInt(b.length)
+      bb.put(b)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKStrBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKStrBuffer(k)
+    var i = 0
+    // inserts arrive already best-first, so each add is O(1) appends
+    while (i < n) {
+      val s = bb.getDouble
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      buf.add(s, UTF8String.fromBytes(b))
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType), StructField("id", StringType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k_str_by_score"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStringByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStringByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKStringByScore =
+    copy(score = newLeft, id = newRight)
+}
+
 /** Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003) over
   * a rolling-hash array: the minimum of every `w`-window of hashes,
   * consecutive duplicates suppressed — the guarantee is that any
@@ -1157,6 +1289,13 @@ object native {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     ExpressionUtils.column(
       TopKByScore(ExpressionUtils.expression(score), ExpressionUtils.expression(id), k)
+        .toAggregateExpression())
+
+  /** [[topKByScore]] for string ids — (score desc, id asc binary)
+    * order, map-side k-slot pre-reduction (see [[TopKStringByScore]]). */
+  def topKStrByScore(score: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(
+      TopKStringByScore(ExpressionUtils.expression(score), ExpressionUtils.expression(id), k)
         .toAggregateExpression())
 
   /** [[topKByScore]] with one buffer slot per id (see

@@ -283,6 +283,40 @@ class ExpressionsSpec extends SparkSuite {
     assert(got2 == Set((1L, 0, 3.0, 7L), (1L, 1, 2.0, 8L)))
   }
 
+  test("TopKStringByScore equals the row_number window formulation (string ids)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // duplicate scores force the (score desc, id asc-binary) tie-break;
+    // multiple partitions exercise the serialize/merge path
+    val words = Vector("alpha", "beta", "Beta", "gamma", "delta", "z", "aa", "ab")
+    val rows = Seq.tabulate(4000) { i =>
+      (i % 29L, math.floor(rnd.nextDouble() * 10) / 10.0, words(rnd.nextInt(words.size)))
+    }
+    val df = rows.toDF("g", "score", "id").distinct().repartition(16).cache()
+    val k = 3
+    val got = df.groupBy(col("g"))
+      .agg(native.topKStrByScore(col("score"), col("id"), k).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rank"), col("s.score"), col("s.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score").desc, col("id").asc)
+    val want = df
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .collect().map(r => (r.getLong(0), r.getInt(3).toLong, r.getDouble(1), r.getString(2))).toSet
+    assert(got == want)
+    // null score and null id rows are skipped; under-full groups emit what they have
+    val df2 = Seq[(Long, Option[Double], String)](
+      (1L, Some(0.5), "x"), (1L, None, "y"), (1L, Some(0.7), null)
+    ).toDF("g", "score", "id")
+    val got2 = df2.groupBy(col("g"))
+      .agg(native.topKStrByScore(col("score"), col("id"), 3).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .collect().map(r => (r.getStruct(1).getDouble(0), r.getStruct(1).getString(1))).toSeq
+    assert(got2 == Seq((0.5, "x")))
+  }
+
   test("TopKByScore handles under-full groups and null scores") {
     import spark.implicits._
     val df = Seq[(Long, Option[Double], Long)](

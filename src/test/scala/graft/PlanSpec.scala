@@ -120,6 +120,15 @@ class PlanSpec extends SparkSuite {
         js.stageInfos.foreach(si => stages.add(si.name))
     }
     spark.sparkContext.addSparkListener(listener)
+    // the lazy-construction contract is asserted under a NON-adaptive
+    // session: tfidf's termCounts checkpoint is eager = false, so
+    // building + physically planning runs no job — but an AQE session
+    // materializes an adaptive plan's shuffle stages inside toRdd
+    // (Spark behavior for ANY lazily-checkpointed adaptive subplan,
+    // not a driver-side collect in the operator), which would show up
+    // here as stage-materialization jobs unrelated to the contract
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // building AND physically planning the query must not run any
       // data-path job (the corpus count is a broadcast 1-row aggregate
@@ -134,7 +143,23 @@ class PlanSpec extends SparkSuite {
       assert(dataJobs.isEmpty, s"plan construction ran data jobs: ${dataJobs.mkString(", ")}")
       // and the count lives in the plan as a broadcast aggregate column
       assert(df.queryExecution.optimizedPlan.toString.contains("n_docs"))
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  test("q34 tfidf ranks via the string top-k aggregate, not a window") {
+    val p = plan("q34_tfidf")
+    assert(p.contains("ObjectHashAggregate"), "top_k_str_by_score aggregate missing")
+    assert(!p.contains("Window"), "a giant doc would sort all its terms in one window task")
+    // the corpus explode lives behind the termCounts lazy checkpoint
+    // (Scan ExistingRDD), shared by all three consumers — the only
+    // Generate left in the outer plan is the final posexplode; a second
+    // one means a consumer re-derived terms from the documents scan
+    assert("- Generate \\(".r.findAllIn(p).size <= 1,
+      "termCounts checkpoint not shared — corpus explode duplicated")
+    assert(p.contains("Scan ExistingRDD"), "termCounts checkpoint missing")
   }
 
   test("q69 domain cap ranks via the typed top-k aggregate, not a window") {

@@ -319,6 +319,36 @@ class Round16OpsSpec extends SparkSuite {
     assert(gotH == expectedH)
   }
 
+  test("q360 headroom guard: loud raise_error past the boundary, silent at it") {
+    import spark.implicits._
+    val docs = Seq(
+      ("big", "a b c d e f g h"),   // 8 tokens
+      ("small", "a b c")            // 3 tokens
+    ).toDF("source", "text")
+    // threshold below the largest source: the plan must THROW, naming
+    // the offending source and the per-million-share fix — never emit
+    // a (possibly wrapped) grid
+    val ex = intercept[Exception] {
+      graft.operators.TextAnalysis.lmTransferFrom(docs, maxTokensPerSource = 7L).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        .filter(_ != null)).mkString(" | ")
+    val msg = rootMsg(ex)
+    assert(msg.contains("headroom exceeded"), msg)
+    assert(msg.contains("'big'"), msg)
+    assert(msg.contains("per-million-token"), msg)
+    // boundary is strict >: a threshold EQUAL to the max source size
+    // passes and produces the full sources-squared grid
+    val ok = graft.operators.TextAnalysis.lmTransferFrom(docs, maxTokensPerSource = 8L).collect()
+    assert(ok.length == 4)
+    // and the guarded values match an unguarded (huge-threshold) run —
+    // the guard changes behavior ONLY past the boundary
+    val ref = graft.operators.TextAnalysis.lmTransferFrom(docs,
+      maxTokensPerSource = Long.MaxValue).collect()
+    assert(ok.map(_.toString).sorted.sameElements(ref.map(_.toString).sorted))
+  }
+
   test("q361 bucket sweep: monotone waste, exact driver recompute") {
     val rows = graft.operators.Packing.bucketSweep(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

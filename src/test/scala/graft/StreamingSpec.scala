@@ -294,6 +294,97 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  /** Latest micro-batch progress that actually carries state-operator
+    * rows (processAllAvailable can end on a no-data batch). */
+  private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+      .getOrElse(0L)
+
+  private def tsm(minutes: Int): Timestamp =
+    Timestamp.valueOf(java.time.LocalDateTime.of(2026, 1, 1, 10, 0, 0).plusMinutes(minutes))
+
+  test("state boundedness: windowed agg state stops growing once the watermark passes (q23 shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // Append mode: watermark-evicted windows are FINALIZED and removed
+    // from the store — Complete mode would retain everything by design
+    val query = EventStream.withWatermarkedWindow(stream.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("state_win_out").start()
+    try {
+      val totals = (0 until 12).map { i =>
+        stream.addData(
+          Event(tsm(i * 30), 1, "click", 1.0),
+          Event(tsm(i * 30 + 5), 2, "view", 2.0))
+        query.processAllAvailable()
+        stateRows(query)
+      }
+      // 24 distinct (window, event_type) keys were fed; with a 10-minute
+      // watermark over 5-minute windows the store must hold only the
+      // un-finalized tail, not every window ever seen
+      assert(totals.last <= 8, s"state grew unbounded: $totals")
+      assert(totals.max <= 10, s"state peaked unbounded: $totals")
+      // and eviction actually happened (rows were removed, not merely
+      // never added): the second half never exceeds the first-half peak
+      assert(totals.drop(6).max <= totals.take(6).max,
+        s"state still growing after watermark passed: $totals")
+    } finally query.stop()
+  }
+
+  test("state boundedness: sessionization state is O(open sessions), watermark-timed-out (q25 shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStream.sessionize(spark, stream.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("state_sess_out").start()
+    try {
+      // every round opens a NEW session per user (60-min spacing > the
+      // 30-min gap); timed-out sessions must leave the store
+      val totals = (0 until 12).map { i =>
+        stream.addData(
+          Event(tsm(i * 60), 1, "click", 1.0),
+          Event(tsm(i * 60), 2, "view", 1.0))
+        query.processAllAvailable()
+        stateRows(query)
+      }
+      // 24 sessions were opened across the run; state must stay at the
+      // open-session count (2 users x <= 2 in-flight sessions + the
+      // one-batch watermark lag), not accumulate all 24
+      assert(totals.last <= 6, s"session state grew unbounded: $totals")
+      assert(totals.drop(6).max <= totals.take(6).max.max(6L),
+        s"session state still growing after timeouts: $totals")
+    } finally query.stop()
+  }
+
+  test("state boundedness: stream-stream join buffers only the watermark horizon (q113 shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStream.streamingClickAttribution(
+      clicks.toDF().toDF("event_id", "ts", "user_id"),
+      views.toDF().toDF("event_id", "ts", "user_id"))
+    val query = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("state_join_out").start()
+    try {
+      val totals = (0 until 12).map { i =>
+        views.addData((i * 10L, tsm(i * 30), 1L))
+        clicks.addData((i * 10L + 1, tsm(i * 30 + 10), 1L))
+        query.processAllAvailable()
+        stateRows(query)
+      }
+      // 24 rows entered the two join buffers; only the interval+watermark
+      // horizon (~40 min = at most 2 rounds per side) may remain resident
+      assert(totals.last <= 10, s"join state grew unbounded: $totals")
+      assert(totals.drop(6).max <= totals.take(6).max.max(10L),
+        s"join state still growing past the horizon: $totals")
+    } finally query.stop()
+  }
+
   test("q94 streamed session_window equals a batch >=-gap sessionization row-for-row") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
