@@ -375,7 +375,11 @@ object SparkEntry {
     "q358_string_similarity" -> (Dedup.stringSimilarity _),
     "q359_moving_ttr"     -> (TextAnalysis.movingTtr _),
     "q360_lm_transfer"    -> (TextAnalysis.lmTransfer _),
-    "q361_bucket_sweep"   -> (Packing.bucketSweep _)
+    "q361_bucket_sweep"   -> (Packing.bucketSweep _),
+    "q362_kcenter_seeds"  -> (Similarity.kcenterSeeds _),
+    "q363_cluster_validity" -> (Similarity.clusterValidity _),
+    "q364_source_gram_leakage" -> (TextAnalysis.sourceGramLeakage _),
+    "q365_pack_mask_stats" -> (Packing.packMaskStats _)
   )
 
   /** Shared CTE: distinct word-3-shingles + all-pairs exact Jaccard over
@@ -7748,6 +7752,115 @@ object SparkEntry {
         |       ((sum(n_docs * maxlen) - sum(raw)) * 1000000
         |        // sum(n_docs * maxlen))::BIGINT AS waste_ppm
         |FROM bsb GROUP BY k ORDER BY k""".stripMargin
+    },
+    "q365_pack_mask_stats" -> {
+      import graft.operators.Packing
+      val grid = Packing.MaskWindows.map(w => s"($w)").mkString(", ")
+      s"""WITH t AS (
+        |  SELECT doc_id, len(regexp_extract_all(text, '[^ \t\n\r]+'))::BIGINT AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |         sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND CURRENT ROW) - n AS pre
+        |  FROM t),
+        |sdoc AS (
+        |  SELECT n, pre, (pre // ${Packing.ShardBudget}) AS shard_id FROM c),
+        |sstart AS (SELECT shard_id, min(pre) AS shard_start FROM sdoc GROUP BY 1)
+        |SELECT ww.w::BIGINT AS w, sum(d.n)::BIGINT AS total_tokens,
+        |       sum(CASE WHEN d.pre > s.shard_start
+        |                THEN least(d.n, ww.w - 1) ELSE 0 END)::BIGINT AS contaminated_tokens,
+        |       (sum(CASE WHEN d.pre > s.shard_start
+        |                 THEN least(d.n, ww.w - 1) ELSE 0 END) * 1000000
+        |        // sum(d.n))::BIGINT AS contaminated_ppm
+        |FROM sdoc d JOIN sstart s USING (shard_id), (VALUES $grid) ww(w)
+        |GROUP BY ww.w ORDER BY w""".stripMargin
+    },
+    "q362_kcenter_seeds" -> {
+      import graft.operators.Similarity.KcenterK
+      // unrolled maximin rounds: d_r = min micro-distance to the seed
+      // set s_{r-1}; p_r = its (md DESC, vec_id ASC) argmax
+      val rounds = (2 to KcenterK).map { r =>
+        s""",
+        |d$r AS (
+        |  SELECT e.vec_id,
+        |         min(floor(list_sum([ (e.v[i] - s.v[i]) * (e.v[i] - s.v[i])
+        |                              FOR i IN range(1, 65) ]) * 1000000)::BIGINT) AS md
+        |  FROM e, s${r - 1} s
+        |  WHERE e.vec_id NOT IN (SELECT vec_id FROM s${r - 1})
+        |  GROUP BY e.vec_id),
+        |p$r AS (
+        |  SELECT d.vec_id, e.v, d.md FROM d$r d JOIN e USING (vec_id)
+        |  ORDER BY d.md DESC, d.vec_id ASC LIMIT 1),
+        |s$r AS (SELECT vec_id, v FROM s${r - 1} UNION ALL SELECT vec_id, v FROM p$r)"""
+      }.mkString
+      val out = (2 to KcenterK)
+        .map(r => s"UNION ALL SELECT $r, vec_id, md FROM p$r").mkString("\n        |")
+      materializeCtes(
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)$rounds
+        |SELECT seed_rank::INT AS seed_rank, vec_id, radius_u FROM (
+        |  SELECT 1 AS seed_rank, vec_id, 0::BIGINT AS radius_u FROM s1
+        |  $out)
+        |ORDER BY seed_rank""".stripMargin)
+    },
+    "q363_cluster_validity" ->
+      materializeCtes(ivfHierCellsCte + """,
+        |vd2 AS (
+        |  SELECT cells.cent_id,
+        |         floor(list_sum([ (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+        |                          FOR i IN range(1, 65) ]) * 1000000)::BIGINT AS d2u
+        |  FROM cells JOIN e USING (vec_id) JOIN c2 c USING (cent_id)),
+        |per_cell AS (
+        |  SELECT cent_id, count(*)::BIGINT AS n_i, sum(d2u)::BIGINT AS ssw_u
+        |  FROM vd2 GROUP BY 1),
+        |gcomp AS (SELECT t.d, v[t.d] AS x FROM e, unnest(range(1, 65)) t(d)),
+        |gm AS (SELECT d, round(avg(x), 6) AS m FROM gcomp GROUP BY 1),
+        |gvv AS (SELECT list(m ORDER BY d) AS gv FROM gm),
+        |cellsx AS (
+        |  SELECT p.cent_id, p.n_i, p.ssw_u, c.cv,
+        |         floor(list_sum([ (c.cv[i] - g.gv[i]) * (c.cv[i] - g.gv[i])
+        |                          FOR i IN range(1, 65) ]) * 1000000)::BIGINT AS g2u
+        |  FROM per_cell p JOIN c2 c USING (cent_id), gvv g),
+        |pm AS (
+        |  SELECT i.cent_id,
+        |         max(floor((sqrt(i.ssw_u::DOUBLE / i.n_i / 1000000.0)
+        |                    + sqrt(j.ssw_u::DOUBLE / j.n_i / 1000000.0))
+        |             / sqrt(greatest(list_sum([ (i.cv[q] - j.cv[q]) * (i.cv[q] - j.cv[q])
+        |                                        FOR q IN range(1, 65) ]), 1e-12))
+        |             * 1000000)::BIGINT) AS worst_u
+        |  FROM cellsx i JOIN cellsx j ON i.cent_id <> j.cent_id GROUP BY 1),
+        |dbx AS (SELECT count(*)::BIGINT AS k_cells, sum(worst_u)::BIGINT AS sum_worst_u FROM pm),
+        |vsums AS (SELECT sum(n_i)::BIGINT AS n_vecs, sum(ssw_u)::BIGINT AS w_u,
+        |                 sum(n_i * g2u)::BIGINT AS b_u FROM cellsx)
+        |SELECT n_vecs, k_cells, w_u, b_u,
+        |       round((b_u::DOUBLE / (k_cells - 1)) / (w_u::DOUBLE / (n_vecs - k_cells)), 6)
+        |         AS calinski_harabasz,
+        |       round(sum_worst_u::DOUBLE / k_cells / 1000000.0, 6) AS davies_bouldin
+        |FROM vsums, dbx""".stripMargin),
+    "q364_source_gram_leakage" -> {
+      import graft.operators.TextAnalysis.LeakageGramK
+      val k = LeakageGramK
+      s"""WITH toks AS (
+        |  SELECT source, regexp_extract_all(text, '[^ \t\n\r]+') AS w FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source,
+        |         ('0x' || substr(md5(gr), 1, 7))::BIGINT AS h
+        |  FROM (SELECT source,
+        |               unnest([array_to_string(w[i:i+${k - 1}], '_')
+        |                       FOR i IN range(1, len(w) - ${k - 2})]) AS gr
+        |        FROM toks WHERE len(w) >= $k)),
+        |tot AS (SELECT source, count(*)::BIGINT AS n FROM g GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS ns
+        |  FROM g a JOIN g b USING (h) WHERE a.source <> b.source
+        |  GROUP BY 1, 2)
+        |SELECT ta.source AS src_a, tb.source AS src_b,
+        |       ta.n AS n_grams_a, coalesce(sh.ns, 0)::BIGINT AS n_shared,
+        |       (coalesce(sh.ns, 0) * 1000000 // ta.n)::BIGINT AS containment_ppm
+        |FROM tot ta JOIN tot tb ON ta.source <> tb.source
+        |LEFT JOIN sh ON sh.sa = ta.source AND sh.sb = tb.source
+        |ORDER BY src_a, src_b""".stripMargin
     }
   )
 

@@ -51,7 +51,13 @@ object Packing {
     * grades its per-shard aggregate. Injectable so specs can drive it
     * with sparse/gapped id spaces (blocks are doc_id ranges, so gaps
     * simply yield lighter blocks). */
-  private[graft] def assignFrom(docTokens: DataFrame): DataFrame = {
+  private[graft] def assignFrom(docTokens: DataFrame): DataFrame =
+    prefixedFrom(docTokens)
+      .select(docTokens.columns.map(col) :+ col("shard_id"): _*)
+
+  /** [[assignFrom]] keeping the global exclusive token prefix `pre` —
+    * the packed-stream coordinate q365's boundary analysis reads. */
+  private[graft] def prefixedFrom(docTokens: DataFrame): DataFrame = {
     val toks = docTokens
       .withColumn("blk", expr(s"doc_id div $BlockSize"))
     val wInBlk = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
@@ -67,7 +73,6 @@ object Packing {
       .join(broadcast(blkPrefix), "blk")
       .withColumn("pre", col("blk_pre") + col("cum_in_blk") - col("n"))
       .withColumn("shard_id", expr(s"pre div $ShardBudget"))
-      .select(docTokens.columns.map(col) :+ col("shard_id"): _*)
   }
 
   private[graft] def packFrom(docTokens: DataFrame): DataFrame =
@@ -192,5 +197,52 @@ object Packing {
         expr("(padded_tokens - raw_tokens) * 1000000 div padded_tokens")
           .as("waste_ppm"))
       .orderBy("k")
+  }
+
+  /** q365 causal-attention window grid (tokens of lookback). */
+  val MaskWindows: Seq[Long] = Seq(16L, 64L, 256L)
+
+  /** q365_pack_mask_stats — cross-document attention contamination of
+    * the q53 packing: for each causal window size W, how many token
+    * positions of the packed stream would attend to a FOREIGN document
+    * without boundary masking, and the contaminated fraction in exact
+    * ppm — the planning number behind the "do we need per-document
+    * attention masks at this packing" decision (a near-zero fraction
+    * at the training window justifies skipping the mask machinery; a
+    * large one prices it). Attention never crosses a SHARD (each shard
+    * is one training sequence), so a token at in-document offset o is
+    * contaminated iff o < W−1 AND earlier documents exist in its shard
+    * (its own first tokens fill the rest of the window) — per document
+    * that is min(n, W−1) positions unless the document starts its
+    * shard.
+    *
+    * Determinism: pure integer arithmetic on q53's deterministic
+    * prefix coordinates.
+    *
+    * Scale shape: q53's block-wise prefix machinery (no global window
+    * over the corpus) + ONE shard-keyed min-aggregate to find each
+    * shard's first document (partial-aggregable; shards are
+    * budget-sized so the key domain is corpus/5000) + a scan-local
+    * W-grid explode on the |docs|×|grid| domain folded by one
+    * aggregate. */
+  def packMaskStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = prefixedFrom(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(T.wsTokens(col("text"))).cast("long").as("n")))
+      .select(col("doc_id"), col("n"), col("pre"), col("shard_id"))
+    val shardStart = docs.groupBy(col("shard_id"))
+      .agg(min(col("pre")).as("shard_start"))
+    val ws = array(MaskWindows.map(lit): _*)
+    docs.join(shardStart, "shard_id")
+      .select(col("n"),
+        (col("pre") > col("shard_start")).as("has_prior"),
+        explode(ws).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(col("n")).as("total_tokens"),
+        sum(when(col("has_prior"), least(col("n"), col("w") - 1))
+          .otherwise(lit(0L))).as("contaminated_tokens"))
+      .select(col("w"), col("total_tokens"), col("contaminated_tokens"),
+        expr("contaminated_tokens * 1000000 div total_tokens")
+          .as("contaminated_ppm"))
+      .orderBy("w")
   }
 }

@@ -994,6 +994,138 @@ object Similarity {
       .orderBy("cent_id")
   }
 
+  /** q363_cluster_validity — Davies-Bouldin (1979) and
+    * Calinski-Harabasz (1974) validity indices over the memoized IVF
+    * cell assignment: the two standard "is this clustering real"
+    * summaries that complement q147's per-cell silhouette (silhouette
+    * grades each CELL's separation from its runner-up; DB penalizes
+    * the worst-confused PAIR per cluster, CH prices the global
+    * between/within variance ratio — the one number a capacity plan
+    * compares across k choices). Both computed in the index's own
+    * Euclidean geometry from one corpus pass.
+    *
+    * Determinism (the q127/q147 floor-before-sum convention): the only
+    * corpus-scale float is the per-vector squared distance to its home
+    * centroid — computed by the SAME fused ascending-d fold on both
+    * engines (native `l2_sq` ⟷ DuckDB list_sum comprehension,
+    * bit-identical by fuzz) and floor-quantized to micro BEFORE the
+    * integer sums; the global centroid uses q149's per-dim
+    * round-to-1e-6 means; all cluster-level quantities (scatter,
+    * centroid gaps, ratios) then derive from integers or 1e-6-grid
+    * values and quantize to micro before their own folds.
+    *
+    * Scale shape: one assignment⋈vectors equi-join + broadcast
+    * codebook → ONE partial-aggregable per-cell aggregate (scatter,
+    * size); the global-centroid pass is q149's component aggregate;
+    * everything after (pairwise centroid gaps, per-cluster worst
+    * ratio, the two indices) lives on the k²-bounded centroid domain
+    * (k = √n cells — 10⁵ cells at 10¹⁰ vectors is still a broadcast-
+    * size table). Output: 1 row. */
+  def clusterValidity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{native => gf}
+    val asg = hierCells(spark, sfDir)
+      .select(col("vec_id"), col("tc")(0)("id").as("cent_id"))
+    val cb = trainedCodebook(spark, sfDir)
+    // per-vector squared distance to the home centroid, micro-floored
+    val d2 = asg
+      .join(vecs(spark, sfDir), "vec_id")
+      .join(broadcast(cb), "cent_id")
+      .select(col("cent_id"),
+        floor(gf.l2Sq(col("v"), col("cv")) * lit(1e6)).cast("long").as("d2u"))
+    val perCell = d2.groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_i"), sum(col("d2u")).as("ssw_u"))
+      .localCheckpoint() // k rows; feeds W, B, S_i and the DB pair grid
+    // global data centroid on the 1e-6 grid (q149's convention)
+    val gmean = components(spark, sfDir)
+      .groupBy(col("d")).agg(round(avg(col("x")), 6).as("m"))
+      .groupBy().agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").as("gv"))
+    // per-cluster: scatter S_i = sqrt(mean d2) and centroid gap to the
+    // global mean — both from integer/grid inputs
+    val cells = perCell.join(broadcast(cb), "cent_id")
+      .crossJoin(broadcast(gmean))
+      .select(col("cent_id"), col("n_i"), col("ssw_u"),
+        col("cv"),
+        floor(gf.l2Sq(col("cv"), col("gv")) * lit(1e6)).cast("long").as("g2u"))
+      .localCheckpoint() // k rows, read by both the sums and the pair grid
+    val pairMax = cells.as("i")
+      .join(broadcast(cells.as("j")), col("i.cent_id") =!= col("j.cent_id"))
+      .select(col("i.cent_id").as("cent_id"),
+        // R_ij = (S_i + S_j) / M_ij on the micro grid: S from integer
+        // scatter means, M from the 1e-6-grid centroid coordinates
+        floor(((sqrt(col("i.ssw_u").cast("double") / col("i.n_i") / lit(1e6)) +
+          sqrt(col("j.ssw_u").cast("double") / col("j.n_i") / lit(1e6))) /
+          sqrt(greatest(gf.l2Sq(col("i.cv"), col("j.cv")), lit(1e-12))))
+          * lit(1e6)).cast("long").as("r_u"))
+      .groupBy(col("cent_id")).agg(max(col("r_u")).as("worst_u"))
+    val db = pairMax.agg(
+      count(lit(1)).as("k_cells"), sum(col("worst_u")).as("sum_worst_u"))
+    val sums = cells.agg(
+      count(lit(1)).as("k2"), sum(col("n_i")).as("n_vecs"),
+      sum(col("ssw_u")).as("w_u"), sum(col("n_i") * col("g2u")).as("b_u"))
+    sums.crossJoin(broadcast(db))
+      .select(col("n_vecs"), col("k_cells"), col("w_u"), col("b_u"),
+        round((col("b_u").cast("double") / (col("k_cells") - 1)) /
+          (col("w_u").cast("double") / (col("n_vecs") - col("k_cells"))), 6)
+          .as("calinski_harabasz"),
+        round(col("sum_worst_u").cast("double") / col("k_cells") / lit(1e6), 6)
+          .as("davies_bouldin"))
+  }
+
+  /** q362 seed count — enough to exercise the maximin recurrence while
+    * keeping the oracle's unrolled CTE chain readable. */
+  val KcenterK = 5
+
+  /** q362_kcenter_seeds — farthest-point (maximin / k-center, Gonzalez
+    * 1985) diversity seed selection over the embedding table: start
+    * from the lowest vec_id, then [[KcenterK]]−1 times pick the vector
+    * FARTHEST (squared L2) from the already-chosen set. The selected
+    * radius sequence is the classic 2-approximation of the k-center
+    * cost — the "how many exemplars until the corpus is covered" curve
+    * a labeling/curation budget reads, and the diverse-seed picker for
+    * clustering inits and eval-set construction (q48/q73 pick
+    * representative or NEAR-DUPLICATE-free subsets; this picks a
+    * maximally SPREAD one).
+    *
+    * Determinism: per-vector squared distances floor-quantize to micro
+    * integers (the q127 rule; the l2_sq fold is bit-identical on both
+    * engines — q363's fuzz) BEFORE the min-over-seeds and the
+    * argmax, so every selection is an integer comparison with the
+    * (distance DESC, vec_id ASC) total order.
+    *
+    * Scale shape: k−1 rounds, each ONE partial-aggregable
+    * argmax-aggregate corpus pass against ≤ k broadcast literal seed
+    * vectors (the per-round winner is a 1-row collect — bounded driver
+    * state, the PQ-codebook class); no joins, no windows, no shuffle
+    * beyond the 1-row aggregates. At 10¹⁰ vectors each round is a
+    * scan; k is a constant (a labeling budget), so the operator is
+    * O(k·scan) with O(k·dims) driver state. */
+  def kcenterSeeds(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{native => gf}
+    val v = vecs(spark, sfDir)
+    val first = v.orderBy(col("vec_id")).limit(1)
+      .collect().head
+    var seeds = List[(Long, Array[Double], Long)](
+      (first.getLong(0), first.getSeq[Double](1).toArray, 0L))
+    val k = math.min(KcenterK.toLong, corpusSize(spark, sfDir)).toInt
+    for (_ <- 2 to k) {
+      val seedCols = seeds.map { case (_, sv, _) =>
+        floor(gf.l2Sq(col("v"), array(sv.map(lit): _*)) * lit(1e6)).cast("long")
+      }
+      val md = seedCols.reduce(least(_, _))
+      val chosen = v
+        .filter(!col("vec_id").isin(seeds.map(_._1): _*))
+        .select(col("vec_id"), col("v"), md.as("md"))
+        .agg(max(struct(col("md"), (-col("vec_id")).as("ni"), col("v"))).as("best"))
+        .collect().head.getStruct(0)
+      seeds = (-chosen.getLong(1), chosen.getSeq[Double](2).toArray,
+        chosen.getLong(0)) :: seeds
+    }
+    import spark.implicits._
+    seeds.reverse.zipWithIndex
+      .map { case ((id, _, r), i) => (i + 1, id, r) }
+      .toDF("seed_rank", "vec_id", "radius_u")
+  }
+
   /** q149_embed_isotropy — corpus-level embedding-geometry diagnostics:
     * the mean vector's squared norm (an isotropic cloud has a mean
     * near the origin; a large norm = a dominant common direction —

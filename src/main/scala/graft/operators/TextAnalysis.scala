@@ -2268,4 +2268,57 @@ object TextAnalysis {
     ce.withColumn("best", col("h_nano") === min(col("h_nano")).over(byEval))
       .orderBy("src_eval", "src_model")
   }
+
+  /** q364 leakage gram width: 8 consecutive words — long enough that a
+    * shared gram means copied text, not shared phrasing (the q51/q118
+    * contamination convention). */
+  val LeakageGramK = 8
+
+  /** q364_source_gram_leakage — DIRECTIONAL cross-source text-reuse
+    * matrix: for every ordered source pair (A, B), the fraction of A's
+    * distinct 8-grams that also occur in B (containment of A in B, in
+    * exact ppm) — the "did crawl B re-scrape crawl A" provenance audit.
+    * Direction is the point: syndication/mirroring is asymmetric (B
+    * holding 80% of A's grams while A holds 5% of B's means B contains
+    * A, not vice versa), which q336's symmetric term-vector cosine and
+    * q360's model-transfer grid cannot express; q276 audits SPLIT
+    * leakage of near-dup pairs, not source-level directional reuse.
+    *
+    * Determinism: grams hash to md5-28 longs (identical expression in
+    * the oracle — collisions, if any, are the SAME collisions on both
+    * engines); counts and the ppm division are exact integers.
+    *
+    * Scale shape: ONE corpus pass builds the distinct (source,
+    * gram-hash) frame, checkpointed (it feeds per-source totals and
+    * both sides of the share join — the q31 multi-reference rule);
+    * hashing shrinks the shuffled key from ~50-char strings to 8-byte
+    * longs (q12's rule: hash BEFORE the shuffle when it shrinks
+    * volume). The share count is a gram-keyed self-equi-join whose
+    * per-gram fan-out is bounded by sources² (a gram present in all S
+    * sources emits S² rows — S is a handful, so no hot key exists by
+    * construction); the zero-filled matrix join runs on the broadcast
+    * sources² domain. */
+  def sourceGramLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("source"), T.wsTokens(col("text")).as("w"))
+      .select(col("source"), explode(T.shingleSet(col("w"), LeakageGramK)).as("g"))
+      .select(col("source"), H.md5Int28(col("g")).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val totals = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val shared = grams.as("a")
+      .join(grams.as("b"), col("a.h") === col("b.h")
+        && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    broadcast(totals.select(col("source").as("src_a"), col("n_grams").as("n_grams_a")))
+      .crossJoin(broadcast(totals.select(col("source").as("src_b"))))
+      .filter(col("src_a") =!= col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_grams_a"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("containment_ppm",
+        expr("n_shared * 1000000 div n_grams_a"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -23,12 +23,29 @@ import org.apache.spark.sql.functions._
   *  - lineitem/orders: order/cust/part/supp keys shift by the source
   *    table's key range per replica (graph workloads see 10× nodes).
   *
+  * SKEW mode (`--skew` as the factor argument's suffix, e.g. `10skew`):
+  * after replication the documents table is additionally STRESSED the
+  * way a real crawl is — one dominant source absorbs ~50% of all docs
+  * (renamed by a deterministic md5 coin) and a fixed ~40-word
+  * boilerplate passage is prepended to ~10% of docs (a hot shingle
+  * family that floods LSH band buckets) — so the cap+salt machinery
+  * (`CandidatePairs`) and the per-source caps/weights (q69/q71) get
+  * measured under a genuinely hot key rather than the uniform synthetic
+  * distribution.
+  *
   * Not a correctness corpus (no oracle runs here) — a load corpus. */
 object ScaleUp {
+  /** The hot passage: 40 words, long enough that every 3..8-gram
+    * shingle window inside it is shared verbatim by all stressed docs. */
+  private[tools] val Boilerplate: String =
+    (1 to 40).map(i => s"boiler${i % 7}term$i").mkString(" ")
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
-    val factor = if (args.length > 2) args(2).toInt else 10
+    val factorArg = if (args.length > 2) args(2) else "10"
+    val skew = factorArg.endsWith("skew")
+    val factor = factorArg.stripSuffix("skew").toInt
     // the replica word-tag alphabet below is a-z: beyond 26 replicas
     // element_at would return null and null out every text column
     require(factor >= 1 && factor <= 26,
@@ -66,7 +83,22 @@ object ScaleUp {
             concat(lit("$1"), tagCol))))
       .withColumn("n_chars", length(col("text")).cast(docs.schema("n_chars").dataType))
       .drop("rep")
-    docsUp.select(docs.columns.map(col): _*)
+    val docsOut =
+      if (!skew) docsUp
+      else docsUp
+        // ~50% of docs collapse into ONE dominant source (deterministic
+        // md5 coin on doc_id — replayable, partitioning-independent)
+        .withColumn("source",
+          when(conv(substring(md5(concat(lit("skw_"), col("doc_id"))), 1, 7), 16, 10)
+            .cast("long") % 2 === 0, lit("src_hot")).otherwise(col("source")))
+        // ~10% of docs share a verbatim 40-word boilerplate prefix —
+        // every shingle window inside it becomes a hot LSH bucket
+        .withColumn("text",
+          when(conv(substring(md5(concat(lit("boil_"), col("doc_id"))), 1, 7), 16, 10)
+            .cast("long") % 10 === 0, concat(lit(Boilerplate), lit(" "), col("text")))
+            .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast(docs.schema("n_chars").dataType))
+    docsOut.select(docs.columns.map(col): _*)
       .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")

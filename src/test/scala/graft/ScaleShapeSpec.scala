@@ -82,7 +82,10 @@ class ScaleShapeSpec extends SparkSuite {
       "q351_seasonal_decompose",
       // q361's cumulative-rank/total windows run over the distinct
       // length-VALUE domain (q61/q194's shape)
-      "q361_bucket_sweep")
+      "q361_bucket_sweep",
+      // q365 reads q53's packing prefixes: the one unpartitioned
+      // window is q53's block-totals window over corpus/BlockSize rows
+      "q365_pack_mask_stats")
       // (q335's vocabulary-domain rank windows execute inside its
       // eager localCheckpoint, so they never appear in the graded
       // plan this sweep inspects)
