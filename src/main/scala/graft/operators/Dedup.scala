@@ -69,6 +69,12 @@ object Dedup {
   /** doc_id + distinct word-3-shingle set. Tokens are bound in their own
     * projection so the tokenizer runs once per doc, not once per shingle
     * reference (see TextFunctions.shingles). */
+  /** Deliberately NOT spread (Tables.spread): the shingle+minhash chain
+    * is the engine's heaviest scan-side work (2.6 s warm on one task at
+    * sf0.1), but interleaved A/B showed its consumers split — q12/q279
+    * gain ~0.2-0.8 s while q226/q58 lose ~0.5-0.9 s from the inflated
+    * partition count every downstream job then carries; net ≈ 0. q279
+    * spreads its own local copy instead. */
   private[graft] def shingled(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), T.wsTokens(col("text")).as("w"))
@@ -1425,7 +1431,11 @@ object Dedup {
     * the census aggregates 3n×5 flag rows onto 5 output rows
     * map-side. */
   def minhashRoc(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingled(spark, sfDir).localCheckpoint()
+    // spread the LOCAL shingle copy (guide §2.5): this query re-hashes
+    // the corpus per run (non-memoized checkpoint) and the chain is
+    // scan-side heavy; interleaved A/B 3.3 -> 2.4 s. The shared
+    // [[shingled]] stays unspread (see its note).
+    val sh = Tables.spread(spark, shingled(spark, sfDir)).localCheckpoint()
     val feats = sh.join(minhashSignaturesOf(sh), "doc_id").localCheckpoint()
     val left = RocStrides.map { s =>
       feats.select(col("doc_id").as("doc_a"),

@@ -41,6 +41,19 @@ case class ImageFeatures(doc_id: Long, media_type: String, n_bytes: Int,
   * keeps the byte-slicing fan-out only for non-video payloads.
   */
 object MultimodalDecoder {
+  /** javax.imageio defaults to DISK-backed stream caching: every
+    * ImageIO.read/write materializes a temp cache FILE even when the
+    * source/sink is an in-memory byte array, and concurrent decode
+    * tasks then contend on tmp-dir I/O (measured: q180's 32-task
+    * decode stage burned 85 s of task time on 5k tiny PNGs). Memory
+    * caching is behavior-identical for byte-array round trips —
+    * codecs, pixels and digests are untouched. JVM-global, idempotent;
+    * every codec entry point below calls this so executor JVMs get it
+    * regardless of which operator touches imageio first. */
+  def useMemoryCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+  useMemoryCache()
+
   def decode(b: MediaBlob): MediaFeatures = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(b.content).map("%02x".format(_)).mkString
@@ -65,6 +78,7 @@ object MultimodalDecoder {
     * no registered reader accepts — the caller decides whether
     * undecodable rows are errors or pass-throughs. */
   def decodeImage(b: MediaBlob): Option[ImageFeatures] = {
+    useMemoryCache()
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.content))
       catch { case _: java.io.IOException => null }
@@ -103,6 +117,7 @@ object MultimodalDecoder {
     * to the byte-truncation stub for non-image payloads, keeping the
     * blob-in → smaller-blob-out contract total over mixed media. */
   def resizeImage(b: MediaBlob, w: Int, h: Int): MediaBlob = {
+    useMemoryCache()
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.content))
       catch { case _: java.io.IOException => null }
@@ -276,11 +291,14 @@ object Multimodal {
     import spark.implicits._
     val side = AHashSide
     val n = side * side
-    val src = Tables.documents(spark, sfDir)
+    // spread (guide §2.5): the per-row PNG encode+decode is pure CPU;
+    // with ImageIO memory caching, A/B 0.73 -> 0.49 s at sf0.1
+    val src = Tables.documentsSpread(spark, sfDir)
       .select(col("doc_id"),
         graft.functions.HashFunctions.md5Int60(col("text")).as("h"))
       .as[(Long, Long)]
     val feats = src.mapPartitions { it =>
+      MultimodalDecoder.useMemoryCache()
       it.map { case (id, h) =>
         val px = Array.tabulate(n)(i =>
           (((h % 1048576L) * 31L + i * 97L + (i.toLong * i) % 251L) % 256L).toInt)
@@ -458,12 +476,15 @@ object Multimodal {
     val side = VideoSide
     val n = side * side
     val k = VideoFrames
-    val src = Tables.documents(spark, sfDir)
+    // spread (guide §2.5): k PNG encodes + AVI build/parse + k frame
+    // decodes per sampled doc, all scan-side CPU; A/B 0.50 -> 0.42 s
+    val src = Tables.documentsSpread(spark, sfDir)
       .filter(col("doc_id") % VideoEvery === 0)
       .select(col("doc_id"),
         graft.functions.HashFunctions.md5Int60(col("text")).as("h"))
       .as[(Long, Long)]
     src.mapPartitions { it =>
+      MultimodalDecoder.useMemoryCache()
       it.flatMap { case (id, h) =>
         val pngs = (0 until k).map { f =>
           val im = new java.awt.image.BufferedImage(

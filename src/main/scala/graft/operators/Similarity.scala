@@ -96,7 +96,12 @@ object Similarity {
   private def weights(tag: String, table: Int, bit: Int): Seq[Double] =
     (0 until Dims).map(d => weight(s"${tag}_${table}_${bit}_${d}").toDouble)
 
-  /** (vec_id, v) with the vector cast to array<double> once. */
+  /** (vec_id, v) with the vector cast to array<double> once.
+    * Deliberately NOT spread (Tables.spread): interleaved A/B at
+    * local[32] sf0.1 measured the ANN family 0.3-1.3 s SLOWER with the
+    * extra round-robin exchange — their pipelines are many short jobs
+    * over this frame, and inflating every downstream stage's partition
+    * count costs more than the scan-side vector math saves. */
   private def vecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

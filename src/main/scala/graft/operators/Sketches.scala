@@ -358,7 +358,9 @@ object Sketches {
     * is the one you DON'T run, which is the operator's point);
     * everything downstream is ≤512-row algebra. */
   def hllSetOps(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // spread (guide §2.5): both the register build and the exact audit
+    // re-run the shingle+md5 chain scan-side; A/B 1.5 -> 1.1 s
+    val docs = Tables.documentsSpread(spark, sfDir).select(col("doc_id"), col("text"))
     val halfF = docs.agg(expr("count(1) div 2").as("half"))
     def grams = docs.crossJoin(broadcast(halfF))
       .select(col("doc_id"), col("half"), T.wsTokens(col("text")).as("w"))

@@ -1297,7 +1297,9 @@ object TextAnalysis {
     * sorts its phrase domain — q69's argument); output ≤ sources·k
     * rows. */
   def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
+    // spread (guide §2.5): the shingle explode + per-gram md5 above the
+    // single-file scan dominates this query; interleaved A/B 2.3 -> 1.2 s
+    val grams = Tables.documentsSpread(spark, sfDir)
       .select(col("source"), col("doc_id"), T.wsTokens(col("text")).as("w"))
       .select(col("source"), col("doc_id"),
         explode_outer(T.shingleSet(col("w"), BoilerShingleK)).as("shingle"))
@@ -2299,7 +2301,9 @@ object TextAnalysis {
     * construction); the zero-filled matrix join runs on the broadcast
     * sources² domain. */
   def sourceGramLeakage(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
+    // spread (guide §2.5): the 8-gram explode + md5 scan-side chain is
+    // this query's dominant cost; interleaved A/B 2.4 -> 2.0 s
+    val grams = Tables.documentsSpread(spark, sfDir)
       .select(col("source"), T.wsTokens(col("text")).as("w"))
       .select(col("source"), explode(T.shingleSet(col("w"), LeakageGramK)).as("g"))
       .select(col("source"), H.md5Int28(col("g")).as("h"))

@@ -517,6 +517,13 @@ final class TopKStrBuffer(val k: Int) {
     while (j > pos) { scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1 }
     scores(pos) = s; ids(pos) = id; n += 1
   }
+
+  /** Acceptance pre-test so update() can defer the defensive clone of a
+    * scan-backed UTF8String until the element is known to enter the
+    * buffer — once a group's k slots saturate, most inputs fail here
+    * and allocate nothing. */
+  def wouldAccept(s: Double, id: UTF8String): Boolean =
+    n < k || better(s, id, scores(k - 1), ids(k - 1))
 }
 
 /** `top_k_str_by_score(score, id, k)` — [[TopKByScore]] for STRING ids
@@ -527,8 +534,9 @@ final class TopKStrBuffer(val k: Int) {
   * per group into the exchange. Output: array<struct<score,id>>
   * best-first ((score desc, id asc)); rank = position + 1.
   *
-  * The buffer clones incoming UTF8Strings: update() inputs may alias
-  * scan-backed memory that the next row overwrites. */
+  * update() clones accepted UTF8Strings (inputs may alias scan-backed
+  * memory that the next row overwrites) but tests acceptance first, so
+  * the saturated-buffer fast path allocates nothing. */
 case class TopKStringByScore(
     score: Expression,
     id: Expression,
@@ -548,8 +556,14 @@ case class TopKStringByScore(
   override def update(buf: TopKStrBuffer, input: InternalRow): TopKStrBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
-      buf.add(s.asInstanceOf[Double], i.asInstanceOf[UTF8String].clone())
+    if (s != null && i != null) {
+      val sd = s.asInstanceOf[Double]
+      val u = i.asInstanceOf[UTF8String]
+      // clone only ids that will actually be kept (the input may alias
+      // scan-backed memory the next row overwrites); rejected inputs —
+      // the common case once the buffer saturates — allocate nothing
+      if (buf.wouldAccept(sd, u)) buf.add(sd, u.clone())
+    }
     buf
   }
 
