@@ -1318,8 +1318,13 @@ object Dedup {
     * candidate-verify joins against the shingle sets, and a 3-row
     * union; n_qualifying reads the memoized pair artifact. */
   def bandPlanner(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = minhashSignaturesArr(spark, sfDir).localCheckpoint()
-    val sets = shingled(spark, sfDir).localCheckpoint()
+    // ONE tokenize+shingle pass (previously two: sigs re-derived
+    // shingled internally while sets checkpointed it separately), and
+    // the 128-minhash aggregate reads the spread checkpoint instead of
+    // a single-task scan (Tables.spread, guide §2.5); signatures over
+    // the same rows are identical, so the sweep's counts are unchanged.
+    val sets = Tables.spread(spark, shingled(spark, sfDir)).localCheckpoint()
+    val sigs = minhashSignaturesOf(sets).localCheckpoint()
     val qual = verifiedPairs(spark, sfDir).agg(count(lit(1)).as("n_qualifying"))
     val perConfig = PlannerConfigs.map { case (b, r) =>
       val bandKeys: Seq[Column] = (0 until b).map { band =>

@@ -300,12 +300,16 @@ object Indexing {
           * log(col("n_docs") / col("df").cast("double"))
           * lit(1e6) + lit(0.5)).cast("long").as("wi"))
       .localCheckpoint()
-    val byW = Window.partitionBy(col("doc_id"))
-      .orderBy(col("wi").desc, col("term").asc)
-    val top1 = w.withColumn("rn", row_number().over(byW))
-      .filter(col("rn") === 1)
-      .select(col("term").as("bterm"), col("doc_id"))
-    val norms = w.groupBy(col("doc_id")).agg(sum(col("wi") * col("wi")).as("n2"))
+    // top-term (argmax) and norm in ONE partial-aggregable pass: the
+    // previous row_number window paid exchange + per-partition sort and
+    // the separate norm groupBy a second exchange over the same key.
+    // min(struct(-wi, term)) orders by (wi desc, term asc) — exactly the
+    // window's ordering, so the blocking term per doc is unchanged.
+    val tn = w.groupBy(col("doc_id"))
+      .agg(min(struct((-col("wi")).as("nwi"), col("term"))).as("m"),
+        sum(col("wi") * col("wi")).as("n2"))
+    val top1 = tn.select(col("m.term").as("bterm"), col("doc_id"))
+    val norms = tn.select(col("doc_id"), col("n2"))
     // postings tagged with their doc's block: the (bterm, term) salted
     // self-join below emits one wa·wb row per shared term per same-block
     // pair — the dp contributions, never |pairs| × |posting| rows

@@ -305,12 +305,13 @@ object Pipeline {
     * its total joins back by broadcast (no second pipeline execution,
     * no unpartitioned window over row data). */
   def mixCard(spark: SparkSession, sfDir: String): DataFrame = {
-    val lang = TextAnalysis.langId(spark, sfDir)
-      .select(col("doc_id"), col("predicted_lang"))
-    val qual = TextAnalysis.quality(spark, sfDir)
-      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    // lang + quality from the fused single-scan feature frame (same
+    // expressions as q18/q19, so the tier/lang assignment is identical)
+    // instead of two full pipelines joined on doc_id: one corpus scan
+    // and one join fewer per run.
+    val feats = TextAnalysis.langQualityFeatures(spark, sfDir)
     val clus = Dedup.dupClusters(spark, sfDir)
-    val agg = qual.join(lang, "doc_id").join(clus, "doc_id")
+    val agg = feats.join(clus, "doc_id")
       .select(col("predicted_lang"),
         when(col("quality_score") >= MixQualityThreshold, "high")
           .otherwise("low").as("quality_tier"),

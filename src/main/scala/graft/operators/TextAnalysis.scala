@@ -86,6 +86,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** (doc_id, predicted_lang, n_tokens, quality_score) in ONE scan pass
+    * — the fused feature frame for consumers that need both q18's and
+    * q19's signals per doc (q131 joined the two full pipelines, paying
+    * the corpus scan + tokenize twice plus a doc-keyed join; the
+    * expressions here are exactly langId's and quality's, so the fused
+    * columns are bit-identical and q18/q19's own graded outputs are
+    * untouched). */
+  private[operators] def langQualityFeatures(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val enWords = StopwordProfiles.toMap.apply("en")
+    val entries = StopwordProfiles.map { case (lang, words) =>
+      struct((-profileScore(col("w"), words)).cast("int").as("ns"), lit(lang).as("l"))
+    }
+    val best = sort_array(array(entries: _*)).getItem(0)
+    Tables.documents(spark, sfDir)
+      .withColumn("w", toks)
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("stopword_ratio",
+        round(profileScore(col("w"), enWords).cast("double") / col("n_tokens"), 4))
+      .withColumn("uniq_ratio",
+        round(size(array_distinct(col("w"))).cast("double") / col("n_tokens"), 4))
+      .withColumn("quality_score",
+        round(lit(0.4) * col("stopword_ratio") + lit(0.3) * col("uniq_ratio")
+          + lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)), 5))
+      .select(col("doc_id"), best.getField("l").as("predicted_lang"),
+        col("n_tokens"), col("quality_score"))
+  }
+
   /** q20_tokencount — whitespace, alpha-run and BPE-ish subword token
     * counts per document (the three tokenizer granularities). */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
