@@ -489,18 +489,14 @@ object DataQuality {
     * pipelines; the join is doc-keyed; marginals aggregate onto the
     * label domain and meet in one label-keyed join; 1-row output. */
   def cohenKappa(spark: SparkSession, sfDir: String): DataFrame = {
-    val a = TextAnalysis.langId(spark, sfDir)
-      .select(col("doc_id"), col("predicted_lang").as("pa"))
-    val b = TextAnalysis.charLangId(spark, sfDir)
-      .select(col("doc_id"), col("predicted_lang").as("pb"))
-    // BOTH classifier pipelines execute exactly once: the doc-keyed
-    // join collapses straight into the ≤|labels|² contingency grid
-    // (one aggregation), and the tiny grid is what gets checkpointed
-    // for the four downstream readers (round-14 perf fix: the
-    // previous per-doc checkpoint re-materialized the full pipelines
-    // row-by-row — 6.4 s vs 2.4 s)
-    val grid = a.join(b, "doc_id")
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
+    // fused grid (round-15): the token-side prediction is a pure
+    // projection, so it rides the trigram pipeline's scan instead of
+    // running the whole langId pipeline a second time and joining on
+    // doc_id (round-14 had already collapsed the per-doc checkpoint
+    // into this ≤|labels|² grid; this removes the second corpus scan
+    // + doc-keyed join feeding it). Expressions and row set identical
+    // — see TextAnalysis.langAgreementGrid.
+    val grid = TextAnalysis.langAgreementGrid(spark, sfDir)
       .localCheckpoint()
     val tot = grid.agg(sum(col("c")).as("n"),
       coalesce(sum(when(col("pa") === col("pb"), col("c"))), lit(0L))

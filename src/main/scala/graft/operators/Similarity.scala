@@ -1023,9 +1023,12 @@ object Similarity {
     * codebook → ONE partial-aggregable per-cell aggregate (scatter,
     * size); the global-centroid pass is q149's component aggregate;
     * everything after (pairwise centroid gaps, per-cluster worst
-    * ratio, the two indices) lives on the k²-bounded centroid domain
-    * (k = √n cells — 10⁵ cells at 10¹⁰ vectors is still a broadcast-
-    * size table). Output: 1 row. */
+    * ratio, the two indices) lives on the k²-bounded centroid PAIR
+    * domain — fine while k ≲ 10⁴ (10⁸ pair rows); at k = 10⁵ cells
+    * (10¹⁰ vectors) the k² grid is itself corpus-scale, and the
+    * standard mitigation is restricting each cluster's R_ij search to
+    * nearby centroids (its own ANN problem over k points). Output:
+    * 1 row. */
   def clusterValidity(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.graft.{native => gf}
     val asg = hierCells(spark, sfDir)

@@ -39,6 +39,18 @@ object TextAnalysis {
   private def profileScore(tokens: Column, words: Seq[String]): Column =
     org.apache.spark.sql.graft.native.countInSet(tokens, words)
 
+  /** q18's prediction as a pure column over the token array — the
+    * fused-consumer form: multi-signal queries (q277's grid) attach it
+    * to an existing scan instead of running the whole langId pipeline
+    * a second time and joining on doc_id. Expression-identical to
+    * [[langId]]'s `predicted_lang`. */
+  private[operators] def predictedLangCol(w: Column): Column = {
+    val entries = StopwordProfiles.map { case (lang, words) =>
+      struct((-profileScore(w, words)).cast("int").as("ns"), lit(lang).as("l"))
+    }
+    sort_array(array(entries: _*)).getItem(0).getField("l")
+  }
+
   /** q18_langid — stopword-profile argmax with deterministic alphabetical
     * tie-break (encoded as ascending sort on (-score, lang)). */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
@@ -421,6 +433,49 @@ object TextAnalysis {
         coalesce(col("best.l"), lit("und")).as("predicted_lang"),
         coalesce((-col("best.ns")), lit(0L)).as("score"))
       .orderBy("doc_id")
+  }
+
+  /** (pa, pb, c) agreement grid of q18's token-profile prediction vs
+    * q65's char-trigram prediction over trigram-able docs — q277's
+    * input, fused: the token-side prediction rides the SAME scan as
+    * the trigram side ([[predictedLangCol]] is a pure projection), so
+    * the kappa query pays one corpus scan + the per-doc argmax join
+    * instead of a second full langId pipeline joined on doc_id. Both
+    * prediction expressions are bit-identical to q18's/q65's, and the
+    * row set equals the previous inner join's (every doc with
+    * length ≥ [[CharGramN]]); docs whose grams match no profile stay
+    * "und" exactly as in [[charLangId]]. */
+  private[operators] def langAgreementGrid(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documentsSpread(spark, sfDir)
+      .filter(length(col("text")) >= CharGramN)
+      .select(col("doc_id"), col("lang"), col("text"),
+        predictedLangCol(toks).as("pa"))
+    val grams = docs
+      .select(col("doc_id"), col("lang"), col("pa"),
+        explode_outer(org.apache.spark.sql.graft.native
+          .rollingHash(col("text"), CharGramN)).as("g"))
+      .filter(col("g").isNotNull)
+      .localCheckpoint()
+    val wProfile = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("g").asc)
+    val profiles = grams.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wProfile))
+      .filter(col("rn") <= ProfileSize)
+      .select(col("lang").as("plang"), col("g"))
+    val scored = grams.select(col("doc_id"), col("g"))
+      .join(broadcast(profiles), "g")
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(count(lit(1)).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("plang").as("l"))).as("best"))
+    // every trigram-able doc has gram rows, so doc→pa comes from the
+    // checkpoint (no second corpus scan for the left side)
+    grams.select(col("doc_id"), col("pa")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("pa"), coalesce(col("best.l"), lit("und")).as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
   }
 
   /** q79_lm_score — corpus-trained unigram LM cross-entropy per
