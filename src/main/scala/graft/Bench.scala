@@ -8,10 +8,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", DefaultCpus)
-    // deliberately NOT GraftSession's AQE config: at bench scale
-    // (sub-second stages) AQE's per-stage re-planning barriers cost
-    // ~7% wall with zero benefit — its coalescing/skew wins need real
-    // data volumes. Production sessions (GraftSession) keep AQE on.
+    // AQE runs with Spark's defaults here (enabled — round-15 ConfAB
+    // measured adaptive.enabled=false 2-3x WORSE at bench scale: the
+    // partition coalescing is load-bearing for tiny post-shuffle
+    // partitions). GraftSession pins the same flags explicitly.
     // shuffle width decoupled from executor threads: at bench SF most
     // post-shuffle partitions are tiny, so fewer/wider shuffle tasks cut
     // pure scheduler overhead while scans still use all threads
