@@ -447,12 +447,22 @@ object TextAnalysis {
     * "und" exactly as in [[charLangId]]. */
   private[operators] def langAgreementGrid(
       spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documentsSpread(spark, sfDir)
+    // doc-level checkpoint (one row per doc): feeds the gram explode AND
+    // the final doc→pa side, so the scan+tokenize is paid once and the
+    // left side is a narrow no-shuffle projection. r15 instead kept pa
+    // on every GRAM row and rebuilt doc→pa via distinct() over the
+    // exploded frame — a corpus-scale shuffle the pre-fusion code never
+    // paid (driver: 2.62→5 s, anti-scaling 0.6; reverted per ground
+    // truth). Tokens bind in their own projection so CollapseProject
+    // cannot inline the tokenizer into the 5 profileScore references.
+    val docs = Tables.documents(spark, sfDir)
       .filter(length(col("text")) >= CharGramN)
+      .withColumn("w", toks)
       .select(col("doc_id"), col("lang"), col("text"),
-        predictedLangCol(toks).as("pa"))
+        predictedLangCol(col("w")).as("pa"))
+      .localCheckpoint()
     val grams = docs
-      .select(col("doc_id"), col("lang"), col("pa"),
+      .select(col("doc_id"), col("lang"),
         explode_outer(org.apache.spark.sql.graft.native
           .rollingHash(col("text"), CharGramN)).as("g"))
       .filter(col("g").isNotNull)
@@ -470,9 +480,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("score"))
       .groupBy(col("doc_id"))
       .agg(min(struct((-col("score")).as("ns"), col("plang").as("l"))).as("best"))
-    // every trigram-able doc has gram rows, so doc→pa comes from the
-    // checkpoint (no second corpus scan for the left side)
-    grams.select(col("doc_id"), col("pa")).distinct()
+    // doc→pa from the doc-level checkpoint: one row per doc already, no
+    // shuffle, and row-set identical to charLangId's left side (every
+    // doc with length ≥ CharGramN, grams or not)
+    docs.select(col("doc_id"), col("pa"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("pa"), coalesce(col("best.l"), lit("und")).as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
@@ -2384,9 +2395,12 @@ object TextAnalysis {
     * construction); the zero-filled matrix join runs on the broadcast
     * sources² domain. */
   def sourceGramLeakage(spark: SparkSession, sfDir: String): DataFrame = {
-    // spread (guide §2.5): the 8-gram explode + md5 scan-side chain is
-    // this query's dominant cost; interleaved A/B 2.4 -> 2.0 s
-    val grams = Tables.documentsSpread(spark, sfDir)
+    // deliberately NOT spread: r15 kept a spread here on a warm
+    // interleaved A/B (2.4 -> 2.0 s), but the driver's cold 32-core run
+    // contradicted it (2.07 -> 4 s, 8-core ratio 0.25 — anti-scaling):
+    // the repartition inflates the partition count of the gram-keyed
+    // self-join below, whose shuffle dominates this query
+    val grams = Tables.documents(spark, sfDir)
       .select(col("source"), T.wsTokens(col("text")).as("w"))
       .select(col("source"), explode(T.shingleSet(col("w"), LeakageGramK)).as("g"))
       .select(col("source"), H.md5Int28(col("g")).as("h"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.graft.AsOf
 class AsOfSpec extends SparkSuite {
 
   test("as-of join matches an independent join+groupBy reference") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val events = graft.sources.Tables.events(spark, sf)
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
@@ -43,7 +43,7 @@ class AsOfSpec extends SparkSuite {
   }
 
   test("as-of join result is partition-count invariant") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val events = graft.sources.Tables.events(spark, sf)
     def run(n: Int): Map[Long, Option[Long]] = {
       val clicks = events.filter(col("event_type") === "click").repartition(n)
@@ -59,7 +59,7 @@ class AsOfSpec extends SparkSuite {
   }
 
   test("null timestamps never match: left gets null-extension, right is skipped") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val left = Seq(
       (1L, 10L, Some(new java.sql.Timestamp(5000L))),
       (2L, 10L, None)) // null left ts: must NOT match as if at epoch 0

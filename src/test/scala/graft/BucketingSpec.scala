@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkSuite {
 
   test("bucketed join has zero exchanges and matches the plain join") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val joined = Bucketing.bucketedJoin(spark, sf)
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"))

@@ -16,7 +16,7 @@ class CandidatePairsSpec extends SparkSuite {
 
   /** One hot bucket ("hot", 200 ids) + two small buckets. */
   private lazy val buckets = {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val hot = (0 until HotN).map(i => ("hot", i.toLong))
     val small = Seq(("s1", 1000L), ("s1", 1001L), ("s1", 1002L), ("s2", 2000L), ("s2", 2001L))
     (hot ++ small).toDF("k", "id")
@@ -64,7 +64,7 @@ class CandidatePairsSpec extends SparkSuite {
   }
 
   test("contrib form: one payload row per shared key per pair, cap-invariant") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     // docs -> (block, term, weight): a/b share block X and terms t1,t2
     // (weights differ); c shares block X but only term t1 with a/b;
     // d sits alone in block Y

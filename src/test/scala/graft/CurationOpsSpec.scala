@@ -94,7 +94,7 @@ class CurationOpsSpec extends SparkSuite {
   }
 
   test("scrub redacts emails and urls, leaves clean text untouched") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val docs = Seq(
       (1L, "contact bob@example.com or visit https://site.example/page now"),
       (2L, "plain text with no pii at all"),

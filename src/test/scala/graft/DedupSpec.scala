@@ -44,7 +44,7 @@ class DedupSpec extends SparkSuite {
   }
 
   test("simhash banding finds every hamming<=3 pair (pigeonhole recall)") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val sims = Dedup.simhashes(spark, sf).as[(Long, Long)].collect()
     val brute = (for {
       (ida, sa) <- sims; (idb, sb) <- sims if ida < idb
@@ -83,7 +83,7 @@ class DedupSpec extends SparkSuite {
   }
 
   test("large-star/small-star converges in O(log n) rounds on a chain") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     // a 256-node chain is the adversarial case: min-label propagation
     // needs 255 rounds, the star algorithm a handful
     val n = 256
@@ -95,7 +95,7 @@ class DedupSpec extends SparkSuite {
   }
 
   test("large-star/small-star matches driver-side union-find on a random graph") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val rnd = new scala.util.Random(42)
     val n = 300
     val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
@@ -140,7 +140,7 @@ class DedupSpec extends SparkSuite {
   }
 
   test("decontaminateAgainst accepts an external benchmark corpus") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     // docs 1 and 3 each share one 5-gram with the bench doc; doc 2 shares none
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
@@ -168,7 +168,7 @@ class DedupSpec extends SparkSuite {
   }
 
   test("incremental dedup labels exact/near/new and ignores batch-internal pairs") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     // 15 docs -> split = 12: corpus 0-11, batch 12-14
     val docs = (0L until 12L).map(i => (i, s"corpus doc number $i body"))
       .toSeq

@@ -11,7 +11,7 @@ class EdgeCasesSpec extends SparkSuite {
 
   private def writeCorpus(docs: Seq[(Long, String, String, String, Long)],
                           vecs: Seq[(Long, Array[Float])]): String = {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val dir = Files.createTempDirectory("graft_edge").toString
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -60,7 +60,7 @@ class EdgeCasesSpec extends SparkSuite {
   }
 
   test("round-5 operators are empty-safe") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     assert(Dedup.passageDedup(spark, emptyDir).count() == 0)
     assert(Sampling.langBalance(spark, emptyDir).count() == 0)
     assert(Ranking.lengthDeciles(spark, emptyDir).count() == 0)

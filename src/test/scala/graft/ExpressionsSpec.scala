@@ -7,7 +7,7 @@ import org.apache.spark.sql.graft.{native, CosineSimilarity}
 class ExpressionsSpec extends SparkSuite {
 
   test("native cosine_sim matches driver-side math and HOF formulation") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val vecs = graft.sources.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val pairs = vecs.limit(20).select(col("vec_id").as("a"), col("v").as("va"))
@@ -25,7 +25,7 @@ class ExpressionsSpec extends SparkSuite {
   }
 
   test("native cosine_sim returns NULL (not NaN) for zero-norm input") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val df = Seq(
       (1L, Seq(0.0, 0.0), Seq(1.0, 2.0)),  // zero left norm
       (2L, Seq(1.0, 2.0), Seq(0.0, 0.0)),  // zero right norm
@@ -50,7 +50,7 @@ class ExpressionsSpec extends SparkSuite {
   }
 
   test("native l2_sq: known vectors, truncation, zero vectors, nulls") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val df = Seq(
       (1L, Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 6.0, 3.0))), // 9+16+0 = 25
       (2L, Some(Seq(0.0, 0.0)), Some(Seq(0.0, 0.0))),           // zero vecs -> 0
@@ -108,7 +108,7 @@ class ExpressionsSpec extends SparkSuite {
   }
 
   test("rolling_hash matches a direct per-window recomputation") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val w = 8
     val docs = graft.sources.Tables.documents(spark, sf).limit(50)
     val got = docs
@@ -128,7 +128,7 @@ class ExpressionsSpec extends SparkSuite {
   }
 
   test("rolling_hash min-sketch is shift-invariant for shared substrings") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "PREFIX the quick brown fox jumps over the lazy dog")).toDF("id", "t")
@@ -139,7 +139,7 @@ class ExpressionsSpec extends SparkSuite {
   }
 
   test("winnow_min equals per-window minima with consecutive dedup") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     import org.apache.spark.sql.graft.WinnowMin
     // driver-side property over random arrays
     val rnd = new scala.util.Random(11)
@@ -202,7 +202,7 @@ class ExpressionsSpec extends SparkSuite {
   }
 
   test("CountInSet equals the filter-lambda formulation and a driver-side count") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val words = Seq("the", "a", "of")
     val docs = graft.sources.Tables.documents(spark, sf).limit(100)
       .select(col("doc_id"), graft.functions.TextFunctions.wsTokens(col("text")).as("w"))
@@ -225,7 +225,7 @@ class ExpressionsSpec extends SparkSuite {
   }
 
   test("TopKByScore equals the row_number window formulation") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val rnd = new scala.util.Random(7)
     // duplicate scores force the id ASC tie-break; multiple partitions
     // force real partial/merge paths through the shuffle
@@ -258,7 +258,7 @@ class ExpressionsSpec extends SparkSuite {
   }
 
   test("TopKDistinctByScore equals distinct-then-topK when score is a function of id") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val rnd = new scala.util.Random(7)
     // duplicated (g, id) rows with an id-determined score — the dedup-cap
     // contract (q126): set-top-k over the multiset must be exact
@@ -284,7 +284,7 @@ class ExpressionsSpec extends SparkSuite {
   }
 
   test("TopKStringByScore equals the row_number window formulation (string ids)") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val rnd = new scala.util.Random(11)
     // duplicate scores force the (score desc, id asc-binary) tie-break;
     // multiple partitions exercise the serialize/merge path
@@ -318,7 +318,7 @@ class ExpressionsSpec extends SparkSuite {
   }
 
   test("TopKByScore handles under-full groups and null scores") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val df = Seq[(Long, Option[Double], Long)](
       (1L, Some(0.5), 10L), (1L, Some(0.9), 11L),
       (2L, None, 20L), (2L, Some(0.1), 21L)
@@ -333,7 +333,7 @@ class ExpressionsSpec extends SparkSuite {
   }
 
   test("compression_ratio separates boilerplate from prose from noise") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val boiler = ("lorem ipsum " * 200).trim            // highly repetitive
     val prose = "the quick brown fox jumps over the lazy dog and then " +
       "wanders slowly home across nine distinct muddy riverbanks today"
@@ -358,7 +358,7 @@ class ExpressionsSpec extends SparkSuite {
   }
 
   test("nfc + strip_accents collapse encoding variants to one dedup key") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val composed = "caf\u00e9 menu"            // é as U+00E9
     val decomposed = "cafe\u0301 menu"         // e + combining acute
     val folded = "cafe menu"                   // accent-stripped ASCII
@@ -416,7 +416,7 @@ class ExpressionsSpec extends SparkSuite {
   }
 
   test("jaro_winkler matches the published reference values and conventions") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val cases = Seq(
       // (a, b, expected) — Winkler's census examples + convention edges,
       // values = DuckDB jaro_winkler_similarity (the pinned reference)
@@ -439,7 +439,7 @@ class ExpressionsSpec extends SparkSuite {
   }
 
   test("damerau_levenshtein is the TRUE (unrestricted) variant and bounds levenshtein") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val cases = Seq(
       ("ca", "abc", 2),   // the OSA-vs-true discriminator (OSA says 3)
       ("form", "from", 1), // adjacent transposition

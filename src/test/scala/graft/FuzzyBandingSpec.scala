@@ -32,7 +32,7 @@ class FuzzyBandingSpec extends SparkSuite {
     // names whose lengths straddle bin edges (w = 3: bins [0,2], [3,5],
     // [6,8], ...) — every qualifying pair must cross at most one bin
     // edge, and non-qualifying same-bin pairs must still be rejected
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val vocab = Seq(
       "ab", "abc", "abcd", "abcde", "abcdef", // chain crossing 2 edges
       "xy", "xyzzy", // distance > 2 in length: must never pair

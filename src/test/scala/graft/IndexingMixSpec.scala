@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * mixing, segmented inverted index, binned range join. */
 class IndexingMixSpec extends SparkSuite {
 
-  import spark.implicits._
+  import graft.SparkSuite.implicits._
 
   test("domain cap keeps at most N docs per source, deterministically") {
     // one flooded source (40 docs), one tiny (5) — the cap must bind

@@ -8,7 +8,7 @@ case class Outer(id: Long, name: String, inner: Inner, attrs: Map[String, Long])
 class MapReduceSpec extends SparkSuite {
 
   test("faithful run() equals scale-path runReduced() for wordcount") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("text").as[String]
     def mapfn(t: String): Iterator[(String, Long)] =
@@ -21,7 +21,7 @@ class MapReduceSpec extends SparkSuite {
   }
 
   test("nested case-class serialization round-trips through parquet") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val in = Seq(
       Outer(1, "a", Inner(Seq("x", "y"), 1.5), Map("k" -> 2L)),
       Outer(2, "b", Inner(Nil, -0.5), Map.empty))

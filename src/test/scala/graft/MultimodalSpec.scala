@@ -5,7 +5,7 @@ import graft.operators.{Multimodal, MultimodalDecoder, MediaBlob}
 class MultimodalSpec extends SparkSuite {
 
   test("decoded features are consistent with source documents") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val feats = Multimodal.features(spark, sf)
       .as[(Long, String, Int, Int, Int, String)].collect()
     val docs = graft.sources.Tables.documents(spark, sf)
@@ -24,7 +24,7 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("expression path and mapPartitions decoder path agree row-for-row") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val expr = Multimodal.features(spark, sf)
       .as[(Long, String, Int, Int, Int, String)].collect().toSet
     val decoded = Multimodal.decodedFeatures(spark, sf)
@@ -88,7 +88,7 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("image decode runs distributed through the mapPartitions boundary") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val blobs = (1L to 12L).map { i =>
       val b = pngBytes(8 + i.toInt, 8)
       MediaBlob(i, "image/png", b, b.length)
@@ -101,7 +101,7 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("frame sampling fans one blob into n distributed frame rows") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val n = 4
     val frames = graft.operators.Multimodal.frames(spark, sf, n).collect()
     val nBlobs = graft.sources.Tables.documents(spark, sf).count()

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 class PartitionSpec extends SparkSuite {
 
   test("wordcount is partition-count invariant") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val base = graft.sources.Tables.documents(spark, sf)
     val results = Seq(1, 3, 8).map { n =>
       base.repartition(n)
@@ -24,7 +24,7 @@ class PartitionSpec extends SparkSuite {
   }
 
   test("partitioned agg equals unpartitioned agg") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val viaQuery = Relational.partitionedAgg(spark, sf)
       .as[(Long, Long, Double)].collect().toSet
     val direct = graft.sources.Tables.events(spark, sf)
@@ -36,7 +36,7 @@ class PartitionSpec extends SparkSuite {
   }
 
   test("MapReduce API result is stable under repartitioning") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val src = graft.sources.Tables.events(spark, sf)
       .select(col("event_type"), col("value")).as[(String, Double)]
     def run(n: Int): Map[String, Long] =

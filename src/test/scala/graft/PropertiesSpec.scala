@@ -16,7 +16,7 @@ class PropertiesSpec extends SparkSuite {
   private val text = Gen.listOf(word).map(_.mkString(" "))
 
   test("tokenizer matches the reference regex semantics on generated text") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     (1 to 10).foreach { seed =>
       val texts = draw(Gen.listOfN(20, text), seed)
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
@@ -30,7 +30,7 @@ class PropertiesSpec extends SparkSuite {
   }
 
   test("MapReduce.runReduced equals a driver-side groupBy-sum on generated pairs") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val pair = for { k <- Gen.choose(0, 5); v <- Gen.choose(-100L, 100L) } yield (s"k$k", v)
     (1 to 5).foreach { seed =>
       val pairs = draw(Gen.listOfN(200, pair), seed)
@@ -42,7 +42,7 @@ class PropertiesSpec extends SparkSuite {
   }
 
   test("globalRank equals driver-side sorting on generated skewed data") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     // heavy ties (few distinct values), gapped ids, sizes straddling
     // several rank blocks
     val row = for {
@@ -95,7 +95,7 @@ class PropertiesSpec extends SparkSuite {
   }
 
   test("salted bucket self-join equals naive all-pairs for ANY bucket layout and cap") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val assignment = for {
       nBuckets <- Gen.choose(1, 6)
       n <- Gen.choose(1, 120)
@@ -116,7 +116,7 @@ class PropertiesSpec extends SparkSuite {
   }
 
   test("block-wise shard packing equals a sequential cumsum on gapped id spaces") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     import graft.operators.Packing
     val corpus = for {
       n <- Gen.choose(0, 400)
@@ -162,7 +162,7 @@ class PropertiesSpec extends SparkSuite {
   }
 
   test("domain cap equals a driver-side hash-rank on generated skew") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val row = for {
       id <- Gen.choose(0L, 500L)
       src <- Gen.oneOf("hot", "warm", "cold") // skewed source mix
@@ -190,7 +190,7 @@ class PropertiesSpec extends SparkSuite {
   }
 
   test("pagerank conserves mass on generated undirected graphs") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val edge = Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 20L))
       .suchThat { case (a, b) => a != b }
     (1 to 3).foreach { seed =>

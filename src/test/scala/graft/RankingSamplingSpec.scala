@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** q59-q61: passage dedup, language rebalancing, block-wise global rank. */
 class RankingSamplingSpec extends SparkSuite {
 
-  import spark.implicits._
+  import graft.SparkSuite.implicits._
 
   test("globalRank equals a global window on tied, gapped, multi-block data") {
     // values collide across blocks (v = id % 7), ids are gapped

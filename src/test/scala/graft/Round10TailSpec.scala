@@ -144,7 +144,7 @@ class Round10TailSpec extends SparkSuite {
   }
 
   test("q151 all checks pass on testdata, and each check fires on planted violations") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val rows = graft.operators.DataQuality.dataQuality(spark, sf).collect()
     assert(rows.length == 8)
     rows.foreach { r =>

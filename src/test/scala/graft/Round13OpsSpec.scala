@@ -197,7 +197,7 @@ class Round13OpsSpec extends SparkSuite {
     assert(rt.exceptAll(direct).isEmpty && direct.exceptAll(rt).isEmpty,
       "round-trip aggregate equals the parquet aggregate")
     // escaping contract: commas and quotes survive the writer/reader pair
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val torture = Seq((1L, """a,b "quoted" c"""), (2L, "plain")).toDF("id", "s")
     val dir = java.nio.file.Files.createTempDirectory("graft_csvt_").toString
     graft.sources.Sinks.csv(torture, dir)

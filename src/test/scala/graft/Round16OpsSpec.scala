@@ -320,7 +320,7 @@ class Round16OpsSpec extends SparkSuite {
   }
 
   test("q360 headroom guard: loud raise_error past the boundary, silent at it") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val docs = Seq(
       ("big", "a b c d e f g h"),   // 8 tokens
       ("small", "a b c")            // 3 tokens

@@ -74,7 +74,7 @@ class SinksSpec extends SparkSuite {
   }
 
   test("csv and json sinks round-trip the wordcount result") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val wc = operators.WordCount.query(spark, sf)
     val expected = wc.as[(String, Long)].collect().toMap
     val cdir = tmp() + "/wc_csv"
@@ -90,7 +90,7 @@ class SinksSpec extends SparkSuite {
   }
 
   test("orc sink round-trips through the orc reader, schema intact") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val wc = operators.WordCount.query(spark, sf)
     val expected = wc.as[(String, Long)].collect().toMap
     val dir = tmp() + "/wc_orc"
@@ -104,7 +104,7 @@ class SinksSpec extends SparkSuite {
   }
 
   test("Tables.csv/json readers round-trip sinks with and without explicit schema") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val wc = operators.WordCount.query(spark, sf)
     val expected = wc.as[(String, Long)].collect().toMap
     val cdir = tmp() + "/rt_csv"

@@ -31,7 +31,7 @@ class SketchesSpec extends SparkSuite {
   }
 
   test("q116 count-min never underestimates and ranks the true top-k") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val rows = Sketches.heavyHitters(spark, sf).collect()
     assert(rows.length == Sketches.CmsTopK)
     rows.foreach { r =>
@@ -49,7 +49,7 @@ class SketchesSpec extends SparkSuite {
   }
 
   test("approximate percentiles bracket the exact median sensibly") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val rows = Sketches.eventSketches(spark, sf)
       .select("event_type", "approx_p50", "approx_p99")
       .as[(String, Double, Double)].collect()

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 class SkewSpec extends SparkSuite {
 
   test("salted aggregation equals direct aggregation") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val events = graft.sources.Tables.events(spark, sf)
     val salted = Skew.saltedAgg(events, col("event_type"), col("event_id"), 8,
       countAs = "cnt", sumCol = Some(col("value")), sumAs = "total")
@@ -19,7 +19,7 @@ class SkewSpec extends SparkSuite {
   }
 
   test("salted join equals plain join") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val orders = graft.sources.Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val customer = graft.sources.Tables.customer(spark, sf)

@@ -11,7 +11,7 @@ class StreamingSpec extends SparkSuite {
     Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
   test("windowed aggregation over a memory stream") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
     val query = EventStream.withWatermarkedWindow(stream.toDF())
@@ -32,7 +32,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("stateful running user stats accumulate across micro-batches") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
     val query = EventStream.runningUserStats(spark, stream.toDS())
@@ -68,7 +68,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("event-time sessionization closes sessions after the gap") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
     val query = EventStream.sessionize(spark, stream.toDS(), gapMinutes = 30)
@@ -93,7 +93,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("sessionize splits intra-batch gaps: two sessions from one micro-batch") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
     val query = EventStream.sessionize(spark, stream.toDS(), gapMinutes = 30)
@@ -127,7 +127,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("streaming dedup drops in-watermark duplicate keys exactly once") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
     val query = EventStream.streamingDedup(stream.toDF(), Seq("user_id", "event_type"))
@@ -148,7 +148,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("token-bucket rate limit admits per refill schedule across micro-batches") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
     // capacity 2, refill 1 token / 100 s
@@ -194,7 +194,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("batch and streaming window paths agree on the events table") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     implicit val sqlCtx = spark.sqlContext
     val batch = EventStream.windowQuery(spark, sf)
       .as[(String, String, Long, Double)].collect().toSet
@@ -228,7 +228,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("streaming incremental dedup labels a doc stream against a static corpus") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "seen before"), (2L, "also known"), (3L, "seen before"))
       .toDF("doc_id", "text")
@@ -260,7 +260,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("stream-stream interval join attributes clicks to in-window views") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     implicit val sqlCtx = spark.sqlContext
     // (event_id, ts, user_id) on both sides
     val clicks = MemoryStream[(Long, Timestamp, Long)]
@@ -306,7 +306,7 @@ class StreamingSpec extends SparkSuite {
     Timestamp.valueOf(java.time.LocalDateTime.of(2026, 1, 1, 10, 0, 0).plusMinutes(minutes))
 
   test("state boundedness: windowed agg state stops growing once the watermark passes (q23 shape)") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
     // Append mode: watermark-evicted windows are FINALIZED and removed
@@ -335,7 +335,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("state boundedness: sessionization state is O(open sessions), watermark-timed-out (q25 shape)") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
     val query = EventStream.sessionize(spark, stream.toDS())
@@ -361,7 +361,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("state boundedness: stream-stream join buffers only the watermark horizon (q113 shape)") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
     val views = MemoryStream[(Long, Timestamp, Long)]

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 class WordCountSpec extends SparkSuite {
 
   test("flagship DataFrame form equals the MapReduce-API form") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val df = WordCount.query(spark, sf)
       .as[(String, Long)].collect().toMap
     val mr = WordCount.viaMapReduceApi(spark, sf).collect().toMap
@@ -14,7 +14,7 @@ class WordCountSpec extends SparkSuite {
   }
 
   test("counts match an independent RDD-side tally") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val expected = graft.sources.Tables.documents(spark, sf)
       .select("text").as[String].rdd
       .flatMap(t => "[a-z]+".r.findAllIn(t.toLowerCase))
@@ -24,7 +24,7 @@ class WordCountSpec extends SparkSuite {
   }
 
   test("directory-of-txt-files source reproduces the reference flagship") {
-    import spark.implicits._
+    import graft.SparkSuite.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_txt")
     java.nio.file.Files.writeString(dir.resolve("a.txt"), "Hello world hello\nSpark counts Words")
     java.nio.file.Files.writeString(dir.resolve("b.txt"), "world of spark 42 spark!")
